@@ -1,0 +1,116 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure column expressions (JVM-side, codegen) — at 100 TB these run in
+the scan stage with zero shuffle.  Hash functions are deterministic integer
+arithmetic (31-polynomial over char codes) so the DuckDB oracle can compute
+byte-identical values (Spark's murmur hash is not portable across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# top stopwords per language for the n-gram/stopword language-ID heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"],
+    "fr": ["le", "la", "les", "et", "des", "est", "un", "une", "dans", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "por"],
+}
+
+MASK31 = (1 << 31) - 1
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased word tokens (BPE-ish regex split: runs of non-word chars
+    are separators; empties dropped)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9']+"), lambda t: t != ""
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-regex token count."""
+    return F.size(tokens(text))
+
+
+def char_poly_hash(s: Column) -> Column:
+    """Deterministic 31-polynomial hash of a string's char codes, mod 2^31.
+
+    Portable across Spark and DuckDB (both compute the same integer):
+    ``h = (h*31 + ascii(ch)) & (2^31-1)``.
+    """
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(MASK31 + 1),
+    ).cast("long")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of stopword occurrences (word-boundary) for one language."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def detect_language(text: Column) -> Column:
+    """Language-ID heuristic: the language with the most stopword hits;
+    NULL when no language scores > 0."""
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit(None).cast("string")
+    # reverse order so earlier languages win ties (when-chain = first match)
+    chain = None
+    for lang in STOPWORDS:
+        cond = (hits[lang] == best) & (best > 0)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return chain.otherwise(expr)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: penalize extreme length, high punct
+    ratio, low alpha ratio, low stopword ratio.  Deterministic arithmetic —
+    oracle-expressible."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    nt = token_count(text)
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    len_ok = F.when((nt >= 5) & (nt <= 5000), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (
+        (alpha_ratio * 0.5 + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.25 + len_ok * 0.25)
+    ).cast("double")
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: rolling 31-polynomial hash over the normalized
+    token stream (deterministic, oracle-expressible)."""
+    toks = tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * 1000003
+            + F.aggregate(
+                F.split(t, ""),
+                F.lit(0).cast("long"),
+                lambda a, ch: (a * 31 + F.ascii(ch)) % F.lit(MASK31 + 1),
+            )
+        )
+        % F.lit(MASK31 + 1),
+    ).cast("long")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Token n-gram shingles (space-joined), for Jaccard / MinHash."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.when(k >= n,
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
+    ).otherwise(F.array(F.concat_ws(" ", toks)))

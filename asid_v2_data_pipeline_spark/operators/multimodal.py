@@ -1,0 +1,98 @@
+"""Multimodal column plumbing (SURVEY.md §2.11).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode/resize/frame-sample run as Arrow-batched ``mapInPandas``
+over them.  The decode kernels themselves are STUBBED (codec libraries are
+not in this environment) behind ``DecodeStub`` — the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class DecodeStub:
+    """Deterministic fake decoder.  A real deployment swaps in PIL/ffmpeg
+    here; everything around it (Arrow batching, schema, partitioning) is
+    production-shaped."""
+
+    FEATURE_DIM = 8
+
+    @staticmethod
+    def decode(payload: bytes) -> list[float]:
+        if payload is None:
+            raise NotImplementedError("real decode requires codec libs")
+        # deterministic fake: byte histogram folded to FEATURE_DIM buckets
+        buckets = [0.0] * DecodeStub.FEATURE_DIM
+        for i, b in enumerate(payload):
+            buckets[b % DecodeStub.FEATURE_DIM] += 1.0
+        total = max(len(payload), 1)
+        return [x / total for x in buckets]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` keeps whole Arrow batches in one Python call — the
+    per-row cost is amortized; partitioning (by media_id ranges upstream)
+    is preserved."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                DecodeStub.decode(p) if p is not None else None
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) if p is not None else None for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = patterned
+    bytes)."""
+    rows = [
+        (
+            i,
+            ("image", "audio", "video")[i % 3],
+            ("image/png", "audio/wav", "video/mp4")[i % 3],
+            bytes((i * 7 + k) % 256 for k in range(32 + (i % 5) * 16)),
+            64 + i % 8,
+            48 + i % 8,
+            1000 * (i % 30),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

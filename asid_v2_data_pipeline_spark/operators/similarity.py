@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11).
+
+- **Brute-force top-k cosine**: broadcast the (small) query set, compute
+  dot/norms with ``zip_with``+``aggregate`` (JVM-side, no Python), rank
+  with a per-query window.  Exact; the baseline.
+- **LSH-bucketed ANN** (random hyperplanes): sign-bit bucket per vector;
+  queries probe only their bucket — the 100 TB path (the bucket groupBy is
+  the only shuffle; recall traded for candidate-set size via ``planes``).
+
+Hyperplanes are deterministic (LCG), so results are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: for each query vector, the k nearest corpus vectors by
+    cosine (ties broken by corpus id for determinism).
+
+    The query side is broadcast — the corpus is scanned once, no shuffle
+    until the per-query top-k window (k rows per query after AQE)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
+        "q_id",
+        "c_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.col("score").cast("double").alias("score"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in {-1,+1}^dim via an LCG."""
+    out, state = [], seed
+    for _ in range(planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            row.append(1.0 if (state >> 16) & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = 8, seed: int = 11) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits of <v, h_i> packed into an
+    int."""
+    hps = _hyperplanes(dim, planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, hp in enumerate(hps):
+        d = dot(vec, F.array(*[F.lit(x) for x in hp]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def topk_cosine_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+
+    At 100 TB the corpus is pre-bucketed (partitioned by bucket); a query
+    touches one partition.  Recall < 1 by construction — the exact
+    ``topk_cosine`` is the correctness oracle."""
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), dim, planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qv"),
+        lsh_bucket(F.col(vec_col), dim, planes).alias("_bucket"),
+    )
+    scored = c.join(F.broadcast(q), "_bucket").filter(
+        F.col("q_id") != F.col("c_id")
+    ).select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.col("score").cast("double").alias("score"), "rank")
+    )
