@@ -48,17 +48,20 @@ def char_poly_hash(s: Column) -> Column:
     ).cast("long")
 
 
-def stopword_hits(text: Column, lang: str) -> Column:
-    """Count of stopword occurrences (word-boundary) for one language."""
-    toks = tokens(text)
+def stopword_hits_from_tokens(toks: Column, lang: str) -> Column:
+    """Count of stopword occurrences for one language, over a token array."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
 
-def detect_language(text: Column) -> Column:
-    """Language-ID heuristic: the language with the most stopword hits;
-    NULL when no language scores > 0."""
-    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+def stopword_hits(text: Column, lang: str) -> Column:
+    return stopword_hits_from_tokens(tokens(text), lang)
+
+
+def detect_language_from_tokens(toks: Column) -> Column:
+    """Language-ID over a pre-materialized token array (cheap form — use
+    this in pipelines: tokenization runs once, not once per language)."""
+    hits = {lang: stopword_hits_from_tokens(toks, lang) for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     expr = F.lit(None).cast("string")
     # reverse order so earlier languages win ties (when-chain = first match)
@@ -67,6 +70,13 @@ def detect_language(text: Column) -> Column:
         cond = (hits[lang] == best) & (best > 0)
         chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
     return chain.otherwise(expr)
+
+
+def detect_language(text: Column) -> Column:
+    """Language-ID heuristic: the language with the most stopword hits;
+    NULL when no language scores > 0.  Ties go to the earlier language in
+    STOPWORDS order (first-match when chain)."""
+    return detect_language_from_tokens(tokens(text))
 
 
 def quality_score(text: Column) -> Column:

@@ -49,31 +49,97 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct shingle hash set (31-poly char hash per shingle)."""
-    return F.array_distinct(
-        F.transform(
-            shingles(text, n),
-            lambda s: F.aggregate(
-                F.split(s, ""),
-                F.lit(0).cast("long"),
-                lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(MASK31 + 1),
-            ),
-        )
+COMBINE = 1000003  # token-hash -> shingle-hash combining multiplier
+
+
+def token_hashes(text: Column) -> Column:
+    """31-poly char hash per token (the only char-level pass)."""
+    from ..functions.text import tokens
+
+    return F.transform(
+        tokens(text),
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, ch: (acc * 31 + F.ascii(ch)) % F.lit(MASK31 + 1),
+        ),
     )
+
+
+def _shingle_hashes_from_token_hashes(th: Column, n: int = 3) -> Column:
+    """Distinct shingle hashes combined arithmetically from token hashes:
+    ``sh_i = fold(0, th[i..i+n-1], (a, h) -> (a*COMBINE + h) mod 2^31)``.
+
+    Hashing tokens once and combining beats re-hashing every shingle's
+    characters ~n-fold — at 100 TB the char pass dominates."""
+    k = F.size(th)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+
+    def shingle_at(i: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for d in range(n):
+            acc = (acc * COMBINE + F.element_at(th, i + d + 1)) % F.lit(MASK31 + 1)
+        return acc
+
+    full_fold = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * COMBINE + h) % F.lit(MASK31 + 1),
+    )
+    return F.when(k >= n, F.array_distinct(F.transform(idx, shingle_at))).otherwise(
+        F.array(full_fold)
+    )
+
+
+def with_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(_id, _hs) — staged projections so tokenization + char hashing run
+    exactly once per row (Catalyst keeps multiply-referenced aliases)."""
+    staged = df.select(
+        F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
+    )
+    return staged.select(
+        "_id", _shingle_hashes_from_token_hashes(F.col("_th"), n).alias("_hs")
+    )
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Column form of the shingle hash set (inline; prefer
+    ``with_shingle_hashes`` in pipelines)."""
+    return _shingle_hashes_from_token_hashes(token_hashes(text), n)
+
+
+def _perm_min(hs: Column, a: int, b: int) -> Column:
+    # closure factory: pyspark reads the lambda's arity, so defaults
+    # ("lambda x, a=a") would be mis-bound as lambda variables
+    return F.array_min(F.transform(hs, lambda x: (x * a + b) % F.lit(MERSENNE31)))
 
 
 def minhash_signature(text: Column, num_perm: int = 16, n: int = 3) -> Column:
     """MinHash signature: array of per-permutation minima over the shingle
-    hash set."""
+    hash set.
+
+    NOTE: prefer ``minhash_signatures`` (DataFrame form) in pipelines — it
+    materializes the shingle-hash array once; inlining this Column form
+    re-evaluates the (expensive) shingle hashing once per permutation."""
     hs = shingle_hashes(text, n)
-    mins = [
-        F.array_min(
-            F.transform(hs, lambda x, a=a, b=b: (x * a + b) % F.lit(MERSENNE31))
-        )
-        for a, b in _perm_constants(num_perm)
-    ]
-    return F.array(*mins)
+    return F.array(*[_perm_min(hs, a, b) for a, b in _perm_constants(num_perm)])
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 16, n: int = 3
+) -> DataFrame:
+    """(_id, _sig) — signature per row, shingle hashes computed exactly
+    once (staged projections)."""
+    hashed = with_shingle_hashes(df, id_col, text_col, n)
+    hs = F.col("_hs")
+    return hashed.select(
+        "_id",
+        F.array(
+            *[_perm_min(hs, a, b) for a, b in _perm_constants(num_perm)]
+        ).alias("_sig"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -90,9 +156,7 @@ def minhash_lsh_pairs(
     never all pairs.  Returns distinct (id_a, id_b) with id_a < id_b.
     """
     rows = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"), minhash_signature(F.col(text_col), num_perm, n).alias("_sig")
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
     band_rows = sig.select(
         "_id",
         F.posexplode(
@@ -119,21 +183,42 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def simhash(text: Column, bits: int = 32, n: int = 3) -> Column:
-    """SimHash fingerprint: sign of per-bit sums over shingle hashes.
+def _bit_pred(mask: int):
+    # factory, not default-arg lambda: pyspark binds lambda arity
+    return lambda x: x.bitwiseAND(F.lit(mask)) != 0
 
-    bit b of hash set {h}: popcount-style vote — bit set iff
-    #{h: bit b of h set} > len/2."""
-    hs = shingle_hashes(text, n)
+
+def _simhash_from_hashes(hs: Column, bits: int) -> Column:
     total = F.size(hs)
     bit_cols = []
     for b in range(bits):
-        ones = F.size(F.filter(hs, lambda x: x.bitwiseAND(F.lit(1 << b)) != 0))
-        bit_cols.append(F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0)).cast("long"))
+        ones = F.size(F.filter(hs, _bit_pred(1 << b)))
+        bit_cols.append(
+            F.when(ones * 2 > total, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        )
     out = bit_cols[0]
     for c in bit_cols[1:]:
         out = out + c
     return out
+
+
+def simhash(text: Column, bits: int = 32, n: int = 3) -> Column:
+    """SimHash fingerprint: sign of per-bit votes over the shingle hash set
+    (bit b set iff the majority of shingle hashes have bit b set).
+
+    Column form — prefer ``simhashes`` (DataFrame form) in pipelines, which
+    hashes shingles once instead of once per bit."""
+    return _simhash_from_hashes(shingle_hashes(text, n), bits)
+
+
+def simhashes(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, n: int = 3
+) -> DataFrame:
+    """(id, simhash) with the shingle-hash array materialized once."""
+    hashed = with_shingle_hashes(df, id_col, text_col, n)
+    return hashed.select(
+        F.col("_id").alias(id_col), _simhash_from_hashes(F.col("_hs"), bits).alias("simhash")
+    )
 
 
 def hamming(a: Column, b: Column) -> Column:

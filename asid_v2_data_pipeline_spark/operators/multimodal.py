@@ -32,7 +32,9 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
-        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        # double, not float: features are ratios compared against a
+        # float64 oracle; float32 truncation crosses rounding boundaries
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
     ]
 )
 

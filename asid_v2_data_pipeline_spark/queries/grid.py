@@ -1,0 +1,285 @@
+"""Raster/patch operator queries, oracle-checked.
+
+A deterministic 64×64 "raster" is derived from lineitem (row_number over
+the (l_orderkey, l_linenumber) key -> dense (line, sample) coords, NULLs
+injected by a partkey rule), then the engine's *actual* patch operators
+(asid_v2_data_pipeline_spark.operators) run over it.  The DuckDB oracle
+recomputes the same semantics in plain SQL — so every declared query
+checks the real operator implementation, not a reimplementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.patching import assign_tumbling, clean_patches, patch_pixels
+from ..operators.resize import any_pool_mask, avg_pool, decimate
+from ..operators.stitch import reconstruction_size, stitch_pixels
+from ..schemas import load_table
+
+N = 64  # grid side
+W = 8  # patch window
+
+GRID_CTE = f"""
+WITH px AS (
+  SELECT CAST(rn // {N} AS INT) AS line,
+         CAST(rn % {N} AS INT)  AS sample,
+         CASE WHEN l_partkey % 97 = 0 THEN NULL ELSE l_quantity END AS value
+  FROM (SELECT l_partkey, l_quantity,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+        FROM lineitem) t
+  WHERE rn < {N * N}
+)
+"""
+
+
+def pixel_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.select("l_partkey", "l_quantity", (F.row_number().over(w) - 1).alias("rn"))
+        .filter(F.col("rn") < N * N)
+        .select(
+            F.floor(F.col("rn") / N).cast("int").alias("line"),
+            (F.col("rn") % N).cast("int").alias("sample"),
+            F.when(F.col("l_partkey") % 97 == 0, F.lit(None))
+            .otherwise(F.col("l_quantity"))
+            .alias("value"),
+        )
+    )
+
+
+def w1_tumbling_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 — tumbling patch stats: per-patch count + rounded sum."""
+    g = assign_tumbling(pixel_grid(spark, sf_dir), W)
+    return (
+        g.groupBy("i", "j")
+        .agg(
+            F.count("value").alias("n_valid"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+W1_SQL = GRID_CTE + f"""
+SELECT CAST(line // {W} AS INT) AS i, CAST(sample // {W} AS INT) AS j,
+       COUNT(value) AS n_valid, ROUND(SUM(value), 4) AS sum_value
+FROM px
+GROUP BY 1, 2
+ORDER BY i, j
+"""
+
+
+def f3_clean_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — NaN-free patch keys via the engine's clean_patches operator."""
+    g = assign_tumbling(
+        pixel_grid(spark, sf_dir).withColumn("scene", F.lit("g")), W
+    )
+    return clean_patches(g, W, ["value"]).select("i", "j").orderBy("i", "j")
+
+
+F3_SQL = GRID_CTE + f"""
+SELECT CAST(line // {W} AS INT) AS i, CAST(sample // {W} AS INT) AS j
+FROM px
+GROUP BY 1, 2
+HAVING COUNT(value) = {W * W}
+ORDER BY i, j
+"""
+
+
+def w3_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — strided decimation with the reference's trailing-edge quirk
+    (step 3 on a 64-grid: sliced 22 rows, 22 % 3 != 0 -> drop last
+    row+col of the decimated result)."""
+    g = pixel_grid(spark, sf_dir)
+    out = decimate(g, 3, N, row="line", col="sample")
+    return out.select("line", "sample", F.round("value", 4).alias("value")).orderBy(
+        "line", "sample"
+    )
+
+
+_sliced = -(-N // 3)  # 22
+_limit = (_sliced - 1) if _sliced % 3 else _sliced
+W3_SQL = GRID_CTE + f"""
+SELECT CAST(line // 3 AS INT) AS line, CAST(sample // 3 AS INT) AS sample,
+       ROUND(value, 4) AS value
+FROM px
+WHERE line % 3 = 0 AND sample % 3 = 0
+  AND line // 3 < {_limit} AND sample // 3 < {_limit}
+ORDER BY line, sample
+"""
+
+
+def w4_avg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — average-pool resize (block mean, step 4)."""
+    g = pixel_grid(spark, sf_dir).withColumn("scene", F.lit("g"))
+    out = avg_pool(g, 4, keys=["scene"], value_cols=["value"], row="line", col="sample")
+    return out.select(
+        "line", "sample", F.round("value", 6).alias("value")
+    ).orderBy("line", "sample")
+
+
+W4_SQL = GRID_CTE + """
+SELECT CAST(line // 4 AS INT) AS line, CAST(sample // 4 AS INT) AS sample,
+       ROUND(AVG(value), 6) AS value
+FROM px
+GROUP BY 1, 2
+ORDER BY line, sample
+"""
+
+
+def w6_any_pool_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — any-pooling mask downsample (block 8): block masked iff any
+    pixel masked."""
+    g = pixel_grid(spark, sf_dir).withColumn(
+        "mask", F.col("value").isNull()
+    ).withColumn("scene", F.lit("g"))
+    out = any_pool_mask(g, 8, keys=["scene"], mask_col="mask")
+    return out.select("line", "sample", "mask").orderBy("line", "sample")
+
+
+W6_SQL = GRID_CTE + """
+SELECT CAST(line // 8 AS INT) AS line, CAST(sample // 8 AS INT) AS sample,
+       MAX(value IS NULL) AS mask
+FROM px
+GROUP BY 1, 2
+ORDER BY line, sample
+"""
+
+
+def w8_stitch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 — patch∘stitch identity: extract tumbling patches from the grid
+    with the engine operators, stitch them back, emit the reconstructed
+    pixels.  The oracle is the *original* clean-patch pixels — stitching
+    must be the exact inverse of patching."""
+    g = assign_tumbling(
+        pixel_grid(spark, sf_dir).withColumn("scene", F.lit("g")), W
+    )
+    px = patch_pixels(g, W, ["value"])
+    stitched = stitch_pixels(px, W)
+    return stitched.select(
+        "line", "sample", F.round("value", 4).alias("value")
+    ).orderBy("line", "sample")
+
+
+W8_SQL = GRID_CTE + f"""
+, clean AS (
+  SELECT CAST(line // {W} AS INT) AS i, CAST(sample // {W} AS INT) AS j
+  FROM px GROUP BY 1, 2 HAVING COUNT(value) = {W * W}
+)
+SELECT line, sample, ROUND(value, 4) AS value
+FROM px
+JOIN clean ON line // {W} = i AND sample // {W} = j
+ORDER BY line, sample
+"""
+
+
+def a3_reconstruction_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — reconstruction sizing from max patch loc, bug-compatible
+    lexicographic max(struct(i,j)) (train_model.py:96-99)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(
+        F.col("l_returnflag").alias("scene"),
+        (F.col("l_orderkey") % 17).cast("int").alias("i"),
+        (F.col("l_partkey") % 13).cast("int").alias("j"),
+    ).distinct()
+    return reconstruction_size(keys, W, bug_compatible=True).orderBy("scene")
+
+
+A3_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT l_returnflag AS scene,
+         CAST(l_orderkey % 17 AS INT) AS i,
+         CAST(l_partkey % 13 AS INT)  AS j
+  FROM lineitem
+), mx AS (
+  SELECT scene, i, j,
+         row_number() OVER (PARTITION BY scene ORDER BY i DESC, j DESC) AS rn
+  FROM keys
+)
+SELECT scene, (i + 1) * {W} AS height, (j + 1) * {W} AS width
+FROM mx WHERE rn = 1
+ORDER BY scene
+"""
+
+
+def o3_fraction_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — exact-count fraction split (deterministic order by doc_id
+    instead of the seeded shuffle so both engines agree): per-partition
+    counts and checksums."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    k = int(n * 0.7)
+    w = Window.orderBy("doc_id")
+    ranked = d.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "part", F.when(F.col("_rn") <= k, F.lit("train")).otherwise(F.lit("val"))
+        )
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("part")
+    )
+
+
+O3_SQL = """
+WITH ranked AS (
+  SELECT doc_id, n_chars, row_number() OVER (ORDER BY doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+)
+SELECT CASE WHEN rn <= CAST(FLOOR(n * 0.7) AS BIGINT) THEN 'train' ELSE 'val' END AS part,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM ranked
+GROUP BY 1
+ORDER BY part
+"""
+
+
+def o4_drop_last_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/B1 — drop-last batching (batch_size=32): remainder rows never
+    served (data_generator.py:20-22); per-batch counts + checksum."""
+    from ..operators.split import drop_last_batches
+
+    d = load_table(spark, sf_dir, "documents")
+    b = drop_last_batches(d, 32, ["doc_id"])
+    return (
+        b.groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("batch_id")
+    )
+
+
+O4_SQL = """
+WITH ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+)
+SELECT CAST(rn // 32 AS INT) AS batch_id, COUNT(*) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM ranked
+WHERE rn < (n // 32) * 32
+GROUP BY 1
+ORDER BY batch_id
+"""
+
+
+REGISTRY = {
+    "w1_tumbling_patches": (w1_tumbling_patches, W1_SQL),
+    "f3_clean_patches": (f3_clean_patches, F3_SQL),
+    "w3_decimate": (w3_decimate, W3_SQL),
+    "w4_avg_pool": (w4_avg_pool, W4_SQL),
+    "w6_any_pool_mask": (w6_any_pool_mask, W6_SQL),
+    "w8_stitch_roundtrip": (w8_stitch_roundtrip, W8_SQL),
+    "a3_reconstruction_size": (a3_reconstruction_size, A3_SQL),
+    "o3_fraction_split": (o3_fraction_split, O3_SQL),
+    "o4_drop_last_batches": (o4_drop_last_batches, O4_SQL),
+}

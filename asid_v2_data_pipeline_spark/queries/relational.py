@@ -1,0 +1,245 @@
+"""Relational queries over the TPC-H-ish testdata tables.
+
+These exercise the engine's scan/filter/join/aggregate/sort surface
+(SURVEY.md §2.1-§2.3, §2.5, §2.7) on the driver's star schema.  Join
+strategy notes are on each query: small dims broadcast; the lineitem side
+never shuffles more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary.  One scan of lineitem,
+    map-side partial aggs, 6-group output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4)                              AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                         AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6)                              AS avg_qty,
+       ROUND(AVG(l_discount), 6)                              AS avg_disc,
+       COUNT(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem; customer broadcast (small dim)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join; every dim broadcasts, lineitem shuffles once for
+    the final group-by."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def s3_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/O5 — the unprocessed-set anti-join (ledger pattern,
+    archive.py:180-195): orders with no lineitem rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+S3_SQL = """
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def f2_health_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F8 — the health-predicate *shape* (conjunction with a
+    greatest() lower bound, archive.py:205-221) over orders-as-scenes."""
+    o = load_table(spark, sf_dir, "orders")
+    lowerbound = F.greatest(F.lit(50), (F.col("o_custkey") % 100).cast("long"))
+    return (
+        o.filter(
+            (F.col("o_orderstatus") != "F")
+            & ((F.col("o_totalprice") / 1000 - lowerbound) >= 10)
+        )
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+    )
+
+
+F2_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_orderstatus <> 'F'
+  AND (o_totalprice / 1000 - GREATEST(50, o_custkey % 100)) >= 10
+ORDER BY o_orderkey
+"""
+
+
+def a4_distinct_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/C5 — distinct prefix extraction (scene_date set,
+    apply_model.py:30-32): distinct source prefixes of documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.split(F.col("source"), "_").getItem(0).alias("src_prefix"),
+            F.col("lang"),
+        )
+        .distinct()
+        .orderBy("src_prefix", "lang")
+    )
+
+
+A4_SQL = """
+SELECT DISTINCT str_split(source, '_')[1] AS src_prefix, lang
+FROM documents
+ORDER BY src_prefix, lang
+"""
+
+
+def top10_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-style sort + limit over an aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spend").desc(), "o_custkey")
+        .limit(10)
+    )
+
+
+TOP10_SQL = """
+SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend, COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spend DESC, o_custkey
+LIMIT 10
+"""
+
+
+def j_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events props column."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+REGISTRY = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_order_revenue": (q3_order_revenue, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "s3_incremental_antijoin": (s3_incremental_antijoin, S3_SQL),
+    "f2_health_filter": (f2_health_filter, F2_SQL),
+    "a4_distinct_groups": (a4_distinct_groups, A4_SQL),
+    "top10_customers": (top10_customers, TOP10_SQL),
+    "j_props_json": (j_props_json, JSON_SQL),
+}

@@ -1,0 +1,429 @@
+"""Dedup / similarity / text / multimodal queries (SURVEY.md §2.11) with
+DuckDB oracles.
+
+The oracles replicate the engine's deterministic arithmetic (31-poly char
+hashes, LCG hyperplanes/permutations) in SQL generated from the same
+constants — an independent second implementation, so a hash match verifies
+the Spark operators end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators.multimodal import extract_features
+from ..schemas import load_table
+
+# --- shared SQL fragments -----------------------------------------------------
+
+TOKENS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+)
+
+
+def _char_hash_sql(s: str) -> str:
+    """31-poly char hash, fold from 0 — mirrors functions.text.char_poly_hash."""
+    codes = f"list_transform(range(1, len({s}) + 1), i -> ascii(substr({s}, i, 1)))"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {codes}), "
+        f"(a, b) -> (a * 31 + b) % 2147483648)"
+    )
+
+
+# --- dedup --------------------------------------------------------------------
+
+
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a derived key (first 2 tokens): survivors per lang."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.withColumn(
+        "dkey", F.concat_ws(" ", F.slice(tx.tokens(F.col("text")), 1, 2))
+    )
+    surv = dd.exact_dedup(keyed, ["dkey"], "doc_id")
+    return (
+        surv.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("lang")
+    )
+
+
+DD_EXACT_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         array_to_string(list_slice({TOKENS_SQL}, 1, 2), ' ') AS dkey
+  FROM documents
+), surv AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY dkey ORDER BY doc_id) AS rn
+  FROM keyed
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM surv WHERE rn = 1
+GROUP BY lang ORDER BY lang
+"""
+
+
+def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+DD_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(
+    (SELECT CASE WHEN len(t) >= 3 THEN
+       list_distinct(list_transform(range(0, len(t) - 2),
+                     i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]))
+     ELSE [array_to_string(t, ' ')] END
+     FROM (SELECT {TOKENS_SQL} AS t))
+  ) AS s
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (16 perms, 4 bands)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(d, "doc_id", "text", num_perm=16, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_TOKEN_HASHES_SQL = (
+    f"list_transform({TOKENS_SQL}, s -> "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, len(s) + 1), i -> ascii(substr(s, i, 1)))), "
+    "(a, b) -> (a * 31 + b) % 2147483648))"
+)
+
+# shingle hashes combined from token hashes (n=3, COMBINE=1000003) —
+# mirrors operators.dedup._shingle_hashes_from_token_hashes
+_SHINGLE_HASHES_SQL = """
+, th AS (SELECT doc_id, {TH} AS th FROM documents
+), shing AS (
+  SELECT doc_id,
+         CASE WHEN len(th) >= 3 THEN
+           list_distinct(list_transform(range(0, len(th) - 2), i ->
+             ((((CAST(0 AS BIGINT) * 1000003 + th[i + 1]) % 2147483648)
+                * 1000003 + th[i + 2]) % 2147483648
+                * 1000003 + th[i + 3]) % 2147483648))
+         ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                           (a, b) -> (a * 1000003 + b) % 2147483648)]
+         END AS hs
+  FROM th
+)
+""".replace("{TH}", _TOKEN_HASHES_SQL)
+
+
+def _minhash_sql(num_perm: int = 16, bands: int = 4) -> str:
+    consts = dd._perm_constants(num_perm)
+    rows = num_perm // bands
+    mins = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % 2147483647)) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_exprs = []
+    for bband in range(bands):
+        # band hash: fold from 0 over the band's signature slice
+        expr = "CAST(0 AS BIGINT)"
+        for r in range(rows):
+            expr = f"(({expr}) * 31 + m{bband * rows + r}) % 2147483648"
+        band_exprs.append(f"({bband}, {expr})")
+    return f"""
+WITH dummy AS (SELECT 1)
+{_SHINGLE_HASHES_SQL}
+, sigs AS (
+  SELECT doc_id, {mins} FROM shing
+), bandsx AS (
+  SELECT doc_id, b.band, b.bucket
+  FROM sigs, LATERAL (VALUES {', '.join(band_exprs)}) AS b(band, bucket)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bandsx a JOIN bandsx b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (strongest check: raw values)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhashes(d, "doc_id", "text", bits=32).orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> (x // {1 << b}) % 2 = 1)) "
+        f"> len(hs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH dummy AS (SELECT 1)
+{_SHINGLE_HASHES_SQL}
+SELECT doc_id, {bit_terms} AS simhash
+FROM shing ORDER BY doc_id
+"""
+
+
+# --- similarity ---------------------------------------------------------------
+
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10)."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    out = sim.topk_cosine(e, q, k=5)
+    return out.select(
+        "q_id", "c_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("q_id", "rank")
+
+
+SIM_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q_id, e.vec_id AS c_id,
+         list_dot_product(qv, v) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS s
+  FROM q JOIN e ON e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, c_id, s,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (8 hyperplanes, deterministic)."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    out = sim.topk_cosine_lsh(e, q, dim=64, k=5, planes=8)
+    return out.select(
+        "q_id", "c_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("q_id", "rank")
+
+
+def _ann_lsh_sql(dim: int = 64, planes: int = 8) -> str:
+    hps = sim._hyperplanes(dim, planes)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {hp!r}::DOUBLE[]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, hp in enumerate(hps)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {bucket} AS bucket
+  FROM embeddings
+), q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q_id, e.vec_id AS c_id,
+         list_dot_product(qv, v) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS s
+  FROM q JOIN e USING (bucket) WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, c_id, s,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
+# --- text analysis ------------------------------------------------------------
+
+
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.token_count(F.col("text")).alias("ntok"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("ntok"), 6).alias("avg_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+TX_TOKEN_SQL = f"""
+SELECT lang,
+       ROUND(AVG(len({TOKENS_SQL})), 6) AS avg_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+def tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(tx.tokens(F.col("text")).alias("_t"))
+        .select(tx.detect_language_from_tokens(F.col("_t")).alias("detected"))
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("detected").asc_nulls_first())
+    )
+
+
+def _langid_sql() -> str:
+    hit_exprs = {
+        lang: (
+            f"len(list_filter(t, x -> list_contains({words!r}, x)))"
+        )
+        for lang, words in tx.STOPWORDS.items()
+    }
+    best = "GREATEST(" + ", ".join(f"h_{la}" for la in tx.STOPWORDS) + ")"
+    chain = " ".join(
+        f"WHEN h_{la} = {best} AND {best} > 0 THEN '{la}'" for la in tx.STOPWORDS
+    )
+    hits_sel = ", ".join(f"{e} AS h_{la}" for la, e in hit_exprs.items())
+    return f"""
+WITH toks AS (SELECT {TOKENS_SQL} AS t FROM documents),
+hits AS (SELECT {hits_sel} FROM toks)
+SELECT (CASE {chain} ELSE NULL END) AS detected, COUNT(*) AS n
+FROM hits GROUP BY 1 ORDER BY detected ASC NULLS FIRST
+"""
+
+
+def tx_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.quality_score(F.col("text")).alias("q"))
+        .groupBy("lang")
+        .agg(F.round(F.sum("q"), 4).alias("sum_quality"), F.count(F.lit(1)).alias("n"))
+        .orderBy("lang")
+    )
+
+
+TX_QUALITY_SQL = f"""
+WITH d AS (
+  SELECT lang,
+         LENGTH(text) AS n,
+         LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         len({TOKENS_SQL}) AS ntok
+  FROM documents
+), q AS (
+  SELECT lang,
+         (CASE WHEN n > 0 THEN alpha * 1.0 / n ELSE 0.0 END) * 0.5
+         + (1 - LEAST((CASE WHEN n > 0 THEN punct * 1.0 / n ELSE 0.0 END) * 5, 1.0)) * 0.25
+         + (CASE WHEN ntok >= 5 AND ntok <= 5000 THEN 1.0 ELSE 0.5 END) * 0.25 AS q
+  FROM d
+)
+SELECT lang, ROUND(SUM(q), 4) AS sum_quality, COUNT(*) AS n
+FROM q GROUP BY lang ORDER BY lang
+"""
+
+
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+TX_FP_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+th AS (
+  SELECT doc_id,
+         list_transform(t, s ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(s) + 1), i -> ascii(substr(s, i, 1)))),
+             (a, b) -> (a * 31 + b) % 2147483648)) AS hs
+  FROM toks
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                   (a, b) -> (a * 1000003 + b) % 2147483648) AS fp
+FROM th ORDER BY doc_id
+"""
+
+
+# --- multimodal ---------------------------------------------------------------
+
+
+def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents' text bytes as binary
+    payloads -> Arrow-batched mapInPandas feature extraction (byte
+    histogram folded to 8 buckets)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    sel = [F.round(F.element_at("feature", k + 1).cast("double"), 6).alias(f"f{k}") for k in range(8)]
+    return feats.select(F.col("media_id").alias("doc_id"), F.col("n_bytes"), *sel).orderBy(
+        "doc_id"
+    )
+
+
+MM_SQL = """
+WITH codes AS (
+  SELECT doc_id, LENGTH(text) AS n_bytes,
+         list_transform(range(1, LENGTH(text) + 1), i -> ascii(substr(text, i, 1))) AS cs
+  FROM documents
+)
+SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
+""" + ",\n".join(
+    f"       ROUND(len(list_filter(cs, c -> c % 8 = {k})) * 1.0 / GREATEST(n_bytes, 1), 6) AS f{k}"
+    for k in range(8)
+) + """
+FROM codes ORDER BY doc_id
+"""
+
+
+REGISTRY = {
+    "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
+    "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
+    "dd_simhash": (dd_simhash, _simhash_sql()),
+    "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
+    "sim_ann_lsh": (sim_ann_lsh, _ann_lsh_sql()),
+    "tx_token_stats": (tx_token_stats, TX_TOKEN_SQL),
+    "tx_langid": (tx_langid, _langid_sql()),
+    "tx_quality": (tx_quality, TX_QUALITY_SQL),
+    "tx_fingerprint": (tx_fingerprint, TX_FP_SQL),
+    "mm_byte_features": (mm_byte_features, MM_SQL),
+}

@@ -1,0 +1,168 @@
+"""Temporal / windowed queries over the events table (SURVEY.md §2.10 +
+phase-4 streaming surface).  The window functions here are the *batch*
+form of the streaming ops in ``streaming.ingest`` (Spark's ``window()`` /
+``session_window()`` work identically in both modes), so the DuckDB oracle
+checks the same semantics the streaming jobs use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.strings import scene_id, scene_timestamp
+from ..operators.filters import day_of_year_filter
+from ..schemas import load_table
+from ..streaming.ingest import sessionize, sliding_event_avg, tumbling_event_counts
+
+
+def _fmt(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def t_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = tumbling_event_counts(e, "1 hour")
+    return out.select(
+        _fmt("w_start").alias("w_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("w_start", "event_type")
+
+
+T_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY w_start, event_type
+"""
+
+
+def t_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = sliding_event_avg(e, "1 hour", "30 minutes")
+    return out.select(
+        _fmt("w_start").alias("w_start"),
+        F.round("avg_value", 6).alias("avg_value"),
+        "n_events",
+    ).orderBy("w_start")
+
+
+T_SLIDING_SQL = """
+WITH panes AS (
+  SELECT value,
+         time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS w_start
+  FROM events, (VALUES (0), (1)) AS offs(k)
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+       ROUND(AVG(value), 6) AS avg_value,
+       COUNT(*) AS n_events
+FROM panes
+GROUP BY 1
+ORDER BY w_start
+"""
+
+
+def t_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user — Spark's session_window vs
+    the classic gaps-and-islands SQL."""
+    e = load_table(spark, sf_dir, "events")
+    out = sessionize(e, "30 minutes")
+    return out.select(
+        _fmt("session_start").alias("session_start"),
+        "user_id",
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+T_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_no
+  FROM marked
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       user_id,
+       COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+def f6_day_of_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/C10 — the reference's 0-based day-of-year selection
+    (train_model.py:69-81, off-by-one pinned)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(day_of_year_filter(F.col("ts"), 5, 15))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+F6_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events
+WHERE (dayofyear(ts) - 1) BETWEEN 5 AND 15
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def c9_scene_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C9 — scene-id parse + timestamp round-trip: format events ts as
+    a reference-style filename, parse it back with the engine functions."""
+    e = load_table(spark, sf_dir, "events")
+    named = e.select(
+        F.concat(
+            F.date_format("ts", "yyyyMMdd'T'HHmmss"), F.lit("_S1B_AMSR2.nc")
+        ).alias("name")
+    )
+    parsed = named.select(
+        scene_id(F.col("name")).alias("scene"),
+        _fmt(scene_timestamp(F.col("name"))).alias("scene_ts"),
+    )
+    return (
+        parsed.select(F.substring("scene", 1, 8).alias("scene_date"), "scene_ts")
+        .groupBy("scene_date")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("scene_ts").alias("first_ts"))
+        .orderBy("scene_date")
+    )
+
+
+C9_SQL = """
+WITH named AS (
+  SELECT strftime(ts, '%Y%m%dT%H%M%S') || '_S1B_AMSR2.nc' AS name FROM events
+), parsed AS (
+  SELECT str_split(name, '_')[1] AS scene,
+         strftime(strptime(str_split(name, '_')[1], '%Y%m%dT%H%M%S'),
+                  '%Y-%m-%d %H:%M:%S') AS scene_ts
+  FROM named
+)
+SELECT substr(scene, 1, 8) AS scene_date, COUNT(*) AS n, MIN(scene_ts) AS first_ts
+FROM parsed
+GROUP BY 1
+ORDER BY scene_date
+"""
+
+
+REGISTRY = {
+    "t_tumbling_window": (t_tumbling_window, T_TUMBLING_SQL),
+    "t_sliding_window": (t_sliding_window, T_SLIDING_SQL),
+    "t_session_window": (t_session_window, T_SESSION_SQL),
+    "f6_day_of_year": (f6_day_of_year, F6_SQL),
+    "c9_scene_timestamp_roundtrip": (c9_scene_timestamp_roundtrip, C9_SQL),
+}

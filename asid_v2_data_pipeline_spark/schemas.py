@@ -113,8 +113,19 @@ TESTDATA_TABLES = (
 
 def load_table(spark, sf_dir: str, name: str):
     """Load one driver testdata table; Parquet gives column pruning +
-    predicate pushdown for free."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    predicate pushdown for free.
+
+    events.ts is TIMESTAMP(NANOS) in the driver's parquet — Spark reads it
+    as long (legacy.parquet.nanosAsLong) and we convert to a microsecond
+    timestamp here (integer division keeps it exact; ns epoch values
+    overflow double precision)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark, sf_dir: str) -> dict:

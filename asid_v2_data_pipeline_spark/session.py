@@ -48,6 +48,9 @@ def get_spark(
         # keep scans splittable at 100 TB: default 128m per input partition
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # driver testdata stores TIMESTAMP(NANOS) which Spark rejects;
+        # read as long and convert at load (schemas.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

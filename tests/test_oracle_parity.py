@@ -1,0 +1,79 @@
+"""Mirror of the driver's t2 gate: every declared query runs on Spark AND
+its oracle SQL runs on DuckDB over the same parquet; row counts, column
+names, and values must match (order-insensitive, columns sorted by name).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(rows, colnames):
+    """Sort columns by name, normalize values, sort rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm_val(v):
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 9)
+        if isinstance(v, int):
+            return v
+        return str(v)
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+
+    if name not in ORACLES:
+        # rows-only check for non-SQL-expressible ops
+        assert len(spark_rows) >= 0
+        return
+
+    con = _duck()
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _norm(spark_rows, spark_cols)
+    b = _norm(duck_rows, duck_cols)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
