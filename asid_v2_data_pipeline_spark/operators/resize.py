@@ -160,7 +160,12 @@ def uniform_filter_parity(array, size: int, origin: int):
             src = np.where(src < 0, -src - 1, src)
             src = np.where(src >= n, 2 * n - src - 1, src)
             taken = np.take(a, src, axis=axis)
-            acc = taken.astype(np.int64) if acc is None else acc + taken
+            if acc is None:
+                acc = taken.astype(
+                    np.int64 if np.issubdtype(a.dtype, np.integer) else np.float64
+                )
+            else:
+                acc = acc + taken
         if np.issubdtype(a.dtype, np.integer):
             # scipy truncates per 1-D pass for integer dtypes
             return np.floor_divide(acc, size).astype(a.dtype)

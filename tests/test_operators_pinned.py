@@ -1,0 +1,209 @@
+"""Operator unit tests pinning the reference's literal-array semantics
+(/root/reference/asip_v2/tests/test_archive.py and friends)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from asid_v2_data_pipeline_spark.operators.patching import (
+    assign_sliding,
+    assign_tumbling,
+    clean_patches,
+    patch_pixels,
+)
+from asid_v2_data_pipeline_spark.operators.resize import (
+    any_pool_mask,
+    avg_pool,
+    centered_pads,
+    decimate,
+    uniform_filter_parity,
+)
+from asid_v2_data_pipeline_spark.operators.split import (
+    drop_last_batches,
+    fraction_split,
+)
+from asid_v2_data_pipeline_spark.operators.stitch import (
+    reconstruction_size,
+    stitch_full_image,
+    stitch_pixels,
+)
+
+
+def _grid_df(spark, arr, scene="s"):
+    rows = [
+        (scene, i, j, float(v) if v is not None else None)
+        for i, row in enumerate(arr)
+        for j, v in enumerate(row)
+    ]
+    return spark.createDataFrame(
+        rows, "scene string, line int, sample int, value double"
+    )
+
+
+def _to_array(rows, h, w):
+    out = [[None] * w for _ in range(h)]
+    for r in rows:
+        out[r["line"]][r["sample"]] = r["value"]
+    return out
+
+
+def test_w3_decimation_quirk(spark):
+    """tests/test_archive.py:27-44 — 5x5 step 2 -> [[0,2],[10,12]]."""
+    arr = np.arange(25).reshape(5, 5)
+    df = _grid_df(spark, arr.tolist())
+    out = decimate(df, 2, 5, row="line", col="sample").collect()
+    got = _to_array(out, 2, 2)
+    assert got == [[0.0, 2.0], [10.0, 12.0]]
+
+
+def test_w3_step1_identity(spark):
+    df = _grid_df(spark, [[1, 2], [3, 4]])
+    out = decimate(df, 1, 2, row="line", col="sample").collect()
+    assert _to_array(out, 2, 2) == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_w4_uniform_filter_parity_replica():
+    """tests/test_archive.py:79-97 — int 5x5, size 2, origin=-1, then
+    [::2,::2] and edge-drop -> [[2,4],[12,14]]."""
+    arr = np.arange(25).reshape(5, 5)
+    filt = uniform_filter_parity(arr, 2, -1)
+    sliced = filt[::2, ::2]
+    assert sliced.shape[0] % 2  # non-dividable -> drop last row+col
+    sliced = sliced[:-1, :-1]
+    np.testing.assert_equal(sliced, np.array([[2, 4], [12, 14]]))
+
+
+def test_w4_block_mean_matches_float_reference():
+    """For step | window the engine's block mean equals the reference's
+    uniform_filter(origin=-(s//2)) + decimate on float data (interior-only
+    config)."""
+    rng = np.random.RandomState(0)
+    arr = rng.rand(8, 8).astype(np.float64)
+    filt = uniform_filter_parity(arr, 2, -1)[::2, ::2]
+    blocks = arr.reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(filt, blocks, rtol=1e-12)
+
+
+def test_w4_avg_pool_operator(spark):
+    arr = np.arange(16, dtype=float).reshape(4, 4)
+    df = _grid_df(spark, arr.tolist())
+    out = avg_pool(df, 2, keys=["scene"], value_cols=["value"], row="line", col="sample")
+    got = _to_array(out.collect(), 2, 2)
+    assert got == [[2.5, 4.5], [10.5, 12.5]]
+
+
+def test_w6_any_pool_downsample(spark):
+    """tests/test_archive.py:379-395 — 6x6 mask arange>18, block 2 ->
+    [[F,F,F],[T,T,T],[T,T,T]]."""
+    mask = (np.arange(36).reshape(6, 6) > 18).tolist()
+    rows = [("s", i, j, bool(m)) for i, r in enumerate(mask) for j, m in enumerate(r)]
+    df = spark.createDataFrame(rows, "scene string, line int, sample int, mask boolean")
+    out = any_pool_mask(df, 2, keys=["scene"]).collect()
+    got = [[None] * 3 for _ in range(3)]
+    for r in out:
+        got[r["line"]][r["sample"]] = r["mask"]
+    assert got == [
+        [False, False, False],
+        [True, True, True],
+        [True, True, True],
+    ]
+
+
+def test_w7_centered_pads():
+    """tests/test_archive.py:345-375 — 2x3 in 6x6 -> (2,2,1,2);
+    3x2 -> (1,2,2,2)."""
+    assert centered_pads(2, 3, 6, 6) == (2, 2, 1, 2)
+    assert centered_pads(3, 2, 6, 6) == (1, 2, 2, 2)
+
+
+def test_w1_tumbling_and_f3(spark):
+    """4x4 grid, window 2: patch (0,1) has a NULL -> dropped by F3."""
+    arr = [[1, 2, 3, None], [5, 6, 7, 8], [9, 10, 11, 12], [13, 14, 15, 16]]
+    df = assign_tumbling(_grid_df(spark, arr), 2)
+    clean = clean_patches(df, 2, ["value"])
+    keys = sorted((r["i"], r["j"]) for r in clean.collect())
+    assert keys == [(0, 0), (1, 0), (1, 1)]
+
+
+def test_w1_sliding_duplication(spark):
+    """window 2, stride 1 on 3x3: interior pixel (1,1) lands in 4 patches."""
+    arr = np.arange(9).reshape(3, 3)
+    df = assign_sliding(_grid_df(spark, arr.tolist()), 2, 1, 3, 3)
+    n = df.filter((F.col("line") == 1) & (F.col("sample") == 1)).count()
+    assert n == 4
+    # corner (0,0) only in patch (0,0)
+    assert df.filter((F.col("line") == 0) & (F.col("sample") == 0)).count() == 1
+
+
+def test_w8_stitch_pinned(spark):
+    """tests/test_apply_model.py:49-72 — window 1, locs (0,0),(0,1),(1,0),
+    (1,1), values 1..4 -> [[1,2],[3,4]]."""
+    rows = [
+        ("s", 0, 0, 0, 0, 1.0),
+        ("s", 0, 1, 0, 0, 2.0),
+        ("s", 1, 0, 0, 0, 3.0),
+        ("s", 1, 1, 0, 0, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "scene string, i int, j int, prow int, pcol int, value double"
+    )
+    out = stitch_pixels(df, 1).collect()
+    assert _to_array(out, 2, 2) == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_a3_reconstruction_size_pinned(spark):
+    """tests/test_train_model.py:41-54 — max loc (5,9), window 2 -> 12x20
+    per-axis; bug-compatible mode uses the lexicographic max tuple."""
+    rows = [("s", 5, 9), ("s", 3, 2), ("s", 5, 1)]
+    keys = spark.createDataFrame(rows, "scene string, i int, j int")
+    r = reconstruction_size(keys, 2, bug_compatible=True).collect()[0]
+    assert (r["height"], r["width"]) == (12, 20)
+    # bug-compat: max(struct) picks (5,9) here; independent-axis mode same
+    r2 = reconstruction_size(keys, 2, bug_compatible=False).collect()[0]
+    assert (r2["height"], r2["width"]) == (12, 20)
+    # divergence case: tuples (5,1) > (3,9) lexicographically
+    keys2 = spark.createDataFrame([("s", 5, 1), ("s", 3, 9)], "scene string, i int, j int")
+    rb = reconstruction_size(keys2, 2, bug_compatible=True).collect()[0]
+    rf = reconstruction_size(keys2, 2, bug_compatible=False).collect()[0]
+    assert (rb["height"], rb["width"]) == (12, 4)  # reference bug semantics
+    assert (rf["height"], rf["width"]) == (12, 20)  # fixed semantics
+
+
+def test_w8_full_image_fill(spark):
+    rows = [("s", 1, 1, 0, 0, 7.0)]
+    df = spark.createDataFrame(
+        rows, "scene string, i int, j int, prow int, pcol int, value double"
+    )
+    out = stitch_full_image(df, 1, fill=0.0).collect()
+    got = _to_array(out, 2, 2)
+    assert got == [[0.0, 0.0], [0.0, 7.0]]
+
+
+def test_patch_stitch_identity(spark):
+    """Property: stitch(patch(x)) == x on clean grids (stride==window)."""
+    arr = np.arange(16, dtype=float).reshape(4, 4)
+    df = assign_tumbling(_grid_df(spark, arr.tolist()), 2)
+    px = patch_pixels(df, 2, ["value"])
+    back = stitch_pixels(px, 2).collect()
+    np.testing.assert_equal(np.array(_to_array(back, 4, 4)), arr)
+
+
+def test_o3_fraction_split_exact(spark):
+    """tests/test_utility.py:108-116 — exact-count split."""
+    df = spark.range(10).withColumnRenamed("id", "x")
+    train, val = fraction_split(df, 0.7, seed=1)
+    assert train.count() == 7 and val.count() == 3
+    # deterministic: same seed -> same split
+    train2, _ = fraction_split(df, 0.7, seed=1)
+    assert sorted(r["x"] for r in train.collect()) == sorted(
+        r["x"] for r in train2.collect()
+    )
+
+
+def test_o4_drop_last(spark):
+    """data_generator.py:20-22 — remainder rows never served."""
+    df = spark.range(10).withColumnRenamed("id", "x")
+    out = drop_last_batches(df, 4, ["x"])
+    assert out.count() == 8
+    assert out.agg(F.max("batch_id")).collect()[0][0] == 1

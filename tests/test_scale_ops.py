@@ -1,0 +1,135 @@
+"""Unit tests for the large-scale training-data operators (dedup,
+similarity, text, multimodal, streaming-batch windows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from asid_v2_data_pipeline_spark.functions import text as tx
+from asid_v2_data_pipeline_spark.operators import dedup as dd
+from asid_v2_data_pipeline_spark.operators import similarity as sim
+from asid_v2_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+    synthetic_media,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_first(spark):
+    d = _docs(spark)
+    surv = dd.exact_dedup(d, ["text"], "doc_id")
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    assert ids == [1, 2, 3]  # 4 deduped against 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    d = _docs(spark)
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dup -> jaccard 1.0
+    assert (1, 2) in got  # near dup (1 token differs of 9)
+    assert (1, 3) not in got
+
+
+def test_minhash_lsh_catches_exact_dup(spark):
+    d = _docs(spark)
+    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # identical docs always share every band
+    assert (1, 3) not in got
+
+
+def test_simhash_hamming(spark):
+    d = _docs(spark)
+    sh = dd.simhashes(d, "doc_id", "text")
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert vals[1] == vals[4]  # identical text -> identical fingerprint
+    paired = spark.createDataFrame(
+        [(vals[1], vals[2]), (vals[1], vals[3])], "a long, b long"
+    ).select(dd.hamming(F.col("a"), F.col("b")).alias("h"))
+    h12, h13 = [r["h"] for r in paired.collect()]
+    assert h12 < h13  # near-dup closer than unrelated
+
+
+def test_topk_cosine_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 0.05, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") == 0)
+    out = sim.topk_cosine(e, q, k=2)
+    ranked = [(r["c_id"]) for r in out.orderBy("rank").collect()]
+    assert ranked == [3, 1]  # 3 is closer to [1,0,0] than 1
+
+
+def test_lsh_same_bucket_for_identical(spark):
+    rows = [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = e.select(
+        "vec_id", sim.lsh_bucket(F.col("embedding"), 8, planes=4).alias("b")
+    ).collect()
+    vals = {r["vec_id"]: r["b"] for r in b}
+    assert vals[0] == vals[1]
+    assert vals[0] != vals[2]
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("Hello, World! it's 42",)], "text string")
+    out = df.select(
+        tx.tokens(F.col("text")).alias("t"),
+        tx.token_count(F.col("text")).alias("n"),
+    ).collect()[0]
+    assert out["t"] == ["hello", "world", "it's", "42"]
+    assert out["n"] == 4
+
+
+def test_detect_language(spark):
+    rows = [
+        ("the cat and the dog sat in the house for a while",),
+        ("der Hund und die Katze sind nicht auf der Strasse",),
+        ("xyzzy plugh qwerty",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [
+        r["d"]
+        for r in df.select(tx.detect_language(F.col("text")).alias("d")).collect()
+    ]
+    assert got[0] == "en" and got[1] == "de" and got[2] is None
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("alpha beta gamma",), ("alpha beta gamma",), ("alpha beta delta",)], "text string")
+    fps = [r["f"] for r in df.select(tx.fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, n=12)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 12
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # normalized histogram
+        assert r["n_bytes"] >= 32
+
+
+def test_quality_score_bounds(spark):
+    rows = [("a good long sentence with many plain words here",), ("!!! ??? ...",), ("",)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r["q"] for r in df.select(tx.quality_score(F.col("text")).alias("q")).collect()]
+    assert all(0.0 <= q <= 1.0 for q in got)
+    assert got[0] > got[1]
