@@ -272,8 +272,74 @@ ORDER BY batch_id
 """
 
 
+def w1_sliding_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 sliding — overlapping patches (window 8, stride 4): per-patch
+    valid-pixel counts.  Exercises the explode(sequence) duplication path."""
+    from ..operators.patching import assign_sliding
+
+    g = assign_sliding(pixel_grid(spark, sf_dir), W, 4, N, N)
+    return (
+        g.groupBy("i", "j")
+        .agg(F.count("value").alias("n_valid"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("i", "j")
+    )
+
+
+_IMAX = (N - W) // 4
+W1S_SQL = GRID_CTE + f"""
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       COUNT(value) AS n_valid, ROUND(SUM(value), 4) AS sum_value
+FROM px,
+     unnest(range(0, {_IMAX + 1})) AS ti(i),
+     unnest(range(0, {_IMAX + 1})) AS tj(j)
+WHERE line >= i * 4 AND line < i * 4 + {W}
+  AND sample >= j * 4 AND sample < j * 4 + {W}
+GROUP BY 1, 2
+ORDER BY i, j
+"""
+
+
+def b2_batch_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/B2 — batch assembly end-to-end: tumbling patches of the grid,
+    pivoted to matrices, stacked into (bs, w, w, 1) tensors executor-side;
+    output per-batch checksums (drop-last, batch_size 4)."""
+    from ..operators.batching import assemble_batches, pivot_patches
+    from ..operators.patching import assign_tumbling, patch_pixels
+
+    g = assign_tumbling(
+        pixel_grid(spark, sf_dir).withColumn("scene", F.lit("g")), W
+    )
+    px = patch_pixels(g, W, ["value"]).withColumn("var", F.lit("value"))
+    piv = pivot_patches(px, ["value"], W)
+    out = assemble_batches(piv, ["value"], W, batch_size=4)
+    return out.select(
+        "batch_id", "n", F.round("checksum", 2).alias("checksum")
+    ).orderBy("batch_id")
+
+
+B2_SQL = GRID_CTE + f"""
+, clean AS (
+  SELECT CAST(line // {W} AS INT) AS i, CAST(sample // {W} AS INT) AS j,
+         SUM(value) AS psum
+  FROM px GROUP BY 1, 2 HAVING COUNT(value) = {W * W}
+), ranked AS (
+  SELECT i, j, psum, row_number() OVER (ORDER BY i, j) - 1 AS rn,
+         COUNT(*) OVER () AS np
+  FROM clean
+)
+SELECT CAST(rn // 4 AS INT) AS batch_id, CAST(COUNT(*) AS INT) AS n,
+       ROUND(SUM(psum), 2) AS checksum
+FROM ranked
+WHERE rn < (np // 4) * 4
+GROUP BY 1
+ORDER BY batch_id
+"""
+
+
 REGISTRY = {
     "w1_tumbling_patches": (w1_tumbling_patches, W1_SQL),
+    "w1_sliding_patches": (w1_sliding_patches, W1S_SQL),
+    "b2_batch_checksums": (b2_batch_checksums, B2_SQL),
     "f3_clean_patches": (f3_clean_patches, F3_SQL),
     "w3_decimate": (w3_decimate, W3_SQL),
     "w4_avg_pool": (w4_avg_pool, W4_SQL),

@@ -233,8 +233,42 @@ ORDER BY event_type
 """
 
 
+def j3_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — id-list -> sample lookup as a broadcast hash join (the
+    reference's O(n*m) linear scan, data_generator.py:71-89, becomes a
+    hash join)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ids = e.select("vec_id").filter(F.col("vec_id") % 50 == 0)
+    return (
+        e.join(F.broadcast(ids), "vec_id", "left_semi")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+J3_SQL = """
+SELECT vec_id, label
+FROM embeddings
+WHERE vec_id % 50 = 0
+ORDER BY vec_id
+"""
+
+
+def o2_shuffled_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — seeded shuffle (epoch reshuffle, data_generator.py:43-47).
+    rand(seed) is engine-specific, so this is a rows-only check: the
+    driver verifies cardinality/schema; determinism within Spark is
+    asserted in unit tests."""
+    from ..operators.split import shuffled
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffled(d, seed=42).limit(100)
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "j3_id_lookup": (j3_id_lookup, J3_SQL),
+    "o2_shuffled_sample": (o2_shuffled_sample, None),
     "q3_order_revenue": (q3_order_revenue, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
     "s3_incremental_antijoin": (s3_incremental_antijoin, S3_SQL),
