@@ -99,15 +99,62 @@ def _f_sql(idx: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _staged_ice_types(d: DataFrame) -> DataFrame:
+    """Materialize ice_type(s*) once per pair — keeps every downstream
+    expression small enough for whole-stage codegen (the fully inlined
+    encoder CASE blows janino's 64 KB method limit and falls back to
+    interpreted eval)."""
+    return d.select(
+        "*",
+        ice_type(F.col("sa")).alias("it_a"),
+        ice_type(F.col("sb")).alias("it_b"),
+        ice_type(F.col("sc")).alias("it_c"),
+    )
+
+
 def c2_one_hot_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 — one_hot_binary over the derived columns; distribution of the
-    4-vector (sum per component + count per vector)."""
-    d = _derived(spark, sf_dir)
-    oh = one_hot_binary(
-        F.col("ct"), F.col("ca"), F.col("sa"), F.col("cb"), F.col("sb"),
-        F.col("cc"), F.col("sc"), strict=True,
+    4-vector (sum per component + count per vector).  Staged projections
+    (it_* -> f* -> icetype -> oh*) so each stays codegen-sized."""
+    d = _staged_ice_types(_derived(spark, sf_dir))
+
+    def fterm(ci: str, it: str, idx: int):
+        if idx == 2:
+            hit = (F.col(it) == 3) | (F.col(it) == 0)  # strict f[-1] wrap
+        else:
+            hit = F.col(it) == idx + 1
+        return F.when((F.col(ci) != -9) & hit, F.col(ci)).otherwise(F.lit(0))
+
+    pairs = [("ca", "it_a"), ("cb", "it_b"), ("cc", "it_c")]
+    d = d.select(
+        "ct",
+        "it_a",
+        *[
+            sum(
+                (fterm(ci, it, k) for ci, it in pairs[1:]),
+                fterm(*pairs[0], k),
+            ).alias(f"f{k}")
+            for k in range(3)
+        ],
     )
-    sel = d.select(*[o.alias(f"oh{k}") for k, o in enumerate(oh)])
+    m = F.greatest("f0", "f1", "f2")
+    d = d.select(
+        "ct",
+        F.when(m == 0, F.col("it_a"))
+        .otherwise(
+            F.when(F.col("f0") == m, 1).when(F.col("f1") == m, 2).otherwise(3)
+        )
+        .alias("icetype"),
+    )
+    sel = d.select(
+        *[
+            F.when(F.col("ct") < 10, F.lit(1 if k == 0 else 0))
+            .otherwise(F.when(F.col("icetype") == k, 1).otherwise(0))
+            .cast("int")
+            .alias(f"oh{k}")
+            for k in range(4)
+        ]
+    )
     return (
         sel.groupBy("oh0", "oh1", "oh2", "oh3")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -137,13 +184,35 @@ FROM enc GROUP BY 1, 2, 3, 4 ORDER BY oh0, oh1, oh2, oh3
 
 def c3_one_hot_continous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 — one_hot_continous; per-component rounded sums (value-level
-    check across all rows) + row count."""
-    d = _derived(spark, sf_dir)
-    oh = one_hot_continous(
-        F.col("ct"), F.col("ca"), F.col("sa"), F.col("cb"), F.col("sb"),
-        F.col("cc"), F.col("sc"),
+    check across all rows) + row count.  Staged like C2."""
+    d = _staged_ice_types(_derived(spark, sf_dir))
+    pairs = [("ca", "it_a"), ("cb", "it_b"), ("cc", "it_c")]
+
+    def acc(k: int):
+        terms = [
+            F.when(
+                (F.col(ci) != -9) & (F.col(it) == k), F.col(ci) / F.lit(100.0)
+            ).otherwise(F.lit(0.0))
+            for ci, it in pairs
+        ]
+        return terms[0] + terms[1] + terms[2]
+
+    d = d.select("ct", "it_a", *[acc(k).alias(f"a{k}") for k in range(4)])
+    allzero = F.greatest("a0", "a1", "a2", "a3") == 0
+    ctf = F.col("ct") / F.lit(100.0)
+    r0 = F.when(
+        allzero, F.when(F.col("it_a") == 0, ctf).otherwise(F.lit(1.0) - ctf)
+    ).otherwise(F.lit(1.0) - (F.col("a1") + F.col("a2") + F.col("a3")))
+    rest = [
+        F.when(
+            allzero, F.when(F.col("it_a") == k, ctf).otherwise(F.lit(0.0))
+        ).otherwise(F.col(f"a{k}"))
+        for k in (1, 2, 3)
+    ]
+    sel = d.select(
+        r0.cast("double").alias("r0"),
+        *[r.cast("double").alias(f"r{k}") for k, r in zip((1, 2, 3), rest)],
     )
-    sel = d.select(*[o.alias(f"r{k}") for k, o in enumerate(oh)])
     return sel.agg(
         *[F.round(F.sum(f"r{k}"), 4).alias(f"sum_r{k}") for k in range(4)],
         F.count(F.lit(1)).alias("n"),

@@ -44,6 +44,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    # JVM/codegen warmup so the first timed query doesn't pay boot costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     timings: dict[str, float] = {}
     for name in HEADLINE:
