@@ -137,6 +137,51 @@ def pad_centered(
     return shifted.select(pad_ring.columns).unionByName(pad_ring)
 
 
+def avg_pool_parity(
+    df: DataFrame,
+    step: int,
+    keys: list[str],
+    height: int,
+    width: int,
+    value_col: str = "value",
+    row: str = "prow",
+    col: str = "pcol",
+) -> DataFrame:
+    """W4 parity mode — exact ``uniform_filter(size=step,
+    origin=-(step//2))`` + decimation semantics per keyed grid, including
+    reflect-mode borders when ``step`` does not divide the extent
+    (archive.py:88-104).  Arrow-batched ``applyInPandas`` per grid; use the
+    expression-mode ``avg_pool`` when step divides the window (identical
+    result, no Python)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_fields = [df.schema[k] for k in keys] + [
+        T.StructField(row, T.IntegerType(), False),
+        T.StructField(col, T.IntegerType(), False),
+        T.StructField(value_col, T.DoubleType(), True),
+    ]
+    schema = T.StructType(out_fields)
+
+    def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        grid = np.full((height, width), np.nan)
+        grid[pdf[row].to_numpy(), pdf[col].to_numpy()] = pdf[value_col].to_numpy()
+        filt = uniform_filter_parity(grid, step, -(step // 2))
+        dec = filt[::step, ::step]
+        if dec.shape[0] % step:
+            dec = dec[:-1, :-1]
+        rr, cc = np.meshgrid(
+            np.arange(dec.shape[0]), np.arange(dec.shape[1]), indexing="ij"
+        )
+        out = {k: pdf[k].iloc[0] for k in keys}
+        out.update({row: rr.ravel(), col: cc.ravel(), value_col: dec.ravel()})
+        return pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandas(pool, schema)
+
+
 def uniform_filter_parity(array, size: int, origin: int):
     """NumPy replica of ``scipy.ndimage.uniform_filter`` (separable box
     mean, reflect boundary, int truncation for integer dtypes) for the
