@@ -1,0 +1,113 @@
+"""NetCDF scene source (S1/S5) — binaryFile + Arrow-batched decode.
+
+Real `.nc` ingestion plumbing for the reference's scene files
+(/root/reference/asip_v2/build_dataset.py:28, archive.py:19-20): Spark
+lists and ships files via the ``binaryFile`` source; each file is decoded
+executor-side inside ``mapInPandas`` into the long-form pixel tables of
+schemas.py.  One file = one task; at 100 TB the directory listing
+parallelizes and decode scales with executors — no driver-side I/O.
+
+The netCDF4 library is NOT part of this environment, so the decode kernel
+is injectable: ``decode_netcdf_scene`` raises ``NotImplementedError``
+without it (clearly-marked stub), and tests inject a deterministic fake
+decoder with the same signature.  The Spark-side plumbing (file source,
+Arrow batching, schema, per-variable fan-out) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("scene", T.StringType(), False),
+        T.StructField("var", T.StringType(), False),
+        T.StructField("line", T.IntegerType(), False),
+        T.StructField("sample", T.IntegerType(), False),
+        T.StructField("value", T.FloatType(), True),  # NULL = masked
+    ]
+)
+
+DecodeFn = Callable[[str, bytes, list[str]], pd.DataFrame]
+
+
+def decode_netcdf_scene(path: str, payload: bytes, variables: list[str]) -> pd.DataFrame:
+    """Decode one scene file into long-form pixels (masked -> NULL, the
+    engine analogue of ``.filled(np.nan)`` at archive.py:20).
+
+    STUB: requires the netCDF4 library, which is not available in this
+    environment.  Swap in for real deployments:
+
+        import netCDF4, numpy as np, io
+        ds = netCDF4.Dataset('inmem', memory=payload)
+        for v in variables: arr = ds[v][:].astype('f4') ...
+    """
+    try:
+        import netCDF4  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "netCDF4 is not installed in this environment; inject a decode_fn "
+            "or use the Parquet fixture tables"
+        ) from e
+    raise NotImplementedError("real decode path — see docstring")  # pragma: no cover
+
+
+def read_scenes(
+    spark: SparkSession,
+    input_dir: str,
+    variables: list[str],
+    decode_fn: DecodeFn = decode_netcdf_scene,
+    glob: str = "*.nc",
+) -> DataFrame:
+    """S1 — scan a directory of scene files into one long-form pixel
+    DataFrame.  ``binaryFile`` splits the listing across executors; decode
+    happens in Arrow batches (one file per input row)."""
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(input_dir)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("name"),
+            F.col("content"),
+        )
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                yield decode_fn(r["name"], r["content"], variables)
+
+    return files.mapInPandas(decode, PIXEL_SCHEMA)
+
+
+def fake_decoder(side: int = 8) -> DecodeFn:
+    """Deterministic fake decode kernel for tests: value = a simple
+    function of (var index, line, sample); one masked pixel per variable."""
+
+    def fn(name: str, payload: bytes, variables: list[str]) -> pd.DataFrame:
+        scene = name.split("_")[0]
+        rows = []
+        for vi, var in enumerate(variables):
+            for line in range(side):
+                for sample in range(side):
+                    masked = (line, sample) == (vi, vi)
+                    rows.append(
+                        (
+                            scene,
+                            var,
+                            line,
+                            sample,
+                            None if masked else float(vi * 10000 + line * side + sample),
+                        )
+                    )
+        return pd.DataFrame(
+            rows, columns=["scene", "var", "line", "sample", "value"]
+        )
+
+    return fn
