@@ -414,8 +414,43 @@ FROM codes ORDER BY doc_id
 """
 
 
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.9) over a bounded id
+    range — the brute-force baseline the LSH path approximates."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", sim.cosine(F.col("_va"), F.col("_vb")).alias("_s")
+    )
+    return (
+        pairs.filter(F.col("_s") >= 0.9)
+        .select("id_a", "id_b", F.round("_s", 6).alias("cos"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DD_EMB_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
     "dd_simhash": (dd_simhash, _simhash_sql()),

@@ -41,3 +41,28 @@ def read_ledger(spark: SparkSession, path: str) -> DataFrame:
 def commit(processed: DataFrame, path: str) -> None:
     """S4 — append processed names (idempotent per name via pre-anti-join)."""
     processed.select("name").write.mode("append").parquet(path)
+
+
+def read_json_ledger(spark: SparkSession, path: str) -> DataFrame:
+    """S9 — compatibility reader for the reference's processed_files.json
+    (a bare JSON array of filenames, archive.py:186-191) -> (name) rows."""
+    from pyspark.sql import functions as F
+
+    # a bare top-level array of strings isn't a valid Spark JSON record;
+    # read the file whole and parse with from_json
+    raw = spark.read.option("wholetext", "true").text(path)
+    return raw.select(
+        F.explode(F.from_json(F.col("value"), "array<string>")).alias("name")
+    )
+
+
+def write_reconstruction(
+    stitched: DataFrame, out_dir: str, partition_by_scene: bool = True
+) -> None:
+    """S8 — reconstruction sink: full-scene pixel table, partitioned by
+    scene (replaces {scene}_reconstruct.npz, apply_model.py:78-80; image
+    materialization happens only at the consumer edge)."""
+    w = stitched.write.mode("overwrite")
+    if partition_by_scene:
+        w = w.partitionBy("scene")
+    w.parquet(out_dir)
