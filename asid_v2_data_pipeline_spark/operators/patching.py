@@ -42,21 +42,25 @@ def assign_sliding(
     df: DataFrame,
     window: int,
     stride: int,
-    height: int,
-    width: int,
+    height: int | Column,
+    width: int | Column,
 ) -> DataFrame:
     """W1 sliding — explode each pixel into every overlapping patch.
 
     Patch i covers lines [i*stride, i*stride + window); valid i range is
     0..floor((H - window)/stride) (``view_as_windows`` semantics: only full
     windows).  Duplication factor (window/stride)^2 — see module note.
+    ``height``/``width`` may be columns for per-scene extents (join scene
+    dims first).
     """
-    i_max = (height - window) // stride
-    j_max = (width - window) // stride
+    h = F.lit(height) if isinstance(height, int) else height
+    w = F.lit(width) if isinstance(width, int) else width
+    i_max = F.floor((h - window) / stride).cast("int")
+    j_max = F.floor((w - window) / stride).cast("int")
 
-    def rng(coord: Column, mx: int) -> Column:
+    def rng(coord: Column, mx: Column) -> Column:
         lo = F.greatest(F.ceil((coord - window + 1) / stride).cast("int"), F.lit(0))
-        hi = F.least(F.floor(coord / stride).cast("int"), F.lit(mx))
+        hi = F.least(F.floor(coord / stride).cast("int"), mx)
         return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
             F.array().cast("array<int>")
         )

@@ -22,6 +22,7 @@ from ..functions.encoding import encode_polygon_codes
 from ..operators.filters import healthy_scenes
 from ..operators.patching import (
     align_variables,
+    assign_sliding,
     assign_tumbling,
     clean_patches,
     patch_pixels,
@@ -66,6 +67,8 @@ def build_patches(
     pcol, value) for all variables that survived F3+J2.
     """
     w = cfg.window_sar
+    stride = cfg.stride_sar
+    tumbling = stride == w
     ok_scenes = healthy_scenes(scenes, w).select("scene")
 
     sar = sar_px.join(ok_scenes, "scene", "left_semi")
@@ -74,9 +77,20 @@ def build_patches(
     # J1 decode
     decoded = decode_icechart(ice, codes, cfg)
 
-    # W1 tumbling + F3 per variable group
-    sar_t = assign_tumbling(sar, w)
-    out_t = assign_tumbling(decoded, w)
+    # W1 (tumbling: pure arithmetic; sliding: explode duplication) + F3
+    if tumbling:
+        sar_t = assign_tumbling(sar, w)
+        out_t = assign_tumbling(decoded, w)
+    else:
+        sdims = sar.groupBy("scene").agg(
+            (F.max("line") + 1).alias("_h"), (F.max("sample") + 1).alias("_w")
+        )
+        sar_t = assign_sliding(
+            sar.join(F.broadcast(sdims), "scene"), w, stride, F.col("_h"), F.col("_w")
+        ).drop("_h", "_w")
+        out_t = assign_sliding(
+            decoded.join(F.broadcast(sdims), "scene"), w, stride, F.col("_h"), F.col("_w")
+        ).drop("_h", "_w")
 
     sar_keys = clean_patches(sar_t, w, ["sar_primary", "sar_secondary"])
     out_keys = clean_patches(out_t, w, ["oh0", "oh1", "oh2", "oh3"])
@@ -89,10 +103,19 @@ def build_patches(
     tgt = target_points(spark, dims, cfg.resample_step_amsr2)
     regridded = bilinear_regrid(amsr2_px.join(ok_scenes, "scene", "left_semi"), tgt)
     w2 = cfg.window_amsr2
+    s2 = cfg.stride_amsr2
     amsr_t = regridded.withColumnRenamed("ti", "line").withColumnRenamed(
         "tj", "sample"
     )
-    amsr_t = assign_tumbling(amsr_t, w2)
+    if tumbling:
+        amsr_t = assign_tumbling(amsr_t, w2)
+    else:
+        adims = amsr_t.groupBy("scene").agg(
+            (F.max("line") + 1).alias("_h"), (F.max("sample") + 1).alias("_w")
+        )
+        amsr_t = assign_sliding(
+            amsr_t.join(F.broadcast(adims), "scene"), w2, s2, F.col("_h"), F.col("_w")
+        ).drop("_h", "_w")
     # F3 for amsr2: every channel fully populated
     amsr_pivot = (
         amsr_t.groupBy("scene", "i", "j")
@@ -113,7 +136,9 @@ def build_patches(
 
     # materialize long-form patch pixels for every variable
     sar_long = (
-        patch_pixels(sar_t, w, ["sar_primary", "sar_secondary"], clean_keys=sar_keys)
+        patch_pixels(
+            sar_t, w, ["sar_primary", "sar_secondary"], stride=stride, clean_keys=sar_keys
+        )
         .join(aligned, ["scene", "i", "j"], "left_semi")
         .selectExpr(
             "scene",
@@ -125,7 +150,7 @@ def build_patches(
         )
     )
     out_long = (
-        patch_pixels(out_t, w, ["oh0", "oh1", "oh2", "oh3"], clean_keys=out_keys)
+        patch_pixels(out_t, w, ["oh0", "oh1", "oh2", "oh3"], stride=stride, clean_keys=out_keys)
         .join(aligned, ["scene", "i", "j"], "left_semi")
         .selectExpr(
             "scene",
@@ -142,8 +167,8 @@ def build_patches(
             "scene",
             "i",
             "j",
-            (F.col("line") - F.col("i") * w2).alias("prow"),
-            (F.col("sample") - F.col("j") * w2).alias("pcol"),
+            (F.col("line") - F.col("i") * s2).alias("prow"),
+            (F.col("sample") - F.col("j") * s2).alias("pcol"),
             F.regexp_replace("ch", r"\.", "_").alias("var"),  # C8
             F.col("value"),
         )
