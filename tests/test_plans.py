@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+These fail if a future change silently degrades the plan: a dimension
+join falling back to sort-merge, a filter not reaching the parquet scan,
+or the tumbling patch assignment starting to shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from asid_v2_data_pipeline_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_all_joins_broadcast(spark):
+    plan = _plan(spark, "q5_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # every dim is broadcast-able
+
+
+def test_q1_filter_pushdown(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    # map-side combine: partial_ aggregate functions before the exchange
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan
+
+
+def test_j1_decode_join_is_broadcast(spark):
+    from asid_v2_data_pipeline_spark import fixtures
+    from asid_v2_data_pipeline_spark.config import PipelineConfig
+    from asid_v2_data_pipeline_spark.plans.build_pipeline import decode_icechart
+
+    cfg = PipelineConfig(window_sar=8, stride_sar=8, window_amsr2=2)
+    df = decode_icechart(
+        fixtures.icechart_pixels(spark), fixtures.polygon_codes(spark), cfg
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tumbling_assign_no_shuffle(spark):
+    """Patch-id assignment is pure arithmetic — no Exchange before the
+    aggregation's own shuffle."""
+    from asid_v2_data_pipeline_spark.operators.patching import assign_tumbling
+    from asid_v2_data_pipeline_spark.schemas import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF, "lineitem").select(
+        (F.col("l_orderkey") % 64).cast("int").alias("line"),
+        (F.col("l_partkey") % 64).cast("int").alias("sample"),
+        F.col("l_quantity").alias("value"),
+    )
+    tagged = assign_tumbling(li, 8)
+    plan = tagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow op: scan + project only
+
+
+def test_column_pruning_reaches_scan(spark):
+    from asid_v2_data_pipeline_spark.schemas import load_table
+
+    df = load_table(spark, SF, "lineitem").select("l_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_sim_topk_broadcasts_queries(spark):
+    plan = _plan(spark, "sim_topk_cosine")
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi join, small side broadcast
+    assert "CartesianProduct" not in plan
