@@ -1,0 +1,50 @@
+"""Incremental build driver (SURVEY.md §3.1 outer loop) — the Spark shape
+of /root/reference/asip_v2/build_dataset.py:20-34:
+
+    list input files -> anti-join ledger (S3) -> decode new scenes (S1)
+    -> build pipeline -> patch sink (S6) -> ledger commit (S4)
+
+Batch form of what streaming/ingest.py does with checkpoints; both are
+idempotent per file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig
+from ..sources.ledger import commit, list_files, read_ledger, unprocessed
+from ..sources.netcdf import DecodeFn, decode_netcdf_scene, read_scenes
+
+
+def run_incremental_build(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    ledger_path: str,
+    cfg: PipelineConfig,
+    decode_fn: DecodeFn = decode_netcdf_scene,
+) -> int:
+    """Process only files not yet in the ledger; returns #files processed.
+
+    Decoded pixels are written partitioned by scene, then the ledger
+    commits the processed names — a crash before commit re-processes (at
+    least once), matching the reference's JSON-ledger contract
+    (archive.py:197-203)."""
+    files = list_files(spark, input_dir)
+    ledger = read_ledger(spark, ledger_path)
+    todo = unprocessed(files, ledger).cache()
+    n = todo.count()
+    if n == 0:
+        return 0
+
+    todo_names = {r["name"] for r in todo.collect()}  # file names: metadata-scale
+    px = read_scenes(spark, input_dir, cfg.names_sar, decode_fn)
+    keep = px.filter(
+        F.col("scene").isin([n.split("_")[0] for n in todo_names])
+    )
+    keep.write.mode("append").partitionBy("scene").parquet(out_dir)
+    commit(todo, ledger_path)
+    todo.unpersist()
+    return n

@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 
 def list_files(spark: SparkSession, input_dir: str, glob: str = "*.nc") -> DataFrame:
-    """S2 — directory listing as a DataFrame (basename per row)."""
+    """S2 — directory listing as a DataFrame (basename per row).
+
+    The session-level FileStatusCache would otherwise serve a stale
+    listing to repeated incremental runs — refresh first."""
+    spark.catalog.refreshByPath(input_dir)
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
