@@ -89,6 +89,90 @@ def lsh_bucket(vec: Column, dim: int, planes: int = 8, seed: int = 11) -> Column
     return bucket
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid by
+    cosine (ties -> lowest centroid id).  Centroids are a driver-side list
+    (K is small); the assignment is a narrow map over the corpus — at
+    100 TB, write the output partitioned by ``cell`` so a query touches
+    one partition (classic IVF posting lists)."""
+    best_c: Column | None = None
+    best_s: Column | None = None
+    v = F.col(vec_col)
+    for cid, cvec in centroids:
+        s = cosine(v, F.array(*[F.lit(float(x)) for x in cvec]))
+        if best_c is None:
+            best_c, best_s = F.lit(cid), s
+        else:
+            better = s > best_s
+            best_c = F.when(better, F.lit(cid)).otherwise(best_c)
+            best_s = F.when(better, s).otherwise(best_s)
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), best_c.alias("cell")
+    )
+
+
+def train_centroids_kmeanspp_lite(
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid picker: the k corpus vectors with the lowest
+    ids (a seed-free stand-in for k-means — IVF correctness doesn't depend
+    on centroid quality, only recall does).  Driver-side k rows."""
+    rows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def topk_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's ``nprobe`` nearest IVF
+    cells.  nprobe=K degenerates to exact search; recall/latency dial."""
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "cell"
+    )
+    # query-side: nprobe nearest cells via posexplode of per-cell scores
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    cell_scores = [
+        F.struct(
+            cosine(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+            F.lit(cid).alias("cell"),
+        )
+        for cid, cvec in centroids
+    ]
+    qcells = q.select(
+        "q_id",
+        "_qv",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, nprobe)
+        ).alias("_c"),
+    ).select("q_id", "_qv", F.col("_c.cell").alias("cell"))
+
+    scored = c.join(F.broadcast(qcells), "cell").filter(
+        F.col("q_id") != F.col("c_id")
+    ).select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.col("score").cast("double").alias("score"), "rank")
+    )
+
+
 def topk_cosine_lsh(
     corpus: DataFrame,
     queries: DataFrame,

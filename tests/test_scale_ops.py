@@ -86,6 +86,30 @@ def test_lsh_same_bucket_for_identical(spark):
     assert vals[0] != vals[2]
 
 
+def test_ivf_topk(spark):
+    """IVF: nprobe=K is exact; small nprobe trades recall for candidate
+    volume but always returns k ranked rows per query."""
+    from asid_v2_data_pipeline_spark.schemas import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    cents = sim.train_centroids_kmeanspp_lite(e, 4)
+    exact = {
+        (r["q_id"], r["c_id"]) for r in sim.topk_cosine(e, q, k=3).collect()
+    }
+    full = {
+        (r["q_id"], r["c_id"])
+        for r in sim.topk_cosine_ivf(e, q, cents, k=3, nprobe=4).collect()
+    }
+    assert full == exact
+    probe1 = sim.topk_cosine_ivf(e, q, cents, k=3, nprobe=1).collect()
+    assert all(r["rank"] <= 3 for r in probe1)
+    recall = len({(r["q_id"], r["c_id"]) for r in probe1} & exact) / len(exact)
+    assert recall > 0.3  # approximate but useful
+
+
 def test_tokens_and_counts(spark):
     df = spark.createDataFrame([("Hello, World! it's 42",)], "text string")
     out = df.select(
