@@ -37,10 +37,17 @@ WITH px AS (
 
 def pixel_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # orderBy+limit compiles to TakeOrderedAndProject (parallel partial
+    # top-k, no full single-partition sort); the row_number window then
+    # ranks only N*N rows.  Same rows as ranking the full table.
+    top = (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(N * N)
+    )
     w = Window.orderBy("l_orderkey", "l_linenumber")
     return (
-        li.select("l_partkey", "l_quantity", (F.row_number().over(w) - 1).alias("rn"))
-        .filter(F.col("rn") < N * N)
+        top.select("l_partkey", "l_quantity", (F.row_number().over(w) - 1).alias("rn"))
         .select(
             F.floor(F.col("rn") / N).cast("int").alias("line"),
             (F.col("rn") % N).cast("int").alias("sample"),
