@@ -343,10 +343,124 @@ ORDER BY batch_id
 """
 
 
+def f4_distance_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5 — mask union: pixel masked if value NULL or a derived
+    distance column is under threshold; per-patch masked counts."""
+    from ..operators.masks import sar_size_mask
+
+    g = pixel_grid(spark, sf_dir).withColumn(
+        "distance_map", (F.col("line") * 3 + F.col("sample")) % 50
+    ).withColumn("polygon_id", F.lit(1))
+    m = g.select(
+        "line",
+        "sample",
+        sar_size_mask(["value"], distance_threshold=10).alias("mask"),
+    )
+    return (
+        m.groupBy((F.col("line") / W).cast("int").alias("i"))
+        .agg(F.sum(F.col("mask").cast("int")).alias("n_masked"))
+        .orderBy("i")
+    )
+
+
+F4_SQL = GRID_CTE + f"""
+SELECT CAST(line // {W} AS INT) AS i,
+       CAST(SUM(CASE WHEN value IS NULL OR ((line * 3 + sample) % 50) < 10
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+FROM px
+GROUP BY 1
+ORDER BY i
+"""
+
+
+def w7_centered_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — centered constant padding of a 16x16 crop to 24x28 (pads
+    top=4,bottom=4,left=6,right=6); checksum rows per band prove both the
+    shift and the constant ring."""
+    from ..operators.resize import pad_centered
+
+    crop = pixel_grid(spark, sf_dir).filter(
+        (F.col("line") < 16) & (F.col("sample") < 16)
+    ).withColumn("scene", F.lit("g"))
+    keys = crop.select("scene").distinct()
+    padded = pad_centered(crop, spark, 16, 16, 24, 28, keys, {"value": -1.0})
+    return (
+        padded.groupBy((F.col("line") / 4).cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("band")
+    )
+
+
+W7_SQL = GRID_CTE + """
+, crop AS (
+  SELECT line + 4 AS line, sample + 6 AS sample, value
+  FROM px WHERE line < 16 AND sample < 16
+), full_grid AS (
+  SELECT l.line, s.sample
+  FROM unnest(range(0, 24)) AS l(line), unnest(range(0, 28)) AS s(sample)
+), padded AS (
+  SELECT f.line, f.sample,
+         CASE WHEN c.value IS NOT NULL OR
+                   (f.line BETWEEN 4 AND 19 AND f.sample BETWEEN 6 AND 21)
+              THEN c.value ELSE -1.0 END AS value
+  FROM full_grid f LEFT JOIN crop c USING (line, sample)
+)
+SELECT CAST(line // 4 AS INT) AS band, COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM padded
+GROUP BY 1 ORDER BY band
+"""
+
+
+def a1_class_pixel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 — per-class pixel counts + weighting over a derived one-hot
+    class (the analyze-notebook aggregation shape)."""
+    g = pixel_grid(spark, sf_dir)
+    cls = g.select(
+        F.when(F.col("value").isNull(), None)
+        .otherwise((F.col("value").cast("int") % 4))
+        .alias("class_idx")
+    )
+    weights = {0: 1.0, 1: 2.0, 2: 0.5, 3: 4.0}
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    return (
+        cls.filter(F.col("class_idx").isNotNull())
+        .groupBy("class_idx")
+        .agg(F.count(F.lit(1)).alias("n_pixels"))
+        .select(
+            "class_idx",
+            "n_pixels",
+            F.round(F.col("n_pixels") * wmap.getItem(F.col("class_idx")), 2).alias(
+                "weighted"
+            ),
+        )
+        .orderBy("class_idx")
+    )
+
+
+A1_SQL = GRID_CTE + """
+SELECT CAST(CAST(FLOOR(value) AS BIGINT) % 4 AS INT) AS class_idx,
+       COUNT(*) AS n_pixels,
+       ROUND(CAST(COUNT(*) * (CASE CAST(CAST(FLOOR(value) AS BIGINT) % 4 AS INT)
+                              WHEN 0 THEN 1.0 WHEN 1 THEN 2.0
+                              WHEN 2 THEN 0.5 ELSE 4.0 END) AS DOUBLE), 2) AS weighted
+FROM px
+WHERE value IS NOT NULL
+GROUP BY 1
+ORDER BY class_idx
+"""
+
+
 REGISTRY = {
     "w1_tumbling_patches": (w1_tumbling_patches, W1_SQL),
     "w1_sliding_patches": (w1_sliding_patches, W1S_SQL),
     "b2_batch_checksums": (b2_batch_checksums, B2_SQL),
+    "f4_distance_mask": (f4_distance_mask, F4_SQL),
+    "w7_centered_pad": (w7_centered_pad, W7_SQL),
+    "a1_class_pixel_counts": (a1_class_pixel_counts, A1_SQL),
     "f3_clean_patches": (f3_clean_patches, F3_SQL),
     "w3_decimate": (w3_decimate, W3_SQL),
     "w4_avg_pool": (w4_avg_pool, W4_SQL),
