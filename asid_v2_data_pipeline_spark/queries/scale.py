@@ -191,6 +191,42 @@ FROM shing ORDER BY doc_id
 # --- similarity ---------------------------------------------------------------
 
 
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: doc pairs within Hamming distance 3
+    of each other's 32-bit fingerprints (bounded id range keeps the
+    all-pairs check small; at scale, block on fingerprint bands first)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = dd.simhashes(d, "doc_id", "text", bits=32)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hd", dd.hamming(F.col("_ha"), F.col("_hb")).cast("int"))
+        .filter(F.col("hd") <= 3)
+        .select("id_a", "id_b", "hd")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_pairs_sql(bits: int = 32) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> (x // {1 << b}) % 2 = 1)) "
+        f"> len(hs) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+dummy AS (SELECT 1)
+{_SHINGLE_HASHES_SQL.replace('FROM documents', 'FROM docs')}
+, fp AS (SELECT doc_id, {bit_terms} AS simhash FROM shing)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors (vec_id < 10)."""
     e = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -454,6 +490,7 @@ REGISTRY = {
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
     "dd_simhash": (dd_simhash, _simhash_sql()),
+    "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
     "sim_ann_lsh": (sim_ann_lsh, _ann_lsh_sql()),
     "tx_token_stats": (tx_token_stats, TX_TOKEN_SQL),
