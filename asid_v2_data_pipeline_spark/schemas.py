@@ -118,10 +118,17 @@ def load_table(spark, sf_dir: str, name: str):
     events.ts is TIMESTAMP(NANOS) in the driver's parquet — Spark reads it
     as long (legacy.parquet.nanosAsLong) and we convert to a microsecond
     timestamp here (integer division keeps it exact; ns epoch values
-    overflow double precision)."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    overflow double precision).
+
+    Both confs are set defensively at read time: the harness may run these
+    queries in a session it built itself (without session.py's defaults),
+    and timestamp formatting/oracle parity depend on them."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
