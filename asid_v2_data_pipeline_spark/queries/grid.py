@@ -22,13 +22,18 @@ from ..schemas import load_table
 N = 64  # grid side
 W = 8  # patch window
 
+# the full 6-column sort key is the minimal unique key of the synthetic
+# lineitem — (l_orderkey, l_linenumber) alone has ties, which would make
+# the rank (and thus pixel placement) engine-dependent
+ORDER_KEY = "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice"
+
 GRID_CTE = f"""
 WITH px AS (
   SELECT CAST(rn // {N} AS INT) AS line,
          CAST(rn % {N} AS INT)  AS sample,
          CASE WHEN l_partkey % 97 = 0 THEN NULL ELSE l_quantity END AS value
   FROM (SELECT l_partkey, l_quantity,
-               row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+               row_number() OVER (ORDER BY {ORDER_KEY}) - 1 AS rn
         FROM lineitem) t
   WHERE rn < {N * N}
 )
@@ -40,12 +45,16 @@ def pixel_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orderBy+limit compiles to TakeOrderedAndProject (parallel partial
     # top-k, no full single-partition sort); the row_number window then
     # ranks only N*N rows.  Same rows as ranking the full table.
-    top = (
-        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(N * N)
-    )
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    key = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+    ]
+    top = li.select(*key).orderBy(*key).limit(N * N)
+    w = Window.orderBy(*key)
     return (
         top.select("l_partkey", "l_quantity", (F.row_number().over(w) - 1).alias("rn"))
         .select(
