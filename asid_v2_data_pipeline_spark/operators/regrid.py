@@ -42,8 +42,8 @@ def _axis_segments(amsr2: DataFrame, coord: str, idx: str, out_prefix: str) -> D
         F.col(f"{out_prefix}_c").alias(f"{out_prefix}_c1"),
     )
     seg = (
-        ax.join(nxt, ["scene", f"{out_prefix}_k"], "inner")
-        .join(n, "scene")
+        ax.join(F.broadcast(nxt), ["scene", f"{out_prefix}_k"], "inner")
+        .join(F.broadcast(n), "scene")
     )
     return seg  # columns: scene, k, c (lower coord), c1 (upper coord), kmax
 
@@ -64,7 +64,9 @@ def target_points(spark, scenes_dims: DataFrame, resample_step: int) -> DataFram
             F.sequence(F.lit(half), F.col("width") - 1, F.lit(resample_step))
         ).alias("tj", "tsample"),
     )
-    return tl.join(ts, "scene")  # full grid of target points per scene
+    # full target grid per scene; the sample-axis list is tiny (width/step
+    # rows per scene) -> broadcast instead of shuffling both sides
+    return tl.join(F.broadcast(ts), "scene")
 
 
 def bilinear_regrid(
@@ -123,8 +125,10 @@ def bilinear_regrid(
         * F.when(F.col("ds") == 0, 1 - F.col("ws")).otherwise(F.col("ws")),
     )
 
+    # corners is target-grid-sized (big); the coarse values are
+    # 1/resample_step² of it — broadcast them so the big side never shuffles
     vals = amsr2.select("scene", "ch", "aline", "asample", F.col(value_col).alias("_v"))
-    joined = corners.join(vals, ["scene", "aline", "asample"], "inner")
+    joined = corners.join(F.broadcast(vals), ["scene", "aline", "asample"], "inner")
 
     out = joined.groupBy("scene", "ch", "ti", "tj").agg(
         F.sum(F.col("w") * F.col("_v")).alias("_num"),

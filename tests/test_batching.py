@@ -140,6 +140,42 @@ def test_mask_union_and_upsample(spark):
     assert up.filter(F.col("mask")).count() == 4  # the True cell -> 2x2 block
 
 
+def test_streaming_windowed_agg_runtime(spark, tmp_path):
+    """The tumbling window agg running as an actual stream (watermark
+    path), not just its batch twin."""
+    import datetime as dt
+
+    from asid_v2_data_pipeline_spark.streaming.ingest import tumbling_event_counts
+
+    src = str(tmp_path / "ev")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, "click", 1.0),
+        (2, t0 + dt.timedelta(minutes=10), "click", 2.0),
+        (3, t0 + dt.timedelta(hours=1, minutes=5), "view", 3.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = tumbling_event_counts(stream, "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["w_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from win_agg").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+
+
 def test_streaming_ingest_availablenow(spark, tmp_path, built):
     """T1 — real Structured Streaming run: parquet file source with
     availableNow trigger; checkpoint = the ledger."""

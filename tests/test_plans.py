@@ -75,6 +75,25 @@ def test_column_pruning_reaches_scan(spark):
     assert "ReadSchema: struct<l_orderkey:bigint>" in plan
 
 
+def test_regrid_broadcasts_axis_segments(spark):
+    from asid_v2_data_pipeline_spark import fixtures
+    from asid_v2_data_pipeline_spark.operators.regrid import (
+        bilinear_regrid,
+        target_points,
+    )
+
+    dims = spark.createDataFrame(
+        [(fixtures.SCENE_A, 32, 32)], "scene string, height int, width int"
+    )
+    rg = bilinear_regrid(
+        fixtures.amsr2_pixels(spark), target_points(spark, dims, 4)
+    )
+    plan = rg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_sim_topk_broadcasts_queries(spark):
     plan = _plan(spark, "sim_topk_cosine")
     assert "BroadcastNestedLoopJoin" in plan  # non-equi join, small side broadcast

@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for driver-side pure functions, plus
+cross-checks of the engine's portable hashing against a pure-Python
+reimplementation (SURVEY.md §5 strategy item 4)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from asid_v2_data_pipeline_spark.operators.resize import centered_pads
+from asid_v2_data_pipeline_spark.operators.dedup import (
+    COMBINE,
+    MASK31,
+    _perm_constants,
+)
+
+
+@given(
+    st.integers(1, 200), st.integers(1, 200), st.integers(0, 200), st.integers(0, 200)
+)
+def test_centered_pads_invariants(in_h, in_w, dh, dw):
+    out_h, out_w = in_h + dh, in_w + dw
+    top, bottom, left, right = centered_pads(in_h, in_w, out_h, out_w)
+    assert top + bottom == dh and left + right == dw
+    assert 0 <= bottom - top <= 1  # extra row goes to the bottom
+    assert 0 <= right - left <= 1  # extra col goes to the right
+
+
+def _py_char_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % (MASK31 + 1)
+    return h
+
+
+def _py_shingle_hashes(tokens: list[str], n: int = 3) -> list[int]:
+    th = [_py_char_hash(t) for t in tokens]
+    if len(th) >= n:
+        out = []
+        for i in range(len(th) - n + 1):
+            acc = 0
+            for h in th[i : i + n]:
+                acc = (acc * COMBINE + h) % (MASK31 + 1)
+            out.append(acc)
+        seen = set()
+        dedup = []
+        for x in out:
+            if x not in seen:
+                seen.add(x)
+                dedup.append(x)
+        return dedup
+    acc = 0
+    for h in th:
+        acc = (acc * COMBINE + h) % (MASK31 + 1)
+    return [acc]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghij0123456789'", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_shingle_hash_matches_python_model(spark, tokens):
+    """The Spark expression pipeline equals the pure-Python model for
+    arbitrary token streams (so the DuckDB oracle transliteration has a
+    third, independent witness)."""
+    from pyspark.sql import functions as F
+
+    from asid_v2_data_pipeline_spark.operators.dedup import with_shingle_hashes
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    got = with_shingle_hashes(df, "id", "text").collect()[0]["_hs"]
+    # engine tokenization lowercases/splits the same way we joined
+    assert got == _py_shingle_hashes(tokens)
+
+
+def test_perm_constants_are_valid():
+    consts = _perm_constants(64)
+    assert len(set(consts)) == 64  # distinct permutations
+    for a, b in consts:
+        assert a % 2 == 1 and 0 < a < (1 << 31) - 1  # odd multiplier
+        assert 0 <= b < (1 << 31) - 1
