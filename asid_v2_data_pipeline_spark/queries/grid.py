@@ -352,6 +352,82 @@ ORDER BY batch_id
 """
 
 
+def j4_bilinear_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — the engine's bilinear regrid operator over a synthetic regular
+    16x16 coarse grid (centers 2+4k on a 64-grid), interpolated onto the
+    32x32 target lattice 1+2k — includes extrapolation (target 63 > last
+    center 62) and NULL propagation.  The oracle computes the closed-form
+    bilinear formula with clamped edge segments."""
+    from ..operators.regrid import bilinear_regrid, target_points
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = [
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+    ]
+    top = li.select(*key).orderBy(*key).limit(16 * 16)
+    w = Window.orderBy(*key)
+    coarse = top.select(
+        "l_partkey", "l_quantity", (F.row_number().over(w) - 1).alias("rn")
+    ).select(
+        F.lit("g").alias("scene"),
+        F.lit("c0").alias("ch"),
+        F.floor(F.col("rn") / 16).cast("int").alias("aline"),
+        (F.col("rn") % 16).cast("int").alias("asample"),
+        (2.0 + 4.0 * F.floor(F.col("rn") / 16)).alias("line"),
+        (2.0 + 4.0 * (F.col("rn") % 16)).alias("sample"),
+        F.when(F.col("l_partkey") % 89 == 0, None)
+        .otherwise(F.col("l_quantity"))
+        .cast("float")
+        .alias("btemp"),
+    )
+    dims = spark.createDataFrame([("g", 64, 64)], "scene string, height int, width int")
+    tgt = target_points(spark, dims, 2)
+    out = bilinear_regrid(coarse, tgt)
+    return out.select(
+        "ti", "tj", F.round("value", 6).alias("value")
+    ).orderBy("ti", "tj")
+
+
+J4_SQL = f"""
+WITH coarse AS (
+  SELECT CAST(rn // 16 AS INT) AS aline, CAST(rn % 16 AS INT) AS asample,
+         CASE WHEN l_partkey % 89 = 0 THEN NULL ELSE l_quantity END AS v
+  FROM (SELECT l_partkey, l_quantity,
+               row_number() OVER (ORDER BY {{KEY}}) - 1 AS rn
+        FROM lineitem) t
+  WHERE rn < 256
+), tgt AS (
+  SELECT ti.i AS ti, tj.j AS tj,
+         1.0 + 2.0 * ti.i AS tline, 1.0 + 2.0 * tj.j AS tsample
+  FROM unnest(range(0, 32)) AS ti(i), unnest(range(0, 32)) AS tj(j)
+), seg AS (
+  SELECT ti, tj, tline, tsample,
+         LEAST(GREATEST(CAST(FLOOR((tline - 2.0) / 4.0) AS INT), 0), 14) AS lk,
+         LEAST(GREATEST(CAST(FLOOR((tsample - 2.0) / 4.0) AS INT), 0), 14) AS sk
+  FROM tgt
+), wts AS (
+  SELECT ti, tj, lk, sk,
+         (tline - (2.0 + 4.0 * lk)) / 4.0 AS wl,
+         (tsample - (2.0 + 4.0 * sk)) / 4.0 AS ws
+  FROM seg
+)
+SELECT w.ti, w.tj,
+       ROUND((1 - wl) * (1 - ws) * c00.v + (1 - wl) * ws * c01.v
+             + wl * (1 - ws) * c10.v + wl * ws * c11.v, 6) AS value
+FROM wts w
+JOIN coarse c00 ON c00.aline = w.lk     AND c00.asample = w.sk
+JOIN coarse c01 ON c01.aline = w.lk     AND c01.asample = w.sk + 1
+JOIN coarse c10 ON c10.aline = w.lk + 1 AND c10.asample = w.sk
+JOIN coarse c11 ON c11.aline = w.lk + 1 AND c11.asample = w.sk + 1
+ORDER BY ti, tj
+""".replace("{KEY}", ORDER_KEY)
+
+
 def f4_distance_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/F5 — mask union: pixel masked if value NULL or a derived
     distance column is under threshold; per-patch masked counts."""
@@ -467,6 +543,7 @@ REGISTRY = {
     "w1_tumbling_patches": (w1_tumbling_patches, W1_SQL),
     "w1_sliding_patches": (w1_sliding_patches, W1S_SQL),
     "b2_batch_checksums": (b2_batch_checksums, B2_SQL),
+    "j4_bilinear_regrid": (j4_bilinear_regrid, J4_SQL),
     "f4_distance_mask": (f4_distance_mask, F4_SQL),
     "w7_centered_pad": (w7_centered_pad, W7_SQL),
     "a1_class_pixel_counts": (a1_class_pixel_counts, A1_SQL),
