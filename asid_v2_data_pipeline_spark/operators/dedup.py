@@ -232,26 +232,74 @@ def jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard ≥ threshold pairs.
 
-    Explode shingles → equi-join on shingle → |∩| per pair →
-    |∪| = |A|+|B|-|∩|.  The shingle join only pairs docs that share
-    content, so the blow-up is bounded by shingle frequency (cap hot
-    shingles upstream if needed)."""
+    With ``prefix_filter`` (PPJoin-style, exact, identical results): two
+    docs with Jaccard ≥ t MUST share a shingle among each one's
+    ``|A| - ceil(t*|A|) + 1`` rarest shingles (ascending document
+    frequency) — candidates come from the prefix self-join, then the full
+    intersection is verified exactly.  On natural (Zipfian-vocabulary)
+    corpora this prunes candidates by orders of magnitude; on corpora
+    where every shingle is frequent (like the synthetic small-vocabulary
+    testdata, measured) the pruning cannot bite and the extra passes make
+    it slower than the naive join — hence opt-in.
+    """
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_sh"),
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
-    a = sh.select(F.col("_id").alias("id_a"), "_sh")
-    b = sh.select(F.col("_id").alias("id_b"), "_sh")
-    inter = (
-        a.join(b, "_sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_inter"))
-    )
+
+    if prefix_filter:
+        # global order = ascending document frequency (rare shingles
+        # first): prefixes then consist of rare shingles, so the prefix
+        # self-join produces few candidates even on hot-vocabulary corpora
+        df_counts = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
+        ranked = (
+            sh.join(F.broadcast(df_counts), "_sh")
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("_id").orderBy("_df", "_sh")
+                ),
+            )
+            .join(sizes, "_id")
+        )
+        # prefix length: |A| - ceil(t*|A|) + 1
+        prefix = ranked.filter(
+            F.col("_rk")
+            <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        ).select("_id", "_sh")
+        cand = (
+            prefix.alias("pa")
+            .join(prefix.alias("pb"), "_sh")
+            .filter(F.col("pa._id") < F.col("pb._id"))
+            .select(
+                F.col("pa._id").alias("id_a"), F.col("pb._id").alias("id_b")
+            )
+            .distinct()
+        )
+        # exact verification: intersect the two full shingle sets
+        a = sh.select(F.col("_id").alias("id_a"), "_sh")
+        b = sh.select(F.col("_id").alias("id_b"), "_sh")
+        inter = (
+            cand.join(a, "id_a")
+            .join(b, ["id_b", "_sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("_inter"))
+        )
+    else:
+        a = sh.select(F.col("_id").alias("id_a"), "_sh")
+        b = sh.select(F.col("_id").alias("id_b"), "_sh")
+        inter = (
+            a.join(b, "_sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("_inter"))
+        )
+
     out = (
         inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "_szb"), "id_b")

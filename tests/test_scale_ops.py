@@ -41,6 +41,22 @@ def test_jaccard_pairs_finds_near_dup(spark):
     assert (1, 3) not in got
 
 
+def test_jaccard_prefix_filter_is_exact(spark):
+    """PPJoin-style prefix filtering must return byte-identical pairs."""
+    from asid_v2_data_pipeline_spark.schemas import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    naive = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.jaccard_pairs(d, "doc_id", "text").collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.jaccard_pairs(d, "doc_id", "text", prefix_filter=True).collect()
+    }
+    assert naive == pref and len(naive) > 0
+
+
 def test_minhash_lsh_catches_exact_dup(spark):
     d = _docs(spark)
     pairs = dd.minhash_lsh_pairs(d, "doc_id", "text")
