@@ -54,6 +54,7 @@ def pivot_patches(patch_px: DataFrame, variables: list[str], window: int) -> Dat
 def batch_tensor_schema(variables: list[str]) -> T.StructType:
     return T.StructType(
         [
+            T.StructField("scene", T.StringType(), False),
             T.StructField("batch_id", T.IntegerType(), False),
             T.StructField("n", T.IntegerType(), False),
             *[
@@ -76,10 +77,18 @@ def assemble_batches(
     (shapes + checksum) since tensors themselves stay in the executors.
 
     Drop-last semantics: batches with fewer than ``batch_size`` patches are
-    dropped (data_generator.py:20-22)."""
+    dropped (data_generator.py:20-22).
+
+    Batch ids are assigned PER SCENE (``Window.partitionBy("scene")``):
+    the reference processes one scene at a time anyway
+    (apply_model.py:33-46), and a global ``Window.orderBy`` would funnel
+    the entire patch corpus — data-scale, #patches ~ pixels/w² — through a
+    single-partition sort.  Per-scene numbering keeps the window shuffle a
+    plain hash exchange on ``scene`` that scales with executor count; the
+    output key is the composite ``(scene, batch_id)``."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("scene", "i", "j")
+    w = Window.partitionBy("scene").orderBy("i", "j")
     tagged = pivoted.withColumn(
         "batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("int")
     )
@@ -89,8 +98,8 @@ def assemble_batches(
             return pd.DataFrame(
                 columns=[f.name for f in batch_tensor_schema(variables)]
             )
-        pdf = pdf.sort_values(["scene", "i", "j"])
-        out = {"batch_id": [key[0]], "n": [len(pdf)]}
+        pdf = pdf.sort_values(["i", "j"])
+        out = {"scene": [key[0]], "batch_id": [key[1]], "n": [len(pdf)]}
         checksum = 0.0
         for v in variables:
             stack = np.stack(
@@ -101,7 +110,7 @@ def assemble_batches(
         out["checksum"] = [checksum]
         return pd.DataFrame(out)
 
-    return tagged.groupBy("batch_id").applyInPandas(
+    return tagged.groupBy("scene", "batch_id").applyInPandas(
         build, batch_tensor_schema(variables)
     )
 
