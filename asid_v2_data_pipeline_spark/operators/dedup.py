@@ -226,6 +226,66 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_pairs(
+    fingerprints: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hd: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ``max_hd`` — banded, never
+    all-pairs.
+
+    Pigeonhole recall guarantee: two fingerprints differing in at most
+    ``max_hd`` bits share at least one of ``bands`` equal-width bit chunks
+    whenever ``max_hd < bands`` (the differing bits occupy at most
+    ``max_hd`` chunks).  So the equi-join on ``(band, chunk)`` is EXACT:
+    candidates then verified with the full ``bit_count(xor)``.
+
+    Shuffle profile at 100 TB: one hash exchange on the 4-byte
+    ``(band, chunk)`` key — no BroadcastNestedLoop/cartesian; hot buckets
+    (all-zero chunks of near-empty docs) are AQE-skew-split.
+    """
+    if max_hd >= bands:
+        raise ValueError(
+            f"banding is exact only for max_hd < bands (got {max_hd} >= {bands})"
+        )
+    width = bits // bands
+    fp = fingerprints.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).cast("long").alias("_h")
+    )
+    band_rows = fp.select(
+        "_id",
+        "_h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("_h"), width * b)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .cast("long")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_chunk"),
+    )
+    a = band_rows.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "_band", "_chunk"
+    )
+    b = band_rows.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "_band", "_chunk"
+    )
+    return (
+        a.join(b, ["_band", "_chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+        .withColumn("hd", hamming(F.col("_ha"), F.col("_hb")).cast("int"))
+        .filter(F.col("hd") <= max_hd)
+        .select("id_a", "id_b", "hd")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -192,20 +192,16 @@ FROM shing ORDER BY doc_id
 
 
 def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: doc pairs within Hamming distance 3
-    of each other's 32-bit fingerprints (bounded id range keeps the
-    all-pairs check small; at scale, block on fingerprint bands first)."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    """SimHash near-dup pairs over the FULL documents table: Hamming
+    distance ≤ 3 on 32-bit fingerprints via banded blocking (4 × 8-bit
+    chunks, equi-join on matching chunk, exact Hamming verify) — the
+    pigeonhole guarantee makes banding exact for hd ≤ 3, so results equal
+    the all-pairs oracle with no nested-loop join."""
+    d = load_table(spark, sf_dir, "documents")
     sh = dd.simhashes(d, "doc_id", "text", bits=32)
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_ha"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_hb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("hd", dd.hamming(F.col("_ha"), F.col("_hb")).cast("int"))
-        .filter(F.col("hd") <= 3)
-        .select("id_a", "id_b", "hd")
-        .orderBy("id_a", "id_b")
-    )
+    return dd.simhash_pairs(
+        sh, "doc_id", "simhash", bits=32, bands=4, max_hd=3
+    ).orderBy("id_a", "id_b")
 
 
 def _simhash_pairs_sql(bits: int = 32) -> str:
@@ -215,9 +211,8 @@ def _simhash_pairs_sql(bits: int = 32) -> str:
         for b in range(bits)
     )
     return f"""
-WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-dummy AS (SELECT 1)
-{_SHINGLE_HASHES_SQL.replace('FROM documents', 'FROM docs')}
+WITH dummy AS (SELECT 1)
+{_SHINGLE_HASHES_SQL}
 , fp AS (SELECT doc_id, {bit_terms} AS simhash FROM shing)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd

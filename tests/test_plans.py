@@ -125,3 +125,11 @@ def test_sim_topk_broadcasts_queries(spark):
     plan = _plan(spark, "sim_topk_cosine")
     assert "BroadcastNestedLoopJoin" in plan  # non-equi join, small side broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_no_nested_loop(spark):
+    """Banded simhash pair generation is an equi-join on (band, chunk) —
+    never all-pairs (VERDICT r1 weak item 2)."""
+    plan = _plan(spark, "dd_simhash_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -77,6 +77,34 @@ def test_simhash_hamming(spark):
     assert h12 < h13  # near-dup closer than unrelated
 
 
+def test_simhash_pairs_banding_exact(spark):
+    """Banded pair generation equals brute-force all-pairs for hd <= 3
+    (pigeonhole: <= 3 differing bits cannot touch all 4 bands)."""
+    base = 0b1010_1100_0011_0101_1111_0000_1100_1010
+    rows = [
+        (0, base),
+        (1, base ^ 0b1),                      # hd 1 -> pair
+        (2, base ^ 0b1000_0000_0001),          # hd 2, spans two bands -> pair
+        (3, base ^ (1 << 31) ^ (1 << 15) ^ 1), # hd 3, three bands -> pair
+        (4, base ^ (1 << 24) ^ (1 << 16) ^ (1 << 8) ^ 1),  # hd 4 -> no pair
+        (5, ~base & 0xFFFFFFFF),               # hd 32 -> no pair
+    ]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hd"])
+        for r in dd.simhash_pairs(fp, "doc_id", "simhash").collect()
+    }
+    brute = set()
+    for i, (ia, ha) in enumerate(rows):
+        for ib, hb in rows[i + 1:]:
+            hd = bin(ha ^ hb).count("1")
+            if hd <= 3:
+                brute.add((ia, ib, hd))
+    assert got == brute and len(brute) >= 3
+    with pytest.raises(ValueError):
+        dd.simhash_pairs(fp, "doc_id", "simhash", bands=4, max_hd=4)
+
+
 def test_topk_cosine_exact(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
