@@ -255,20 +255,46 @@ ORDER BY vec_id
 
 
 def o2_shuffled_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2 — seeded shuffle (epoch reshuffle, data_generator.py:43-47).
-    rand(seed) is engine-specific, so this is a rows-only check: the
-    driver verifies cardinality/schema; determinism within Spark is
-    asserted in unit tests."""
-    from ..operators.split import shuffled
+    """O2 — seeded shuffle (epoch reshuffle, data_generator.py:43-47)
+    under the full oracle gate: the portable keyed shuffle hash (two LCG
+    rounds mod 2^31) gives an engine-independent permutation, and the
+    emitted ``rank`` pins the ORDER itself, not just the head-100
+    membership."""
+    from pyspark.sql.window import Window
+
+    from ..operators.split import shuffle_hash, shuffled
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return shuffled(d, seed=42).limit(100)
+    out = shuffled(d, seed=42, id_col="doc_id").limit(100)
+    return (  # rank re-derived post-limit: the window spans only 100 rows
+        out.withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(shuffle_hash(F.col("doc_id").cast("long"), 42), "doc_id"))
+            .cast("int"),
+        )
+        .select("rank", "doc_id", "lang")
+        .orderBy("rank")
+    )
+
+
+def _o2_sql() -> str:
+    from ..operators.split import shuffle_hash_sql
+
+    h = shuffle_hash_sql("doc_id", 42)
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY {h}, doc_id) AS INT) AS rank,
+       doc_id, lang
+FROM documents
+ORDER BY {h}, doc_id
+LIMIT 100
+"""
 
 
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "j3_id_lookup": (j3_id_lookup, J3_SQL),
-    "o2_shuffled_sample": (o2_shuffled_sample, None),
+    "o2_shuffled_sample": (o2_shuffled_sample, _o2_sql()),
     "q3_order_revenue": (q3_order_revenue, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
     "s3_incremental_antijoin": (s3_incremental_antijoin, S3_SQL),
