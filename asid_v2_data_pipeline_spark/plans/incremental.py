@@ -11,7 +11,6 @@ idempotent per file.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..sources.ledger import commit, list_files, read_ledger, unprocessed
@@ -39,12 +38,14 @@ def run_incremental_build(
     if n == 0:
         return 0
 
-    todo_names = {r["name"] for r in todo.collect()}  # file names: metadata-scale
-    px = read_scenes(spark, input_dir, cfg.names_sar, decode_fn)
-    keep = px.filter(
-        F.col("scene").isin([n.split("_")[0] for n in todo_names])
+    # restrict the binaryFile listing to the todo names BEFORE decode
+    # (broadcast semi-join): already-processed files are never decoded,
+    # and a processed file sharing a scene prefix with a new one can't
+    # re-append its pixels.  No collect / isin literal list in the plan.
+    px = read_scenes(
+        spark, input_dir, cfg.names_sar, decode_fn, names=todo.select("name")
     )
-    keep.write.mode("append").partitionBy("scene").parquet(out_dir)
+    px.write.mode("append").partitionBy("scene").parquet(out_dir)
     commit(todo, ledger_path)
     todo.unpersist()
     return n

@@ -62,10 +62,15 @@ def read_scenes(
     variables: list[str],
     decode_fn: DecodeFn = decode_netcdf_scene,
     glob: str = "*.nc",
+    names: DataFrame | None = None,
 ) -> DataFrame:
     """S1 — scan a directory of scene files into one long-form pixel
     DataFrame.  ``binaryFile`` splits the listing across executors; decode
-    happens in Arrow batches (one file per input row)."""
+    happens in Arrow batches (one file per input row).
+
+    ``names`` (optional, a one-column ``name`` DataFrame) restricts the
+    scan BEFORE decode via a broadcast semi-join on the file name — the
+    incremental path decodes only new files, never the whole directory."""
     from pyspark.sql import functions as F
 
     files = (
@@ -77,6 +82,10 @@ def read_scenes(
             F.col("content"),
         )
     )
+    if names is not None:
+        files = files.join(
+            F.broadcast(names.select("name")), "name", "left_semi"
+        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

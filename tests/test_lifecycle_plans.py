@@ -105,3 +105,16 @@ def test_incremental_build_driver(spark, tmp_path):
         spark.read.parquet(out).groupBy("scene").count().collect()
     )
     assert all(r["count"] == 2 * 64 for r in counts)  # no double-processing
+
+    # new file sharing a scene prefix with an already-processed one:
+    # only the NEW file's pixels are appended (regression for the
+    # decode-then-filter-by-prefix bug, which re-appended the old file's)
+    (src / "20180410T084537_d.nc").write_bytes(b"\x00" * 16)
+    n4 = run_incremental_build(spark, str(src), out, led, cfg, fake_decoder(8))
+    assert n4 == 1
+    spark.catalog.refreshByPath(out)
+    got = {
+        r["scene"]: r["count"]
+        for r in spark.read.parquet(out).groupBy("scene").count().collect()
+    }
+    assert got["20180410T084537"] == 2 * 2 * 64  # _a + _d exactly once each
