@@ -293,6 +293,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     prefix_filter: bool = False,
+    df_cutoff: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs.
 
@@ -305,14 +306,72 @@ def jaccard_pairs(
     where every shingle is frequent (like the synthetic small-vocabulary
     testdata, measured) the pruning cannot bite and the extra passes make
     it slower than the naive join — hence opt-in.
+
+    With ``df_cutoff = D`` (exact, identical results): shingles with
+    document frequency > D ("stop-shingles", the DF² blow-up in the
+    candidate join at 100 TB) are excluded from candidate GENERATION for
+    most docs, never from verification.  Why no pair is lost: a missed
+    pair would have ``A∩B`` entirely inside the hot set, but Jaccard ≥ t
+    forces ``|A∩B| ≥ ceil(t·|A|)``, so doc A would need at least that
+    many hot shingles — i.e. both docs are "hot-heavy"
+    (``#hot(A) ≥ ceil(t·|A|)``).  Hot-heavy docs therefore ALSO join on
+    their hot shingles (a small self-join: hot-heaviness is rare on
+    natural corpora); everyone else joins on cold shingles only.  The
+    full intersection is then verified per candidate pair.  The hot set
+    itself has at most ``total_occurrences / D`` members — broadcast.
     """
+    if prefix_filter and df_cutoff is not None:
+        raise ValueError("prefix_filter and df_cutoff are alternative candidate schemes")
+
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_sh"),
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
 
-    if prefix_filter:
+    def _verify(cand: DataFrame) -> DataFrame:
+        # exact verification: intersect the two full shingle sets
+        fa = sh.select(F.col("_id").alias("id_a"), "_sh")
+        fb = sh.select(F.col("_id").alias("id_b"), "_sh")
+        return (
+            cand.join(fa, "id_a")
+            .join(fb, ["id_b", "_sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("_inter"))
+        )
+
+    if df_cutoff is not None:
+        hot = (
+            sh.groupBy("_sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > df_cutoff)
+            .select("_sh", F.lit(True).alias("_hot"))
+        )
+        flagged = sh.join(F.broadcast(hot), "_sh", "left").withColumn(
+            "_hot", F.coalesce(F.col("_hot"), F.lit(False))
+        )
+        stats = flagged.groupBy("_id").agg(
+            F.count("*").alias("_sz2"),
+            F.sum(F.col("_hot").cast("int")).alias("_nhot"),
+        )
+        heavy = stats.filter(
+            F.col("_nhot") >= F.ceil(F.lit(threshold) * F.col("_sz2"))
+        ).select("_id")
+        gen = flagged.filter(~F.col("_hot")).select("_id", "_sh").unionByName(
+            flagged.filter(F.col("_hot"))
+            .join(heavy, "_id", "left_semi")
+            .select("_id", "_sh")
+        )
+        a = gen.select(F.col("_id").alias("id_a"), "_sh")
+        b = gen.select(F.col("_id").alias("id_b"), "_sh")
+        cand = (
+            a.join(b, "_sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = _verify(cand)
+    elif prefix_filter:
         # global order = ascending document frequency (rare shingles
         # first): prefixes then consist of rare shingles, so the prefix
         # self-join produces few candidates even on hot-vocabulary corpora
@@ -341,15 +400,7 @@ def jaccard_pairs(
             )
             .distinct()
         )
-        # exact verification: intersect the two full shingle sets
-        a = sh.select(F.col("_id").alias("id_a"), "_sh")
-        b = sh.select(F.col("_id").alias("id_b"), "_sh")
-        inter = (
-            cand.join(a, "id_a")
-            .join(b, ["id_b", "_sh"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("_inter"))
-        )
+        inter = _verify(cand)
     else:
         a = sh.select(F.col("_id").alias("id_a"), "_sh")
         b = sh.select(F.col("_id").alias("id_b"), "_sh")

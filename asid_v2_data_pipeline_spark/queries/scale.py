@@ -68,9 +68,13 @@ GROUP BY lang ORDER BY lang
 
 
 def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (threshold 0.5)."""
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5), with the
+    hot-shingle DF cutoff ON: stop-shingles (df > 50) are excluded from
+    candidate generation except among hot-heavy docs — provably
+    result-preserving (see jaccard_pairs docstring), so the oracle is the
+    plain all-shingles SQL."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, df_cutoff=50)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")

@@ -57,6 +57,29 @@ def test_jaccard_prefix_filter_is_exact(spark):
     assert naive == pref and len(naive) > 0
 
 
+def test_jaccard_df_cutoff_is_exact(spark):
+    """The hot-shingle cutoff must return byte-identical pairs, including
+    when near-dup pairs overlap ONLY on hot shingles (hot-heavy path)."""
+    from asid_v2_data_pipeline_spark.schemas import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    naive = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dd.jaccard_pairs(d, "doc_id", "text").collect()
+    }
+    for cutoff in (1, 5, 50):  # cutoff=1 makes EVERY shared shingle hot
+        cut = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in dd.jaccard_pairs(
+                d, "doc_id", "text", df_cutoff=cutoff
+            ).collect()
+        }
+        assert cut == naive, f"df_cutoff={cutoff} changed results"
+    assert len(naive) > 0
+    with pytest.raises(ValueError):
+        dd.jaccard_pairs(d, "doc_id", "text", prefix_filter=True, df_cutoff=5)
+
+
 def test_minhash_lsh_catches_exact_dup(spark):
     d = _docs(spark)
     pairs = dd.minhash_lsh_pairs(d, "doc_id", "text")
