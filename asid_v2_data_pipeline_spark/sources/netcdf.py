@@ -7,11 +7,11 @@ executor-side inside ``mapInPandas`` into the long-form pixel tables of
 schemas.py.  One file = one task; at 100 TB the directory listing
 parallelizes and decode scales with executors — no driver-side I/O.
 
-The netCDF4 library is NOT part of this environment, so the decode kernel
-is injectable: ``decode_netcdf_scene`` raises ``NotImplementedError``
-without it (clearly-marked stub), and tests inject a deterministic fake
-decoder with the same signature.  The Spark-side plumbing (file source,
-Arrow batching, schema, per-variable fan-out) is real and tested.
+Classic-format files (CDF-1/CDF-2) decode for real via the pure-Python
+parser in ``netcdf_classic.py`` — no third-party dependency.  The kernel
+stays injectable (``decode_fn``) so deployments with the netCDF4 library
+can handle netCDF-4/HDF5 containers, which the classic parser rejects
+with a clear error.
 """
 
 from __future__ import annotations
@@ -37,23 +37,51 @@ DecodeFn = Callable[[str, bytes, list[str]], pd.DataFrame]
 
 def decode_netcdf_scene(path: str, payload: bytes, variables: list[str]) -> pd.DataFrame:
     """Decode one scene file into long-form pixels (masked -> NULL, the
-    engine analogue of ``.filled(np.nan)`` at archive.py:20).
+    engine analogue of ``fil[name][:]...filled(np.nan)`` at
+    archive.py:19-20).
 
-    STUB: requires the netCDF4 library, which is not available in this
-    environment.  Swap in for real deployments:
+    Classic-format files (CDF-1/CDF-2) are decoded by the pure-Python
+    reader in ``netcdf_classic.py`` — no third-party dependency.
+    netCDF-4/HDF5 containers need the netCDF4 library, which is not in
+    this environment: those raise with a clear message (inject a decode_fn
+    built on ``netCDF4.Dataset(..., memory=payload)`` in deployments that
+    have it).
 
-        import netCDF4, numpy as np, io
-        ds = netCDF4.Dataset('inmem', memory=payload)
-        for v in variables: arr = ds[v][:].astype('f4') ...
+    Variables must be 2-D ``(line, sample)``; fill values surface as NULL.
     """
-    try:
-        import netCDF4  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "netCDF4 is not installed in this environment; inject a decode_fn "
-            "or use the Parquet fixture tables"
-        ) from e
-    raise NotImplementedError("real decode path — see docstring")  # pragma: no cover
+    import numpy as np
+
+    from .netcdf_classic import ClassicNetCDF
+
+    ds = ClassicNetCDF(payload)  # raises ValueError on netCDF-4/HDF5 magic
+    scene = path.split("/")[-1].split("_")[0]
+    frames = []
+    for var in variables:
+        if var not in ds.variables:
+            continue
+        arr = ds.masked(var)
+        if arr.ndim != 2:
+            raise ValueError(f"{var}: expected 2-D (line, sample), got {arr.shape}")
+        h, w = arr.shape
+        flat = arr.astype(np.float32).reshape(-1)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "scene": scene,
+                    "var": var,
+                    "line": np.repeat(np.arange(h, dtype=np.int32), w),
+                    "sample": np.tile(np.arange(w, dtype=np.int32), h),
+                    # masked extension array: NaN -> pd.NA so Arrow ships
+                    # proper NULLs (masked-read convention S5), vectorized
+                    "value": pd.arrays.FloatingArray(flat, np.isnan(flat)),
+                }
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in PIXEL_SCHEMA.fields}
+        )
+    return pd.concat(frames, ignore_index=True)
 
 
 def read_scenes(
