@@ -185,3 +185,30 @@ def write_patch_sink(patch_px: DataFrame, out_dir: str) -> None:
     """S6 — partitioned patch sink (one parquet partition per scene;
     replaces one-npz-per-patch)."""
     patch_px.write.mode("overwrite").partitionBy("scene").parquet(out_dir)
+
+
+def write_patch_table_bucketed(
+    patch_px: DataFrame,
+    table: str,
+    num_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """S6 scale variant — the patch table bucketed AND sorted by
+    ``(scene, i, j)`` via ``saveAsTable``.
+
+    Downstream ``pivot_patches`` / ``assemble_batches`` group on exactly
+    these keys: a bucketed scan reports ``HashPartitioning(scene, i, j)``,
+    which satisfies the aggregations' clustering requirement, so the
+    pivot runs with NO Exchange at all — at 100 TB that removes the one
+    big shuffle of the feeding path.  Works against any warehouse
+    (in-memory catalog locally, Hive metastore on a cluster); ``path``
+    makes it an external table."""
+    w = (
+        patch_px.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, "scene", "i", "j")
+        .sortBy("scene", "i", "j")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

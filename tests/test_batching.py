@@ -94,6 +94,31 @@ def test_patch_sink_roundtrip(spark, built, tmp_path):
     assert back.filter(F.col("scene") == fixtures.SCENE_A).count() == built.count()
 
 
+def test_bucketed_patch_table_kills_pivot_shuffle(spark, built, tmp_path):
+    """S6 bucketed variant: pivot over the bucketed table plans with NO
+    Exchange (bucket layout satisfies the groupBy clustering), and the
+    data round-trips exactly."""
+    from asid_v2_data_pipeline_spark.plans.build_pipeline import (
+        write_patch_table_bucketed,
+    )
+
+    table = "patches_bucketed_test"
+    write_patch_table_bucketed(
+        built, table, num_buckets=4, path=str(tmp_path / "bucketed")
+    )
+    try:
+        back = spark.table(table)
+        assert back.count() == built.count()
+        piv = pivot_patches(back, VARS, 8)
+        rows = piv.collect()
+        assert len(rows) == 13 and all(len(r[VARS[0]]) == 64 for r in rows)
+        plan = piv._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_pad_centered(spark):
     """calculate_pading pinned (tests/test_archive.py:46-57): 2x2 padded
     with pads (1,2,3,4) -> 5x9 constant 100 except [1:3, 3:5]."""
