@@ -173,30 +173,96 @@ def topk_cosine_ivf(
     )
 
 
+def _perturbation_sets(planes: int, nprobe: int) -> list[tuple[int, ...]]:
+    """Multi-probe LSH probe sequence: subsets of sorted-margin POSITIONS
+    (0 = smallest |margin|), cheapest first — cost of a subset is the sum
+    of (position+1), the standard proxy for the chance the true neighbor
+    flipped exactly those planes.  First pattern is the empty set (the
+    base bucket)."""
+    from itertools import combinations
+
+    all_pats: list[tuple[int, ...]] = []
+    for r in range(1, planes + 1):
+        all_pats.extend(combinations(range(planes), r))
+    all_pats.sort(key=lambda c: (sum(i + 1 for i in c), len(c), c))
+    return [()] + all_pats[: max(0, nprobe - 1)]
+
+
 def topk_cosine_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
     planes: int = 8,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's hyperplane bucket.
+    """Approximate top-k: probe the query's hyperplane bucket, plus
+    (multi-probe, ``nprobe > 1``) the ``nprobe - 1`` buckets reached by
+    flipping the query's LOWEST-MARGIN sign bits — the hyperplanes whose
+    dot product is closest to zero, i.e. exactly the ones a true neighbor
+    most plausibly landed on the other side of.  Multi-probe lifts recall
+    without adding planes or re-bucketing the corpus: each corpus vector
+    still lives in ONE bucket; only the (small, broadcast) query side
+    fans out, so a query touches ``nprobe`` partitions instead of 1.
 
-    At 100 TB the corpus is pre-bucketed (partitioned by bucket); a query
-    touches one partition.  Recall < 1 by construction — the exact
-    ``topk_cosine`` is the correctness oracle."""
+    Recall < 1 by construction — the exact ``topk_cosine`` is the
+    correctness oracle (pinned recall floor in tests/test_scale_ops.py).
+    """
+    hps = _hyperplanes(dim, planes)
     c = corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("_cv"),
         lsh_bucket(F.col(vec_col), dim, planes).alias("_bucket"),
     )
-    q = queries.select(
+    # stage the per-plane dots once; base bucket + margins reuse them
+    qd = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qv"),
-        lsh_bucket(F.col(vec_col), dim, planes).alias("_bucket"),
+        *[
+            dot(F.col(vec_col), F.array(*[F.lit(x) for x in hp])).alias(f"_d{i}")
+            for i, hp in enumerate(hps)
+        ],
     )
+    base = F.lit(0).cast("long")
+    for i in range(planes):
+        base = base + F.when(F.col(f"_d{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    margins = F.array(
+        *[
+            F.struct(F.abs(F.col(f"_d{i}")).alias("m"), F.lit(i).alias("i"))
+            for i in range(planes)
+        ]
+    )
+    staged = qd.select(
+        "q_id",
+        "_qv",
+        base.alias("_base"),
+        F.array_sort(margins).alias("_sorted"),  # ascending |margin|
+    )
+
+    # perturbation sets are STATIC over sorted-margin positions (which
+    # plane a position names varies per query); per-pattern bucket = base
+    # XOR the named planes' bits — multi-bit flips, unrolled driver-side
+    def probe_expr(pattern: tuple[int, ...]):
+        b = F.col("_base")
+        for pos in pattern:
+            b = b.bitwiseXOR(
+                F.pow(
+                    F.lit(2.0),
+                    F.element_at(F.col("_sorted"), pos + 1)["i"].cast("double"),
+                ).cast("long")
+            )
+        return b
+
+    pats = _perturbation_sets(planes, nprobe)
+    q = staged.select(
+        "q_id",
+        "_qv",
+        F.explode(F.array(*[probe_expr(p) for p in pats])).alias("_bucket"),
+    )
+    # a corpus vector lives in exactly one bucket and probes are distinct,
+    # so (q_id, c_id) pairs cannot duplicate across probes
     scored = c.join(F.broadcast(q), "_bucket").filter(
         F.col("q_id") != F.col("c_id")
     ).select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score"))

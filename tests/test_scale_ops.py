@@ -177,6 +177,53 @@ def test_ivf_topk(spark):
     assert recall > 0.3  # approximate but useful
 
 
+def test_lsh_multiprobe_recall_floor(spark):
+    """Multi-probe LSH on a corpus with PLANTED near neighbors (an ANN
+    structure is meaningless on pure noise): recall@5 >= 0.9 at nprobe=4
+    with 8 planes, monotone in nprobe, and nprobe=1 == single-probe."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    dim, n_q, n_nb = 16, 10, 5
+    rows = []
+    vid = 1000
+    for qi in range(n_q):
+        qv = rng.randn(dim)
+        qv /= np.linalg.norm(qv)
+        rows.append((qi, [float(x) for x in qv]))
+        for _ in range(n_nb):  # planted near-dups at cosine ~0.99
+            nb = qv + 0.05 * rng.randn(dim)
+            nb /= np.linalg.norm(nb)
+            rows.append((vid, [float(x) for x in nb]))
+            vid += 1
+    for _ in range(200):  # background noise
+        v = rng.randn(dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") < n_q)
+    exact = {
+        (r["q_id"], r["c_id"]) for r in sim.topk_cosine(e, q, k=5).collect()
+    }
+
+    def got(nprobe):
+        return {
+            (r["q_id"], r["c_id"])
+            for r in sim.topk_cosine_lsh(
+                e, q, dim=dim, k=5, planes=8, nprobe=nprobe
+            ).collect()
+        }
+
+    assert got(1) == {
+        (r["q_id"], r["c_id"])
+        for r in sim.topk_cosine_lsh(e, q, dim=dim, k=5, planes=8).collect()
+    }  # nprobe=1 == legacy single-probe
+    r1 = len(got(1) & exact) / len(exact)
+    r4 = len(got(4) & exact) / len(exact)
+    assert r4 >= r1  # probing only adds candidates
+    assert r4 >= 0.9, f"recall@5 at nprobe=4 = {r4} (nprobe=1: {r1})"
+
+
 def test_tokens_and_counts(spark):
     df = spark.createDataFrame([("Hello, World! it's 42",)], "text string")
     out = df.select(
