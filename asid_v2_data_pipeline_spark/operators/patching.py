@@ -129,11 +129,31 @@ def align_variables(*patch_key_dfs: DataFrame) -> DataFrame:
     return out
 
 
-def patch_sequence_numbers(keys_df: DataFrame) -> DataFrame:
-    """S6 — the reference numbers patch files by enumeration order of the
-    first variable's loc list (archive.py:275,291).  Deterministic analogue:
-    row_number over (i, j) per scene."""
+def patch_sequence_numbers(
+    keys_df: DataFrame, first_var_keys: DataFrame | None = None
+) -> DataFrame:
+    """S6 — the reference numbers patch files by the enumeration index over
+    the FIRST variable's loc list (archive.py:275,291): locs missing from
+    any other variable are *skipped but still consume an index*, so
+    reference filenames can have gaps.
+
+    - ``first_var_keys`` given (strict filename parity): number the first
+      variable's clean keys per scene in (i, j) order, then inner-join the
+      aligned ``keys_df`` — gap indices are preserved exactly as the
+      reference writes them.  (Aligned keys are a subset of the first
+      variable's keys, since alignment is the intersection.)
+    - ``first_var_keys`` omitted: dense row_number over the aligned keys.
+      This DEVIATES from the reference whenever variables' clean-patch sets
+      differ (dense renumbering, no gaps) — a deliberate non-strict
+      convenience, kept because most pipelines only need a deterministic
+      unique id, not byte-parity filenames.
+
+    Both modes: one window per scene partition, no global sort.
+    """
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("scene").orderBy("i", "j")
-    return keys_df.withColumn("seq", F.row_number().over(w) - 1)
+    if first_var_keys is None:
+        return keys_df.withColumn("seq", F.row_number().over(w) - 1)
+    numbered = first_var_keys.withColumn("seq", F.row_number().over(w) - 1)
+    return keys_df.join(numbered, ["scene", "i", "j"], "inner")

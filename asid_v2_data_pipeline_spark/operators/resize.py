@@ -49,22 +49,44 @@ def avg_pool(
     step: int,
     keys: list[str],
     value_cols: list[str],
+    height: int,
     row: str = "prow",
     col: str = "pcol",
 ) -> DataFrame:
     """W4 — average-pool resize (SarBatches.resize, archive.py:88-104).
 
     The reference runs ``uniform_filter(size=step, origin=-(step//2))``
-    (a *forward-looking* step×step box mean) then decimates at ``::step``:
-    for the supported configs (step divides window) every kept position's
-    box is fully interior, so this is exactly a non-overlapping block mean —
-    ``groupBy(floor(row/step), floor(col/step)).avg(value)``.
+    (a *forward-looking* step×step box mean) then decimates at ``::step``
+    with the same trailing-edge quirk as :func:`decimate`: if the *sliced*
+    row count ``ceil(height/step)`` is not divisible by ``step``, the last
+    row AND column of the decimated result are dropped (shape[0] only,
+    applied to both axes — archive.py:40-48 runs after the filter).
 
-    Border deviations (reflect-mode edge handling when step does not divide
-    the extent) are covered by ``uniform_filter_parity`` below.
+    When ``step`` divides ``height`` every kept position's box is fully
+    interior, so the filter+decimate is exactly a non-overlapping block
+    mean — ``groupBy(floor(row/step), floor(col/step)).avg(value)`` with
+    the edge-drop applied as a pre-shuffle filter.  When it does not,
+    reflect-mode borders leak into the kept positions and the block-mean
+    identity breaks: that config must go through ``avg_pool_parity``.
+
+    ``height`` is the pre-slice row extent (the patch window size).
     """
     if step == 1:
         return df
+    if height % step:
+        raise ValueError(
+            f"avg_pool expression mode requires step | height (got height="
+            f"{height}, step={step}); use avg_pool_parity for reflect-mode "
+            "borders"
+        )
+    sliced_rows = height // step
+    if sliced_rows % step:
+        # reference edge-drop: last row+col of the decimated result vanish;
+        # filter BEFORE the groupBy so the dropped blocks never shuffle
+        df = df.filter(
+            (F.col(row) / step < sliced_rows - 1)
+            & (F.col(col) / step < sliced_rows - 1)
+        )
     gi = (F.col(row) / step).cast("int").alias(row)
     gj = (F.col(col) / step).cast("int").alias(col)
     aggs = [F.avg(c).alias(c) for c in value_cols]

@@ -132,7 +132,9 @@ ORDER BY line, sample
 def w4_avg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 — average-pool resize (block mean, step 4)."""
     g = pixel_grid(spark, sf_dir).withColumn("scene", F.lit("g"))
-    out = avg_pool(g, 4, keys=["scene"], value_cols=["value"], row="line", col="sample")
+    out = avg_pool(
+        g, 4, keys=["scene"], value_cols=["value"], height=N, row="line", col="sample"
+    )
     return out.select(
         "line", "sample", F.round("value", 6).alias("value")
     ).orderBy("line", "sample")

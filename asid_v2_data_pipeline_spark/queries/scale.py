@@ -434,11 +434,24 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Octet-level oracle (ADVICE r1): the engine hashes UTF-8 *bytes*
+# (F.encode), so the oracle must too — hex(encode(text)) exposes each byte
+# as a hex pair, decoded with ascii() nibble arithmetic.  Correct for any
+# input, not just ASCII (multi-byte chars count per-byte on both sides).
 MM_SQL = """
-WITH codes AS (
-  SELECT doc_id, LENGTH(text) AS n_bytes,
-         list_transform(range(1, LENGTH(text) + 1), i -> ascii(substr(text, i, 1))) AS cs
+WITH octets AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes, hex(encode(text)) AS hx
   FROM documents
+), codes AS (
+  SELECT doc_id, n_bytes,
+         list_transform(range(0, n_bytes), i ->
+           (ascii(substr(hx, CAST(2 * i + 1 AS INT), 1))
+              - CASE WHEN ascii(substr(hx, CAST(2 * i + 1 AS INT), 1)) <= 57
+                     THEN 48 ELSE 55 END) * 16
+           + ascii(substr(hx, CAST(2 * i + 2 AS INT), 1))
+              - CASE WHEN ascii(substr(hx, CAST(2 * i + 2 AS INT), 1)) <= 57
+                     THEN 48 ELSE 55 END) AS cs
+  FROM octets
 )
 SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
 """ + ",\n".join(

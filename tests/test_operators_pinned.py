@@ -88,9 +88,46 @@ def test_w4_block_mean_matches_float_reference():
 def test_w4_avg_pool_operator(spark):
     arr = np.arange(16, dtype=float).reshape(4, 4)
     df = _grid_df(spark, arr.tolist())
-    out = avg_pool(df, 2, keys=["scene"], value_cols=["value"], row="line", col="sample")
+    out = avg_pool(
+        df, 2, keys=["scene"], value_cols=["value"], height=4, row="line", col="sample"
+    )
     got = _to_array(out.collect(), 2, 2)
     assert got == [[2.5, 4.5], [10.5, 12.5]]
+
+
+def test_w4_avg_pool_edge_drop(spark):
+    """ADVICE r1: window=8 step=4 -> sliced 2 rows, 2 % 4 != 0, so the
+    reference drops the last row+col of the decimated result -> 1x1.
+    Pinned against the NumPy parity path (uniform_filter + [::4,::4] +
+    edge-drop), which is fully interior here."""
+    rng = np.random.RandomState(7)
+    arr = rng.rand(8, 8)
+    filt = uniform_filter_parity(arr, 4, -2)[::4, ::4]
+    assert filt.shape[0] % 4  # quirk fires
+    expect = filt[:-1, :-1]
+    assert expect.shape == (1, 1)
+
+    df = _grid_df(spark, arr.tolist())
+    out = avg_pool(
+        df, 4, keys=["scene"], value_cols=["value"], height=8,
+        row="line", col="sample",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["line"] == 0 and out[0]["sample"] == 0
+    np.testing.assert_allclose(out[0]["value"], expect[0, 0], rtol=1e-12)
+
+
+def test_w4_avg_pool_rejects_nondividable_height(spark):
+    """Reflect-mode borders (step does not divide the extent) must route to
+    avg_pool_parity — expression mode refuses the config."""
+    import pytest
+
+    df = _grid_df(spark, np.arange(25, dtype=float).reshape(5, 5).tolist())
+    with pytest.raises(ValueError, match="avg_pool_parity"):
+        avg_pool(
+            df, 2, keys=["scene"], value_cols=["value"], height=5,
+            row="line", col="sample",
+        )
 
 
 def test_w6_any_pool_downsample(spark):
@@ -178,6 +215,36 @@ def test_w8_full_image_fill(spark):
     out = stitch_full_image(df, 1, fill=0.0).collect()
     got = _to_array(out, 2, 2)
     assert got == [[0.0, 0.0], [0.0, 7.0]]
+
+
+def test_patch_sequence_numbers_gap_parity(spark):
+    """ADVICE r1 — strict mode reproduces archive.py:275,291 enumeration:
+    index over the FIRST variable's loc list; unaligned locs are skipped
+    but still consume an index (filename gaps)."""
+    from asid_v2_data_pipeline_spark.operators.patching import (
+        patch_sequence_numbers,
+    )
+
+    # first variable's clean locs, in (i, j) enumeration order
+    first = [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0)]
+    # second variable is missing (0, 1) and (1, 1)
+    second = [(0, 0), (1, 0), (1, 1), (2, 0), (2, 1)]
+    aligned = [loc for loc in first if loc in second]
+
+    # reference loop: enumerate(first), skip unaligned, keep index i
+    expect = {loc: i for i, loc in enumerate(first) if loc in second}
+    assert expect == {(0, 0): 0, (1, 0): 2, (1, 1): 3, (2, 0): 4}  # gaps
+
+    mk = lambda locs: spark.createDataFrame(
+        [("s", i, j) for i, j in locs], "scene string, i int, j int"
+    )
+    strict = patch_sequence_numbers(mk(aligned), first_var_keys=mk(first))
+    got = {(r["i"], r["j"]): r["seq"] for r in strict.collect()}
+    assert got == expect
+
+    dense = patch_sequence_numbers(mk(aligned))
+    got_dense = {(r["i"], r["j"]): r["seq"] for r in dense.collect()}
+    assert got_dense == {(0, 0): 0, (1, 0): 1, (1, 1): 2, (2, 0): 3}
 
 
 def test_patch_stitch_identity(spark):

@@ -265,6 +265,50 @@ def test_multimodal_features(spark):
         assert r["n_bytes"] >= 32
 
 
+def test_mm_oracle_octet_level_non_ascii(spark):
+    """ADVICE r1: the MM oracle must count UTF-8 *bytes*, not characters —
+    verified on multi-byte text (accents, CJK, emoji) where the old
+    character-level oracle would diverge."""
+    import duckdb
+
+    from asid_v2_data_pipeline_spark.queries.scale import MM_SQL
+
+    docs = [(1, "héllo wörld"), (2, "日本語テキスト"), (3, "plain ascii"), (4, "mix: café 🌍")]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    sel = [
+        F.round(F.element_at("feature", k + 1).cast("double"), 6).alias(f"f{k}")
+        for k in range(8)
+    ]
+    got = {
+        r["doc_id"]: (r["n_bytes"], tuple(r[f"f{k}"] for k in range(8)))
+        for r in feats.select(
+            F.col("media_id").alias("doc_id"), "n_bytes", *sel
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)")
+    for row in con.execute(MM_SQL).fetchall():
+        doc_id, n_bytes, fs = row[0], row[1], tuple(row[2:])
+        assert got[doc_id][0] == n_bytes, f"doc {doc_id}: byte count"
+        # non-ASCII docs must have n_bytes > character count
+        text = dict(docs)[doc_id]
+        assert n_bytes == len(text.encode("utf-8"))
+        for a, b in zip(got[doc_id][1], fs):
+            assert a == pytest.approx(b, abs=1e-6), f"doc {doc_id}"
+
+
 def test_quality_score_bounds(spark):
     rows = [("a good long sentence with many plain words here",), ("!!! ??? ...",), ("",)]
     df = spark.createDataFrame(rows, "text string")

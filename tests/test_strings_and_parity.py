@@ -81,7 +81,7 @@ def test_avg_pool_parity_matches_expression_when_dividable(spark):
     df = spark.createDataFrame(rows, "scene string, prow int, pcol int, value double")
     expr = {
         (r["prow"], r["pcol"]): r["value"]
-        for r in avg_pool(df, 2, keys=["scene"], value_cols=["value"]).collect()
+        for r in avg_pool(df, 2, keys=["scene"], value_cols=["value"], height=8).collect()
     }
     par = {
         (r["prow"], r["pcol"]): r["value"]
