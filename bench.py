@@ -58,17 +58,44 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+
+    # Round-over-round hygiene: diff against the most recent BENCH_r{N}.json
+    # (same 12-query set every round) so regressions are visible per query.
+    # Deltas go to stderr + a "deltas" key; the stdout contract stays ONE line.
+    import glob
+    import re
+
+    prev_files = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)\.json$", p).group(1)),
     )
+    if prev_files:
+        try:
+            with open(prev_files[-1]) as fh:
+                prev = json.load(fh)
+            # the driver wraps the bench line under "parsed"
+            prev = prev.get("parsed", prev)
+            pq = prev.get("queries", {})
+            if prev.get("sf") == out["sf"] and pq:
+                deltas = {
+                    k: round(v - pq[k], 3) for k, v in timings.items() if k in pq
+                }
+                out["baseline_round"] = os.path.basename(prev_files[-1])
+                out["deltas"] = deltas
+                for k, d in sorted(deltas.items(), key=lambda kv: kv[1]):
+                    pct = 100.0 * d / pq[k] if pq[k] else 0.0
+                    print(f"# delta {k}: {d:+.3f}s ({pct:+.0f}%)", file=sys.stderr)
+        except (OSError, ValueError, KeyError) as exc:
+            print(f"# delta comparison skipped: {exc}", file=sys.stderr)
+
+    print(json.dumps(out))
     spark.stop()
 
 
