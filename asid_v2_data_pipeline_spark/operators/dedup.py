@@ -422,3 +422,71 @@ def jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → ``(node, label)``
+    where ``label`` is the component's minimum id (the canonical doc of a
+    duplicate cluster — the step after pair generation in every dedup
+    pipeline).
+
+    Algorithm: iterative min-label propagation **with pointer jumping** —
+    each round a node adopts the minimum of (its label, its neighbors'
+    labels, its label's label).  The label-of-label join halves the
+    distance to the component minimum every round, so convergence is
+    O(log(diameter)) rounds, not O(diameter) (same round complexity class
+    as large-star/small-star, Kiveris et al., expressed as two equi-joins
+    + one groupBy per round — no driver-side graph state).
+
+    Scale profile: each round shuffles edges and labels hash-partitioned
+    on the node id; ``localCheckpoint`` truncates lineage so plans stay
+    flat across rounds.  Convergence check is a ``limit(1).count()`` probe
+    per round (labels only decrease; a fixpoint round changes nothing).
+    Terminates early; ``max_rounds`` bounds pathological inputs
+    (2^max_rounds-diameter components).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("_a"), F.col(id_b).alias("_b")
+    ).unionByName(pairs.select(F.col(id_b).alias("_a"), F.col(id_a).alias("_b")))
+    labels = (
+        sym.select(F.col("_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("_b"), "label"), "_b"
+        ).select(F.col("_a").alias("node"), "label")
+        jump = (
+            labels.alias("l1")
+            .join(
+                labels.select(
+                    F.col("node").alias("_ln"), F.col("label").alias("_ll")
+                ),
+                F.col("l1.label") == F.col("_ln"),
+            )
+            .select(F.col("l1.node").alias("node"), F.col("_ll").alias("label"))
+        )
+        new = (
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.select("node", F.col("label").alias("_old")), "node")
+            .filter(F.col("label") < F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

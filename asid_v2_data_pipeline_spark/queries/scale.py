@@ -141,7 +141,9 @@ _SHINGLE_HASHES_SQL = """
 """.replace("{TH}", _TOKEN_HASHES_SQL)
 
 
-def _minhash_sql(num_perm: int = 16, bands: int = 4) -> str:
+def _minhash_pairs_ctes(num_perm: int = 16, bands: int = 4) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b)`` — shared by the minhash
+    and cluster oracles."""
     consts = dd._perm_constants(num_perm)
     rows = num_perm // bands
     mins = ", ".join(
@@ -155,21 +157,62 @@ def _minhash_sql(num_perm: int = 16, bands: int = 4) -> str:
         for r in range(rows):
             expr = f"(({expr}) * 31 + m{bband * rows + r}) % 2147483648"
         band_exprs.append(f"({bband}, {expr})")
-    return f"""
-WITH dummy AS (SELECT 1)
+    return f"""dummy AS (SELECT 1)
 {_SHINGLE_HASHES_SQL}
 , sigs AS (
   SELECT doc_id, {mins} FROM shing
 ), bandsx AS (
   SELECT doc_id, b.band, b.bucket
   FROM sigs, LATERAL (VALUES {', '.join(band_exprs)}) AS b(band, bucket)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsx a JOIN bandsx b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+def _minhash_sql(num_perm: int = 16, bands: int = 4) -> str:
+    return (
+        "WITH "
+        + _minhash_pairs_ctes(num_perm, bands)
+        + "\nSELECT id_a, id_b FROM pairs ORDER BY id_a, id_b\n"
+    )
+
+
+def _cluster_sql(num_perm: int = 16, bands: int = 4) -> str:
+    """Recursive-CTE oracle for connected components over the minhash
+    pairs: transitive closure on the symmetric edge list, then min
+    reachable id per node."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pairs_ctes(num_perm, bands)
+        + """
+, sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bandsx a JOIN bandsx b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-GROUP BY 1, 2
-ORDER BY id_a, id_b
+SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
 """
+    )
+
+
+def dd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering — the step after pair generation: MinHash-LSH
+    candidate pairs → connected components → each doc labeled with its
+    cluster's canonical (minimum) doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", num_perm=16, bands=4)
+    cc = dd.connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,6 +544,7 @@ REGISTRY = {
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
+    "dd_cluster": (dd_cluster, _cluster_sql()),
     "dd_simhash": (dd_simhash, _simhash_sql()),
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),

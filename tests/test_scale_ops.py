@@ -265,6 +265,33 @@ def test_multimodal_features(spark):
         assert r["n_bytes"] >= 32
 
 
+def test_connected_components(spark):
+    """Chain + triangle + isolated pair: labels converge to the component
+    minimum; pointer jumping beats the chain diameter."""
+    from asid_v2_data_pipeline_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-...-9 (diameter 8), triangle {20,21,22}, pair {30,31}
+    edges = (
+        [(i, i + 1) for i in range(1, 9)]
+        + [(20, 21), (21, 22), (20, 22)]
+        + [(30, 31)]
+    )
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r["node"]: r["label"] for r in connected_components(pairs).collect()
+    }
+    expect = {i: 1 for i in range(1, 10)}
+    expect.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30})
+    assert got == expect
+
+
+def test_connected_components_empty(spark):
+    from asid_v2_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components(pairs).count() == 0
+
+
 def test_mm_oracle_octet_level_non_ascii(spark):
     """ADVICE r1: the MM oracle must count UTF-8 *bytes*, not characters —
     verified on multi-byte text (accents, CJK, emoji) where the old
