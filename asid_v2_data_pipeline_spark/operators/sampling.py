@@ -1,0 +1,93 @@
+"""Deterministic sampling operators for training-data pipelines
+(SURVEY.md §2.11 adjunct).
+
+LLM corpus curation needs reproducible, engine-portable sampling — a
+rerun (or an audit in another engine) must select the SAME rows.  Both
+operators therefore key on the portable LCG ``shuffle_hash`` from
+``operators.split`` instead of ``rand()``/``sampleBy`` (whose output
+depends on partition layout and engine RNG):
+
+- **quota_per_group** — cap every group (domain, source, lang) at N
+  rows: the standard "no domain may dominate the corpus" rule.
+- **stratified_sample** — per-stratum Bernoulli sampling by hash
+  threshold: the deterministic ``sampleBy`` analogue, selecting the same
+  id set in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .split import SHUFFLE_M, shuffle_hash, shuffle_hash_sql
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    quota: int,
+    id_col: str,
+    seed: int = 17,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, chosen by the portable keyed
+    shuffle hash (ties broken by id — fully deterministic).
+
+    Scale: one hash exchange on the group key; the within-group
+    row_number sort is bounded by group size.  For a pathologically hot
+    group at 100 TB, pre-filter with an over-admitting hash threshold
+    (``h < c·quota/|g|·2³¹``) before the exact window — the window then
+    sorts ~c·quota rows instead of |g|.  Not automatic: |g| needs a
+    first pass, and the testdata groups are far below the tipping point.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        shuffle_hash(F.col(id_col).cast("long"), seed), id_col
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def _thresholds(fractions: dict[str, float]) -> dict[str, int]:
+    # integer thresholds computed ONCE driver-side: both engines then
+    # compare the same integers — no float-boundary divergence
+    return {k: int(v * SHUFFLE_M) for k, v in fractions.items()}
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    seed: int = 17,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling: keep a row iff
+    ``shuffle_hash(id) < fraction[stratum] · 2³¹``.  Strata absent from
+    ``fractions`` get fraction 0 (``sampleBy`` semantics).
+
+    Scale: a pure filter — NO shuffle, no per-stratum pass; the strata→
+    threshold map is a literal expression (dozens of entries at most),
+    evaluated inside the scan stage's codegen before anything shuffles
+    (plan-asserted: zero Exchange).
+    """
+    th = _thresholds(fractions)
+    pairs = [x for k, v in th.items() for x in (F.lit(k), F.lit(v))]
+    thresh = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col)),
+        F.lit(0),
+    )
+    return df.filter(
+        shuffle_hash(F.col(id_col).cast("long"), seed) < thresh
+    )
+
+
+def stratified_sample_sql(
+    strata_col: str, fractions: dict[str, float], id_col: str, seed: int = 17
+) -> str:
+    """Oracle-side predicate: the identical integer comparison as SQL."""
+    th = _thresholds(fractions)
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in th.items())
+    h = shuffle_hash_sql(id_col, seed)
+    return f"{h} < CASE {strata_col} {cases} ELSE 0 END"

@@ -453,6 +453,58 @@ FROM th ORDER BY doc_id
 """
 
 
+# --- sampling -----------------------------------------------------------------
+
+
+def sp_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: at most 30 docs per source, selected by the
+    portable keyed shuffle hash — the 'no domain dominates' corpus rule,
+    reproducible across engines and reruns."""
+    from ..operators.sampling import quota_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = quota_per_group(d, ["source"], 30, "doc_id", seed=17)
+    return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+def _sp_quota_sql() -> str:
+    from ..operators.split import shuffle_hash_sql
+
+    h = shuffle_hash_sql("doc_id", 17)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source FROM ranked WHERE rn <= 30 ORDER BY doc_id
+"""
+
+
+_STRAT_FRACS = {"en": 0.1, "de": 0.5, "es": 0.25, "fr": 0.5, "zh": 0.2}
+
+
+def sp_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Bernoulli sampling by hash threshold (deterministic
+    sampleBy): rebalances the lang mix without a shuffle — the predicate
+    pushes to the scan."""
+    from ..operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", _STRAT_FRACS, "doc_id", seed=23)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sp_strat_sql() -> str:
+    from ..operators.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql("lang", _STRAT_FRACS, "doc_id", 23)
+    return f"SELECT doc_id, lang FROM documents WHERE {pred} ORDER BY doc_id"
+
+
 # --- multimodal ---------------------------------------------------------------
 
 
@@ -545,6 +597,8 @@ REGISTRY = {
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
     "dd_cluster": (dd_cluster, _cluster_sql()),
+    "sp_group_quota": (sp_group_quota, _sp_quota_sql()),
+    "sp_stratified": (sp_stratified, _sp_strat_sql()),
     "dd_simhash": (dd_simhash, _simhash_sql()),
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),

@@ -133,3 +133,32 @@ def test_simhash_pairs_no_nested_loop(spark):
     plan = _plan(spark, "dd_simhash_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_no_shuffle(spark):
+    """Hash-threshold stratified sampling is scan + filter: zero Exchange
+    (the declared query's orderBy adds one for presentation only)."""
+    from asid_v2_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+    from asid_v2_data_pipeline_spark.schemas import load_table
+
+    d = load_table(spark, SF, "documents")
+    out = stratified_sample(d, "lang", {"en": 0.5, "de": 0.5}, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quota_per_group_single_group_exchange(spark):
+    """Per-group quota capping shuffles once, on the group key — no
+    single-partition window."""
+    from asid_v2_data_pipeline_spark.operators.sampling import (
+        quota_per_group,
+    )
+    from asid_v2_data_pipeline_spark.schemas import load_table
+
+    d = load_table(spark, SF, "documents")
+    out = quota_per_group(d, ["source"], 30, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan

@@ -265,6 +265,40 @@ def test_multimodal_features(spark):
         assert r["n_bytes"] >= 32
 
 
+def test_quota_per_group(spark):
+    from asid_v2_data_pipeline_spark.operators.sampling import quota_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    kept = quota_per_group(df, ["grp"], 5, "id", seed=17)
+    out = kept.groupBy("grp").count().collect()
+    assert {r["grp"]: r["count"] for r in out} == {"g0": 5, "g1": 5, "g2": 5}
+    # deterministic: same selection on rerun
+    again = quota_per_group(df, ["grp"], 5, "id", seed=17)
+    assert sorted(r["id"] for r in kept.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+    # groups smaller than the quota survive whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "id bigint, grp string")
+    assert quota_per_group(small, ["grp"], 5, "id").count() == 2
+
+
+def test_stratified_sample(spark):
+    from asid_v2_data_pipeline_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    out = stratified_sample(df, "s", {"a": 1.0, "b": 0.5}, "id", seed=23)
+    got = {r["s"]: 0 for r in out.collect()}
+    counts = out.groupBy("s").count().collect()
+    by = {r["s"]: r["count"] for r in counts}
+    assert by["a"] == 100  # fraction 1.0 keeps everything
+    assert 20 <= by.get("b", 0) <= 80  # ~50 expected, hash-uniform
+    assert "c" not in by and "c" not in got  # absent stratum -> 0
+
+
 def test_connected_components(spark):
     """Chain + triangle + isolated pair: labels converge to the component
     minimum; pointer jumping beats the chain diameter."""
