@@ -1,0 +1,93 @@
+"""Benchmark decontamination (SURVEY.md §2.11 adjunct).
+
+Training corpora must not contain evaluation data.  The standard check is
+n-gram overlap: a document is contaminated if it shares at least one
+n-gram with any benchmark document (GPT-3 used 13-grams; n is a knob).
+
+Spark-first shape: the benchmark side is SMALL (eval sets are thousands
+of documents), so its distinct n-gram hash set is **broadcast** — the
+100 TB corpus side is scanned once, its shingle hashes exploded and
+matched map-side with no shuffle of corpus data; only matching (rare)
+rows reach the per-document count aggregation.
+
+Hashing reuses the deterministic 31-poly/COMBINE shingle arithmetic from
+``operators.dedup`` so the DuckDB oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import with_shingle_hashes
+
+
+def benchmark_ngram_set(
+    benchmark: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Distinct n-gram hash set (``_sh``) of the benchmark corpus.
+
+    Documents shorter than ``n`` tokens contribute their whole-document
+    fold (same convention as the dedup shinglers).
+    """
+    return (
+        with_shingle_hashes(benchmark, id_col, text_col, n)
+        .select(F.explode("_hs").alias("_sh"))
+        .distinct()
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination counts vs a benchmark set.
+
+    Returns ``(id_col, n_grams, n_hits, rate)`` for every document with
+    at least one benchmark n-gram, where ``n_grams`` is the document's
+    distinct n-gram count, ``n_hits`` how many of those appear in the
+    benchmark set, and ``rate = n_hits / n_grams``.
+
+    Scale profile: benchmark gram set broadcast (eval sets are tiny next
+    to the corpus); corpus scanned once; the only exchange is the
+    groupBy over *matching* gram rows — a vanishing fraction at 100 TB.
+    Downstream: anti-join the corpus against this output to drop or
+    flag contaminated documents.
+    """
+    bench = benchmark_ngram_set(benchmark, id_col, text_col, n)
+    grams = with_shingle_hashes(docs, id_col, text_col, n).select(
+        "_id", F.size("_hs").alias("_ng"), F.explode("_hs").alias("_sh")
+    )
+    return (
+        grams.join(F.broadcast(bench), "_sh")
+        .groupBy("_id", "_ng")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_ng").alias("n_grams"),
+            F.col("n_hits"),
+            F.round(F.col("n_hits") / F.col("_ng"), 6).alias("rate"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop documents whose benchmark n-gram hit count exceeds
+    ``max_hits`` (default 0: any overlap removes the document).
+
+    One broadcast join + one left-anti join; the corpus never shuffles.
+    """
+    bad = contamination(docs, benchmark, id_col, text_col, n).filter(
+        F.col("n_hits") > max_hits
+    )
+    return docs.join(bad.select(id_col), id_col, "left_anti")

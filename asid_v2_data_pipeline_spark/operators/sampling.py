@@ -91,3 +91,76 @@ def stratified_sample_sql(
     cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in th.items())
     h = shuffle_hash_sql(id_col, seed)
     return f"{h} < CASE {strata_col} {cases} ELSE 0 END"
+
+
+def weighted_repeat(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    seed: int = 17,
+) -> DataFrame:
+    """Corpus mixing with fractional epoch weights: a row in group g with
+    weight ``w`` appears ``floor(w)`` times, plus once more with
+    probability ``frac(w)`` — so each group's expected row count is
+    exactly ``w × |g|`` (the "epochs per source" knob of LLM data
+    mixtures; w<1 downsamples, w>1 upsamples with repetition).
+
+    The stochastic extra copy keys on the portable LCG hash of the id, so
+    the SAME rows get the extra epoch in any engine and on any rerun.
+    Output adds an ``epoch`` column (0..n-1 per row); groups absent from
+    ``weights`` get weight 0 (dropped).
+
+    Scale: pure narrow ops — a literal map lookup, one comparison, one
+    ``explode(sequence(...))`` — all inside the scan stage; NO shuffle
+    and no skew risk beyond the output size itself.
+    """
+    floors = {k: int(w) for k, w in weights.items()}
+    fracs = _thresholds({k: w - int(w) for k, w in weights.items()})
+    fl_pairs = [x for k, v in floors.items() for x in (F.lit(k), F.lit(v))]
+    fr_pairs = [x for k, v in fracs.items() for x in (F.lit(k), F.lit(v))]
+    fl = F.coalesce(
+        F.element_at(F.create_map(*fl_pairs), F.col(group_col)), F.lit(0)
+    )
+    fr = F.coalesce(
+        F.element_at(F.create_map(*fr_pairs), F.col(group_col)), F.lit(0)
+    )
+    extra = (
+        shuffle_hash(F.col(id_col).cast("long"), seed) < fr
+    ).cast("int")
+    n = (fl + extra).alias("_n")
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
+def weighted_repeat_sql(
+    group_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    seed: int = 17,
+    src: str = "documents",
+) -> str:
+    """Oracle: ``(src rows) × generate_series`` with the identical integer
+    floor/threshold arithmetic; returns a FROM-able derived-table body
+    exposing ``src.*`` plus ``epoch``."""
+    floors = {k: int(w) for k, w in weights.items()}
+    fracs = _thresholds({k: w - int(w) for k, w in weights.items()})
+    fl_cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in floors.items())
+    fr_cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in fracs.items())
+    h = shuffle_hash_sql(id_col, seed)
+    return f"""
+WITH counted AS (
+  SELECT *,
+         (CASE {group_col} {fl_cases} ELSE 0 END)
+         + (CASE WHEN {h} < (CASE {group_col} {fr_cases} ELSE 0 END)
+            THEN 1 ELSE 0 END) AS _n
+  FROM {src}
+)
+SELECT counted.*, CAST(e.epoch AS BIGINT) AS epoch
+FROM counted, LATERAL unnest(range(0, _n)) AS e(epoch)
+WHERE _n > 0
+"""

@@ -1,0 +1,97 @@
+"""Corpus statistics operators (SURVEY.md §2.11 adjunct).
+
+Exact, engine-portable summary statistics for corpus curation reports:
+nearest-rank quantiles per stratum and heavy-hitter (top-k frequency)
+counts.  Everything is integer/rank arithmetic — no interpolated
+percentiles whose float rounding differs between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def group_quantiles_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[tuple[int, int]],
+    tie_col: str,
+) -> DataFrame:
+    """Nearest-rank quantiles per group: for q = num/den, the value at
+    rank ``ceil(q·n)`` of the group ordered by ``(value, tie_col)``.
+
+    ``quantiles`` are exact fractions (e.g. ``[(1,2), (9,10), (99,100)]``
+    for p50/p90/p99): the selected rank is ``(num·n + den − 1) div den``
+    — pure integer arithmetic, so any engine picks the same row (no
+    float-interpolation divergence).  Output: one row per group with a
+    ``p{num}_{den}`` column per quantile.
+
+    Scale: one hash exchange on the group key; the within-group
+    row_number sort is the honest cost of an EXACT quantile.  At 100 TB
+    prefer ``percentile_approx`` (t-digest, map-side combinable, no
+    sort) for dashboards and keep this for audited reports.
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col, tie_col)
+    cw = Window.partitionBy(group_col)
+    ranked = df.select(
+        group_col,
+        F.col(value_col).alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(cw).alias("_n"),
+    )
+    aggs = []
+    for num, den in quantiles:
+        rank = F.expr(f"({num} * _n + {den} - 1) div {den}")
+        aggs.append(
+            F.max(F.when(F.col("_rn") == rank, F.col("_v"))).alias(
+                f"p{num}_{den}"
+            )
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
+def group_quantiles_sql(
+    group_col: str,
+    value_expr: str,
+    quantiles: list[tuple[int, int]],
+    tie_col: str,
+    src: str = "documents",
+) -> str:
+    """Oracle twin: identical rank arithmetic in SQL."""
+    cols = ", ".join(
+        f"MAX(CASE WHEN _rn = ({num} * _n + {den} - 1) // {den} "
+        f"THEN _v END) AS p{num}_{den}"
+        for num, den in quantiles
+    )
+    return f"""
+WITH ranked AS (
+  SELECT {group_col}, {value_expr} AS _v,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {value_expr}, {tie_col}) AS _rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS _n
+  FROM {src}
+)
+SELECT {group_col}, {cols}
+FROM ranked GROUP BY {group_col}
+"""
+
+
+def top_k_by_count(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
+    """Heavy hitters: the ``k`` most frequent keys, ties broken by key
+    ascending (fully deterministic output).
+
+    Scale: ``groupBy.count`` partially aggregates map-side, so hot keys
+    (by definition the interesting ones) are combined before the
+    exchange — no skew blow-up; the ordered limit compiles to
+    TakeOrderedAndProject (per-partition top-k, then k·partitions rows
+    to one reducer), never a full sort.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), *key_cols)
+        .limit(k)
+    )

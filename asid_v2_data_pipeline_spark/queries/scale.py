@@ -505,6 +505,132 @@ def _sp_strat_sql() -> str:
     return f"SELECT doc_id, lang FROM documents WHERE {pred} ORDER BY doc_id"
 
 
+_MIX_WEIGHTS = {"en": 2.25, "de": 1.0, "es": 0.5, "fr": 1.5, "zh": 0.25}
+
+
+def sp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing with fractional epoch weights: languages are up/
+    down-sampled to their mixture weight (en×2.25, es×0.5, …) with the
+    stochastic extra epoch keyed on the portable id hash — the LLM
+    data-mixture operator, reproducible across engines."""
+    from ..operators.sampling import weighted_repeat
+
+    d = load_table(spark, sf_dir, "documents")
+    out = weighted_repeat(d, "lang", _MIX_WEIGHTS, "doc_id", seed=29)
+    return out.select(
+        "doc_id", "lang", F.col("epoch").cast("long").alias("epoch")
+    ).orderBy("doc_id", "epoch")
+
+
+def _sp_mix_sql() -> str:
+    from ..operators.sampling import weighted_repeat_sql
+
+    body = weighted_repeat_sql("lang", _MIX_WEIGHTS, "doc_id", 29)
+    return f"SELECT doc_id, lang, epoch FROM ({body}) ORDER BY doc_id, epoch"
+
+
+# --- decontamination ----------------------------------------------------------
+
+_DC_N = 8  # n-gram length for benchmark-overlap checks
+
+
+def _shingle_fold_sql(n: int) -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for d in range(n):
+        expr = f"(({expr}) * 1000003 + th[i + {d + 1}]) % 2147483648"
+    return expr
+
+
+def _shingle_cte_sql(n: int) -> str:
+    """Generic-n twin of _SHINGLE_HASHES_SQL (CTEs ``toksN``/``shingN``)."""
+    fold = _shingle_fold_sql(n)
+    return f"""
+toks{n} AS (SELECT doc_id, {_TOKEN_HASHES_SQL} AS th FROM documents),
+shing{n} AS (
+  SELECT doc_id,
+         CASE WHEN len(th) >= {n} THEN
+           list_distinct(list_transform(range(0, len(th) - {n - 1}), i -> {fold}))
+         ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+                           (a, b) -> (a * 1000003 + b) % 2147483648)]
+         END AS hs
+  FROM toks{n}
+)"""
+
+
+def dc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th document plays the held-out
+    eval set; corpus documents sharing any 8-gram with it are reported
+    with hit counts — the benchmark side is broadcast, so the corpus
+    never shuffles."""
+    from ..operators.decontam import contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination(corpus, bench, "doc_id", "text", n=_DC_N).orderBy(
+        "doc_id"
+    )
+
+
+def _dc_sql() -> str:
+    return f"""
+WITH {_shingle_cte_sql(_DC_N)},
+bench AS (SELECT DISTINCT unnest(hs) AS sh FROM shing{_DC_N} WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, CAST(len(hs) AS INT) AS ng, unnest(hs) AS sh
+           FROM shing{_DC_N} WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, ng AS n_grams, COUNT(*) AS n_hits,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ng, 6) AS rate
+FROM corpus c JOIN bench b ON c.sh = b.sh
+GROUP BY c.doc_id, ng
+ORDER BY c.doc_id
+"""
+
+
+# --- corpus statistics --------------------------------------------------------
+
+_QUANTS = [(1, 2), (9, 10), (99, 100)]  # p50 / p90 / p99
+
+
+def tx_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank token-length quantiles per language — integer
+    rank arithmetic, portable across engines (no float interpolation)."""
+    from ..operators.stats import group_quantiles_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("lang", tx.token_count(F.col("text")).alias("ntok"), "doc_id")
+    return group_quantiles_exact(t, "lang", "ntok", _QUANTS, "doc_id").orderBy(
+        "lang"
+    )
+
+
+def _tx_quant_sql() -> str:
+    from ..operators.stats import group_quantiles_sql
+
+    return (
+        group_quantiles_sql(
+            "lang", f"CAST(len({TOKENS_SQL}) AS INT)", _QUANTS, "doc_id"
+        )
+        + " ORDER BY lang"
+    )
+
+
+def tx_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters: the 20 most frequent tokens corpus-wide
+    (map-side partial agg + TakeOrderedAndProject — no full sort)."""
+    from ..operators.stats import top_k_by_count
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+    return top_k_by_count(toks, ["token"], 20)
+
+
+TX_TOP_SQL = f"""
+WITH t AS (SELECT unnest({TOKENS_SQL}) AS token FROM documents)
+SELECT token, COUNT(*) AS n FROM t
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
 # --- multimodal ---------------------------------------------------------------
 
 
@@ -599,6 +725,10 @@ REGISTRY = {
     "dd_cluster": (dd_cluster, _cluster_sql()),
     "sp_group_quota": (sp_group_quota, _sp_quota_sql()),
     "sp_stratified": (sp_stratified, _sp_strat_sql()),
+    "sp_mixture": (sp_mixture, _sp_mix_sql()),
+    "dc_contamination": (dc_contamination, _dc_sql()),
+    "tx_length_quantiles": (tx_length_quantiles, _tx_quant_sql()),
+    "tx_top_tokens": (tx_top_tokens, TX_TOP_SQL),
     "dd_simhash": (dd_simhash, _simhash_sql()),
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),

@@ -162,3 +162,30 @@ def test_quota_per_group_single_group_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_mixture_no_shuffle(spark):
+    """Weighted-repeat mixing is map lookup + explode inside the scan
+    stage: zero Exchange."""
+    from asid_v2_data_pipeline_spark.operators.sampling import weighted_repeat
+    from asid_v2_data_pipeline_spark.schemas import load_table
+
+    d = load_table(spark, SF, "documents")
+    out = weighted_repeat(d, "lang", {"en": 2.25, "de": 0.5}, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram set is the broadcast side; the corpus never
+    sort-merge-joins."""
+    plan = _plan(spark, "dc_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_tokens_take_ordered(spark):
+    """Heavy hitters compile to TakeOrderedAndProject (per-partition
+    top-k), never a full global sort."""
+    plan = _plan(spark, "tx_top_tokens")
+    assert "TakeOrderedAndProject" in plan

@@ -376,3 +376,101 @@ def test_quality_score_bounds(spark):
     got = [r["q"] for r in df.select(tx.quality_score(F.col("text")).alias("q")).collect()]
     assert all(0.0 <= q <= 1.0 for q in got)
     assert got[0] > got[1]
+
+
+def test_weighted_repeat(spark):
+    from asid_v2_data_pipeline_spark.operators.sampling import weighted_repeat
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, g string")
+    out = weighted_repeat(df, "g", {"a": 2.0, "b": 0.5, "c": 1.25}, "id", seed=29)
+    by = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert by["a"] == 200  # integer weight: exactly 2 epochs each
+    assert 20 <= by["b"] <= 80  # ~50 expected
+    assert 100 <= by["c"] <= 150  # 100 guaranteed + ~25 extra
+    # every kept row's epochs are dense 0..n-1
+    eps = (
+        out.filter(F.col("g") == "a")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("epoch")).alias("e"))
+        .collect()
+    )
+    assert all(r["e"] == [0, 1] for r in eps)
+    # absent group -> dropped entirely
+    assert weighted_repeat(df, "g", {"a": 1.0}, "id").filter(
+        F.col("g") != "a"
+    ).count() == 0
+    # deterministic across reruns
+    a1 = sorted((r["id"], r["epoch"]) for r in out.collect())
+    a2 = sorted(
+        (r["id"], r["epoch"])
+        for r in weighted_repeat(
+            df, "g", {"a": 2.0, "b": 0.5, "c": 1.25}, "id", seed=29
+        ).collect()
+    )
+    assert a1 == a2
+
+
+def test_contamination_and_decontaminate(spark):
+    from asid_v2_data_pipeline_spark.operators.decontam import (
+        contamination,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "completely unrelated text about ice charts and radar"),
+            (3, "quick brown fox jumps over the lazy dog"),  # 8-token sub-run
+        ],
+        "doc_id bigint, text string",
+    )
+    hits = contamination(docs, bench, "doc_id", "text", n=8)
+    got = {r["doc_id"]: r["n_hits"] for r in hits.collect()}
+    # doc 1 contains both 8-gram windows of the 9-token benchmark text,
+    # doc 3 contains one of them, doc 2 none
+    assert got == {1: 2, 3: 1}
+    clean = decontaminate(docs, bench, "doc_id", "text", n=8)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2]
+    # short documents (< n tokens) match only via whole-document fold
+    short_b = spark.createDataFrame([(9, "polar bear")], "doc_id bigint, text string")
+    short_d = spark.createDataFrame(
+        [(4, "polar bear"), (5, "polar bears")], "doc_id bigint, text string"
+    )
+    got2 = {r["doc_id"]: r["n_hits"] for r in contamination(short_d, short_b, "doc_id", "text", n=8).collect()}
+    assert got2 == {4: 1}
+
+
+def test_group_quantiles_exact(spark):
+    from asid_v2_data_pipeline_spark.operators.stats import (
+        group_quantiles_exact,
+    )
+
+    rows = [(i, "g", v) for i, v in enumerate([10, 20, 30, 40])] + [
+        (100 + i, "h", i + 1) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, v int")
+    out = {
+        r["g"]: r
+        for r in group_quantiles_exact(
+            df, "g", "v", [(1, 2), (9, 10), (99, 100)], "id"
+        ).collect()
+    }
+    # n=4: p50 -> rank ceil(2)=2 -> 20; p90 -> ceil(3.6)=4 -> 40; p99 -> 4
+    assert (out["g"]["p1_2"], out["g"]["p9_10"], out["g"]["p99_100"]) == (20, 40, 40)
+    # n=100 over 1..100: ranks 50, 90, 99
+    assert (out["h"]["p1_2"], out["h"]["p9_10"], out["h"]["p99_100"]) == (50, 90, 99)
+
+
+def test_top_k_by_count(spark):
+    from asid_v2_data_pipeline_spark.operators.stats import top_k_by_count
+
+    rows = [(w,) for w in ["b"] * 3 + ["a"] * 3 + ["c"] * 2 + ["d"]]
+    df = spark.createDataFrame(rows, "w string")
+    got = [(r["w"], r["n"]) for r in top_k_by_count(df, ["w"], 3).collect()]
+    # ties broken by key ascending: a before b at count 3
+    assert got == [("a", 3), ("b", 3), ("c", 2)]
