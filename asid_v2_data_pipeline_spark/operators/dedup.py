@@ -142,6 +142,20 @@ def minhash_signatures(
     )
 
 
+def _pairs_from_sorted(arr: Column) -> Column:
+    """All ordered pairs (a, b), a before b, from a sorted array — the
+    in-bucket pair expansion of LSH blocking."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda a, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda b: F.struct(a.alias("_a"), b.alias("_b")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -152,8 +166,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: docs sharing any band bucket.
 
-    Shuffle profile: one groupBy on (band, bucket_hash) — candidates only,
-    never all pairs.  Returns distinct (id_a, id_b) with id_a < id_b.
+    Pair generation is groupBy(band, bucket) + collect_list + in-bucket
+    expansion — a SINGLE subtree over the corpus, not a self-join: Spark
+    does not reuse self-join exchanges (measured: the join form hashes
+    every document twice, once per side), so at 100 TB the bucket-collect
+    form halves the dominant cost (shingle hashing).  Per-bucket work is
+    quadratic in bucket size either way — that is LSH's candidate set.
+
+    Shuffle profile: one groupBy on (band, bucket_hash) + one distinct on
+    the pair — candidates only, never all pairs.  Returns distinct
+    (id_a, id_b) with id_a < id_b.
     """
     rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, num_perm, n)
@@ -172,15 +194,16 @@ def minhash_lsh_pairs(
             )
         ).alias("_band", "_bucket"),
     )
-    a = band_rows.select(F.col("_id").alias("id_a"), "_band", "_bucket")
-    b = band_rows.select(F.col("_id").alias("id_b"), "_band", "_bucket")
-    pairs = (
-        a.join(b, ["_band", "_bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    buckets = (
+        band_rows.groupBy("_band", "_bucket")
+        .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    return (
+        buckets.select(F.explode(_pairs_from_sorted(F.col("_ids"))).alias("_p"))
+        .select(F.col("_p._a").alias("id_a"), F.col("_p._b").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def _bit_pred(mask: int):
@@ -269,16 +292,25 @@ def simhash_pairs(
             )
         ).alias("_band", "_chunk"),
     )
-    a = band_rows.select(
-        F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "_band", "_chunk"
-    )
-    b = band_rows.select(
-        F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "_band", "_chunk"
+    # bucket-collect pair expansion (single subtree — no self-join; see
+    # minhash_lsh_pairs): array_sort on struct(_id, _h) orders by _id
+    buckets = (
+        band_rows.groupBy("_band", "_chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id"), F.col("_h")))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") >= 2)
     )
     return (
-        a.join(b, ["_band", "_chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ha", "_hb")
+        buckets.select(F.explode(_pairs_from_sorted(F.col("_ms"))).alias("_p"))
+        .select(
+            F.col("_p._a._id").alias("id_a"),
+            F.col("_p._b._id").alias("id_b"),
+            F.col("_p._a._h").alias("_ha"),
+            F.col("_p._b._h").alias("_hb"),
+        )
         .distinct()
         .withColumn("hd", hamming(F.col("_ha"), F.col("_hb")).cast("int"))
         .filter(F.col("hd") <= max_hd)
