@@ -355,21 +355,80 @@ def jaccard_pairs(
     if prefix_filter and df_cutoff is not None:
         raise ValueError("prefix_filter and df_cutoff are alternative candidate schemes")
 
-    sh = df.select(
+    if df_cutoff is None and not prefix_filter:
+        # naive path, zero joins: explode distinct shingles carrying the
+        # set size, bucket-collect per shingle, expand in-bucket pairs —
+        # each shared shingle yields the pair exactly once, so the
+        # per-pair occurrence count IS |A∩B|.  The corpus is shingled
+        # ONCE (a self-join would do it twice — Spark doesn't reuse
+        # self-join exchanges, measured).  Hot shingles make quadratic
+        # in-bucket pair lists — identical row count to the join form's
+        # output; at 100 TB use df_cutoff to bound them.
+        staged = df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(shingles(F.col(text_col), n)).alias("_s"),
+        )
+        sh = staged.select(
+            "_id", F.size("_s").alias("_sz"), F.explode("_s").alias("_sh")
+        )
+        buckets = (
+            sh.groupBy("_sh")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_id"), F.col("_sz")))
+                ).alias("_ms")
+            )
+            .filter(F.size("_ms") >= 2)
+        )
+        inter = (
+            buckets.select(
+                F.explode(_pairs_from_sorted(F.col("_ms"))).alias("_p")
+            )
+            .groupBy(
+                F.col("_p._a._id").alias("id_a"),
+                F.col("_p._b._id").alias("id_b"),
+                F.col("_p._a._sz").alias("_sza"),
+                F.col("_p._b._sz").alias("_szb"),
+            )
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        return (
+            inter.withColumn(
+                "jaccard",
+                F.col("_inter")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # candidate-scheme paths: materialize the per-doc shingle arrays once
+    # (localCheckpoint — at 100 TB this would be a persisted table, the
+    # standard "shingle table" of a dedup pipeline); every downstream use
+    # (DF counts, candidate generation, exact verification) then reads
+    # the materialized arrays instead of re-shingling the corpus.
+    staged = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_sh"),
-    )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+        F.array_distinct(shingles(F.col(text_col), n)).alias("_s"),
+    ).localCheckpoint()
+    sh = staged.select("_id", F.explode("_s").alias("_sh"))
+    sizes = staged.select("_id", F.size("_s").alias("_sz"))
 
     def _verify(cand: DataFrame) -> DataFrame:
-        # exact verification: intersect the two full shingle sets
-        fa = sh.select(F.col("_id").alias("id_a"), "_sh")
-        fb = sh.select(F.col("_id").alias("id_b"), "_sh")
+        # exact verification: array_intersect of the two materialized
+        # shingle sets (two hash joins on id, no shingle re-explosion)
+        sa = staged.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+        sb = staged.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
         return (
-            cand.join(fa, "id_a")
-            .join(fb, ["id_b", "_sh"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("_inter"))
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).alias(
+                    "_inter"
+                ),
+            )
         )
 
     if df_cutoff is not None:
@@ -433,15 +492,6 @@ def jaccard_pairs(
             .distinct()
         )
         inter = _verify(cand)
-    else:
-        a = sh.select(F.col("_id").alias("id_a"), "_sh")
-        b = sh.select(F.col("_id").alias("id_b"), "_sh")
-        inter = (
-            a.join(b, "_sh")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("_inter"))
-        )
 
     out = (
         inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sza"), "id_a")
