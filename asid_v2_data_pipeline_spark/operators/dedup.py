@@ -156,6 +156,37 @@ def _pairs_from_sorted(arr: Column) -> Column:
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(_id, _band, _bucket) LSH blocking rows — one per document per
+    band, bucket = fold of the band's signature slice.  This is the
+    relation a persisted dedup INDEX stores (partitioned by band,
+    bucketed by bucket at 100 TB)."""
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
+    return sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.slice(F.col("_sig"), b * rows + 1, rows),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: (acc * 31 + x) % F.lit(MASK31 + 1),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -177,23 +208,7 @@ def minhash_lsh_pairs(
     the pair — candidates only, never all pairs.  Returns distinct
     (id_a, id_b) with id_a < id_b.
     """
-    rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
-    band_rows = sig.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.aggregate(
-                        F.slice(F.col("_sig"), b * rows + 1, rows),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: (acc * 31 + x) % F.lit(MASK31 + 1),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band", "_bucket"),
-    )
+    band_rows = minhash_band_rows(df, id_col, text_col, num_perm, bands, n)
     buckets = (
         band_rows.groupBy("_band", "_bucket")
         .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
@@ -202,6 +217,32 @@ def minhash_lsh_pairs(
     return (
         buckets.select(F.explode(_pairs_from_sorted(F.col("_ids"))).alias("_p"))
         .select(F.col("_p._a").alias("id_a"), F.col("_p._b").alias("id_b"))
+        .distinct()
+    )
+
+
+def index_candidates(
+    batch_rows: DataFrame, index_rows: DataFrame
+) -> DataFrame:
+    """Incremental dedup: candidate matches of a NEW batch against a
+    persisted signature index (both in `minhash_band_rows` layout).
+
+    The batch side is broadcast — micro-batches are tiny next to the
+    corpus index, so the index is scanned once map-side with NO shuffle
+    (with the index table partitioned by ``_band`` and bucketed by
+    ``_bucket``, the scan additionally prunes to the batch's buckets).
+    Returns distinct (id_new, id_index).
+
+    The ingest cycle: ``cands = index_candidates(batch, index)``;
+    anything in ``cands`` is a duplicate of history — drop or cluster
+    it; then append the surviving batch rows to the index table.
+    """
+    b = batch_rows.select(F.col("_id").alias("id_new"), "_band", "_bucket")
+    i = index_rows.select(F.col("_id").alias("id_index"), "_band", "_bucket")
+    return (
+        F.broadcast(b)
+        .join(i, ["_band", "_bucket"])
+        .select("id_new", "id_index")
         .distinct()
     )
 

@@ -215,6 +215,51 @@ def dd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a signature index: documents with
+    doc_id % 5 = 0 play the incoming micro-batch, the rest the persisted
+    corpus index; returns the batch docs' candidate matches in history
+    (batch side broadcast — the index never shuffles)."""
+    d = load_table(spark, sf_dir, "documents")
+    batch = dd.minhash_band_rows(
+        d.filter(F.col("doc_id") % 5 == 0), "doc_id", "text", 16, 4
+    )
+    index = dd.minhash_band_rows(
+        d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", 16, 4
+    )
+    return dd.index_candidates(batch, index).orderBy("id_new", "id_index")
+
+
+def _incremental_sql(num_perm: int = 16, bands: int = 4) -> str:
+    """Same band/bucket arithmetic; pairs restricted to (batch, index)."""
+    consts = dd._perm_constants(num_perm)
+    rows = num_perm // bands
+    mins = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % 2147483647)) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_exprs = []
+    for bband in range(bands):
+        expr = "CAST(0 AS BIGINT)"
+        for r in range(rows):
+            expr = f"(({expr}) * 31 + m{bband * rows + r}) % 2147483648"
+        band_exprs.append(f"({bband}, {expr})")
+    return f"""
+WITH dummy AS (SELECT 1)
+{_SHINGLE_HASHES_SQL}
+, sigs AS (
+  SELECT doc_id, {mins} FROM shing
+), bandsx AS (
+  SELECT doc_id, b.band, b.bucket
+  FROM sigs, LATERAL (VALUES {', '.join(band_exprs)}) AS b(band, bucket)
+)
+SELECT DISTINCT n.doc_id AS id_new, i.doc_id AS id_index
+FROM bandsx n JOIN bandsx i ON n.band = i.band AND n.bucket = i.bucket
+WHERE n.doc_id % 5 = 0 AND i.doc_id % 5 <> 0
+ORDER BY id_new, id_index
+"""
+
+
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint per document (strongest check: raw values)."""
     d = load_table(spark, sf_dir, "documents")
@@ -722,6 +767,7 @@ REGISTRY = {
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
+    "dd_incremental": (dd_incremental, _incremental_sql()),
     "dd_cluster": (dd_cluster, _cluster_sql()),
     "sp_group_quota": (sp_group_quota, _sp_quota_sql()),
     "sp_stratified": (sp_stratified, _sp_strat_sql()),

@@ -189,3 +189,10 @@ def test_top_tokens_take_ordered(spark):
     top-k), never a full global sort."""
     plan = _plan(spark, "tx_top_tokens")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_dedup_broadcasts_batch(spark):
+    """Index-side never shuffles: the micro-batch is the broadcast side."""
+    plan = _plan(spark, "dd_incremental")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -474,3 +474,29 @@ def test_top_k_by_count(spark):
     got = [(r["w"], r["n"]) for r in top_k_by_count(df, ["w"], 3).collect()]
     # ties broken by key ascending: a before b at count 3
     assert got == [("a", 3), ("b", 3), ("c", 2)]
+
+
+def test_incremental_index_dedup(spark):
+    """A planted near-dup crossing the batch/index boundary is found;
+    unrelated docs are not."""
+    from asid_v2_data_pipeline_spark.operators.dedup import (
+        index_candidates,
+        minhash_band_rows,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    hist = spark.createDataFrame(
+        [(1, base), (2, "completely different text about ice charts and radar")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, base + " tonight"), (11, "fresh unseen content with novel words")],
+        "doc_id bigint, text string",
+    )
+    cands = index_candidates(
+        minhash_band_rows(batch, "doc_id", "text"),
+        minhash_band_rows(hist, "doc_id", "text"),
+    )
+    got = {(r["id_new"], r["id_index"]) for r in cands.collect()}
+    assert (10, 1) in got
+    assert all(n != 11 for n, _ in got)
