@@ -114,6 +114,26 @@ def fingerprint(text: Column) -> Column:
     ).cast("long")
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text form: lower-case, whitespace runs collapsed to one
+    space, leading/trailing whitespace stripped.
+
+    The whitespace class is written explicitly (``[ \\t\\n\\r]``) instead
+    of ``\\s`` because Java regex and RE2 disagree on ``\\s`` (vertical
+    tab) — this expression is reproduced verbatim in the DuckDB oracle.
+    Pure column expression: runs in the scan stage, zero shuffle.
+    """
+    return F.trim(F.regexp_replace(F.lower(text), "[ \t\n\r]+", " "))
+
+
+def redact(text: Column, pattern: str = "[0-9]+", replacement: str = "#") -> Column:
+    """PII-style pattern redaction (digit runs by default — account
+    numbers, phone numbers).  Keep patterns to the RE2 ∩ Java-regex
+    common subset (explicit classes, no lookaround) so the DuckDB oracle
+    computes the identical result."""
+    return F.regexp_replace(text, pattern, replacement)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Token n-gram shingles (space-joined), for Jaccard / MinHash."""
     toks = tokens(text)

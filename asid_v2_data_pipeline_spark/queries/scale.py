@@ -659,6 +659,52 @@ def _tx_quant_sql() -> str:
     )
 
 
+def tx_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization + redaction audit: per language, how many documents
+    change under canonicalization / digit redaction, and a portable
+    checksum of the transformed text (strongest per-row check that both
+    engines produced byte-identical strings)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        tx.normalize_text(F.col("text")).alias("_norm"),
+        tx.redact(F.col("text")).alias("_red"),
+        "text",
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.sum((F.col("_norm") != F.col("text")).cast("int")).alias(
+                "n_norm_changed"
+            ),
+            F.sum((F.col("_red") != F.col("text")).cast("int")).alias(
+                "n_redacted"
+            ),
+            F.sum(tx.char_poly_hash(F.col("_norm"))).alias("norm_checksum"),
+            F.sum(F.length("_red")).alias("sum_red_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _tx_norm_sql() -> str:
+    ch = _char_hash_sql("_norm")
+    return f"""
+WITH t AS (
+  SELECT lang, text,
+         trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS _norm,
+         regexp_replace(text, '[0-9]+', '#', 'g') AS _red
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(CASE WHEN _norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_norm_changed,
+       CAST(SUM(CASE WHEN _red <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+       CAST(SUM({ch}) AS BIGINT) AS norm_checksum,
+       CAST(SUM(LENGTH(_red)) AS BIGINT) AS sum_red_len
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
 def tx_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters: the 20 most frequent tokens corpus-wide
     (map-side partial agg + TakeOrderedAndProject — no full sort)."""
@@ -775,6 +821,7 @@ REGISTRY = {
     "dc_contamination": (dc_contamination, _dc_sql()),
     "tx_length_quantiles": (tx_length_quantiles, _tx_quant_sql()),
     "tx_top_tokens": (tx_top_tokens, TX_TOP_SQL),
+    "tx_normalize_redact": (tx_normalize_redact, _tx_norm_sql()),
     "dd_simhash": (dd_simhash, _simhash_sql()),
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),

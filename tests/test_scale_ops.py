@@ -500,3 +500,20 @@ def test_incremental_index_dedup(spark):
     got = {(r["id_new"], r["id_index"]) for r in cands.collect()}
     assert (10, 1) in got
     assert all(n != 11 for n, _ in got)
+
+
+def test_normalize_and_redact(spark):
+    from asid_v2_data_pipeline_spark.functions.text import (
+        normalize_text,
+        redact,
+    )
+
+    df = spark.createDataFrame(
+        [("  The\tQuick\n\nBROWN  fox ", "acct 12345, call 555-0199")],
+        "a string, b string",
+    )
+    r = df.select(
+        normalize_text(F.col("a")).alias("n"), redact(F.col("b")).alias("r")
+    ).collect()[0]
+    assert r["n"] == "the quick brown fox"
+    assert r["r"] == "acct #, call #-#"
