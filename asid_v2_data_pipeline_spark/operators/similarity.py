@@ -131,6 +131,51 @@ def train_centroids_kmeanspp_lite(
     return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
 
 
+def train_centroids_kmeans(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer
+    (cosine-assignment / mean-update — spherical k-means up to the
+    irrelevant centroid scale).
+
+    Each iteration: assignment is a narrow map over the corpus with the
+    centroids inlined as literals (no shuffle, no Python); the update is
+    ``posexplode`` + groupBy(cell, dim) + sum/count — one exchange whose
+    key space is k·dim.  Only k·dim aggregates (metadata, e.g.
+    16×64 doubles) ever reach the driver, never corpus rows — the
+    ``collect`` here is the same centroid-table carve-out every
+    distributed k-means has (Spark MLlib's included).  Deterministic:
+    init is the k lowest-id vectors, ties in assignment break to the
+    lowest centroid id.  Empty cells keep their previous centroid.
+    """
+    cents = train_centroids_kmeanspp_lite(vectors, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents, id_col, vec_col)
+        stats = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("_pos", "_x")
+            )
+            .groupBy("cell", "_pos")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["_pos"]] = r["_s"] / r["_n"]
+        cents = [
+            (
+                cid,
+                [m[p] for p in sorted(m)] if (m := by_cell.get(cid)) else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
 def topk_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -517,3 +517,47 @@ def test_normalize_and_redact(spark):
     ).collect()[0]
     assert r["n"] == "the quick brown fox"
     assert r["r"] == "acct #, call #-#"
+
+
+def test_kmeans_quantizer(spark):
+    """Lloyd iterations on three planted orthogonal clusters: trained
+    centroids separate them into distinct cells and cut inertia vs the
+    lowest-id init."""
+    import random
+
+    from asid_v2_data_pipeline_spark.operators.similarity import (
+        cosine,
+        ivf_assign,
+        train_centroids_kmeans,
+        train_centroids_kmeanspp_lite,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(90):
+        axis = i % 3
+        v = [rng.uniform(0.0, 0.15) for _ in range(6)]
+        v[axis * 2] += 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def inertia(cents):
+        a = ivf_assign(df, cents)
+        cmap = {cid: cvec for cid, cvec in cents}
+        best = None
+        for cid, cvec in cents:
+            s = cosine(F.col("embedding"), F.array(*[F.lit(x) for x in cvec]))
+            best = s if best is None else F.greatest(best, s)
+        return a.select(F.avg(1 - best).alias("i")).collect()[0]["i"]
+
+    lite = train_centroids_kmeanspp_lite(df, 3)
+    trained = train_centroids_kmeans(df, 3, iters=5)
+    assert inertia(trained) <= inertia(lite) + 1e-12
+    # trained cells == planted clusters (axis identity per cell)
+    got = ivf_assign(df, trained).select("vec_id", "cell").collect()
+    cell_of_axis = {}
+    for r in got:
+        axis = r["vec_id"] % 3
+        cell_of_axis.setdefault(axis, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in cell_of_axis.values())
+    assert len(set.union(*cell_of_axis.values())) == 3
