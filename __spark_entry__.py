@@ -15,10 +15,15 @@ from asid_v2_data_pipeline_spark.queries import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from asid_v2_data_pipeline_spark.queries.relational import q1_pricing_summary
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    The end-to-end curation pipeline: quality filter → exact dedup →
+    MinHash near-dup dedup → benchmark decontamination → per-source
+    quota → language mixture, one DataFrame plan (oracle-checked as
+    ``cur_pipeline``)."""
+    from asid_v2_data_pipeline_spark.queries.scale import cur_pipeline
+
+    return cur_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,60 @@
+"""End-to-end corpus curation plan (SURVEY.md §2.11 composition).
+
+The full curation chain a training-data pipeline runs over raw documents,
+composed from the engine's operators into ONE declarative DataFrame plan
+(Catalyst sees the whole lineage — filters push to the scan, the narrow
+stages fuse into the scan's codegen stage):
+
+    quality filter → exact dedup → near-dup dedup (MinHash-LSH) →
+    benchmark decontamination → per-source quota → language mixture
+
+Shuffle census at 100 TB (in order): exact-dedup window (hash on
+fingerprint), LSH band groupBy + pair distinct, decontam hit groupBy
+(matching rows only), quota window (hash on source), mixture explode
+(narrow).  Everything else — quality scoring, fingerprinting, the
+benchmark join (broadcast), the survivor anti-joins (broadcast: losers
+are small) — stays in map stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators.decontam import contamination
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs
+from ..operators.sampling import quota_per_group, weighted_repeat
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    decontam_n: int = 8,
+    quota: int = 30,
+    quota_col: str = "source",
+    mix_col: str = "lang",
+    quota_seed: int = 17,
+    mix_seed: int = 29,
+) -> DataFrame:
+    """Run the curation chain; returns the mixed corpus with an ``epoch``
+    column (one row per training epoch of each admitted document)."""
+    good = docs.filter(tx.quality_score(F.col(text_col)) >= quality_min)
+    keyed = good.withColumn("_fp", tx.fingerprint(F.col(text_col)))
+    uniq = exact_dedup(keyed, ["_fp"], id_col).drop("_fp")
+
+    pairs = minhash_lsh_pairs(uniq, id_col, text_col, num_perm=16, bands=4)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    neat = uniq.join(F.broadcast(losers), id_col, "left_anti")
+
+    contaminated = contamination(
+        neat, benchmark, id_col, text_col, n=decontam_n
+    ).select(id_col)
+    clean = neat.join(F.broadcast(contaminated), id_col, "left_anti")
+
+    capped = quota_per_group(clean, [quota_col], quota, id_col, seed=quota_seed)
+    return weighted_repeat(capped, mix_col, weights, id_col, seed=mix_seed)

@@ -586,19 +586,21 @@ def _shingle_fold_sql(n: int) -> str:
     return expr
 
 
-def _shingle_cte_sql(n: int) -> str:
-    """Generic-n twin of _SHINGLE_HASHES_SQL (CTEs ``toksN``/``shingN``)."""
+def _shingle_cte_sql(n: int, src: str = "documents", tag: str | None = None) -> str:
+    """Generic twin of _SHINGLE_HASHES_SQL over any source CTE/table
+    (CTEs ``toks{tag}``/``shing{tag}``, tag defaults to n)."""
+    tag = str(n) if tag is None else tag
     fold = _shingle_fold_sql(n)
     return f"""
-toks{n} AS (SELECT doc_id, {_TOKEN_HASHES_SQL} AS th FROM documents),
-shing{n} AS (
+toks{tag} AS (SELECT doc_id, {_TOKEN_HASHES_SQL} AS th FROM {src}),
+shing{tag} AS (
   SELECT doc_id,
          CASE WHEN len(th) >= {n} THEN
            list_distinct(list_transform(range(0, len(th) - {n - 1}), i -> {fold}))
          ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th),
                            (a, b) -> (a * 1000003 + b) % 2147483648)]
          END AS hs
-  FROM toks{n}
+  FROM toks{tag}
 )"""
 
 
@@ -628,6 +630,111 @@ SELECT c.doc_id, ng AS n_grams, COUNT(*) AS n_hits,
 FROM corpus c JOIN bench b ON c.sh = b.sh
 GROUP BY c.doc_id, ng
 ORDER BY c.doc_id
+"""
+
+
+# --- end-to-end curation ------------------------------------------------------
+
+
+def cur_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition: quality filter → exact dedup → MinHash
+    near-dup dedup → benchmark decontamination → per-source quota →
+    language mixture, as one DataFrame plan (see plans/curation.py for
+    the shuffle census)."""
+    from ..plans.curation import curate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    out = curate(corpus, bench, _MIX_WEIGHTS)
+    return out.select(
+        "doc_id", "lang", "source", F.col("epoch").cast("long").alias("epoch")
+    ).orderBy("doc_id", "epoch")
+
+
+def _quality_expr_sql(t: str = "text") -> str:
+    """quality_score as one SQL expression (explicit DOUBLE casts — no
+    DECIMAL creep; mirrors functions.text.quality_score op-for-op)."""
+    alpha = f"LENGTH(regexp_replace({t}, '[^A-Za-z]', '', 'g'))"
+    punct = f"LENGTH(regexp_replace({t}, '[^.,;:!?]', '', 'g'))"
+    ar = f"(CASE WHEN LENGTH({t}) > 0 THEN CAST({alpha} AS DOUBLE) / LENGTH({t}) ELSE 0.0 END)"
+    pr = f"(CASE WHEN LENGTH({t}) > 0 THEN CAST({punct} AS DOUBLE) / LENGTH({t}) ELSE 0.0 END)"
+    ok = f"(CASE WHEN len({TOKENS_SQL}) >= 5 AND len({TOKENS_SQL}) <= 5000 THEN 1.0 ELSE 0.5 END)"
+    return f"({ar} * 0.5 + (1 - LEAST({pr} * 5, 1.0)) * 0.25 + {ok} * 0.25)"
+
+
+def _minhash_pair_ctes_from(
+    shing: str, tag: str, num_perm: int = 16, bands: int = 4
+) -> str:
+    """sigs/bandrows/pairs CTEs over an existing shingle-hash CTE."""
+    consts = dd._perm_constants(num_perm)
+    rows = num_perm // bands
+    mins = ", ".join(
+        f"list_min(list_transform(hs, x -> (x * {a} + {b}) % 2147483647)) AS m{i}"
+        for i, (a, b) in enumerate(consts)
+    )
+    band_exprs = []
+    for bband in range(bands):
+        expr = "CAST(0 AS BIGINT)"
+        for r in range(rows):
+            expr = f"(({expr}) * 31 + m{bband * rows + r}) % 2147483648"
+        band_exprs.append(f"({bband}, {expr})")
+    return f"""sigs{tag} AS (
+  SELECT doc_id, {mins} FROM {shing}
+), bandrows{tag} AS (
+  SELECT doc_id, b.band, b.bucket
+  FROM sigs{tag}, LATERAL (VALUES {', '.join(band_exprs)}) AS b(band, bucket)
+), pairs{tag} AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandrows{tag} a JOIN bandrows{tag} b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+def _cur_sql() -> str:
+    from ..operators.sampling import weighted_repeat_sql
+    from ..operators.split import shuffle_hash_sql
+
+    fp_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), th), "
+        "(a, b) -> (a * 1000003 + b) % 2147483648)"
+    )
+    qh = shuffle_hash_sql("doc_id", 17)
+    mix = weighted_repeat_sql("lang", _MIX_WEIGHTS, "doc_id", 29, src="capped")
+    return f"""
+WITH corpus0 AS (
+  SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 97 <> 0
+), good AS (
+  SELECT doc_id, lang, source, text FROM corpus0
+  WHERE {_quality_expr_sql()} >= 0.5
+), fpth AS (
+  SELECT doc_id, lang, source, text, {_TOKEN_HASHES_SQL} AS th FROM good
+), fp AS (
+  SELECT doc_id, lang, source, text, {fp_hash} AS _fp FROM fpth
+), uniq AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY _fp ORDER BY doc_id) AS rn FROM fp
+  ) WHERE rn = 1
+), {_shingle_cte_sql(3, "uniq", "u")}, {_minhash_pair_ctes_from("shingu", "u")},
+neat AS (
+  SELECT * FROM uniq WHERE doc_id NOT IN (SELECT id_b FROM pairsu)
+), {_shingle_cte_sql(8, "(SELECT * FROM documents WHERE doc_id % 97 = 0)", "b")},
+bgrams AS (SELECT DISTINCT unnest(hs) AS sh FROM shingb),
+{_shingle_cte_sql(8, "neat", "n")},
+contam AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id, unnest(hs) AS sh FROM shingn) g JOIN bgrams USING (sh)
+), clean AS (
+  SELECT * FROM neat WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+), capped AS (
+  SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY source ORDER BY {qh}, doc_id) AS rn
+    FROM clean
+  ) WHERE rn <= 30
+)
+SELECT doc_id, lang, source, epoch FROM ({mix}) ORDER BY doc_id, epoch
 """
 
 
@@ -819,6 +926,7 @@ REGISTRY = {
     "sp_stratified": (sp_stratified, _sp_strat_sql()),
     "sp_mixture": (sp_mixture, _sp_mix_sql()),
     "dc_contamination": (dc_contamination, _dc_sql()),
+    "cur_pipeline": (cur_pipeline, _cur_sql()),
     "tx_length_quantiles": (tx_length_quantiles, _tx_quant_sql()),
     "tx_top_tokens": (tx_top_tokens, TX_TOP_SQL),
     "tx_normalize_redact": (tx_normalize_redact, _tx_norm_sql()),

@@ -196,3 +196,12 @@ def test_incremental_dedup_broadcasts_batch(spark):
     plan = _plan(spark, "dd_incremental")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_pipeline_plan(spark):
+    """The composed curation plan: no nested-loop/cartesian joins; the
+    survivor/contamination anti-joins broadcast their (small) right side."""
+    plan = _plan(spark, "cur_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti, BuildRight" in plan
