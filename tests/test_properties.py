@@ -84,3 +84,68 @@ def test_perm_constants_are_valid():
     for a, b in consts:
         assert a % 2 == 1 and 0 < a < (1 << 31) - 1  # odd multiplier
         assert 0 <= b < (1 << 31) - 1
+
+
+# --- round-2 curation-operator arithmetic (pure twins) ------------------------
+
+from asid_v2_data_pipeline_spark.operators.split import (
+    SHUFFLE_A,
+    SHUFFLE_C,
+    SHUFFLE_M,
+)
+
+
+def _py_shuffle_hash(key: int, seed: int) -> int:
+    h = (key % SHUFFLE_M + seed) % SHUFFLE_M
+    h = (h * SHUFFLE_A + SHUFFLE_C) % SHUFFLE_M
+    return (h * SHUFFLE_A + SHUFFLE_C) % SHUFFLE_M
+
+
+@given(st.integers(0, 2**62), st.integers(0, 1000), st.floats(0.0, 8.0))
+def test_weighted_repeat_count_bounds(key, seed, w):
+    """The repeat count is always floor(w) or ceil(w), and the extra-copy
+    threshold is exact integer arithmetic (same in both engines)."""
+    from asid_v2_data_pipeline_spark.operators.sampling import _thresholds
+
+    fl = int(w)
+    th = _thresholds({"g": w - fl})["g"]
+    n = fl + (1 if _py_shuffle_hash(key, seed) < th else 0)
+    assert n in (fl, fl + (0 if w == fl else 1))
+    # threshold is monotone in the fraction
+    assert _thresholds({"g": 0.0})["g"] == 0
+    assert _thresholds({"g": 1.0})["g"] == SHUFFLE_M
+
+
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=200),
+    st.sampled_from([(1, 2), (9, 10), (99, 100), (1, 4), (3, 4)]),
+)
+def test_nearest_rank_formula(values, q):
+    """(num·n + den − 1) div den == ceil-rank; the picked element equals
+    the nearest-rank quantile of the sorted list."""
+    import math
+
+    num, den = q
+    n = len(values)
+    rank = (num * n + den - 1) // den
+    assert rank == math.ceil(num * n / den)
+    assert 1 <= rank <= n
+    s = sorted(values)
+    assert s[rank - 1] == sorted(values)[math.ceil(num * n / den) - 1]
+
+
+@given(st.integers(1, 12), st.integers(1, 64))
+def test_perturbation_sets_properties(planes, nprobe):
+    """Probe sequence: starts at the base bucket, patterns are distinct,
+    costs are non-decreasing."""
+    from asid_v2_data_pipeline_spark.operators.similarity import (
+        _perturbation_sets,
+    )
+
+    pats = _perturbation_sets(planes, nprobe)
+    assert pats[0] == ()
+    assert len(pats) == len(set(pats))
+    assert len(pats) <= nprobe if nprobe >= 1 else True
+    costs = [sum(i + 1 for i in p) for p in pats[1:]]
+    assert costs == sorted(costs)
+    assert all(all(0 <= i < planes for i in p) for p in pats)
