@@ -1,0 +1,44 @@
+"""Partition-layout independence: curation outputs must be IDENTICAL
+regardless of parallelism (the reproducibility contract that lets a
+100 TB run be audited on a laptop).  Each query runs with the session's
+32 shuffle partitions and again over a repartitioned input with a
+different shuffle-partition setting; result sets must match exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from asid_v2_data_pipeline_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+CASES = [
+    "sp_group_quota",
+    "sp_stratified",
+    "sp_mixture",
+    "dd_exact",
+    "dd_minhash_lsh",
+    "dd_incremental",
+    "dc_contamination",
+    "tx_length_quantiles",
+    "cur_pipeline",
+    "o2_shuffled_sample",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_partition_independent(spark, name):
+    fn = all_queries()[name]
+    base = _rows(fn(spark, SF))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        again = _rows(fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == again

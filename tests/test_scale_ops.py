@@ -561,3 +561,33 @@ def test_kmeans_quantizer(spark):
         cell_of_axis.setdefault(axis, set()).add(r["cell"])
     assert all(len(cells) == 1 for cells in cell_of_axis.values())
     assert len(set.union(*cell_of_axis.values())) == 3
+
+
+def test_curation_edge_cases(spark):
+    """Empty corpus and all-duplicate corpus degrade gracefully."""
+    from asid_v2_data_pipeline_spark.plans.curation import curate
+
+    schema = "doc_id bigint, lang string, source string, text string"
+    empty = spark.createDataFrame([], schema)
+    bench = spark.createDataFrame(
+        [(1000, "en", "eval", "held out evaluation prompt with many tokens here")],
+        schema,
+    )
+    assert curate(empty, bench, {"en": 1.0}).count() == 0
+    # five byte-identical docs -> exactly one survivor (weight 1.0)
+    txt = "the same document body repeated verbatim across many rows here"
+    dupes = spark.createDataFrame(
+        [(i, "en", f"s{i}", txt) for i in range(5)], schema
+    )
+    out = curate(dupes, bench, {"en": 1.0}).collect()
+    assert [r["doc_id"] for r in out] == [0]
+
+
+def test_quantiles_single_row_groups(spark):
+    from asid_v2_data_pipeline_spark.operators.stats import (
+        group_quantiles_exact,
+    )
+
+    df = spark.createDataFrame([(1, "g", 42)], "id bigint, g string, v int")
+    r = group_quantiles_exact(df, "g", "v", [(1, 2), (99, 100)], "id").collect()[0]
+    assert (r["p1_2"], r["p99_100"]) == (42, 42)
