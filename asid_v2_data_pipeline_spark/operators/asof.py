@@ -1,0 +1,80 @@
+"""As-of (backward) join — the canonical time-series operator Spark lacks
+as a primitive (SURVEY.md §2.11 adjunct; reference has no temporal joins,
+this is engine surface for the events stream).
+
+Semantics: for each left row, attach the payload of the right row with
+the greatest ``ts`` ≤ the left row's ``ts`` within the same key (DuckDB
+``ASOF JOIN`` semantics, which the oracle uses directly).
+
+Spark shape — the UNION-WINDOW plan, not a range join: tag right rows
+side=0 and left rows side=1, union, then one window per key ordered by
+``(ts, side)`` carrying ``last(payload, ignorenulls)`` forward.  Cost is
+ONE hash exchange on the key + a per-key sort — no interval explosion,
+no nested-loop: the plan a range join would need is O(|L|·|R|) per key
+in the worst case, this is O((|L|+|R|) log) and AQE-splittable.  At
+100 TB both sides stay partitioned on the key; skewed keys (one hot
+user) split fine because the window is per-key.
+
+Determinism: right rows are pre-deduped to one per (key, ts) (greatest
+``tie_col`` wins), so equal-timestamp ties cannot produce
+engine-dependent matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """Left as-of-backward join; adds ``asof_<c>`` columns (NULL when no
+    right row precedes).  ``tie_col`` must be in ``payload_cols``' table
+    and makes equal-``ts`` matches deterministic."""
+    rp_fields = [tie_col] + [c for c in payload_cols if c != tie_col]
+    r = right.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.struct(*[F.col(c) for c in rp_fields]).alias("_rp"),
+    )
+    wdd = Window.partitionBy(*key_cols, "_ts").orderBy(
+        F.col(f"_rp.{tie_col}").desc()
+    )
+    r = (
+        r.withColumn("_rn", F.row_number().over(wdd))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_side", F.lit(0))
+    )
+    rp_type = r.schema["_rp"].dataType
+
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *key_cols,
+        F.col(ts_col).alias("_ts"),
+        F.lit(None).cast(rp_type).alias("_rp"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_lp"),
+    )
+    r = r.withColumn("_lp", F.lit(None).cast(l.schema["_lp"].dataType))
+
+    u = l.unionByName(r.select(*l.columns))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "_m", F.last("_rp", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
+    return matched.select(
+        *[F.col(f"_lp.{c}").alias(c) for c in left_cols],
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in rp_fields],
+    )

@@ -159,7 +159,56 @@ ORDER BY scene_date
 """
 
 
+def t_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution as-of join: every purchase matched to the same user's
+    latest at-or-before click (union-window plan — one exchange on
+    user_id, no range join; see operators/asof.py)."""
+    from ..operators.asof import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_backward(
+        purchases, clicks, ["user_id"], "ts", ["event_id", "ts"], "event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.col("asof_event_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("us_since_click"),
+    ).orderBy("event_id")
+
+
+# DuckDB has ASOF JOIN natively — a genuinely independent second
+# implementation of the operator's semantics (inclusive backward match).
+# Clicks are pre-deduped per (user, ts) by greatest event_id exactly as
+# the engine does, so equal-timestamp ties are deterministic.
+T_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+), purch AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, ROUND(p.value, 4) AS value,
+       c.event_id AS click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS us_since_click
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+"""
+
+
 REGISTRY = {
+    "t_asof_attribution": (t_asof_attribution, T_ASOF_SQL),
     "t_tumbling_window": (t_tumbling_window, T_TUMBLING_SQL),
     "t_sliding_window": (t_sliding_window, T_SLIDING_SQL),
     "t_session_window": (t_session_window, T_SESSION_SQL),

@@ -205,3 +205,12 @@ def test_curation_pipeline_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti, BuildRight" in plan
+
+
+def test_asof_join_single_exchange_no_range_join(spark):
+    """The as-of join is union + one window per key: no nested-loop or
+    cartesian plan, and only key-hash exchanges."""
+    plan = _plan(spark, "t_asof_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan

@@ -591,3 +591,31 @@ def test_quantiles_single_row_groups(spark):
     df = spark.createDataFrame([(1, "g", 42)], "id bigint, g string, v int")
     r = group_quantiles_exact(df, "g", "v", [(1, 2), (99, 100)], "id").collect()[0]
     assert (r["p1_2"], r["p99_100"]) == (42, 42)
+
+
+def test_asof_join_backward(spark):
+    import datetime as dt
+
+    from asid_v2_data_pipeline_spark.operators.asof import asof_join_backward
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    right = spark.createDataFrame(
+        [(1, T(10), 100), (1, T(20), 101), (1, T(20), 102), (2, T(5), 200)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    left = spark.createDataFrame(
+        [
+            (1, T(15), 900),  # between -> matches ts=10
+            (1, T(20), 901),  # equal -> inclusive, tie -> greatest event_id
+            (1, T(5), 902),   # before all -> NULL
+            (3, T(30), 903),  # key with no right rows -> NULL
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join_backward(
+            left, right, ["user_id"], "ts", ["event_id"], "event_id"
+        ).collect()
+    }
+    assert out == {900: 100, 901: 102, 902: None, 903: None}
