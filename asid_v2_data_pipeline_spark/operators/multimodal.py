@@ -82,6 +82,54 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+POOLED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("pooled", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def pool_raw_frames(
+    media: DataFrame, width: int, height: int, factor: int
+) -> DataFrame:
+    """REAL multimodal kernel (no codec library needed): interpret each
+    payload as a row-major uint8 ``height×width`` RAW grayscale frame
+    (truncate/zero-pad to size — RAW "decode" is just a reshape) and
+    block-mean pool by ``factor`` — the thumbnail/downsample step of an
+    image pipeline, the W4 avg-pool's multimodal sibling.
+
+    Arrow-batched ``mapInPandas``; NumPy does the reshape+mean per batch.
+    Output: ``pooled`` = row-major ``(height/factor)×(width/factor)``
+    doubles (float64 block means of ≤255-valued bytes are exact, so the
+    octet-level DuckDB oracle matches bit-for-bit).
+    """
+    if width % factor or height % factor:
+        raise ValueError("factor must divide width and height")
+    ow, oh = width // factor, height // factor
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                buf = bytes(p)[: width * height].ljust(width * height, b"\0")
+                a = (
+                    np.frombuffer(buf, dtype=np.uint8)
+                    .reshape(height, width)
+                    .astype(np.float64)
+                )
+                pooled = a.reshape(oh, factor, ow, factor).mean(axis=(1, 3))
+                out.append([float(x) for x in pooled.ravel()])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "pooled": out})
+
+    return media.mapInPandas(fn, POOLED_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

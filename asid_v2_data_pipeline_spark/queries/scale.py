@@ -853,12 +853,11 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Octet-level oracle (ADVICE r1): the engine hashes UTF-8 *bytes*
+# Octet-level CTEs (ADVICE r1): the engine hashes UTF-8 *bytes*
 # (F.encode), so the oracle must too — hex(encode(text)) exposes each byte
 # as a hex pair, decoded with ascii() nibble arithmetic.  Correct for any
 # input, not just ASCII (multi-byte chars count per-byte on both sides).
-MM_SQL = """
-WITH octets AS (
+_CODES_CTE_SQL = """octets AS (
   SELECT doc_id, octet_length(encode(text)) AS n_bytes, hex(encode(text)) AS hx
   FROM documents
 ), codes AS (
@@ -871,13 +870,68 @@ WITH octets AS (
               - CASE WHEN ascii(substr(hx, CAST(2 * i + 2 AS INT), 1)) <= 57
                      THEN 48 ELSE 55 END) AS cs
   FROM octets
-)
+)"""
+
+MM_SQL = f"""
+WITH {_CODES_CTE_SQL}
 SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
 """ + ",\n".join(
     f"       ROUND(len(list_filter(cs, c -> c % 8 = {k})) * 1.0 / GREATEST(n_bytes, 1), 6) AS f{k}"
     for k in range(8)
 ) + """
 FROM codes ORDER BY doc_id
+"""
+
+
+_RAW_W, _RAW_H, _RAW_F = 8, 8, 2
+
+
+def mm_raw_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW-frame multimodal pipeline: each document's UTF-8 bytes play an
+    8×8 RAW grayscale frame (truncated/zero-padded); the real NumPy
+    block-mean kernel pools 2×2 → a 4×4 thumbnail, checked octet-exactly
+    by the oracle."""
+    from ..operators.multimodal import pool_raw_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    pooled = pool_raw_frames(media, _RAW_W, _RAW_H, _RAW_F)
+    k = (_RAW_W // _RAW_F) * (_RAW_H // _RAW_F)
+    sel = [
+        F.round(F.element_at("pooled", i + 1), 6).alias(f"p{i}")
+        for i in range(k)
+    ]
+    return pooled.select(F.col("media_id").alias("doc_id"), *sel).orderBy(
+        "doc_id"
+    )
+
+
+def _mm_raw_sql() -> str:
+    ow = _RAW_W // _RAW_F
+    oh = _RAW_H // _RAW_F
+    cell = (
+        f"list_transform(range(0, {_RAW_W * _RAW_H}), i -> "
+        "CASE WHEN i < n_bytes THEN cs[CAST(i + 1 AS INT)] ELSE 0 END)"
+    )
+    cols = []
+    for kk in range(ow * oh):
+        r, c = kk // ow, kk % ow
+        idx = [
+            (_RAW_F * r + dr) * _RAW_W + (_RAW_F * c + dc) + 1
+            for dr in range(_RAW_F)
+            for dc in range(_RAW_F)
+        ]
+        s = " + ".join(f"f64[{i}]" for i in idx)
+        cols.append(f"ROUND(({s}) / {_RAW_F * _RAW_F}.0, 6) AS p{kk}")
+    return f"""
+WITH {_CODES_CTE_SQL},
+frames AS (SELECT doc_id, {cell} AS f64 FROM codes)
+SELECT doc_id,
+{',' .join(cols)}
+FROM frames ORDER BY doc_id
 """
 
 
@@ -939,4 +993,5 @@ REGISTRY = {
     "tx_quality": (tx_quality, TX_QUALITY_SQL),
     "tx_fingerprint": (tx_fingerprint, TX_FP_SQL),
     "mm_byte_features": (mm_byte_features, MM_SQL),
+    "mm_raw_pool": (mm_raw_pool, _mm_raw_sql()),
 }

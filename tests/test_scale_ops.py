@@ -619,3 +619,23 @@ def test_asof_join_backward(spark):
         ).collect()
     }
     assert out == {900: 100, 901: 102, 902: None, 903: None}
+
+
+def test_pool_raw_frames(spark):
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        pool_raw_frames,
+    )
+
+    # 4x4 frame of 0..15 -> 2x2 block means [[2.5,4.5],[10.5,12.5]]
+    frame = bytes(range(16))
+    short = bytes([8])  # zero-padded: only byte 0 set
+    media = spark.createDataFrame(
+        [(1, frame), (2, short), (3, None)], "media_id long, payload binary"
+    )
+    got = {
+        r["media_id"]: r["pooled"]
+        for r in pool_raw_frames(media, 4, 4, 2).collect()
+    }
+    assert got[1] == [2.5, 4.5, 10.5, 12.5]
+    assert got[2] == [2.0, 0.0, 0.0, 0.0]  # 8/4 in the first block
+    assert got[3] is None
