@@ -523,13 +523,17 @@ def jaccard_pairs(
             F.col("_rk")
             <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
         ).select("_id", "_sh")
+        # bucket-collect pair expansion (single subtree; see minhash)
+        pbuckets = (
+            prefix.groupBy("_sh")
+            .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+        )
         cand = (
-            prefix.alias("pa")
-            .join(prefix.alias("pb"), "_sh")
-            .filter(F.col("pa._id") < F.col("pb._id"))
-            .select(
-                F.col("pa._id").alias("id_a"), F.col("pb._id").alias("id_b")
+            pbuckets.select(
+                F.explode(_pairs_from_sorted(F.col("_ids"))).alias("_p")
             )
+            .select(F.col("_p._a").alias("id_a"), F.col("_p._b").alias("id_b"))
             .distinct()
         )
         inter = _verify(cand)
