@@ -130,6 +130,57 @@ def pool_raw_frames(
     return media.mapInPandas(fn, POOLED_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("f_sum", T.LongType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int, stride: int, max_frames: int
+) -> DataFrame:
+    """Video frame sampling over RAW payloads: the payload is a
+    concatenation of ``frame_bytes``-sized frames; emit every
+    ``stride``-th complete frame (at most ``max_frames``), one row per
+    sampled frame with its byte-sum as the per-frame statistic (exact
+    integer — octet-level oracle-checkable; a real deployment computes
+    embeddings here instead).
+
+    Arrow-batched ``mapInPandas`` — the fan-out (rows per media item)
+    happens Python-side inside the batch, the same shape a real ffmpeg
+    frame extractor would have.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fnos, sums = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                buf = bytes(p)
+                nf = len(buf) // frame_bytes
+                for j, fi in enumerate(range(0, nf, stride)):
+                    if j >= max_frames:
+                        break
+                    fr = np.frombuffer(
+                        buf, dtype=np.uint8, count=frame_bytes,
+                        offset=fi * frame_bytes,
+                    )
+                    ids.append(mid)
+                    fnos.append(fi)
+                    sums.append(int(fr.sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": fnos, "f_sum": sums}
+            )
+
+    return media.mapInPandas(fn, FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -935,6 +935,45 @@ FROM frames ORDER BY doc_id
 """
 
 
+_FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: document bytes as concatenated 16-byte
+    frames, every 2nd frame (max 8) emitted with its exact byte-sum."""
+    from ..operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = sample_frames(media, _FR_BYTES, _FR_STRIDE, _FR_MAX)
+    return out.select(
+        F.col("media_id").alias("doc_id"), "frame_no", "f_sum"
+    ).orderBy("doc_id", "frame_no")
+
+
+def _mm_frames_sql() -> str:
+    fb, stride, mx = _FR_BYTES, _FR_STRIDE, _FR_MAX
+    return f"""
+WITH {_CODES_CTE_SQL},
+f AS (
+  SELECT doc_id, cs, CAST(n_bytes // {fb} AS INT) AS nf FROM codes
+), sampled AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, LEAST((nf + {stride - 1}) // {stride}, {mx})),
+           j -> CAST(j * {stride} AS INT))) AS frame_no,
+         cs
+  FROM f WHERE nf > 0
+)
+SELECT doc_id, frame_no,
+       CAST(list_sum(list_slice(cs, frame_no * {fb} + 1, frame_no * {fb} + {fb})) AS BIGINT) AS f_sum
+FROM sampled ORDER BY doc_id, frame_no
+"""
+
+
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.9) over a bounded id
     range — the brute-force baseline the LSH path approximates."""
@@ -994,4 +1033,5 @@ REGISTRY = {
     "tx_fingerprint": (tx_fingerprint, TX_FP_SQL),
     "mm_byte_features": (mm_byte_features, MM_SQL),
     "mm_raw_pool": (mm_raw_pool, _mm_raw_sql()),
+    "mm_frame_sample": (mm_frame_sample, _mm_frames_sql()),
 }

@@ -639,3 +639,21 @@ def test_pool_raw_frames(spark):
     assert got[1] == [2.5, 4.5, 10.5, 12.5]
     assert got[2] == [2.0, 0.0, 0.0, 0.0]  # 8/4 in the first block
     assert got[3] is None
+
+
+def test_sample_frames(spark):
+    from asid_v2_data_pipeline_spark.operators.multimodal import sample_frames
+
+    # 10 bytes, frame=4 -> 2 complete frames (last 2 bytes dropped);
+    # stride 2 -> frames 0 only... use 20 bytes -> 5 frames -> 0,2,4
+    payload = bytes(range(20))
+    media = spark.createDataFrame(
+        [(1, payload), (2, bytes(3)), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = sorted(
+        (r["media_id"], r["frame_no"], r["f_sum"])
+        for r in sample_frames(media, 4, 2, 8).collect()
+    )
+    # frame sums: f0=0+1+2+3=6, f2=8+9+10+11=38, f4=16+17+18+19=70
+    assert got == [(1, 0, 6), (1, 2, 38), (1, 4, 70)]
