@@ -118,6 +118,38 @@ GROUP BY r_name, n_name
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + aggregate over lineitem — the
+    predicate-pushdown showcase (all three filters reach the parquet
+    scan as PushedFilters; only 4 columns are read — plan-asserted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def s3_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/O5 — the unprocessed-set anti-join (ledger pattern,
     archive.py:180-195): orders with no lineitem rows."""
@@ -297,6 +329,7 @@ REGISTRY = {
     "o2_shuffled_sample": (o2_shuffled_sample, _o2_sql()),
     "q3_order_revenue": (q3_order_revenue, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "s3_incremental_antijoin": (s3_incremental_antijoin, S3_SQL),
     "f2_health_filter": (f2_health_filter, F2_SQL),
     "a4_distinct_groups": (a4_distinct_groups, A4_SQL),

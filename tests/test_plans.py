@@ -214,3 +214,18 @@ def test_asof_join_single_exchange_no_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """Q6's filters reach the parquet scan (PushedFilters) and only the
+    4 referenced columns are read."""
+    from asid_v2_data_pipeline_spark.queries.relational import (
+        q6_forecast_revenue,
+    )
+
+    df = q6_forecast_revenue(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    m = plan[plan.index("ReadSchema:"):].splitlines()[0]
+    assert "l_extendedprice" in m and "l_comment" not in m and "l_orderkey" not in m
