@@ -34,11 +34,11 @@ def quota_per_group(
     shuffle hash (ties broken by id — fully deterministic).
 
     Scale: one hash exchange on the group key; the within-group
-    row_number sort is bounded by group size.  For a pathologically hot
-    group at 100 TB, pre-filter with an over-admitting hash threshold
-    (``h < c·quota/|g|·2³¹``) before the exact window — the window then
-    sorts ~c·quota rows instead of |g|.  Not automatic: |g| needs a
-    first pass, and the testdata groups are far below the tipping point.
+    row_number sort is bounded by group size.  For pathologically hot
+    groups use :func:`quota_per_group_scalable` — the two-phase variant
+    (count, hash pre-filter, verified fallback) that provably returns
+    the identical selection while sorting ~safety·quota rows per group
+    instead of |g|.
     """
     w = Window.partitionBy(*group_cols).orderBy(
         shuffle_hash(F.col(id_col).cast("long"), seed), id_col
@@ -48,6 +48,75 @@ def quota_per_group(
         .filter(F.col("_rn") <= quota)
         .drop("_rn")
     )
+
+
+def quota_per_group_scalable(
+    df: DataFrame,
+    group_cols: list[str],
+    quota: int,
+    id_col: str,
+    seed: int = 17,
+    safety: float = 4.0,
+) -> DataFrame:
+    """Exact twin of :func:`quota_per_group` for corpora with
+    pathologically hot groups (a domain with 10⁹ rows would otherwise
+    sort 10⁹ rows inside one window partition).
+
+    Two phases, provably identical results:
+
+    1. group counts (map-side combinable agg).  Groups with
+       ``count ≤ quota`` pass through whole — no window at all.
+    2. big groups pre-filter to ``hash < safety·quota/count · 2³¹``
+       before the exact window — the window then sorts ~safety·quota
+       rows per group instead of the full group.  Because the window
+       selects the quota smallest hashes and the pre-filter keeps a
+       hash-PREFIX (everything below a threshold), the selection is
+       unchanged — PROVIDED at least ``quota`` rows survive.  That holds
+       with overwhelming probability (Chernoff: safety=4 means the
+       survivor count would have to fall 4× below its mean), and is
+       VERIFIED per group; the rare under-admitted group falls back to
+       the plain windowed path.  Exactness never depends on luck.
+
+    Driver coordination (counts/fallback keys) touches only group-level
+    metadata, never corpus rows — same carve-out as every two-phase
+    distributed algorithm.
+    """
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_gn"))
+    joined = df.join(counts, group_cols)
+    small = joined.filter(F.col("_gn") <= quota).drop("_gn")
+
+    big = joined.filter(F.col("_gn") > quota)
+    tau_num = F.lit(int(safety * quota * SHUFFLE_M))
+    tau = F.least(F.lit(SHUFFLE_M), (tau_num / F.col("_gn")).cast("long"))
+    h = shuffle_hash(F.col(id_col).cast("long"), seed)
+    pre = big.filter(h < tau).drop("_gn")
+
+    # verify: every big group must still have >= quota survivors
+    ok = pre.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_pn"))
+    short = (
+        counts.filter(F.col("_gn") > quota)
+        .join(ok, group_cols, "left")
+        .filter(F.coalesce(F.col("_pn"), F.lit(0)) < quota)
+        .select(*group_cols)
+        .collect()
+    )
+    capped = quota_per_group(pre, group_cols, quota, id_col, seed)
+    if short:  # rare fallback: exact path for under-admitted groups only
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a | b,
+            [
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c) == F.lit(r[c]) for c in group_cols],
+                )
+                for r in short
+            ],
+        )
+        redo = quota_per_group(df.filter(cond), group_cols, quota, id_col, seed)
+        capped = capped.filter(~cond).unionByName(redo)
+    return small.unionByName(capped)
 
 
 def _thresholds(fractions: dict[str, float]) -> dict[str, int]:

@@ -657,3 +657,30 @@ def test_sample_frames(spark):
     )
     # frame sums: f0=0+1+2+3=6, f2=8+9+10+11=38, f4=16+17+18+19=70
     assert got == [(1, 0, 6), (1, 2, 38), (1, 4, 70)]
+
+
+def test_quota_scalable_matches_plain(spark):
+    """The two-phase hot-group quota returns EXACTLY the plain window's
+    selection — including when the pre-filter under-admits and the
+    fallback path fires (forced with a tiny safety factor)."""
+    from asid_v2_data_pipeline_spark.operators.sampling import (
+        quota_per_group,
+        quota_per_group_scalable,
+    )
+
+    rows = [(i, "big") for i in range(1000)] + [
+        (10_000 + i, "small") for i in range(4)
+    ] + [(20_000 + i, "mid") for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+
+    def ids(out):
+        return sorted((r["grp"], r["id"]) for r in out.collect())
+
+    want = ids(quota_per_group(df, ["grp"], 10, "id", seed=17))
+    got = ids(quota_per_group_scalable(df, ["grp"], 10, "id", seed=17))
+    assert got == want
+    # forced fallback: safety so small the pre-filter admits nobody
+    forced = ids(
+        quota_per_group_scalable(df, ["grp"], 10, "id", seed=17, safety=1e-9)
+    )
+    assert forced == want
