@@ -34,18 +34,28 @@ def asof_join_backward(
     ts_col: str,
     payload_cols: list[str],
     tie_col: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of-backward join; adds ``asof_<c>`` columns (NULL when no
-    right row precedes).  ``tie_col`` must be in ``payload_cols``' table
-    and makes equal-``ts`` matches deterministic."""
+    """Left as-of join; adds ``asof_<c>`` columns (NULL when no right
+    row qualifies).  ``direction='backward'`` matches the greatest
+    right ``ts`` ≤ left ``ts``; ``'forward'`` the smallest right ``ts``
+    ≥ left ``ts`` (conversion/funnel semantics).  Same union-window
+    plan either way — forward just orders the window descending.
+    ``tie_col`` must be in ``payload_cols``' table and makes
+    equal-``ts`` matches deterministic (greatest tie for backward,
+    smallest for forward)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    back = direction == "backward"
     rp_fields = [tie_col] + [c for c in payload_cols if c != tie_col]
     r = right.select(
         *key_cols,
         F.col(ts_col).alias("_ts"),
         F.struct(*[F.col(c) for c in rp_fields]).alias("_rp"),
     )
+    tie = F.col(f"_rp.{tie_col}")
     wdd = Window.partitionBy(*key_cols, "_ts").orderBy(
-        F.col(f"_rp.{tie_col}").desc()
+        tie.desc() if back else tie.asc()
     )
     r = (
         r.withColumn("_rn", F.row_number().over(wdd))
@@ -66,9 +76,10 @@ def asof_join_backward(
     r = r.withColumn("_lp", F.lit(None).cast(l.schema["_lp"].dataType))
 
     u = l.unionByName(r.select(*l.columns))
+    ts_order = F.col("_ts").asc() if back else F.col("_ts").desc()
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn(
@@ -77,4 +88,19 @@ def asof_join_backward(
     return matched.select(
         *[F.col(f"_lp.{c}").alias(c) for c in left_cols],
         *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in rp_fields],
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tie_col: str,
+) -> DataFrame:
+    """First right row at-or-after each left row (funnel/conversion)."""
+    return asof_join_backward(
+        left, right, key_cols, ts_col, payload_cols, tie_col,
+        direction="forward",
     )

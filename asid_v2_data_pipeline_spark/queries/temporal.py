@@ -207,8 +207,54 @@ ORDER BY p.event_id
 """
 
 
+def t_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: each signup matched (forward as-of) to the user's FIRST
+    at-or-after purchase; microsecond-exact time-to-convert."""
+    from ..operators.asof import asof_join_forward
+
+    e = load_table(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_forward(
+        signups, purchases, ["user_id"], "ts", ["event_id", "ts"], "event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("purchase_id"),
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("us_to_convert"),
+    ).orderBy("event_id")
+
+
+# plain-SQL second implementation: per-signup rank over qualifying
+# purchases (smallest ts >= signup ts, tie -> smallest event_id)
+T_FUNNEL_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT s.event_id, s.user_id, p.event_id AS purchase_id,
+         epoch_us(p.ts) - epoch_us(s.ts) AS us_to_convert,
+         row_number() OVER (PARTITION BY s.event_id
+                            ORDER BY p.ts, p.event_id) AS rn
+  FROM s JOIN p ON s.user_id = p.user_id AND p.ts >= s.ts
+)
+SELECT s.event_id, s.user_id, r.purchase_id,
+       CAST(r.us_to_convert AS BIGINT) AS us_to_convert
+FROM s LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  ON s.event_id = r.event_id
+ORDER BY s.event_id
+"""
+
+
 REGISTRY = {
     "t_asof_attribution": (t_asof_attribution, T_ASOF_SQL),
+    "t_funnel_conversion": (t_funnel_conversion, T_FUNNEL_SQL),
     "t_tumbling_window": (t_tumbling_window, T_TUMBLING_SQL),
     "t_sliding_window": (t_sliding_window, T_SLIDING_SQL),
     "t_session_window": (t_session_window, T_SESSION_SQL),

@@ -684,3 +684,28 @@ def test_quota_scalable_matches_plain(spark):
         quota_per_group_scalable(df, ["grp"], 10, "id", seed=17, safety=1e-9)
     )
     assert forced == want
+
+
+def test_asof_join_forward(spark):
+    import datetime as dt
+
+    from asid_v2_data_pipeline_spark.operators.asof import asof_join_forward
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    right = spark.createDataFrame(
+        [(1, T(10), 100), (1, T(10), 99), (1, T(30), 101)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    left = spark.createDataFrame(
+        [(1, T(5), 900), (1, T(10), 901), (1, T(31), 902)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join_forward(
+            left, right, ["user_id"], "ts", ["event_id"], "event_id"
+        ).collect()
+    }
+    # T(5) -> first future is T(10), tie -> SMALLEST event_id (99)
+    # T(10) -> inclusive match at same ts; T(31) -> nothing ahead
+    assert out == {900: 99, 901: 99, 902: None}
