@@ -150,6 +150,94 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi hash join with a mixed
+    equi + range predicate (orders with any lineitem shipped after the
+    order date), then priority counts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation — per return flag, how
+    many lineitems belong to high- vs low-priority orders."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_lines"),
+            F.sum(1 - high).alias("low_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: percentage-of-total — PROMO parts' share of
+    revenue (broadcast part dim; single global aggregate)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias(
+                "promo_pct"
+            ),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
 def s3_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/O5 — the unprocessed-set anti-join (ledger pattern,
     archive.py:180-195): orders with no lineitem rows."""
@@ -330,6 +418,9 @@ REGISTRY = {
     "q3_order_revenue": (q3_order_revenue, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q4_priority_check": (q4_priority_check, Q4_SQL),
+    "q12_priority_lines": (q12_priority_lines, Q12_SQL),
+    "q14_promo_share": (q14_promo_share, Q14_SQL),
     "s3_incremental_antijoin": (s3_incremental_antijoin, S3_SQL),
     "f2_health_filter": (f2_health_filter, F2_SQL),
     "a4_distinct_groups": (a4_distinct_groups, A4_SQL),
