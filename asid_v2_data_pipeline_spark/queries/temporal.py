@@ -252,9 +252,47 @@ ORDER BY s.event_id
 """
 
 
+def t_rolling_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row rolling aggregate: each event's trailing-1-hour average
+    value for its user (RANGE interval window — the per-row sibling of
+    the tumbling/sliding aggs; one exchange on user_id)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+            F.count(F.lit(1)).over(w).alias("n_window"),
+        )
+        .orderBy("event_id")
+    )
+
+
+T_ROLLING_SQL = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER w, 6) AS rolling_avg,
+       COUNT(*) OVER w AS n_window
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 REGISTRY = {
     "t_asof_attribution": (t_asof_attribution, T_ASOF_SQL),
     "t_funnel_conversion": (t_funnel_conversion, T_FUNNEL_SQL),
+    "t_rolling_user_avg": (t_rolling_user_avg, T_ROLLING_SQL),
     "t_tumbling_window": (t_tumbling_window, T_TUMBLING_SQL),
     "t_sliding_window": (t_sliding_window, T_SLIDING_SQL),
     "t_session_window": (t_session_window, T_SESSION_SQL),
