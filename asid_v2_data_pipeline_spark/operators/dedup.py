@@ -402,13 +402,17 @@ def jaccard_pairs(
         # each shared shingle yields the pair exactly once, so the
         # per-pair occurrence count IS |A∩B|.  The corpus is shingled
         # ONCE (a self-join would do it twice — Spark doesn't reuse
-        # self-join exchanges, measured).  Hot shingles make quadratic
-        # in-bucket pair lists — identical row count to the join form's
-        # output; at 100 TB use df_cutoff to bound them.
+        # self-join exchanges, measured), and the arrays are
+        # MATERIALIZED before the explode (exploding an expensive array
+        # expression re-evaluates it inside the Generate stage, outside
+        # codegen CSE — 100× measured; see decontam.contamination).
+        # Hot shingles make quadratic in-bucket pair lists — identical
+        # row count to the join form's output; at 100 TB use df_cutoff
+        # to bound them.
         staged = df.select(
             F.col(id_col).alias("_id"),
             F.array_distinct(shingles(F.col(text_col), n)).alias("_s"),
-        )
+        ).localCheckpoint()
         sh = staged.select(
             "_id", F.size("_s").alias("_sz"), F.explode("_s").alias("_sh")
         )
