@@ -498,12 +498,17 @@ def jaccard_pairs(
             .join(heavy, "_id", "left_semi")
             .select("_id", "_sh")
         )
-        a = gen.select(F.col("_id").alias("id_a"), "_sh")
-        b = gen.select(F.col("_id").alias("id_b"), "_sh")
+        # bucket-collect pair expansion (single subtree; see minhash)
+        gbuckets = (
+            gen.groupBy("_sh")
+            .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+            .filter(F.size("_ids") >= 2)
+        )
         cand = (
-            a.join(b, "_sh")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            gbuckets.select(
+                F.explode(_pairs_from_sorted(F.col("_ids"))).alias("_p")
+            )
+            .select(F.col("_p._a").alias("id_a"), F.col("_p._b").alias("id_b"))
             .distinct()
         )
         inter = _verify(cand)
