@@ -14,6 +14,15 @@ fingerprint), LSH band groupBy + pair distinct, decontam hit groupBy
 (narrow).  Everything else — quality scoring, fingerprinting, the
 benchmark join (broadcast), the survivor anti-joins (broadcast: losers
 are small) — stays in map stages.
+
+At 100 TB a production run persists the intermediate corpus stages
+(quality-filtered set, exact-dedup survivors, the near-dup-free set) as
+parquet tables between phases instead of re-deriving them through the
+lineage — each stage output is a fraction of its input and every
+downstream consumer (including the decontam shingle materialization,
+which already checkpoints) then reads a table, not a recomputation.
+Locally the composed lazy plan is the point: Catalyst sees the whole
+chain, and the oracle checks it end-to-end.
 """
 
 from __future__ import annotations
