@@ -289,10 +289,46 @@ ORDER BY event_id
 """
 
 
+def t_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-activity week
+    (cohort), counted in each subsequent activity week — two
+    aggregations and a broadcastable first-week join; integer week
+    arithmetic identical in both engines."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = e.distinct().join(first, "user_id")
+    return (
+        act.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff("wk", "cohort") / 7).cast("int").alias("week_idx"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_idx")
+    )
+
+
+T_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), f AS (
+  SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id
+), a AS (
+  SELECT DISTINCT e.user_id, e.wk, f.cohort FROM e JOIN f USING (user_id)
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_idx,
+       COUNT(DISTINCT user_id) AS n_users
+FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_idx
+"""
+
+
 REGISTRY = {
     "t_asof_attribution": (t_asof_attribution, T_ASOF_SQL),
     "t_funnel_conversion": (t_funnel_conversion, T_FUNNEL_SQL),
     "t_rolling_user_avg": (t_rolling_user_avg, T_ROLLING_SQL),
+    "t_retention_cohorts": (t_retention_cohorts, T_RETENTION_SQL),
     "t_tumbling_window": (t_tumbling_window, T_TUMBLING_SQL),
     "t_sliding_window": (t_sliding_window, T_SLIDING_SQL),
     "t_session_window": (t_session_window, T_SESSION_SQL),
