@@ -60,22 +60,116 @@ def shuffled(df: DataFrame, seed: int, id_col: str | None = None) -> DataFrame:
     return df.orderBy(F.xxhash64(*df.columns, F.lit(seed)), *df.columns)
 
 
-def fraction_split(
-    df: DataFrame, fraction: float, seed: int, id_col: str | None = None
-) -> tuple[DataFrame, DataFrame]:
-    """O3 — exact-count head/tail split after a seeded shuffle:
-    first ``floor(n * fraction)`` rows train, rest validation
-    (utility.py:174-175).  row_number over the shuffled order keeps it
-    deterministic and exact (vs. randomSplit's probabilistic split)."""
-    n = df.count()
-    k = int(n * fraction)
-    if id_col is not None:
-        w = Window.orderBy(
-            shuffle_hash(F.col(id_col).cast("long"), seed), id_col, *df.columns
-        )
+_NUMERIC_TYPES = ("byte", "short", "int", "bigint", "float", "double", "long")
+
+
+def _order_boundaries(
+    df: DataFrame, col: str, n_buckets: int = 64, sample_rows: int = 4096
+) -> list:
+    """Order-aligned bucket boundaries for an arbitrary sort key, returned
+    as plain Python values to embed as literals.
+
+    Accuracy is irrelevant to correctness — any monotone bucketing yields
+    the same global numbering (skewed boundaries only cost parallelism) —
+    so approximate quantiles (numeric) or a bounded sample (other
+    orderable types) are exact-safe here."""
+    dtype = dict(df.dtypes)[col]
+    if dtype in _NUMERIC_TYPES or dtype.startswith("decimal"):
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.stat.approxQuantile(col, probs, 0.01)
     else:
-        w = Window.orderBy(F.xxhash64(*df.columns, F.lit(seed)), *df.columns)
-    ranked = df.withColumn("_rn", F.row_number().over(w))
+        vals = sorted(
+            r[0]
+            for r in df.select(col).dropna().sample(False, 0.5, seed=7)
+            .limit(sample_rows).collect()
+        )
+        step = max(1, len(vals) // n_buckets)
+        bounds = vals[step::step]
+    out: list = []
+    for b in bounds:  # dedupe, keep order
+        if b is not None and (not out or b > out[-1]):
+            out.append(b)
+    return out
+
+
+def _bucket_of(key, boundaries: list):
+    """#boundaries <= key — a pure, deterministic, monotone bucket id.
+    NULL keys compare NULL against every boundary and land in bucket 0,
+    matching Spark's default ASC NULLS FIRST sort position."""
+    if not boundaries:
+        return F.lit(0)
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    return F.aggregate(
+        arr, F.lit(0), lambda acc, b: acc + F.when(key >= b, 1).otherwise(0)
+    )
+
+
+def _global_row_number(df: DataFrame, order_exprs: list, bucket):
+    """Two-phase global row numbering (VERDICT r2 task 1) — the
+    zipWithIndex pattern in DataFrame algebra, replacing the former
+    single-partition ``Window.orderBy`` funnel.
+
+    Phase 1: count rows per order-aligned bucket — one parallel aggregate
+    whose result is <= #buckets rows, collected driver-side (the same
+    metadata-scale carve-out as the sampling/centroid two-phase ops).
+    Phase 2: ``row_number`` within each bucket (a *partitioned* window —
+    ``Exchange hashpartitioning(_bucket)``, never ``SinglePartition``)
+    plus the bucket's literal offset.
+
+    The bucket id is a pure expression of the row, so both phases see
+    identical assignments and the numbering is bit-identical to a global
+    sort.  Returns ``(df with 1-based _rn, total row count)``."""
+    b = df.withColumn("_bucket", bucket.cast("int"))
+    counts = {
+        r["_bucket"]: r["_n"]
+        for r in b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    n_buckets = (max(counts) + 1) if counts else 1
+    offsets, acc = [], 0
+    for i in range(n_buckets):
+        offsets.append(acc)
+        acc += counts.get(i, 0)
+    off = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("_bucket") + 1
+    )
+    w = Window.partitionBy("_bucket").orderBy(*order_exprs)
+    out = (
+        b.withColumn("_rn", (F.row_number().over(w) + off).cast("long"))
+        .drop("_bucket")
+    )
+    return out, acc
+
+
+def fraction_split(
+    df: DataFrame,
+    fraction: float,
+    seed: int = 0,
+    id_col: str | None = None,
+    order_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """O3 — exact-count head/tail split: first ``floor(n * fraction)`` rows
+    train, rest validation (utility.py:174-175), over either a seeded
+    shuffle order (default) or explicit ``order_cols``.
+
+    Numbering is two-phase (``_global_row_number``): the uniform hash keys
+    bucket statically by their top bits; explicit sort keys bucket by
+    literal approx-quantile boundaries.  Exact and deterministic either
+    way — no single-partition sort anywhere in the plan."""
+    if order_cols:
+        order_exprs = [F.col(c) for c in order_cols]
+        bucket = _bucket_of(
+            F.col(order_cols[0]), _order_boundaries(df, order_cols[0])
+        )
+    elif id_col is not None:
+        h = shuffle_hash(F.col(id_col).cast("long"), seed)
+        order_exprs = [h, F.col(id_col), *[F.col(c) for c in df.columns]]
+        bucket = F.shiftright(h, 23)  # hash < 2^31 -> 256 aligned buckets
+    else:
+        h = F.xxhash64(*df.columns, F.lit(seed))
+        order_exprs = [h, *[F.col(c) for c in df.columns]]
+        bucket = F.shiftright(h, 56) + F.lit(128)  # signed int64 -> 256
+    ranked, n = _global_row_number(df, order_exprs, bucket)
+    k = int(n * fraction)
     train = ranked.filter(F.col("_rn") <= k).drop("_rn")
     val = ranked.filter(F.col("_rn") > k).drop("_rn")
     return train, val
@@ -84,13 +178,15 @@ def fraction_split(
 def drop_last_batches(df: DataFrame, batch_size: int, order_cols: list[str]) -> DataFrame:
     """O4/B1 — keep only full batches (``floor(n/bs)`` of them; remainder
     rows never served — data_generator.py:20-22) and tag each row with its
-    batch index."""
-    w = Window.orderBy(*order_cols)
-    ranked = df.withColumn("_rn", F.row_number().over(w) - 1)
-    n = df.count()
+    batch index.  Global numbering is two-phase (see
+    ``_global_row_number``) — no single-partition sort."""
+    order_exprs = [F.col(c) for c in order_cols]
+    bucket = _bucket_of(F.col(order_cols[0]), _order_boundaries(df, order_cols[0]))
+    ranked, n = _global_row_number(df, order_exprs, bucket)
     keep = (n // batch_size) * batch_size
     return (
-        ranked.filter(F.col("_rn") < keep)
-        .withColumn("batch_id", (F.col("_rn") / batch_size).cast("int"))
-        .drop("_rn")
+        ranked.withColumn("_rn0", F.col("_rn") - 1)
+        .filter(F.col("_rn0") < keep)
+        .withColumn("batch_id", (F.col("_rn0") / batch_size).cast("int"))
+        .drop("_rn", "_rn0")
     )

@@ -228,16 +228,15 @@ def o3_fraction_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3 — exact-count fraction split (deterministic order by doc_id
     instead of the seeded shuffle so both engines agree): per-partition
     counts and checksums."""
+    from ..operators.split import fraction_split
+
     d = load_table(spark, sf_dir, "documents")
-    n = d.count()
-    k = int(n * 0.7)
-    w = Window.orderBy("doc_id")
-    ranked = d.withColumn("_rn", F.row_number().over(w))
+    train, val = fraction_split(d, 0.7, order_cols=["doc_id"])
+    tagged = train.withColumn("part", F.lit("train")).unionByName(
+        val.withColumn("part", F.lit("val"))
+    )
     return (
-        ranked.withColumn(
-            "part", F.when(F.col("_rn") <= k, F.lit("train")).otherwise(F.lit("val"))
-        )
-        .groupBy("part")
+        tagged.groupBy("part")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("sum_chars"),

