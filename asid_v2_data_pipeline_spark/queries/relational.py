@@ -238,6 +238,117 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+def _sql_query(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    """Run a correlated-subquery query through ``spark.sql`` so Catalyst's
+    decorrelation (RewriteCorrelatedScalarSubquery / pull-up) is exercised —
+    the DataFrame API can't express the correlation directly.  The same SQL
+    text doubles as the DuckDB oracle (both dialects accept it verbatim)."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+# TPC-H Q17 shape (correlated scalar aggregate): parts of one brand whose
+# order quantity is below 20% of the part's own average quantity.  Catalyst
+# decorrelates the per-part AVG into an aggregate + join — plan-asserted
+# (tests/test_plans.py).  No partsupp table in the testdata; lineitem is
+# the part-quantity source, as in the classic query.
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 — correlated scalar avg per part (decorrelated by
+    Catalyst into an aggregated join)."""
+    return _sql_query(spark, sf_dir, Q17_SQL, ["lineitem", "part"])
+
+
+# TPC-H Q18 shape (grouped-HAVING semi-join + top-k): large-quantity
+# orders.  The IN subquery becomes a left-semi hash join against the
+# HAVING aggregate; the ORDER BY + LIMIT compiles to TakeOrderedAndProject
+# (per-partition top-k, never a full global sort) — plan-asserted.
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 — grouped HAVING filter feeding a semi-join, top-k tail."""
+    return _sql_query(
+        spark, sf_dir, Q18_SQL, ["customer", "orders", "lineitem"]
+    )
+
+
+# TPC-H Q20 shape (nested semi-join whose inner block carries a correlated
+# scalar aggregate): suppliers who shipped >10% of a red part's all-time
+# quantity within 1996 alone.  Two nesting levels: supplier IN (grouped
+# lineitem HAVING sum > correlated per-part total).  The testdata has no
+# partsupp, so lineitem's (l_partkey, l_suppkey) is the supply relation.
+Q20_SQL = """
+SELECT s_suppkey, s_name, ROUND(s_acctbal, 4) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(l_quantity) > (SELECT 0.1 * SUM(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey))
+ORDER BY s_suppkey
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 — nested semi-join with a correlated aggregate in
+    HAVING (decorrelated into aggregated joins — plan-asserted)."""
+    return _sql_query(
+        spark, sf_dir, Q20_SQL, ["supplier", "lineitem", "part"]
+    )
+
+
+# TPC-H Q2 shape (min-per-group correlated lookup): for each size-15 part,
+# the supplier(s) offering its minimum unit price.  The correlated MIN
+# decorrelates into a per-part aggregate joined back on equality; double
+# division is IEEE-deterministic in both engines, so the equality predicate
+# is portable.  The output price is FLOOR(x*1e4) — pure double arithmetic,
+# identical in both engines, unlike ROUND (Spark rounds the decimal string
+# half-up, DuckDB rounds the binary value: 26.24125 → 26.2412 vs 26.2413).
+Q2_SQL = """
+SELECT p_partkey, p_name, s_name,
+       CAST(FLOOR(ps.unit_price * 10000) AS BIGINT) AS min_unit_price_e4
+FROM part
+JOIN (SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey) ps
+  ON p_partkey = ps.l_partkey
+JOIN supplier ON s_suppkey = ps.l_suppkey
+WHERE p_size = 15
+  AND ps.unit_price = (SELECT MIN(l_extendedprice / l_quantity)
+                       FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+ORDER BY p_partkey, s_name
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 — min-per-group lookup via a correlated scalar MIN."""
+    return _sql_query(
+        spark, sf_dir, Q2_SQL, ["part", "supplier", "lineitem"]
+    )
+
+
 def s3_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/O5 — the unprocessed-set anti-join (ledger pattern,
     archive.py:180-195): orders with no lineitem rows."""
@@ -421,6 +532,10 @@ REGISTRY = {
     "q4_priority_check": (q4_priority_check, Q4_SQL),
     "q12_priority_lines": (q12_priority_lines, Q12_SQL),
     "q14_promo_share": (q14_promo_share, Q14_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "s3_incremental_antijoin": (s3_incremental_antijoin, S3_SQL),
     "f2_health_filter": (f2_health_filter, F2_SQL),
     "a4_distinct_groups": (a4_distinct_groups, A4_SQL),

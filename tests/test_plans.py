@@ -216,6 +216,25 @@ def test_asof_join_single_exchange_no_range_join(spark):
     assert "hashpartitioning(user_id" in plan
 
 
+def test_q17_q20_decorrelate_to_aggregated_joins(spark):
+    """Correlated scalar subqueries are decorrelated by Catalyst into
+    aggregate + join — never per-row subquery execution (which would show
+    as a nested-loop / cartesian plan)."""
+    for name in ("q17_small_quantity", "q20_dominant_suppliers", "q2_min_cost_supplier"):
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "HashAggregate" in plan, name  # the decorrelated per-group agg
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), name
+
+
+def test_q18_top_k_take_ordered(spark):
+    """Q18's ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    per-partition top-k, no full global sort."""
+    plan = _plan(spark, "q18_large_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_split_no_single_partition_exchange(spark):
     """fraction_split / drop_last_batches number rows in two phases —
     bucket-partitioned window + literal offsets, never a global-orderBy
