@@ -242,6 +242,9 @@ def index_candidates(
     return (
         F.broadcast(b)
         .join(i, ["_band", "_bucket"])
+        # a document is never its own duplicate — guards the at-least-once
+        # retry path where a batch's own rows may already be in the index
+        .filter(F.col("id_new") != F.col("id_index"))
         .select("id_new", "id_index")
         .distinct()
     )

@@ -16,18 +16,30 @@ Spark shapes (per micro-batch, via ``foreachBatch``):
 - admission = batch anti-join (vs-index dupes ∪ within-batch losers);
   the deterministic survivor of a within-batch pair is the smaller id.
 
-Exactly-once: the stream checkpoint tracks source files; sink + index
-appends happen inside ``foreachBatch``.  Idempotence on retry is the
-parquet append contract (same semantics as the reference's ledgered
-ingest, SURVEY.md §2.10 T1).
+Delivery semantics: ``foreachBatch`` is AT-LEAST-ONCE — a crash between
+the sink write and the checkpoint commit re-runs the micro-batch.  The
+sink is therefore made idempotent per ``batch_id``: corpus rows and
+index band rows land in a ``_bid=<batch_id>`` partition written with
+``mode=overwrite``, so a retried batch replaces its own partition
+instead of appending duplicates; and the index read EXCLUDES the current
+batch's own partition (``_bid != batch_id``), so a retry that finds its
+own band rows already persisted cannot mark the batch a duplicate of
+itself.  Net effect: exactly-once *results* on top of at-least-once
+execution.
+
+The index grows one partition per micro-batch; ``compact_index`` folds
+the accumulated partitions into a single compacted generation
+(``_bid=-g``) and deletes the superseded ones via the Hadoop FileSystem
+API (portable to HDFS/S3).  Crash-safety: a partially-deleted index
+merely holds redundant copies of some band rows, which can only produce
+redundant candidate pairs — admission decisions are unchanged.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..operators.dedup import (
     index_candidates,
@@ -70,6 +82,55 @@ def admit_batch(
     return admitted, admitted_rows
 
 
+def _read_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Read the signature index, or None if it doesn't exist yet.
+
+    Probes by attempting the read (AnalysisException == absent) rather
+    than driver-local ``os.path`` — works on HDFS/S3 paths too."""
+    try:
+        spark.catalog.refreshByPath(index_dir)
+        return spark.read.parquet(index_dir)
+    except AnalysisException:
+        return None
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursive delete via the Hadoop FileSystem API (any scheme)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """The idempotent micro-batch step (public so retry semantics are
+    directly testable): admit vs (index minus own partition) + within
+    batch, then overwrite this batch's ``_bid`` partitions.  Running it
+    twice with the same ``batch_id`` yields identical persisted state."""
+    sp = batch.sparkSession
+    index_rows = _read_index(sp, index_dir)
+    if index_rows is not None:
+        # a retried batch must not see its own band rows as history
+        index_rows = index_rows.filter(F.col("_bid") != F.lit(batch_id))
+    admitted, admitted_rows = admit_batch(batch, index_rows, id_col, text_col)
+    # materialize admission before the index write reads the plan twice
+    admitted.persist()
+    try:
+        admitted.write.mode("overwrite").parquet(f"{corpus_dir}/_bid={batch_id}")
+        admitted_rows.write.mode("overwrite").parquet(
+            f"{index_dir}/_bid={batch_id}"
+        )
+    finally:
+        admitted.unpersist()
+
+
 def dedup_document_stream(
     spark: SparkSession,
     input_dir: str,
@@ -84,8 +145,9 @@ def dedup_document_stream(
     """Run the streaming curation loop (``availableNow`` drain).
 
     Each micro-batch admits only documents novel vs the index AND within
-    the batch, appends them to ``corpus_dir`` and their band rows to
-    ``index_dir``.  Returns the StreamingQuery.
+    the batch, then OVERWRITES its own ``_bid=<batch_id>`` partition in
+    ``corpus_dir`` / ``index_dir`` (idempotent on retry — see module
+    docstring).  Returns the StreamingQuery.
     """
     stream = (
         spark.readStream.format("parquet")
@@ -95,23 +157,7 @@ def dedup_document_stream(
     )
 
     def _step(batch: DataFrame, batch_id: int) -> None:
-        sp = batch.sparkSession
-        index_rows = None
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ):
-            sp.catalog.refreshByPath(index_dir)
-            index_rows = sp.read.schema(BAND_SCHEMA).parquet(index_dir)
-        admitted, admitted_rows = admit_batch(
-            batch, index_rows, id_col, text_col
-        )
-        # materialize admission before the index append reads the plan twice
-        admitted.persist()
-        try:
-            admitted.write.mode("append").parquet(corpus_dir)
-            admitted_rows.write.mode("append").parquet(index_dir)
-        finally:
-            admitted.unpersist()
+        process_batch(batch, batch_id, corpus_dir, index_dir, id_col, text_col)
 
     return (
         stream.writeStream.foreachBatch(_step)
@@ -119,3 +165,44 @@ def dedup_document_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    drop_ids: DataFrame | None = None,
+    target_partitions: int = 1,
+) -> int:
+    """Fold the per-batch index partitions into one compacted generation.
+
+    Reads every ``_bid`` partition, dedupes identical band rows, drops
+    rows of retired documents (``drop_ids``: a one-column DataFrame of
+    ``_id``s), writes the survivors to a fresh negative generation
+    ``_bid=-g``, then deletes the superseded partitions.  Admission
+    decisions are identical before and after (same band-row SET); a crash
+    mid-delete leaves redundant rows which only yield redundant candidate
+    pairs.  Negative generations are never confused with a live
+    ``batch_id`` (those are >= 0), so the retry-exclusion filter in
+    ``_step`` keeps working.  Returns the number of partitions removed.
+    """
+    rows = _read_index(spark, index_dir)
+    if rows is None:
+        return 0
+    old_gens = [r["_bid"] for r in rows.select("_bid").distinct().collect()]
+    if len(old_gens) <= 1 and drop_ids is None:
+        return 0  # already compact
+    new_gen = min([g for g in old_gens if g < 0], default=0) - 1
+    keep = rows.drop("_bid").dropDuplicates(["_id", "_band", "_bucket"])
+    if drop_ids is not None:
+        keep = keep.join(
+            F.broadcast(drop_ids.select(F.col(drop_ids.columns[0]).alias("_id"))),
+            "_id",
+            "left_anti",
+        )
+    keep.coalesce(target_partitions).write.mode("overwrite").parquet(
+        f"{index_dir}/_bid={new_gen}"
+    )
+    for g in old_gens:
+        _delete_dir(spark, f"{index_dir}/_bid={g}")
+    spark.catalog.refreshByPath(index_dir)
+    return len(old_gens)

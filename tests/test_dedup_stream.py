@@ -71,6 +71,104 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert _corpus_ids(spark, dirs["corpus"]) == [1, 2, 11, 21]
 
 
+def test_retried_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a micro-batch with the
+    same batch_id (crash between sink write and checkpoint commit) must
+    neither duplicate corpus rows nor mark the batch a dup of itself."""
+    from asid_v2_data_pipeline_spark.streaming.dedup_stream import (
+        process_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    b0 = spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA)
+    process_batch(b0, 0, corpus, index)
+    assert _corpus_ids(spark, corpus) == [1, 2]
+
+    # retry of batch 0: identical persisted state, nothing self-dropped
+    process_batch(b0, 0, corpus, index)
+    spark.catalog.refreshByPath(corpus)
+    assert _corpus_ids(spark, corpus) == [1, 2]
+
+    # next batch still dedups against batch 0 via the index
+    b1 = spark.createDataFrame(
+        [(10, BASE + " again"), (11, "entirely novel words appear here only")],
+        SCHEMA,
+    )
+    process_batch(b1, 1, corpus, index)
+    spark.catalog.refreshByPath(corpus)
+    assert _corpus_ids(spark, corpus) == [1, 2, 11]
+
+
+def test_index_compaction_bounded_and_equivalent(spark, tmp_path):
+    """Many duplicate-heavy micro-batches grow one index partition each;
+    compaction folds them into a single generation with identical
+    admission decisions before and after."""
+    from asid_v2_data_pipeline_spark.streaming.dedup_stream import (
+        compact_index,
+        process_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    # batch 0 admits two docs; batches 1..4 each carry a near-dup of doc 1
+    # (rejected via the index) plus one genuinely novel doc (admitted)
+    process_batch(
+        spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA), 0, corpus, index
+    )
+    for b in range(1, 5):
+        process_batch(
+            spark.createDataFrame(
+                [
+                    (100 + b, BASE + f" variant {b}"),
+                    (
+                        200 + b,
+                        {
+                            1: "glaciers calve into arctic fjords every spring",
+                            2: "transformer models tokenize text into subword units",
+                            3: "the orchestra tuned quietly before the overture began",
+                            4: "volcanic soil grows exceptional coffee at high altitude",
+                        }[b],
+                    ),
+                ],
+                SCHEMA,
+            ),
+            b,
+            corpus,
+            index,
+        )
+    assert _corpus_ids(spark, corpus) == [1, 2, 201, 202, 203, 204]
+    idx = spark.read.parquet(index)
+    gens_before = idx.select("_bid").distinct().count()
+    assert gens_before == 5  # one partition per micro-batch
+    rows_before = sorted(
+        (r["_id"], r["_band"], r["_bucket"])
+        for r in idx.select("_id", "_band", "_bucket").collect()
+    )
+
+    removed = compact_index(spark, index)
+    assert removed == 5
+    idx2 = spark.read.parquet(index)
+    assert idx2.select("_bid").distinct().count() == 1  # bounded
+    assert sorted(
+        (r["_id"], r["_band"], r["_bucket"])
+        for r in idx2.select("_id", "_band", "_bucket").collect()
+    ) == rows_before  # same band-row set => same admission decisions
+
+    # and the compacted index still rejects history near-dups
+    process_batch(
+        spark.createDataFrame([(300, BASE + " once more")], SCHEMA),
+        6,
+        corpus,
+        index,
+    )
+    spark.catalog.refreshByPath(corpus)
+    assert _corpus_ids(spark, corpus) == [1, 2, 201, 202, 203, 204]
+
+    # idempotent: compacting a compacted index is a no-op
+    assert compact_index(spark, index) == 0
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Append-mode watermark semantics as an actual restarted stream:
     a finalized window is emitted once; an event arriving beyond the
