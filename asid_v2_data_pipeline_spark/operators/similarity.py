@@ -233,34 +233,20 @@ def _perturbation_sets(planes: int, nprobe: int) -> list[tuple[int, ...]]:
     return [()] + all_pats[: max(0, nprobe - 1)]
 
 
-def topk_cosine_lsh(
-    corpus: DataFrame,
+def _query_probes(
     queries: DataFrame,
     dim: int,
-    k: int = 5,
-    planes: int = 8,
-    nprobe: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    planes: int,
+    nprobe: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's hyperplane bucket, plus
-    (multi-probe, ``nprobe > 1``) the ``nprobe - 1`` buckets reached by
-    flipping the query's LOWEST-MARGIN sign bits — the hyperplanes whose
-    dot product is closest to zero, i.e. exactly the ones a true neighbor
-    most plausibly landed on the other side of.  Multi-probe lifts recall
-    without adding planes or re-bucketing the corpus: each corpus vector
-    still lives in ONE bucket; only the (small, broadcast) query side
-    fans out, so a query touches ``nprobe`` partitions instead of 1.
-
-    Recall < 1 by construction — the exact ``topk_cosine`` is the
-    correctness oracle (pinned recall floor in tests/test_scale_ops.py).
-    """
-    hps = _hyperplanes(dim, planes)
-    c = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("_cv"),
-        lsh_bucket(F.col(vec_col), dim, planes).alias("_bucket"),
-    )
+    """The query-side probe fan-out for one hyperplane table: the base
+    bucket plus (multi-probe) the buckets reached by flipping the query's
+    lowest-|margin| sign bits.  Returns ``(q_id, _qv, _bucket)`` —
+    ``nprobe`` rows per query."""
+    hps = _hyperplanes(dim, planes, seed)
     # stage the per-plane dots once; base bucket + margins reuse them
     qd = queries.select(
         F.col(id_col).alias("q_id"),
@@ -301,16 +287,140 @@ def topk_cosine_lsh(
         return b
 
     pats = _perturbation_sets(planes, nprobe)
-    q = staged.select(
+    return staged.select(
         "q_id",
         "_qv",
         F.explode(F.array(*[probe_expr(p) for p in pats])).alias("_bucket"),
     )
+
+
+def topk_cosine_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: probe the query's hyperplane bucket, plus
+    (multi-probe, ``nprobe > 1``) the ``nprobe - 1`` buckets reached by
+    flipping the query's LOWEST-MARGIN sign bits — the hyperplanes whose
+    dot product is closest to zero, i.e. exactly the ones a true neighbor
+    most plausibly landed on the other side of.  Multi-probe lifts recall
+    without adding planes or re-bucketing the corpus: each corpus vector
+    still lives in ONE bucket; only the (small, broadcast) query side
+    fans out, so a query touches ``nprobe`` partitions instead of 1.
+
+    Recall < 1 by construction — the exact ``topk_cosine`` is the
+    correctness oracle (pinned recall floor in tests/test_scale_ops.py).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_cv"),
+        lsh_bucket(F.col(vec_col), dim, planes, seed).alias("_bucket"),
+    )
+    q = _query_probes(queries, dim, planes, nprobe, seed, id_col, vec_col)
     # a corpus vector lives in exactly one bucket and probes are distinct,
     # so (q_id, c_id) pairs cannot duplicate across probes
     scored = c.join(F.broadcast(q), "_bucket").filter(
         F.col("q_id") != F.col("c_id")
     ).select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.col("score").cast("double").alias("score"), "rank")
+    )
+
+
+def lsh_table_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    planes: int = 8,
+    tables: int = 2,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """AND-OR amplified candidate generation: AND within a table (all
+    ``planes`` sign bits must agree — one bucket), OR across ``tables``
+    independent hyperplane tables (per-table seed ``seed + 101*t``).
+
+    If a single plane agrees with probability p, a table matches with
+    p^planes and the OR over T tables with 1 - (1-p^planes)^T — recall
+    amplification at fixed per-table selectivity (standard LSH
+    amplification; candidate volume ≈ T·nprobe buckets per query vs
+    ``nprobe`` for one table).
+
+    Scale shape: each corpus vector lands in ONE bucket PER TABLE (a
+    narrow explode to T rows — no shuffle); the (small) query side is
+    broadcast with T·nprobe probes; the equi-join on (table, bucket)
+    never shuffles the corpus.  Returns distinct candidate pairs with
+    vectors attached: ``(q_id, c_id, _qv, _cv)``.
+    """
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(F.col(vec_col), dim, planes, seed + 101 * t).alias("b"),
+            )
+            for t in range(tables)
+        ]
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("_cv"),
+            F.explode(entries).alias("_e"),
+        )
+        .select("c_id", "_cv", F.col("_e.t").alias("_table"), F.col("_e.b").alias("_bucket"))
+    )
+    probes = [
+        _query_probes(
+            queries, dim, planes, nprobe, seed + 101 * t, id_col, vec_col
+        ).withColumn("_table", F.lit(t))
+        for t in range(tables)
+    ]
+    q = probes[0]
+    for p in probes[1:]:
+        q = q.unionByName(p)
+    return (
+        c.join(F.broadcast(q), ["_table", "_bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        # the same pair can surface from several tables — dedupe before
+        # scoring (vectors are functionally dependent on the ids)
+        .dropDuplicates(["q_id", "c_id"])
+        .select("q_id", "c_id", "_qv", "_cv")
+    )
+
+
+def topk_cosine_lsh_tables(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 2,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k over AND-OR amplified LSH candidates
+    (``lsh_table_candidates``): higher recall than single-table
+    multi-probe at a comparable candidate budget (pinned in
+    tests/test_scale_ops.py)."""
+    cand = lsh_table_candidates(
+        corpus, queries, dim, planes, tables, nprobe, id_col, vec_col, seed
+    )
+    scored = cand.select(
+        "q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score")
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -386,6 +386,57 @@ ORDER BY q_id, rank
 """
 
 
+def sim_ann_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-OR amplified ANN: 3 independent 9-plane tables, OR'd — the
+    recall-amplified scale path (recall floor pinned in
+    tests/test_scale_ops.py; candidates ≈ single-table multi-probe at
+    nprobe=2 budget)."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 10)
+    out = sim.topk_cosine_lsh_tables(e, q, dim=64, k=5, planes=9, tables=3)
+    return out.select(
+        "q_id", "c_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("q_id", "rank")
+
+
+def _ann_lsh_tables_sql(dim: int = 64, planes: int = 9, tables: int = 3) -> str:
+    def bucket_expr(seed: int) -> str:
+        hps = sim._hyperplanes(dim, planes, seed)
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {hp!r}::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, hp in enumerate(hps)
+        )
+
+    buckets = ",\n         ".join(
+        f"({bucket_expr(11 + 101 * t)}) AS b{t}" for t in range(tables)
+    )
+    or_cond = " OR ".join(f"e.b{t} = q.b{t}" for t in range(tables))
+    bsel = ", ".join(f"b{t}" for t in range(tables))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {buckets}
+  FROM embeddings
+), q AS (SELECT vec_id AS q_id, v AS qv, {bsel} FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id AS c_id,
+         list_dot_product(qv, v) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS s
+  FROM q JOIN e ON ({or_cond}) AND e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, c_id, s,
+         row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, ROUND(s, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 # --- text analysis ------------------------------------------------------------
 
 
@@ -1027,6 +1078,7 @@ REGISTRY = {
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
     "sim_ann_lsh": (sim_ann_lsh, _ann_lsh_sql()),
+    "sim_ann_lsh_tables": (sim_ann_lsh_tables, _ann_lsh_tables_sql()),
     "tx_token_stats": (tx_token_stats, TX_TOKEN_SQL),
     "tx_langid": (tx_langid, _langid_sql()),
     "tx_quality": (tx_quality, TX_QUALITY_SQL),
