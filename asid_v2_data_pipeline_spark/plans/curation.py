@@ -27,7 +27,7 @@ chain, and the oracle checks it end-to-end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
@@ -67,3 +67,96 @@ def curate(
 
     capped = quota_per_group(clean, [quota_col], quota, id_col, seed=quota_seed)
     return weighted_repeat(capped, mix_col, weights, id_col, seed=mix_seed)
+
+
+# staged materialization (the production shape the module docstring
+# describes): stage name -> subdirectory under the run's stage_dir
+STAGES = ("quality", "exact", "neardup", "clean", "mixed")
+
+
+def _stage_complete(spark: SparkSession, path: str) -> bool:
+    """A stage is complete iff its commit marker exists — checked via the
+    Hadoop FileSystem API (portable to HDFS/S3; a crashed write leaves no
+    ``_SUCCESS``, so partial output is recomputed, never trusted)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def curate_staged(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    weights: dict[str, float],
+    stage_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    decontam_n: int = 8,
+    quota: int = 30,
+    quota_col: str = "source",
+    mix_col: str = "lang",
+    quota_seed: int = 17,
+    mix_seed: int = 29,
+) -> DataFrame:
+    """The same curation chain as ``curate``, with each stage PERSISTED as
+    a parquet table under ``stage_dir`` and resumed idempotently.
+
+    Production rationale (100 TB): each stage's output is a fraction of
+    its input, and every downstream consumer reads a table instead of
+    re-deriving the lineage; a crashed run resumes from the last
+    committed stage for free.  Resume contract: a stage directory with a
+    ``_SUCCESS`` marker is trusted and skipped; anything else (absent or
+    partial after a kill) is recomputed with ``mode=overwrite``.  Every
+    operator in the chain is deterministic (portable seeded hashes), so a
+    resumed run admits the SAME set + epochs as the single lazy ``curate``
+    plan — equivalence is pinned in tests/test_curation_staged.py.
+
+    Returns the final mixed corpus read back from its stage table.
+    """
+    sp = docs.sparkSession
+
+    def _materialize(name: str, build) -> DataFrame:
+        path = f"{stage_dir}/{name}"
+        if not _stage_complete(sp, path):
+            build().write.mode("overwrite").parquet(path)
+        sp.catalog.refreshByPath(path)
+        return sp.read.parquet(path)
+
+    good = _materialize(
+        "quality",
+        lambda: docs.filter(tx.quality_score(F.col(text_col)) >= quality_min),
+    )
+    uniq = _materialize(
+        "exact",
+        lambda: exact_dedup(
+            good.withColumn("_fp", tx.fingerprint(F.col(text_col))),
+            ["_fp"],
+            id_col,
+        ).drop("_fp"),
+    )
+
+    def _neardup() -> DataFrame:
+        pairs = minhash_lsh_pairs(uniq, id_col, text_col, num_perm=16, bands=4)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return uniq.join(F.broadcast(losers), id_col, "left_anti")
+
+    neat = _materialize("neardup", _neardup)
+
+    def _clean() -> DataFrame:
+        contaminated = contamination(
+            neat, benchmark, id_col, text_col, n=decontam_n
+        ).select(id_col)
+        return neat.join(F.broadcast(contaminated), id_col, "left_anti")
+
+    clean = _materialize("clean", _clean)
+    return _materialize(
+        "mixed",
+        lambda: weighted_repeat(
+            quota_per_group(clean, [quota_col], quota, id_col, seed=quota_seed),
+            mix_col,
+            weights,
+            id_col,
+            seed=mix_seed,
+        ),
+    )
