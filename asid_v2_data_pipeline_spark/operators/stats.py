@@ -79,6 +79,45 @@ FROM ranked GROUP BY {group_col}
 """
 
 
+def group_quantiles_approx(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: list[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate per-group quantiles via ``percentile_approx``
+    (Greenwald-Khanna sketch): map-side combinable, NO within-group sort —
+    the 100 TB dashboard path next to ``group_quantiles_exact`` (the
+    audited path; approximate ops carry no DuckDB oracle by design).
+
+    Guarantee: the returned value's rank is within ``n/accuracy`` of the
+    target rank — pinned against the exact nearest-rank answers in
+    tests/test_stats_approx.py.  Output columns ``q<prob with _ for .>``.
+    """
+    aggs = [
+        F.percentile_approx(value_col, F.lit(p), F.lit(accuracy)).alias(
+            "q" + str(p).replace(".", "_")
+        )
+        for p in probs
+    ]
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def distinct_count_approx(
+    df: DataFrame, group_col: str, key_col: str, rsd: float = 0.05
+) -> DataFrame:
+    """Approximate per-group distinct counts via HyperLogLog++
+    (``approx_count_distinct``): one map-side-combinable aggregate, a few
+    KB of sketch per group vs the exact path's full shuffle of every
+    distinct key.  ``rsd`` is the target relative standard deviation;
+    observed error is pinned in tests/test_stats_approx.py.  The exact
+    ``countDistinct`` stays the audited path."""
+    return df.groupBy(group_col).agg(
+        F.approx_count_distinct(key_col, rsd).alias("approx_distinct")
+    )
+
+
 def top_k_by_count(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
     """Heavy hitters: the ``k`` most frequent keys, ties broken by key
     ascending (fully deterministic output).
