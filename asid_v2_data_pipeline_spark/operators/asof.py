@@ -46,6 +46,17 @@ def asof_join_backward(
     smallest for forward)."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    reserved = {"_ts", "_rp", "_side", "_lp", "_rn"}
+    for side_name, df_ in (("left", left), ("right", right)):
+        clash = [
+            c for c in df_.columns if c in reserved or c.startswith("asof_")
+        ]
+        if clash:
+            raise ValueError(
+                f"asof join: {side_name} columns {clash} collide with the "
+                f"operator's internal/output names (reserved: {sorted(reserved)}, "
+                "prefix 'asof_'); rename them first"
+            )
     back = direction == "backward"
     rp_fields = [tie_col] + [c for c in payload_cols if c != tie_col]
     r = right.select(

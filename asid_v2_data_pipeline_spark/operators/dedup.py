@@ -628,4 +628,11 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # labels were still changing when max_rounds ran out — returning
+        # them silently would yield wrong cluster ids downstream
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds (component diameter > 2^max_rounds); raise max_rounds"
+        )
     return labels

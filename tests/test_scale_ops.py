@@ -377,6 +377,47 @@ def test_connected_components(spark):
     assert got == expect
 
 
+def test_connected_components_raises_when_unconverged(spark):
+    """ADVICE r2: exhausting max_rounds mid-propagation must raise, not
+    silently return wrong cluster ids."""
+    import pytest
+
+    from asid_v2_data_pipeline_spark.operators.dedup import connected_components
+
+    # a 6-node chain cannot settle AND verify fixpoint in one round
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1)
+
+
+def test_asof_rejects_reserved_column_names(spark):
+    """ADVICE r2: inputs carrying the operator's internal names (_ts,
+    _rp, ...) or an asof_* output name fail fast with a clear error."""
+    import pytest
+
+    from asid_v2_data_pipeline_spark.operators.asof import asof_join_backward
+
+    r = spark.createDataFrame(
+        [(1, 10, 5)], "user_id long, ts long, event_id long"
+    )
+    bad_left = spark.createDataFrame(
+        [(1, 10, 0.5)], "user_id long, ts long, _rp double"
+    )
+    with pytest.raises(ValueError, match="_rp"):
+        asof_join_backward(
+            bad_left, r, ["user_id"], "ts", ["event_id"], "event_id"
+        )
+    bad_left2 = spark.createDataFrame(
+        [(1, 10, 0.5)], "user_id long, ts long, asof_x double"
+    )
+    with pytest.raises(ValueError, match="asof_x"):
+        asof_join_backward(
+            bad_left2, r, ["user_id"], "ts", ["event_id"], "event_id"
+        )
+
+
 def test_connected_components_empty(spark):
     from asid_v2_data_pipeline_spark.operators.dedup import connected_components
 
