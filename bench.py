@@ -28,7 +28,9 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline set: relational joins/aggs, patch ops, dedup, similarity,
-# text, windows — one per operator family, the scale-sensitive ones
+# text, windows — one per operator family, the scale-sensitive ones.
+# Round 3 adds the three round-2 scale-stress queries (VERDICT r2 task 8)
+# so their measured wins stay pinned round-over-round.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_order_revenue",
@@ -42,6 +44,9 @@ HEADLINE = [
     "sim_topk_cosine",
     "tx_token_stats",
     "t_tumbling_window",
+    "cur_pipeline",
+    "dc_contamination",
+    "dd_jaccard_pairs",
 ]
 
 
@@ -81,6 +86,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # methodology tag (ADVICE r2): deltas are only meaningful against
+        # baselines recorded with the same warmup discipline
+        "warmup": True,
     }
 
     # Round-over-round hygiene: diff against the most recent BENCH_r{N}.json
@@ -100,7 +108,13 @@ def main() -> None:
             # the driver wraps the bench line under "parsed"
             prev = prev.get("parsed", prev)
             pq = prev.get("queries", {})
-            if prev.get("sf") == out["sf"] and pq:
+            # methodology guard: rounds >= 2 ran with warmup (the tag only
+            # exists from round 3 on); never diff against the no-warmup r1
+            prev_round = int(
+                re.search(r"BENCH_r(\d+)\.json$", prev_files[-1]).group(1)
+            )
+            prev_warmup = prev.get("warmup", prev_round >= 2)
+            if prev.get("sf") == out["sf"] and pq and prev_warmup == out["warmup"]:
                 deltas = {
                     k: round(v - pq[k], 3) for k, v in timings.items() if k in pq
                 }
