@@ -349,6 +349,58 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q21 shape (EXISTS + NOT EXISTS, both correlated, on the same
+# fact table): suppliers who were the ONLY late shipper of a finished
+# multi-supplier order ("late" = shipped >60 days after the order date —
+# the testdata has no commit/receipt dates).  Catalyst turns the EXISTS
+# into a left-semi and the NOT EXISTS into a left-anti hash join.
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 — correlated EXISTS + NOT EXISTS (semi- and anti-join
+    against the same fact table), top-k tail."""
+    return _sql_query(
+        spark, sf_dir, Q21_SQL, ["supplier", "lineitem", "orders"]
+    )
+
+
+# TPC-H Q22 shape (uncorrelated scalar subquery + correlated NOT EXISTS):
+# above-average-balance customers who never placed an URGENT order
+# (every synthetic customer has SOME order, so the classic "no orders at
+# all" predicate is vacuous here; the anti-join shape is identical).
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 4) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 — scalar average subquery feeding an anti-join."""
+    return _sql_query(spark, sf_dir, Q22_SQL, ["customer", "orders"])
+
+
 def s3_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/O5 — the unprocessed-set anti-join (ledger pattern,
     archive.py:180-195): orders with no lineitem rows."""
@@ -536,6 +588,8 @@ REGISTRY = {
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "q20_dominant_suppliers": (q20_dominant_suppliers, Q20_SQL),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
+    "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
     "s3_incremental_antijoin": (s3_incremental_antijoin, S3_SQL),
     "f2_health_filter": (f2_health_filter, F2_SQL),
     "a4_distinct_groups": (a4_distinct_groups, A4_SQL),

@@ -324,8 +324,74 @@ FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_idx
 """
 
 
+def t_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov matrix of a
+    clickstream): ``lead`` over (user, ts) then a pair count — the
+    lag/lead window surface.  One hash exchange on user_id for the
+    window, one for the pair aggregate."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+T_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, COUNT(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+"""
+
+
+def t_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP over (event_type, day): detail rows + per-type
+    subtotals + grand total in ONE pass (Catalyst's Expand operator —
+    each input row fans out to its grouping sets before the single
+    aggregate; no re-scan per level).  ``grouping_id`` disambiguates
+    levels: 0 = detail, 1 = per-type subtotal, 3 = grand total."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        e.select("event_type", day.alias("d"), "value")
+        .rollup("event_type", "d")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("gid", "event_type", "d")
+    )
+
+
+_ROLLUP_DAY = "strftime(date_trunc('day', ts), '%Y-%m-%d')"
+T_ROLLUP_SQL = f"""
+SELECT event_type, {_ROLLUP_DAY} AS d,
+       CAST(GROUPING(event_type) * 2 + GROUPING({_ROLLUP_DAY}) AS INT) AS gid,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, {_ROLLUP_DAY})
+ORDER BY gid, event_type, d
+"""
+
+
 REGISTRY = {
     "t_asof_attribution": (t_asof_attribution, T_ASOF_SQL),
+    "t_event_transitions": (t_event_transitions, T_TRANSITIONS_SQL),
+    "t_rollup_daily": (t_rollup_daily, T_ROLLUP_SQL),
     "t_funnel_conversion": (t_funnel_conversion, T_FUNNEL_SQL),
     "t_rolling_user_avg": (t_rolling_user_avg, T_ROLLING_SQL),
     "t_retention_cohorts": (t_retention_cohorts, T_RETENTION_SQL),

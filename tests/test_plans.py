@@ -228,6 +228,24 @@ def test_q17_q20_decorrelate_to_aggregated_joins(spark):
         assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), name
 
 
+def test_q21_exists_compile_to_hash_joins(spark):
+    """Correlated EXISTS / NOT EXISTS become left-semi / left-anti hash
+    joins — never per-row subquery loops."""
+    plan = _plan(spark, "q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_rollup_single_pass_expand(spark):
+    """ROLLUP compiles to one Expand + one aggregate — no per-level
+    re-scan of the events table."""
+    plan = _plan(spark, "t_rollup_daily")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
 def test_q18_top_k_take_ordered(spark):
     """Q18's ORDER BY + LIMIT compiles to TakeOrderedAndProject —
     per-partition top-k, no full global sort."""
