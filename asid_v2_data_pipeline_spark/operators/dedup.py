@@ -106,8 +106,17 @@ def with_shingle_hashes(
 
 def shingle_hashes(text: Column, n: int = 3) -> Column:
     """Column form of the shingle hash set (inline; prefer
-    ``with_shingle_hashes`` in pipelines)."""
-    return _shingle_hashes_from_token_hashes(token_hashes(text), n)
+    ``with_shingle_hashes`` in pipelines).  The token-hash array is bound
+    once via a single-element ``transform`` so the interpreted HOF lambdas
+    reference it as a variable instead of re-hashing per position (see
+    functions.text.shingles)."""
+    return F.element_at(
+        F.transform(
+            F.array(token_hashes(text)),
+            lambda th: _shingle_hashes_from_token_hashes(th, n),
+        ),
+        1,
+    )
 
 
 def _perm_min(hs: Column, a: int, b: int) -> Column:
@@ -120,11 +129,20 @@ def minhash_signature(text: Column, num_perm: int = 16, n: int = 3) -> Column:
     """MinHash signature: array of per-permutation minima over the shingle
     hash set.
 
-    NOTE: prefer ``minhash_signatures`` (DataFrame form) in pipelines — it
-    materializes the shingle-hash array once; inlining this Column form
-    re-evaluates the (expensive) shingle hashing once per permutation."""
-    hs = shingle_hashes(text, n)
-    return F.array(*[_perm_min(hs, a, b) for a, b in _perm_constants(num_perm)])
+    NOTE: prefer ``minhash_signatures`` (DataFrame form) in pipelines —
+    it materializes the shingle-hash array as a column.  This inline form
+    binds the array once (single-element ``transform``) so the
+    per-permutation minima reference it as a lambda variable instead of
+    re-hashing the document once per permutation."""
+    return F.element_at(
+        F.transform(
+            F.array(shingle_hashes(text, n)),
+            lambda hs: F.array(
+                *[_perm_min(hs, a, b) for a, b in _perm_constants(num_perm)]
+            ),
+        ),
+        1,
+    )
 
 
 def minhash_signatures(
@@ -273,9 +291,17 @@ def simhash(text: Column, bits: int = 32, n: int = 3) -> Column:
     """SimHash fingerprint: sign of per-bit votes over the shingle hash set
     (bit b set iff the majority of shingle hashes have bit b set).
 
-    Column form — prefer ``simhashes`` (DataFrame form) in pipelines, which
-    hashes shingles once instead of once per bit."""
-    return _simhash_from_hashes(shingle_hashes(text, n), bits)
+    Column form — prefer ``simhashes`` (DataFrame form) in pipelines.
+    The shingle-hash array is bound once (single-element ``transform``)
+    so the per-bit votes reference it as a lambda variable instead of
+    re-hashing the document once per bit."""
+    return F.element_at(
+        F.transform(
+            F.array(shingle_hashes(text, n)),
+            lambda hs: _simhash_from_hashes(hs, bits),
+        ),
+        1,
+    )
 
 
 def simhashes(
