@@ -114,6 +114,40 @@ def fingerprint(text: Column) -> Column:
     ).cast("long")
 
 
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are common stopwords of ``lang`` (0 if no
+    tokens), over the language-ID stopword lists above.  Gopher-style
+    quality signal: natural prose sits well above ~0.03; token array
+    bound once (see ``shingles``)."""
+    words = STOPWORDS[lang]
+
+    def _ratio(toks: Column) -> Column:
+        nt = F.size(toks)
+        ns = F.size(F.filter(toks, lambda t: t.isin(*words)))
+        return F.when(nt > 0, ns / nt).otherwise(F.lit(0.0))
+
+    return F.element_at(F.transform(F.array(tokens(text)), _ratio), 1).cast(
+        "double"
+    )
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Duplicate token-n-gram fraction: ``1 - distinct/total`` shingles
+    (0 for docs shorter than one shingle).  Gopher-style quality signal:
+    high values flag boilerplate/templated text; shingle array bound
+    once (see ``shingles``)."""
+
+    def _ratio(sh: Column) -> Column:
+        tot = F.size(sh)
+        return F.when(
+            tot > 0, 1.0 - F.size(F.array_distinct(sh)) / tot
+        ).otherwise(F.lit(0.0))
+
+    return F.element_at(F.transform(F.array(shingles(text, n)), _ratio), 1).cast(
+        "double"
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical text form: lower-case, whitespace runs collapsed to one
     space, leading/trailing whitespace stripped.

@@ -437,6 +437,55 @@ ORDER BY q_id, rank
 """
 
 
+def tx_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition / stopword quality rules (Rae et al. 2021
+    §A1.1, public): per language, how many docs trip the
+    duplicate-3-gram rule (repetition_ratio > 0.01) or the low-stopword
+    rule (stopword_ratio < 0.03), plus the mean ratios.  Pure column
+    expressions — scan-stage work, one aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    rep = tx.repetition_ratio(F.col("text"))
+    stw = tx.stopword_ratio(F.col("text"))
+    return (
+        d.select("lang", rep.alias("_rep"), stw.alias("_stw"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_rep") > 0.01).cast("int")).alias("n_repetitive"),
+            F.sum((F.col("_stw") < 0.03).cast("int")).alias("n_low_stopword"),
+            F.round(F.avg("_rep"), 4).alias("avg_repetition"),
+            F.round(F.avg("_stw"), 4).alias("avg_stopword"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STOPWORDS_SQL = "[" + ",".join(f"'{w}'" for w in tx.STOPWORDS["en"]) + "]"
+TX_GOPHER_SQL = f"""
+WITH t AS (SELECT lang, {TOKENS_SQL} AS t FROM documents),
+s AS (SELECT lang,
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(0, len(t) - 2),
+                                 i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+             ELSE [array_to_string(t, ' ')] END AS sh,
+        len(t) AS nt,
+        len(list_filter(t, x -> list_contains({_STOPWORDS_SQL}, x))) AS nstop
+      FROM t),
+r AS (SELECT lang,
+        CASE WHEN len(sh) > 0
+             THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+             ELSE 0.0 END AS rep,
+        CASE WHEN nt > 0 THEN CAST(nstop AS DOUBLE) / nt ELSE 0.0 END AS stw
+      FROM s)
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN rep > 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       CAST(SUM(CASE WHEN stw < 0.03 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stopword,
+       ROUND(AVG(rep), 4) AS avg_repetition,
+       ROUND(AVG(stw), 4) AS avg_stopword
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
 # --- text analysis ------------------------------------------------------------
 
 
@@ -1074,6 +1123,7 @@ REGISTRY = {
     "tx_length_quantiles": (tx_length_quantiles, _tx_quant_sql()),
     "tx_top_tokens": (tx_top_tokens, TX_TOP_SQL),
     "tx_normalize_redact": (tx_normalize_redact, _tx_norm_sql()),
+    "tx_gopher_rules": (tx_gopher_rules, TX_GOPHER_SQL),
     "dd_simhash": (dd_simhash, _simhash_sql()),
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
