@@ -437,6 +437,33 @@ ORDER BY q_id, rank
 """
 
 
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the distributed vector-mean shape
+    (the k-means update step as a declared, oracle-checked query):
+    posexplode to (label, dim, x), one groupBy whose key space is
+    labels·dim.  At 100 TB only label·dim aggregates cross the exchange,
+    never vectors."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    return (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("avg_v"))
+        .orderBy("label", "dim")
+    )
+
+
+SIM_CENTROIDS_SQL = """
+WITH ex AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings)
+SELECT label, CAST(i - 1 AS INT) AS dim, ROUND(AVG(x), 6) AS avg_v
+FROM ex GROUP BY 1, 2 ORDER BY label, dim
+"""
+
+
 def tx_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition / stopword quality rules (Rae et al. 2021
     §A1.1, public): per language, how many docs trip the
@@ -1129,6 +1156,7 @@ REGISTRY = {
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
     "sim_ann_lsh": (sim_ann_lsh, _ann_lsh_sql()),
     "sim_ann_lsh_tables": (sim_ann_lsh_tables, _ann_lsh_tables_sql()),
+    "sim_label_centroids": (sim_label_centroids, SIM_CENTROIDS_SQL),
     "tx_token_stats": (tx_token_stats, TX_TOKEN_SQL),
     "tx_langid": (tx_langid, _langid_sql()),
     "tx_quality": (tx_quality, TX_QUALITY_SQL),
