@@ -437,6 +437,47 @@ ORDER BY q_id, rank
 """
 
 
+_CHUNK = 16  # tokens per training chunk (small so the testdata multi-chunks)
+
+
+def tx_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into fixed-size
+    token chunks (the flatMap that feeds sequence packing / RAG
+    indexing).  Narrow per-doc arithmetic — tokens staged once behind a
+    projection, then one explode over the chunk indices; no shuffle
+    until the presentation sort."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tx.tokens(F.col("text")).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    nchunks = F.ceil(F.size("_t") / F.lit(float(_CHUNK))).cast("int")
+    c = t.select(
+        "doc_id",
+        "_t",
+        F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("chunk_idx"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(
+            F.lit(_CHUNK), F.size("_t") - F.col("chunk_idx") * _CHUNK
+        ).cast("int").alias("n_tok"),
+        F.element_at("_t", F.col("chunk_idx") * _CHUNK + 1).alias("first_token"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+TX_CHUNK_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+c AS (SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(len(t) / {float(_CHUNK)}) AS BIGINT))) AS ci
+      FROM t WHERE len(t) > 0)
+SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       CAST(LEAST({_CHUNK}, len(t) - ci * {_CHUNK}) AS INT) AS n_tok,
+       t[ci * {_CHUNK} + 1] AS first_token
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids — the distributed vector-mean shape
     (the k-means update step as a declared, oracle-checked query):
@@ -1151,6 +1192,7 @@ REGISTRY = {
     "tx_top_tokens": (tx_top_tokens, TX_TOP_SQL),
     "tx_normalize_redact": (tx_normalize_redact, _tx_norm_sql()),
     "tx_gopher_rules": (tx_gopher_rules, TX_GOPHER_SQL),
+    "tx_chunking": (tx_chunking, TX_CHUNK_SQL),
     "dd_simhash": (dd_simhash, _simhash_sql()),
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
