@@ -23,12 +23,24 @@ CASES = [
     "tx_length_quantiles",
     "cur_pipeline",
     "o2_shuffled_sample",
+    # round 3: two-phase global numbering, correlated shapes, multi-table
+    # LSH, chunking — all must be layout-independent too
+    "o3_fraction_split",
+    "o4_drop_last_batches",
+    "q17_small_quantity",
+    "q20_dominant_suppliers",
+    "sim_ann_lsh_tables",
+    "tx_chunking",
+    "t_rollup_daily",
 ]
 
 
 def _rows(df):
     cols = sorted(df.columns)
-    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()),
+        key=lambda t: tuple(str(x) for x in t),  # None-safe (rollup NULLs)
+    )
 
 
 @pytest.mark.parametrize("name", CASES)
