@@ -401,6 +401,105 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, Q22_SQL, ["customer", "orders"])
 
 
+# TPC-H Q13 shape (outer join + double aggregation): the distribution of
+# non-urgent order counts per customer — the LEFT OUTER preserves
+# zero-order customers, the join predicate filters before grouping.
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) cc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — outer join feeding a count histogram."""
+    return _sql_query(spark, sf_dir, Q13_SQL, ["customer", "orders"])
+
+
+# TPC-H Q11 shape (HAVING against an uncorrelated scalar aggregate):
+# parts whose total traded value exceeds a fixed fraction of the global
+# total (no partsupp table — lineitem value is the inventory surrogate).
+Q11_SQL = """
+SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 4) AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(l_extendedprice * l_quantity) >
+       (SELECT 0.0007 * SUM(l_extendedprice * l_quantity) FROM lineitem)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 — grouped HAVING vs a global scalar subquery (the
+    subquery executes once; Spark plans it as a reused scalar)."""
+    return _sql_query(spark, sf_dir, Q11_SQL, ["lineitem"])
+
+
+# TPC-H Q15 shape (aggregate view + scalar MAX lookup): the top
+# supplier(s) by 1996Q1 revenue.
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, ROUND(total_revenue, 4) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — CTE revenue view consumed twice (join side + scalar
+    MAX); equality on the double is engine-portable because both sides
+    aggregate the identical value set."""
+    return _sql_query(spark, sf_dir, Q15_SQL, ["supplier", "lineitem"])
+
+
+# TPC-H Q16 shape (NOT IN subquery + COUNT DISTINCT): supplier variety
+# per part group, excluding a name-pattern supplier blocklist.
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#23' AND p_size IN (1, 5, 9, 15, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%33%')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 — NOT IN anti-join + COUNT(DISTINCT) (two-phase
+    distinct aggregation)."""
+    return _sql_query(
+        spark, sf_dir, Q16_SQL, ["part", "lineitem", "supplier"]
+    )
+
+
+# TPC-H Q19 shape (disjunction of conjunctive brackets across both join
+# sides): Catalyst extracts the common p_partkey equi-condition so the
+# OR brackets evaluate as a post-join filter, not a nested loop.
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, COUNT(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — disjunctive predicate brackets over an equi-join."""
+    return _sql_query(spark, sf_dir, Q19_SQL, ["lineitem", "part"])
+
+
 def s3_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/O5 — the unprocessed-set anti-join (ledger pattern,
     archive.py:180-195): orders with no lineitem rows."""
@@ -590,6 +689,11 @@ REGISTRY = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
+    "q19_bracket_revenue": (q19_bracket_revenue, Q19_SQL),
     "s3_incremental_antijoin": (s3_incremental_antijoin, S3_SQL),
     "f2_health_filter": (f2_health_filter, F2_SQL),
     "a4_distinct_groups": (a4_distinct_groups, A4_SQL),

@@ -246,6 +246,22 @@ def test_rollup_single_pass_expand(spark):
     assert plan.count("Scan parquet") == 1
 
 
+def test_q19_no_nested_loop(spark):
+    """Q19's OR-bracket predicate keeps the common p_partkey equi-join —
+    Catalyst does not fall back to a nested loop."""
+    plan = _plan(spark, "q19_bracket_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_q16_not_in_is_anti_join(spark):
+    """NOT IN compiles to a null-aware anti join, not a per-row probe."""
+    plan = _plan(spark, "q16_supplier_variety")
+    assert "LeftAnti" in plan or "NAAJ" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q18_top_k_take_ordered(spark):
     """Q18's ORDER BY + LIMIT compiles to TakeOrderedAndProject —
     per-partition top-k, no full global sort."""
