@@ -500,6 +500,116 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, Q19_SQL, ["lineitem", "part"])
 
 
+# TPC-H Q7 shape (nation-pair volume): symmetric disjunctive pair
+# predicate over a 6-way join, yearly slices.
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 4) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01') shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 — bidirectional nation-pair shipping volume."""
+    return _sql_query(
+        spark, sf_dir, Q7_SQL,
+        ["supplier", "lineitem", "orders", "customer", "nation"],
+    )
+
+
+# TPC-H Q8 shape (market share): one nation's fraction of regional PROMO
+# volume per order year — an 8-way join with a conditional numerator.
+Q8_SQL = """
+SELECT o_year, ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                     / SUM(volume), 6) AS mkt_share
+FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO') all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 — market-share ratio over an 8-way star join."""
+    return _sql_query(
+        spark, sf_dir, Q8_SQL,
+        ["part", "lineitem", "supplier", "orders", "customer", "nation", "region"],
+    )
+
+
+# TPC-H Q9 shape (profit by nation/year): LIKE-filtered part dimension,
+# profit = discounted revenue minus tax (no partsupp/supplycost in the
+# testdata; tax keeps every amount at 4 decimals so the rounded sums
+# stay off engine-specific rounding boundaries — a 0.5x cost factor
+# would create exact .xxxx5 ties, measured divergent).
+Q9_SQL = """
+SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) - l_extendedprice * l_tax AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%green%' OR p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 — product-profit cube by supplier nation and year."""
+    return _sql_query(
+        spark, sf_dir, Q9_SQL,
+        ["part", "lineitem", "supplier", "orders", "nation"],
+    )
+
+
+# TPC-H Q10 shape (returned-item ranking): top-k customers by returned
+# revenue in a half-year window.
+Q10_SQL = """
+SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       ROUND(c_acctbal, 4) AS c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 — top returns customers (TakeOrderedAndProject tail)."""
+    return _sql_query(
+        spark, sf_dir, Q10_SQL,
+        ["customer", "orders", "lineitem", "nation"],
+    )
+
+
 def s3_incremental_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/O5 — the unprocessed-set anti-join (ledger pattern,
     archive.py:180-195): orders with no lineitem rows."""
@@ -694,6 +804,10 @@ REGISTRY = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q16_supplier_variety": (q16_supplier_variety, Q16_SQL),
     "q19_bracket_revenue": (q19_bracket_revenue, Q19_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_nation_profit": (q9_nation_profit, Q9_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
     "s3_incremental_antijoin": (s3_incremental_antijoin, S3_SQL),
     "f2_health_filter": (f2_health_filter, F2_SQL),
     "a4_distinct_groups": (a4_distinct_groups, A4_SQL),
