@@ -478,6 +478,53 @@ FROM c ORDER BY doc_id, chunk_idx
 """
 
 
+_PACK_CAP = 128  # tokens per packed training bin
+
+
+def tx_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing per source shard (first-fit-contiguous,
+    capacity 128 tokens): per-bin document counts, token fill, and the
+    id checksum — the curation→batch-assembly bridge.  Sequential per
+    shard via applyInPandas; the oracle replays the identical
+    recurrence as a recursive CTE."""
+    from ..operators.packing import pack_greedy
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "doc_id", tx.token_count(F.col("text")).alias("ntok")
+    )
+    packed = pack_greedy(t, "source", "doc_id", "ntok", _PACK_CAP)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("fill_tokens"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def _tx_packing_sql() -> str:
+    from ..operators.packing import pack_recurrence_sql
+
+    body = pack_recurrence_sql(
+        f"SELECT source, doc_id, len({TOKENS_SQL}) AS ntok FROM documents",
+        "source",
+        "doc_id",
+        "ntok",
+        _PACK_CAP,
+    )
+    return f"""
+SELECT source, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS fill_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM ({body})
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids — the distributed vector-mean shape
     (the k-means update step as a declared, oracle-checked query):
@@ -1193,6 +1240,7 @@ REGISTRY = {
     "tx_normalize_redact": (tx_normalize_redact, _tx_norm_sql()),
     "tx_gopher_rules": (tx_gopher_rules, TX_GOPHER_SQL),
     "tx_chunking": (tx_chunking, TX_CHUNK_SQL),
+    "tx_packing": (tx_packing, _tx_packing_sql()),
     "dd_simhash": (dd_simhash, _simhash_sql()),
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),

@@ -377,6 +377,31 @@ def test_connected_components(spark):
     assert got == expect
 
 
+def test_pack_greedy_pinned(spark):
+    """First-fit-contiguous packing, hand-computed: resets when the next
+    doc would overflow, oversized docs get their own bin, zero-token
+    docs never force a reset."""
+    from asid_v2_data_pipeline_spark.operators.packing import pack_greedy
+
+    rows = [
+        ("a", 1, 50), ("a", 2, 60),   # bin 0 (110)
+        ("a", 3, 30),                  # bin 1 (would make 140 > 128)
+        ("a", 4, 200),                 # bin 2 (oversized, alone)
+        ("a", 5, 10),                  # bin 3 (200+10 > 128)
+        ("b", 10, 0), ("b", 11, 0),   # bin 0 — zero fill, no resets
+        ("b", 12, 130),                # still bin 0 (fill==0 -> no reset)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, ntok long")
+    got = {
+        (r["source"], r["doc_id"]): r["bin_id"]
+        for r in pack_greedy(df, "source", "doc_id", "ntok", 128).collect()
+    }
+    assert got == {
+        ("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 2, ("a", 5): 3,
+        ("b", 10): 0, ("b", 11): 0, ("b", 12): 0,
+    }
+
+
 def test_connected_components_raises_when_unconverged(spark):
     """ADVICE r2: exhausting max_rounds mid-propagation must raise, not
     silently return wrong cluster ids."""
