@@ -169,6 +169,35 @@ def test_index_compaction_bounded_and_equivalent(spark, tmp_path):
     assert compact_index(spark, index) == 0
 
 
+def test_compaction_drop_ids_retires_documents(spark, tmp_path):
+    """Compaction with drop_ids removes a retired doc's band rows: a
+    later near-dup of the retired doc is then ADMITTED (the index no
+    longer vouches for it)."""
+    from asid_v2_data_pipeline_spark.streaming.dedup_stream import (
+        compact_index,
+        process_batch,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    process_batch(
+        spark.createDataFrame([(1, BASE), (2, OTHER)], SCHEMA), 0, corpus, index
+    )
+    # retire doc 1 from the index
+    drop = spark.createDataFrame([(1,)], "_id long")
+    compact_index(spark, index, drop_ids=drop)
+    idx = spark.read.parquet(index)
+    assert idx.filter(idx["_id"] == 1).count() == 0
+    assert idx.filter(idx["_id"] == 2).count() > 0
+
+    # near-dup of retired doc 1 is admitted now
+    process_batch(
+        spark.createDataFrame([(30, BASE + " again")], SCHEMA), 1, corpus, index
+    )
+    spark.catalog.refreshByPath(corpus)
+    assert 30 in _corpus_ids(spark, corpus)
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Append-mode watermark semantics as an actual restarted stream:
     a finalized window is emitted once; an event arriving beyond the

@@ -274,3 +274,22 @@ def test_o4_drop_last(spark):
     out = drop_last_batches(df, 4, ["x"])
     assert out.count() == 8
     assert out.agg(F.max("batch_id")).collect()[0][0] == 1
+
+
+def test_drop_last_string_order_col(spark):
+    """Two-phase numbering's sample-based boundary path (non-numeric
+    leading sort key) is exact: batch assignment matches the sorted
+    order of the string keys."""
+    rows = [(f"k{i:03d}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "name string").orderBy(F.rand(7))
+    out = drop_last_batches(df, 3, ["name"])
+    got = {r["name"]: r["batch_id"] for r in out.collect()}
+    assert got == {f"k{i:03d}": i // 3 for i in range(9)}  # k009 dropped
+
+
+def test_fraction_split_explicit_order_cols(spark):
+    """order_cols path: exact head/tail split by the given key."""
+    df = spark.range(10).withColumnRenamed("id", "x")
+    train, val = fraction_split(df, 0.3, order_cols=["x"])
+    assert sorted(r["x"] for r in train.collect()) == [0, 1, 2]
+    assert sorted(r["x"] for r in val.collect()) == [3, 4, 5, 6, 7, 8, 9]
