@@ -181,6 +181,55 @@ def sample_frames(
     return media.mapInPandas(fn, FRAME_SCHEMA)
 
 
+RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_no", T.IntegerType(), False),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def window_rms(media: DataFrame, window_bytes: int) -> DataFrame:
+    """Audio-style windowed energy over RAW payloads: the payload is a
+    stream of unsigned 8-bit PCM samples; emit one row per COMPLETE
+    window with its exact sum-of-squares (integer — the octet-level
+    oracle anchor) and RMS (float64; ≤255² values sum exactly in
+    float64, so both engines compute the identical double).
+
+    Arrow-batched ``mapInPandas`` with Python-side fan-out per item —
+    the same shape as ``sample_frames``; a real deployment computes
+    spectral features here instead.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, wins, sums, rms = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                buf = bytes(p)
+                nw = len(buf) // window_bytes
+                for w in range(nw):
+                    seg = np.frombuffer(
+                        buf, dtype=np.uint8, count=window_bytes,
+                        offset=w * window_bytes,
+                    ).astype(np.float64)
+                    ss = int((seg * seg).sum())
+                    ids.append(mid)
+                    wins.append(w)
+                    sums.append(ss)
+                    rms.append(float(np.sqrt(ss / window_bytes)))
+            yield pd.DataFrame(
+                {"media_id": ids, "win_no": wins, "sum_sq": sums, "rms": rms}
+            )
+
+    return media.mapInPandas(fn, RMS_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -1150,6 +1150,45 @@ FROM frames ORDER BY doc_id
 """
 
 
+_RMS_W = 16
+
+
+def mm_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed energy: document bytes as unsigned 8-bit PCM,
+    exact per-window sum-of-squares + RMS (see operators.multimodal)."""
+    from ..operators.multimodal import window_rms
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = window_rms(media, _RMS_W)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "win_no",
+        "sum_sq",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("doc_id", "win_no")
+
+
+def _mm_rms_sql() -> str:
+    w = _RMS_W
+    return f"""
+WITH {_CODES_CTE_SQL},
+wins AS (
+  SELECT doc_id, CAST(w AS INT) AS win_no,
+         CAST(list_sum(list_transform(range(0, {w}), k ->
+              CAST(cs[CAST(w * {w} + k + 1 AS INT)] AS BIGINT)
+            * CAST(cs[CAST(w * {w} + k + 1 AS INT)] AS BIGINT))) AS BIGINT) AS sum_sq
+  FROM codes, unnest(range(0, n_bytes // {w})) AS t(w)
+)
+SELECT doc_id, win_no, sum_sq,
+       ROUND(sqrt(CAST(sum_sq AS DOUBLE) / {w}), 6) AS rms
+FROM wins ORDER BY doc_id, win_no
+"""
+
+
 _FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
 
 
@@ -1254,4 +1293,5 @@ REGISTRY = {
     "mm_byte_features": (mm_byte_features, MM_SQL),
     "mm_raw_pool": (mm_raw_pool, _mm_raw_sql()),
     "mm_frame_sample": (mm_frame_sample, _mm_frames_sql()),
+    "mm_window_rms": (mm_window_rms, _mm_rms_sql()),
 }
