@@ -388,10 +388,36 @@ ORDER BY gid, event_type, d
 """
 
 
+# ranking-window family (ntile / percent_rank): per-type value deciles.
+# The tie-break on (value, event_id) makes both functions deterministic;
+# identical SQL runs in both engines.
+T_DECILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile,
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr
+  FROM events
+)
+SELECT event_type, decile, COUNT(*) AS n,
+       ROUND(MIN(value), 4) AS lo, ROUND(MAX(value), 4) AS hi,
+       ROUND(MAX(pr), 6) AS max_pr
+FROM ranked GROUP BY event_type, decile
+ORDER BY event_type, decile
+"""
+
+
+def t_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) + percent_rank per event type — the ranking-window
+    surface (one hash exchange on event_type, per-type sort)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(T_DECILES_SQL)
+
+
 REGISTRY = {
     "t_asof_attribution": (t_asof_attribution, T_ASOF_SQL),
     "t_event_transitions": (t_event_transitions, T_TRANSITIONS_SQL),
     "t_rollup_daily": (t_rollup_daily, T_ROLLUP_SQL),
+    "t_value_deciles": (t_value_deciles, T_DECILES_SQL),
     "t_funnel_conversion": (t_funnel_conversion, T_FUNNEL_SQL),
     "t_rolling_user_avg": (t_rolling_user_avg, T_ROLLING_SQL),
     "t_retention_cohorts": (t_retention_cohorts, T_RETENTION_SQL),
