@@ -662,3 +662,83 @@ def connected_components(
             "rounds (component diameter > 2^max_rounds); raise max_rounds"
         )
     return labels
+
+
+# --- cross-document duplicate spans (substring dedup) -------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN detection: for every document, the
+    maximal token spans whose every ``k``-token window also occurs in at
+    least ``min_docs - 1`` other documents.
+
+    This is the distributed formulation of the duplicate-substring pass of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") — there built on a single-machine suffix array, which does not
+    distribute.  The k-gram inverted-index form does, in three
+    key-partitioned exchanges (no global state, no driver collection):
+
+    1. explode each doc into ``(pos, k-gram)`` windows        [narrow]
+    2. group by gram, keep grams in >= ``min_docs`` docs      [shuffle: gram]
+    3. join positions back to surviving grams                 [shuffle: gram]
+    4. merge overlapping/adjacent duplicated windows per doc
+       (gaps-and-islands; windows at starts p, q chain into one
+       covered region iff ``q - p <= k``)                     [shuffle: id]
+
+    Returns ``(id_col, span_start, span_len)``, 1-based token indices,
+    BIGINT.  Unlike MinHash/SimHash (document-level near-dup), this finds
+    partial overlap — boilerplate, quotes, templated passages — inside
+    otherwise-distinct documents.
+
+    Grams are grouped by their token STRING, not a hash: a 31-bit hash has
+    birthday collisions at corpus scale and a 128-bit hash can't be
+    mirrored portably in the DuckDB oracle.  The gram string (k short
+    tokens) is the shuffle payload; at 100 TB swap in ``xxhash64`` +
+    confirm pass if byte volume dominates.
+    """
+    from ..functions import text as tx
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_t")
+    )
+    starts = F.when(
+        F.size("_t") >= k, F.sequence(F.lit(1), F.size("_t") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("_pos"),
+                    F.concat_ws(" ", F.slice("_t", i, k)).alias("_g"),
+                ),
+            )
+        ).alias("_w"),
+    ).select("_id", F.col("_w._pos").alias("_pos"), F.col("_w._g").alias("_g"))
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    hits = grams.join(dup, "_g").select("_id", "_pos")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    brk = F.when(F.col("_pos") - F.lag("_pos").over(w) > k, 1).otherwise(0)
+    islands = hits.withColumn("_brk", brk).withColumn(
+        "_isl", F.sum("_brk").over(w)
+    )
+    return (
+        islands.groupBy("_id", "_isl")
+        .agg(
+            F.min("_pos").cast("long").alias("span_start"),
+            (F.max("_pos") - F.min("_pos") + k).cast("long").alias("span_len"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_len")
+    )

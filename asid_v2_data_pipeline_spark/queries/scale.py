@@ -1262,8 +1262,46 @@ ORDER BY id_a, id_b
 """
 
 
+
+def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate spans (Lee et al. 2022 substring dedup,
+    distributed k-gram form): maximal token spans whose every 5-gram also
+    occurs in another document."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.duplicate_spans(d, "doc_id", "text", k=5).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+DD_SPANS_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 4), ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS b
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
+    "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),

@@ -833,3 +833,49 @@ def test_asof_join_forward(spark):
     # T(5) -> first future is T(10), tie -> SMALLEST event_id (99)
     # T(10) -> inclusive match at same ts; T(31) -> nothing ahead
     assert out == {900: 99, 901: 99, 902: None}
+
+
+def test_duplicate_spans_pinned(spark):
+    from asid_v2_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    # k=2 windows; shared bigrams between docs 1/2: "a b", "b c" (chain ->
+    # one span 1..3 in doc 1), "x y" (isolated span).  Doc 3 shares
+    # nothing -> absent.  Doc 4 shorter than k -> no windows at all.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c q q q x y"),
+            (2, "p a b c p p x y"),
+            (3, "m n o"),
+            (4, "z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans(docs, k=2).collect()
+    }
+    # doc 1: dup starts {1,2} chain (gap 1 <= k) -> span [1, len 3];
+    #        start 7 ("x y") -> span [7, len 2]
+    # doc 2: dup starts {2,3} -> [2,3+1=len 3]; start 7 -> [7, len 2]
+    assert got == {
+        (1, 1, 3),
+        (1, 7, 2),
+        (2, 2, 3),
+        (2, 7, 2),
+    }
+
+
+def test_duplicate_spans_gap_split(spark):
+    from asid_v2_data_pipeline_spark.operators.dedup import duplicate_spans
+
+    # dup windows at starts 1 and 5 with k=3: gap 4 > k=3 -> two islands
+    # (token 4 is covered by NO duplicated window: 1..3 and 5..7)
+    docs = spark.createDataFrame(
+        [(1, "a b c q d e f"), (2, "a b c z z d e f")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans(docs, k=3).collect()
+    )
+    assert got == [(1, 1, 3), (1, 5, 3), (2, 1, 3), (2, 6, 3)]
