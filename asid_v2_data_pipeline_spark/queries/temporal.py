@@ -413,8 +413,69 @@ def t_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(T_DECILES_SQL)
 
 
+
+def t_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval-containment join: every click landing inside a
+    same-user "view" interval ``[ts, ts + floor(value)*600 seconds]``
+    (scaled so intervals span hours–days; day-width buckets give a
+    bounded fan-out of <= 4 replicas per interval).
+
+    Spark plans a bare range predicate as a nested-loop join; the banded
+    operator (operators/rangejoin.py) turns it into an ordinary shuffled
+    equi-join on (user_id, time-bucket) — the oracle is the bare
+    inequality join, so the hash match proves banding loses/dupes
+    nothing."""
+    from ..operators.rangejoin import interval_point_join
+
+    e = load_table(spark, sf_dir, "events")
+    iv = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value")).cast("long") * 600 * 1000000
+        ).alias("e_us"),
+    )
+    pt = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("point_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    joined = interval_point_join(
+        iv, pt, ["user_id"], "s_us", "e_us", "p_us",
+        bucket_width=86_400_000_000
+    )
+    return (
+        joined.groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("point_id").alias("first_hit"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+T_INTERVAL_SQL = """
+WITH iv AS (
+  SELECT event_id AS interval_id, user_id,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + CAST(FLOOR(value) AS BIGINT) * 600 * 1000000 AS e_us
+  FROM events WHERE event_type = 'view'
+), pt AS (
+  SELECT event_id AS point_id, user_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT iv.interval_id, COUNT(*) AS n_hits, MIN(pt.point_id) AS first_hit
+FROM iv JOIN pt
+  ON iv.user_id = pt.user_id AND pt.p_us BETWEEN iv.s_us AND iv.e_us
+GROUP BY iv.interval_id ORDER BY iv.interval_id
+"""
+
+
 REGISTRY = {
     "t_asof_attribution": (t_asof_attribution, T_ASOF_SQL),
+    "t_interval_join": (t_interval_join, T_INTERVAL_SQL),
     "t_event_transitions": (t_event_transitions, T_TRANSITIONS_SQL),
     "t_rollup_daily": (t_rollup_daily, T_ROLLUP_SQL),
     "t_value_deciles": (t_value_deciles, T_DECILES_SQL),

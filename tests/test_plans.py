@@ -305,3 +305,11 @@ def test_q6_pushdown_and_pruning(spark):
     assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
     m = plan[plan.index("ReadSchema:"):].splitlines()[0]
     assert "l_extendedprice" in m and "l_comment" not in m and "l_orderkey" not in m
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    # the whole point of banding: a range join that plans as a shuffled
+    # equi-join on (user_id, bucket), never a nested-loop/cartesian
+    plan = _plan(spark, "t_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -879,3 +879,68 @@ def test_duplicate_spans_gap_split(spark):
         for r in duplicate_spans(docs, k=3).collect()
     )
     assert got == [(1, 1, 3), (1, 5, 3), (2, 1, 3), (2, 6, 3)]
+
+
+def test_interval_point_join_pinned(spark):
+    from asid_v2_data_pipeline_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, 10, 30), (1, 25, 26), (2, 0, 1000)],
+        "k long, s long, e long",
+    )
+    pt = spark.createDataFrame(
+        # 10/30 inclusive ends; 26 inside both intervals of k=1;
+        # bucket_width=7 forces every interval to span several buckets
+        [(1, 10, 100), (1, 26, 101), (1, 31, 102), (2, 999, 103), (3, 5, 104)],
+        "k long, t long, pid long",
+    )
+    got = sorted(
+        (r.k, r.s, r.t, r.pid)
+        for r in interval_point_join(
+            iv, pt, ["k"], "s", "e", "t", bucket_width=7
+        ).collect()
+    )
+    # each match exactly once even though intervals replicate over buckets
+    assert got == [(1, 10, 10, 100), (1, 10, 26, 101), (1, 25, 26, 101),
+                   (2, 0, 999, 103)]
+
+
+def test_interval_point_join_left(spark):
+    from asid_v2_data_pipeline_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+
+    iv = spark.createDataFrame([(1, 10, 20), (1, 50, 60)], "k long, s long, e long")
+    pt = spark.createDataFrame([(1, 15, 100)], "k long, t long, pid long")
+    rows = interval_point_join(
+        iv, pt, ["k"], "s", "e", "t", bucket_width=8, how="left"
+    ).collect()
+    by_start = {r.s: (r.t, r.pid) for r in rows}
+    assert len(rows) == 2
+    assert by_start[10] == (15, 100)
+    assert by_start[50] == (None, None)  # unmatched interval kept once
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    from asid_v2_data_pipeline_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0, 100, 7), (1, 200, 210, 8)], "k long, ls long, le long, lid long"
+    )
+    right = spark.createDataFrame(
+        # overlaps lid=7 across MANY shared buckets (width 10) -> must
+        # still emit once; (205,300) overlaps lid=8; (150,160) overlaps none
+        [(1, 50, 90, 70), (1, 205, 300, 71), (1, 150, 160, 72)],
+        "k long, rs long, re long, rid long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, ["k"], "ls", "le", "rs", "re", bucket_width=10
+        ).collect()
+    )
+    assert got == [(7, 70), (8, 71)]
