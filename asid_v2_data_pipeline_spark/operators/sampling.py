@@ -233,3 +233,91 @@ SELECT counted.*, CAST(e.epoch AS BIGINT) AS epoch
 FROM counted, LATERAL unnest(range(0, _n)) AS e(epoch)
 WHERE _n > 0
 """
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_fraction_denom: int = 2,
+    seed: int = 29,
+) -> DataFrame:
+    """Temperature-scaled domain sampling (α = 0.5): sample each domain
+    with probability ∝ ``n_d^α / n_d``, i.e. rebalance a skewed corpus
+    toward its small domains — the multilingual-LM mixing rule of
+    Conneau & Lample 2019 / Xue et al. 2021 (mT5), where low-resource
+    languages are upsampled *relatively* by exponentiating domain mass.
+
+    Overall budget: ``total/target_fraction_denom`` rows, allocated to
+    domain d as ``t_d = N · √n_d / Σ√n``; each domain then keeps rows by
+    the portable hash-threshold rule ``shuffle_hash(id) < t_d·2³¹/n_d``.
+
+    α is fixed at 0.5 because ``sqrt`` is IEEE-correctly-rounded in every
+    engine — the whole computation (count → weight → integer thresholds)
+    is reproducible bit-for-bit in the DuckDB oracle.  General-α needs
+    ``pow``, whose last-ulp behavior is libm-specific; layer it on
+    ``stratified_sample`` with driver-computed fractions instead.
+
+    Scale: one metadata-size groupBy on the domain, a 1-row broadcast for
+    the global sums, and a broadcast join back — the corpus itself never
+    shuffles and is filtered in the scan stage.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # weight = floor(sqrt(n) * 1e6): sqrt + one double multiply, both
+    # correctly rounded IEEE ops -> identical in Spark and DuckDB
+    weights = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_n")) * F.lit(1000000.0)).cast("long")
+    )
+    tot = weights.agg(
+        F.sum("_w").alias("_sw"), F.sum("_n").alias("_tn")
+    )
+    thr = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_tgt",
+            F.expr(f"((_tn div {int(target_fraction_denom)}) * _w) div _sw"),
+        )
+        .withColumn(
+            "_thr",
+            F.least(
+                F.expr(f"(_tgt * CAST({SHUFFLE_M} AS BIGINT)) div _n"),
+                F.lit(SHUFFLE_M).cast("long"),
+            ),
+        )
+        .select(group_col, "_thr")
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(shuffle_hash(F.col(id_col).cast("long"), seed) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def temperature_sample_sql(
+    group_col: str,
+    id_col: str,
+    target_fraction_denom: int = 2,
+    seed: int = 29,
+    src: str = "documents",
+) -> str:
+    """Oracle: the identical integer/IEEE arithmetic as a FROM-able
+    derived table exposing the admitted rows of ``src``."""
+    h = shuffle_hash_sql(id_col, seed)
+    return f"""
+WITH _counts AS (
+  SELECT {group_col} AS _g, COUNT(*) AS _n FROM {src} GROUP BY {group_col}
+), _w AS (
+  SELECT _g, _n, CAST(FLOOR(SQRT(_n) * 1000000.0) AS BIGINT) AS _wgt
+  FROM _counts
+), _tot AS (
+  SELECT SUM(_wgt) AS _sw, SUM(_n) AS _tn FROM _w
+), _thr AS (
+  SELECT _g,
+         LEAST((((_tn // {int(target_fraction_denom)}) * _wgt // _sw)
+                * {SHUFFLE_M}) // _n,
+               {SHUFFLE_M}) AS _t
+  FROM _w, _tot
+)
+SELECT {src}.* FROM {src} JOIN _thr ON {src}.{group_col} = _thr._g
+WHERE {h} < _thr._t
+"""

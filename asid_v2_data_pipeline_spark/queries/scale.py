@@ -1299,6 +1299,57 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+
+def sp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α=0.5) language mixing: rebalance the corpus
+    toward low-resource languages, √-mass allocation, portable
+    hash-threshold admission — the mT5/XLM-R mixing rule."""
+    from ..operators.sampling import temperature_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(d, "lang", "doc_id", target_fraction_denom=2)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sp_temp_sql() -> str:
+    from ..operators.sampling import temperature_sample_sql
+
+    return f"""
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM ({temperature_sample_sql("lang", "doc_id", 2)})
+GROUP BY lang ORDER BY lang
+"""
+
+
+
+def sp_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a (potentially hot-keyed) group:
+    per event_type sum/count via (key, salt) partials then a merge — the
+    result is salt-invariant, so the oracle is the plain GROUP BY."""
+    from ..operators.skew import salted_sum
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_sum(e, ["event_type"], ["value"], salt_buckets=16)
+    return out.select(
+        "event_type",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.col("n"),
+    ).orderBy("event_type")
+
+
+SP_SALTED_SQL = """
+SELECT event_type, ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -1310,6 +1361,8 @@ REGISTRY = {
     "sp_group_quota": (sp_group_quota, _sp_quota_sql()),
     "sp_stratified": (sp_stratified, _sp_strat_sql()),
     "sp_mixture": (sp_mixture, _sp_mix_sql()),
+    "sp_temperature_mixture": (sp_temperature_mixture, _sp_temp_sql()),
+    "sp_salted_agg": (sp_salted_agg, SP_SALTED_SQL),
     "dc_contamination": (dc_contamination, _dc_sql()),
     "cur_pipeline": (cur_pipeline, _cur_sql()),
     "tx_length_quantiles": (tx_length_quantiles, _tx_quant_sql()),

@@ -944,3 +944,34 @@ def test_interval_overlap_join_exactly_once(spark):
         ).collect()
     )
     assert got == [(7, 70), (8, 71)]
+
+
+def test_temperature_sample_flattens_skew(spark):
+    from asid_v2_data_pipeline_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    # 180 'big' rows vs 20 'small' rows; α=0.5 allocation: target
+    # N=100 split ∝ √180 : √20 = 3:1 -> big ~75/180 (≈0.42 rate),
+    # small ~25/20 (rate caps at 1.0: every small row kept)
+    rows = [(i, "big") for i in range(180)] + [
+        (1000 + i, "small") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    kept = temperature_sample(df, "grp", "id", target_fraction_denom=2)
+    by = {
+        r.grp: r.n
+        for r in kept.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by["small"] == 20  # capped threshold admits the whole domain
+    frac_big = by["big"] / 180
+    assert frac_big < 0.55  # big domain genuinely downsampled
+    # deterministic: identical admission set on re-run
+    ids1 = sorted(r.id for r in kept.collect())
+    ids2 = sorted(
+        r.id
+        for r in temperature_sample(
+            df, "grp", "id", target_fraction_denom=2
+        ).collect()
+    )
+    assert ids1 == ids2
