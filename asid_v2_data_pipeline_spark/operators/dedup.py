@@ -388,6 +388,45 @@ def simhash_pairs(
     )
 
 
+def _naive_pairs_from_staged(staged: DataFrame, threshold: float) -> DataFrame:
+    """Zero-join exact Jaccard pairs from a materialized (_id, _s
+    shingle-array) table: explode with sizes, bucket-collect per shingle,
+    expand in-bucket pairs; the per-pair count IS |A∩B|."""
+    sh = staged.select(
+        "_id", F.size("_s").alias("_sz"), F.explode("_s").alias("_sh")
+    )
+    buckets = (
+        sh.groupBy("_sh")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_id"), F.col("_sz")))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") >= 2)
+    )
+    inter = (
+        buckets.select(
+            F.explode(_pairs_from_sorted(F.col("_ms"))).alias("_p")
+        )
+        .groupBy(
+            F.col("_p._a._id").alias("id_a"),
+            F.col("_p._b._id").alias("id_b"),
+            F.col("_p._a._sz").alias("_sza"),
+            F.col("_p._b._sz").alias("_szb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -442,39 +481,7 @@ def jaccard_pairs(
             F.col(id_col).alias("_id"),
             F.array_distinct(shingles(F.col(text_col), n)).alias("_s"),
         ).localCheckpoint()
-        sh = staged.select(
-            "_id", F.size("_s").alias("_sz"), F.explode("_s").alias("_sh")
-        )
-        buckets = (
-            sh.groupBy("_sh")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("_id"), F.col("_sz")))
-                ).alias("_ms")
-            )
-            .filter(F.size("_ms") >= 2)
-        )
-        inter = (
-            buckets.select(
-                F.explode(_pairs_from_sorted(F.col("_ms"))).alias("_p")
-            )
-            .groupBy(
-                F.col("_p._a._id").alias("id_a"),
-                F.col("_p._b._id").alias("id_b"),
-                F.col("_p._a._sz").alias("_sza"),
-                F.col("_p._b._sz").alias("_szb"),
-            )
-            .agg(F.count(F.lit(1)).alias("_inter"))
-        )
-        return (
-            inter.withColumn(
-                "jaccard",
-                F.col("_inter")
-                / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
+        return _naive_pairs_from_staged(staged, threshold)
 
     # candidate-scheme paths: materialize the per-doc shingle arrays once
     # (localCheckpoint — at 100 TB this would be a persisted table, the
@@ -506,12 +513,23 @@ def jaccard_pairs(
         )
 
     if df_cutoff is not None:
+        # the hot set is tiny by construction (<= occurrences/df_cutoff)
+        # — materialize it once: the emptiness probe and the broadcast
+        # join below both read the checkpoint instead of re-aggregating
         hot = (
             sh.groupBy("_sh")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > df_cutoff)
             .select("_sh", F.lit(True).alias("_hot"))
+            .localCheckpoint()
         )
+        if hot.limit(1).count() == 0:
+            # ADAPTIVE: no shingle exceeds the cutoff, so the pruning
+            # cannot bite — the candidate/verify machinery would only
+            # add passes (measured 4× slower on a hot-free corpus).
+            # Same result either way (the scheme is result-preserving),
+            # so take the zero-join path over the same shingle table.
+            return _naive_pairs_from_staged(staged, threshold)
         flagged = sh.join(F.broadcast(hot), "_sh", "left").withColumn(
             "_hot", F.coalesce(F.col("_hot"), F.lit(False))
         )

@@ -54,11 +54,17 @@ def curate(
     column (one row per training epoch of each admitted document)."""
     good = docs.filter(tx.quality_score(F.col(text_col)) >= quality_min)
     keyed = good.withColumn("_fp", tx.fingerprint(F.col(text_col)))
-    uniq = exact_dedup(keyed, ["_fp"], id_col).drop("_fp")
+    # uniq feeds BOTH the LSH pair generation and the survivor anti-join;
+    # left lazy, Catalyst derives the quality+fingerprint+dedup chain once
+    # per consumer (measured ~2× the whole chain's cost at sf0.1).
+    # localCheckpoint = the in-memory analogue of the stage tables
+    # curate_staged persists — same rows, derived once.
+    uniq = exact_dedup(keyed, ["_fp"], id_col).drop("_fp").localCheckpoint()
 
     pairs = minhash_lsh_pairs(uniq, id_col, text_col, num_perm=16, bands=4)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    neat = uniq.join(F.broadcast(losers), id_col, "left_anti")
+    # neat likewise feeds decontamination AND the final anti-join
+    neat = uniq.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint()
 
     contaminated = contamination(
         neat, benchmark, id_col, text_col, n=decontam_n
