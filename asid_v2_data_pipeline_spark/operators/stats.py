@@ -134,3 +134,42 @@ def top_k_by_count(df: DataFrame, key_cols: list[str], k: int) -> DataFrame:
         .orderBy(F.desc("n"), *key_cols)
         .limit(k)
     )
+
+
+def quantile_gate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantile: tuple[int, int],
+    tie_col: str,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantile admission gate: keep rows whose ``value_col`` is
+    at or above their group's ``num/den`` nearest-rank quantile — the
+    "drop the worst X% of each domain" curation rule, with the threshold
+    derived from the data instead of hand-tuned.
+
+    Two-phase by construction: thresholds come from
+    ``group_quantiles_exact`` (or ``group_quantiles_approx`` — no sort,
+    for the 100 TB dashboard path) over the group key, then broadcast
+    back as a plain filter — the corpus itself never sorts globally and
+    never shuffles.  The ``>= threshold`` form is tie-stable: every row
+    equal to the threshold is kept, so the admitted SET is independent of
+    any within-tie ordering.
+    """
+    num, den = quantile
+    if approx:
+        prob = num / den
+        thr = group_quantiles_approx(df, group_col, value_col, [prob]).select(
+            group_col,
+            F.col("q" + str(prob).replace(".", "_")).alias("_thr"),
+        )
+    else:
+        thr = group_quantiles_exact(
+            df, group_col, value_col, [quantile], tie_col
+        ).select(group_col, F.col(f"p{num}_{den}").alias("_thr"))
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(F.col(value_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

@@ -1350,6 +1350,137 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def tx_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-quantile gate: drop each language's
+    bottom-quartile documents by quality score — thresholds derived from
+    the data (two-phase: exact nearest-rank quantile per group, broadcast
+    filter back; corpus never globally sorts)."""
+    from ..operators.stats import quantile_gate
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", tx.quality_score(F.col("text")).alias("q")
+    )
+    kept = quantile_gate(scored, "lang", "q", (1, 4), "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.sum("q"), 4).alias("sum_q"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+TX_QGATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         LENGTH(text) AS n,
+         LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         len({TOKENS_SQL}) AS ntok
+  FROM documents
+), q AS (
+  SELECT doc_id, lang,
+         (CASE WHEN n > 0 THEN alpha * 1.0 / n ELSE 0.0 END) * 0.5
+         + (1 - LEAST((CASE WHEN n > 0 THEN punct * 1.0 / n ELSE 0.0 END) * 5, 1.0)) * 0.25
+         + (CASE WHEN ntok >= 5 AND ntok <= 5000 THEN 1.0 ELSE 0.5 END) * 0.25 AS q
+  FROM d
+), ranked AS (
+  SELECT lang, q AS _v,
+         row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS _rn,
+         COUNT(*) OVER (PARTITION BY lang) AS _n
+  FROM q
+), thr AS (
+  SELECT lang, MAX(CASE WHEN _rn = (1 * _n + 4 - 1) // 4 THEN _v END) AS t
+  FROM ranked GROUP BY lang
+)
+SELECT q.lang, COUNT(*) AS n_kept, ROUND(SUM(q.q), 4) AS sum_q,
+       CAST(SUM(q.doc_id) AS BIGINT) AS sum_ids
+FROM q JOIN thr ON q.lang = thr.lang
+WHERE q.q >= thr.t
+GROUP BY q.lang ORDER BY q.lang
+"""
+
+
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step as a declared query: assign every embedding to its
+    nearest per-label centroid (L2², centroids = rounded label means) and
+    report the label-vs-assigned confusion counts.  Centroids broadcast;
+    the corpus side is one narrow pass + a per-vector argmin."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    cents = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+    )
+    carr = (
+        cents.groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_sc")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("_sc", lambda s: s["c"]).alias("cv"),
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = e.crossJoin(F.broadcast(carr)).withColumn("d2", d2)
+    from pyspark.sql.window import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy("d2", "clabel")
+    )
+    asg = scored.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+    return (
+        asg.groupBy(F.col("label"), F.col("clabel").alias("assigned"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "assigned")
+    )
+
+
+SIM_ASSIGN_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), ex AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), cents AS (
+  SELECT label AS clabel, i, ROUND(AVG(x), 6) AS c
+  FROM ex GROUP BY 1, 2
+), carr AS (
+  SELECT clabel, list(c ORDER BY i) AS cv FROM cents GROUP BY clabel
+), scored AS (
+  SELECT e.vec_id, e.label, carr.clabel,
+         ROUND(list_reduce(list_prepend(
+             0.0,
+             list_transform(range(1, 65),
+                            i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+           (a, b) -> a + b), 6) AS d2
+  FROM e CROSS JOIN carr
+), asg AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM scored
+)
+SELECT label, clabel AS assigned, COUNT(*) AS n
+FROM asg WHERE rn = 1
+GROUP BY label, clabel ORDER BY label, assigned
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -1377,9 +1508,11 @@ REGISTRY = {
     "sim_ann_lsh": (sim_ann_lsh, _ann_lsh_sql()),
     "sim_ann_lsh_tables": (sim_ann_lsh_tables, _ann_lsh_tables_sql()),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROIDS_SQL),
+    "sim_centroid_assign": (sim_centroid_assign, SIM_ASSIGN_SQL),
     "tx_token_stats": (tx_token_stats, TX_TOKEN_SQL),
     "tx_langid": (tx_langid, _langid_sql()),
     "tx_quality": (tx_quality, TX_QUALITY_SQL),
+    "tx_quality_gate": (tx_quality_gate, TX_QGATE_SQL),
     "tx_fingerprint": (tx_fingerprint, TX_FP_SQL),
     "mm_byte_features": (mm_byte_features, MM_SQL),
     "mm_raw_pool": (mm_raw_pool, _mm_raw_sql()),

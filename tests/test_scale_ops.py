@@ -975,3 +975,29 @@ def test_temperature_sample_flattens_skew(spark):
         ).collect()
     )
     assert ids1 == ids2
+
+
+def test_quantile_gate_tie_stable(spark):
+    from asid_v2_data_pipeline_spark.operators.stats import quantile_gate
+
+    # group g: values [1,2,2,2,9] — p25 nearest-rank (rank ceil(5/4)=2)
+    # is 2; gate >= 2 keeps ALL the tied 2s (admitted set independent of
+    # tie order) and drops only the 1
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 2.0), (3, "g", 2.0), (4, "g", 2.0),
+         (5, "g", 9.0), (6, "h", 5.0)],
+        "id long, grp string, v double",
+    )
+    kept = sorted(
+        r.id
+        for r in quantile_gate(df, "grp", "v", (1, 4), "id").collect()
+    )
+    assert kept == [2, 3, 4, 5, 6]
+    # approx mode admits a superset-ish set at same quantile on tiny data
+    kept_a = sorted(
+        r.id
+        for r in quantile_gate(
+            df, "grp", "v", (1, 4), "id", approx=True
+        ).collect()
+    )
+    assert 5 in kept_a and 6 in kept_a and 1 not in kept_a
