@@ -783,10 +783,39 @@ LIMIT 100
 """
 
 
+
+def o7_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over two part dimensions — the sort
+    key behind multi-dimension file clustering (functions/layout.py);
+    bit-for-bit mirrored in the oracle."""
+    from ..functions.layout import zorder_key
+
+    part = load_table(spark, sf_dir, "part")
+    keyed = part.select(
+        "p_partkey",
+        "p_size",
+        zorder_key(
+            [F.col("p_partkey"), F.col("p_size")], bits=8
+        ).alias("zkey"),
+    )
+    return keyed.orderBy("zkey", "p_partkey").limit(20)
+
+
+def _o7_sql() -> str:
+    from ..functions.layout import zorder_key_sql
+
+    z = zorder_key_sql(["p_partkey", "p_size"], bits=8)
+    return f"""
+SELECT p_partkey, p_size, {z} AS zkey
+FROM part ORDER BY zkey, p_partkey LIMIT 20
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "j3_id_lookup": (j3_id_lookup, J3_SQL),
     "o2_shuffled_sample": (o2_shuffled_sample, _o2_sql()),
+    "o7_zorder_key": (o7_zorder_key, _o7_sql()),
     "q3_order_revenue": (q3_order_revenue, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

@@ -1001,3 +1001,47 @@ def test_quantile_gate_tie_stable(spark):
         ).collect()
     )
     assert 5 in kept_a and 6 in kept_a and 1 not in kept_a
+
+
+def test_zorder_key_pinned(spark):
+    from asid_v2_data_pipeline_spark.functions.layout import zorder_key
+
+    # 3=011, 5=101 interleaved (bit b of col i at position b*2+i):
+    # 0b100111 = 39; order swap gives 0b011011 = 27
+    df = spark.createDataFrame([(3, 5)], "a long, b long")
+    r = df.select(
+        zorder_key([F.col("a"), F.col("b")], bits=3).alias("z"),
+        zorder_key([F.col("b"), F.col("a")], bits=3).alias("zr"),
+    ).first()
+    assert (r.z, r.zr) == (39, 27)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        zorder_key([F.col("a")], bits=3)
+    with _pt.raises(ValueError):
+        zorder_key([F.col("a"), F.col("b")], bits=32)
+
+
+def test_write_zordered_files_are_spatially_tight(spark, tmp_path):
+    import glob
+    import os
+
+    from asid_v2_data_pipeline_spark.functions.layout import write_zordered
+
+    # 16x16 grid into 4 files: the z-curve tiles power-of-2 grids into
+    # quadrants, so each file's (i,j) bounding box ~= its row count —
+    # a single-dimension sort would give boxes 4x the row count
+    grid = spark.range(256).select(
+        (F.col("id") % 16).alias("i"), (F.col("id") / 16).cast("long").alias("j")
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(grid, out, ["i", "j"], bits=4, num_files=4)
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert len(files) == 4
+    for f in files:
+        pf = spark.read.parquet(f)
+        row = pf.agg(
+            F.min("i"), F.max("i"), F.min("j"), F.max("j"), F.count("*")
+        ).first()
+        area = (row[1] - row[0] + 1) * (row[3] - row[2] + 1)
+        assert area <= 2 * row[4], (f, area, row[4])
