@@ -703,11 +703,17 @@ def duplicate_spans(
     key-partitioned exchanges (no global state, no driver collection):
 
     1. explode each doc into ``(pos, k-gram)`` windows        [narrow]
-    2. group by gram, keep grams in >= ``min_docs`` docs      [shuffle: gram]
-    3. join positions back to surviving grams                 [shuffle: gram]
-    4. merge overlapping/adjacent duplicated windows per doc
+    2. bucket-collect occurrences per gram, keep grams in
+       >= ``min_docs`` docs, re-explode survivors             [shuffle: gram]
+    3. merge overlapping/adjacent duplicated windows per doc
        (gaps-and-islands; windows at starts p, q chain into one
        covered region iff ``q - p <= k``)                     [shuffle: id]
+
+    One pass over the grams — collecting occurrences and filtering in the
+    same aggregation avoids a second gram-keyed exchange AND re-deriving
+    the tokenize+explode lineage for the join-back side (measured ~2× at
+    sf0.1).  Per-gram occurrence lists are bounded by the duplication
+    itself (a gram's list is exactly its corpus occurrences).
 
     Returns ``(id_col, span_start, span_len)``, 1-based token indices,
     BIGINT.  Unlike MinHash/SimHash (document-level near-dup), this finds
@@ -740,13 +746,19 @@ def duplicate_spans(
             )
         ).alias("_w"),
     ).select("_id", F.col("_w._pos").alias("_pos"), F.col("_w._g").alias("_g"))
-    dup = (
-        grams.groupBy("_g")
-        .agg(F.countDistinct("_id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_g")
+    buckets = grams.groupBy("_g").agg(
+        F.collect_list(F.struct("_id", "_pos")).alias("_occ")
     )
-    hits = grams.join(dup, "_g").select("_id", "_pos")
+    hits = (
+        buckets.filter(
+            F.size(
+                F.array_distinct(F.transform("_occ", lambda o: o["_id"]))
+            )
+            >= min_docs
+        )
+        .select(F.explode("_occ").alias("_o"))
+        .select(F.col("_o._id").alias("_id"), F.col("_o._pos").alias("_pos"))
+    )
     w = Window.partitionBy("_id").orderBy("_pos")
     brk = F.when(F.col("_pos") - F.lag("_pos").over(w) > k, 1).otherwise(0)
     islands = hits.withColumn("_brk", brk).withColumn(

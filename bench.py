@@ -30,7 +30,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # headline set: relational joins/aggs, patch ops, dedup, similarity,
 # text, windows — one per operator family, the scale-sensitive ones.
 # Round 3 adds the three round-2 scale-stress queries (VERDICT r2 task 8)
-# so their measured wins stay pinned round-over-round.
+# so their measured wins stay pinned round-over-round, plus the two new
+# shuffle-heavy capabilities (duplicate-span detection; banded range join).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_order_revenue",
@@ -47,6 +48,8 @@ HEADLINE = [
     "cur_pipeline",
     "dc_contamination",
     "dd_jaccard_pairs",
+    "dd_duplicate_spans",
+    "t_interval_join",
 ]
 
 
