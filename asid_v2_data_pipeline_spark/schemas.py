@@ -115,10 +115,13 @@ def load_table(spark, sf_dir: str, name: str):
     """Load one driver testdata table; Parquet gives column pruning +
     predicate pushdown for free.
 
-    events.ts is TIMESTAMP(NANOS) in the driver's parquet — Spark reads it
-    as long (legacy.parquet.nanosAsLong) and we convert to a microsecond
-    timestamp here (integer division keeps it exact; ns epoch values
-    overflow double precision).
+    events.ts has varied across driver testdata generations: TIMESTAMP(NANOS)
+    (Spark reads it as long under legacy.parquet.nanosAsLong; we divide to
+    micros — integer division keeps it exact, ns epoch values overflow double
+    precision) or plain no-tz timestamp[us] (Spark 4 infers TIMESTAMP_NTZ; we
+    cast to TIMESTAMP, which under the UTC session zone is value-identical to
+    what DuckDB reads).  Either way downstream queries see one stable type:
+    TIMESTAMP, microsecond precision, UTC semantics.
 
     Both confs are set defensively at read time: the harness may run these
     queries in a session it built itself (without session.py's defaults),
@@ -130,8 +133,12 @@ def load_table(spark, sf_dir: str, name: str):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
