@@ -772,3 +772,56 @@ def duplicate_spans(
         )
         .select(F.col("_id").alias(id_col), "span_start", "span_len")
     )
+
+
+def semantic_dedup(
+    clustered: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
+    each cluster, a vector is *removed* when some earlier-id vector in the
+    same cluster has cosine similarity >= ``threshold`` — survivors are
+    the id-minimal representatives, removal is one-hop domination (the
+    transitive-closure variant is ``connected_components`` over these
+    pairs).
+
+    Input must carry a cluster assignment (e.g. nearest-centroid argmin —
+    ``queries/scale.py::dd_semantic`` derives one from per-label
+    centroids).  The pair join is an **equi-join on the cluster id**: at
+    100 TB candidates are bounded per cluster — pairs never cross
+    clusters, so cost is Σ|cluster|², the quantity k-means sizing
+    controls, not N².  One shuffle each side on the cluster key.
+
+    Returns the removed rows: ``(id, cluster, dup_of, cos)`` with
+    ``dup_of`` the smallest dominating id and ``cos`` its similarity.
+    """
+    from .similarity import cosine
+
+    a = clustered.select(
+        F.col(cluster_col).alias("_ck"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = clustered.select(
+        F.col(cluster_col).alias("_ck"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    hits = (
+        a.join(b, "_ck")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("_s", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_s") >= threshold)
+    )
+    best = hits.groupBy("_ck", "_idb").agg(
+        F.min(F.struct("_ida", "_s")).alias("_m")
+    )
+    return best.select(
+        F.col("_idb").alias(id_col),
+        F.col("_ck").alias(cluster_col),
+        F.col("_m._ida").alias("dup_of"),
+        F.col("_m._s").alias("cos"),
+    )

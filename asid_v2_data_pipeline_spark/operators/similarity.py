@@ -427,3 +427,27 @@ def topk_cosine_lsh_tables(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.col("score").cast("double").alias("score"), "rank")
     )
+
+
+def random_project(
+    vec: Column, in_dim: int, out_dim: int, seed: int = 23
+) -> Column:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dimensions:
+    ``r[j] = <v, s_j> / sqrt(out_dim)`` with deterministic ±1 sign rows
+    (Achlioptas 2003 database-friendly projections; the same LCG sign
+    stream as ``_hyperplanes``, so the DuckDB oracle reproduces the matrix
+    exactly).
+
+    Pure column expression — ``in_dim·out_dim`` fused multiply-adds per
+    row inside whole-stage codegen, zero shuffle, zero Python.  Use
+    ``out_dim`` a power of four so the ``1/sqrt(out_dim)`` scale is an
+    exact binary double (0.25, 0.0625, …) and both engines multiply by the
+    identical constant."""
+    rows = _hyperplanes(in_dim, out_dim, seed)
+    scale = out_dim ** -0.5
+    return F.array(
+        *[
+            (dot(vec, F.array(*[F.lit(x) for x in row])) * F.lit(scale))
+            for row in rows
+        ]
+    )

@@ -1405,11 +1405,12 @@ GROUP BY q.lang ORDER BY q.lang
 """
 
 
-def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-means E-step as a declared query: assign every embedding to its
-    nearest per-label centroid (L2², centroids = rounded label means) and
-    report the label-vs-assigned confusion counts.  Centroids broadcast;
-    the corpus side is one narrow pass + a per-vector argmin."""
+def _cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-per-label-centroid assignment (k-means E-step), shared by
+    ``sim_centroid_assign`` and ``dd_semantic``: centroids = rounded label
+    means, distance = rounded L2², deterministic argmin (d2, then clabel).
+    Centroids broadcast; the corpus side is one narrow pass + a per-vector
+    argmin.  Returns (vec_id, label, v, clabel)."""
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
@@ -1442,12 +1443,131 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         W.partitionBy("vec_id").orderBy("d2", "clabel")
     )
-    asg = scored.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "label", "v", "clabel")
+    )
+
+
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step as a declared query: assign every embedding to its
+    nearest per-label centroid and report the label-vs-assigned confusion
+    counts (see ``_cluster_assign`` for the plan shape)."""
+    asg = _cluster_assign(spark, sf_dir)
     return (
         asg.groupBy(F.col("label"), F.col("clabel").alias("assigned"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "assigned")
     )
+
+
+def dd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a declared query: cluster by
+    nearest label-centroid, then drop any vector dominated by an
+    earlier-id cluster-mate with cosine >= τ.  The pair join is an
+    equi-join on the cluster id — candidates bounded per cluster, never
+    N² (``operators/dedup.py::semantic_dedup``).
+
+    τ=0.35 is a *demonstration* threshold: the synthetic embeddings carry
+    no planted near-dups (max pairwise cos ≈ 0.5), so production-realistic
+    τ≈0.95 would return the empty set and verify nothing.  0.35 sits at
+    the ~99.5th percentile of the pair distribution — a small, non-trivial
+    removed set whose every row the oracle re-derives."""
+    asg = _cluster_assign(spark, sf_dir).select(
+        "vec_id", "v", F.col("clabel").alias("cluster")
+    )
+    removed = dd.semantic_dedup(asg, threshold=0.35)
+    return removed.select(
+        "vec_id",
+        "cluster",
+        "dup_of",
+        F.round("cos", 6).alias("cos"),
+    ).orderBy("vec_id")
+
+
+DD_SEMANTIC_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), ex AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), cents AS (
+  SELECT label AS clabel, i, ROUND(AVG(x), 6) AS c
+  FROM ex GROUP BY 1, 2
+), carr AS (
+  SELECT clabel, list(c ORDER BY i) AS cv FROM cents GROUP BY clabel
+), scored AS (
+  SELECT e.vec_id, e.v, carr.clabel,
+         ROUND(list_reduce(list_prepend(
+             0.0,
+             list_transform(range(1, 65),
+                            i -> (v[i] - cv[i]) * (v[i] - cv[i]))),
+           (a, b) -> a + b), 6) AS d2
+  FROM e CROSS JOIN carr
+), asg AS (
+  SELECT vec_id, v, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM scored
+), cl AS (
+  SELECT vec_id, v, clabel AS cluster FROM asg WHERE rn = 1
+), hits AS (
+  SELECT * FROM (
+    SELECT b.vec_id, b.cluster, a.vec_id AS ida,
+           list_dot_product(a.v, b.v) /
+           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+    FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  ) WHERE s >= 0.35
+), best AS (
+  SELECT vec_id, cluster, ida, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ida, s) AS rn2
+  FROM hits
+)
+SELECT vec_id, cluster, ida AS dup_of, ROUND(s, 6) AS cos
+FROM best WHERE rn2 = 1 ORDER BY vec_id
+"""
+
+
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64→16 as a declared
+    query: deterministic ±1 projection (``similarity.random_project``),
+    reporting the first four reduced components and the input/output norms
+    per vector — the norm columns audit the JL contraction the projection
+    promises, the component columns pin the exact arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    proj = e.select(
+        "vec_id", "v", sim.random_project(F.col("v"), 64, 16).alias("_r")
+    )
+    return proj.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("_r", j + 1), 6).alias(f"r{j}")
+            for j in range(4)
+        ],
+        F.round(sim.norm(F.col("v")), 6).alias("norm_in"),
+        F.round(sim.norm(F.col("_r")), 6).alias("norm_out"),
+    ).orderBy("vec_id")
+
+
+def _rand_proj_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 23) -> str:
+    rows = sim._hyperplanes(in_dim, out_dim, seed)
+    scale = out_dim ** -0.5  # exact binary double for power-of-4 out_dim
+    comps = ",\n           ".join(
+        f"list_dot_product(v, {row!r}::DOUBLE[]) * {scale!r}" for row in rows
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, v, list_value({comps}) AS r FROM e)
+SELECT vec_id,
+       ROUND(r[1], 6) AS r0, ROUND(r[2], 6) AS r1,
+       ROUND(r[3], 6) AS r2, ROUND(r[4], 6) AS r3,
+       ROUND(sqrt(list_dot_product(v, v)), 6) AS norm_in,
+       ROUND(sqrt(list_dot_product(r, r)), 6) AS norm_out
+FROM p ORDER BY vec_id
+"""
 
 
 SIM_ASSIGN_SQL = """
@@ -1509,6 +1629,8 @@ REGISTRY = {
     "sim_ann_lsh_tables": (sim_ann_lsh_tables, _ann_lsh_tables_sql()),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROIDS_SQL),
     "sim_centroid_assign": (sim_centroid_assign, SIM_ASSIGN_SQL),
+    "sim_random_projection": (sim_random_projection, _rand_proj_sql()),
+    "dd_semantic": (dd_semantic, DD_SEMANTIC_SQL),
     "tx_token_stats": (tx_token_stats, TX_TOKEN_SQL),
     "tx_langid": (tx_langid, _langid_sql()),
     "tx_quality": (tx_quality, TX_QUALITY_SQL),
