@@ -1,0 +1,131 @@
+"""Keyed parquet MERGE (upsert / delete) with touched-bucket-only rewrite.
+
+The reference's ledger cycle (asip_v2/archive.py process-list update) only
+ever *appends* processed ids; a training-data pipeline also needs the CDC
+shape — upsert changed documents, delete retired ones — without rewriting
+the whole corpus.  Lakehouse formats (Delta/Iceberg/Hudi) solve this with
+copy-on-write over a transaction log; on plain parquet the same IO bound
+is reachable with a deterministic hash-bucket layout:
+
+- the table lives at ``dir/_mb=<b>/`` with ``b = pmod(xxhash64(key), n)``;
+- a merge shuffles ONLY the (small) update batch by bucket, reads back
+  ONLY the touched buckets (partition-pruned scan), anti-joins old rows
+  on the key and unions the new ones;
+- the write uses dynamic partition overwrite, so untouched bucket
+  directories are never opened, let alone rewritten.
+
+Cost per merge ≈ |updates| + (touched_buckets/n)·|table| regardless of
+total table size — at 100 TB with n=4096 a 1-bucket update touches
+~25 GB, not 100 TB.  Pick ``n_buckets`` so one bucket ≈ a few HDFS
+blocks.  Single-writer semantics (no transaction log): concurrent merges
+to the same bucket race exactly as concurrent writes to any parquet dir
+do; the reference's ledger has the same contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_mb"
+
+
+def _bucket(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def _validate(df: DataFrame, key_col: str) -> None:
+    if BUCKET_COL in df.columns:
+        raise ValueError(
+            f"column {BUCKET_COL!r} is reserved for the merge bucket layout"
+        )
+    if key_col not in df.columns:
+        raise ValueError(f"merge key {key_col!r} not in {df.columns}")
+
+
+def init_table(df: DataFrame, target_dir: str, key_col: str, n_buckets: int = 64) -> None:
+    """Create (or fully replace) the bucketed table layout."""
+    _validate(df, key_col)
+    (
+        df.withColumn(BUCKET_COL, _bucket(key_col, n_buckets))
+        .repartition(F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(target_dir)
+    )
+
+
+def read_table(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Read the logical table (bucket column stripped)."""
+    return spark.read.parquet(target_dir).drop(BUCKET_COL)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_dir: str,
+    updates: DataFrame,
+    key_col: str,
+    n_buckets: int = 64,
+    delete_col: str | None = None,
+) -> dict:
+    """MERGE ``updates`` into the bucketed table at ``target_dir``.
+
+    Per key: the update row replaces any existing row (last write wins);
+    rows where ``delete_col`` is true are tombstones — the key is removed
+    and the tombstone row is not kept.  ``updates`` must carry at most one
+    row per key (enforced; resolve upstream with e.g. a max-timestamp
+    argmax — picking silently here would hide data bugs).
+
+    Only buckets that appear in ``updates`` are read or rewritten; the
+    returned dict reports ``{"touched_buckets": k, "n_buckets": n}`` so
+    callers can audit the IO bound.  Idempotent: re-merging the same batch
+    rewrites the same buckets to the same content.
+    """
+    _validate(updates, key_col)
+    if delete_col is not None and delete_col not in updates.columns:
+        raise ValueError(f"delete flag {delete_col!r} not in {updates.columns}")
+
+    up = updates.withColumn(BUCKET_COL, _bucket(key_col, n_buckets))
+    dup = (
+        up.groupBy(key_col).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"updates carry multiple rows for key {dup[0][key_col]!r}; "
+            "deduplicate the batch upstream (last-write-wins needs an "
+            "explicit ordering you choose, not one we invent)"
+        )
+    touched = sorted(
+        r[BUCKET_COL] for r in up.select(BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return {"touched_buckets": 0, "n_buckets": n_buckets}
+
+    old = (
+        spark.read.parquet(target_dir)
+        .filter(F.col(BUCKET_COL).isin(touched))
+    )
+    keep_keys = up.select(key_col, BUCKET_COL)
+    survivors = old.join(
+        F.broadcast(keep_keys.select(key_col)), key_col, "left_anti"
+    )
+    incoming = up
+    if delete_col is not None:
+        incoming = up.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+        survivors = survivors.drop(delete_col) if delete_col in survivors.columns else survivors
+    merged = survivors.select(*incoming.columns).unionByName(incoming)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(target_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"touched_buckets": len(touched), "n_buckets": n_buckets}

@@ -1,0 +1,102 @@
+"""Keyed parquet MERGE: upsert/delete semantics, touched-bucket-only IO,
+idempotent re-merge (sources/merge.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from asid_v2_data_pipeline_spark.sources import merge as mg
+
+
+def _rows(spark, tdir):
+    return {
+        r["k"]: (r["v"], r["src"])
+        for r in mg.read_table(spark, tdir).collect()
+    }
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [Row(k=i, v=float(i), src="base") for i in range(50)]
+    )
+    mg.init_table(base, tdir, "k", n_buckets=8)
+    return tdir
+
+
+def test_upsert_and_insert(spark, table):
+    ups = spark.createDataFrame(
+        [Row(k=3, v=99.0, src="up"), Row(k=100, v=1.0, src="up")]
+    )
+    stats = mg.merge_upsert(spark, table, ups, "k", n_buckets=8)
+    assert 1 <= stats["touched_buckets"] <= 2
+    got = _rows(spark, table)
+    assert got[3] == (99.0, "up")          # replaced
+    assert got[100] == (1.0, "up")         # inserted
+    assert got[4] == (4.0, "base")         # untouched key intact
+    assert len(got) == 51
+
+
+def test_delete_tombstones(spark, table):
+    ups = spark.createDataFrame(
+        [
+            Row(k=7, v=0.0, src="up", dead=True),
+            Row(k=8, v=8.5, src="up", dead=False),
+            Row(k=9, v=0.0, src="up", dead=None),  # NULL flag = keep
+        ]
+    )
+    mg.merge_upsert(spark, table, ups, "k", n_buckets=8, delete_col="dead")
+    got = _rows(spark, table)
+    assert 7 not in got
+    assert got[8] == (8.5, "up")
+    assert got[9] == (0.0, "up")
+    assert len(got) == 49
+
+
+def test_untouched_buckets_not_rewritten(spark, table):
+    # find a bucket the update does NOT touch and pin its file mtimes
+    ups = spark.createDataFrame([Row(k=3, v=99.0, src="up")])
+    touched_b = ups.select(
+        F.pmod(F.xxhash64("k"), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    other = next(
+        d for d in sorted(os.listdir(table))
+        if d.startswith(mg.BUCKET_COL) and d != f"{mg.BUCKET_COL}={touched_b}"
+    )
+    before = {
+        f: os.path.getmtime(os.path.join(table, other, f))
+        for f in os.listdir(os.path.join(table, other))
+    }
+    mg.merge_upsert(spark, table, ups, "k", n_buckets=8)
+    after = {
+        f: os.path.getmtime(os.path.join(table, other, f))
+        for f in os.listdir(os.path.join(table, other))
+    }
+    assert before == after  # same files, byte-for-byte untouched
+
+
+def test_idempotent_re_merge(spark, table):
+    ups = spark.createDataFrame([Row(k=3, v=99.0, src="up"), Row(k=60, v=6.0, src="up")])
+    mg.merge_upsert(spark, table, ups, "k", n_buckets=8)
+    first = _rows(spark, table)
+    mg.merge_upsert(spark, table, ups, "k", n_buckets=8)
+    assert _rows(spark, table) == first
+
+
+def test_duplicate_update_keys_rejected(spark, table):
+    ups = spark.createDataFrame([Row(k=3, v=1.0, src="a"), Row(k=3, v=2.0, src="b")])
+    with pytest.raises(ValueError, match="multiple rows"):
+        mg.merge_upsert(spark, table, ups, "k", n_buckets=8)
+
+
+def test_reserved_column_rejected(spark, tmp_path):
+    df = (
+        spark.range(3)
+        .withColumnRenamed("id", "k")
+        .withColumn(mg.BUCKET_COL, F.lit(1))
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        mg.init_table(df, str(tmp_path / "t2"), "k")
