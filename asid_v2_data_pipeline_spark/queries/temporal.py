@@ -473,8 +473,40 @@ GROUP BY iv.interval_id ORDER BY iv.interval_id
 """
 
 
+def t_cube_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (event_type, hour-of-day): all four grouping sets —
+    detail, each one-dimension marginal (the sets ROLLUP cannot express),
+    and the grand total — in ONE pass through Catalyst's Expand operator;
+    the scan is read once, each row fans out to its four grouping-set
+    copies before a single hash aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.hour("ts").alias("h"), "value")
+        .cube("event_type", "h")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("gid", "event_type", "h")
+    )
+
+
+T_CUBE_SQL = """
+SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+       CAST(GROUPING(event_type) * 2 + GROUPING(EXTRACT(hour FROM ts)) AS INT) AS gid,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY CUBE (event_type, EXTRACT(hour FROM ts))
+ORDER BY gid, event_type, h
+"""
+
+
 REGISTRY = {
     "t_asof_attribution": (t_asof_attribution, T_ASOF_SQL),
+    "t_cube_hourly": (t_cube_hourly, T_CUBE_SQL),
     "t_interval_join": (t_interval_join, T_INTERVAL_SQL),
     "t_event_transitions": (t_event_transitions, T_TRANSITIONS_SQL),
     "t_rollup_daily": (t_rollup_daily, T_ROLLUP_SQL),

@@ -105,3 +105,29 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+def dedup_at_ingest(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Exact-key deduplication at the ingest boundary — the streaming twin
+    of ``operators/dedup.py::exact_dedup`` for *identity* keys (redelivered
+    events, at-least-once upstream producers).
+
+    Uses ``dropDuplicatesWithinWatermark``: state holds one entry per key
+    only until the watermark passes its event time + delay, so state size
+    is bounded by the key arrival rate × the watermark horizon —
+    unbounded-state ``dropDuplicates`` on a stream is the scale bug this
+    avoids.  A duplicate arriving later than ``watermark_delay`` after the
+    original is re-admitted (the documented trade: bounded state buys a
+    bounded dedup horizon; content-level history dedup is
+    ``streaming/dedup_stream.py``'s index).
+
+    Batch input degrades to plain ``dropDuplicates`` (same key semantics,
+    no horizon), so the same call works in both contexts."""
+    keys = key_cols or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(keys)
