@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.strings import scene_id, scene_timestamp
 from ..operators.filters import day_of_year_filter
@@ -504,9 +505,106 @@ ORDER BY gid, event_type, h
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def t_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: one row per day, one value-sum column per event
+    type.  The type list is passed explicitly — with it, Spark skips the
+    extra distinct-scan it otherwise runs to discover the columns, and
+    the plan is a single groupBy with conditional aggregates (exactly the
+    CASE-WHEN form the oracle spells out)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    piv = (
+        e.select(day.alias("d"), "event_type", "value")
+        .groupBy("d")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.round(F.sum("value"), 4))
+    )
+    return piv.orderBy("d")
+
+
+T_PIVOT_SQL = (
+    "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS d,\n"
+    + ",\n".join(
+        f"       ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END), 4) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + "\nFROM events GROUP BY d ORDER BY d"
+)
+
+
+def t_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap filling: hourly buckets per event
+    type over each type's own [min, max] range, empty hours materialized
+    with n=0, plus last-observation-carried-forward of the hourly sum.
+
+    Plan shape: one grouped aggregate builds the observed buckets; the
+    per-type spine is a metadata-size range aggregate exploded through
+    ``sequence`` (narrow — one row per type fans out to its hours, no
+    driver loop); the fill join is per-type equi-join; LOCF is a
+    partitioned running window.  Nothing global, nothing single-
+    partition."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value")
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_sv"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("_mn"), F.max("h").alias("_mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("_mn", "_mx", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    filled = spine.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm").alias("hour"),
+        F.coalesce("_n", F.lit(0)).cast("long").alias("n"),
+        F.round(F.coalesce("_sv", F.lit(0.0)), 4).alias("sum_value"),
+        F.round(F.last("_sv", ignorenulls=True).over(w), 4).alias("locf_sum"),
+    ).orderBy("event_type", "hour")
+
+
+T_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n, SUM(value) AS sv
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+), spine AS (
+  SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM rng
+)
+SELECT s.event_type,
+       strftime(s.h, '%Y-%m-%d %H:%M') AS hour,
+       CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n,
+       ROUND(COALESCE(hourly.sv, 0.0), 4) AS sum_value,
+       ROUND(last_value(hourly.sv IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS locf_sum
+FROM spine s LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.h = hourly.h
+ORDER BY s.event_type, hour
+"""
+
+
 REGISTRY = {
     "t_asof_attribution": (t_asof_attribution, T_ASOF_SQL),
     "t_cube_hourly": (t_cube_hourly, T_CUBE_SQL),
+    "t_pivot_daily": (t_pivot_daily, T_PIVOT_SQL),
+    "t_gapfill_hourly": (t_gapfill_hourly, T_GAPFILL_SQL),
     "t_interval_join": (t_interval_join, T_INTERVAL_SQL),
     "t_event_transitions": (t_event_transitions, T_TRANSITIONS_SQL),
     "t_rollup_daily": (t_rollup_daily, T_ROLLUP_SQL),

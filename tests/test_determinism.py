@@ -32,6 +32,10 @@ CASES = [
     "sim_ann_lsh_tables",
     "tx_chunking",
     "t_rollup_daily",
+    # round 3 later additions: projection, semantic dedup, cube
+    "sim_random_projection",
+    "dd_semantic",
+    "t_cube_hourly",
 ]
 
 
