@@ -313,3 +313,44 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     plan = _plan(spark, "t_interval_join")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_is_equi_join_on_cluster(spark):
+    # the PAIR stage must be an equi-join on the cluster key — a
+    # cartesian here is the N² bug semantic_dedup exists to avoid.  (The
+    # assignment step legitimately contains one broadcast nested-loop:
+    # corpus × k broadcast centroids, the bounded k-fan-out of the
+    # E-step — so we assert the pair join's key, not a blanket absence.)
+    plan = _plan(spark, "dd_semantic")
+    assert "CartesianProduct" not in plan
+    assert "Join [_ck" in plan  # SMJ/SHJ keyed on the cluster id
+
+
+def test_random_projection_no_shuffle_before_sort(spark):
+    # the projection itself is a narrow map — the ONLY exchange allowed
+    # is the final presentation orderBy (rangepartitioning)
+    plan = _plan(spark, "sim_random_projection")
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("rangepartitioning" in e for e in exchanges), exchanges
+
+
+def test_pivot_single_aggregate_no_discovery_scan(spark):
+    # explicit value list -> exactly one scan of events (no extra
+    # distinct pass to discover pivot columns)
+    plan = _plan(spark, "t_pivot_daily")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_cube_single_pass_expand(spark):
+    plan = _plan(spark, "t_cube_hourly")
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_gapfill_spine_is_narrow_explode(spark):
+    # the spine generation must be Generate(sequence) over the per-type
+    # range aggregate — not a driver loop (no LocalTableScan of hours)
+    plan = _plan(spark, "t_gapfill_hourly")
+    assert "Generate explode(sequence" in plan
