@@ -129,3 +129,129 @@ def merge_upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {"touched_buckets": len(touched), "n_buckets": n_buckets}
+
+
+AGG_BID_COL = "_mbid"
+
+
+def merge_aggregate(
+    spark: SparkSession,
+    target_dir: str,
+    deltas: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    n_buckets: int = 64,
+    batch_id: int | None = None,
+) -> dict:
+    """Incremental aggregate (materialized-view) maintenance: the table
+    holds one row per key with running additive aggregates (sums/counts);
+    ``deltas`` is a pre-aggregated batch — one row per key, the same
+    additive columns.  Old rows in the touched buckets are full-outer
+    joined with the delta on the key and the aggregates added, so
+    maintenance cost is |delta| + the touched fraction of the table —
+    the canonical "don't re-aggregate 100 TB to refresh a dashboard"
+    shape.  Non-additive aggregates (quantiles, distincts) belong in the
+    sketch tier (`operators/stats.py`), not here.
+
+    ``batch_id`` makes re-application idempotent *per bucket*: every
+    rewritten row is stamped with the batch id, and a bucket whose
+    stored stamp already equals ``batch_id`` is skipped on retry.  The
+    parquet job commit is all-or-nothing per job (Hadoop commit
+    protocol), so a crashed merge leaves the old generation and a full
+    retry is safe; a *successful* merge retried with the same
+    ``batch_id`` is a no-op.  Streaming callers get exactly-once table
+    state on top of foreachBatch's at-least-once (see
+    ``streaming/rollup.py``).
+    """
+    for c in key_cols + sum_cols:
+        if c not in deltas.columns:
+            raise ValueError(f"column {c!r} not in deltas {deltas.columns}")
+    if AGG_BID_COL in key_cols or AGG_BID_COL in sum_cols:
+        raise ValueError(f"{AGG_BID_COL!r} is reserved")
+
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast("int")
+    up = deltas.select(*key_cols, *sum_cols).withColumn(BUCKET_COL, bucket)
+    touched = sorted(r[BUCKET_COL] for r in up.select(BUCKET_COL).distinct().collect())
+    if not touched:
+        return {"touched_buckets": 0, "n_buckets": n_buckets, "skipped_buckets": 0}
+
+    import os
+
+    skipped = 0
+    if os.path.isdir(target_dir) or target_dir.startswith(("hdfs:", "s3")):
+        try:
+            old = spark.read.parquet(target_dir).filter(
+                F.col(BUCKET_COL).isin(touched)
+            )
+        except Exception:
+            old = None
+    else:
+        old = None
+    if old is not None and batch_id is not None and AGG_BID_COL in old.columns:
+        applied = {
+            r[BUCKET_COL]
+            for r in old.groupBy(BUCKET_COL)
+            .agg(F.max(AGG_BID_COL).alias("_b"))
+            .filter(F.col("_b") == batch_id)
+            .collect()
+        }
+        if applied:
+            skipped = len(applied)
+            touched = [b for b in touched if b not in applied]
+            if not touched:
+                return {
+                    "touched_buckets": 0,
+                    "n_buckets": n_buckets,
+                    "skipped_buckets": skipped,
+                }
+            up = up.filter(F.col(BUCKET_COL).isin(touched))
+            old = old.filter(F.col(BUCKET_COL).isin(touched))
+
+    if old is None:
+        merged = up
+    else:
+        o = old.select(
+            *key_cols, *[F.col(c).alias(f"_o_{c}") for c in sum_cols]
+        )
+        d = up.select(
+            *key_cols, *[F.col(c).alias(f"_d_{c}") for c in sum_cols]
+        )
+        merged = (
+            o.join(d, key_cols, "full_outer")
+            .select(
+                *key_cols,
+                *[
+                    (
+                        F.coalesce(F.col(f"_o_{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+                    ).alias(c)
+                    for c in sum_cols
+                ],
+            )
+            .withColumn(BUCKET_COL, bucket)
+        )
+    stamped = merged.withColumn(
+        AGG_BID_COL, F.lit(-1 if batch_id is None else batch_id).cast("long")
+    )
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            stamped.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(target_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "touched_buckets": len(touched),
+        "n_buckets": n_buckets,
+        "skipped_buckets": skipped,
+    }
+
+
+def read_aggregate(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Read the logical aggregate table (bucket + stamp stripped)."""
+    return spark.read.parquet(target_dir).drop(BUCKET_COL, AGG_BID_COL)
