@@ -1,0 +1,86 @@
+"""Lexical retrieval scoring (BM25) — the inverted-index complement to the
+vector tier (`operators/similarity.py`).
+
+For a *query-time* term set (a handful of tokens), the classic
+index-lookup shape inverts: instead of exploding the corpus into a
+(doc, token) posting table and shuffling it, each document counts the
+query terms inside its own token array (``size(filter(...))`` per term) —
+a narrow map over the corpus, zero shuffle, no explode.  Corpus
+statistics (N, avgdl, per-term document frequency) reduce to ONE
+aggregate row, broadcast back for scoring; ranking ends in
+TakeOrderedAndProject.  At 100 TB that is: one scan + one scalar agg +
+one scan-local score pass.
+
+For *offline* all-terms scoring (building a static index), the explode →
+groupBy posting-list form is the right shape instead; ``posting_lists``
+provides it.
+
+Okapi BM25 (Robertson et al.): idf(t) = ln((N - df + ½)/(df + ½) + 1),
+score = Σ idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def _tf(arr: Column, term: str) -> Column:
+    return F.size(F.filter(arr, lambda x: x == F.lit(term)))
+
+
+def posting_lists(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Offline inverted-index shape: (token, doc, tf) posting table —
+    explode + one groupBy; partition by token for index serving."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    return toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against the query ``terms`` (see module
+    docstring for the plan shape).  Returns (id, score) unranked — chain
+    ``.orderBy(desc(score), id).limit(k)`` for top-k retrieval."""
+    if not terms:
+        raise ValueError("empty query term set")
+    d = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    f = d.select(
+        id_col,
+        F.size("_t").alias("_dl"),
+        *[_tf(F.col("_t"), t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = f.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("int")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"_tf{i}")
+        part = idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")))
+        )
+        score = part if score is None else score + part
+    return f.crossJoin(F.broadcast(stats)).select(
+        id_col, score.alias("score")
+    )

@@ -1552,6 +1552,128 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4× storage /
+    bandwidth cut for the 100 TB embedding tier (codes travel as int8;
+    one float scale per vector reconstructs).  Pure column algebra: the
+    scale is materialized behind a projection boundary first (bind-once
+    HOF discipline), then codes and reconstruction-MSE are narrow
+    expressions; zero shuffle before the presentation orderBy.  The query
+    audits the quantizer: per-vector scale, code checksum, and MSE —
+    every value re-derived exactly by the oracle."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    sc = e.select(
+        "vec_id",
+        "v",
+        (
+            F.greatest(
+                F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-12)
+            )
+            / F.lit(127.0)
+        ).alias("_sc"),
+    )
+    q = sc.select(
+        "vec_id",
+        "v",
+        "_sc",
+        F.transform(
+            "v",
+            lambda x: F.least(
+                F.lit(127),
+                F.greatest(F.lit(-127), F.round(x / F.col("_sc")).cast("int")),
+            ),
+        ).alias("_q"),
+    )
+    mse = (
+        F.aggregate(
+            F.zip_with(
+                "v",
+                "_q",
+                lambda x, c: (x - c * F.col("_sc")) * (x - c * F.col("_sc")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.size("v")
+    )
+    return q.select(
+        "vec_id",
+        F.round("_sc", 8).alias("scale"),
+        F.aggregate("_q", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "code_sum"
+        ),
+        F.round(mse, 10).alias("mse"),
+    ).orderBy("vec_id")
+
+
+SIM_QUANT_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS s
+  FROM e
+), q AS (
+  SELECT vec_id, v, s,
+         list_transform(v, x -> least(127, greatest(-127, CAST(round(x / s) AS INT)))) AS c
+  FROM sc
+)
+SELECT vec_id,
+       ROUND(s, 8) AS scale,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), c), (a, x) -> a + x) AS BIGINT) AS code_sum,
+       ROUND(list_reduce(list_prepend(0.0,
+               list_transform(range(1, len(v) + 1), i -> (v[i] - c[i] * s) * (v[i] - c[i] * s))),
+             (a, x) -> a + x) / len(v), 10) AS mse
+FROM q ORDER BY vec_id
+"""
+
+
+_BM25_TERMS = ("vector", "hash", "stream")
+
+
+def tx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-10 for a fixed query term set
+    (`operators/retrieval.py` — query-term counting inside each doc's own
+    token array: narrow map, zero shuffle; corpus stats are ONE broadcast
+    aggregate row; ranking is TakeOrderedAndProject)."""
+    from ..operators.retrieval import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    s = bm25_scores(d, list(_BM25_TERMS))
+    return (
+        s.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_sql(
+    terms: tuple = _BM25_TERMS, k1: float = 1.2, b: float = 0.75
+) -> str:
+    idx = range(len(terms))
+    tfs = ", ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in idx
+    )
+    parts = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * "
+        f"(tf{i} * {k1 + 1.0!r} / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)))"
+        for i in idx
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+f AS (SELECT doc_id, len(t) AS dl, {tfs} FROM d),
+s AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl, {dfs} FROM f)
+SELECT doc_id, ROUND({parts}, 4) AS score
+FROM f CROSS JOIN s
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def _rand_proj_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 23) -> str:
     rows = sim._hyperplanes(in_dim, out_dim, seed)
     scale = out_dim ** -0.5  # exact binary double for power-of-4 out_dim
@@ -1630,6 +1752,8 @@ REGISTRY = {
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROIDS_SQL),
     "sim_centroid_assign": (sim_centroid_assign, SIM_ASSIGN_SQL),
     "sim_random_projection": (sim_random_projection, _rand_proj_sql()),
+    "tx_bm25_search": (tx_bm25_search, _bm25_sql()),
+    "sim_quantize_int8": (sim_quantize_int8, SIM_QUANT_SQL),
     "dd_semantic": (dd_semantic, DD_SEMANTIC_SQL),
     "tx_token_stats": (tx_token_stats, TX_TOKEN_SQL),
     "tx_langid": (tx_langid, _langid_sql()),

@@ -354,3 +354,12 @@ def test_gapfill_spine_is_narrow_explode(spark):
     # range aggregate — not a driver loop (no LocalTableScan of hours)
     plan = _plan(spark, "t_gapfill_hourly")
     assert "Generate explode(sequence" in plan
+
+
+def test_bm25_no_explode_ends_in_take_ordered(spark):
+    # query-term counting must stay inside each doc's token array (no
+    # Generate/explode -> no posting-table shuffle); top-10 must be
+    # TakeOrderedAndProject, not a global sort
+    plan = _plan(spark, "tx_bm25_search")
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
