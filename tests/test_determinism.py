@@ -32,10 +32,14 @@ CASES = [
     "sim_ann_lsh_tables",
     "tx_chunking",
     "t_rollup_daily",
-    # round 3 later additions: projection, semantic dedup, cube
+    # round 3 later additions: projection, semantic dedup, cube,
+    # retrieval, quantization, gap-fill
     "sim_random_projection",
     "dd_semantic",
     "t_cube_hourly",
+    "tx_bm25_search",
+    "sim_quantize_int8",
+    "t_gapfill_hourly",
 ]
 
 
