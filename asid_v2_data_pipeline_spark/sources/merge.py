@@ -175,17 +175,19 @@ def merge_aggregate(
     if not touched:
         return {"touched_buckets": 0, "n_buckets": n_buckets, "skipped_buckets": 0}
 
-    import os
-
     skipped = 0
-    if os.path.isdir(target_dir) or target_dir.startswith(("hdfs:", "s3")):
-        try:
-            old = spark.read.parquet(target_dir).filter(
-                F.col(BUCKET_COL).isin(touched)
-            )
-        except Exception:
-            old = None
-    else:
+    # existence probe must work on any Hadoop filesystem (HDFS/S3/ABFS…),
+    # not just local paths — attempt the read and catch PATH_NOT_FOUND
+    # (ADVICE r2: driver-local os.path probes silently disable the read
+    # on remote filesystems)
+    from pyspark.errors import AnalysisException
+
+    try:
+        old = spark.read.parquet(target_dir).filter(
+            F.col(BUCKET_COL).isin(touched)
+        )
+        old.schema  # force analysis so a missing path surfaces HERE
+    except AnalysisException:
         old = None
     if old is not None and batch_id is not None and AGG_BID_COL in old.columns:
         applied = {
