@@ -321,3 +321,51 @@ WITH _counts AS (
 SELECT {src}.* FROM {src} JOIN _thr ON {src}.{group_col} = _thr._g
 WHERE {h} < _thr._t
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 41,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    A-ES): rank every row by ``ln(u) / w`` with ``u`` uniform on (0,1]
+    and keep the k largest — exactly equivalent to drawing k items
+    sequentially with probability ∝ weight, but embarrassingly parallel
+    and single-pass.  Completes the sampling tier next to per-group
+    quotas (uniform) and hash-threshold Bernoulli (independent): this is
+    the "fixed k, weight-proportional" variant.
+
+    ``u = (lcg_hash(id, seed) + 1) / 2³¹`` — the portable keyed LCG, so
+    the oracle reproduces the draw bit-for-bit; natural log and division
+    are IEEE-identical across engines (same discipline as the BM25 idf).
+    Non-positive weights are rejected rows (never sampled), matching the
+    sequential algorithm's domain.
+
+    Plan shape: narrow key computation in the scan stage, then
+    TakeOrderedAndProject — no global sort, no shuffle of the corpus.
+    """
+    u = (shuffle_hash(F.col(id_col).cast("long"), seed) + 1) / F.lit(
+        float(SHUFFLE_M)
+    )
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").desc(), id_col)
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    table: str, weight_col: str, k: int, id_col: str, seed: int = 41
+) -> str:
+    """The same draw as ANSI/DuckDB SQL (oracle side)."""
+    h = shuffle_hash_sql(id_col, seed)
+    key = f"ln((({h}) + 1) / {float(SHUFFLE_M)!r}) / {weight_col}"
+    return (
+        f"SELECT *, {key} AS _wkey FROM {table} WHERE {weight_col} > 0 "
+        f"ORDER BY _wkey DESC, {id_col} LIMIT {k}"
+    )

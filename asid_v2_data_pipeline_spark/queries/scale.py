@@ -1552,6 +1552,29 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def sp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (A-ES): 200 documents drawn
+    with probability ∝ length — the fixed-k weight-proportional variant
+    completing the sampling tier (`operators/sampling.py:weighted_sample`)."""
+    from ..operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    s = weighted_sample(d, "n_chars", 200, "doc_id")
+    return s.select(
+        "doc_id", "lang", "n_chars", F.round("_wkey", 6).alias("wkey")
+    ).orderBy(F.col("wkey").desc(), "doc_id")
+
+
+def _sp_weighted_sql() -> str:
+    from ..operators.sampling import weighted_sample_sql
+
+    inner = weighted_sample_sql("documents", "n_chars", 200, "doc_id")
+    return (
+        f"SELECT doc_id, lang, n_chars, ROUND(_wkey, 6) AS wkey "
+        f"FROM ({inner}) ORDER BY wkey DESC, doc_id"
+    )
+
+
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization — the 4× storage /
     bandwidth cut for the 100 TB embedding tier (codes travel as int8;
@@ -1754,6 +1777,7 @@ REGISTRY = {
     "sim_random_projection": (sim_random_projection, _rand_proj_sql()),
     "tx_bm25_search": (tx_bm25_search, _bm25_sql()),
     "sim_quantize_int8": (sim_quantize_int8, SIM_QUANT_SQL),
+    "sp_weighted_sample": (sp_weighted_sample, _sp_weighted_sql()),
     "dd_semantic": (dd_semantic, DD_SEMANTIC_SQL),
     "tx_token_stats": (tx_token_stats, TX_TOKEN_SQL),
     "tx_langid": (tx_langid, _langid_sql()),

@@ -363,3 +363,8 @@ def test_bm25_no_explode_ends_in_take_ordered(spark):
     plan = _plan(spark, "tx_bm25_search")
     assert "Generate" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_take_ordered(spark):
+    plan = _plan(spark, "sp_weighted_sample")
+    assert "TakeOrderedAndProject" in plan

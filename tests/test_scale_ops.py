@@ -1045,3 +1045,25 @@ def test_write_zordered_files_are_spatially_tight(spark, tmp_path):
         ).first()
         area = (row[1] - row[0] + 1) * (row[3] - row[2] + 1)
         assert area <= 2 * row[4], (f, area, row[4])
+
+
+def test_weighted_sample_proportionality(spark):
+    """A-ES draws ∝ weight: with half the rows at weight 9 and half at 1,
+    a k=200-of-1000 sample must be dominated by the heavy class (expected
+    heavy share ≈ 90 % of draws early on; assert a loose floor, exact
+    determinism is covered by the oracle)."""
+    from pyspark.sql import functions as F
+
+    from asid_v2_data_pipeline_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 9.0).otherwise(1.0).alias("w"),
+    )
+    s = weighted_sample(df, "w", 200, "doc_id")
+    heavy = s.filter(F.col("w") == 9.0).count()
+    assert heavy >= 150  # ~180 expected; uniform sampling would give ~100
+    # deterministic across invocations
+    ids1 = sorted(r["doc_id"] for r in s.collect())
+    ids2 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 200, "doc_id").collect())
+    assert ids1 == ids2
