@@ -368,3 +368,17 @@ def test_bm25_no_explode_ends_in_take_ordered(spark):
 def test_weighted_sample_take_ordered(spark):
     plan = _plan(spark, "sp_weighted_sample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_product_in_any_declared_query(spark):
+    """Blanket contract over the WHOLE declared surface: no query may
+    plan a CartesianProduct — every non-equi join must be bounded by a
+    broadcast side (BroadcastNestedLoopJoin with a small build side is
+    the allowed shape; an unbounded cartesian is never acceptable at
+    100 TB)."""
+    failures = []
+    for name, fn in sorted(all_queries().items()):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            failures.append(name)
+    assert not failures, f"cartesian products in: {failures}"
