@@ -56,8 +56,13 @@ def init_table(df: DataFrame, target_dir: str, key_col: str, n_buckets: int = 64
 
 
 def read_table(spark: SparkSession, target_dir: str) -> DataFrame:
-    """Read the logical table (bucket column stripped)."""
-    return spark.read.parquet(target_dir).drop(BUCKET_COL)
+    """Read the logical table (bucket column stripped).  mergeSchema
+    reconciles buckets written before/after a schema-evolving merge."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(target_dir)
+        .drop(BUCKET_COL)
+    )
 
 
 def merge_upsert(
@@ -102,7 +107,8 @@ def merge_upsert(
         return {"touched_buckets": 0, "n_buckets": n_buckets}
 
     old = (
-        spark.read.parquet(target_dir)
+        spark.read.option("mergeSchema", "true")
+        .parquet(target_dir)
         .filter(F.col(BUCKET_COL).isin(touched))
     )
     keep_keys = up.select(key_col, BUCKET_COL)
@@ -115,7 +121,10 @@ def merge_upsert(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
         survivors = survivors.drop(delete_col) if delete_col in survivors.columns else survivors
-    merged = survivors.select(*incoming.columns).unionByName(incoming)
+    # schema evolution: a column present on only one side materializes as
+    # NULL on the other (adds propagate forward; old-only columns are
+    # preserved, not dropped) — the standard mergeSchema contract
+    merged = survivors.unionByName(incoming, allowMissingColumns=True)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

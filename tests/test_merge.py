@@ -100,3 +100,16 @@ def test_reserved_column_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved"):
         mg.init_table(df, str(tmp_path / "t2"), "k")
+
+
+def test_schema_evolution_adds_column(spark, table):
+    # updates carry a NEW column: old rows surface it as NULL, new rows
+    # keep it, untouched buckets reconcile via mergeSchema on read
+    ups = spark.createDataFrame(
+        [Row(k=3, v=99.0, src="up", score=0.9), Row(k=200, v=1.0, src="up", score=0.1)]
+    )
+    mg.merge_upsert(spark, table, ups, "k", n_buckets=8)
+    got = {r["k"]: r["score"] for r in mg.read_table(spark, table).collect()}
+    assert got[3] == 0.9 and got[200] == 0.1
+    assert got[4] is None            # pre-evolution row in a touched bucket
+    assert len(got) == 51

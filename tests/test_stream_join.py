@@ -118,3 +118,39 @@ def test_evicted_state_no_longer_matches(spark, tmp_path):
     # is the documented streaming contract, not a bug
     batch = {(r["purchase_id"], r["click_id"]) for r in _batch_result(spark, src).collect()}
     assert (4, 3) in batch
+
+
+def test_stream_static_join_sees_dimension_updates(spark, tmp_path):
+    """Stream-static join contract: the static side is re-resolved every
+    micro-batch, so a slowly-changing dimension updated between runs is
+    visible to later batches without restarting anything — the
+    enrichment-join pattern needs NO custom reload machinery."""
+    src, ck, out, dim = (str(tmp_path / d) for d in ("src", "ck", "out", "dim"))
+    m = dt.timedelta(minutes=1)
+    spark.createDataFrame(
+        [(10, "bronze")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim)
+
+    def run():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        joined = stream.join(spark.read.parquet(dim), "user_id", "left")
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda b, i: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write(spark, src, [(1, 10, T0, "click", 1.0)])
+    run()
+    # dimension changes between micro-batch runs
+    spark.createDataFrame(
+        [(10, "gold")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim)
+    _write(spark, src, [(2, 10, T0 + m, "click", 2.0)])
+    run()
+    got = {r["event_id"]: r["tier"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "bronze", 2: "gold"}
