@@ -1552,6 +1552,45 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def tx_top_quality_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: the 3 highest-quality documents per language.
+    Spark 4 plans the rank-filter as WindowGroupLimit — each partition
+    keeps only k rows per group BEFORE the window sort's shuffle, so the
+    exchange carries k·#groups·#partitions rows, not the corpus
+    (plan-asserted)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        "doc_id",
+        F.round(tx.quality_score(F.col("text")), 6).alias("q"),
+    )
+    from pyspark.sql.window import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= 3)
+        .orderBy("lang", "rank")
+    )
+
+
+def _top_quality_sql() -> str:
+    q = _quality_expr_sql("text")
+    return f"""
+WITH scored AS (
+  SELECT lang, doc_id, ROUND({q}, 6) AS q FROM documents
+), ranked AS (
+  SELECT lang, doc_id, q,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS INT) AS rank
+  FROM scored
+)
+SELECT lang, doc_id, q, rank FROM ranked WHERE rank <= 3
+ORDER BY lang, rank
+"""
+
+
 def sp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (A-ES): 200 documents drawn
     with probability ∝ length — the fixed-k weight-proportional variant
@@ -1778,6 +1817,7 @@ REGISTRY = {
     "tx_bm25_search": (tx_bm25_search, _bm25_sql()),
     "sim_quantize_int8": (sim_quantize_int8, SIM_QUANT_SQL),
     "sp_weighted_sample": (sp_weighted_sample, _sp_weighted_sql()),
+    "tx_top_quality_per_lang": (tx_top_quality_per_lang, _top_quality_sql()),
     "dd_semantic": (dd_semantic, DD_SEMANTIC_SQL),
     "tx_token_stats": (tx_token_stats, TX_TOKEN_SQL),
     "tx_langid": (tx_langid, _langid_sql()),

@@ -382,3 +382,11 @@ def test_no_cartesian_product_in_any_declared_query(spark):
         if "CartesianProduct" in plan:
             failures.append(name)
     assert not failures, f"cartesian products in: {failures}"
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    # Spark 4 pushes rank<=k below the window shuffle (Partial phase):
+    # the exchange carries k rows per group per partition, not the corpus
+    plan = _plan(spark, "tx_top_quality_per_lang")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
