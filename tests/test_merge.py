@@ -113,3 +113,41 @@ def test_schema_evolution_adds_column(spark, table):
     assert got[3] == 0.9 and got[200] == 0.1
     assert got[4] is None            # pre-evolution row in a touched bucket
     assert len(got) == 51
+
+
+def test_random_merge_sequence_matches_model(spark, tmp_path):
+    """Model-based check: a deterministic pseudo-random sequence of
+    upsert/delete batches applied to the bucketed table must equal a
+    plain dict replay after every step (catches survivor-loss, tombstone
+    and bucket-routing bugs that single-shot tests can miss)."""
+    import random
+
+    rng = random.Random(1234)
+    tdir = str(tmp_path / "tbl")
+    model = {k: (float(k), "base") for k in range(40)}
+    mg.init_table(
+        spark.createDataFrame([Row(k=k, v=v, src=s) for k, (v, s) in model.items()]),
+        tdir,
+        "k",
+        n_buckets=8,
+    )
+    for step in range(6):
+        keys = rng.sample(range(60), rng.randint(1, 8))
+        batch = []
+        for k in keys:
+            if rng.random() < 0.3:
+                batch.append(Row(k=k, v=0.0, src=f"s{step}", dead=True))
+                model.pop(k, None)
+            else:
+                v = round(rng.uniform(0, 100), 3)
+                batch.append(Row(k=k, v=v, src=f"s{step}", dead=False))
+                model[k] = (v, f"s{step}")
+        mg.merge_upsert(
+            spark, tdir, spark.createDataFrame(batch), "k",
+            n_buckets=8, delete_col="dead",
+        )
+        got = {
+            r["k"]: (r["v"], r["src"])
+            for r in mg.read_table(spark, tdir).collect()
+        }
+        assert got == model, f"diverged at step {step}"
