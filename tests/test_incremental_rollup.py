@@ -89,3 +89,37 @@ def test_streaming_rollup_matches_batch_aggregate(spark, tmp_path):
     write([(3, 1, T0 + 2 * m, "click", 4.0), (4, 3, T0 + dt.timedelta(hours=3), "click", 8.0)])
     run()
     assert _table(spark, tdir) == _expected(spark, src)
+
+
+def test_random_delta_sequence_with_retries_matches_model(spark, tmp_path):
+    """Model-based: random delta batches — some re-applied with the same
+    batch_id (simulating foreachBatch retries) — must leave the table
+    equal to a Counter replay that counts each logical batch once."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(99)
+    tdir = str(tmp_path / "agg")
+    model = defaultdict(lambda: [0, 0.0])
+    for bid in range(5):
+        rows = [
+            (rng.randint(0, 9), rng.randint(1, 3), round(rng.uniform(0, 10), 3))
+            for _ in range(rng.randint(1, 6))
+        ]
+        delta = spark.createDataFrame(rows, "g int, n long, sv double").groupBy(
+            "g"
+        ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        reps = 1 + (rng.random() < 0.5)  # half the batches get retried
+        for _ in range(reps):
+            mg.merge_aggregate(
+                spark, tdir, delta, ["g"], ["n", "sv"], n_buckets=4, batch_id=bid
+            )
+        for r in delta.collect():  # model counts the batch ONCE
+            model[r["g"]][0] += r["n"]
+            model[r["g"]][1] += r["sv"]
+    got = {
+        r["g"]: (r["n"], round(r["sv"], 6))
+        for r in mg.read_aggregate(spark, tdir).collect()
+    }
+    want = {g: (n, round(sv, 6)) for g, (n, sv) in model.items()}
+    assert got == want
