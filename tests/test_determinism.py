@@ -40,6 +40,8 @@ CASES = [
     "tx_bm25_search",
     "sim_quantize_int8",
     "t_gapfill_hourly",
+    "sp_weighted_sample",
+    "tx_top_quality_per_lang",
 ]
 
 
