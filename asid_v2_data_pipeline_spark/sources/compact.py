@@ -72,11 +72,24 @@ def compact_parquet_dir(
     df = spark.read.parquet(path)
     df.repartition(n_out).write.mode("overwrite").parquet(staging)
 
+    # three-step swap so a crash at any point leaves a recoverable,
+    # discoverable state: (1) rename live dir aside, (2) rename staging
+    # into place, (3) delete the old dir.  Never a window where the data
+    # exists only under an opaque tmp name with the table path deleted.
     fs, p, jvm = _fs(spark, path)
     sp = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(p, True)
+    old_aside = path.rstrip("/") + "._compact_old"
+    op = jvm.org.apache.hadoop.fs.Path(old_aside)
+    if fs.exists(op) and not fs.delete(op, True):
+        raise IOError(f"failed to clear stale {old_aside}")
+    if not fs.rename(p, op):
+        raise IOError(f"rename {path} -> {old_aside} failed")
     if not fs.rename(sp, p):
+        # roll the live dir back so the table path is never left empty
+        fs.rename(op, p)
         raise IOError(f"rename {staging} -> {path} failed")
+    if not fs.delete(op, True):
+        raise IOError(f"compacted OK but failed to delete {old_aside}")
     spark.catalog.refreshByPath(path)
     after = len(file_stats(spark, path).collect())
     return {"files_before": files_before, "files_after": after}

@@ -126,18 +126,44 @@ def merge_upsert(
     # preserved, not dropped) — the standard mergeSchema contract
     merged = survivors.unionByName(incoming, allowMissingColumns=True)
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.repartition(F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(target_dir)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return {"touched_buckets": len(touched), "n_buckets": n_buckets}
+    # dynamic partition overwrite only rewrites partitions that receive
+    # rows, so a bucket whose every key was tombstoned would keep its old
+    # directory (and its supposedly deleted keys).  Find touched buckets
+    # with zero output rows BEFORE the write (afterwards `merged` would
+    # re-read the rewritten table) and delete those directories explicitly.
+    nonempty = {
+        r[BUCKET_COL] for r in merged.select(BUCKET_COL).distinct().collect()
+    }
+    emptied = [b for b in touched if b not in nonempty]
+
+    if nonempty:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.repartition(F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(target_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for b in emptied:
+            bp = jvm.org.apache.hadoop.fs.Path(
+                target_dir.rstrip("/") + f"/{BUCKET_COL}={b}"
+            )
+            fs = bp.getFileSystem(conf)
+            if fs.exists(bp) and not fs.delete(bp, True):
+                raise IOError(f"failed to delete emptied bucket dir {bp}")
+        spark.catalog.refreshByPath(target_dir)
+    return {
+        "touched_buckets": len(touched),
+        "n_buckets": n_buckets,
+        "emptied_buckets": len(emptied),
+    }
 
 
 AGG_BID_COL = "_mbid"
@@ -192,8 +218,14 @@ def merge_aggregate(
     from pyspark.errors import AnalysisException
 
     try:
-        old = spark.read.parquet(target_dir).filter(
-            F.col(BUCKET_COL).isin(touched)
+        # mergeSchema, like the upsert/read paths: the batch-id skip gate
+        # below is `AGG_BID_COL in old.columns`, and a footer-sampled
+        # schema from mixed-generation files could hide the stamp column
+        # and silently double-apply a retried batch
+        old = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(target_dir)
+            .filter(F.col(BUCKET_COL).isin(touched))
         )
         old.schema  # force analysis so a missing path surfaces HERE
     except AnalysisException:
@@ -265,4 +297,8 @@ def merge_aggregate(
 
 def read_aggregate(spark: SparkSession, target_dir: str) -> DataFrame:
     """Read the logical aggregate table (bucket + stamp stripped)."""
-    return spark.read.parquet(target_dir).drop(BUCKET_COL, AGG_BID_COL)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(target_dir)
+        .drop(BUCKET_COL, AGG_BID_COL)
+    )

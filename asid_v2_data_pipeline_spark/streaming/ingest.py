@@ -111,6 +111,7 @@ def dedup_at_ingest(
     events: DataFrame,
     key_cols: list[str] | None = None,
     watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Exact-key deduplication at the ingest boundary — the streaming twin
     of ``operators/dedup.py::exact_dedup`` for *identity* keys (redelivered
@@ -130,4 +131,4 @@ def dedup_at_ingest(
     keys = key_cols or ["event_id"]
     if not events.isStreaming:
         return events.dropDuplicates(keys)
-    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(keys)
+    return events.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(keys)

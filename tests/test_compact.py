@@ -24,6 +24,28 @@ def test_compacts_many_appends_to_one_file(spark, tmp_path):
     assert _rows(spark, path) == before  # content byte-identical set
 
 
+def test_swap_leaves_no_auxiliary_dirs(spark, tmp_path):
+    """The three-step swap (live -> ._compact_old, staging -> live,
+    delete old) must clean up after itself, including a stale
+    ._compact_old left by a previous crash."""
+    import os
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode("append").parquet(path)
+    # simulate debris from a crashed earlier run
+    stale = path + "._compact_old"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk"), "w") as f:
+        f.write("x")
+    before = _rows(spark, path)
+    stats = compact_parquet_dir(spark, path)
+    assert stats["files_after"] == 1
+    assert _rows(spark, path) == before
+    assert not os.path.exists(stale)
+    assert not os.path.exists(path + "._compact_tmp")
+
+
 def test_noop_when_already_compact(spark, tmp_path):
     path = str(tmp_path / "t")
     spark.range(100).coalesce(1).write.parquet(path)

@@ -115,11 +115,46 @@ def test_schema_evolution_adds_column(spark, table):
     assert len(got) == 51
 
 
+def test_delete_sole_key_of_sparse_bucket(spark, tmp_path):
+    """With n_buckets=64 and 5 keys, buckets hold a single key each — a
+    tombstone for one must remove the bucket DIRECTORY, not just report
+    it touched (dynamic overwrite only rewrites partitions that receive
+    rows, so an emptied bucket needs an explicit delete)."""
+    tdir = str(tmp_path / "sparse")
+    base = spark.createDataFrame(
+        [Row(k=i, v=float(i), src="base") for i in range(5)]
+    )
+    mg.init_table(base, tdir, "k", n_buckets=64)
+    bucket_of_3 = spark.createDataFrame([Row(k=3)]).select(
+        F.pmod(F.xxhash64("k"), F.lit(64)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    shares = spark.createDataFrame([Row(k=i) for i in range(5) if i != 3]).select(
+        F.pmod(F.xxhash64("k"), F.lit(64)).cast("int").alias("b")
+    ).filter(F.col("b") == bucket_of_3).count()
+
+    ups = spark.createDataFrame([Row(k=3, v=0.0, src="up", dead=True)])
+    stats = mg.merge_upsert(spark, tdir, ups, "k", n_buckets=64, delete_col="dead")
+    got = _rows(spark, tdir)
+    assert 3 not in got
+    assert len(got) == 4
+    if shares == 0:  # sole occupant: dir must be gone
+        assert stats["emptied_buckets"] == 1
+        assert not os.path.exists(
+            os.path.join(tdir, f"{mg.BUCKET_COL}={bucket_of_3}")
+        )
+    # retrying the same tombstone batch is a no-op, not an error
+    mg.merge_upsert(spark, tdir, ups, "k", n_buckets=64, delete_col="dead")
+    assert _rows(spark, tdir) == got
+
+
 def test_random_merge_sequence_matches_model(spark, tmp_path):
     """Model-based check: a deterministic pseudo-random sequence of
     upsert/delete batches applied to the bucketed table must equal a
     plain dict replay after every step (catches survivor-loss, tombstone
-    and bucket-routing bugs that single-shot tests can miss)."""
+    and bucket-routing bugs that single-shot tests can miss).  Sparse
+    buckets (64 buckets / ≤40 keys) on purpose: many buckets hold a
+    single key, so tombstones regularly EMPTY a bucket — the dense
+    50-keys/8-buckets shape of the other tests never exercised that."""
     import random
 
     rng = random.Random(1234)
@@ -129,7 +164,7 @@ def test_random_merge_sequence_matches_model(spark, tmp_path):
         spark.createDataFrame([Row(k=k, v=v, src=s) for k, (v, s) in model.items()]),
         tdir,
         "k",
-        n_buckets=8,
+        n_buckets=64,
     )
     for step in range(6):
         keys = rng.sample(range(60), rng.randint(1, 8))
@@ -144,7 +179,7 @@ def test_random_merge_sequence_matches_model(spark, tmp_path):
                 model[k] = (v, f"s{step}")
         mg.merge_upsert(
             spark, tdir, spark.createDataFrame(batch), "k",
-            n_buckets=8, delete_col="dead",
+            n_buckets=64, delete_col="dead",
         )
         got = {
             r["k"]: (r["v"], r["src"])
