@@ -780,6 +780,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "v",
     cluster_col: str = "cluster",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
     each cluster, a vector is *removed* when some earlier-id vector in the
@@ -797,18 +798,32 @@ def semantic_dedup(
 
     Returns the removed rows: ``(id, cluster, dup_of, cos)`` with
     ``dup_of`` the smallest dominating id and ``cos`` its similarity.
+
+    ``materialize`` (default on) localCheckpoints the pruned input before
+    the a/b self-join: Spark never reuses a self-join's exchanges, so a
+    lazy ``clustered`` — typically an expensive nearest-centroid
+    assignment — would otherwise be derived once per side (the no-self-
+    join discipline of the pair generators above; at 100 TB this is a
+    persisted assignment table instead).
     """
     from .similarity import cosine
 
-    a = clustered.select(
+    pruned = clustered.select(
         F.col(cluster_col).alias("_ck"),
-        F.col(id_col).alias("_ida"),
-        F.col(vec_col).alias("_va"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
     )
-    b = clustered.select(
-        F.col(cluster_col).alias("_ck"),
-        F.col(id_col).alias("_idb"),
-        F.col(vec_col).alias("_vb"),
+    if materialize:
+        pruned = pruned.localCheckpoint()
+    a = pruned.select(
+        F.col("_ck"),
+        F.col("_id").alias("_ida"),
+        F.col("_v").alias("_va"),
+    )
+    b = pruned.select(
+        F.col("_ck"),
+        F.col("_id").alias("_idb"),
+        F.col("_v").alias("_vb"),
     )
     hits = (
         a.join(b, "_ck")

@@ -326,6 +326,19 @@ def test_semantic_dedup_is_equi_join_on_cluster(spark):
     assert "Join [_ck" in plan  # SMJ/SHJ keyed on the cluster id
 
 
+def test_semantic_dedup_assignment_derived_once(spark):
+    """semantic_dedup localCheckpoints the cluster assignment before its
+    a/b self-join (Spark never reuses a self-join's exchanges), so the
+    expensive nearest-centroid subtree executes ONCE: the pair-join plan
+    must read the checkpointed RDD on both sides and contain NO parquet
+    scan at all — if the assignment leaked back into the plan, the
+    embeddings scan (and the centroid aggregation above it) would appear
+    twice."""
+    plan = _plan(spark, "dd_semantic")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+
+
 def test_random_projection_no_shuffle_before_sort(spark):
     # the projection itself is a narrow map — the ONLY exchange allowed
     # is the final presentation orderBy (rangepartitioning)
