@@ -176,6 +176,33 @@ def train_centroids_kmeans(
     return cents
 
 
+def _query_cells(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Query-side IVF probe fan-out: the ``nprobe`` nearest cells per
+    query (by centroid cosine), ``nprobe`` rows per query with the query
+    vector attached: ``(q_id, _qv, cell)``."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    cell_scores = [
+        F.struct(
+            cosine(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+            F.lit(cid).alias("cell"),
+        )
+        for cid, cvec in centroids
+    ]
+    return q.select(
+        "q_id",
+        "_qv",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, nprobe)
+        ).alias("_c"),
+    ).select("q_id", "_qv", F.col("_c.cell").alias("cell"))
+
+
 def topk_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -190,29 +217,107 @@ def topk_cosine_ivf(
     c = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "cell"
     )
-    # query-side: nprobe nearest cells via posexplode of per-cell scores
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
-    cell_scores = [
-        F.struct(
-            cosine(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
-            F.lit(cid).alias("cell"),
-        )
-        for cid, cvec in centroids
-    ]
-    qcells = q.select(
-        "q_id",
-        "_qv",
-        F.explode(
-            F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, nprobe)
-        ).alias("_c"),
-    ).select("q_id", "_qv", F.col("_c.cell").alias("cell"))
-
+    qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
     scored = c.join(F.broadcast(qcells), "cell").filter(
         F.col("q_id") != F.col("c_id")
     ).select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score"))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.col("score").cast("double").alias("score"), "rank")
+    )
+
+
+def with_int8_codes(
+    df: DataFrame, vec_col: str = "embedding", code_col: str = "_q"
+) -> DataFrame:
+    """Add symmetric per-vector int8 codes (``code = clamp(round(v/s))``,
+    ``s = max|v|/127``) as ``code_col``.  The scale column itself is not
+    kept: cosine is scale-invariant, so ADC scoring needs only the codes
+    (a dot-product/L2 consumer would keep ``s``).  Two projections so the
+    scale binds once (the bind-once HOF discipline of
+    ``queries/scale.py::sim_quantize_int8``, which is this quantizer's
+    oracle-checked audit query)."""
+    sc = df.withColumn(
+        "_adc_s",
+        F.greatest(
+            F.array_max(F.transform(vec_col, lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / F.lit(127.0),
+    )
+    return sc.withColumn(
+        code_col,
+        F.transform(
+            vec_col,
+            lambda x: F.least(
+                F.lit(127),
+                F.greatest(
+                    F.lit(-127), F.round(x / F.col("_adc_s")).cast("int")
+                ),
+            ),
+        ),
+    ).drop("_adc_s")
+
+
+def topk_cosine_ivf_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 1,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + asymmetric distance computation (ADC): candidates in the
+    probed cells are scored against **int8 codes** (the query stays
+    float), then only the top ``rerank_factor * k`` per query are
+    re-scored at full precision — the standard two-stage ANN shape
+    (IVF-SQ8 in Faiss terms).
+
+    Why it matters at 100 TB: the hot scan reads the codes table — 4×
+    fewer bytes than float32, 8× vs double — and full-precision vectors
+    are fetched for only ``queries × rerank`` rows via an equi-join on
+    the id (a point-lookup against the id-keyed corpus at scale; the
+    shortlist side broadcasts).  int8 rounding error only matters near
+    the rank-k boundary, which the re-rank absorbs: recall vs the float
+    IVF path is pinned ≥ 0.95 in tests/test_scale_ops.py.
+
+    Plan shape: codes scan → broadcast-join probes on ``cell`` →
+    per-query approximate top-``rerank`` (WindowGroupLimit) → broadcast
+    shortlist joined back on id → exact rescore → top-k."""
+    rerank = max(k, rerank_factor * k)
+    codes = with_int8_codes(
+        ivf_assign(corpus, centroids, id_col, vec_col), vec_col
+    ).select(F.col(id_col).alias("c_id"), "cell", "_q")
+    qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
+
+    approx = (
+        codes.join(F.broadcast(qcells), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "_qv",
+            "c_id",
+            cosine(
+                F.col("_qv"), F.transform("_q", lambda x: x.cast("double"))
+            ).alias("_ascore"),
+        )
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.col("_ascore").desc(), F.col("c_id"))
+    shortlist = (
+        approx.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") <= rerank)
+        .select("q_id", "_qv", "c_id")
+    )
+    full = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"))
+    rescored = full.join(F.broadcast(shortlist), "c_id").select(
+        "q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", F.col("score").cast("double").alias("score"), "rank")
     )

@@ -4,9 +4,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once to force the full plan (count() on the result —
-result sets are small aggregates, so this measures compute, not driver
-transfer).
+Each query runs $SPARK_GRAFT_BENCH_PASSES (default 3) timed passes
+(count() on the result — result sets are small aggregates, so this
+measures compute, not driver transfer); the headline number per query is
+the MEDIAN, with the min reported alongside ("queries_min").  Round 3's
+single-shot numbers showed ±5–15% drift on sub-1.5s queries that was pure
+run-to-run noise (VERDICT r3 "What's wrong #2") — medians make
+round-over-round deltas adjudicable.
 
 Warmup (disclosed methodology): before the timed pass, every headline
 query runs once at sf0.001.  The schemas are identical across SF dirs, so
@@ -72,15 +76,28 @@ def main() -> None:
             queries[name](spark, warm_dir).count()
         print(f"# warmup pass (sf0.001): {time.time() - t0:.3f}s", file=sys.stderr)
 
+    import statistics
+
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        times = []
+        n = 0
+        for _ in range(passes):
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            times.append(time.time() - t0)
+        timings[name] = round(statistics.median(times), 3)
+        timings_min[name] = round(min(times), 3)
+        shown = "/".join(f"{t:.3f}" for t in times)
+        print(
+            f"# {name}: median {timings[name]:.3f}s min {timings_min[name]:.3f}s"
+            f" [{shown}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -88,6 +105,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "passes": passes,
         "sf": float(sf),
         # methodology tag (ADVICE r2): deltas are only meaningful against
         # baselines recorded with the same warmup discipline

@@ -177,6 +177,56 @@ def test_ivf_topk(spark):
     assert recall > 0.3  # approximate but useful
 
 
+def test_ivf_adc_recall_vs_float_path(spark):
+    """IVF + int8 ADC (score codes in the probed cells, float-rescore the
+    top rerank_factor*k): recall >= 0.95 vs the float IVF path at the same
+    nprobe on the planted-neighbor harness, and with full probes the
+    re-rank absorbs all int8 rounding — identical rows to exact top-k."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    dim, n_q, n_nb = 16, 10, 5
+    rows, vid = [], 1000
+    for qi in range(n_q):
+        qv = rng.randn(dim)
+        qv /= np.linalg.norm(qv)
+        rows.append((qi, [float(x) for x in qv]))
+        for _ in range(n_nb):  # planted near-dups at cosine ~0.99
+            nb = qv + 0.05 * rng.randn(dim)
+            nb /= np.linalg.norm(nb)
+            rows.append((vid, [float(x) for x in nb]))
+            vid += 1
+    for _ in range(200):
+        v = rng.randn(dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        vid += 1
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") < n_q)
+    cents = sim.train_centroids_kmeans(e, 4, iters=3)
+
+    flt = {
+        (r["q_id"], r["c_id"])
+        for r in sim.topk_cosine_ivf(e, q, cents, k=5, nprobe=2).collect()
+    }
+    adc = {
+        (r["q_id"], r["c_id"])
+        for r in sim.topk_cosine_ivf_adc(e, q, cents, k=5, nprobe=2).collect()
+    }
+    recall = len(adc & flt) / len(flt)
+    assert recall >= 0.95, f"ADC recall vs float IVF = {recall}"
+
+    exact = {
+        (r["q_id"], r["c_id"]) for r in sim.topk_cosine(e, q, k=5).collect()
+    }
+    adc_full = {
+        (r["q_id"], r["c_id"])
+        for r in sim.topk_cosine_ivf_adc(
+            e, q, cents, k=5, nprobe=len(cents), rerank_factor=8
+        ).collect()
+    }
+    assert adc_full == exact
+
+
 def test_lsh_multiprobe_recall_floor(spark):
     """Multi-probe LSH on a corpus with PLANTED near neighbors (an ANN
     structure is meaningless on pure noise): recall@5 >= 0.9 at nprobe=4
