@@ -24,13 +24,21 @@ def run_incremental_build(
     ledger_path: str,
     cfg: PipelineConfig,
     decode_fn: DecodeFn = decode_netcdf_scene,
+    use_datasource: bool = False,
 ) -> int:
     """Process only files not yet in the ledger; returns #files processed.
 
     Decoded pixels are written partitioned by scene, then the ledger
     commits the processed names — a crash before commit re-processes (at
     least once), matching the reference's JSON-ledger contract
-    (archive.py:197-203)."""
+    (archive.py:197-203).
+
+    ``use_datasource`` routes the scan through ``format("netcdf")``
+    (``sources/netcdf_datasource.py``): todo names prune at partition
+    PLANNING time, so processed files produce no tasks at all.  The name
+    list crossing the driver is metadata-scale — the same names the
+    ledger commit writes driver-side.  (Kernel injection on this path is
+    the ``decode_fn`` option string, not the callable parameter.)"""
     files = list_files(spark, input_dir)
     ledger = read_ledger(spark, ledger_path)
     todo = unprocessed(files, ledger).cache()
@@ -38,13 +46,19 @@ def run_incremental_build(
     if n == 0:
         return 0
 
-    # restrict the binaryFile listing to the todo names BEFORE decode
-    # (broadcast semi-join): already-processed files are never decoded,
-    # and a processed file sharing a scene prefix with a new one can't
-    # re-append its pixels.  No collect / isin literal list in the plan.
-    px = read_scenes(
-        spark, input_dir, cfg.names_sar, decode_fn, names=todo.select("name")
-    )
+    if use_datasource:
+        from ..sources.netcdf_datasource import read_scenes_ds
+
+        names = sorted(r["name"] for r in todo.select("name").collect())
+        px = read_scenes_ds(spark, input_dir, cfg.names_sar, names=names)
+    else:
+        # restrict the binaryFile listing to the todo names BEFORE decode
+        # (broadcast semi-join): already-processed files are never decoded,
+        # and a processed file sharing a scene prefix with a new one can't
+        # re-append its pixels.  No collect / isin literal list in the plan.
+        px = read_scenes(
+            spark, input_dir, cfg.names_sar, decode_fn, names=todo.select("name")
+        )
     px.write.mode("append").partitionBy("scene").parquet(out_dir)
     commit(todo, ledger_path)
     todo.unpersist()
