@@ -1,0 +1,193 @@
+"""Incremental end-to-end curation: admit new document batches against
+persisted corpus state (the production twin of ``plans/curation.py``).
+
+A 100 TB corpus is not re-curated per ingest; a new batch is admitted
+against what history already decided:
+
+    quality filter
+      → exact dedup vs stored fingerprints (and within the batch)
+      → MinHash-LSH near-dup vs the persisted signature index (and
+        within the batch)
+      → benchmark decontamination
+      → append to corpus state
+
+State layout under ``state_dir`` (all parquet, one ``_bid=<batch_id>``
+partition per admitted batch — the same idempotent-sink discipline as
+``streaming/dedup_stream.py``):
+
+- ``seen/``   — ``(doc_id, _fp)`` of every exact-UNIQUE quality-passing
+  document ever seen (including near-dup losers and contaminated docs);
+- ``index/``  — ``(_id, _band, _bucket)`` LSH band rows of those same
+  documents;
+- ``corpus/`` — the fully admitted (clean) documents.
+
+``seen``/``index`` deliberately cover more than ``corpus``: the lazy
+``curate`` drops a document that collides with ANY earlier exact-unique
+document, admitted or not (its loser set is computed over ``uniq``,
+before decontam/quota) — indexing only admitted docs would let a
+near-dup of a dropped near-dup slip in, diverging from the batch plan.
+
+Equivalence contract (pinned in tests/test_curation_incremental.py):
+with batches arriving in ascending-id order — so first-arrival and
+min-id agree, the same tie the lazy plan breaks by id —
+``curated_view`` over the accumulated state equals ``curate`` on the
+union of all batches, row for row, epochs included.  Per-source quota
+and the language mixture are applied by the VIEW over the accumulated
+corpus, not at admission: greedy per-batch quota would be
+arrival-order-biased (an early mediocre doc beats a later better-hashed
+one, unlike the batch plan's global seeded rank), and retraction-free
+streaming quota cannot be made equivalent.  The view's window costs are
+bounded by the admitted corpus — already a fraction of raw — and its
+seeded-hash ranks are stable as batches accumulate.
+
+Retry idempotency: every write overwrites its own ``_bid`` partition
+and every state read keeps only partitions with ``_bid`` STRICTLY
+BELOW the current batch's id — a replayed batch sees exactly the
+history it saw originally, even if later batches have landed since, so
+a crashed-then-retried ``admit_increment`` (foreachBatch is
+at-least-once) converges to the identical persisted state.  Batch ids
+must be monotone in arrival order (the structured-streaming contract).
+
+Scale shapes: history is never shuffled — the fingerprint probe
+broadcasts the batch's fingerprints against a column-pruned scan of
+``seen``; the index probe is ``dedup.index_candidates`` (batch side
+broadcast); only the small batch ever shuffles (its intra-batch LSH
+groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators.decontam import contamination
+from ..operators.dedup import (
+    exact_dedup,
+    index_candidates,
+    minhash_band_rows,
+    minhash_lsh_pairs,
+)
+from ..operators.sampling import quota_per_group, weighted_repeat
+
+
+def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        spark.catalog.refreshByPath(path)
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def admit_increment(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    decontam_n: int = 8,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> dict:
+    """Admit one batch against the persisted state; returns admission
+    stats.  Idempotent per ``batch_id`` (see module docstring)."""
+    sp = batch.sparkSession
+
+    q = batch.filter(
+        tx.quality_score(F.col(text_col)) >= quality_min
+    ).withColumn("_fp", tx.fingerprint(F.col(text_col)))
+    b_uniq = exact_dedup(q, ["_fp"], id_col)
+
+    seen = _read_state(sp, f"{state_dir}/seen")
+    if seen is not None:
+        # STRICTLY-BEFORE filter, not merely != : a replayed batch must
+        # see exactly the history it saw the first time.  `!=` would let
+        # a replay see LATER batches' rows and drop documents that
+        # collide with docs that arrived after it — non-idempotent.
+        # Batch ids are monotone (the structured-streaming contract).
+        seen = seen.filter(F.col("_bid") < F.lit(batch_id))
+        # history side scans map-side (column-pruned to _fp) against the
+        # broadcast batch fingerprints; hits are small by construction
+        hits = (
+            seen.join(
+                F.broadcast(b_uniq.select("_fp").distinct()), "_fp", "left_semi"
+            )
+            .select("_fp")
+            .distinct()
+        )
+        new_u = b_uniq.join(F.broadcast(hits), "_fp", "left_anti")
+    else:
+        new_u = b_uniq
+    # new_u feeds band rows, intra-batch pairs, the seen/index writes and
+    # the admission anti-join — derive the quality+fingerprint chain once
+    new_u = new_u.localCheckpoint()
+
+    band = minhash_band_rows(new_u, id_col, text_col, num_perm, bands, shingle_n)
+    index_rows = _read_state(sp, f"{state_dir}/index")
+    drops = minhash_lsh_pairs(
+        new_u, id_col, text_col, num_perm, bands, shingle_n
+    ).select(F.col("id_b").alias(id_col))
+    if index_rows is not None:
+        dup_ids = index_candidates(
+            band, index_rows.filter(F.col("_bid") < F.lit(batch_id))
+        ).select(F.col("id_new").alias(id_col))
+        drops = drops.unionByName(dup_ids)
+    near_ok = new_u.join(F.broadcast(drops.distinct()), id_col, "left_anti")
+
+    contaminated = contamination(
+        near_ok, benchmark, id_col, text_col, n=decontam_n
+    ).select(id_col)
+    clean_b = near_ok.join(F.broadcast(contaminated), id_col, "left_anti").drop(
+        "_fp"
+    )
+
+    new_u.select(F.col(id_col), "_fp").write.mode("overwrite").parquet(
+        f"{state_dir}/seen/_bid={batch_id}"
+    )
+    band.write.mode("overwrite").parquet(f"{state_dir}/index/_bid={batch_id}")
+    clean_b.write.mode("overwrite").parquet(
+        f"{state_dir}/corpus/_bid={batch_id}"
+    )
+    n_admitted = (
+        _read_state(sp, f"{state_dir}/corpus/_bid={batch_id}").count()
+    )
+    return {
+        "batch_id": batch_id,
+        "batch_rows": batch.count(),
+        "exact_new": new_u.count(),
+        "admitted": n_admitted,
+    }
+
+
+def curated_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated clean corpus (decontaminated near-dup survivors),
+    before quota/mixture."""
+    corpus = _read_state(spark, f"{state_dir}/corpus")
+    if corpus is None:
+        raise ValueError(f"no admitted batches under {state_dir}")
+    return corpus.drop("_bid")
+
+
+def curated_view(
+    spark: SparkSession,
+    state_dir: str,
+    weights: dict[str, float],
+    quota: int = 30,
+    quota_col: str = "source",
+    mix_col: str = "lang",
+    id_col: str = "doc_id",
+    quota_seed: int = 17,
+    mix_seed: int = 29,
+) -> DataFrame:
+    """Per-source quota + language mixture over the accumulated corpus —
+    the final training mix, identical to ``curate`` on the union of all
+    admitted batches (see module docstring for why quota lives here)."""
+    capped = quota_per_group(
+        curated_corpus(spark, state_dir), [quota_col], quota, id_col,
+        seed=quota_seed,
+    )
+    return weighted_repeat(capped, mix_col, weights, id_col, seed=mix_seed)
