@@ -40,6 +40,85 @@ def posting_lists(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return toks.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("tf"))
 
 
+def build_bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The serving-index pair for ``bm25_scores_indexed``:
+
+    - postings ``(token, doc, tf, _dl)`` — ``posting_lists`` denormalized
+      with the document length, so query-time scoring needs NO corpus
+      join at all (the standard BM25 index layout; at 100 TB write it
+      partitioned by a hash of ``token`` for query-term pruning);
+    - stats — ONE row ``(_n, _avgdl)``.
+    """
+    lens = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("_dl")
+    )
+    postings = posting_lists(docs, id_col, text_col).join(lens, id_col)
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    return postings, stats
+
+
+def bm25_scores_indexed(
+    postings: DataFrame,
+    stats: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score against a prebuilt inverted index (``build_bm25_index``) —
+    the query path when the corpus is indexed offline: the (tiny) query
+    term set broadcast-EQUI-JOINS the posting table on ``token``
+    (partition-pruned to the query terms' postings at scale), per-term
+    document frequencies come from one groupBy over those matched
+    postings, and the final per-doc sum shuffles only candidate rows
+    (Σ df(term) of them), never the corpus.
+
+    Returns (id, score) for every doc matching ≥ 1 term — identical
+    scores to ``bm25_scores`` on those docs (equality pinned in
+    tests/test_retrieval_index.py; ``bm25_scores`` gives non-matching
+    docs an explicit 0).  Duplicate query terms contribute once per
+    occurrence, like the no-explode path."""
+    if not terms:
+        raise ValueError("empty query term set")
+    from collections import Counter
+
+    sp = postings.sparkSession
+    q = sp.createDataFrame(
+        [(t, c) for t, c in Counter(terms).items()], "token string, _w int"
+    )
+    matched = postings.join(F.broadcast(q), "token")
+    dfs = matched.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    part = (
+        F.col("_w")
+        * idf
+        * (
+            F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+            )
+        )
+    )
+    return (
+        matched.join(F.broadcast(dfs), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), part.alias("_p"))
+        .groupBy(id_col)
+        .agg(F.sum("_p").alias("score"))
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: list[str],

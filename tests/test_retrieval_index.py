@@ -1,0 +1,92 @@
+"""BM25 inverted-index query path: identical scores/top-k to the
+no-explode path, equi-join-on-token plan shape
+(operators/retrieval.py::bm25_scores_indexed)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from asid_v2_data_pipeline_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_scores_indexed,
+    build_bm25_index,
+)
+from asid_v2_data_pipeline_spark.schemas import load_table
+
+SF = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+TERMS = ["spark", "query", "window"]
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_index_path_matches_no_explode_scores(spark):
+    """Every doc matching >= 1 term gets the IDENTICAL BM25 score from
+    both paths (9-decimal rounding absorbs fp sum-order); the no-explode
+    path scores non-matching docs exactly 0 and the index path omits
+    them — same ranking either way."""
+    d = _docs(spark)
+    direct = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_scores(d, TERMS).collect()
+    }
+    postings, stats = build_bm25_index(d)
+    indexed = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_scores_indexed(postings, stats, TERMS).collect()
+    }
+    assert indexed  # query terms do occur in the corpus
+    for doc, s in indexed.items():
+        assert direct[doc] == s
+    omitted = set(direct) - set(indexed)
+    assert all(direct[doc] == 0.0 for doc in omitted)
+
+
+def test_index_path_top10_equals_query_path(spark):
+    d = _docs(spark)
+    postings, stats = build_bm25_index(d)
+
+    def top10(df):
+        return [
+            (r["doc_id"], round(r["score"], 4))
+            for r in df.orderBy(F.col("score").desc(), "doc_id")
+            .limit(10)
+            .collect()
+        ]
+
+    assert top10(bm25_scores_indexed(postings, stats, TERMS)) == top10(
+        bm25_scores(d, TERMS)
+    )
+
+
+def test_duplicate_query_terms_weighted(spark):
+    """A term appearing twice in the query contributes twice — same as
+    the no-explode path's per-occurrence sum."""
+    d = _docs(spark)
+    postings, stats = build_bm25_index(d)
+    dup = ["spark", "spark"]
+    direct = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_scores(d, dup).collect()
+        if r["score"] != 0.0
+    }
+    indexed = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_scores_indexed(postings, stats, dup).collect()
+    }
+    assert indexed == direct
+
+
+def test_index_path_plan_is_equi_join_on_token(spark):
+    """The candidate stage must be a broadcast EQUI-join on token (the
+    partition-prunable index-lookup shape) — no cartesian anywhere; the
+    only corpus-sized shuffles are the index build's own groupBys."""
+    d = _docs(spark)
+    postings, stats = build_bm25_index(d)
+    scored = bm25_scores_indexed(postings, stats, TERMS)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [token" in plan
