@@ -1736,6 +1736,58 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def tx_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 via the prebuilt inverted index
+    (``operators/retrieval.py::build_bm25_index`` +
+    ``bm25_scores_indexed``): query terms broadcast-equi-join the
+    denormalized posting table (partition-prunable on token at scale);
+    per-doc scores are identical to ``tx_bm25_search``'s no-explode path
+    on every matching doc (pinned in tests/test_retrieval_index.py), so
+    the two declared queries cross-check each other through the same
+    oracle arithmetic."""
+    from ..operators.retrieval import bm25_scores_indexed, build_bm25_index
+
+    d = load_table(spark, sf_dir, "documents")
+    postings, stats = build_bm25_index(d)
+    s = bm25_scores_indexed(postings, stats, list(_BM25_TERMS))
+    return (
+        s.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_indexed_sql(
+    terms: tuple = _BM25_TERMS, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """Oracle for the index path: the same BM25 arithmetic restricted to
+    docs matching >= 1 query term (the index path never surfaces
+    zero-score docs)."""
+    idx = range(len(terms))
+    tfs = ", ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in idx
+    )
+    parts = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * "
+        f"(tf{i} * {k1 + 1.0!r} / (tf{i} + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)))"
+        for i in idx
+    )
+    matched = " + ".join(f"tf{i}" for i in idx)
+    return f"""
+WITH d AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+f AS (SELECT doc_id, len(t) AS dl, {tfs} FROM d),
+s AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl, {dfs} FROM f)
+SELECT doc_id, ROUND({parts}, 4) AS score
+FROM f CROSS JOIN s
+WHERE {matched} > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def _rand_proj_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 23) -> str:
     rows = sim._hyperplanes(in_dim, out_dim, seed)
     scale = out_dim ** -0.5  # exact binary double for power-of-4 out_dim
@@ -1815,6 +1867,7 @@ REGISTRY = {
     "sim_centroid_assign": (sim_centroid_assign, SIM_ASSIGN_SQL),
     "sim_random_projection": (sim_random_projection, _rand_proj_sql()),
     "tx_bm25_search": (tx_bm25_search, _bm25_sql()),
+    "tx_bm25_indexed": (tx_bm25_indexed, _bm25_indexed_sql()),
     "sim_quantize_int8": (sim_quantize_int8, SIM_QUANT_SQL),
     "sp_weighted_sample": (sp_weighted_sample, _sp_weighted_sql()),
     "tx_top_quality_per_lang": (tx_top_quality_per_lang, _top_quality_sql()),

@@ -117,8 +117,17 @@ def process_batch(
     sp = batch.sparkSession
     index_rows = _read_index(sp, index_dir)
     if index_rows is not None:
-        # a retried batch must not see its own band rows as history
-        index_rows = index_rows.filter(F.col("_bid") != F.lit(batch_id))
+        # STRICTLY-BEFORE, not merely != : a retried batch must see
+        # exactly the history it saw the first time — with != a replay
+        # running after LATER batches landed would treat their band rows
+        # as history and drop documents that only collide with docs that
+        # arrived after it (non-idempotent).  Batch ids are monotone
+        # (structured-streaming contract) and compacted generations are
+        # negative, so `<` keeps them and all earlier batches while
+        # excluding the batch's own partition and later ones.  (After a
+        # compaction that folded later batches in, an old-batch replay
+        # can still see them — the documented compaction trade.)
+        index_rows = index_rows.filter(F.col("_bid") < F.lit(batch_id))
     admitted, admitted_rows = admit_batch(batch, index_rows, id_col, text_col)
     # materialize admission before the index write reads the plan twice
     admitted.persist()

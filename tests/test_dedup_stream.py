@@ -99,6 +99,13 @@ def test_retried_batch_is_idempotent(spark, tmp_path):
     spark.catalog.refreshByPath(corpus)
     assert _corpus_ids(spark, corpus) == [1, 2, 11]
 
+    # replay of batch 0 AFTER batch 1 landed: the index read keeps only
+    # _bid < 0 (nothing), so batch 0 sees the same empty history it saw
+    # originally — its docs are not dropped against the later batch
+    process_batch(b0, 0, corpus, index)
+    spark.catalog.refreshByPath(corpus)
+    assert _corpus_ids(spark, corpus) == [1, 2, 11]
+
 
 def test_index_compaction_bounded_and_equivalent(spark, tmp_path):
     """Many duplicate-heavy micro-batches grow one index partition each;
