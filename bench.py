@@ -54,6 +54,10 @@ HEADLINE = [
     "dd_jaccard_pairs",
     "dd_duplicate_spans",
     "t_interval_join",
+    # round 4: the semantic-dedup fix (assignment derived once) and the
+    # new inverted-index BM25 path, so their costs stay pinned
+    "dd_semantic",
+    "tx_bm25_indexed",
 ]
 
 
