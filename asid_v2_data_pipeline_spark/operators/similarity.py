@@ -47,16 +47,24 @@ def topk_cosine(
 
     The query side is broadcast — the corpus is scanned once, no shuffle
     until the per-query top-k window (k rows per query after AQE)."""
+    # norms computed ONCE per side BEFORE the pair fan-out: scoring a
+    # pair is then a single interpreted-HOF dot instead of three — the
+    # same dot/(nq·nc) arithmetic, bit-identical values (the discipline
+    # every scorer in this module follows)
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
         "q_id",
         "c_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("score"),
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
@@ -185,8 +193,13 @@ def _query_cells(
 ) -> DataFrame:
     """Query-side IVF probe fan-out: the ``nprobe`` nearest cells per
     query (by centroid cosine), ``nprobe`` rows per query with the query
-    vector attached: ``(q_id, _qv, cell)``."""
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    vector and its (once-computed) norm attached:
+    ``(q_id, _qv, _qn, cell)``."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
     cell_scores = [
         F.struct(
             cosine(F.col("_qv"), F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
@@ -197,10 +210,11 @@ def _query_cells(
     return q.select(
         "q_id",
         "_qv",
+        "_qn",
         F.explode(
             F.slice(F.reverse(F.array_sort(F.array(*cell_scores))), 1, nprobe)
         ).alias("_c"),
-    ).select("q_id", "_qv", F.col("_c.cell").alias("cell"))
+    ).select("q_id", "_qv", "_qn", F.col("_c.cell").alias("cell"))
 
 
 def topk_cosine_ivf(
@@ -215,12 +229,19 @@ def topk_cosine_ivf(
     """Approximate top-k: probe only the query's ``nprobe`` nearest IVF
     cells.  nprobe=K degenerates to exact search; recall/latency dial."""
     c = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"), "cell"
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+        "cell",
     )
     qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
     scored = c.join(F.broadcast(qcells), "cell").filter(
         F.col("q_id") != F.col("c_id")
-    ).select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score"))
+    ).select(
+        "q_id",
+        "c_id",
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("score"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -290,7 +311,13 @@ def topk_cosine_ivf_adc(
     rerank = max(k, rerank_factor * k)
     codes = with_int8_codes(
         ivf_assign(corpus, centroids, id_col, vec_col), vec_col
-    ).select(F.col(id_col).alias("c_id"), "cell", "_q")
+    ).select(
+        F.col(id_col).alias("c_id"),
+        "cell",
+        "_q",
+        # code norm once per corpus row, not once per candidate pair
+        norm(F.transform("_q", lambda x: x.cast("double"))).alias("_qcn"),
+    )
     qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
 
     approx = (
@@ -299,9 +326,11 @@ def topk_cosine_ivf_adc(
         .select(
             "q_id",
             "_qv",
+            "_qn",
             "c_id",
-            cosine(
-                F.col("_qv"), F.transform("_q", lambda x: x.cast("double"))
+            (
+                dot(F.col("_qv"), F.transform("_q", lambda x: x.cast("double")))
+                / (F.col("_qn") * F.col("_qcn"))
             ).alias("_ascore"),
         )
     )
@@ -309,11 +338,17 @@ def topk_cosine_ivf_adc(
     shortlist = (
         approx.withColumn("_arn", F.row_number().over(wa))
         .filter(F.col("_arn") <= rerank)
-        .select("q_id", "_qv", "c_id")
+        .select("q_id", "_qv", "_qn", "c_id")
     )
-    full = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_cv"))
+    full = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
     rescored = full.join(F.broadcast(shortlist), "c_id").select(
-        "q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score")
+        "q_id",
+        "c_id",
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
@@ -356,6 +391,7 @@ def _query_probes(
     qd = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
         *[
             dot(F.col(vec_col), F.array(*[F.lit(x) for x in hp])).alias(f"_d{i}")
             for i, hp in enumerate(hps)
@@ -373,6 +409,7 @@ def _query_probes(
     staged = qd.select(
         "q_id",
         "_qv",
+        "_qn",
         base.alias("_base"),
         F.array_sort(margins).alias("_sorted"),  # ascending |margin|
     )
@@ -395,6 +432,7 @@ def _query_probes(
     return staged.select(
         "q_id",
         "_qv",
+        "_qn",
         F.explode(F.array(*[probe_expr(p) for p in pats])).alias("_bucket"),
     )
 
@@ -425,6 +463,7 @@ def topk_cosine_lsh(
     c = corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
         lsh_bucket(F.col(vec_col), dim, planes, seed).alias("_bucket"),
     )
     q = _query_probes(queries, dim, planes, nprobe, seed, id_col, vec_col)
@@ -432,7 +471,11 @@ def topk_cosine_lsh(
     # so (q_id, c_id) pairs cannot duplicate across probes
     scored = c.join(F.broadcast(q), "_bucket").filter(
         F.col("q_id") != F.col("c_id")
-    ).select("q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score"))
+    ).select(
+        "q_id",
+        "c_id",
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("score"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -481,9 +524,16 @@ def lsh_table_candidates(
         corpus.select(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("_cv"),
+            norm(F.col(vec_col)).alias("_cn"),
             F.explode(entries).alias("_e"),
         )
-        .select("c_id", "_cv", F.col("_e.t").alias("_table"), F.col("_e.b").alias("_bucket"))
+        .select(
+            "c_id",
+            "_cv",
+            "_cn",
+            F.col("_e.t").alias("_table"),
+            F.col("_e.b").alias("_bucket"),
+        )
     )
     probes = [
         _query_probes(
@@ -500,7 +550,7 @@ def lsh_table_candidates(
         # the same pair can surface from several tables — dedupe before
         # scoring (vectors are functionally dependent on the ids)
         .dropDuplicates(["q_id", "c_id"])
-        .select("q_id", "c_id", "_qv", "_cv")
+        .select("q_id", "c_id", "_qv", "_cv", "_qn", "_cn")
     )
 
 
@@ -524,7 +574,9 @@ def topk_cosine_lsh_tables(
         corpus, queries, dim, planes, tables, nprobe, id_col, vec_col, seed
     )
     scored = cand.select(
-        "q_id", "c_id", cosine(F.col("_qv"), F.col("_cv")).alias("score")
+        "q_id",
+        "c_id",
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (

@@ -1409,8 +1409,17 @@ def _cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-per-label-centroid assignment (k-means E-step), shared by
     ``sim_centroid_assign`` and ``dd_semantic``: centroids = rounded label
     means, distance = rounded L2², deterministic argmin (d2, then clabel).
-    Centroids broadcast; the corpus side is one narrow pass + a per-vector
-    argmin.  Returns (vec_id, label, v, clabel)."""
+
+    Round 4: the k·dim centroid table (5×64 doubles — metadata, the same
+    driver carve-out as ``train_centroids_kmeans``) is collected and
+    inlined as literals, so the assignment is a NARROW argmin fold over
+    the corpus — the previous crossJoin(broadcast) + per-vector
+    row_number window shuffled N·k rows through a corpus-sized exchange.
+    The rounded-to-6 centroid values are bit-identical either way, so the
+    DuckDB oracle (which re-derives them in SQL) still matches exactly.
+    Shuffle census: one k·dim-key exchange for the centroid aggregate;
+    the assignment itself shuffles nothing.  Returns
+    (vec_id, label, v, clabel)."""
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
@@ -1419,35 +1428,50 @@ def _cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("x"), 6).alias("c"))
     )
-    carr = (
-        cents.groupBy("label")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("_sc")
-        )
-        .select(
-            F.col("label").alias("clabel"),
-            F.transform("_sc", lambda s: s["c"]).alias("cv"),
-        )
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    scored = e.crossJoin(F.broadcast(carr)).withColumn("d2", d2)
-    from pyspark.sql.window import Window as W
+    by_label: dict = {}
+    for r in cents.collect():
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["c"]
+    centroids = [
+        (lbl, [m[d] for d in sorted(m)]) for lbl, m in sorted(by_label.items())
+    ]
 
-    rn = F.row_number().over(
-        W.partitionBy("vec_id").orderBy("d2", "clabel")
+    def _d2(cvec: list[float]):
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    "v",
+                    F.array(*[F.lit(float(x)) for x in cvec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    # stage every d2 as a named column FIRST (bind-once discipline): the
+    # zip_with/aggregate HOFs are interpreted, so folding raw d2
+    # expressions through a when-chain would re-evaluate earlier
+    # distances exponentially (measured 17s vs 1.5s at sf0.1)
+    staged = e.select(
+        "vec_id",
+        "label",
+        "v",
+        *[_d2(cvec).alias(f"_d{i}") for i, (_, cvec) in enumerate(centroids)],
     )
-    return (
-        scored.withColumn("_rn", rn)
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "label", "v", "clabel")
-    )
+    best_c = None
+    best_d = None
+    # ascending clabel + strict < keeps the LOWEST label on d2 ties —
+    # the same (d2, clabel) ordering the window form used
+    for i, (lbl, _) in enumerate(centroids):
+        d = F.col(f"_d{i}")
+        if best_c is None:
+            best_c, best_d = F.lit(lbl), d
+        else:
+            better = d < best_d
+            best_c = F.when(better, F.lit(lbl)).otherwise(best_c)
+            best_d = F.when(better, d).otherwise(best_d)
+    return staged.select("vec_id", "label", "v", best_c.alias("clabel"))
 
 
 def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
