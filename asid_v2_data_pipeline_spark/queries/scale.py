@@ -386,6 +386,87 @@ ORDER BY q_id, rank
 """
 
 
+def sim_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + int8 ADC two-stage ANN as a declared query
+    (``operators/similarity.py::topk_cosine_ivf_adc``): 4 deterministic
+    coarse cells (the k lowest-id vectors — kmeanspp_lite), nprobe=2,
+    int8 codes scored in the probed cells, float re-rank of the top 20.
+    Every stage — assignment argmax, quantization, approximate rank,
+    re-scored top-5 — is re-derived exactly by the oracle, upgrading the
+    ADC path from recall-tested to value-checked."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    cents = sim.train_centroids_kmeanspp_lite(e, 4)
+    out = sim.topk_cosine_ivf_adc(e, q, cents, k=5, nprobe=2)
+    return out.select(
+        "q_id", "c_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("q_id", "rank")
+
+
+SIM_IVF_ADC_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+),
+asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, c.cv) /
+             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id, cell,
+         list_transform(v, x ->
+           CAST(LEAST(127, GREATEST(-127, CAST(round(x / s) AS INT))) AS DOUBLE)) AS qc
+  FROM (SELECT vec_id, cell, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS s
+        FROM asg)
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+qcells AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT q.q_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(q.qv, c.cv) /
+             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             c.cell DESC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 2
+),
+approx AS (
+  SELECT q_id, qv, c.vec_id AS c_id,
+         list_dot_product(qv, qc) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(qc, qc))) AS a
+  FROM qcells JOIN codes c USING (cell)
+  WHERE c.vec_id <> q_id
+),
+short AS (
+  SELECT q_id, qv, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY a DESC, c_id) AS arn
+    FROM approx) WHERE arn <= 20
+),
+resc AS (
+  SELECT q_id, s.c_id,
+         list_dot_product(qv, e.v) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sc
+  FROM short s JOIN e ON e.vec_id = s.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, sc,
+         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, c_id) AS rank
+  FROM resc
+)
+SELECT q_id, c_id, ROUND(sc, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 def sim_ann_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND-OR amplified ANN: 3 independent 9-plane tables, OR'd — the
     recall-amplified scale path (recall floor pinned in
@@ -1885,6 +1966,7 @@ REGISTRY = {
     "dd_simhash": (dd_simhash, _simhash_sql()),
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
+    "sim_ivf_adc": (sim_ivf_adc, SIM_IVF_ADC_SQL),
     "sim_ann_lsh": (sim_ann_lsh, _ann_lsh_sql()),
     "sim_ann_lsh_tables": (sim_ann_lsh_tables, _ann_lsh_tables_sql()),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROIDS_SQL),
