@@ -163,6 +163,52 @@ def admit_increment(
     }
 
 
+def curate_document_stream(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    state_dir: str,
+    benchmark: DataFrame,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    decontam_n: int = 8,
+    max_files_per_trigger: int = 1,
+):
+    """The streaming form of the admission loop: each micro-batch runs
+    ``admit_increment`` against the persisted state (``availableNow``
+    drain; same checkpoint/restart contract as
+    ``streaming/dedup_stream.py``).  foreachBatch is at-least-once;
+    ``admit_increment`` is idempotent per batch_id, so persisted state is
+    exactly-once.  Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
+    )
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        admit_increment(
+            batch,
+            batch_id,
+            state_dir,
+            benchmark,
+            id_col=id_col,
+            text_col=text_col,
+            quality_min=quality_min,
+            decontam_n=decontam_n,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def curated_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
     """The accumulated clean corpus (decontaminated near-dup survivors),
     before quota/mixture."""

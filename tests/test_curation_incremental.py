@@ -101,6 +101,57 @@ def test_cross_batch_dedup_semantics(spark, tmp_path):
     assert got == [1, 52]
 
 
+def test_streaming_admission_equals_batch(spark, tmp_path):
+    """curate_document_stream (availableNow drain, one file per trigger)
+    over files of the same corpus == the batch admit_increment loop ==
+    full curate, including across a restart with new files."""
+    from asid_v2_data_pipeline_spark.plans.curation_incremental import (
+        curate_document_stream,
+    )
+
+    corpus, bench = _setup(spark)
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    batches = _batches(corpus)
+    # ascending-id file names so the stream admits in id order (the
+    # equivalence contract) — write the first two, drain, then the third
+    batches[0].coalesce(1).write.parquet(src + "/b0")
+    batches[1].coalesce(1).write.parquet(src + "/b1")
+    import glob as g
+
+    files = sorted(
+        p for b in ("b0", "b1") for p in g.glob(f"{src}/{b}/part-*.parquet")
+    )
+    flat = str(tmp_path / "flat")
+    import os
+    import shutil
+
+    os.makedirs(flat)
+    base_t = 1_700_000_000
+    for i, p in enumerate(files):
+        dst = f"{flat}/{i:03d}.parquet"
+        shutil.copy(p, dst)
+        # the file stream orders by modification time — pin strictly
+        # increasing mtimes so arrival order is the ascending-id order
+        # the equivalence contract requires
+        os.utime(dst, (base_t + i * 60, base_t + i * 60))
+    q = curate_document_stream(spark, flat, schema, state, bench, ck)
+    q.awaitTermination()
+    # restart with a new file: only the new batch is processed
+    batches[2].coalesce(1).write.parquet(src + "/b2")
+    dst = f"{flat}/999.parquet"
+    shutil.copy(g.glob(f"{src}/b2/part-*.parquet")[0], dst)
+    os.utime(dst, (base_t + 3600, base_t + 3600))
+    q2 = curate_document_stream(spark, flat, schema, state, bench, ck)
+    q2.awaitTermination()
+
+    inc = curated_view(spark, state, WEIGHTS)
+    full = curate(corpus, bench, WEIGHTS)
+    assert _mix_rows(inc) == _mix_rows(full)
+
+
 def test_retry_idempotent(spark, tmp_path):
     """Re-running a batch with the same batch_id (the foreachBatch
     at-least-once retry) leaves identical persisted state and an
