@@ -68,6 +68,7 @@ def bm25_scores_indexed(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Score against a prebuilt inverted index (``build_bm25_index``) —
     the query path when the corpus is indexed offline: the (tiny) query
@@ -81,7 +82,14 @@ def bm25_scores_indexed(
     scores to ``bm25_scores`` on those docs (equality pinned in
     tests/test_retrieval_index.py; ``bm25_scores`` gives non-matching
     docs an explicit 0).  Duplicate query terms contribute once per
-    occurrence, like the no-explode path."""
+    occurrence, like the no-explode path.
+
+    ``matched`` feeds BOTH the per-term df aggregation and the scoring
+    join; ``materialize`` (default on) localCheckpoints it — candidate
+    rows only, small — so a LAZY ``postings`` plan (an in-query index
+    build) executes once, not once per consumer.  With postings read
+    from a persisted index table the checkpoint is merely a small
+    cache either way."""
     if not terms:
         raise ValueError("empty query term set")
     from collections import Counter
@@ -91,6 +99,8 @@ def bm25_scores_indexed(
         [(t, c) for t, c in Counter(terms).items()], "token string, _w int"
     )
     matched = postings.join(F.broadcast(q), "token")
+    if materialize:
+        matched = matched.localCheckpoint()
     dfs = matched.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
         (F.col("_n") - F.col("_df") + F.lit(0.5))

@@ -92,9 +92,13 @@ def admit_increment(
     num_perm: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    return_stats: bool = True,
 ) -> dict:
     """Admit one batch against the persisted state; returns admission
-    stats.  Idempotent per ``batch_id`` (see module docstring)."""
+    stats (``return_stats=False`` skips the three counting jobs —
+    streaming callers that discard them shouldn't pay a re-scan of the
+    micro-batch input per trigger).  Idempotent per ``batch_id`` (see
+    module docstring)."""
     sp = batch.sparkSession
 
     q = batch.filter(
@@ -152,13 +156,15 @@ def admit_increment(
     clean_b.write.mode("overwrite").parquet(
         f"{state_dir}/corpus/_bid={batch_id}"
     )
+    if not return_stats:
+        return {"batch_id": batch_id}
     n_admitted = (
         _read_state(sp, f"{state_dir}/corpus/_bid={batch_id}").count()
     )
     return {
         "batch_id": batch_id,
         "batch_rows": batch.count(),
-        "exact_new": new_u.count(),
+        "exact_new": new_u.count(),  # checkpointed — no recompute
         "admitted": n_admitted,
     }
 
@@ -174,6 +180,9 @@ def curate_document_stream(
     text_col: str = "text",
     quality_min: float = 0.5,
     decontam_n: int = 8,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
     max_files_per_trigger: int = 1,
 ):
     """The streaming form of the admission loop: each micro-batch runs
@@ -181,7 +190,9 @@ def curate_document_stream(
     drain; same checkpoint/restart contract as
     ``streaming/dedup_stream.py``).  foreachBatch is at-least-once;
     ``admit_increment`` is idempotent per batch_id, so persisted state is
-    exactly-once.  Returns the StreamingQuery."""
+    exactly-once.  The LSH parameters MUST match whatever earlier
+    batches were admitted with — band rows with different banding are
+    silently incomparable.  Returns the StreamingQuery."""
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)
@@ -199,6 +210,10 @@ def curate_document_stream(
             text_col=text_col,
             quality_min=quality_min,
             decontam_n=decontam_n,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            return_stats=False,
         )
 
     return (

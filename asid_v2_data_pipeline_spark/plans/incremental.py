@@ -47,6 +47,12 @@ def run_incremental_build(
         return 0
 
     if use_datasource:
+        if decode_fn is not decode_netcdf_scene:
+            raise ValueError(
+                "use_datasource=True cannot take a decode_fn callable — "
+                "inject the kernel via the datasource's 'module:callable' "
+                "option string (sources/netcdf_datasource.py) instead"
+            )
         from ..sources.netcdf_datasource import read_scenes_ds
 
         names = sorted(r["name"] for r in todo.select("name").collect())

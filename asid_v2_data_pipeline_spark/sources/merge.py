@@ -130,24 +130,59 @@ def merge_upsert(
     # rows, so a bucket whose every key was tombstoned would keep its old
     # directory (and its supposedly deleted keys).  Find touched buckets
     # with zero output rows BEFORE the write (afterwards `merged` would
-    # re-read the rewritten table) and delete those directories explicitly.
-    nonempty = {
-        r[BUCKET_COL] for r in merged.select(BUCKET_COL).distinct().collect()
-    }
-    emptied = [b for b in touched if b not in nonempty]
+    # re-read the rewritten table) and delete those directories
+    # explicitly.  `merged` is persisted across the collect + write pair
+    # so the touched-bucket scan and anti-join execute once, not twice.
+    merged.persist()
+    kept_marker = False
+    try:
+        nonempty = {
+            r[BUCKET_COL] for r in merged.select(BUCKET_COL).distinct().collect()
+        }
+        emptied = [b for b in touched if b not in nonempty]
 
-    if nonempty:
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            (
-                merged.repartition(F.col(BUCKET_COL))
-                .write.mode("overwrite")
-                .partitionBy(BUCKET_COL)
-                .parquet(target_dir)
-            )
+            if nonempty:
+                (
+                    merged.repartition(F.col(BUCKET_COL))
+                    .write.mode("overwrite")
+                    .partitionBy(BUCKET_COL)
+                    .parquet(target_dir)
+                )
+            else:
+                # no bucket received rows.  If untouched bucket dirs
+                # still hold data the emptied dirs can all go; but if
+                # this merge would leave ZERO bucket dirs, deleting them
+                # all leaves a footerless dir that bricks every later
+                # read/merge — keep the table alive with one zero-row
+                # file (schema preserved) in the first touched bucket
+                jvm = spark._jvm
+                conf = spark._jsc.hadoopConfiguration()
+                root = jvm.org.apache.hadoop.fs.Path(target_dir)
+                fs = root.getFileSystem(conf)
+                touched_names = {f"{BUCKET_COL}={b}" for b in touched}
+                others = [
+                    st
+                    for st in fs.listStatus(root)
+                    if st.isDirectory()
+                    and st.getPath().getName().startswith(f"{BUCKET_COL}=")
+                    and st.getPath().getName() not in touched_names
+                ]
+                if not others:
+                    keep = emptied.pop(0)
+                    kept_marker = True
+                    (
+                        merged.drop(BUCKET_COL)
+                        .limit(0)
+                        .write.mode("overwrite")
+                        .parquet(target_dir.rstrip("/") + f"/{BUCKET_COL}={keep}")
+                    )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    finally:
+        merged.unpersist()
     if emptied:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
@@ -162,7 +197,8 @@ def merge_upsert(
     return {
         "touched_buckets": len(touched),
         "n_buckets": n_buckets,
-        "emptied_buckets": len(emptied),
+        # a kept zero-row marker bucket still counts as emptied
+        "emptied_buckets": len(emptied) + (1 if kept_marker else 0),
     }
 
 

@@ -19,10 +19,11 @@ Options:
 
 - ``variables`` (required): comma-separated variable names to extract.
 - ``glob`` (default ``*.nc``): filename filter for the listing.
-- ``names`` (optional): comma-separated exact file names — the
+- ``names`` (optional): JSON-encoded list of exact file names — the
   incremental path's pruning, applied at PARTITION PLANNING time, so
   already-processed files produce no partitions at all (stronger than
-  the binaryFile path's semi-join, which still lists then drops).
+  the binaryFile path's semi-join, which still lists then drops).  An
+  empty list selects zero files.  Set via ``read_scenes_ds(names=...)``.
 - ``decode_fn`` (optional): ``"pkg.module:callable"`` decode-kernel
   injection for deployments with the netCDF4 library (netCDF-4/HDF5
   containers); default is the pure-Python classic CDF-1/2 parser.
@@ -81,11 +82,15 @@ class NetCDFSceneReader(DataSourceReader):
             )
         self.glob = options.get(_OPT_GLOB, "*.nc")
         names = options.get(_OPT_NAMES)
-        self.names = (
-            {n.strip() for n in names.split(",") if n.strip()}
-            if names
-            else None
-        )
+        # JSON-encoded (set by read_scenes_ds): survives commas in file
+        # names, and an empty list means SELECT ZERO FILES, which a
+        # comma-split encoding cannot distinguish from "no filter"
+        if names is None:
+            self.names = None
+        else:
+            import json
+
+            self.names = set(json.loads(names))
         self.decode_ref = options.get(_OPT_DECODE_FN)
 
     def partitions(self):
@@ -115,6 +120,12 @@ class NetCDFSceneReader(DataSourceReader):
         import os
 
         import pyarrow as pa
+
+        # Spark schedules one read(None) task when partitions() returned
+        # an empty list (empty dir, or names pruning excluded every
+        # file) — that is an empty scan, not an error
+        if partition is None:
+            return
 
         decode = self._decode_fn()
         with open(partition.path, "rb") as fh:
@@ -149,13 +160,15 @@ def read_scenes_ds(
     """``read_scenes`` twin on the DataSource surface (registers on the
     session, then ``format("netcdf")``)."""
     register(spark)
+    import json
+
     r = (
         spark.read.format("netcdf")
         .option(_OPT_VARIABLES, ",".join(variables))
         .option(_OPT_GLOB, glob)
     )
     if names is not None:
-        r = r.option(_OPT_NAMES, ",".join(names))
+        r = r.option(_OPT_NAMES, json.dumps(sorted(names)))
     if decode_fn_ref is not None:
         r = r.option(_OPT_DECODE_FN, decode_fn_ref)
     return r.load(input_dir)

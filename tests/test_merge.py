@@ -147,6 +147,27 @@ def test_delete_sole_key_of_sparse_bucket(spark, tmp_path):
     assert _rows(spark, tdir) == got
 
 
+def test_delete_every_key_keeps_table_readable(spark, tmp_path):
+    """Tombstoning ALL remaining keys must leave a READABLE empty table
+    (one zero-row file preserves the schema footers), not a bricked
+    directory — and later merges must be able to repopulate it."""
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [Row(k=i, v=float(i), src="base") for i in range(3)]
+    )
+    mg.init_table(base, tdir, "k", n_buckets=16)
+    tomb = spark.createDataFrame(
+        [Row(k=i, v=0.0, src="x", dead=True) for i in range(3)]
+    )
+    mg.merge_upsert(spark, tdir, tomb, "k", n_buckets=16, delete_col="dead")
+    spark.catalog.refreshByPath(tdir)
+    assert mg.read_table(spark, tdir).count() == 0  # readable, empty
+    # table stays usable: repopulate
+    ups = spark.createDataFrame([Row(k=7, v=7.0, src="new")])
+    mg.merge_upsert(spark, tdir, ups, "k", n_buckets=16)
+    assert _rows(spark, tdir) == {7: (7.0, "new")}
+
+
 def test_random_merge_sequence_matches_model(spark, tmp_path):
     """Model-based check: a deterministic pseudo-random sequence of
     upsert/delete batches applied to the bucketed table must equal a

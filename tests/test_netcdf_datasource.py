@@ -75,6 +75,20 @@ def test_names_prune_at_planning_time(spark, tmp_path):
     assert df.count() == 2 * 16
 
 
+def test_empty_selections_yield_empty_dataframe(spark, tmp_path):
+    """No matching files (empty dir) and names=[] (select ZERO files —
+    distinct from names=None meaning no filter) must both return an
+    empty DataFrame, like the binaryFile path, not crash the scheduled
+    empty-partitions task."""
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert read_scenes_ds(spark, str(empty), VARS).count() == 0
+
+    _write_scenes(tmp_path)
+    assert read_scenes_ds(spark, str(tmp_path), VARS, names=[]).count() == 0
+    assert read_scenes_ds(spark, str(tmp_path), VARS).count() > 0
+
+
 def test_masked_values_surface_as_null(spark, tmp_path):
     _write_scenes(tmp_path)
     df = read_scenes_ds(spark, str(tmp_path), VARS)
