@@ -1,0 +1,123 @@
+"""DSIR-style data selection: hashed n-gram importance weights
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling" — the standard cheap way to steer a raw crawl toward a
+target distribution without training a classifier).
+
+    weight(d) = Σ_{g ∈ features(d)} [ ln p_target(bucket(g))
+                                     − ln p_raw(bucket(g)) ]
+
+features = token unigrams + bigrams, hashed into ``buckets`` buckets
+with the engine's portable 31-poly / COMBINE hashes (the same integers
+the DuckDB oracles re-derive); bucket distributions are add-one
+smoothed.  Select by taking the top-k weights, or feed the weights to
+``operators/sampling.py::weighted_sample`` for importance RESAMPLING
+proper.
+
+Scale shape: the two distribution estimates are one explode + groupBy
+per side whose key space is ``buckets`` (map-side combinable, metadata-
+sized result).  The per-bucket log-ratio table (≤ ``buckets`` rows) is
+collected and inlined — the same driver carve-out as the k-means
+centroid table — so SCORING the corpus is a single narrow pass: zero
+shuffle, zero join, the corpus read once.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import MASK31
+from .dedup import COMBINE, token_hashes
+
+
+def _feature_buckets(text: Column, buckets: int) -> Column:
+    """Hashed unigram + bigram buckets of a document, in token order
+    (unigrams first, then bigrams) — the exact list the oracle rebuilds,
+    so per-doc sums fold in the same order in both engines."""
+    th_arr = F.array(token_hashes(text))  # bind the token hashes once
+    return F.element_at(
+        F.transform(
+            th_arr,
+            lambda th: F.concat(
+                F.transform(th, lambda h: h % buckets),
+                F.when(
+                    F.size(th) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(th) - 1),
+                        lambda i: (
+                            (F.element_at(th, i) * COMBINE + F.element_at(th, i + 1))
+                            % F.lit(MASK31 + 1)
+                        )
+                        % buckets,
+                    ),
+                ).otherwise(F.array().cast("array<bigint>")),
+            ),
+        ),
+        1,
+    )
+
+
+def with_feature_buckets(
+    df: DataFrame, id_col: str, text_col: str, buckets: int = 256
+) -> DataFrame:
+    """(_id, _fb) — the hashed feature-bucket list per document."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        _feature_buckets(F.col(text_col), buckets).alias("_fb"),
+    )
+
+
+def _bucket_counts(feats: DataFrame) -> dict[int, int]:
+    rows = (
+        feats.select(F.explode("_fb").alias("_b"))
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    return {r["_b"]: r["_c"] for r in rows}
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """Per-document importance weight of ``corpus`` docs toward the
+    ``target`` distribution.  Returns ``(id, n_feats, weight)`` with the
+    per-bucket log-ratios rounded to 6 decimals (so the oracle's
+    independently-derived ratio table is the identical double) and the
+    weight left unrounded (callers round for presentation).
+
+    The corpus itself is the raw distribution — score only documents the
+    raw estimate saw, or the smoothing denominators diverge from DSIR.
+    """
+    tc = _bucket_counts(with_feature_buckets(target, id_col, text_col, buckets))
+    rc = _bucket_counts(with_feature_buckets(corpus, id_col, text_col, buckets))
+    nt = sum(tc.values())
+    nr = sum(rc.values())
+    ratio = [
+        round(
+            math.log((tc.get(b, 0) + 1) / (nt + buckets))
+            - math.log((rc.get(b, 0) + 1) / (nr + buckets)),
+            6,
+        )
+        for b in range(buckets)
+    ]
+    rarr = F.array(*[F.lit(x) for x in ratio])
+    feats = with_feature_buckets(corpus, id_col, text_col, buckets)
+    # left fold in feature order — the oracle folds the same list the
+    # same way, so the summed double is identical, not merely close
+    weight = F.aggregate(
+        F.transform("_fb", lambda b: F.element_at(rarr, (b + 1).cast("int"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        F.col("_id").alias(id_col),
+        F.size("_fb").alias("n_feats"),
+        weight.alias("weight"),
+    )

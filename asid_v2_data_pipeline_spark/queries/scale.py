@@ -386,6 +386,74 @@ ORDER BY q_id, rank
 """
 
 
+def ds_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023) as a declared query: score
+    every document by the hashed-ngram log-likelihood ratio toward the
+    English-language target slice, top-20 by weight
+    (``operators/selection.py`` — distribution estimates are two
+    bucket-keyed aggregates; scoring is one narrow zero-shuffle pass
+    with the 256-entry ratio table inlined)."""
+    from ..operators.selection import dsir_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    w = dsir_weights(d, target, buckets=256)
+    return (
+        w.select("doc_id", "n_feats", F.round("weight", 4).alias("weight"))
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _dsir_sql(buckets: int = 256, combine: int = 1000003) -> str:
+    """Oracle: identical hashes, identical add-one smoothing, identical
+    per-bucket ROUND(lr, 6) ratio table, and the per-doc fold runs over
+    the same feature list in the same order — the summed double is
+    bit-identical, not merely close."""
+    ch = _char_hash_sql("s")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {TOKENS_SQL} AS t FROM documents
+), th AS (
+  SELECT doc_id, lang, list_transform(t, s -> {ch}) AS h FROM toks
+), fb AS (
+  SELECT doc_id, lang,
+         list_concat(
+           list_transform(h, x -> x % {buckets}),
+           CASE WHEN len(h) >= 2 THEN
+             list_transform(range(1, len(h)),
+                            i -> ((h[i] * {combine} + h[i+1]) % 2147483648) % {buckets})
+           ELSE [] END
+         ) AS fb
+  FROM th
+), raw_cnt AS (
+  SELECT b, COUNT(*) AS c FROM (SELECT unnest(fb) AS b FROM fb) GROUP BY b
+), tgt_cnt AS (
+  SELECT b, COUNT(*) AS c
+  FROM (SELECT unnest(fb) AS b FROM fb WHERE lang = 'en') GROUP BY b
+), nt AS (SELECT SUM(c) AS n FROM tgt_cnt),
+nr AS (SELECT SUM(c) AS n FROM raw_cnt),
+allb AS (SELECT unnest(range(0, {buckets})) AS b),
+ratio AS (
+  SELECT allb.b,
+         ROUND(ln((COALESCE(t.c, 0) + 1.0) / (nt.n + {buckets}))
+               - ln((COALESCE(r.c, 0) + 1.0) / (nr.n + {buckets})), 6) AS lr
+  FROM allb LEFT JOIN raw_cnt r ON allb.b = r.b
+            LEFT JOIN tgt_cnt t ON allb.b = t.b, nt, nr
+), rarr AS (SELECT list(lr ORDER BY b) AS arr FROM ratio),
+scored AS (
+  SELECT doc_id, len(fb) AS n_feats,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(fb, x -> arr[CAST(x + 1 AS INT)])),
+           (a, y) -> a + y) AS w
+  FROM fb, rarr
+)
+SELECT doc_id, CAST(n_feats AS INT) AS n_feats, ROUND(w, 4) AS weight
+FROM scored ORDER BY w DESC, doc_id LIMIT 20
+"""
+
+
 def sim_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + int8 ADC two-stage ANN as a declared query
     (``operators/similarity.py::topk_cosine_ivf_adc``): 4 deterministic
@@ -1967,6 +2035,7 @@ REGISTRY = {
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
     "sim_ivf_adc": (sim_ivf_adc, SIM_IVF_ADC_SQL),
+    "ds_dsir_select": (ds_dsir_select, _dsir_sql()),
     "sim_ann_lsh": (sim_ann_lsh, _ann_lsh_sql()),
     "sim_ann_lsh_tables": (sim_ann_lsh_tables, _ann_lsh_tables_sql()),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROIDS_SQL),

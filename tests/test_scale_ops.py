@@ -177,6 +177,35 @@ def test_ivf_topk(spark):
     assert recall > 0.3  # approximate but useful
 
 
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR importance weights: a corpus doc written in the target's
+    vocabulary must outweigh one written in a disjoint vocabulary.
+    (No claim about repetition: repeating target n-grams also inflates
+    the RAW counts — the corpus is its own raw distribution — so the
+    per-occurrence ratios legitimately shrink.)"""
+    from asid_v2_data_pipeline_spark.operators.selection import dsir_weights
+
+    schema = "doc_id long, text string"
+    target = spark.createDataFrame(
+        [
+            (100, "neural network training with gradient descent steps"),
+            (101, "training neural models with gradient updates"),
+        ],
+        schema,
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "neural network training with gradient descent"),
+            (2, "cooking pasta requires salted boiling water tonight"),
+        ],
+        schema,
+    )
+    res = {r["doc_id"]: r for r in dsir_weights(corpus, target, buckets=64).collect()}
+    assert res[1]["weight"] > res[2]["weight"]  # target vocab beats off-target
+    assert res[1]["n_feats"] == 6 + 5  # unigrams + bigrams
+    assert res[2]["n_feats"] == 7 + 6
+
+
 def test_ivf_adc_recall_vs_float_path(spark):
     """IVF + int8 ADC (score codes in the probed cells, float-rescore the
     top rerank_factor*k): recall >= 0.95 vs the float IVF path at the same
