@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import MASK31
 from .dedup import COMBINE, token_hashes
+from .split import SHUFFLE_M, shuffle_hash
 
 
 def _feature_buckets(text: Column, buckets: int) -> Column:
@@ -120,4 +121,54 @@ def dsir_weights(
         F.col("_id").alias(id_col),
         F.size("_fb").alias("n_feats"),
         weight.alias("weight"),
+    )
+
+
+def gumbel_topk(
+    weighted: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    seed: int = 41,
+) -> DataFrame:
+    """Importance RESAMPLING over log-weights: rank by
+    ``weight + Gumbel(0,1)`` and keep the top ``k`` — the Gumbel-top-k
+    trick, which samples WITHOUT replacement with inclusion probability
+    proportional to ``exp(weight)`` (exactly what DSIR's log-ratio
+    weights call for; equivalent to A-ES on ``exp(weight)`` but immune
+    to exp overflow/underflow).
+
+    The Gumbel draw keys on the portable LCG hash of the id —
+    ``u = (h + 0.5) / 2³¹ ∈ (0,1)``, ``g = −ln(−ln u)`` — so any engine
+    (and any rerun) selects the SAME rows.  Plan: narrow key +
+    TakeOrderedAndProject; zero shuffle before the top-k."""
+    u = (
+        shuffle_hash(F.col(id_col).cast("long"), seed).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(SHUFFLE_M))
+    key = F.col(weight_col) + -F.log(-F.log(u))
+    return (
+        weighted.withColumn("_gkey", F.round(key, 6))
+        .orderBy(F.col("_gkey").desc(), id_col)
+        .limit(k)
+    )
+
+
+def gumbel_topk_sql(
+    src: str,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    seed: int = 41,
+) -> str:
+    """Oracle fragment: the same Gumbel key over a FROM-able ``src``
+    exposing ``id_col``/``weight_col``; returns a full SELECT."""
+    from .split import shuffle_hash_sql
+
+    h = shuffle_hash_sql(id_col, seed)
+    u = f"((({h}) + 0.5) / {float(SHUFFLE_M)!r})"
+    key = f"ROUND({weight_col} + -ln(-ln({u})), 6)"
+    return (
+        f"SELECT *, {key} AS _gkey FROM {src} "
+        f"ORDER BY _gkey DESC, {id_col} LIMIT {k}"
     )

@@ -405,11 +405,12 @@ def ds_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_sql(buckets: int = 256, combine: int = 1000003) -> str:
-    """Oracle: identical hashes, identical add-one smoothing, identical
-    per-bucket ROUND(lr, 6) ratio table, and the per-doc fold runs over
-    the same feature list in the same order — the summed double is
-    bit-identical, not merely close."""
+def _dsir_ctes(buckets: int = 256, combine: int = 1000003) -> str:
+    """The shared WITH-body deriving ``scored(doc_id, n_feats, w)``:
+    identical hashes, identical add-one smoothing, identical per-bucket
+    ROUND(lr, 6) ratio table, and the per-doc fold runs over the same
+    feature list in the same order — the summed double is bit-identical,
+    not merely close."""
     ch = _char_hash_sql("s")
     return f"""
 WITH toks AS (
@@ -449,9 +450,50 @@ scored AS (
            (a, y) -> a + y) AS w
   FROM fb, rarr
 )
+"""
+
+
+def _dsir_sql(buckets: int = 256, combine: int = 1000003) -> str:
+    return (
+        _dsir_ctes(buckets, combine)
+        + """
 SELECT doc_id, CAST(n_feats AS INT) AS n_feats, ROUND(w, 4) AS weight
 FROM scored ORDER BY w DESC, doc_id LIMIT 20
 """
+    )
+
+
+def ds_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING: Gumbel-top-25 over the log-weights —
+    inclusion probability ∝ exp(weight), deterministic via the portable
+    LCG draw (``operators/selection.py::gumbel_topk``; the sampling step
+    the DSIR paper pairs with the weights)."""
+    from ..operators.selection import dsir_weights, gumbel_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    w = dsir_weights(d, target, buckets=256)
+    out = gumbel_topk(w, 25)
+    return out.select(
+        "doc_id",
+        "n_feats",
+        F.round("weight", 4).alias("weight"),
+        F.col("_gkey").alias("gkey"),
+    )
+
+
+def _dsir_resample_sql(buckets: int = 256, combine: int = 1000003) -> str:
+    from ..operators.selection import gumbel_topk_sql
+
+    inner = gumbel_topk_sql("scored", 25, id_col="doc_id", weight_col="w")
+    return (
+        _dsir_ctes(buckets, combine)
+        + f"""
+SELECT doc_id, CAST(n_feats AS INT) AS n_feats,
+       ROUND(w, 4) AS weight, _gkey AS gkey
+FROM ({inner})
+"""
+    )
 
 
 def sim_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2036,6 +2078,7 @@ REGISTRY = {
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
     "sim_ivf_adc": (sim_ivf_adc, SIM_IVF_ADC_SQL),
     "ds_dsir_select": (ds_dsir_select, _dsir_sql()),
+    "ds_dsir_resample": (ds_dsir_resample, _dsir_resample_sql()),
     "sim_ann_lsh": (sim_ann_lsh, _ann_lsh_sql()),
     "sim_ann_lsh_tables": (sim_ann_lsh_tables, _ann_lsh_tables_sql()),
     "sim_label_centroids": (sim_label_centroids, SIM_CENTROIDS_SQL),
