@@ -149,3 +149,61 @@ def test_perturbation_sets_properties(planes, nprobe):
     costs = [sum(i + 1 for i in p) for p in pats[1:]]
     assert costs == sorted(costs)
     assert all(all(0 <= i < planes for i in p) for p in pats)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_int8_quantizer_roundtrip_bound(spark, vec):
+    """with_int8_codes: every reconstructed component is within s/2 of
+    the input (round-to-nearest on an un-clamped range: |x| <= max|v|
+    implies |x/s| <= 127, so the clamp never bites), codes stay in
+    [-127, 127], and the max-magnitude component maps to ±127."""
+    from pyspark.sql import functions as F
+
+    from asid_v2_data_pipeline_spark.operators.similarity import with_int8_codes
+
+    df = spark.createDataFrame([(1, vec)], "id long, embedding array<double>")
+    row = with_int8_codes(df).collect()[0]
+    codes = row["_q"]
+    s = max(max(abs(x) for x in vec), 1e-12) / 127.0
+    assert all(-127 <= c <= 127 for c in codes)
+    for x, c in zip(vec, codes):
+        assert abs(x - c * s) <= s / 2 + 1e-9 * abs(x)
+    # the max-magnitude component maps to ±127 — unless the whole vector
+    # sits under the 1e-12 degenerate-vector floor, which quantizes to 0
+    if max(abs(x) for x in vec) >= 1e-12:
+        m = max(range(len(vec)), key=lambda i: abs(vec[i]))
+        assert abs(codes[m]) == 127
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(0, 10_000))
+def test_gumbel_key_model_and_range(spark, seed, doc_id):
+    """gumbel_topk's draw matches the pure-Python model of the portable
+    LCG + inverse-Gumbel transform for arbitrary (seed, id) — the oracle
+    SQL transliteration's independent witness — and u stays strictly
+    inside (0, 1) so the double log never produces inf/nan."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from asid_v2_data_pipeline_spark.operators.selection import gumbel_topk
+
+    df = spark.createDataFrame(
+        [(doc_id, 0.0)], "doc_id long, weight double"
+    )
+    got = gumbel_topk(df, 1, seed=seed).collect()[0]["_gkey"]
+
+    M, A, C = 1 << 31, 1103515245, 12345
+    h = (doc_id % M + seed) % M
+    h = (h * A + C) % M
+    h = (h * A + C) % M
+    u = (h + 0.5) / M
+    assert 0.0 < u < 1.0
+    assert got == round(0.0 + -math.log(-math.log(u)), 6)
