@@ -141,9 +141,26 @@ def gumbel_topk(
     The Gumbel draw keys on the portable LCG hash of the id —
     ``u = (h + 0.5) / 2³¹ ∈ (0,1)``, ``g = −ln(−ln u)`` — so any engine
     (and any rerun) selects the SAME rows.  Plan: narrow key +
-    TakeOrderedAndProject; zero shuffle before the top-k."""
+    TakeOrderedAndProject; zero shuffle before the top-k.
+
+    ``id_col`` must cast cleanly to long: a NULL cast (non-numeric
+    string id) would make ``_gkey`` NULL and silently sort those rows
+    last, so the draw raises per-row instead of dropping them."""
+    idl = F.col(id_col).try_cast("long")
+    idl = F.when(
+        F.col(id_col).isNotNull() & idl.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"gumbel_topk: {id_col} must be numeric "
+                    "(long-castable); got non-numeric value "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(idl)
     u = (
-        shuffle_hash(F.col(id_col).cast("long"), seed).cast("double")
+        shuffle_hash(idl, seed).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(SHUFFLE_M))
     key = F.col(weight_col) + -F.log(-F.log(u))

@@ -19,7 +19,9 @@ partition per admitted batch — the same idempotent-sink discipline as
   document ever seen (including near-dup losers and contaminated docs);
 - ``index/``  — ``(_id, _band, _bucket)`` LSH band rows of those same
   documents;
-- ``corpus/`` — the fully admitted (clean) documents.
+- ``corpus/`` — the fully admitted (clean) documents;
+- ``meta/``   — one ``max_id`` row per batch, used to warn when a batch
+  arrives out of ascending-id order (see ``validate_order``).
 
 ``seen``/``index`` deliberately cover more than ``corpus``: the lazy
 ``curate`` drops a document that collides with ANY earlier exact-unique
@@ -57,6 +59,8 @@ groupBy).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,12 +97,21 @@ def admit_increment(
     bands: int = 4,
     shingle_n: int = 3,
     return_stats: bool = True,
+    validate_order: bool = True,
 ) -> dict:
     """Admit one batch against the persisted state; returns admission
     stats (``return_stats=False`` skips the three counting jobs —
     streaming callers that discard them shouldn't pay a re-scan of the
     micro-batch input per trigger).  Idempotent per ``batch_id`` (see
-    module docstring)."""
+    module docstring).
+
+    ``validate_order=True`` (default) records ``max(id)`` per admitted
+    batch in a metadata-sized ``meta/`` state table and WARNS when this
+    batch's min id is below a strictly-earlier batch's max — the
+    ascending-id contract the batch-equivalence proof needs (module
+    docstring).  Violation does not abort admission: semantics merely
+    degrade from min-id tie-break to first-arrival-wins on cross-batch
+    exact/near-dup ties."""
     sp = batch.sparkSession
 
     q = batch.filter(
@@ -148,6 +161,33 @@ def admit_increment(
     clean_b = near_ok.join(F.broadcast(contaminated), id_col, "left_anti").drop(
         "_fp"
     )
+
+    if validate_order:
+        bounds = q.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            prior = _read_state(sp, f"{state_dir}/meta")
+            if prior is not None:
+                prior_max = (
+                    prior.filter(F.col("_bid") < F.lit(batch_id))
+                    .agg(F.max("max_id"))
+                    .first()[0]
+                )
+                if prior_max is not None and bounds["lo"] < prior_max:
+                    warnings.warn(
+                        f"admit_increment batch {batch_id}: min {id_col} "
+                        f"{bounds['lo']} is below an earlier batch's max "
+                        f"{prior_max}; cross-batch dup ties degrade to "
+                        "first-arrival-wins (batch-plan equivalence needs "
+                        "ascending-id arrival)",
+                        stacklevel=2,
+                    )
+            sp.createDataFrame(
+                [(int(bounds["hi"]),)], "max_id long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{state_dir}/meta/_bid={batch_id}"
+            )
 
     new_u.select(F.col(id_col), "_fp").write.mode("overwrite").parquet(
         f"{state_dir}/seen/_bid={batch_id}"

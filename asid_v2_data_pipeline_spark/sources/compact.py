@@ -59,6 +59,21 @@ def compact_parquet_dir(
     write at all) when the directory already has fewer than ``min_files``
     files.  See module docstring for the concurrency contract.
     """
+    # crash recovery: a previous run that died between the two renames
+    # leaves the data stranded under ._compact_old with the live path
+    # missing — restore it before doing anything else, so the table is
+    # readable again and this run can proceed normally.
+    fs, p, jvm = _fs(spark, path)
+    old_aside = path.rstrip("/") + "._compact_old"
+    op = jvm.org.apache.hadoop.fs.Path(old_aside)
+    if not fs.exists(p) and fs.exists(op):
+        if not fs.rename(op, p):
+            raise IOError(
+                f"auto-restore {old_aside} -> {path} failed; "
+                "restore manually before compacting"
+            )
+        spark.catalog.refreshByPath(path)
+
     stats = file_stats(spark, path).collect()
     files_before = len(stats)
     if files_before < min_files:
@@ -75,11 +90,10 @@ def compact_parquet_dir(
     # three-step swap so a crash at any point leaves a recoverable,
     # discoverable state: (1) rename live dir aside, (2) rename staging
     # into place, (3) delete the old dir.  Never a window where the data
-    # exists only under an opaque tmp name with the table path deleted.
-    fs, p, jvm = _fs(spark, path)
+    # exists only under an opaque tmp name with the table path deleted;
+    # a crash between (1) and (2) is auto-restored on the next run (see
+    # the recovery block at the top of this function).
     sp = jvm.org.apache.hadoop.fs.Path(staging)
-    old_aside = path.rstrip("/") + "._compact_old"
-    op = jvm.org.apache.hadoop.fs.Path(old_aside)
     if fs.exists(op) and not fs.delete(op, True):
         raise IOError(f"failed to clear stale {old_aside}")
     if not fs.rename(p, op):

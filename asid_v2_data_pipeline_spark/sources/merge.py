@@ -126,6 +126,30 @@ def merge_upsert(
     # preserved, not dropped) — the standard mergeSchema contract
     merged = survivors.unionByName(incoming, allowMissingColumns=True)
 
+    if delete_col is None:
+        # upsert-only: `incoming` carries at least one row in every
+        # touched bucket by construction, so no bucket can be emptied —
+        # skip the emptied-bucket scan (and its persist) entirely; the
+        # common path pays exactly one job.
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                merged.repartition(F.col(BUCKET_COL))
+                .write.mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(target_dir)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return {
+            "touched_buckets": len(touched),
+            "n_buckets": n_buckets,
+            "emptied_buckets": 0,
+        }
+
     # dynamic partition overwrite only rewrites partitions that receive
     # rows, so a bucket whose every key was tombstoned would keep its old
     # directory (and its supposedly deleted keys).  Find touched buckets

@@ -59,3 +59,24 @@ def test_file_stats_rows_sum(spark, tmp_path):
     fs = file_stats(spark, path)
     assert fs.agg(F.sum("rows")).collect()[0][0] == 50
     assert fs.count() == 5
+
+
+def test_auto_restores_after_mid_swap_crash(spark, tmp_path):
+    """A crash between rename(live -> ._compact_old) and rename(staging
+    -> live) leaves the table path missing; the next run must restore
+    the aside dir before compacting (sources/compact.py recovery)."""
+    import os
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    before = _rows(spark, path)
+    # simulate the mid-swap crash: live dir moved aside, no staging left
+    os.rename(path, path + "._compact_old")
+    assert not os.path.exists(path)
+    stats = compact_parquet_dir(spark, path)
+    assert stats["files_after"] == 1
+    assert _rows(spark, path) == before
+    assert not os.path.exists(path + "._compact_old")

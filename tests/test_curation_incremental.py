@@ -166,3 +166,22 @@ def test_retry_idempotent(spark, tmp_path):
     assert replay["admitted"] == stats[1]["admitted"]
     assert replay["exact_new"] == stats[1]["exact_new"]
     assert _mix_rows(curated_view(spark, state, WEIGHTS)) == before
+
+
+def test_out_of_order_batch_warns(spark, tmp_path):
+    """Batches arriving out of ascending-id order break the batch-plan
+    equivalence tie-break; admission must warn (not abort) and record
+    max_id state per batch (plans/curation_incremental.py
+    validate_order)."""
+    import warnings as w
+
+    corpus, bench = _setup(spark)
+    hi = corpus.filter(F.col("doc_id") >= 340)
+    lo = corpus.filter(F.col("doc_id") < 170)
+    state = str(tmp_path / "state")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        admit_increment(hi, 0, state, bench)
+        assert not any("below an earlier batch" in str(x.message) for x in rec)
+        admit_increment(lo, 1, state, bench)
+        assert any("below an earlier batch" in str(x.message) for x in rec)

@@ -207,3 +207,21 @@ def test_gumbel_key_model_and_range(spark, seed, doc_id):
     u = (h + 0.5) / M
     assert 0.0 < u < 1.0
     assert got == round(0.0 + -math.log(-math.log(u)), 6)
+
+
+def test_gumbel_topk_raises_on_non_numeric_id(spark):
+    """A non-long-castable id would NULL the Gumbel key and silently
+    exclude rows; the draw must raise instead (ADVICE r4)."""
+    import pytest
+    from asid_v2_data_pipeline_spark.operators.selection import gumbel_topk
+
+    df = spark.createDataFrame(
+        [("docA", 0.5), ("7", 0.9)], "doc_id string, weight double"
+    )
+    with pytest.raises(Exception, match="must be numeric"):
+        gumbel_topk(df, 1).collect()
+    # numeric strings are fine — they cast cleanly
+    ok = spark.createDataFrame(
+        [("7", 0.9), ("8", 0.1)], "doc_id string, weight double"
+    )
+    assert gumbel_topk(ok, 1).count() == 1
