@@ -1,0 +1,962 @@
+"""Pure-Python minimal HDF5 reader + writer for netCDF-4 containers.
+
+The reference ingests scenes with ``netCDF4.Dataset(path)``
+(/root/reference/asip_v2/build_dataset.py:28), which reads *either*
+container generation — classic CDF-1/2 or the netCDF-4/HDF5 format.
+``netcdf_classic.py`` covers the former; this module covers the HDF5
+side so ``decode_netcdf_scene`` / ``format("netcdf")`` accept real
+netCDF-4 scene files too, with no third-party dependency.  Everything
+here derives from the public HDF5 File Format Specification (v3) and
+the public netCDF-4 dataset conventions (_FillValue attribute,
+DIMENSION_SCALE/NAME dimension markers).
+
+Read scope (asserted, raises clearly outside it):
+
+- superblock versions 0/1 (HDF5 1.8 "earliest", what the netCDF4
+  library writes by default) and 2/3 (1.10+ "latest");
+- object headers v1 and v2 (``OHDR``), with continuation blocks;
+- old-style groups (symbol-table message -> B-tree v1 -> SNOD -> local
+  heap) and new-style compact groups (Link messages); dense (fractal
+  heap) groups/attributes are out of scope;
+- datatypes: fixed-point, IEEE float, fixed-length strings (either
+  endianness); references/vlen attribute values parse as ``None``;
+- dataspaces v1/v2; fill-value message v1/v2/3; attribute message
+  v1/2/3 (compact storage);
+- data layout message v3: compact, contiguous, and chunked with the
+  B-tree-v1 chunk index; missing chunks / unallocated datasets fill
+  with the dataset fill value;
+- filter pipeline v1/v2 with deflate (zlib), shuffle, and fletcher32
+  — i.e. gzip-compressed netCDF-4 variables decode too; other filters
+  (szip, nbit, scaleoffset) raise.
+
+The writer emits fixture files in both generations — ``style=
+"earliest"`` (superblock v0 + v1 object headers + symbol-table group)
+and ``style="latest"`` (superblock v3 + OHDR v2 + link-message group,
+Jenkins lookup3 checksums) — with contiguous or chunked layouts and
+optional shuffle+deflate, plus netCDF-4-style dimension-scale stub
+datasets so the reader's "not a netCDF variable" filtering is
+exercised by real bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+_M32 = 0xFFFFFFFF
+
+# netCDF default fill values (public netcdf.h), keyed by numpy kind+size
+NC4_DEFAULT_FILL = {
+    ("i", 1): -127,
+    ("i", 2): -32767,
+    ("i", 4): -2147483647,
+    ("i", 8): -9223372036854775806,
+    ("u", 1): 255,
+    ("u", 2): 65535,
+    ("u", 4): 4294967295,
+    ("u", 8): 18446744073709551614,
+    ("f", 4): 9.9692099683868690e36,
+    ("f", 8): 9.9692099683868690e36,
+}
+
+# the exact public netCDF-4 marker for a dimension without a variable
+_DIM_SCALE_NAME = "This is a netCDF dimension but not a netCDF variable"
+
+
+def _rot(x: int, k: int) -> int:
+    return ((x << k) | (x >> (32 - k))) & _M32
+
+
+def lookup3(data: bytes, initval: int = 0) -> int:
+    """Bob Jenkins' lookup3 ``hashlittle`` — the HDF5 metadata checksum
+    (public domain algorithm; HDF5 spec appendix "Checksum")."""
+    length = len(data)
+    a = b = c = (0xDEADBEEF + length + initval) & _M32
+    i = 0
+    while length > 12:
+        a = (a + int.from_bytes(data[i : i + 4], "little")) & _M32
+        b = (b + int.from_bytes(data[i + 4 : i + 8], "little")) & _M32
+        c = (c + int.from_bytes(data[i + 8 : i + 12], "little")) & _M32
+        a = (a - c) & _M32
+        a ^= _rot(c, 4)
+        c = (c + b) & _M32
+        b = (b - a) & _M32
+        b ^= _rot(a, 6)
+        a = (a + c) & _M32
+        c = (c - b) & _M32
+        c ^= _rot(b, 8)
+        b = (b + a) & _M32
+        a = (a - c) & _M32
+        a ^= _rot(c, 16)
+        c = (c + b) & _M32
+        b = (b - a) & _M32
+        b ^= _rot(a, 19)
+        a = (a + c) & _M32
+        c = (c - b) & _M32
+        c ^= _rot(b, 4)
+        b = (b + a) & _M32
+        i += 12
+        length -= 12
+    if length == 0:
+        return c
+    tail = data[i:] + b"\x00" * (12 - length)
+    a = (a + int.from_bytes(tail[0:4], "little")) & _M32
+    b = (b + int.from_bytes(tail[4:8], "little")) & _M32
+    c = (c + int.from_bytes(tail[8:12], "little")) & _M32
+    c ^= b
+    c = (c - _rot(b, 14)) & _M32
+    a ^= c
+    a = (a - _rot(c, 11)) & _M32
+    b ^= a
+    b = (b - _rot(a, 25)) & _M32
+    c ^= b
+    c = (c - _rot(b, 16)) & _M32
+    a ^= c
+    a = (a - _rot(c, 4)) & _M32
+    b ^= a
+    b = (b - _rot(a, 14)) & _M32
+    c ^= b
+    c = (c - _rot(b, 24)) & _M32
+    return c
+
+
+# --------------------------------------------------------------------------
+# reader
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Dataset:
+    name: str
+    shape: tuple[int, ...]
+    dtype: np.dtype
+    attrs: dict = field(default_factory=dict)
+    layout: tuple = ()  # ("contiguous", addr, size) | ("chunked", btree, cdims) | ("compact", bytes)
+    fill: bytes | None = None
+    filters: list = field(default_factory=list)
+
+
+class HDF5File:
+    """Parsed minimal-HDF5 file (read-only, from bytes).  Exposes
+    ``root_attrs`` and ``datasets`` (path -> :class:`_Dataset`, root
+    children unprefixed, nested groups joined with ``/``)."""
+
+    def __init__(self, payload: bytes):
+        if payload[:8] != HDF5_MAGIC:
+            raise ValueError(f"not an HDF5 file (magic {payload[:8]!r})")
+        self._buf = payload
+        root = self._superblock()
+        self.root_attrs: dict = {}
+        self.datasets: dict[str, _Dataset] = {}
+        self._walk_group(root, prefix="", is_root=True, seen=set())
+
+    # --- primitives ---------------------------------------------------
+    def _u(self, pos: int, n: int) -> int:
+        return int.from_bytes(self._buf[pos : pos + n], "little")
+
+    def _addr(self, pos: int) -> int | None:
+        v = self._u(pos, self._so)
+        return None if v == (1 << (8 * self._so)) - 1 else v
+
+    def _superblock(self) -> int:
+        b = self._buf
+        ver = b[8]
+        if ver in (0, 1):
+            self._so, self._sl = b[13], b[14]
+            pos = 24 if ver == 0 else 28
+            pos += 4 * self._so  # base, free-space, eof, driver-info
+            # root group symbol table entry: name offset, OH address, ...
+            oh = self._addr(pos + self._so)
+            if oh is None:
+                raise ValueError("superblock: undefined root address")
+            return oh
+        if ver in (2, 3):
+            self._so, self._sl = b[9], b[10]
+            pos = 12 + 3 * self._so  # base, extension, eof
+            oh = self._addr(pos)
+            if oh is None:
+                raise ValueError("superblock: undefined root address")
+            return oh
+        raise ValueError(f"unsupported superblock version {ver}")
+
+    # --- object headers ----------------------------------------------
+    def _messages(self, addr: int) -> list[tuple[int, bytes]]:
+        """All (type, body) messages of the object header at ``addr``,
+        continuations resolved, v1 and v2 headers alike."""
+        b = self._buf
+        if b[addr : addr + 4] == b"OHDR":
+            return self._messages_v2(addr)
+        if b[addr] != 1:
+            raise ValueError(f"unsupported object header version {b[addr]}")
+        nmsgs = self._u(addr + 2, 2)
+        hdrsize = self._u(addr + 8, 4)
+        blocks = [(addr + 16, hdrsize)]
+        out: list[tuple[int, bytes]] = []
+        while blocks and len(out) < nmsgs:
+            start, size = blocks.pop(0)
+            pos, end = start, start + size
+            while pos + 8 <= end and len(out) < nmsgs:
+                mtype = self._u(pos, 2)
+                msize = self._u(pos + 2, 2)
+                body = b[pos + 8 : pos + 8 + msize]
+                pos += 8 + msize
+                if mtype == 0x0010:  # continuation: raw messages block
+                    cont = int.from_bytes(body[: self._so], "little")
+                    clen = int.from_bytes(
+                        body[self._so : self._so + self._sl], "little"
+                    )
+                    blocks.append((cont, clen))
+                elif mtype != 0x0000:  # NIL
+                    out.append((mtype, body))
+        return out
+
+    def _messages_v2(self, addr: int) -> list[tuple[int, bytes]]:
+        b = self._buf
+        flags = b[addr + 5]
+        pos = addr + 6
+        if flags & 0x20:
+            pos += 16  # four timestamps
+        if flags & 0x10:
+            pos += 4  # max-compact / min-dense attribute phase change
+        csize_bytes = 1 << (flags & 0x03)
+        chunk0 = self._u(pos, csize_bytes)
+        pos += csize_bytes
+        corder = 2 if flags & 0x04 else 0
+        blocks = [(pos, chunk0)]
+        out: list[tuple[int, bytes]] = []
+        while blocks:
+            start, size = blocks.pop(0)
+            pos, end = start, start + size
+            while pos + 4 + corder <= end:
+                mtype = b[pos]
+                msize = self._u(pos + 1, 2)
+                pos += 4 + corder
+                body = b[pos : pos + msize]
+                pos += msize
+                if mtype == 0x10:
+                    cont = int.from_bytes(body[: self._so], "little")
+                    clen = int.from_bytes(
+                        body[self._so : self._so + self._sl], "little"
+                    )
+                    # OCHK signature + trailing checksum bracket the block
+                    blocks.append((cont + 4, clen - 8))
+                elif mtype != 0x00:
+                    out.append((mtype, body))
+        return out
+
+    # --- message decoders --------------------------------------------
+    def _dtype(self, body: bytes):
+        cls, size = body[0] & 0x0F, self._u4(body, 4)
+        bits = body[1] | (body[2] << 8) | (body[3] << 16)
+        order = ">" if bits & 1 else "<"
+        if cls == 0:
+            return np.dtype(f"{order}{'i' if bits & 8 else 'u'}{size}")
+        if cls == 1:
+            return np.dtype(f"{order}f{size}")
+        if cls == 3:
+            return np.dtype(f"S{size}")
+        return None  # reference / vlen / compound: value -> None
+
+    @staticmethod
+    def _u4(b: bytes, pos: int) -> int:
+        return int.from_bytes(b[pos : pos + 4], "little")
+
+    def _dataspace(self, body: bytes) -> tuple[int, ...]:
+        ver, rank = body[0], body[1]
+        pos = 8 if ver == 1 else 4
+        return tuple(
+            int.from_bytes(body[pos + i * self._sl : pos + (i + 1) * self._sl], "little")
+            for i in range(rank)
+        )
+
+    def _fill(self, body: bytes) -> bytes | None:
+        ver = body[0]
+        if ver in (1, 2):
+            if ver == 2 and body[3] != 1:
+                return None
+            n = self._u4(body, 4)
+            return bytes(body[8 : 8 + n]) if n else None
+        if ver == 3:
+            if body[1] & 0x20:
+                n = self._u4(body, 2)
+                return bytes(body[6 : 6 + n]) if n else None
+            return None
+        raise ValueError(f"unsupported fill-value message version {ver}")
+
+    def _filters(self, body: bytes) -> list[tuple[int, int, tuple[int, ...]]]:
+        ver, nf = body[0], body[1]
+        pos = 8 if ver == 1 else 2
+        out = []
+        for _ in range(nf):
+            fid = int.from_bytes(body[pos : pos + 2], "little")
+            pos += 2
+            if ver == 1 or fid >= 256:
+                nlen = int.from_bytes(body[pos : pos + 2], "little")
+                pos += 2
+            else:
+                nlen = 0
+            flags = int.from_bytes(body[pos : pos + 2], "little")
+            ncdv = int.from_bytes(body[pos + 2 : pos + 4], "little")
+            pos += 4
+            if nlen:
+                pad = (nlen + 7) // 8 * 8 if ver == 1 else nlen
+                pos += pad
+            cd = tuple(
+                self._u4(body, pos + 4 * i) for i in range(ncdv)
+            )
+            pos += 4 * ncdv
+            if ver == 1 and ncdv % 2:
+                pos += 4
+            out.append((fid, flags, cd))
+        return out
+
+    def _attribute(self, body: bytes) -> tuple[str, object]:
+        ver = body[0]
+        nsz = int.from_bytes(body[2:4], "little")
+        dtsz = int.from_bytes(body[4:6], "little")
+        dssz = int.from_bytes(body[6:8], "little")
+        if ver == 1:
+            pos = 8
+            name = body[pos : pos + nsz].split(b"\x00")[0].decode()
+            pos += (nsz + 7) // 8 * 8
+            dt = self._dtype(body[pos : pos + dtsz])
+            pos += (dtsz + 7) // 8 * 8
+            shape = self._dataspace(body[pos : pos + dssz])
+            pos += (dssz + 7) // 8 * 8
+        elif ver in (2, 3):
+            if ver == 2 and body[1] & 0x03:
+                return ("", None)  # shared datatype/dataspace: skip
+            pos = 8 + (1 if ver == 3 else 0)
+            name = body[pos : pos + nsz].split(b"\x00")[0].decode()
+            pos += nsz
+            dt = self._dtype(body[pos : pos + dtsz])
+            pos += dtsz
+            shape = self._dataspace(body[pos : pos + dssz])
+            pos += dssz
+        else:
+            raise ValueError(f"unsupported attribute message version {ver}")
+        if dt is None:
+            return (name, None)
+        n = int(np.prod(shape)) if shape else 1
+        raw = body[pos : pos + n * dt.itemsize]
+        if dt.kind == "S":
+            return (name, raw.split(b"\x00")[0].decode("utf-8", "replace"))
+        vals = np.frombuffer(raw, dtype=dt, count=n)
+        return (name, vals[0] if n == 1 else vals)
+
+    # --- group walking ------------------------------------------------
+    def _walk_group(self, addr: int, prefix: str, is_root: bool, seen: set):
+        if addr in seen:
+            return
+        seen.add(addr)
+        msgs = self._messages(addr)
+        by_type: dict[int, list[bytes]] = {}
+        for t, body in msgs:
+            by_type.setdefault(t, []).append(body)
+
+        attrs = dict(
+            self._attribute(b) for b in by_type.get(0x000C, [])
+        )
+        attrs.pop("", None)
+
+        if 0x0008 in by_type:  # data layout -> dataset
+            self._add_dataset(prefix, by_type, attrs)
+            return
+        if is_root:
+            self.root_attrs = attrs
+        children: list[tuple[str, int]] = []
+        for body in by_type.get(0x0011, []):  # old-style symbol table
+            btree = int.from_bytes(body[: self._so], "little")
+            heap = int.from_bytes(body[self._so : 2 * self._so], "little")
+            children.extend(self._symbol_table(btree, heap))
+        for body in by_type.get(0x0006, []):  # new-style link message
+            link = self._link(body)
+            if link is not None:
+                children.append(link)
+        for body in by_type.get(0x0002, []):  # link info: detect dense
+            pos = 2 + (8 if body[1] & 0x01 else 0)
+            heap_addr = int.from_bytes(body[pos : pos + self._so], "little")
+            if heap_addr != (1 << (8 * self._so)) - 1:
+                raise ValueError(
+                    "dense (fractal-heap) group storage is not supported"
+                )
+        for name, child_addr in children:
+            path = f"{prefix}{name}"
+            self._walk_group(child_addr, path + "/", False, seen)
+
+    def _link(self, body: bytes) -> tuple[str, int] | None:
+        flags = body[1]
+        pos = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = body[pos]
+            pos += 1
+        if flags & 0x04:
+            pos += 8
+        if flags & 0x10:
+            pos += 1
+        nbytes = 1 << (flags & 0x03)
+        nlen = int.from_bytes(body[pos : pos + nbytes], "little")
+        pos += nbytes
+        name = body[pos : pos + nlen].decode()
+        pos += nlen
+        if ltype != 0:
+            return None  # soft/external links: skip
+        return (name, int.from_bytes(body[pos : pos + self._so], "little"))
+
+    def _symbol_table(self, btree: int, heap: int) -> list[tuple[str, int]]:
+        b = self._buf
+        if b[heap : heap + 4] != b"HEAP":
+            raise ValueError("bad local heap signature")
+        heap_data = self._u(heap + 8 + 2 * self._sl, self._so)
+
+        def name_at(off: int) -> str:
+            end = b.index(b"\x00", heap_data + off)
+            return b[heap_data + off : end].decode()
+
+        out: list[tuple[str, int]] = []
+
+        def walk(node_addr: int):
+            if b[node_addr : node_addr + 4] == b"SNOD":
+                nsyms = self._u(node_addr + 6, 2)
+                pos = node_addr + 8
+                for _ in range(nsyms):
+                    off = self._u(pos, self._so)
+                    oh = self._u(pos + self._so, self._so)
+                    out.append((name_at(off), oh))
+                    pos += 2 * self._so + 24
+                return
+            if b[node_addr : node_addr + 4] != b"TREE":
+                raise ValueError("bad group B-tree node signature")
+            entries = self._u(node_addr + 6, 2)
+            pos = node_addr + 8 + 2 * self._so  # skip left/right siblings
+            for _ in range(entries):
+                pos += self._sl  # key
+                walk(self._u(pos, self._so))
+                pos += self._so
+
+        walk(btree)
+        return out
+
+    # --- datasets -----------------------------------------------------
+    def _add_dataset(self, prefix: str, by_type: dict, attrs: dict):
+        name = prefix.rstrip("/")
+        dt = self._dtype(by_type[0x0003][0])
+        if dt is None:
+            return  # reference/vlen datasets: not scene data
+        shape = self._dataspace(by_type[0x0001][0])
+        layout = by_type[0x0008][0]
+        ver = layout[0]
+        if ver != 3:
+            raise ValueError(
+                f"data layout message version {ver} not supported "
+                "(only v3 compact/contiguous/chunked)"
+            )
+        cls = layout[1]
+        if cls == 0:
+            n = int.from_bytes(layout[2:4], "little")
+            lay = ("compact", bytes(layout[4 : 4 + n]))
+        elif cls == 1:
+            addr = int.from_bytes(layout[2 : 2 + self._so], "little")
+            size = int.from_bytes(
+                layout[2 + self._so : 2 + self._so + self._sl], "little"
+            )
+            lay = ("contiguous", addr, size)
+        elif cls == 2:
+            dim = layout[2]
+            btree = int.from_bytes(layout[3 : 3 + self._so], "little")
+            cdims = tuple(
+                self._u4(layout, 3 + self._so + 4 * i) for i in range(dim)
+            )
+            lay = ("chunked", btree, cdims)
+        else:
+            raise ValueError(f"unknown layout class {cls}")
+        fill = None
+        for body in by_type.get(0x0005, []):
+            fill = self._fill(body) or fill
+        filters = []
+        for body in by_type.get(0x000B, []):
+            filters = self._filters(body)
+        self.datasets[name] = _Dataset(
+            name, shape, dt, attrs, lay, fill, filters
+        )
+
+    def _fill_scalar(self, ds: _Dataset):
+        if ds.fill is not None and len(ds.fill) == ds.dtype.itemsize:
+            return np.frombuffer(ds.fill, dtype=ds.dtype)[0]
+        return np.zeros((), dtype=ds.dtype)[()]  # HDF5 default fill = 0
+
+    def read(self, name: str) -> np.ndarray:
+        """Dataset as a native-order numpy array (missing chunks /
+        unallocated data -> the dataset's HDF5 fill value)."""
+        ds = self.datasets[name]
+        kind = ds.layout[0]
+        n = int(np.prod(ds.shape)) if ds.shape else 1
+        if kind == "compact":
+            return (
+                np.frombuffer(ds.layout[1], dtype=ds.dtype, count=n)
+                .reshape(ds.shape)
+                .astype(ds.dtype.newbyteorder("="))
+            )
+        if kind == "contiguous":
+            addr = ds.layout[1]
+            if addr >= (1 << (8 * self._so)) - 1:
+                arr = np.full(ds.shape, self._fill_scalar(ds), dtype=ds.dtype)
+                return arr.astype(ds.dtype.newbyteorder("="))
+            arr = np.frombuffer(self._buf, dtype=ds.dtype, count=n, offset=addr)
+            return arr.reshape(ds.shape).astype(ds.dtype.newbyteorder("="))
+        _, btree, cdims = ds.layout
+        chunk_shape = cdims[:-1]
+        out = np.full(ds.shape, self._fill_scalar(ds), dtype=ds.dtype)
+        undef = (1 << (8 * self._so)) - 1
+        if btree != undef:
+            for coords, addr, size, mask in self._chunks(btree, len(cdims)):
+                raw = self._buf[addr : addr + size]
+                for i, (fid, _fl, cd) in enumerate(reversed(ds.filters)):
+                    if mask & (1 << (len(ds.filters) - 1 - i)):
+                        continue
+                    raw = _defilter(fid, cd, raw)
+                chunk = np.frombuffer(
+                    raw, dtype=ds.dtype, count=int(np.prod(chunk_shape))
+                ).reshape(chunk_shape)
+                sel_out, sel_chunk = [], []
+                for d, c0 in enumerate(coords[:-1]):
+                    hi = min(c0 + chunk_shape[d], ds.shape[d])
+                    sel_out.append(slice(c0, hi))
+                    sel_chunk.append(slice(0, hi - c0))
+                out[tuple(sel_out)] = chunk[tuple(sel_chunk)]
+        return out.astype(ds.dtype.newbyteorder("="))
+
+    def _chunks(self, node_addr: int, dim: int):
+        b = self._buf
+        if b[node_addr : node_addr + 4] != b"TREE":
+            raise ValueError("bad chunk B-tree node signature")
+        level = b[node_addr + 5]
+        entries = self._u(node_addr + 6, 2)
+        pos = node_addr + 8 + 2 * self._so
+        for _ in range(entries):
+            size = self._u4(b, pos)
+            mask = self._u4(b, pos + 4)
+            coords = tuple(
+                self._u(pos + 8 + 8 * i, 8) for i in range(dim)
+            )
+            pos += 8 + 8 * dim
+            child = self._u(pos, self._so)
+            pos += self._so
+            if level == 0:
+                yield (coords, child, size, mask)
+            else:
+                yield from self._chunks(child, dim)
+
+
+def _defilter(fid: int, cd: tuple[int, ...], raw: bytes) -> bytes:
+    if fid == 1:  # deflate
+        return zlib.decompress(raw)
+    if fid == 2:  # shuffle: byte-transpose with element size cd[0]
+        es = cd[0] if cd else 1
+        if es <= 1 or len(raw) % es:
+            return raw
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(es, -1)
+        return a.T.tobytes()
+    if fid == 3:  # fletcher32: payload + 4 checksum bytes
+        return raw[:-4]
+    raise ValueError(f"unsupported HDF5 filter id {fid}")
+
+
+# --------------------------------------------------------------------------
+# netCDF-4 adapter (the ClassicNetCDF twin for HDF5 containers)
+# --------------------------------------------------------------------------
+
+
+class HDF5NetCDF:
+    """netCDF-4 view of an HDF5 payload: ``variables`` excludes pure
+    dimension-scale stubs (the public "not a netCDF variable" NAME
+    marker); ``masked`` applies the _FillValue/missing_value -> NaN
+    convention exactly like :class:`ClassicNetCDF`."""
+
+    def __init__(self, payload: bytes):
+        self._f = HDF5File(payload)
+        self.attrs = self._f.root_attrs
+        self.variables = {
+            name: ds
+            for name, ds in self._f.datasets.items()
+            if not str(ds.attrs.get("NAME", "")).startswith(_DIM_SCALE_NAME)
+        }
+
+    def shape(self, name: str) -> tuple[int, ...]:
+        return self.variables[name].shape
+
+    def raw(self, name: str) -> np.ndarray:
+        return self._f.read(name)
+
+    def masked(self, name: str) -> np.ndarray:
+        ds = self.variables[name]
+        arr = self.raw(name)
+        if ds.dtype.kind not in "iuf":
+            raise TypeError("masked() is for numeric variables")
+        fill = ds.attrs.get("_FillValue", ds.attrs.get("missing_value"))
+        if fill is None:
+            fill = NC4_DEFAULT_FILL[(ds.dtype.kind, ds.dtype.itemsize)]
+        fill_arr = np.asarray(fill).astype(arr.dtype)
+        out = arr.astype(np.float64)
+        mask = arr == fill_arr
+        if ds.dtype.kind == "f":
+            mask |= np.isnan(out)
+        out[mask] = np.nan
+        return out
+
+
+# --------------------------------------------------------------------------
+# writer (fixtures for both container generations)
+# --------------------------------------------------------------------------
+
+_UNDEF8 = b"\xff" * 8
+
+
+def _np_dtype_msg(dt: np.dtype) -> bytes:
+    dt = dt.newbyteorder("<")
+    if dt.kind in "iu":
+        cv = 0x10  # class 0 (fixed-point), version 1
+        bits = 0x08 if dt.kind == "i" else 0x00
+        props = struct.pack("<HH", 0, dt.itemsize * 8)
+    elif dt.kind == "f":
+        cv = 0x11  # class 1 (float), version 1
+        # LE order (bit0=0), implied-MSB mantissa norm (bits 4-5 = 2),
+        # sign bit location in bits 8-15 — the IEEE layout h5py writes
+        bits = (2 << 4) | ((31 if dt.itemsize == 4 else 63) << 8)
+        if dt.itemsize == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+        else:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    elif dt.kind == "S":
+        cv = 0x13  # class 3 (string), version 1
+        bits = 0
+        props = b""
+    else:
+        raise ValueError(f"unsupported fixture dtype {dt}")
+    return (
+        bytes([cv, bits & 0xFF, (bits >> 8) & 0xFF, (bits >> 16) & 0xFF])
+        + struct.pack("<I", dt.itemsize)
+        + props
+    )
+
+
+def _dataspace_msg(shape: tuple[int, ...]) -> bytes:
+    body = bytes([1, len(shape), 0]) + b"\x00" * 5
+    for s in shape:
+        body += struct.pack("<Q", s)
+    return body
+
+
+def _fill_msg(fill: bytes | None) -> bytes:
+    if fill is None:
+        return bytes([2, 2, 0, 0])
+    return bytes([2, 2, 0, 1]) + struct.pack("<I", len(fill)) + fill
+
+
+def _attr_msg_v1(name: str, value) -> bytes:
+    if isinstance(value, str):
+        raw = value.encode()
+        dt = np.dtype(f"S{len(raw)}")
+        data = raw
+        shape: tuple[int, ...] = ()
+    else:
+        a = np.atleast_1d(np.asarray(value))
+        dt = a.dtype.newbyteorder("<")
+        data = a.astype(dt).tobytes()
+        shape = () if np.asarray(value).ndim == 0 else a.shape
+    nm = name.encode() + b"\x00"
+    dtm = _np_dtype_msg(dt)
+    dsm = _dataspace_msg(shape)
+
+    def pad8(b: bytes) -> bytes:
+        return b + b"\x00" * (-len(b) % 8)
+
+    return (
+        bytes([1, 0])
+        + struct.pack("<HHH", len(nm), len(dtm), len(dsm))
+        + pad8(nm)
+        + pad8(dtm)
+        + pad8(dsm)
+        + data
+    )
+
+
+def _v1_header(messages: list[tuple[int, bytes]]) -> bytes:
+    blocks = []
+    for mtype, body in messages:
+        body = body + b"\x00" * (-len(body) % 8)
+        blocks.append(
+            struct.pack("<HHB3x", mtype, len(body), 0) + body
+        )
+    msgs = b"".join(blocks)
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(msgs)) + msgs
+
+
+def _v2_header(messages: list[tuple[int, bytes]]) -> bytes:
+    blocks = []
+    for mtype, body in messages:
+        blocks.append(struct.pack("<BHB", mtype, len(body), 0) + body)
+    msgs = b"".join(blocks)
+    head = b"OHDR" + bytes([2, 0x02]) + struct.pack("<I", len(msgs))
+    return head + msgs + struct.pack("<I", lookup3(head + msgs))
+
+
+def _chunk_grid(shape, cshape):
+    grids = [range(0, s, c) for s, c in zip(shape, cshape)]
+    out = [()]
+    for g in grids:
+        out = [t + (v,) for t in out for v in g]
+    return out
+
+
+def write_hdf5_netcdf4(
+    dims: dict[str, int],
+    variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
+    gatts: dict | None = None,
+    style: str = "earliest",
+    layout: str = "contiguous",
+    chunks: tuple[int, ...] | None = None,
+    compress: str | None = None,
+) -> bytes:
+    """Minimal netCDF-4/HDF5 fixture writer (root group only).
+
+    ``style="earliest"`` = superblock v0, v1 object headers,
+    symbol-table group (the netCDF4 library's default output);
+    ``style="latest"`` = superblock v3, OHDR v2, link-message group.
+    ``layout`` is ``contiguous`` or ``chunked`` (``chunks`` defaults to
+    ceil(shape/2) so edge-partial chunks are exercised); ``compress``
+    may be ``"deflate"`` or ``"shuffle+deflate"`` (chunked only).
+    Dimension entries become netCDF-4 dimension-scale stub datasets so
+    readers must filter them out, exactly like real files.
+    """
+    if style not in ("earliest", "latest"):
+        raise ValueError("style must be 'earliest' or 'latest'")
+    if layout not in ("contiguous", "chunked"):
+        raise ValueError("layout must be 'contiguous' or 'chunked'")
+    if compress and layout != "chunked":
+        raise ValueError("compression requires chunked layout")
+
+    # dimension-scale stubs, then data variables (netCDF-4 convention)
+    objects: list[tuple[str, list[tuple[int, bytes]], dict]] = []
+    seg_payloads: dict[str, bytes] = {}
+
+    def dataset_msgs(name, arr, attrs, is_dim):
+        arr = np.ascontiguousarray(arr)
+        dt = arr.dtype.newbyteorder("<")
+        data = arr.astype(dt).tobytes()
+        msgs = [
+            (0x0001, _dataspace_msg(arr.shape)),
+            (0x0003, _np_dtype_msg(dt)),
+            (0x0005, _fill_msg(None)),
+        ]
+        use_chunked = layout == "chunked" and not is_dim
+        meta = {"shape": arr.shape, "itemsize": dt.itemsize}
+        if use_chunked:
+            cshape = chunks or tuple(max(1, -(-s // 2)) for s in arr.shape)
+            meta["cshape"] = cshape
+            filters = []
+            if compress:
+                if "shuffle" in compress:
+                    filters.append((2, (dt.itemsize,)))
+                filters.append((1, (6,)))
+            meta["filters"] = filters
+            if filters:
+                fb = bytes([1, len(filters)]) + b"\x00" * 6
+                for fid, cd in filters:
+                    nm = b""
+                    fb += struct.pack("<HHHH", fid, len(nm), 1, len(cd))
+                    for v in cd:
+                        fb += struct.pack("<I", v)
+                    if len(cd) % 2:
+                        fb += b"\x00" * 4
+                msgs.append((0x000B, fb))
+            # chunk payloads, clipped at edges then zero-padded to full
+            # chunks (HDF5 stores whole chunks)
+            chunk_blobs = []
+            for coords in _chunk_grid(arr.shape, cshape):
+                sel = tuple(
+                    slice(c, min(c + cs, s))
+                    for c, cs, s in zip(coords, cshape, arr.shape)
+                )
+                block = np.zeros(cshape, dtype=dt)
+                piece = arr[sel].astype(dt)
+                block[tuple(slice(0, p) for p in piece.shape)] = piece
+                blob = block.tobytes()
+                for fid, cd in filters:
+                    if fid == 2:
+                        a = np.frombuffer(blob, np.uint8).reshape(
+                            -1, dt.itemsize
+                        )
+                        blob = a.T.tobytes()
+                    elif fid == 1:
+                        blob = zlib.compress(blob, 6)
+                chunk_blobs.append((coords, blob))
+            meta["chunk_blobs"] = chunk_blobs
+        else:
+            seg_payloads[name] = data
+        for k, v in attrs.items():
+            msgs.append((0x000C, _attr_msg_v1(k, v)))
+        return msgs, meta
+
+    for dname, dsize in dims.items():
+        stub = np.zeros(dsize, dtype=np.float32)
+        msgs, meta = dataset_msgs(
+            dname,
+            stub,
+            {
+                "CLASS": "DIMENSION_SCALE",
+                "NAME": f"{_DIM_SCALE_NAME} ({dsize}).",
+            },
+            is_dim=True,
+        )
+        objects.append((dname, msgs, meta))
+    for vname, (_vdims, arr, attrs) in variables.items():
+        msgs, meta = dataset_msgs(vname, np.asarray(arr), attrs, is_dim=False)
+        objects.append((vname, msgs, meta))
+
+    # ---- lay the file out with a running allocator, two passes so the
+    # layout/btree/heap messages can carry real addresses
+    def build(addrs: dict) -> tuple[bytes, dict]:
+        out_addrs: dict = {}
+        parts: list[bytes] = []
+        off = 0
+
+        def put(tag: str, blob: bytes) -> int:
+            nonlocal off
+            out_addrs[tag] = off
+            parts.append(blob)
+            off += len(blob)
+            return out_addrs[tag]
+
+        def a(tag: str) -> int:
+            return addrs.get(tag, 0)
+
+        # per-dataset layout message resolved against current addrs
+        headers: dict[str, bytes] = {}
+        for name, msgs, meta in objects:
+            mm = list(msgs)
+            if "chunk_blobs" in meta:
+                cdims = tuple(meta["cshape"]) + (meta["itemsize"],)
+                body = bytes([3, 2, len(cdims)]) + struct.pack(
+                    "<Q", a(f"btree:{name}")
+                )
+                for c in cdims:
+                    body += struct.pack("<I", c)
+                mm.insert(2, (0x0008, body))
+            else:
+                data = seg_payloads[name]
+                body = bytes([3, 1]) + struct.pack(
+                    "<QQ", a(f"data:{name}"), len(data)
+                )
+                mm.insert(2, (0x0008, body))
+            headers[name] = (
+                _v1_header(mm) if style == "earliest" else _v2_header(mm)
+            )
+
+        gat = [(0x000C, _attr_msg_v1(k, v)) for k, v in (gatts or {}).items()]
+        names = [name for name, _m, _x in objects]
+
+        if style == "earliest":
+            # heap: 8 reserved bytes then NUL-terminated names, 8-aligned
+            heap_offsets, hoff, hblob = {}, 8, b"\x00" * 8
+            for n in names:
+                raw = n.encode() + b"\x00"
+                raw += b"\x00" * (-len(raw) % 8)
+                heap_offsets[n] = hoff
+                hblob += raw
+                hoff += len(raw)
+            root_msgs = [
+                (
+                    0x0011,
+                    struct.pack("<QQ", a("btree:/"), a("heap:/")),
+                )
+            ] + gat
+            put("oh:/", _v1_header(root_msgs))
+            put(
+                "btree:/",
+                b"TREE"
+                + struct.pack("<BBH", 0, 0, 1)
+                + _UNDEF8 * 2
+                + struct.pack("<Q", 0)
+                + struct.pack("<Q", a("snod:/"))
+                + struct.pack(
+                    "<Q", heap_offsets[max(names)] if names else 0
+                ),
+            )
+            put(
+                "heap:/",
+                b"HEAP"
+                + bytes([0])
+                + b"\x00" * 3
+                + struct.pack("<Q", len(hblob))
+                + _UNDEF8  # empty free list
+                + struct.pack("<Q", a("heapdata:/")),
+            )
+            put("heapdata:/", hblob)
+            snod = b"SNOD" + bytes([1, 0]) + struct.pack("<H", len(names))
+            for n in sorted(names):
+                snod += struct.pack("<QQ", heap_offsets[n], a(f"oh:{n}"))
+                snod += struct.pack("<I", 0) + b"\x00" * 4 + b"\x00" * 16
+            put("snod:/", snod)
+        else:
+            root_msgs = []
+            for n in names:
+                raw = n.encode()
+                body = (
+                    bytes([1, 0, len(raw)])
+                    + raw
+                    + struct.pack("<Q", a(f"oh:{n}"))
+                )
+                root_msgs.append((0x0006, body))
+            put("oh:/", _v2_header(root_msgs + gat))
+
+        for name, _msgs, meta in objects:
+            put(f"oh:{name}", headers[name])
+            if "chunk_blobs" in meta:
+                blobs = meta["chunk_blobs"]
+                dim = len(meta["cshape"]) + 1
+                keysz = 8 + 8 * dim
+                node = b"TREE" + struct.pack("<BBH", 1, 0, len(blobs))
+                node += _UNDEF8 * 2
+                for i, (coords, blob) in enumerate(blobs):
+                    node += struct.pack("<II", len(blob), 0)
+                    for c in coords + (0,):
+                        node += struct.pack("<Q", c)
+                    node += struct.pack("<Q", a(f"chunk:{name}:{i}"))
+                # trailing boundary key
+                node += struct.pack("<II", 0, 0) + b"\x00" * (keysz - 8)
+                put(f"btree:{name}", node)
+                for i, (_c, blob) in enumerate(blobs):
+                    put(f"chunk:{name}:{i}", blob)
+            else:
+                put(f"data:{name}", seg_payloads[name])
+
+        body = b"".join(parts)
+        if style == "earliest":
+            sb = HDF5_MAGIC + bytes([0, 0, 0, 0, 0, 8, 8, 0])
+            sb += struct.pack("<HHI", 4, 16, 0)
+            sb += struct.pack("<Q", 0) + _UNDEF8  # base, free-space
+            sb += struct.pack("<Q", 96 + len(body))  # EOF
+            sb += _UNDEF8  # driver info
+            sb += struct.pack("<QQ", 0, a("oh:/") )
+            sb += struct.pack("<I", 0) + b"\x00" * 4 + b"\x00" * 16
+            assert len(sb) == 96, len(sb)
+            base = 96
+        else:
+            base = 48
+            sb = HDF5_MAGIC + bytes([3, 8, 8, 0])
+            sb += struct.pack("<QQQQ", 0, (1 << 64) - 1, base + len(body), a("oh:/"))
+            sb += struct.pack("<I", lookup3(sb))
+            assert len(sb) == 48, len(sb)
+        shifted = {k: v + base for k, v in out_addrs.items()}
+        return sb + body, shifted
+
+    _blob, addrs = build({})
+    blob, addrs2 = build(addrs)
+    assert addrs == addrs2, "writer allocation did not converge"
+    return blob

@@ -7,11 +7,13 @@ executor-side inside ``mapInPandas`` into the long-form pixel tables of
 schemas.py.  One file = one task; at 100 TB the directory listing
 parallelizes and decode scales with executors — no driver-side I/O.
 
-Classic-format files (CDF-1/CDF-2) decode for real via the pure-Python
-parser in ``netcdf_classic.py`` — no third-party dependency.  The kernel
-stays injectable (``decode_fn``) so deployments with the netCDF4 library
-can handle netCDF-4/HDF5 containers, which the classic parser rejects
-with a clear error.
+Both container generations decode for real via pure-Python parsers —
+classic CDF-1/CDF-2 in ``netcdf_classic.py`` and netCDF-4/HDF5 in
+``hdf5_min.py`` (contiguous / chunked / gzip+shuffle layouts) — no
+third-party dependency; ``decode_netcdf_scene`` dispatches on the file
+magic.  The kernel stays injectable (``decode_fn``) so deployments with
+the netCDF4 library can swap in ``netCDF4.Dataset`` for exotic layouts
+(dense-stored groups, szip, …) outside the pure-Python scope.
 """
 
 from __future__ import annotations
@@ -40,20 +42,24 @@ def decode_netcdf_scene(path: str, payload: bytes, variables: list[str]) -> pd.D
     engine analogue of ``fil[name][:]...filled(np.nan)`` at
     archive.py:19-20).
 
-    Classic-format files (CDF-1/CDF-2) are decoded by the pure-Python
-    reader in ``netcdf_classic.py`` — no third-party dependency.
-    netCDF-4/HDF5 containers need the netCDF4 library, which is not in
-    this environment: those raise with a clear message (inject a decode_fn
-    built on ``netCDF4.Dataset(..., memory=payload)`` in deployments that
-    have it).
+    Dispatches on the container magic: classic CDF-1/CDF-2 via the
+    pure-Python reader in ``netcdf_classic.py``, netCDF-4/HDF5 via the
+    pure-Python minimal-HDF5 reader in ``hdf5_min.py`` — the same
+    either-generation acceptance as the reference's
+    ``netCDF4.Dataset(path)`` (build_dataset.py:28), with no
+    third-party dependency.
 
     Variables must be 2-D ``(line, sample)``; fill values surface as NULL.
     """
     import numpy as np
 
+    from .hdf5_min import HDF5_MAGIC, HDF5NetCDF
     from .netcdf_classic import ClassicNetCDF
 
-    ds = ClassicNetCDF(payload)  # raises ValueError on netCDF-4/HDF5 magic
+    if payload[:8] == HDF5_MAGIC:
+        ds = HDF5NetCDF(payload)
+    else:
+        ds = ClassicNetCDF(payload)
     scene = path.split("/")[-1].split("_")[0]
     frames = []
     for var in variables:

@@ -67,7 +67,9 @@ class ClassicNetCDF:
     def __init__(self, payload: bytes):
         if payload[:4] == b"\x89HDF":
             raise ValueError(
-                "netCDF-4/HDF5 file: only classic CDF-1/CDF-2 is supported here"
+                "netCDF-4/HDF5 file: this class is classic-only — use "
+                "hdf5_min.HDF5NetCDF (decode_netcdf_scene dispatches "
+                "automatically)"
             )
         if payload[:3] != b"CDF" or payload[3] not in (1, 2):
             raise ValueError(f"not a classic NetCDF file (magic {payload[:4]!r})")

@@ -1,0 +1,185 @@
+"""Pure-Python netCDF-4/HDF5 reader: round-trip vs the fixture writer
+in both container generations, chunked/compressed layouts, missing-chunk
+fill, dimension-scale filtering, and the real decode path through
+``decode_netcdf_scene`` / ``format("netcdf")`` (sources/hdf5_min.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from asid_v2_data_pipeline_spark.sources.hdf5_min import (
+    HDF5File,
+    HDF5NetCDF,
+    write_hdf5_netcdf4,
+)
+from asid_v2_data_pipeline_spark.sources.netcdf import (
+    decode_netcdf_scene,
+    read_scenes,
+)
+from asid_v2_data_pipeline_spark.sources.netcdf_classic import write_classic
+
+
+def _arrays(side: int = 4):
+    grid = np.arange(side * side, dtype=np.float32).reshape(side, side)
+    prim = grid.copy()
+    prim[0, 0] = -999.0  # explicit fill
+    sec = grid * 2.0
+    sec[1, 1] = 9.9692099683868690e36  # default NC_FLOAT fill
+    cnt = grid.astype(np.int16) - 3
+    cnt[0, 2] = -5
+    return prim, sec, cnt
+
+
+def _variables(side: int = 4):
+    prim, sec, cnt = _arrays(side)
+    return {
+        "sar_primary": (
+            ("line", "sample"),
+            prim,
+            {"_FillValue": np.float32(-999.0)},
+        ),
+        "sar_secondary": (("line", "sample"), sec, {}),
+        "counts": (("line", "sample"), cnt, {"_FillValue": np.int16(-5)}),
+    }
+
+
+def _payload(side: int = 4, **kw) -> bytes:
+    return write_hdf5_netcdf4(
+        {"line": side, "sample": side},
+        _variables(side),
+        gatts={"title": "fixture scene", "rev": np.int32(7)},
+        **kw,
+    )
+
+
+MATRIX = [
+    ("earliest", "contiguous", None),
+    ("earliest", "chunked", None),
+    ("earliest", "chunked", "deflate"),
+    ("earliest", "chunked", "shuffle+deflate"),
+    ("latest", "contiguous", None),
+    ("latest", "chunked", None),
+    ("latest", "chunked", "deflate"),
+    ("latest", "chunked", "shuffle+deflate"),
+]
+
+
+@pytest.mark.parametrize("style,layout,compress", MATRIX)
+def test_roundtrip_matrix(style, layout, compress):
+    prim, sec, cnt = _arrays(5)
+    ds = HDF5NetCDF(
+        _payload(5, style=style, layout=layout, compress=compress)
+    )
+    # dimension-scale stubs are datasets in the file but NOT variables
+    assert set(ds.variables) == {"sar_primary", "sar_secondary", "counts"}
+    assert ds.attrs["title"] == "fixture scene" and ds.attrs["rev"] == 7
+    assert ds.shape("sar_primary") == (5, 5)
+    np.testing.assert_array_equal(ds.raw("sar_primary"), prim)
+    np.testing.assert_array_equal(ds.raw("counts"), cnt)
+    m = ds.masked("sar_primary")
+    assert np.isnan(m[0, 0]) and m[2, 2] == prim[2, 2]
+    assert np.isnan(ds.masked("sar_secondary")[1, 1])  # default fill
+    assert np.isnan(ds.masked("counts")[0, 2])  # int _FillValue
+
+
+def test_dim_scale_datasets_present_but_filtered():
+    f = HDF5File(_payload(4))
+    assert "line" in f.datasets and "sample" in f.datasets
+    assert str(f.datasets["line"].attrs["NAME"]).startswith(
+        "This is a netCDF dimension but not a netCDF variable"
+    )
+    assert "line" not in HDF5NetCDF(_payload(4)).variables
+
+
+def test_missing_chunk_reads_as_fill():
+    """A chunk absent from the B-tree index fills with the dataset fill
+    value (HDF5 default 0 when undefined) — the unallocated-chunk
+    semantics netCDF relies on for sparse writes."""
+    blob = bytearray(_payload(4, layout="chunked"))
+    f = HDF5File(bytes(blob))
+    ds = f.datasets["sar_primary"]
+    _, btree, _ = ds.layout
+    n = int.from_bytes(blob[btree + 6 : btree + 8], "little")
+    assert n == 4  # 2x2 chunk grid on a 4x4 array with ceil-half chunks
+    blob[btree + 6 : btree + 8] = (n - 1).to_bytes(2, "little")
+    got = HDF5File(bytes(blob)).read("sar_primary")
+    full = _arrays(4)[0]
+    np.testing.assert_array_equal(got[:2, :2], full[:2, :2])
+    assert (got[2:, 2:] == 0).all()  # dropped last chunk -> fill
+
+
+def test_reject_garbage_and_unknown_filter():
+    with pytest.raises(ValueError, match="not an HDF5"):
+        HDF5File(b"\x00" * 32)
+    from asid_v2_data_pipeline_spark.sources.hdf5_min import _defilter
+
+    with pytest.raises(ValueError, match="filter id 4"):
+        _defilter(4, (), b"x")  # szip: out of pure-Python scope
+
+
+def test_decode_scene_matches_classic_twin():
+    """The same arrays through write_classic and write_hdf5_netcdf4 must
+    decode to identical long-form pixel frames — generation-independent
+    ingest (the reference's nc.Dataset accepts both)."""
+    side = 4
+    classic = write_classic({"line": side, "sample": side}, _variables(side))
+    variables = ["sar_primary", "sar_secondary"]
+    a = decode_netcdf_scene("20180410T084537_p.nc", classic, variables)
+    for style in ("earliest", "latest"):
+        b = decode_netcdf_scene(
+            "20180410T084537_p.nc", _payload(side, style=style), variables
+        )
+        assert a.equals(b)
+
+
+def test_read_scenes_mixed_generations_end_to_end(spark, tmp_path):
+    """S1 end-to-end on a directory mixing classic and netCDF-4 files —
+    binaryFile + mapInPandas + magic dispatch, no injected decoder."""
+    (tmp_path / "20180410T084537_a.nc").write_bytes(
+        write_classic({"line": 4, "sample": 4}, _variables(4))
+    )
+    (tmp_path / "20180110T120000_b.nc").write_bytes(
+        _payload(6, layout="chunked", compress="shuffle+deflate")
+    )
+    df = read_scenes(spark, str(tmp_path), ["sar_primary", "sar_secondary"])
+    assert df.count() == 2 * (16 + 36)
+    assert df.filter(F.col("value").isNull()).count() == 4
+    got = sorted(
+        (r["line"], r["sample"], r["value"])
+        for r in df.filter(
+            (F.col("scene") == "20180110T120000")
+            & (F.col("var") == "sar_primary")
+        ).collect()
+    )
+    prim = _arrays(6)[0]
+    want = sorted(
+        (i, j, None if (i, j) == (0, 0) else float(np.float32(prim[i, j])))
+        for i in range(6)
+        for j in range(6)
+    )
+    assert got == want
+
+
+def test_format_netcdf_decodes_hdf5_scene(spark, tmp_path):
+    """format('netcdf') (the Spark 4 Python DataSource) accepts a
+    generated netCDF-4 scene — the round-5 acceptance criterion."""
+    from asid_v2_data_pipeline_spark.sources.netcdf_datasource import (
+        read_scenes_ds,
+    )
+
+    (tmp_path / "20180410T084537_a.nc").write_bytes(_payload(4))
+    (tmp_path / "20180110T120000_b.nc").write_bytes(
+        _payload(6, style="latest", layout="chunked", compress="deflate")
+    )
+    via_ds = read_scenes_ds(
+        spark, str(tmp_path), ["sar_primary", "sar_secondary"]
+    )
+    via_binary = read_scenes(
+        spark, str(tmp_path), ["sar_primary", "sar_secondary"]
+    )
+    assert via_ds.schema == via_binary.schema
+    assert sorted(map(tuple, via_ds.collect())) == sorted(
+        map(tuple, via_binary.collect())
+    )
