@@ -1,0 +1,151 @@
+"""Pure-Python multimedia container codecs: WAV/PCM and uncompressed BMP.
+
+Round-5 replacement for the ``DecodeStub`` decode step in
+``operators/multimodal.py`` for the formats implementable without codec
+libraries — the RIFF/WAVE container (PCM 8/16-bit) and the Windows BMP
+container (uncompressed 8-bit palette and 24-bit BGR).  Both are simple
+public formats (Microsoft RIFF/WAVEFORMAT and BITMAPINFOHEADER specs);
+parsing is struct + NumPy, so executor-side decode stays vectorized.
+
+Compressed codecs (PNG/JPEG/MP3/MP4/…) remain stubbed — see
+``multimodal.decode_media``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM only)
+# --------------------------------------------------------------------------
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a RIFF/WAVE container; returns ``(sample_rate, n_channels,
+    samples)`` where samples is int16 (16-bit PCM) or uint8 (8-bit PCM)
+    shaped ``(n_frames, n_channels)``.  Non-PCM encodings raise
+    ``NotImplementedError`` (they need real codec libraries)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} is not PCM; compressed "
+            "audio needs real codec libraries"
+        )
+    if bits == 8:
+        arr = np.frombuffer(data, dtype=np.uint8)
+    elif bits == 16:
+        arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    n_frames = arr.size // n_channels
+    return sample_rate, n_channels, arr[: n_frames * n_channels].reshape(
+        n_frames, n_channels
+    )
+
+
+def write_wav(
+    samples: np.ndarray, sample_rate: int = 8000
+) -> bytes:
+    """Minimal PCM WAV writer (fixture builder).  ``samples`` is uint8
+    (8-bit) or int16 (16-bit), 1-D mono or ``(frames, channels)``."""
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.dtype == np.uint8:
+        bits, data = 8, a.astype(np.uint8).tobytes()
+    elif a.dtype in (np.int16, np.dtype("<i2")):
+        bits, data = 16, a.astype("<i2").tobytes()
+    else:
+        raise ValueError(f"unsupported sample dtype {a.dtype}")
+    nch = a.shape[1]
+    block = nch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * block, block, bits
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, uncompressed 8-bit palette / 24-bit BGR)
+# --------------------------------------------------------------------------
+
+
+def parse_bmp(payload: bytes) -> np.ndarray:
+    """Parse an uncompressed BMP; returns uint8 pixels shaped
+    ``(height, width, 3)`` in RGB order (palette entries expanded).
+    RLE/other compressions raise ``NotImplementedError``."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bits = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} needs real codec libraries"
+        )
+    flip = height > 0  # positive height = bottom-up rows
+    height = abs(height)
+    row_bytes = (width * bits // 8 + 3) // 4 * 4
+    if bits == 24:
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+        ).reshape(height, row_bytes)
+        bgr = rows[:, : width * 3].reshape(height, width, 3)
+        rgb = bgr[:, :, ::-1]
+    elif bits == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA entries -> RGB
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+        ).reshape(height, row_bytes)
+        rgb = pal[rows[:, :width]]
+    else:
+        raise NotImplementedError(f"{bits}-bit BMP not supported")
+    return np.ascontiguousarray(rgb[::-1] if flip else rgb)
+
+
+def write_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (fixture builder).
+    ``pixels`` is uint8 ``(height, width)`` grayscale or
+    ``(height, width, 3)`` RGB; rows stored bottom-up, 4-byte padded."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w, _ = a.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    off = 14 + len(dib)
+    head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return head + dib + data

@@ -2,9 +2,12 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode/resize/frame-sample run as Arrow-batched ``mapInPandas``
-over them.  The decode kernels themselves are STUBBED (codec libraries are
-not in this environment) behind ``DecodeStub`` — the Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is real and tested.
+over them.  Real container decode (round 5): WAV/PCM and uncompressed
+BMP parse for real via ``functions/codecs.py`` — ``decode_wav_rms`` and
+``decode_bmp_pool`` below, both octet-exactly oracle-checked.  Only
+COMPRESSED codecs (PNG/JPEG/MP3/MP4) remain stubbed behind
+``DecodeStub`` — the Spark-side plumbing (schema, batching,
+partitioning, UDF signatures) is identical either way.
 """
 
 from __future__ import annotations
@@ -40,16 +43,30 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecodeStub:
-    """Deterministic fake decoder.  A real deployment swaps in PIL/ffmpeg
-    here; everything around it (Arrow batching, schema, partitioning) is
-    production-shaped."""
+    """Deterministic fake decoder for COMPRESSED codecs only (PNG/JPEG/
+    MP3/MP4 need real codec libraries; a deployment swaps in PIL/ffmpeg
+    here).  WAV and BMP containers decode for real — see
+    ``decode_media``.  Everything around the stub (Arrow batching,
+    schema, partitioning) is production-shaped."""
 
     FEATURE_DIM = 8
+
+    COMPRESSED_MAGIC = (
+        b"\x89PNG",  # PNG
+        b"\xff\xd8\xff",  # JPEG
+        b"ID3",  # MP3 with ID3 tag
+        b"\x1a\x45\xdf\xa3",  # Matroska/WebM
+    )
 
     @staticmethod
     def decode(payload: bytes) -> list[float]:
         if payload is None:
             raise NotImplementedError("real decode requires codec libs")
+        for magic in DecodeStub.COMPRESSED_MAGIC:
+            if payload.startswith(magic):
+                raise NotImplementedError(
+                    "compressed codec: real decode requires codec libs"
+                )
         # deterministic fake: byte histogram folded to FEATURE_DIM buckets
         buckets = [0.0] * DecodeStub.FEATURE_DIM
         for i, b in enumerate(payload):
@@ -228,6 +245,112 @@ def window_rms(media: DataFrame, window_bytes: int) -> DataFrame:
             )
 
     return media.mapInPandas(fn, RMS_SCHEMA)
+
+
+WAV_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("win_no", T.IntegerType(), False),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_wav_rms(media: DataFrame, window_samples: int) -> DataFrame:
+    """REAL audio codec path: parse each payload as a RIFF/WAVE
+    container (``functions/codecs.parse_wav``), center the PCM samples
+    (u8 -> value−128; i16 already signed), and emit one row per
+    COMPLETE window of ``window_samples`` channel-0 samples with the
+    exact integer sum-of-squares and its RMS.  Sum-of-squares of ints is
+    exact in int64/float64, so the octet-level DuckDB oracle matches
+    bit-for-bit.  Arrow-batched ``mapInPandas`` with per-item fan-out —
+    the same plumbing shape as ``window_rms``, but the decode step is a
+    real container parse, not a raw reinterpret."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import parse_wav
+
+        for pdf in batches:
+            ids, rates, wins, sums, rms = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                rate, _nch, samples = parse_wav(bytes(p))
+                ch0 = samples[:, 0].astype(np.int64)
+                if samples.dtype == np.uint8:
+                    ch0 = ch0 - 128
+                nw = ch0.size // window_samples
+                for w in range(nw):
+                    seg = ch0[w * window_samples : (w + 1) * window_samples]
+                    ss = int((seg * seg).sum())
+                    ids.append(mid)
+                    rates.append(rate)
+                    wins.append(w)
+                    sums.append(ss)
+                    rms.append(float(np.sqrt(ss / window_samples)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sample_rate": rates,
+                    "win_no": wins,
+                    "sum_sq": sums,
+                    "rms": rms,
+                }
+            )
+
+    return media.mapInPandas(fn, WAV_RMS_SCHEMA)
+
+
+BMP_POOL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pooled", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def decode_bmp_pool(media: DataFrame, factor: int) -> DataFrame:
+    """REAL image codec path: parse each payload as an uncompressed BMP
+    (``functions/codecs.parse_bmp``: bottom-up rows, 4-byte row
+    padding, BGR order, palette expansion — all undone), convert to
+    grayscale by exact integer-friendly channel mean, and block-mean
+    pool by ``factor`` — ``pool_raw_frames`` with a real container
+    parse in front.  Block means of ≤255 values are exact in float64,
+    so the octet-level oracle matches bit-for-bit."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import parse_bmp
+
+        for pdf in batches:
+            ids, ws, hs, out = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                rgb = parse_bmp(bytes(p))
+                h, w, _ = rgb.shape
+                if h % factor or w % factor:
+                    raise ValueError("factor must divide image dims")
+                gray = rgb.astype(np.float64).mean(axis=2)
+                pooled = gray.reshape(
+                    h // factor, factor, w // factor, factor
+                ).mean(axis=(1, 3))
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                out.append([float(x) for x in pooled.ravel()])
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "pooled": out}
+            )
+
+    return media.mapInPandas(fn, BMP_POOL_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

@@ -1380,6 +1380,142 @@ FROM wins ORDER BY doc_id, win_no
 """
 
 
+_WAV_W = 16
+
+
+def mm_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container decode end-to-end: each document's UTF-8 bytes
+    become 8-bit PCM samples inside a genuine RIFF/WAVE container
+    (``functions/codecs.write_wav``), then ``decode_wav_rms`` parses
+    the container back (fmt/data chunk walk, PCM validation) and emits
+    exact centered sum-of-squares per 16-sample window.  The DuckDB
+    oracle recomputes the same windows straight from the text octets —
+    container round-trip + decode checked bit-for-bit."""
+    from ..operators.multimodal import decode_wav_rms
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import write_wav
+
+        for pdf in batches:
+            payloads = [
+                write_wav(
+                    np.frombuffer(t.encode("utf-8"), dtype=np.uint8), 8000
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    out = decode_wav_rms(media, _WAV_W)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "win_no",
+        "sum_sq",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("doc_id", "win_no")
+
+
+def _mm_wav_sql() -> str:
+    w = _WAV_W
+    return f"""
+WITH {_CODES_CTE_SQL},
+wins AS (
+  SELECT doc_id, CAST(w AS INT) AS win_no,
+         CAST(list_sum(list_transform(range(0, {w}), k ->
+              (CAST(cs[CAST(w * {w} + k + 1 AS INT)] AS BIGINT) - 128)
+            * (CAST(cs[CAST(w * {w} + k + 1 AS INT)] AS BIGINT) - 128))) AS BIGINT) AS sum_sq
+  FROM codes, unnest(range(0, n_bytes // {w})) AS t(w)
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate, win_no, sum_sq,
+       ROUND(sqrt(CAST(sum_sq AS DOUBLE) / {w}), 6) AS rms
+FROM wins ORDER BY doc_id, win_no
+"""
+
+
+_BMP_W, _BMP_H, _BMP_F = 8, 8, 2
+
+
+def mm_bmp_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image container decode: document bytes (truncated /
+    zero-padded to 8×8) become a genuine 24-bit BMP via
+    ``functions/codecs.write_bmp`` (bottom-up rows, 4-byte padding,
+    BGR), then ``decode_bmp_pool`` parses it back and 2×2 block-mean
+    pools the grayscale.  The oracle pools the raw text octets — so a
+    mistake anywhere in the container round-trip (row order, padding,
+    channel order, palette) breaks parity."""
+    from ..operators.multimodal import decode_bmp_pool
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import write_bmp
+
+        n = _BMP_W * _BMP_H
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                buf = t.encode("utf-8")[:n].ljust(n, b"\0")
+                gray = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    _BMP_H, _BMP_W
+                )
+                payloads.append(write_bmp(gray))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    pooled = decode_bmp_pool(media, _BMP_F)
+    k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
+    sel = [
+        F.round(F.element_at("pooled", i + 1), 6).alias(f"p{i}")
+        for i in range(k)
+    ]
+    return pooled.select(
+        F.col("media_id").alias("doc_id"), "width", "height", *sel
+    ).orderBy("doc_id")
+
+
+def _mm_bmp_sql() -> str:
+    ow = _BMP_W // _BMP_F
+    oh = _BMP_H // _BMP_F
+    cell = (
+        f"list_transform(range(0, {_BMP_W * _BMP_H}), i -> "
+        "CASE WHEN i < n_bytes THEN cs[CAST(i + 1 AS INT)] ELSE 0 END)"
+    )
+    cols = []
+    for kk in range(ow * oh):
+        r, c = kk // ow, kk % ow
+        idx = [
+            (_BMP_F * r + dr) * _BMP_W + (_BMP_F * c + dc) + 1
+            for dr in range(_BMP_F)
+            for dc in range(_BMP_F)
+        ]
+        s = " + ".join(f"f64[{i}]" for i in idx)
+        cols.append(f"ROUND(({s}) / {_BMP_F * _BMP_F}.0, 6) AS p{kk}")
+    return f"""
+WITH {_CODES_CTE_SQL},
+frames AS (SELECT doc_id, {cell} AS f64 FROM codes)
+SELECT doc_id, CAST({_BMP_W} AS INT) AS width, CAST({_BMP_H} AS INT) AS height,
+{',' .join(cols)}
+FROM frames ORDER BY doc_id
+"""
+
+
 _FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
 
 
@@ -2099,4 +2235,6 @@ REGISTRY = {
     "mm_raw_pool": (mm_raw_pool, _mm_raw_sql()),
     "mm_frame_sample": (mm_frame_sample, _mm_frames_sql()),
     "mm_window_rms": (mm_window_rms, _mm_rms_sql()),
+    "mm_wav_rms": (mm_wav_rms, _mm_wav_sql()),
+    "mm_bmp_pool": (mm_bmp_pool, _mm_bmp_sql()),
 }

@@ -1,0 +1,136 @@
+"""Pure-Python WAV/BMP codecs: container round-trips, palette/stereo
+variants, compressed-codec rejection, and the real-decode multimodal
+operators (functions/codecs.py, operators/multimodal.py round 5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from asid_v2_data_pipeline_spark.functions.codecs import (
+    parse_bmp,
+    parse_wav,
+    write_bmp,
+    write_wav,
+)
+
+
+def test_wav_u8_mono_roundtrip():
+    s = np.arange(100, dtype=np.uint8)
+    rate, nch, got = parse_wav(write_wav(s, 8000))
+    assert (rate, nch) == (8000, 1)
+    np.testing.assert_array_equal(got[:, 0], s)
+
+
+def test_wav_i16_stereo_roundtrip():
+    s = (np.arange(40, dtype=np.int16).reshape(20, 2) - 10) * 1000
+    rate, nch, got = parse_wav(write_wav(s, 44100))
+    assert (rate, nch) == (44100, 2)
+    np.testing.assert_array_equal(got, s)
+
+
+def test_wav_odd_data_padding():
+    """RIFF chunks are word-aligned: an odd-length 8-bit data chunk gets
+    a pad byte that must not leak into the samples."""
+    s = np.arange(7, dtype=np.uint8)
+    blob = write_wav(s, 8000)
+    assert len(blob) % 2 == 0
+    _r, _c, got = parse_wav(blob)
+    assert got.shape == (7, 1)
+
+
+def test_wav_rejects_non_pcm_and_garbage():
+    s = np.arange(8, dtype=np.uint8)
+    blob = bytearray(write_wav(s, 8000))
+    i = blob.index(b"fmt ") + 8
+    blob[i : i + 2] = (85).to_bytes(2, "little")  # claim MP3 (format 85)
+    with pytest.raises(NotImplementedError, match="not PCM"):
+        parse_wav(bytes(blob))
+    with pytest.raises(ValueError, match="RIFF"):
+        parse_wav(b"\x00" * 44)
+
+
+def test_bmp_24bit_roundtrip_with_row_padding():
+    """Width 3 -> 9-byte rows padded to 12; bottom-up BGR storage must
+    round-trip to top-down RGB exactly."""
+    rgb = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+    got = parse_bmp(write_bmp(rgb))
+    np.testing.assert_array_equal(got, rgb)
+
+
+def test_bmp_grayscale_roundtrip():
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    got = parse_bmp(write_bmp(gray))
+    assert (got[:, :, 0] == got[:, :, 1]).all()
+    np.testing.assert_array_equal(got[:, :, 0], gray)
+
+
+def test_bmp_8bit_palette():
+    """Hand-built 8-bit palette BMP (2x2, identity grayscale palette):
+    palette expansion and bottom-up order."""
+    import struct
+
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))  # BGRA
+    rows = bytes([10, 20, 0, 0]) + bytes([30, 40, 0, 0])  # bottom-up, padded
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(rows), 0, 0, 256, 0)
+    off = 14 + len(dib) + len(pal)
+    head = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    got = parse_bmp(head + dib + pal + rows)
+    np.testing.assert_array_equal(
+        got[:, :, 0], np.array([[30, 40], [10, 20]], dtype=np.uint8)
+    )
+
+
+def test_bmp_rejects_rle_and_garbage():
+    import struct
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    blob = bytearray(write_bmp(rgb))
+    blob[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        parse_bmp(bytes(blob))
+    with pytest.raises(ValueError, match="BMP"):
+        parse_bmp(b"\x00" * 64)
+
+
+def test_decode_stub_rejects_compressed_magic():
+    from asid_v2_data_pipeline_spark.operators.multimodal import DecodeStub
+
+    with pytest.raises(NotImplementedError, match="compressed codec"):
+        DecodeStub.decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="compressed codec"):
+        DecodeStub.decode(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    assert len(DecodeStub.decode(b"plain bytes")) == 8
+
+
+def test_decode_wav_rms_operator(spark):
+    """Real container through the Spark operator: known samples -> exact
+    centered sum-of-squares per window."""
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        decode_wav_rms,
+    )
+
+    s = np.array([128, 130, 126, 128, 138, 118, 128, 128], dtype=np.uint8)
+    rows = [(1, bytearray(write_wav(s, 8000)))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["win_no"]: (r["sum_sq"], r["sample_rate"])
+        for r in decode_wav_rms(media, 4).collect()
+    }
+    # centered: [0,2,-2,0] -> 8 ; [10,-10,0,0] -> 200
+    assert got == {0: (8, 8000), 1: (200, 8000)}
+
+
+def test_decode_bmp_pool_operator(spark):
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pool,
+    )
+
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    media = spark.createDataFrame(
+        [(1, bytearray(write_bmp(gray)))], "media_id long, payload binary"
+    )
+    r = decode_bmp_pool(media, 2).collect()[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    want = gray.astype(float).reshape(2, 2, 2, 2).mean(axis=(1, 3)).ravel()
+    assert r["pooled"] == pytest.approx(list(want))
