@@ -129,6 +129,72 @@ def bm25_scores_indexed(
     )
 
 
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the serving index: postings partitioned by token-hash
+    bucket (``_tb = pmod(hash(token), n_buckets)``) plus the one-row
+    stats table.  A query then reads ONLY its terms' buckets — static
+    partition pruning over ``n_buckets`` directories (asserted in
+    tests/test_retrieval_index.py) — instead of the full posting table.
+    ``n_buckets`` sizes the pruning granularity: at 100 TB pick it so a
+    bucket is a few files (e.g. 4096); the same value must be passed to
+    ``bm25_scores_persisted`` (the bucket column is recomputed from the
+    engine's own ``hash`` on the query side, so writer and reader agree
+    by construction)."""
+    postings, stats = build_bm25_index(docs, id_col, text_col)
+    p = postings.withColumn("_tb", F.pmod(F.hash("token"), F.lit(n_buckets)))
+    (
+        p.repartition(F.col("_tb"))
+        .write.mode("overwrite")
+        .partitionBy("_tb")
+        .parquet(f"{path}/postings")
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_scores_persisted(
+    spark,
+    path: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """``bm25_scores_indexed`` against the PERSISTED index written by
+    ``write_bm25_index``: the query terms' hash buckets are computed
+    with the engine's own ``hash`` (one metadata-sized local job) and
+    pushed as a static ``_tb IN (...)`` partition filter, so the
+    postings scan touches only those buckets' files.  Scoring is then
+    the usual broadcast equi-join on token — candidate rows only."""
+    if not terms:
+        raise ValueError("empty query term set")
+    tq = spark.createDataFrame([(t,) for t in set(terms)], "token string")
+    buckets = sorted(
+        r["_tb"]
+        for r in tq.select(
+            F.pmod(F.hash("token"), F.lit(n_buckets)).alias("_tb")
+        )
+        .distinct()
+        .collect()
+    )
+    spark.catalog.refreshByPath(f"{path}/postings")
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("_tb").isin(buckets))
+        .drop("_tb")
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    return bm25_scores_indexed(
+        postings, stats, terms, k1, b, id_col, materialize=True
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: list[str],

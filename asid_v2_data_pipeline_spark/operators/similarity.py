@@ -358,6 +358,117 @@ def topk_cosine_ivf_adc(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index as cell-partitioned parquet posting lists:
+    ``partitionBy("cell")`` with the int8 ADC codes, the full-precision
+    vector, and its (precomputed) norm per row.  This is the offline
+    half of the serving shape the in-memory functions document at
+    ``ivf_assign``: a query then reads ONLY its probed cells' partitions
+    (static partition pruning — see ``topk_cosine_ivf_adc_indexed``),
+    not the corpus.  One keyed exchange on ``cell`` at build time so
+    each partition is one file run, then never again."""
+    codes = with_int8_codes(
+        ivf_assign(corpus, centroids, id_col, vec_col), vec_col
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_vn"),
+        norm(F.transform("_q", lambda x: x.cast("double"))).alias("_qcn"),
+        "_q",
+        "cell",
+    )
+    (
+        codes.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    spark.catalog.refreshByPath(path)
+    return spark.read.parquet(path)
+
+
+def topk_cosine_ivf_adc_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 1,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``topk_cosine_ivf_adc`` against the PERSISTED index: the probed
+    cells are collected driver-side (at most K values — centroid-table
+    sized by construction) and pushed as a static ``cell IN (...)``
+    partition filter, so the approximate scan reads only the probed
+    partitions' files (asserted via ``inputFiles`` in
+    tests/test_scale_ops.py).  The full-precision rescore reads the
+    index column-pruned to ``(id, vec, _vn)`` joined on the broadcast
+    shortlist — a point-lookup-shaped fetch, never a corpus shuffle.
+    Results are identical to the in-memory path (equality-tested)."""
+    rerank = max(k, rerank_factor * k)
+    qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
+    probed = sorted(
+        r["cell"] for r in qcells.select("cell").distinct().collect()
+    )
+    idx = read_ivf_index(spark, index_path)
+    codes = idx.filter(F.col("cell").isin(probed)).select(
+        F.col(id_col).alias("c_id"), "cell", "_q", "_qcn"
+    )
+    approx = (
+        codes.join(F.broadcast(qcells), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "_qv",
+            "_qn",
+            "c_id",
+            (
+                dot(F.col("_qv"), F.transform("_q", lambda x: x.cast("double")))
+                / (F.col("_qn") * F.col("_qcn"))
+            ).alias("_ascore"),
+        )
+    )
+    wa = Window.partitionBy("q_id").orderBy(
+        F.col("_ascore").desc(), F.col("c_id")
+    )
+    shortlist = (
+        approx.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") <= rerank)
+        .select("q_id", "_qv", "_qn", "c_id")
+    )
+    full = idx.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_vn").alias("_cn"),
+    )
+    rescored = full.join(F.broadcast(shortlist), "c_id").select(
+        "q_id",
+        "c_id",
+        (
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "c_id", F.col("score").cast("double").alias("score"), "rank"
+        )
+    )
+
+
 def _perturbation_sets(planes: int, nprobe: int) -> list[tuple[int, ...]]:
     """Multi-probe LSH probe sequence: subsets of sorted-margin POSITIONS
     (0 = smallest |margin|), cheapest first — cost of a subset is the sum

@@ -90,3 +90,61 @@ def test_index_path_plan_is_equi_join_on_token(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin [token" in plan
+
+
+def test_persisted_index_prunes_and_matches(spark, tmp_path):
+    """Round-5: the token-hash-bucketed persisted index (a) scans only
+    the query terms' bucket partitions and (b) returns the identical
+    scores to the no-explode path on matching docs."""
+    from asid_v2_data_pipeline_spark.operators.retrieval import (
+        bm25_scores_persisted,
+        write_bm25_index,
+    )
+
+    d = _docs(spark)
+    path = str(tmp_path / "bm25")
+    write_bm25_index(d, path, n_buckets=16)
+
+    # (a) pruning: the scan behind the persisted query path reads only
+    # the terms' bucket files (_metadata.file_path reflects the files
+    # actually read after partition pruning)
+    buckets = {
+        r["_tb"]
+        for r in spark.createDataFrame([(t,) for t in TERMS], "token string")
+        .select(F.pmod(F.hash("token"), F.lit(16)).alias("_tb"))
+        .collect()
+    }
+    full = spark.read.parquet(f"{path}/postings")
+    pruned = full.filter(F.col("_tb").isin(sorted(buckets)))
+
+    def scanned(df):
+        return {
+            r["f"]
+            for r in df.select(F.col("_metadata.file_path").alias("f"))
+            .distinct()
+            .collect()
+        }
+
+    all_files, pruned_files = scanned(full), scanned(pruned)
+    assert pruned_files and pruned_files < all_files
+    assert all(
+        any(f"_tb={b}/" in f for b in buckets) for f in pruned_files
+    ), pruned_files
+
+    # (b) equality with the no-explode scorer
+    direct = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_scores(d, TERMS).collect()
+    }
+    via_index = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_scores_persisted(
+            spark, path, TERMS, n_buckets=16
+        ).collect()
+    }
+    assert via_index  # some docs match
+    for did, s in via_index.items():
+        assert direct[did] == s
+    assert all(
+        direct[did] == 0 for did in set(direct) - set(via_index)
+    )

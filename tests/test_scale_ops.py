@@ -1146,3 +1146,70 @@ def test_weighted_sample_proportionality(spark):
     ids1 = sorted(r["doc_id"] for r in s.collect())
     ids2 = sorted(r["doc_id"] for r in weighted_sample(df, "w", 200, "doc_id").collect())
     assert ids1 == ids2
+
+
+def test_ivf_index_persisted_pruned_and_equal(spark, tmp_path):
+    """Round-5: the persisted cell-partitioned IVF index (a) prunes the
+    approximate scan to the probed cells' partition files and (b) returns
+    exactly the in-memory topk_cosine_ivf_adc rows."""
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    dim = 16
+    rows = []
+    for vid in range(240):
+        v = rng.randn(dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") < 6)
+    cents = sim.train_centroids_kmeans(e, 6, iters=3)
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(e, cents, path)
+
+    # (a) pruning evidence: the probed-cell filter actually scans
+    # strictly fewer partition files (the _metadata.file_path hidden
+    # column reflects the files read AFTER partition pruning, unlike
+    # inputFiles() which lists the whole relation)
+    q2 = e.filter(F.col("vec_id") < 2)  # few queries -> few probed cells
+    qcells = sim._query_cells(q2, cents, 1, "vec_id", "embedding")
+    probed = {r["cell"] for r in qcells.select("cell").distinct().collect()}
+    idx = sim.read_ivf_index(spark, path)
+
+    def scanned(df):
+        return {
+            r["f"]
+            for r in df.select(
+                F.col("_metadata.file_path").alias("f")
+            ).distinct().collect()
+        }
+
+    all_files = scanned(idx)
+    pruned = idx.filter(F.col("cell").isin(sorted(probed)))
+    pruned_files = scanned(pruned)
+    assert pruned_files and pruned_files < all_files
+    assert all(
+        any(f"cell={c}/" in f for c in probed) for f in pruned_files
+    ), pruned_files
+    n_cells = idx.select("cell").distinct().count()
+    assert len(probed) < n_cells  # the filter actually prunes
+
+    # (b) equality with the in-memory two-stage path
+    mem = sorted(
+        map(
+            tuple,
+            sim.topk_cosine_ivf_adc(e, q, cents, k=5, nprobe=2)
+            .withColumn("score", F.round("score", 9))
+            .collect(),
+        )
+    )
+    via_idx = sorted(
+        map(
+            tuple,
+            sim.topk_cosine_ivf_adc_indexed(
+                spark, path, q, cents, k=5, nprobe=2
+            )
+            .withColumn("score", F.round("score", 9))
+            .collect(),
+        )
+    )
+    assert mem == via_idx
