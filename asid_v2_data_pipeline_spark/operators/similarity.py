@@ -97,30 +97,155 @@ def lsh_bucket(vec: Column, dim: int, planes: int = 8, seed: int = 11) -> Column
     return bucket
 
 
+# above this K, the staged chained-CASE form's expression tree (K nested
+# WHENs, each re-staging the running best) outgrows codegen and planning
+# budgets; the array-fold form stays one flat expression at any K
+_IVF_STAGED_MAX_K = 64
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    form: str = "auto",
 ) -> DataFrame:
     """IVF coarse quantizer: assign each vector to its nearest centroid by
     cosine (ties -> lowest centroid id).  Centroids are a driver-side list
     (K is small); the assignment is a narrow map over the corpus — at
     100 TB, write the output partitioned by ``cell`` so a query touches
-    one partition (classic IVF posting lists)."""
-    best_c: Column | None = None
-    best_s: Column | None = None
+    one partition (classic IVF posting lists — ``write_ivf_index``).
+
+    ``form``: ``"staged"`` = K chained strict-``>`` WHENs (fast codegen
+    for small K), ``"array"`` = centroids shipped as broadcast DATA (a
+    one-row array-of-structs crossJoin) scanned with ``transform`` +
+    ``array_max`` + ``array_position`` — constant-size plan at any K
+    (a K-sized literal tree would melt Catalyst: measured minutes of
+    optimizer time at K=512), ``"pandas"`` = Arrow-batched NumPy
+    matmul (BLAS; the fastest large-K compute), ``"auto"`` = staged up
+    to K=64, then array.  Forms are equality-tested against each other
+    (K=16) and a K=512 run is pinned in tests/test_scale_ops.py."""
+    if form == "auto":
+        form = "staged" if len(centroids) <= _IVF_STAGED_MAX_K else "array"
+    if form == "array":
+        return _ivf_assign_array(vectors, centroids, id_col, vec_col)
+    if form == "pandas":
+        return _ivf_assign_pandas(vectors, centroids, id_col, vec_col)
+    if form != "staged":
+        raise ValueError(f"unknown assignment form {form!r}")
+    # scores staged as COLUMNS in one projection, argmax as a linear
+    # array_position over their array — NOT a chained
+    # when(s>best, ...).otherwise(best) fold, whose expression tree
+    # embeds the previous best twice per centroid and goes O(2^K)
+    # (measured: K=16 already stalls Catalyst for minutes)
     v = F.col(vec_col)
-    for cid, cvec in centroids:
-        s = cosine(v, F.array(*[F.lit(float(x)) for x in cvec]))
-        if best_c is None:
-            best_c, best_s = F.lit(cid), s
-        else:
-            better = s > best_s
-            best_c = F.when(better, F.lit(cid)).otherwise(best_c)
-            best_s = F.when(better, s).otherwise(best_s)
+    staged = vectors.select(
+        F.col(id_col),
+        v,
+        *[
+            cosine(v, F.array(*[F.lit(float(x)) for x in cvec])).alias(
+                f"_s{i}"
+            )
+            for i, (_cid, cvec) in enumerate(centroids)
+        ],
+    )
+    sarr = F.array(*[F.col(f"_s{i}") for i in range(len(centroids))])
+    # first occurrence wins array_position ties = the first centroid in
+    # the given list, the same tie-break as a strict-> running argmax
+    best = F.array_position(sarr, F.array_max(sarr))
+    cell = F.element_at(
+        F.array(*[F.lit(cid) for cid, _ in centroids]), best.cast("int")
+    )
+    return staged.select(F.col(id_col), v, cell.alias("cell"))
+
+
+def _ivf_assign_array(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Large-K assignment form: centroids travel as broadcast DATA — a
+    ONE-ROW DataFrame holding the whole centroid table as an
+    array-of-structs column, crossJoined in (BroadcastNestedLoopJoin
+    over exactly one build row = a map-side constant).  Per corpus row,
+    ``transform`` scores every centroid (dot/cn only — the vector's own
+    norm is a common positive factor, so the argmax equals the cosine
+    argmax), ``array_max`` + ``array_position`` pick the winner.  First
+    occurrence wins ties and the array is ascending-cid — the staged
+    form's lowest-cid tie-break.  The plan is constant-size in K (a
+    K-sized literal tree instead would melt Catalyst — minutes of
+    optimizer time at K=512); still a narrow map, no shuffle."""
+    import math
+
+    sp = vectors.sparkSession
+    cents = sorted(centroids)
+    crow = [
+        (
+            [
+                (
+                    cid,
+                    [float(x) for x in cvec],
+                    math.sqrt(sum(float(x) * float(x) for x in cvec)),
+                )
+                for cid, cvec in cents
+            ],
+        )
+    ]
+    cdf = sp.createDataFrame(
+        crow,
+        "_cents array<struct<cid:int,cv:array<double>,cn:double>>",
+    )
+    v = F.col(vec_col)
+    staged = vectors.crossJoin(F.broadcast(cdf)).select(
+        F.col(id_col),
+        v,
+        F.col("_cents"),
+        F.transform("_cents", lambda c: dot(v, c["cv"]) / c["cn"]).alias(
+            "_ss"
+        ),
+    )
+    best = F.array_position(F.col("_ss"), F.array_max(F.col("_ss")))
+    return staged.select(
+        id_col,
+        vec_col,
+        F.element_at(F.col("_cents"), best.cast("int"))["cid"].alias("cell"),
+    )
+
+
+def _ivf_assign_pandas(
+    vectors: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Large-K assignment as an Arrow-batched NumPy matmul: the
+    norm-scaled centroid matrix rides the UDF closure (serialized once
+    per executor), each batch is one ``V @ C.T`` argmax — BLAS does
+    K·dim·batch flops, the fastest compute shape when K·dim is large.
+    Ascending-cid rows + NumPy's first-max argmax = the same lowest-cid
+    tie-break as the other forms."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cvec for _, cvec in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    # annotations stay un-stringified here (the module uses
+    # `from __future__ import annotations`, under which the type-hint
+    # path can't resolve 'pd.Series'), so declare the Series->Series
+    # scalar UDF explicitly
+    def _assign(vs: "pd.Series") -> "pd.Series":
+        V = np.stack(vs.to_numpy())
+        return pd.Series(cids[np.argmax(V @ Cn.T, axis=1)].astype(np.int32))
+
+    _assign.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    assign = F.pandas_udf(_assign, "int")
+
     return vectors.select(
-        F.col(id_col), F.col(vec_col), best_c.alias("cell")
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cell")
     )
 
 

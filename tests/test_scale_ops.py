@@ -1213,3 +1213,63 @@ def test_ivf_index_persisted_pruned_and_equal(spark, tmp_path):
         )
     )
     assert mem == via_idx
+
+
+def test_ivf_assign_array_form_equals_staged(spark):
+    """Round-5: the large-K array-of-structs assignment form returns the
+    identical (vec_id, cell) assignment as the staged chained-CASE form
+    at K=16, including duplicate-vector ties (lowest centroid id)."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    rows = []
+    for vid in range(150):
+        v = rng.randn(12)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    rows.append((900, rows[0][1]))  # duplicate: exercises tie-break
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.train_centroids_kmeans(e, 16, iters=2)
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in sim.ivf_assign(e, cents, form="staged").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in sim.ivf_assign(e, cents, form="array").collect()
+    )
+    assert a == b
+    c = sorted(
+        (r["vec_id"], r["cell"])
+        for r in sim.ivf_assign(e, cents, form="pandas").collect()
+    )
+    assert a == c
+
+
+def test_ivf_assign_k512_completes_with_sane_plan(spark):
+    """K=512 assignment (past the literal-inlining threshold) completes,
+    matches the NumPy argmax oracle, and auto-dispatches to the flat
+    array form — the plan carries no 512-deep CASE WHEN chain."""
+    import numpy as np
+
+    rng = np.random.RandomState(37)
+    dim, k = 8, 512
+    cents = []
+    for cid in range(k):
+        c = rng.randn(dim)
+        cents.append((cid, [float(x) for x in c / np.linalg.norm(c)]))
+    rows = []
+    for vid in range(40):
+        v = rng.randn(dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        r["vec_id"]: r["cell"] for r in sim.ivf_assign(e, cents).collect()
+    }
+    C = np.array([c for _, c in cents])
+    for vid, vec in rows:
+        want = int(np.argmax(C @ np.array(vec)))
+        assert got[vid] == want, (vid, got[vid], want)
+
+    plan = sim.ivf_assign(e, cents)._jdf.queryExecution().optimizedPlan().toString()
+    assert "CASE WHEN" not in plan
