@@ -71,28 +71,56 @@ def reconstruction_size(
     )
 
 
+def build_canvas(dims: DataFrame, salt_buckets: int = 0) -> DataFrame:
+    """The A3-size zeros canvas as rows: lines × samples per scene.
+
+    ``salt_buckets=0``: plain join on ``scene`` — correct, but the
+    canvas of a giant scene lands in ONE shuffle partition, and because
+    ``dims`` is agg-DERIVED, AQE's OptimizeSkewedJoin cannot split it
+    (it only matches SMJ(Sort(Shuffle), Sort(Shuffle)); the aggregate
+    between sort and shuffle defeats the rule — SCALE.md).
+
+    ``salt_buckets>0``: the explicit salted fallback for exactly that
+    case — the line side carries a DETERMINISTIC salt
+    ``pmod(line, B)``, the sample side replicates each row across all
+    ``B`` salts, and the join key becomes ``(scene, _salt)``, spreading
+    a giant scene's canvas across ``B`` partitions (pinned with
+    partition-spread evidence in tests/test_skew.py).  Deterministic
+    salting beats ``rand()``: replays and retries see the same
+    distribution."""
+    lines = dims.select(
+        "scene",
+        F.explode(F.sequence(F.lit(0), F.col("height") - 1)).alias("line"),
+    )
+    samples = dims.select(
+        "scene",
+        F.explode(F.sequence(F.lit(0), F.col("width") - 1)).alias("sample"),
+    )
+    if salt_buckets <= 0:
+        return lines.join(samples, "scene")
+    l_s = lines.withColumn("_salt", F.pmod(F.col("line"), F.lit(salt_buckets)))
+    s_s = samples.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l_s.join(s_s, ["scene", "_salt"]).drop("_salt")
+
+
 def stitch_full_image(
     patch_px: DataFrame,
     window: int,
     value_col: str = "value",
     fill: float = 0.0,
     bug_compatible_size: bool = True,
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Full reconstruction: zeros canvas of A3 size, patches scattered in
     (apply_model.py:66-77).  Pixels not covered by any patch get ``fill``
-    (np.zeros canvas).  Returns (scene, line, sample, value)."""
+    (np.zeros canvas).  Returns (scene, line, sample, value).
+    ``salt_buckets`` > 0 salts the canvas build for giant-scene skew
+    (see ``build_canvas``)."""
     keys = patch_px.select("scene", "i", "j").distinct()
     dims = reconstruction_size(keys, window, bug_compatible=bug_compatible_size)
-    canvas = dims.select(
-        "scene",
-        F.explode(F.sequence(F.lit(0), F.col("height") - 1)).alias("line"),
-    ).join(
-        dims.select(
-            "scene",
-            F.explode(F.sequence(F.lit(0), F.col("width") - 1)).alias("sample"),
-        ),
-        "scene",
-    )
+    canvas = build_canvas(dims, salt_buckets)
     px = stitch_pixels(patch_px, window, value_col)
     return canvas.join(px, ["scene", "line", "sample"], "left").select(
         "scene",

@@ -185,3 +185,49 @@ def test_out_of_order_batch_warns(spark, tmp_path):
         assert not any("below an earlier batch" in str(x.message) for x in rec)
         admit_increment(lo, 1, state, bench)
         assert any("below an earlier batch" in str(x.message) for x in rec)
+
+
+def test_greedy_streaming_quota_diverges_from_batch_plan(spark):
+    """Round-5: executable form of the module-docstring argument for why
+    quota lives in the VIEW, not at admission.  A retraction-free greedy
+    per-batch quota keeps an early arrival forever; the batch plan's
+    global seeded-hash rank can prefer a later-arriving doc.  With
+    quota=1 and a doc pair whose hash order opposes arrival order, the
+    two selections provably differ."""
+    from asid_v2_data_pipeline_spark.operators.sampling import (
+        quota_per_group,
+    )
+    from asid_v2_data_pipeline_spark.operators.split import shuffle_hash
+
+    # find two ids whose seeded-hash rank opposes id order
+    cand = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        shuffle_hash(F.col("id"), 17).alias("h"),
+    )
+    rows = {r["doc_id"]: r["h"] for r in cand.collect()}
+    early, late = next(
+        (a, b)
+        for a in sorted(rows)
+        for b in sorted(rows)
+        if a < b and rows[b] < rows[a]
+    )
+
+    schema = "doc_id long, source string"
+    batch0 = spark.createDataFrame([(early, "s")], schema)
+    batch1 = spark.createDataFrame([(late, "s")], schema)
+
+    # greedy, no retraction: batch0 fills the quota; batch1 arrives to
+    # zero remaining capacity and is dropped
+    admitted = quota_per_group(batch0, ["source"], 1, "doc_id")
+    assert [r["doc_id"] for r in admitted.collect()] == [early]
+    greedy = {early}  # capacity 0 left for batch1
+
+    # the batch plan over the union picks the better-hashed LATER doc
+    batch = {
+        r["doc_id"]
+        for r in quota_per_group(
+            batch0.unionByName(batch1), ["source"], 1, "doc_id"
+        ).collect()
+    }
+    assert batch == {late}
+    assert greedy != batch

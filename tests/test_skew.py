@@ -158,3 +158,80 @@ def test_replicated_join_matches_plain(spark):
     a = {r["k"]: (r["n"], r["s"]) for r in plain.collect()}
     b = {r["k"]: (r["n"], r["s"]) for r in salted.collect()}
     assert a == b
+
+
+def test_salted_canvas_spreads_giant_scene(spark):
+    """Round-5: the canvas join's dim side is agg-DERIVED, so AQE's
+    OptimizeSkewedJoin can't split it; the explicit salted variant must
+    (a) produce the identical canvas and (b) actually spread the giant
+    scene's rows over multiple shuffle partitions."""
+    from asid_v2_data_pipeline_spark.operators.stitch import build_canvas
+
+    dims = spark.createDataFrame(
+        [("S0", 320, 320)] + [(f"S{i}", 32, 32) for i in range(1, 5)],
+        "scene string, height int, width int",
+    )
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # tiny fixture: AQE would coalesce everything to one
+            # partition and mask the spread we are demonstrating
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    ):
+        plain = build_canvas(dims, salt_buckets=0)
+        salted = build_canvas(dims, salt_buckets=8)
+
+        # (b) spread evidence: giant-scene canvas rows land in >1
+        # partition when salted, exactly 1 when not
+        def giant_parts(df):
+            return (
+                df.filter(F.col("scene") == "S0")
+                .select(F.spark_partition_id().alias("p"))
+                .distinct()
+                .count()
+            )
+
+        assert giant_parts(plain) == 1
+        assert giant_parts(salted) > 1
+
+        # (a) identical canvas
+        a = plain.groupBy("scene").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("line") * 1000 + F.col("sample")).alias("chk"),
+        )
+        b = salted.groupBy("scene").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("line") * 1000 + F.col("sample")).alias("chk"),
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_stitch_full_image_salted_equals_plain(spark):
+    """End-to-end: stitch_full_image with salt_buckets produces the
+    byte-identical reconstruction under the giant-scene fixture."""
+    from asid_v2_data_pipeline_spark.operators.patching import (
+        assign_tumbling,
+        patch_pixels,
+    )
+    from asid_v2_data_pipeline_spark.operators.stitch import (
+        stitch_full_image,
+    )
+
+    px = _skewed_scene_pixels(spark, giant_side=96, small_side=32)
+    w = 16
+    t = assign_tumbling(px, w)
+    pp = patch_pixels(t, w, ["sar_primary"])
+    plain = sorted(
+        map(tuple, stitch_full_image(pp, w, value_col="sar_primary").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            stitch_full_image(
+                pp, w, value_col="sar_primary", salt_buckets=8
+            ).collect(),
+        )
+    )
+    assert plain == salted and len(plain) > 0
