@@ -58,6 +58,9 @@ HEADLINE = [
     # new inverted-index BM25 path, so their costs stay pinned
     "dd_semantic",
     "tx_bm25_indexed",
+    # round 5: the real-codec multimodal path (container build + parse
+    # per document inside mapInPandas), so its cost stays pinned
+    "mm_wav_rms",
 ]
 
 
