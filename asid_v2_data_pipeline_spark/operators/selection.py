@@ -124,6 +124,134 @@ def dsir_weights(
     )
 
 
+def _target_bigram_tables(
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+) -> tuple[list[float], list[float]]:
+    """Hashed bigram-LM tables from the target slice: per bucket,
+    ``lnum[b] = round(ln(bigram_count(b) + 1), 6)`` and
+    ``lden[b] = round(ln(context_count(b) + buckets), 6)`` — add-one
+    smoothing with the bucket space as the vocabulary.  Contexts are
+    the unigram buckets at positions 1..n-1 (every token that HAS a
+    successor).  Both aggregates are bucket-keyed (map-side combinable,
+    ≤ ``buckets`` rows reach the driver) — the same metadata carve-out
+    as the DSIR ratio table."""
+    th_src = target.select(
+        F.array(token_hashes(F.col(text_col))).alias("_tharr")
+    ).select(F.element_at("_tharr", 1).alias("_th"))
+    big = th_src.select(
+        F.explode(
+            F.when(
+                F.size("_th") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_th") - 1),
+                    lambda i: (
+                        (
+                            F.element_at("_th", i) * COMBINE
+                            + F.element_at("_th", i + 1)
+                        )
+                        % F.lit(MASK31 + 1)
+                    )
+                    % buckets,
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("_b")
+    )
+    ctx = th_src.select(
+        F.explode(
+            F.when(
+                F.size("_th") >= 2,
+                F.transform(
+                    F.slice("_th", 1, F.size("_th") - 1),
+                    lambda h: h % buckets,
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("_b")
+    )
+
+    def counts(df: DataFrame) -> dict[int, int]:
+        return {
+            r["_b"]: r["_c"]
+            for r in df.groupBy("_b").agg(F.count(F.lit(1)).alias("_c")).collect()
+        }
+
+    bc, cc = counts(big), counts(ctx)
+    lnum = [round(math.log(bc.get(b, 0) + 1), 6) for b in range(buckets)]
+    lden = [
+        round(math.log(cc.get(b, 0) + buckets), 6) for b in range(buckets)
+    ]
+    return lnum, lden
+
+
+def bigram_lm_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 256,
+) -> DataFrame:
+    """CCNet-style LM fluency scoring with an in-engine hashed bigram
+    model (Wenzek et al. 2020 filter corpora by LM perplexity; KenLM
+    isn't available in-engine, so the model is an add-one-smoothed
+    bigram LM over hashed token buckets — trained on the ``target``
+    slice by two bucket-keyed aggregates, applied in one zero-shuffle
+    corpus pass with the two ``buckets``-entry log tables inlined).
+
+    Per document: ``ll = Σ_i [lnum(bigram_i) − lden(context_i)]`` over
+    its n−1 bigrams (see ``_target_bigram_tables``); returns
+    ``(id, n_bigrams, ll)``; mean log-prob ``ll / n_bigrams`` is the
+    perplexity proxy (higher = more target-like).  Per-bucket logs are
+    rounded to 6 decimals so the DuckDB oracle folds the identical
+    doubles."""
+    lnum, lden = _target_bigram_tables(target, id_col, text_col, buckets)
+    lnum_arr = F.array(*[F.lit(x) for x in lnum])
+    lden_arr = F.array(*[F.lit(x) for x in lden])
+
+    th_arr = F.array(token_hashes(F.col(text_col)))
+    terms = F.element_at(
+        F.transform(
+            th_arr,
+            lambda th: F.when(
+                F.size(th) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(th) - 1),
+                    lambda i: F.element_at(
+                        lnum_arr,
+                        (
+                            (
+                                (
+                                    F.element_at(th, i) * COMBINE
+                                    + F.element_at(th, i + 1)
+                                )
+                                % F.lit(MASK31 + 1)
+                            )
+                            % buckets
+                            + 1
+                        ).cast("int"),
+                    )
+                    - F.element_at(
+                        lden_arr,
+                        (F.element_at(th, i) % buckets + 1).cast("int"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<double>")),
+        ),
+        1,
+    )
+    staged = corpus.select(
+        F.col(id_col), terms.alias("_terms")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_terms").alias("n_bigrams"),
+        F.aggregate(
+            "_terms", F.lit(0.0).cast("double"), lambda a, x: a + x
+        ).alias("ll"),
+    )
+
+
 def gumbel_topk(
     weighted: DataFrame,
     k: int,

@@ -190,3 +190,45 @@ def drop_last_batches(df: DataFrame, batch_size: int, order_cols: list[str]) -> 
         .withColumn("batch_id", (F.col("_rn0") / batch_size).cast("int"))
         .drop("_rn", "_rn0")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    val_pct: int = 20,
+    seed: int = 23,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Group-aware train/val split with a NEAR-DUP LEAKAGE GUARD: a
+    plain per-document split puts near-duplicates of training docs into
+    the eval set (Lee et al. 2022 measure the resulting eval
+    contamination), so the split key here is the document's near-dup
+    CLUSTER, not the document — MinHash-LSH pairs → connected
+    components → every doc keyed by its cluster's canonical (minimum)
+    id, singletons by their own id — and the side is
+    ``shuffle_hash(root, seed) % 100 < val_pct``.  Whole clusters land
+    on one side by construction (invariant-tested).
+
+    Returns ``(id, cluster_id, split)``.  Scale shape: pair generation
+    is the banded LSH equi-join, components are O(log d) pointer-jump
+    rounds, the root join hash-partitions on the id, and the split
+    itself is a narrow map — nothing new shuffles beyond the dedup
+    machinery this engine already runs."""
+    from .dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, num_perm, bands, shingle_n
+    )
+    cc = connected_components(pairs).withColumnRenamed("node", id_col)
+    rooted = docs.select(id_col).join(cc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+    )
+    side = F.when(
+        shuffle_hash(F.col("cluster_id"), seed) % 100 < F.lit(val_pct),
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    return rooted.select(id_col, "cluster_id", side.alias("split"))

@@ -463,6 +463,120 @@ FROM scored ORDER BY w DESC, doc_id LIMIT 20
     )
 
 
+def ds_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-guarded train/val split: near-dup clusters (MinHash-LSH →
+    connected components) split as UNITS, so no near-duplicate of a
+    training doc lands in val (``operators/split.py::
+    leakage_safe_split``; Lee et al. 2022)."""
+    from ..operators.split import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(d, val_pct=20, seed=23).orderBy("doc_id")
+
+
+def _leakage_split_sql(
+    val_pct: int = 20, seed: int = 23, num_perm: int = 16, bands: int = 4
+) -> str:
+    from ..operators.split import shuffle_hash_sql
+
+    h = shuffle_hash_sql("cluster_id", seed)
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pairs_ctes(num_perm, bands)
+        + f"""
+, sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+), roots AS (
+  SELECT node, MIN(r) AS root FROM reach GROUP BY node
+), rooted AS (
+  SELECT d.doc_id, CAST(COALESCE(roots.root, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN roots ON d.doc_id = roots.node
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ({h}) % 100 < {val_pct} THEN 'val' ELSE 'train' END AS split
+FROM rooted ORDER BY doc_id
+"""
+    )
+
+
+def tx_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM fluency filter (Wenzek et al. 2020) with the
+    in-engine hashed bigram model: train on the English slice (two
+    bucket-keyed aggregates), score every document in one zero-shuffle
+    pass, top-20 by mean log-prob (``operators/selection.py::
+    bigram_lm_scores``)."""
+    from ..operators.selection import bigram_lm_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("lang") == "en")
+    s = bigram_lm_scores(d, target, buckets=256)
+    return (
+        s.filter(F.col("n_bigrams") > 0)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("ll", 4).alias("ll"),
+            F.round(F.col("ll") / F.col("n_bigrams"), 6).alias("mlp"),
+        )
+        .orderBy(F.col("mlp").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def _bigram_lm_sql(buckets: int = 256, combine: int = 1000003) -> str:
+    ch = _char_hash_sql("s")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {TOKENS_SQL} AS t FROM documents
+), th AS (
+  SELECT doc_id, lang, list_transform(t, s -> {ch}) AS h FROM toks
+), feats AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(h) >= 2 THEN
+           list_transform(range(1, len(h)),
+                          i -> ((h[i] * {combine} + h[i+1]) % 2147483648) % {buckets})
+         ELSE [] END AS bg,
+         CASE WHEN len(h) >= 2 THEN
+           list_transform(h[1:len(h)-1], x -> x % {buckets})
+         ELSE [] END AS cx
+  FROM th
+), big_cnt AS (
+  SELECT b, COUNT(*) AS c
+  FROM (SELECT unnest(bg) AS b FROM feats WHERE lang = 'en') GROUP BY b
+), ctx_cnt AS (
+  SELECT b, COUNT(*) AS c
+  FROM (SELECT unnest(cx) AS b FROM feats WHERE lang = 'en') GROUP BY b
+), allb AS (SELECT unnest(range(0, {buckets})) AS b),
+lnum AS (
+  SELECT allb.b, ROUND(ln(COALESCE(big_cnt.c, 0) + 1.0), 6) AS v
+  FROM allb LEFT JOIN big_cnt ON allb.b = big_cnt.b
+), lden AS (
+  SELECT allb.b, ROUND(ln(COALESCE(ctx_cnt.c, 0) + {buckets}.0), 6) AS v
+  FROM allb LEFT JOIN ctx_cnt ON allb.b = ctx_cnt.b
+), narr AS (SELECT list(v ORDER BY b) AS nu FROM lnum),
+darr AS (SELECT list(v ORDER BY b) AS de FROM lden),
+scored AS (
+  SELECT doc_id, len(bg) AS n_bigrams,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(bg) + 1),
+               i -> nu[CAST(bg[i] + 1 AS INT)] - de[CAST(cx[i] + 1 AS INT)])),
+           (a, y) -> a + y) AS ll
+  FROM feats, narr, darr
+)
+SELECT doc_id, CAST(n_bigrams AS INT) AS n_bigrams,
+       ROUND(ll, 4) AS ll, ROUND(ll / n_bigrams, 6) AS mlp
+FROM scored WHERE n_bigrams > 0
+ORDER BY mlp DESC, doc_id LIMIT 20
+"""
+
+
 def ds_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance RESAMPLING: Gumbel-top-25 over the log-weights —
     inclusion probability ∝ exp(weight), deterministic via the portable
@@ -2237,4 +2351,6 @@ REGISTRY = {
     "mm_window_rms": (mm_window_rms, _mm_rms_sql()),
     "mm_wav_rms": (mm_wav_rms, _mm_wav_sql()),
     "mm_bmp_pool": (mm_bmp_pool, _mm_bmp_sql()),
+    "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
+    "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

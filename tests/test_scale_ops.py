@@ -1273,3 +1273,63 @@ def test_ivf_assign_k512_completes_with_sane_plan(spark):
 
     plan = sim.ivf_assign(e, cents)._jdf.queryExecution().optimizedPlan().toString()
     assert "CASE WHEN" not in plan
+
+
+def test_leakage_safe_split_invariants(spark):
+    """The leakage guard's contract: (a) every near-dup cluster lands
+    entirely on one side; (b) both sides are non-empty at 20%; (c) known
+    near-dup pairs never straddle."""
+    from asid_v2_data_pipeline_spark.schemas import load_table
+    from asid_v2_data_pipeline_spark.operators.split import (
+        leakage_safe_split,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    s = leakage_safe_split(d, val_pct=20, seed=23)
+    straddling = (
+        s.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddling == 0
+    sides = {r["split"]: r["n"] for r in s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sides.get("val", 0) > 0 and sides.get("train", 0) > 0
+    assert s.count() == d.count()  # total coverage, no dupes
+    # (c) a known near-dup pair (from the LSH pairs) shares a side
+    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text")
+    sp = {r["doc_id"]: r["split"] for r in s.collect()}
+    checked = 0
+    for r in pairs.limit(50).collect():
+        assert sp[r["id_a"]] == sp[r["id_b"]]
+        checked += 1
+    assert checked > 0
+
+
+def test_bigram_lm_prefers_target_like_text(spark):
+    """The hashed bigram LM must score a doc built from target bigrams
+    above a doc with out-of-vocabulary bigrams."""
+    from asid_v2_data_pipeline_spark.operators.selection import (
+        bigram_lm_scores,
+    )
+
+    schema = "doc_id long, text string"
+    target = spark.createDataFrame(
+        [
+            (100, "the model trains on clean data every day"),
+            (101, "clean data trains the model well"),
+        ],
+        schema,
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the model trains on clean data"),  # in-distribution
+            (2, "zzq qqx wvv bbn mmk ppl"),  # OOV bigrams
+        ],
+        schema,
+    )
+    got = {
+        r["doc_id"]: r["ll"] / r["n_bigrams"]
+        for r in bigram_lm_scores(corpus, target).collect()
+    }
+    assert got[1] > got[2]
