@@ -7,13 +7,16 @@ container (uncompressed 8-bit palette and 24-bit BGR).  Both are simple
 public formats (Microsoft RIFF/WAVEFORMAT and BITMAPINFOHEADER specs);
 parsing is struct + NumPy, so executor-side decode stays vectorized.
 
-Compressed codecs (PNG/JPEG/MP3/MP4/…) remain stubbed — see
-``multimodal.decode_media``.
+PNG also decodes for real (8-bit, non-interlaced, all five scanline
+filters) — DEFLATE comes from the stdlib ``zlib``.  Codecs needing
+libraries outside the stdlib (JPEG/MP3/MP4/…) remain stubbed — see
+``operators/multimodal.py::DecodeStub``.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -149,3 +152,162 @@ def write_bmp(pixels: np.ndarray) -> bytes:
     off = 14 + len(dib)
     head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
     return head + dib + data
+
+
+# --------------------------------------------------------------------------
+# PNG (8-bit, non-interlaced; gray / gray+alpha / RGB / RGBA / palette)
+# --------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def parse_png(payload: bytes) -> np.ndarray:
+    """Parse a PNG (8-bit depth, non-interlaced); returns uint8 pixels
+    ``(height, width, channels)`` with palette entries expanded to RGB.
+    All five scanline filters (None/Sub/Up/Average/Paeth) are undone.
+    Unsupported depths/interlacing raise ``NotImplementedError``."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = None
+    idat = []
+    plte = None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + body + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} not supported"
+        )
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(
+            raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        )
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = int(prev[i - ch]) if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, int(prev[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = out[y]
+    px = out.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        px = plte[px[:, :, 0]]
+    return np.ascontiguousarray(px)
+
+
+def write_png(
+    pixels: np.ndarray, filter_mode: str = "cycle", level: int = 6
+) -> bytes:
+    """Minimal PNG writer (8-bit, non-interlaced).  ``pixels`` is uint8
+    ``(h, w)`` gray, or ``(h, w, c)`` with c ∈ {1,2,3,4}.
+    ``filter_mode``: ``"none"`` = filter 0 every row; ``"cycle"`` =
+    rows cycle through filters 0..4, so a reader must undo all five
+    (the fixture-builder's job)."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = a.reshape(h, w * ch).astype(np.int16)
+    stride = w * ch
+    lines = []
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        cur = flat[y]
+        ft = 0 if filter_mode == "none" else y % 5
+        left = np.zeros(stride, dtype=np.int16)
+        left[ch:] = cur[:-ch]
+        ul = np.zeros(stride, dtype=np.int16)
+        ul[ch:] = prev[:-ch]
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            enc = cur.copy()
+            for i in range(stride):
+                enc[i] = cur[i] - _paeth(int(left[i]), int(prev[i]), int(ul[i]))
+        lines.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    comp = zlib.compress(b"".join(lines), level)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-dispatched image decode: BMP or PNG -> uint8 RGB-ish array
+    (PNG alpha/gray channels preserved).  Other formats raise
+    ``NotImplementedError`` (JPEG etc. need real codec libraries)."""
+    if payload[:2] == b"BM":
+        return parse_bmp(payload)
+    if payload[:8] == PNG_MAGIC:
+        return parse_png(payload)
+    raise NotImplementedError("unsupported image container")

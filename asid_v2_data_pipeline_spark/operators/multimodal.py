@@ -2,12 +2,14 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode/resize/frame-sample run as Arrow-batched ``mapInPandas``
-over them.  Real container decode (round 5): WAV/PCM and uncompressed
-BMP parse for real via ``functions/codecs.py`` — ``decode_wav_rms`` and
-``decode_bmp_pool`` below, both octet-exactly oracle-checked.  Only
-COMPRESSED codecs (PNG/JPEG/MP3/MP4) remain stubbed behind
-``DecodeStub`` — the Spark-side plumbing (schema, batching,
-partitioning, UDF signatures) is identical either way.
+over them.  Real container decode (round 5): WAV/PCM, uncompressed BMP,
+AND PNG (DEFLATE + all five scanline filters, via stdlib zlib) parse
+for real via ``functions/codecs.py`` — ``decode_wav_rms``,
+``decode_bmp_pool`` and ``decode_image_pool`` below, octet-exactly
+oracle-checked.  Only codecs needing non-stdlib libraries (JPEG/MP3/
+MP4) remain stubbed behind ``DecodeStub`` — the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is identical either
+way.
 """
 
 from __future__ import annotations
@@ -43,16 +45,16 @@ FEATURE_SCHEMA = T.StructType(
 
 
 class DecodeStub:
-    """Deterministic fake decoder for COMPRESSED codecs only (PNG/JPEG/
-    MP3/MP4 need real codec libraries; a deployment swaps in PIL/ffmpeg
-    here).  WAV and BMP containers decode for real — see
-    ``decode_media``.  Everything around the stub (Arrow batching,
-    schema, partitioning) is production-shaped."""
+    """Deterministic fake decoder for codecs needing NON-STDLIB
+    libraries (JPEG/MP3/MP4; a deployment swaps in PIL/ffmpeg here).
+    WAV, BMP and PNG containers decode for real — see
+    ``functions/codecs.py``.  Everything around the stub (Arrow
+    batching, schema, partitioning) is production-shaped."""
 
     FEATURE_DIM = 8
 
+    # PNG is NOT here: it decodes for real (functions/codecs.parse_png)
     COMPRESSED_MAGIC = (
-        b"\x89PNG",  # PNG
         b"\xff\xd8\xff",  # JPEG
         b"ID3",  # MP3 with ID3 tag
         b"\x1a\x45\xdf\xa3",  # Matroska/WebM
@@ -313,6 +315,43 @@ BMP_POOL_SCHEMA = T.StructType(
         T.StructField("pooled", T.ArrayType(T.DoubleType()), True),
     ]
 )
+
+
+def decode_image_pool(media: DataFrame, factor: int) -> DataFrame:
+    """``decode_bmp_pool`` generalized over the magic-dispatched image
+    decoders (``functions/codecs.decode_image``: BMP or PNG — the PNG
+    path undoes DEFLATE + all five scanline filters), so one operator
+    serves both real container formats.  Grayscale = exact channel
+    mean; block-mean pool by ``factor``; float64-exact, octet-level
+    oracle (``mm_png_pool``)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import decode_image
+
+        for pdf in batches:
+            ids, ws, hs, out = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                px = decode_image(bytes(p))
+                h, w, _ = px.shape
+                if h % factor or w % factor:
+                    raise ValueError("factor must divide image dims")
+                gray = px.astype(np.float64).mean(axis=2)
+                pooled = gray.reshape(
+                    h // factor, factor, w // factor, factor
+                ).mean(axis=(1, 3))
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                out.append([float(x) for x in pooled.ravel()])
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "pooled": out}
+            )
+
+    return media.mapInPandas(fn, BMP_POOL_SCHEMA)
 
 
 def decode_bmp_pool(media: DataFrame, factor: int) -> DataFrame:

@@ -1630,6 +1630,51 @@ FROM frames ORDER BY doc_id
 """
 
 
+def mm_png_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: document bytes become a genuine
+    8-bit grayscale PNG with the writer CYCLING all five scanline
+    filters (None/Sub/Up/Average/Paeth) across rows, so the decoder
+    must undo DEFLATE *and* every filter type per document;
+    ``decode_image_pool`` magic-dispatches to ``parse_png`` and 2×2
+    block-mean pools.  Oracle = raw text octets pooled — any mistake
+    in inflate, filter reconstruction or row order breaks parity."""
+    from ..operators.multimodal import decode_image_pool
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import write_png
+
+        n = _BMP_W * _BMP_H
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                buf = t.encode("utf-8")[:n].ljust(n, b"\0")
+                gray = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    _BMP_H, _BMP_W
+                )
+                payloads.append(write_png(gray, filter_mode="cycle"))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    pooled = decode_image_pool(media, _BMP_F)
+    k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
+    sel = [
+        F.round(F.element_at("pooled", i + 1), 6).alias(f"p{i}")
+        for i in range(k)
+    ]
+    return pooled.select(
+        F.col("media_id").alias("doc_id"), "width", "height", *sel
+    ).orderBy("doc_id")
+
+
 _FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
 
 
@@ -2351,6 +2396,7 @@ REGISTRY = {
     "mm_window_rms": (mm_window_rms, _mm_rms_sql()),
     "mm_wav_rms": (mm_wav_rms, _mm_wav_sql()),
     "mm_bmp_pool": (mm_bmp_pool, _mm_bmp_sql()),
+    "mm_png_pool": (mm_png_pool, _mm_bmp_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

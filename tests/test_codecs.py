@@ -97,9 +97,9 @@ def test_decode_stub_rejects_compressed_magic():
     from asid_v2_data_pipeline_spark.operators.multimodal import DecodeStub
 
     with pytest.raises(NotImplementedError, match="compressed codec"):
-        DecodeStub.decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        DecodeStub.decode(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
     with pytest.raises(NotImplementedError, match="compressed codec"):
-        DecodeStub.decode(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        DecodeStub.decode(b"ID3\x04" + b"\x00" * 16)  # MP3
     assert len(DecodeStub.decode(b"plain bytes")) == 8
 
 
@@ -134,3 +134,85 @@ def test_decode_bmp_pool_operator(spark):
     assert (r["width"], r["height"]) == (4, 4)
     want = gray.astype(float).reshape(2, 2, 2, 2).mean(axis=(1, 3)).ravel()
     assert r["pooled"] == pytest.approx(list(want))
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """PNG writer/parser: every color type (gray, gray+alpha, RGB,
+    RGBA), with both the all-None and the filter-cycling writer modes
+    (the latter forces the reader through Sub/Up/Average/Paeth)."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_png,
+        write_png,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(5, 7), (6, 4, 1), (4, 6, 2), (5, 5, 3), (3, 8, 4)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for mode in ("none", "cycle"):
+            got = parse_png(write_png(a, filter_mode=mode))
+            want = a if a.ndim == 3 else a[:, :, None]
+            np.testing.assert_array_equal(got, want)
+
+
+def test_png_palette_and_rejects():
+    import struct
+    import zlib as z
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        PNG_MAGIC,
+        parse_png,
+    )
+
+    # hand-built 2x2 palette PNG (color type 3, identity gray palette)
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", z.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal = b"".join(bytes([i, i, i]) for i in range(256))
+    raw = bytes([0, 10, 20]) + bytes([0, 30, 40])  # filter 0 rows
+    blob = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = parse_png(blob)
+    np.testing.assert_array_equal(
+        got[:, :, 0], np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        parse_png(b"\x00" * 16)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    blob16 = PNG_MAGIC + chunk(b"IHDR", ihdr16) + chunk(
+        b"IDAT", z.compress(b"\x00" * 18)
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="depth"):
+        parse_png(blob16)
+
+
+def test_decode_image_pool_dispatches_bmp_and_png(spark):
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        write_bmp,
+        write_png,
+    )
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        decode_image_pool,
+    )
+
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(write_bmp(gray))),
+            (2, bytearray(write_png(gray, filter_mode="cycle"))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r["pooled"] for r in decode_image_pool(media, 2).collect()}
+    want = list(gray.astype(float).reshape(2, 2, 2, 2).mean(axis=(1, 3)).ravel())
+    assert rows[1] == pytest.approx(want)
+    assert rows[2] == pytest.approx(want)
