@@ -183,3 +183,82 @@ def test_format_netcdf_decodes_hdf5_scene(spark, tmp_path):
     assert sorted(map(tuple, via_ds.collect())) == sorted(
         map(tuple, via_binary.collect())
     )
+
+
+def test_hdf5_roundtrip_property():
+    """Property: any (dims, dtype, style, layout, compress) combination
+    the writer supports round-trips exactly, including edge-partial
+    chunks from non-dividing chunk shapes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        dt=st.sampled_from(["<f4", "<f8", "<i2", "<i4", "<u1"]),
+        style=st.sampled_from(["earliest", "latest"]),
+        layout=st.sampled_from(["contiguous", "chunked"]),
+        comp=st.sampled_from([None, "deflate", "shuffle+deflate"]),
+        ch=st.integers(1, 5),
+        cw=st.integers(1, 5),
+    )
+    def check(h, w, dt, style, layout, comp, ch, cw):
+        rng = np.random.RandomState(h * 100 + w)
+        a = (rng.randint(-100, 100, size=(h, w))).astype(np.dtype(dt))
+        kw = {}
+        if layout == "chunked":
+            kw = {"chunks": (ch, cw), "compress": comp}
+        blob = write_hdf5_netcdf4(
+            {"line": h, "sample": w},
+            {"v": (("line", "sample"), a, {})},
+            style=style,
+            layout=layout,
+            **kw,
+        )
+        got = HDF5NetCDF(blob).raw("v")
+        np.testing.assert_array_equal(got, a)
+
+    check()
+
+
+def test_hdf5_v1_header_continuation_block():
+    """Real netCDF4 files spill attribute messages into object-header
+    CONTINUATION blocks (message type 0x0010); the reader must follow
+    them.  The writer never produces one, so this surgically rewrites a
+    dataset header: its attribute message moves to a continuation block
+    at EOF, a continuation message takes its place."""
+    import struct
+
+    from asid_v2_data_pipeline_spark.sources.hdf5_min import HDF5File
+
+    blob = bytearray(_payload(4))
+    f = HDF5File(bytes(blob))
+    # locate sar_primary's v1 object header: scan for its attribute
+    # message bytes (the _FillValue attribute name is unique to it)
+    needle = b"_FillValue\x00"
+    at = bytes(blob).index(needle)
+    # message header is 8 bytes before the attribute body, and the body
+    # starts 8 bytes (attr msg fixed header) before the name
+    body_start = at - 8
+    msg_start = body_start - 8
+    mtype, msize = struct.unpack_from("<HH", blob, msg_start)
+    assert mtype == 0x000C
+    whole = bytes(blob[msg_start : msg_start + 8 + msize])
+    # continuation block = the original attribute message, appended at EOF
+    cont_off = len(blob)
+    blob += whole
+    # in place of the attribute message: a continuation message pointing
+    # at the new block, then NILs padding out the remainder
+    cont_body = struct.pack("<QQ", cont_off, len(whole))
+    repl = struct.pack("<HHB3x", 0x0010, len(cont_body), 0) + cont_body
+    rest = (8 + msize) - len(repl)
+    assert rest >= 8
+    repl += struct.pack("<HHB3x", 0x0000, rest - 8, 0) + b"\x00" * (rest - 8)
+    blob[msg_start : msg_start + 8 + msize] = repl
+
+    g = HDF5File(bytes(blob))
+    ds = g.datasets["sar_primary"]
+    assert float(ds.attrs["_FillValue"]) == -999.0  # came via continuation
+    got = HDF5NetCDF(bytes(blob))
+    assert np.isnan(got.masked("sar_primary")[0, 0])
