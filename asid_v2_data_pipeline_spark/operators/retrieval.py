@@ -142,10 +142,9 @@ def write_bm25_index(
     partition pruning over ``n_buckets`` directories (asserted in
     tests/test_retrieval_index.py) — instead of the full posting table.
     ``n_buckets`` sizes the pruning granularity: at 100 TB pick it so a
-    bucket is a few files (e.g. 4096); the same value must be passed to
-    ``bm25_scores_persisted`` (the bucket column is recomputed from the
-    engine's own ``hash`` on the query side, so writer and reader agree
-    by construction)."""
+    bucket is a few files (e.g. 4096).  The bucket count is stored with
+    the index (stats row), so the query side picks it up automatically
+    and a conflicting explicit value raises."""
     postings, stats = build_bm25_index(docs, id_col, text_col)
     p = postings.withColumn("_tb", F.pmod(F.hash("token"), F.lit(n_buckets)))
     (
@@ -154,7 +153,12 @@ def write_bm25_index(
         .partitionBy("_tb")
         .parquet(f"{path}/postings")
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    # stats carries n_buckets too: the index is self-describing, so the
+    # query side cannot silently prune with a different bucket count
+    # than the writer used (which would drop matching postings)
+    stats.withColumn("_n_buckets", F.lit(n_buckets)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
 
 
 def bm25_scores_persisted(
@@ -164,16 +168,30 @@ def bm25_scores_persisted(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """``bm25_scores_indexed`` against the PERSISTED index written by
     ``write_bm25_index``: the query terms' hash buckets are computed
     with the engine's own ``hash`` (one metadata-sized local job) and
     pushed as a static ``_tb IN (...)`` partition filter, so the
     postings scan touches only those buckets' files.  Scoring is then
-    the usual broadcast equi-join on token — candidate rows only."""
+    the usual broadcast equi-join on token — candidate rows only.
+
+    ``n_buckets=None`` (default) reads the bucket count STORED with the
+    index; an explicit value that disagrees raises instead of silently
+    pruning away matching postings."""
     if not terms:
         raise ValueError("empty query term set")
+    spark.catalog.refreshByPath(f"{path}/stats")
+    stats_full = spark.read.parquet(f"{path}/stats")
+    stored = stats_full.select("_n_buckets").first()["_n_buckets"]
+    if n_buckets is None:
+        n_buckets = stored
+    elif n_buckets != stored:
+        raise ValueError(
+            f"index at {path} was written with n_buckets={stored}, "
+            f"query asked for {n_buckets}: pruning would drop postings"
+        )
     tq = spark.createDataFrame([(t,) for t in set(terms)], "token string")
     buckets = sorted(
         r["_tb"]
@@ -189,7 +207,7 @@ def bm25_scores_persisted(
         .filter(F.col("_tb").isin(buckets))
         .drop("_tb")
     )
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = stats_full.drop("_n_buckets")
     return bm25_scores_indexed(
         postings, stats, terms, k1, b, id_col, materialize=True
     )

@@ -512,20 +512,38 @@ def write_ivf_index(
         codes.repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(path)
+        .parquet(f"{path}/cells")
     )
+    # the index is SELF-DESCRIBING: the centroid table that produced the
+    # assignment is stored alongside, so a query against this index can
+    # never probe with a different quantizer than the one that built it
+    # (a silent-recall-loss footgun otherwise)
+    sp = corpus.sparkSession
+    sp.createDataFrame(
+        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
+        "cid int, cvec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
 def read_ivf_index(spark, path: str) -> DataFrame:
-    spark.catalog.refreshByPath(path)
-    return spark.read.parquet(path)
+    spark.catalog.refreshByPath(f"{path}/cells")
+    return spark.read.parquet(f"{path}/cells")
+
+
+def read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """The centroid table the index was built with (written by
+    ``write_ivf_index``) — the default quantizer for queries against
+    this index."""
+    spark.catalog.refreshByPath(f"{path}/centroids")
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    return sorted((r["cid"], list(r["cvec"])) for r in rows)
 
 
 def topk_cosine_ivf_adc_indexed(
     spark,
     index_path: str,
     queries: DataFrame,
-    centroids: list[tuple[int, list[float]]],
+    centroids: list[tuple[int, list[float]]] | None = None,
     k: int = 5,
     nprobe: int = 1,
     rerank_factor: int = 4,
@@ -540,7 +558,14 @@ def topk_cosine_ivf_adc_indexed(
     tests/test_scale_ops.py).  The full-precision rescore reads the
     index column-pruned to ``(id, vec, _vn)`` joined on the broadcast
     shortlist — a point-lookup-shaped fetch, never a corpus shuffle.
-    Results are identical to the in-memory path (equality-tested)."""
+    Results are identical to the in-memory path (equality-tested).
+
+    ``centroids=None`` (the default) loads the quantizer STORED WITH
+    the index — probing with the builder's own centroid table by
+    construction; pass centroids explicitly only to deliberately
+    override."""
+    if centroids is None:
+        centroids = read_ivf_centroids(spark, index_path)
     rerank = max(k, rerank_factor * k)
     qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
     probed = sorted(

@@ -138,10 +138,12 @@ def test_persisted_index_prunes_and_matches(spark, tmp_path):
     }
     via_index = {
         r["doc_id"]: round(r["score"], 9)
-        for r in bm25_scores_persisted(
-            spark, path, TERMS, n_buckets=16
-        ).collect()
-    }
+        for r in bm25_scores_persisted(spark, path, TERMS).collect()
+    }  # n_buckets read from the index itself (self-describing)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        bm25_scores_persisted(spark, path, TERMS, n_buckets=32)
     assert via_index  # some docs match
     for did, s in via_index.items():
         assert direct[did] == s

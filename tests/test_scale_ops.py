@@ -1193,6 +1193,11 @@ def test_ivf_index_persisted_pruned_and_equal(spark, tmp_path):
     n_cells = idx.select("cell").distinct().count()
     assert len(probed) < n_cells  # the filter actually prunes
 
+    # self-describing: the stored centroid table equals what we built
+    assert sim.read_ivf_centroids(spark, path) == sorted(
+        (cid, list(cv)) for cid, cv in cents
+    )
+
     # (b) equality with the in-memory two-stage path
     mem = sorted(
         map(
@@ -1206,7 +1211,7 @@ def test_ivf_index_persisted_pruned_and_equal(spark, tmp_path):
         map(
             tuple,
             sim.topk_cosine_ivf_adc_indexed(
-                spark, path, q, cents, k=5, nprobe=2
+                spark, path, q, k=5, nprobe=2  # centroids from the index
             )
             .withColumn("score", F.round("score", 9))
             .collect(),
