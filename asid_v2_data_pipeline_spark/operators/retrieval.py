@@ -257,3 +257,57 @@ def bm25_scores(
     return f.crossJoin(F.broadcast(stats)).select(
         id_col, score.alias("score")
     )
+
+
+def append_bm25_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental BM25 maintenance: append a new-document batch into
+    the persisted index without rebuilding — the batch's postings land
+    in their token-hash buckets (parquet append; untouched buckets'
+    files never rewritten) and the one-row stats table updates EXACTLY
+    (``N' = N + n``; ``avgdl' = (N·avgdl + Σdl)/N'`` — both closed
+    form, no corpus rescan).  Query-time document frequencies come from
+    the matched postings themselves, so they are automatically correct
+    after any append; scores equal a full rebuild (equality-tested).
+
+    New ids are NOT deduplicated against the index (append-sink
+    contract — dedupe upstream); Returns ``{"appended_docs": n,
+    "touched_buckets": k}``."""
+    spark.catalog.refreshByPath(f"{path}/stats")
+    stats_full = spark.read.parquet(f"{path}/stats")
+    srow = stats_full.first()
+    n_buckets = srow["_n_buckets"]
+
+    postings, _ = build_bm25_index(new_docs, id_col, text_col)
+    p = postings.withColumn(
+        "_tb", F.pmod(F.hash("token"), F.lit(n_buckets))
+    ).localCheckpoint()  # stats + write from one posting build
+    batch = p.agg(
+        F.countDistinct(id_col).alias("n"),
+        F.countDistinct("_tb").alias("k"),
+    ).first()
+    # Σdl over DOCUMENTS: each doc's _dl repeats per posting row, so
+    # sum the per-doc values, not the rows
+    dl_sum = (
+        p.select(id_col, "_dl").distinct().agg(F.sum("_dl")).first()[0]
+    ) or 0
+    (
+        p.repartition(F.col("_tb"))
+        .write.mode("append")
+        .partitionBy("_tb")
+        .parquet(f"{path}/postings")
+    )
+    n0, avg0 = srow["_n"], srow["_avgdl"]
+    n1 = n0 + batch["n"]
+    avg1 = (n0 * avg0 + dl_sum) / n1 if n1 else 0.0
+    spark.createDataFrame(
+        [(n1, float(avg1), n_buckets)],
+        "_n long, _avgdl double, _n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    spark.catalog.refreshByPath(f"{path}/postings")
+    return {"appended_docs": batch["n"], "touched_buckets": batch["k"]}

@@ -509,9 +509,13 @@ def write_ivf_index(
         "cell",
     )
     (
-        codes.repartition(F.col("cell"))
+        # reserved _bid=-2 marks the bootstrap build: streaming batch ids
+        # start at 0 and ad-hoc appends use -1, so no later write can
+        # dynamic-overwrite the base partitions by id collision
+        codes.withColumn("_bid", F.lit(-2))
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
-        .partitionBy("cell")
+        .partitionBy("cell", "_bid")
         .parquet(f"{path}/cells")
     )
     # the index is SELF-DESCRIBING: the centroid table that produced the
@@ -877,6 +881,7 @@ def append_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int | None = None,
 ) -> dict:
     """Incremental IVF maintenance: admit a batch of NEW vectors into
     the persisted index WITHOUT rebuilding it — assign them with the
@@ -892,7 +897,15 @@ def append_ivf_index(
     balance can drift under distribution shift — retrain + rebuild when
     recall telemetry says so.  Accumulated small files per cell are
     exactly the `sources/compact.py` case; run ``compact_parquet_dir``
-    on hot cell dirs in the same maintenance window."""
+    on hot cell dirs in the same maintenance window.
+
+    ``batch_id`` (for streaming / retried callers): rows land under a
+    ``(cell, _bid=batch_id)`` partition via DYNAMIC partition
+    overwrite — the assignment is deterministic, so a replayed batch
+    rewrites exactly its own partitions and the index converges to the
+    same state (the at-least-once -> exactly-once discipline of
+    ``streaming/dedup_stream.py``).  ``batch_id=None`` is a plain
+    ad-hoc append (``_bid=-1``), NOT idempotent under retry."""
     centroids = read_ivf_centroids(spark, path)
     codes = with_int8_codes(
         ivf_assign(new_vectors, centroids, id_col, vec_col), vec_col
@@ -904,16 +917,25 @@ def append_ivf_index(
         "_q",
         "cell",
     )
-    codes = codes.localCheckpoint()  # stats + write from one assignment
+    codes = codes.withColumn(
+        "_bid", F.lit(-1 if batch_id is None else int(batch_id))
+    ).localCheckpoint()  # stats + write from one assignment
     stats = codes.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("cell").alias("k"),
     ).first()
-    (
-        codes.repartition(F.col("cell"))
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(f"{path}/cells")
+    writer = codes.repartition(F.col("cell")).write.partitionBy(
+        "cell", "_bid"
     )
+    if batch_id is None:
+        writer.mode("append").parquet(f"{path}/cells")
+    else:
+        # the WRITER-level option, not session conf: foreachBatch hands
+        # callers a cloned SparkSession, so a conf set on the outer
+        # session would not reach this write (observed: the overwrite
+        # then runs static and wipes the whole table)
+        writer.option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).parquet(f"{path}/cells")
     spark.catalog.refreshByPath(f"{path}/cells")
     return {"appended": stats["n"], "touched_cells": stats["k"]}

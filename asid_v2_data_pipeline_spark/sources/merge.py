@@ -131,19 +131,15 @@ def merge_upsert(
         # touched bucket by construction, so no bucket can be emptied —
         # skip the emptied-bucket scan (and its persist) entirely; the
         # common path pays exactly one job.
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # writer-level option, not session conf: per-write scope, no
+        # clone-session mismatch (foreachBatch) and no cross-thread race
+        (
+            merged.repartition(F.col(BUCKET_COL))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(target_dir)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.repartition(F.col(BUCKET_COL))
-                .write.mode("overwrite")
-                .partitionBy(BUCKET_COL)
-                .parquet(target_dir)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return {
             "touched_buckets": len(touched),
             "n_buckets": n_buckets,
@@ -165,46 +161,42 @@ def merge_upsert(
         }
         emptied = [b for b in touched if b not in nonempty]
 
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            if nonempty:
+        if nonempty:
+            (
+                merged.repartition(F.col(BUCKET_COL))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .partitionBy(BUCKET_COL)
+                .parquet(target_dir)
+            )
+        else:
+            # no bucket received rows.  If untouched bucket dirs
+            # still hold data the emptied dirs can all go; but if
+            # this merge would leave ZERO bucket dirs, deleting them
+            # all leaves a footerless dir that bricks every later
+            # read/merge — keep the table alive with one zero-row
+            # file (schema preserved) in the first touched bucket
+            jvm = spark._jvm
+            conf = spark._jsc.hadoopConfiguration()
+            root = jvm.org.apache.hadoop.fs.Path(target_dir)
+            fs = root.getFileSystem(conf)
+            touched_names = {f"{BUCKET_COL}={b}" for b in touched}
+            others = [
+                st
+                for st in fs.listStatus(root)
+                if st.isDirectory()
+                and st.getPath().getName().startswith(f"{BUCKET_COL}=")
+                and st.getPath().getName() not in touched_names
+            ]
+            if not others:
+                keep = emptied.pop(0)
+                kept_marker = True
                 (
-                    merged.repartition(F.col(BUCKET_COL))
+                    merged.drop(BUCKET_COL)
+                    .limit(0)
                     .write.mode("overwrite")
-                    .partitionBy(BUCKET_COL)
-                    .parquet(target_dir)
+                    .parquet(target_dir.rstrip("/") + f"/{BUCKET_COL}={keep}")
                 )
-            else:
-                # no bucket received rows.  If untouched bucket dirs
-                # still hold data the emptied dirs can all go; but if
-                # this merge would leave ZERO bucket dirs, deleting them
-                # all leaves a footerless dir that bricks every later
-                # read/merge — keep the table alive with one zero-row
-                # file (schema preserved) in the first touched bucket
-                jvm = spark._jvm
-                conf = spark._jsc.hadoopConfiguration()
-                root = jvm.org.apache.hadoop.fs.Path(target_dir)
-                fs = root.getFileSystem(conf)
-                touched_names = {f"{BUCKET_COL}={b}" for b in touched}
-                others = [
-                    st
-                    for st in fs.listStatus(root)
-                    if st.isDirectory()
-                    and st.getPath().getName().startswith(f"{BUCKET_COL}=")
-                    and st.getPath().getName() not in touched_names
-                ]
-                if not others:
-                    keep = emptied.pop(0)
-                    kept_marker = True
-                    (
-                        merged.drop(BUCKET_COL)
-                        .limit(0)
-                        .write.mode("overwrite")
-                        .parquet(target_dir.rstrip("/") + f"/{BUCKET_COL}={keep}")
-                    )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     finally:
         merged.unpersist()
     if emptied:
@@ -337,17 +329,16 @@ def merge_aggregate(
         AGG_BID_COL, F.lit(-1 if batch_id is None else batch_id).cast("long")
     )
 
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            stamped.repartition(F.col(BUCKET_COL))
-            .write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(target_dir)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # writer-level dynamic overwrite (see merge_upsert: session conf
+    # would not survive a foreachBatch clone session and races across
+    # concurrent writer threads)
+    (
+        stamped.repartition(F.col(BUCKET_COL))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(target_dir)
+    )
     return {
         "touched_buckets": len(touched),
         "n_buckets": n_buckets,

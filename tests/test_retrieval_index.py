@@ -150,3 +150,36 @@ def test_persisted_index_prunes_and_matches(spark, tmp_path):
     assert all(
         direct[did] == 0 for did in set(direct) - set(via_index)
     )
+
+
+def test_bm25_append_equals_rebuild(spark, tmp_path):
+    """Round-5: appending a doc batch into the persisted BM25 index
+    (postings append + exact closed-form stats update) scores
+    identically to rebuilding over the union."""
+    from asid_v2_data_pipeline_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_scores_persisted,
+        write_bm25_index,
+    )
+
+    d = _docs(spark)
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+
+    inc = str(tmp_path / "inc")
+    write_bm25_index(old, inc, n_buckets=16)
+    stats = append_bm25_index(spark, new, inc)
+    assert stats["appended_docs"] == new.count()
+
+    full = str(tmp_path / "full")
+    write_bm25_index(d, full, n_buckets=16)
+
+    a = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_scores_persisted(spark, inc, TERMS).collect()
+    }
+    b = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in bm25_scores_persisted(spark, full, TERMS).collect()
+    }
+    assert a == b and len(a) > 0

@@ -1394,3 +1394,72 @@ def test_ivf_index_incremental_append_equals_rebuild(spark, tmp_path):
     # appended rows are findable: a query vector from the new batch
     # returns neighbors including other new-batch ids when they're close
     assert sim.read_ivf_index(spark, inc_path).count() == 210
+
+
+def test_streaming_ivf_index_equals_rebuild_and_replay_idempotent(
+    spark, tmp_path
+):
+    """Round-5 streaming ANN maintenance: draining embedding files into
+    the persisted IVF index equals a full rebuild over the union, and
+    replaying a batch (at-least-once delivery) converges to the same
+    index (dynamic (cell,_bid) overwrite)."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.streaming.ann_stream import (
+        index_vector_stream,
+    )
+
+    rng = np.random.RandomState(47)
+
+    def vecs(ids):
+        out = []
+        for vid in ids:
+            v = rng.randn(10)
+            out.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        return out
+
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(vecs(range(120)), schema)
+    b1 = spark.createDataFrame(vecs(range(500, 530)), schema)
+    b2 = spark.createDataFrame(vecs(range(600, 640)), schema)
+    cents = sim.train_centroids_kmeans(base, 4, iters=2)
+
+    inc = str(tmp_path / "idx")
+    sim.write_ivf_index(base, cents, inc)
+    feed = tmp_path / "feed"
+    b1.coalesce(1).write.parquet(str(feed / "f1"))
+    b2.coalesce(1).write.parquet(str(feed / "f2"))
+    q = index_vector_stream(
+        spark,
+        str(feed) + "/*",
+        schema,
+        inc,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    sim.write_ivf_index(
+        base.unionByName(b1).unionByName(b2), cents, full
+    )
+    probe = base.filter(F.col("vec_id") < 5)
+
+    def topk(path):
+        return sorted(
+            map(
+                tuple,
+                sim.topk_cosine_ivf_adc_indexed(
+                    spark, path, probe, k=5, nprobe=4
+                )
+                .withColumn("score", F.round("score", 9))
+                .collect(),
+            )
+        )
+
+    assert topk(inc) == topk(full)
+
+    # replay batch 1 manually (at-least-once): the index must not grow
+    n_before = sim.read_ivf_index(spark, inc).count()
+    sim.append_ivf_index(spark, b2, inc, batch_id=1)
+    assert sim.read_ivf_index(spark, inc).count() == n_before
+    assert topk(inc) == topk(full)
