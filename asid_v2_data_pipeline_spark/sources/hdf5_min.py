@@ -259,7 +259,9 @@ class HDF5File:
             return np.dtype(f"{order}f{size}")
         if cls == 3:
             return np.dtype(f"S{size}")
-        return None  # reference / vlen / compound: value -> None
+        if cls == 9 and (bits & 0x0F) == 1:
+            return "vlen_str"  # variable-length string (global heap)
+        return None  # reference / vlen-sequence / compound: value -> None
 
     @staticmethod
     def _u4(b: bytes, pos: int) -> int:
@@ -342,11 +344,49 @@ class HDF5File:
         if dt is None:
             return (name, None)
         n = int(np.prod(shape)) if shape else 1
+        if dt == "vlen_str":
+            # per element: length (4) + global-heap collection address
+            # (O) + object index (4) — netCDF4's NC_STRING attributes
+            esz = 8 + self._so
+            vals = []
+            for i in range(n):
+                off = pos + i * esz
+                ln = self._u4(body, off)
+                gaddr = int.from_bytes(
+                    body[off + 4 : off + 4 + self._so], "little"
+                )
+                idx = self._u4(body, off + 4 + self._so)
+                vals.append(
+                    self._gheap_object(gaddr, idx)[:ln].decode(
+                        "utf-8", "replace"
+                    )
+                )
+            return (name, vals[0] if n == 1 else vals)
         raw = body[pos : pos + n * dt.itemsize]
         if dt.kind == "S":
             return (name, raw.split(b"\x00")[0].decode("utf-8", "replace"))
         vals = np.frombuffer(raw, dtype=dt, count=n)
         return (name, vals[0] if n == 1 else vals)
+
+    def _gheap_object(self, addr: int, want_idx: int) -> bytes:
+        """Object ``want_idx`` from the global heap collection at
+        ``addr`` (signature ``GCOL``): walk the object run — index (2),
+        refcount (2), reserved (4), size (L), data 8-aligned."""
+        b = self._buf
+        if b[addr : addr + 4] != b"GCOL":
+            raise ValueError("bad global heap collection signature")
+        total = self._u(addr + 8, self._sl)
+        pos, end = addr + 8 + self._sl, addr + total
+        while pos + 8 + self._sl <= end:
+            idx = self._u(pos, 2)
+            size = self._u(pos + 8, self._sl)
+            data_at = pos + 8 + self._sl
+            if idx == want_idx:
+                return bytes(b[data_at : data_at + size])
+            if idx == 0:  # free-space object terminates the run
+                break
+            pos = data_at + (size + 7) // 8 * 8
+        raise ValueError(f"global heap object {want_idx} not found")
 
     # --- group walking ------------------------------------------------
     def _walk_group(self, addr: int, prefix: str, is_root: bool, seen: set):
@@ -714,6 +754,32 @@ def _chunk_grid(shape, cshape):
     return out
 
 
+def _attr_msg_v1_vlen(name: str, ln: int, gaddr: int, idx: int) -> bytes:
+    """Attribute message whose value is a VARIABLE-LENGTH string — the
+    layout netCDF4's NC_STRING attributes use: datatype class 9
+    (vlen/string), data = (length, global-heap address, object index)."""
+    nm = name.encode() + b"\x00"
+    # class 9 v1, bits: vlen-type=string(1); base type: 1-byte string
+    base = bytes([0x13, 0, 0, 0]) + struct.pack("<I", 1)
+    dtm = (
+        bytes([0x19, 0x01, 0, 0]) + struct.pack("<I", 16) + base
+    )
+    dsm = _dataspace_msg(())
+
+    def pad8(b: bytes) -> bytes:
+        return b + b"\x00" * (-len(b) % 8)
+
+    data = struct.pack("<IQI", ln, gaddr, idx)
+    return (
+        bytes([1, 0])
+        + struct.pack("<HHH", len(nm), len(dtm), len(dsm))
+        + pad8(nm)
+        + pad8(dtm)
+        + pad8(dsm)
+        + data
+    )
+
+
 def write_hdf5_netcdf4(
     dims: dict[str, int],
     variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
@@ -722,6 +788,7 @@ def write_hdf5_netcdf4(
     layout: str = "contiguous",
     chunks: tuple[int, ...] | None = None,
     compress: str | None = None,
+    vlen_strings: bool = False,
 ) -> bytes:
     """Minimal netCDF-4/HDF5 fixture writer (root group only).
 
@@ -733,6 +800,10 @@ def write_hdf5_netcdf4(
     may be ``"deflate"`` or ``"shuffle+deflate"`` (chunked only).
     Dimension entries become netCDF-4 dimension-scale stub datasets so
     readers must filter them out, exactly like real files.
+    ``vlen_strings=True`` stores every string attribute as a
+    VARIABLE-LENGTH string through a global heap collection (netCDF4's
+    NC_STRING layout) instead of a fixed-length string — exercises the
+    reader's GCOL path.
     """
     if style not in ("earliest", "latest"):
         raise ValueError("style must be 'earliest' or 'latest'")
@@ -744,6 +815,7 @@ def write_hdf5_netcdf4(
     # dimension-scale stubs, then data variables (netCDF-4 convention)
     objects: list[tuple[str, list[tuple[int, bytes]], dict]] = []
     seg_payloads: dict[str, bytes] = {}
+    vstrings: list[bytes] = []  # global-heap payloads, 1-based index
 
     def dataset_msgs(name, arr, attrs, is_dim):
         arr = np.ascontiguousarray(arr)
@@ -800,7 +872,11 @@ def write_hdf5_netcdf4(
         else:
             seg_payloads[name] = data
         for k, v in attrs.items():
-            msgs.append((0x000C, _attr_msg_v1(k, v)))
+            if vlen_strings and isinstance(v, str):
+                vstrings.append(v.encode())
+                msgs.append(("vlen", (k, len(vstrings))))
+            else:
+                msgs.append((0x000C, _attr_msg_v1(k, v)))
         return msgs, meta
 
     for dname, dsize in dims.items():
@@ -819,6 +895,14 @@ def write_hdf5_netcdf4(
         msgs, meta = dataset_msgs(vname, np.asarray(arr), attrs, is_dim=False)
         objects.append((vname, msgs, meta))
 
+    gat_markers: list = []
+    for k, v in (gatts or {}).items():
+        if vlen_strings and isinstance(v, str):
+            vstrings.append(v.encode())
+            gat_markers.append(("vlen", (k, len(vstrings))))
+        else:
+            gat_markers.append((0x000C, _attr_msg_v1(k, v)))
+
     # ---- lay the file out with a running allocator, two passes so the
     # layout/btree/heap messages can carry real addresses
     def build(addrs: dict) -> tuple[bytes, dict]:
@@ -836,10 +920,41 @@ def write_hdf5_netcdf4(
         def a(tag: str) -> int:
             return addrs.get(tag, 0)
 
+        def resolve(mlist):
+            out = []
+            for m in mlist:
+                if m[0] == "vlen":
+                    k, idx = m[1]
+                    out.append(
+                        (
+                            0x000C,
+                            _attr_msg_v1_vlen(
+                                k,
+                                len(vstrings[idx - 1]),
+                                a("gheap:/"),
+                                idx,
+                            ),
+                        )
+                    )
+                else:
+                    out.append(m)
+            return out
+
+        if vstrings:
+            gh = b""
+            for i, blob in enumerate(vstrings, start=1):
+                gh += struct.pack("<HH4x", i, 1) + struct.pack(
+                    "<Q", len(blob)
+                )
+                gh += blob + b"\x00" * (-len(blob) % 8)
+            gcol = b"GCOL" + bytes([1]) + b"\x00" * 3
+            gcol += struct.pack("<Q", 8 + 8 + len(gh)) + gh
+            put("gheap:/", gcol)
+
         # per-dataset layout message resolved against current addrs
         headers: dict[str, bytes] = {}
         for name, msgs, meta in objects:
-            mm = list(msgs)
+            mm = resolve(list(msgs))
             if "chunk_blobs" in meta:
                 cdims = tuple(meta["cshape"]) + (meta["itemsize"],)
                 body = bytes([3, 2, len(cdims)]) + struct.pack(
@@ -858,7 +973,7 @@ def write_hdf5_netcdf4(
                 _v1_header(mm) if style == "earliest" else _v2_header(mm)
             )
 
-        gat = [(0x000C, _attr_msg_v1(k, v)) for k, v in (gatts or {}).items()]
+        gat = resolve(gat_markers)
         names = [name for name, _m, _x in objects]
 
         if style == "earliest":

@@ -262,3 +262,16 @@ def test_hdf5_v1_header_continuation_block():
     assert float(ds.attrs["_FillValue"]) == -999.0  # came via continuation
     got = HDF5NetCDF(bytes(blob))
     assert np.isnan(got.masked("sar_primary")[0, 0])
+
+
+@pytest.mark.parametrize("style", ["earliest", "latest"])
+def test_vlen_string_attributes_via_global_heap(style):
+    """netCDF4's NC_STRING attributes are variable-length strings whose
+    values live in a global heap collection (GCOL); the reader must
+    resolve them — including the dimension-scale NAME marker, so
+    filtering still works when stubs use vlen attrs."""
+    ds = HDF5NetCDF(_payload(4, style=style, vlen_strings=True))
+    assert ds.attrs["title"] == "fixture scene" and ds.attrs["rev"] == 7
+    assert set(ds.variables) == {"sar_primary", "sar_secondary", "counts"}
+    assert float(ds.variables["sar_primary"].attrs["_FillValue"]) == -999.0
+    assert np.isnan(ds.masked("sar_primary")[0, 0])
