@@ -369,3 +369,50 @@ def weighted_sample_sql(
         f"SELECT *, {key} AS _wkey FROM {table} WHERE {weight_col} > 0 "
         f"ORDER BY _wkey DESC, {id_col} LIMIT {k}"
     )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    group_col: str,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 31,
+) -> DataFrame:
+    """Pretraining-mix selection under per-group TOKEN budgets: within
+    each group, documents are ranked by the portable seeded hash (the
+    same deterministic order every sampler here uses) and kept while
+    the group's RUNNING token total stays ≤ its budget — the greedy
+    prefix; the document that would cross the budget is dropped, so the
+    selection always fits.  Groups absent from ``budgets`` are dropped
+    entirely (budget 0).
+
+    This is the budget-denominated twin of ``weighted_repeat``: mixes
+    are specified in tokens, not documents, when feeding a trainer with
+    a fixed token count per source/language.
+
+    Scale: one hash exchange on ``group_col`` + a bounded running-sum
+    window per group; no joins, no Python.  Returns the kept rows with
+    ``n_tokens`` and the running ``cum_tokens``."""
+    from ..functions.text import token_count
+
+    budget_expr = None
+    for g, b in budgets.items():
+        c = F.when(F.col(group_col) == g, F.lit(int(b)))
+        budget_expr = c if budget_expr is None else budget_expr.when(
+            F.col(group_col) == g, F.lit(int(b))
+        )
+    budget_expr = (
+        budget_expr.otherwise(F.lit(0)) if budget_expr is not None else F.lit(0)
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(shuffle_hash(F.col(id_col).cast("long"), seed), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return staged.filter(F.col("cum_tokens") <= budget_expr)

@@ -2101,6 +2101,48 @@ ORDER BY lang, rank
 """
 
 
+_TB_BUDGETS = {"en": 3000, "de": 1500, "fr": 800}
+
+
+def sp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mix selection: per language, keep the seeded-hash
+    prefix of documents whose running token total fits the language's
+    budget (``operators/sampling.py::select_to_token_budget`` — how a
+    pretraining mix is carved when sources are allotted tokens, not
+    document counts).  Languages without a budget drop entirely."""
+    from ..operators.sampling import select_to_token_budget
+
+    d = load_table(spark, sf_dir, "documents")
+    out = select_to_token_budget(d, "lang", _TB_BUDGETS, seed=31)
+    return out.select(
+        "doc_id", "lang", "n_tokens", "cum_tokens"
+    ).orderBy("lang", "doc_id")
+
+
+def _sp_token_budget_sql(seed: int = 31) -> str:
+    from ..operators.split import shuffle_hash_sql
+
+    h = shuffle_hash_sql("doc_id", seed)
+    budget = "CASE " + " ".join(
+        f"WHEN lang = '{g}' THEN {b}" for g, b in _TB_BUDGETS.items()
+    ) + " ELSE 0 END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({TOKENS_SQL}) AS INT) AS n_tokens,
+         {h} AS _h
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY _h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= {budget}
+ORDER BY lang, doc_id
+"""
+
+
 def sp_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (A-ES): 200 documents drawn
     with probability ∝ length — the fixed-k weight-proportional variant
@@ -2383,6 +2425,7 @@ REGISTRY = {
     "tx_bm25_indexed": (tx_bm25_indexed, _bm25_indexed_sql()),
     "sim_quantize_int8": (sim_quantize_int8, SIM_QUANT_SQL),
     "sp_weighted_sample": (sp_weighted_sample, _sp_weighted_sql()),
+    "sp_token_budget": (sp_token_budget, _sp_token_budget_sql()),
     "tx_top_quality_per_lang": (tx_top_quality_per_lang, _top_quality_sql()),
     "dd_semantic": (dd_semantic, DD_SEMANTIC_SQL),
     "tx_token_stats": (tx_token_stats, TX_TOKEN_SQL),

@@ -1463,3 +1463,32 @@ def test_streaming_ivf_index_equals_rebuild_and_replay_idempotent(
     sim.append_ivf_index(spark, b2, inc, batch_id=1)
     assert sim.read_ivf_index(spark, inc).count() == n_before
     assert topk(inc) == topk(full)
+
+
+def test_select_to_token_budget_invariants(spark):
+    """Budget semantics: every group's kept token total fits its
+    budget, the greedy prefix is maximal (next-ranked doc would
+    overflow), and unbudgeted groups drop."""
+    from asid_v2_data_pipeline_spark.schemas import load_table
+    from asid_v2_data_pipeline_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    budgets = {"en": 2000, "de": 900}
+    out = select_to_token_budget(d, "lang", budgets).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) <= set(budgets)  # e.g. fr/es/zh dropped
+    for lang, rows in by_lang.items():
+        total = sum(r["n_tokens"] for r in rows)
+        assert total <= budgets[lang]
+        assert max(r["cum_tokens"] for r in rows) == total
+    # maximality: rerun with a budget one token larger than the kept
+    # total; the same prefix must still be the answer unless a doc fits
+    en_total = sum(r["n_tokens"] for r in by_lang["en"])
+    bigger = select_to_token_budget(
+        d, "lang", {"en": en_total}, seed=31
+    ).filter(F.col("lang") == "en")
+    assert bigger.count() == len(by_lang["en"])
