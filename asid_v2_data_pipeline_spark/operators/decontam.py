@@ -82,6 +82,47 @@ def contamination(
     )
 
 
+def contamination_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """:func:`contamination` with a Bloom semi-join prefilter — the
+    at-scale form for when the benchmark gram set outgrows the broadcast
+    threshold (a 1 B-gram eval suite is an ~8 GB hash table but a
+    ~1.2 GB word array at 1 % fpp, and the array is data, not a plan).
+
+    Lossless: the bloom has no false negatives and the exact join still
+    runs behind it, so the output is identical to :func:`contamination`
+    — but only bloom-positive corpus grams (true hits + ~fpp of the
+    rest) ever reach the join exchange.  At 100 TB that turns a
+    corpus-sized shuffle into a hits-sized one.
+    """
+    from .bloom import bloom_prefilter, build_bloom
+
+    bench = benchmark_ngram_set(benchmark, id_col, text_col, n).localCheckpoint()
+    spec = build_bloom(bench, "_sh", fpp=fpp)
+    hashed = with_shingle_hashes(docs, id_col, text_col, n).localCheckpoint()
+    grams = hashed.select(
+        "_id", F.size("_hs").alias("_ng"), F.explode("_hs").alias("_sh")
+    )
+    survivors = bloom_prefilter(grams, "_sh", spec)
+    return (
+        survivors.join(F.broadcast(bench), "_sh")
+        .groupBy("_id", "_ng")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_ng").alias("n_grams"),
+            F.col("n_hits"),
+            F.round(F.col("n_hits") / F.col("_ng"), 6).alias("rate"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

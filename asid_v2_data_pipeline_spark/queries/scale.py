@@ -1153,6 +1153,21 @@ ORDER BY c.doc_id
 """
 
 
+def dc_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dc_contamination through the Bloom semi-join prefilter — the
+    at-scale form for benchmark gram sets past the broadcast threshold.
+    Lossless by construction (no false negatives + exact join behind the
+    bloom), so it shares dc_contamination's oracle verbatim."""
+    from ..operators.decontam import contamination_bloom
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_bloom(corpus, bench, "doc_id", "text", n=_DC_N).orderBy(
+        "doc_id"
+    )
+
+
 # --- end-to-end curation ------------------------------------------------------
 
 
@@ -2403,6 +2418,7 @@ REGISTRY = {
     "sp_temperature_mixture": (sp_temperature_mixture, _sp_temp_sql()),
     "sp_salted_agg": (sp_salted_agg, SP_SALTED_SQL),
     "dc_contamination": (dc_contamination, _dc_sql()),
+    "dc_bloom_prefilter": (dc_bloom_prefilter, _dc_sql()),
     "cur_pipeline": (cur_pipeline, _cur_sql()),
     "tx_length_quantiles": (tx_length_quantiles, _tx_quant_sql()),
     "tx_top_tokens": (tx_top_tokens, TX_TOP_SQL),
