@@ -82,6 +82,101 @@ def contamination(
     )
 
 
+def _band_rows_from_hashes(
+    hashed: DataFrame, num_perm: int, bands: int
+) -> DataFrame:
+    """(_id, _band, _bucket) LSH rows from a pre-hashed (_id, _hs)
+    relation — avoids re-shingling when the hash arrays already exist."""
+    from .dedup import MASK31, _perm_constants, _perm_min
+
+    rows = num_perm // bands
+    hs = F.col("_hs")
+    sig = hashed.select(
+        "_id",
+        F.array(*[_perm_min(hs, a, b) for a, b in _perm_constants(num_perm)]).alias(
+            "_sig"
+        ),
+    )
+    return sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.aggregate(
+                        F.slice(F.col("_sig"), b * rows + 1, rows),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: (acc * 31 + x) % F.lit(MASK31 + 1),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate contamination: corpus documents MinHash-colliding
+    with a benchmark document, verified by exact shingle Jaccard.
+
+    Exact n-gram overlap (:func:`contamination`) misses paraphrased or
+    lightly-edited eval leakage; banded MinHash catches documents that
+    are mostly-the-same without an all-pairs corpus×benchmark product.
+
+    Scale profile: both sides are shingle-hashed ONCE (checkpointed);
+    the benchmark's band rows and shingle sets are broadcast (eval sets
+    are tiny); the corpus is scanned once and only bucket-colliding
+    candidates reach the Jaccard verify, which joins hash ARRAYS by id —
+    never exploded grams.  No corpus shuffle anywhere.
+
+    Returns distinct ``(id_col, bench_id, jaccard)`` with
+    ``jaccard >= min_jaccard``, jaccard rounded to 6 places.
+    """
+    bench_hashed = with_shingle_hashes(benchmark, id_col, text_col, n).localCheckpoint()
+    corpus_hashed = with_shingle_hashes(docs, id_col, text_col, n).localCheckpoint()
+    bench_rows = _band_rows_from_hashes(bench_hashed, num_perm, bands)
+    corpus_rows = _band_rows_from_hashes(corpus_hashed, num_perm, bands)
+    cands = (
+        corpus_rows.join(
+            F.broadcast(
+                bench_rows.select(
+                    F.col("_id").alias("_bid"), "_band", "_bucket"
+                )
+            ),
+            ["_band", "_bucket"],
+        )
+        .select("_id", "_bid")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("_hs"), F.col("_bhs")))
+    union = F.size("_hs") + F.size("_bhs") - inter
+    return (
+        cands.join(corpus_hashed, "_id")
+        .join(
+            F.broadcast(
+                bench_hashed.select(
+                    F.col("_id").alias("_bid"), F.col("_hs").alias("_bhs")
+                )
+            ),
+            "_bid",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_bid").alias("bench_id"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def contamination_bloom(
     docs: DataFrame,
     benchmark: DataFrame,

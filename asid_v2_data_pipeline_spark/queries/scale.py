@@ -1153,6 +1153,45 @@ ORDER BY c.doc_id
 """
 
 
+def dc_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase-robust decontamination: corpus docs MinHash-banded
+    against the held-out slice, exact-Jaccard-verified — benchmark side
+    broadcast, corpus hashed once, candidates only at the verify."""
+    from ..operators.decontam import fuzzy_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    # %5 split (not the %97 one): the synthetic near-dup clusters must
+    # straddle the corpus/benchmark boundary for the query to exercise
+    # the fuzzy path on >0 rows
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return fuzzy_contamination(
+        corpus, bench, "doc_id", "text", min_jaccard=_DC_FUZZY_T
+    ).orderBy("doc_id", "bench_id")
+
+
+_DC_FUZZY_T = 0.4
+
+
+def _dc_fuzzy_sql() -> str:
+    jac = "CAST(len(list_intersect(sc.hs, sb.hs)) AS DOUBLE) / (len(sc.hs) + len(sb.hs) - len(list_intersect(sc.hs, sb.hs)))"
+    return f"""
+WITH {_shingle_cte_sql(3, "documents", "f")}, {_minhash_pair_ctes_from("shingf", "f")},
+cand AS (
+  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+  FROM (SELECT * FROM bandrowsf WHERE doc_id % 5 <> 0) c
+  JOIN (SELECT * FROM bandrowsf WHERE doc_id % 5 = 0) b
+    ON c.band = b.band AND c.bucket = b.bucket
+)
+SELECT cand.doc_id, cand.bench_id, ROUND({jac}, 6) AS jaccard
+FROM cand
+JOIN shingf sc ON sc.doc_id = cand.doc_id
+JOIN shingf sb ON sb.doc_id = cand.bench_id
+WHERE ROUND({jac}, 6) >= {_DC_FUZZY_T}
+ORDER BY cand.doc_id, cand.bench_id
+"""
+
+
 def dc_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dc_contamination through the Bloom semi-join prefilter — the
     at-scale form for benchmark gram sets past the broadcast threshold.
@@ -2419,6 +2458,7 @@ REGISTRY = {
     "sp_salted_agg": (sp_salted_agg, SP_SALTED_SQL),
     "dc_contamination": (dc_contamination, _dc_sql()),
     "dc_bloom_prefilter": (dc_bloom_prefilter, _dc_sql()),
+    "dc_fuzzy_contamination": (dc_fuzzy_contamination, _dc_fuzzy_sql()),
     "cur_pipeline": (cur_pipeline, _cur_sql()),
     "tx_length_quantiles": (tx_length_quantiles, _tx_quant_sql()),
     "tx_top_tokens": (tx_top_tokens, TX_TOP_SQL),

@@ -1,0 +1,40 @@
+"""Fuzzy (MinHash-banded) cross-corpus decontamination."""
+
+from pyspark.sql import functions as F
+
+from asid_v2_data_pipeline_spark.operators.decontam import fuzzy_contamination
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_catches_near_dup_misses_unrelated(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely unrelated text about spark shuffle partitions and joins"),
+            (3, "the quick brown fox jumps over the lazy dog near the river"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id: long, text: string",
+    )
+    out = fuzzy_contamination(corpus, bench, "doc_id", "text", min_jaccard=0.5)
+    rows = {(r["doc_id"], r["bench_id"]): r["jaccard"] for r in out.collect()}
+    assert rows[(1, 100)] == 1.0
+    assert (2, 100) not in rows
+    assert (3, 100) in rows and 0.5 <= rows[(3, 100)] < 1.0
+
+
+def test_no_explode_past_candidates_and_bench_broadcast(spark):
+    """The Jaccard verify joins hash ARRAYS by id (array_intersect), it
+    never explodes corpus grams; both benchmark sides broadcast."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    out = fuzzy_contamination(corpus, bench, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert out.count() > 0
