@@ -483,6 +483,170 @@ def topk_cosine_ivf_adc(
     )
 
 
+def train_pq_codebooks_lite(
+    vectors: DataFrame,
+    m: int,
+    ks: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic PQ codebooks: subspace ``s``'s codewords are the
+    ``ks`` lowest-id vectors' ``s``-th slices (the PQ analogue of
+    ``train_centroids_kmeanspp_lite`` — recall depends on codebook
+    quality, correctness of the machinery does not, and determinism is
+    what lets the DuckDB oracle re-derive every stage).  Swap in per-
+    subspace ``train_centroids_kmeans`` over sliced columns for
+    production codebooks."""
+    rows = vectors.select(id_col, vec_col).orderBy(id_col).limit(ks).collect()
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [
+            (j, [float(x) for x in list(r[vec_col])[s * sub : (s + 1) * sub]])
+            for j, r in enumerate(rows)
+        ]
+        for s in range(m)
+    ]
+
+
+def _pq_sub(vec: Column, s: int, sub: int) -> Column:
+    return F.slice(vec, s * sub + 1, sub)
+
+
+def with_pq_codes(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    code_col: str = "_pq",
+) -> DataFrame:
+    """Product-quantize ``vec_col``: per subspace, the L2-nearest
+    codeword id (ties -> lowest id), packed as an array of ``m`` small
+    ints.  A narrow map — no shuffle, no Python; at 100 TB the persisted
+    codes column is ``m`` bytes/row against ``4·dim`` for float32
+    (dim=64, m=4 → 64× less index IO)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+
+    def code_for(s: int) -> Column:
+        sv = _pq_sub(F.col(vec_col), s, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sv,
+                            F.array(*[F.lit(float(x)) for x in cw]),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0.0).cast("double"),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j, cw in codebooks[s]
+            ]
+        )
+        return F.element_at(F.array_sort(cands), 1)["j"]
+
+    return df.withColumn(code_col, F.array(*[code_for(s) for s in range(m)]))
+
+
+def pq_decode(
+    codes: Column, codebooks: list[list[tuple[int, list[float]]]]
+) -> Column:
+    """Reconstruct the quantized vector: concat of each subspace's
+    selected codeword.  Codebooks ride as literal arrays — fine at
+    m·ks·sub in the hundreds; ship them as broadcast DATA (one-row
+    array column, the ``_ivf_assign_array`` pattern) past that."""
+    parts = []
+    for s, book in enumerate(codebooks):
+        table = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for _, cw in book]
+        )
+        parts.append(F.element_at(table, F.element_at(codes, s + 1) + 1))
+    return F.concat(*parts)
+
+
+def topk_cosine_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 5,
+    nprobe: int = 1,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ two-stage ANN: candidates in the probed cells are scored
+    against their **PQ reconstruction** (m-byte codes, query stays
+    float), then the top ``rerank_factor·k`` per query re-score at full
+    precision — Faiss's IVFPQ shape on DataFrames.
+
+    vs IVF-SQ8 (``topk_cosine_ivf_adc``): codes shrink from dim bytes to
+    m bytes (64 → 4 here), so the hot scan of a persisted codes table
+    reads ~16× less; the re-rank absorbs the coarser approximation.
+    The approximate score is ``cosine(q, decode(code))`` computed in
+    dimension order, so the oracle can re-derive it bit-for-bit from the
+    reconstruction (the per-query LUT form — ``m`` table lookups per
+    candidate instead of a dim-length dot — is the constant-factor
+    production variant of the same values).
+
+    Plan shape mirrors the ADC path: codes scan → broadcast probe join
+    on ``cell`` → per-query approximate top-``rerank`` window →
+    broadcast shortlist id-join → exact rescore → top-k."""
+    rerank = max(k, rerank_factor * k)
+    coded = with_pq_codes(
+        ivf_assign(corpus, centroids, id_col, vec_col), codebooks, vec_col
+    )
+    vhat = pq_decode(F.col("_pq"), codebooks)
+    codes = coded.select(
+        F.col(id_col).alias("c_id"),
+        "cell",
+        vhat.alias("_vhat"),
+    ).select("c_id", "cell", "_vhat", norm(F.col("_vhat")).alias("_vhn"))
+    qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
+
+    approx = (
+        codes.join(F.broadcast(qcells), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "_qv",
+            "_qn",
+            "c_id",
+            (
+                dot(F.col("_qv"), F.col("_vhat"))
+                / (F.col("_qn") * F.col("_vhn"))
+            ).alias("_ascore"),
+        )
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.col("_ascore").desc(), F.col("c_id"))
+    shortlist = (
+        approx.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") <= rerank)
+        .select("q_id", "_qv", "_qn", "c_id")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    rescored = full.join(F.broadcast(shortlist), "c_id").select(
+        "q_id",
+        "c_id",
+        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", F.col("score").cast("double").alias("score"), "rank")
+    )
+
+
 def write_ivf_index(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -691,6 +691,100 @@ ORDER BY q_id, rank
 """
 
 
+def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ two-stage ANN as a declared query
+    (``operators/similarity.py::topk_cosine_ivf_pq``): 4 deterministic
+    coarse cells, nprobe=2, PQ codes (m=4 subspaces × 8 codewords =
+    4 bytes/vector vs 64 for SQ8) scored via reconstruction in the
+    probed cells, float re-rank of the top 20.  Deterministic lite
+    codebooks let the oracle re-derive encode → decode → approximate
+    rank → rescore bit-for-bit, so the PQ machinery is value-checked,
+    not just recall-tested."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    cents = sim.train_centroids_kmeanspp_lite(e, 4)
+    books = sim.train_pq_codebooks_lite(e, m=4, ks=8)
+    out = sim.topk_cosine_ivf_pq(e, q, cents, books, k=5, nprobe=2)
+    return out.select(
+        "q_id", "c_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("q_id", "rank")
+
+
+SIM_IVF_PQ_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 4)
+),
+asg AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.v, c.cv) /
+             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             c.cell) AS rn
+    FROM e CROSS JOIN cents c) WHERE rn = 1
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+enc AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT e.vec_id, s.s, cb.j,
+           row_number() OVER (PARTITION BY e.vec_id, s.s ORDER BY
+             list_sum(list_transform(range(1, 17),
+               i -> (e.v[s.s*16 + i] - cb.v[s.s*16 + i]) * (e.v[s.s*16 + i] - cb.v[s.s*16 + i]))),
+             cb.j) AS rn
+    FROM e CROSS JOIN range(0, 4) AS s(s) CROSS JOIN cb) WHERE rn = 1
+),
+vh AS (
+  SELECT vec_id, flatten(list(cw ORDER BY s)) AS vhat FROM (
+    SELECT enc.vec_id, enc.s, cb.v[enc.s*16 + 1 : (enc.s + 1)*16] AS cw
+    FROM enc JOIN cb ON cb.j = enc.code)
+  GROUP BY vec_id
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+qcells AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT q.q_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             list_dot_product(q.qv, c.cv) /
+             (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             c.cell DESC) AS rn
+    FROM q CROSS JOIN cents c) WHERE rn <= 2
+),
+approx AS (
+  SELECT q_id, qv, a.vec_id AS c_id,
+         list_dot_product(qv, vh.vhat) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vh.vhat, vh.vhat))) AS a
+  FROM qcells JOIN asg a USING (cell) JOIN vh ON vh.vec_id = a.vec_id
+  WHERE a.vec_id <> q_id
+),
+short AS (
+  SELECT q_id, qv, c_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY a DESC, c_id) AS arn
+    FROM approx) WHERE arn <= 20
+),
+resc AS (
+  SELECT q_id, s.c_id,
+         list_dot_product(qv, e.v) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))) AS sc
+  FROM short s JOIN e ON e.vec_id = s.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, sc,
+         row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, c_id) AS rank
+  FROM resc
+)
+SELECT q_id, c_id, ROUND(sc, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+ORDER BY q_id, rank
+"""
+
+
 def sim_ann_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AND-OR amplified ANN: 3 independent 9-plane tables, OR'd — the
     recall-amplified scale path (recall floor pinned in
@@ -2470,6 +2564,7 @@ REGISTRY = {
     "dd_simhash_pairs": (dd_simhash_pairs, _simhash_pairs_sql()),
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
     "sim_ivf_adc": (sim_ivf_adc, SIM_IVF_ADC_SQL),
+    "sim_ivf_pq": (sim_ivf_pq, SIM_IVF_PQ_SQL),
     "ds_dsir_select": (ds_dsir_select, _dsir_sql()),
     "ds_dsir_resample": (ds_dsir_resample, _dsir_resample_sql()),
     "sim_ann_lsh": (sim_ann_lsh, _ann_lsh_sql()),
