@@ -653,6 +653,7 @@ def write_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_codebooks: list[list[tuple[int, list[float]]]] | None = None,
 ) -> None:
     """Persist the IVF index as cell-partitioned parquet posting lists:
     ``partitionBy("cell")`` with the int8 ADC codes, the full-precision
@@ -672,6 +673,14 @@ def write_ivf_index(
         "_q",
         "cell",
     )
+    if pq_codebooks is not None:
+        # PQ tier rides in the same cells table: _pq (m small ints — the
+        # 100 TB hot-scan column) plus the reconstruction norm,
+        # precomputed once at build so the probe never re-folds it
+        codes = with_pq_codes(codes, pq_codebooks, vec_col)
+        codes = codes.withColumn(
+            "_vhn", norm(pq_decode(F.col("_pq"), pq_codebooks))
+        )
     (
         # reserved _bid=-2 marks the bootstrap build: streaming batch ids
         # start at 0 and ad-hoc appends use -1, so no later write can
@@ -691,6 +700,18 @@ def write_ivf_index(
         [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
         "cid int, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    if pq_codebooks is not None:
+        # codebooks stored with the index (same self-description rule as
+        # the quantizer): decode at query time can never drift from the
+        # codebooks that produced the codes
+        sp.createDataFrame(
+            [
+                (s, int(j), [float(x) for x in cw])
+                for s, book in enumerate(pq_codebooks)
+                for j, cw in book
+            ],
+            "s int, j int, cw array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
 
 
 def read_ivf_index(spark, path: str) -> DataFrame:
@@ -705,6 +726,99 @@ def read_ivf_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
     spark.catalog.refreshByPath(f"{path}/centroids")
     rows = spark.read.parquet(f"{path}/centroids").collect()
     return sorted((r["cid"], list(r["cvec"])) for r in rows)
+
+
+def read_pq_codebooks(
+    spark, path: str
+) -> list[list[tuple[int, list[float]]]] | None:
+    """The PQ codebooks stored with the index (None when the index was
+    built without a PQ tier)."""
+    import os
+
+    if not os.path.exists(f"{path}/pq_codebooks"):
+        return None
+    spark.catalog.refreshByPath(f"{path}/pq_codebooks")
+    rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
+    books: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        books.setdefault(r["s"], []).append((r["j"], list(r["cw"])))
+    return [sorted(books[s]) for s in sorted(books)]
+
+
+def topk_cosine_ivf_pq_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``topk_cosine_ivf_pq`` against the PERSISTED index: probed cells
+    pushed as a static partition filter (same pruning evidence as the
+    ADC path), the approximate scan reads ONLY ``(id, cell, _pq, _vhn)``
+    — m bytes of code per row instead of the dim-length int8 (or float)
+    column, the whole point of the PQ tier — and decodes against the
+    codebooks STORED WITH the index.  Full-precision rescore via
+    broadcast shortlist id-join, identical to the in-memory path."""
+    centroids = read_ivf_centroids(spark, index_path)
+    books = read_pq_codebooks(spark, index_path)
+    if books is None:
+        raise ValueError(f"index at {index_path} has no PQ tier")
+    rerank = max(k, rerank_factor * k)
+    qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
+    probed = sorted(
+        r["cell"] for r in qcells.select("cell").distinct().collect()
+    )
+    idx = read_ivf_index(spark, index_path)
+    codes = (
+        idx.filter(F.col("cell").isin(probed))
+        .select(F.col(id_col).alias("c_id"), "cell", "_pq", "_vhn")
+        .withColumn("_vhat", pq_decode(F.col("_pq"), books))
+    )
+    approx = (
+        codes.join(F.broadcast(qcells), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "_qv",
+            "_qn",
+            "c_id",
+            (
+                dot(F.col("_qv"), F.col("_vhat"))
+                / (F.col("_qn") * F.col("_vhn"))
+            ).alias("_ascore"),
+        )
+    )
+    wa = Window.partitionBy("q_id").orderBy(
+        F.col("_ascore").desc(), F.col("c_id")
+    )
+    shortlist = (
+        approx.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") <= rerank)
+        .select("q_id", "_qv", "_qn", "c_id")
+    )
+    full = idx.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_vn").alias("_cn"),
+    )
+    rescored = full.join(F.broadcast(shortlist), "c_id").select(
+        "q_id",
+        "c_id",
+        (
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "c_id", F.col("score").cast("double").alias("score"), "rank"
+        )
+    )
 
 
 def topk_cosine_ivf_adc_indexed(
@@ -1081,6 +1195,16 @@ def append_ivf_index(
         "_q",
         "cell",
     )
+    # an index built with a PQ tier keeps it through appends — encode
+    # with the STORED codebooks so appended rows stay queryable by the
+    # PQ path (schema drift between base and appended partitions would
+    # silently null out their codes otherwise)
+    books = read_pq_codebooks(spark, path)
+    if books is not None:
+        codes = with_pq_codes(codes, books, vec_col)
+        codes = codes.withColumn(
+            "_vhn", norm(pq_decode(F.col("_pq"), books))
+        )
     codes = codes.withColumn(
         "_bid", F.lit(-1 if batch_id is None else int(batch_id))
     ).localCheckpoint()  # stats + write from one assignment

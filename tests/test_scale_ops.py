@@ -1557,3 +1557,88 @@ def test_ivf_pq_recall_and_exact_roundtrip(spark):
     )
     bad = dec.filter(F.col("embedding") != F.col("_vhat")).count()
     assert bad == 0 and sub == 4
+
+
+def test_ivf_pq_indexed_equals_memory_and_append_keeps_tier(spark, tmp_path):
+    """The persisted PQ tier: indexed query equals the in-memory IVF-PQ
+    path; the approximate scan's read schema carries the m-int code
+    column, NOT the float vector (the 16x IO claim); and appends encode
+    with the stored codebooks so appended rows stay PQ-queryable."""
+    import numpy as np
+
+    rng = np.random.RandomState(37)
+    dim = 16
+    rows = []
+    for vid in range(200):
+        v = rng.randn(dim)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") < 5)
+    cents = sim.train_centroids_kmeans(e, 4, iters=3)
+    books = sim.train_pq_codebooks_lite(e, m=4, ks=16)
+    path = str(tmp_path / "ivfpq")
+    sim.write_ivf_index(e, cents, path, pq_codebooks=books)
+
+    assert sim.read_pq_codebooks(spark, path) == [
+        sorted((j, [float(x) for x in cw]) for j, cw in book) for book in books
+    ]
+
+    mem = sorted(
+        map(
+            tuple,
+            sim.topk_cosine_ivf_pq(e, q, cents, books, k=5, nprobe=2)
+            .withColumn("score", F.round("score", 9))
+            .collect(),
+        )
+    )
+    via_idx = sorted(
+        map(
+            tuple,
+            sim.topk_cosine_ivf_pq_indexed(spark, path, q, k=5, nprobe=2)
+            .withColumn("score", F.round("score", 9))
+            .collect(),
+        )
+    )
+    assert mem == via_idx
+
+    # the approximate stage's parquet scan reads _pq, not the vector:
+    # column pruning must reach the cells scan (rescore reads the vector
+    # through a SEPARATE scan of the same table — assert the codes-side
+    # ReadSchema specifically)
+    plan = (
+        sim.topk_cosine_ivf_pq_indexed(spark, path, q, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    code_scans = [s for s in schemas if "_pq" in s]
+    assert code_scans and all("embedding" not in s for s in code_scans)
+
+    # append keeps the PQ tier queryable
+    rows2 = []
+    for vid in range(1000, 1040):
+        v = rng.randn(dim)
+        rows2.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    e2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    sim.append_ivf_index(spark, e2, path)
+    both = e.unionByName(e2)
+    mem2 = sorted(
+        map(
+            tuple,
+            sim.topk_cosine_ivf_pq(both, q, cents, books, k=5, nprobe=2)
+            .withColumn("score", F.round("score", 9))
+            .collect(),
+        )
+    )
+    via_idx2 = sorted(
+        map(
+            tuple,
+            sim.topk_cosine_ivf_pq_indexed(spark, path, q, k=5, nprobe=2)
+            .withColumn("score", F.round("score", 9))
+            .collect(),
+        )
+    )
+    assert mem2 == via_idx2
