@@ -1247,6 +1247,42 @@ ORDER BY c.doc_id
 """
 
 
+_CLF_DIM = 64
+
+
+def tx_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the FineWeb-Edu tier): hashed
+    mean-pooled BOW logit under deterministic LCG weights → sigmoid.
+    Zero-shuffle narrow map with the weight vector as one broadcast row;
+    the oracle inlines the identical weights and fold."""
+    from ..functions.classifier import lcg_weights, score_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    w = lcg_weights(_CLF_DIM, seed=17)
+    out = score_documents(d, "text", w, bias=0.1)
+    return out.select(
+        "doc_id", F.round("clf_score", 6).alias("clf_score")
+    ).orderBy("doc_id")
+
+
+def _clf_sql() -> str:
+    from ..functions.classifier import lcg_weights
+
+    w = lcg_weights(_CLF_DIM, seed=17)
+    wlit = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+    z = (
+        "0.1 + (CASE WHEN len(th) > 0 THEN "
+        f"list_sum(list_transform(th, h -> w[CAST(h % {_CLF_DIM} AS INT) + 1])) / len(th) "
+        "ELSE 0.0 END)"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKEN_HASHES_SQL} AS th FROM documents),
+ws AS (SELECT doc_id, th, {wlit} AS w FROM t)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-({z}))), 6) AS clf_score
+FROM ws ORDER BY doc_id
+"""
+
+
 def dc_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paraphrase-robust decontamination: corpus docs MinHash-banded
     against the held-out slice, exact-Jaccard-verified — benchmark side
@@ -2553,6 +2589,7 @@ REGISTRY = {
     "dc_contamination": (dc_contamination, _dc_sql()),
     "dc_bloom_prefilter": (dc_bloom_prefilter, _dc_sql()),
     "dc_fuzzy_contamination": (dc_fuzzy_contamination, _dc_fuzzy_sql()),
+    "tx_classifier_score": (tx_classifier_score, _clf_sql()),
     "cur_pipeline": (cur_pipeline, _cur_sql()),
     "tx_length_quantiles": (tx_length_quantiles, _tx_quant_sql()),
     "tx_top_tokens": (tx_top_tokens, TX_TOP_SQL),

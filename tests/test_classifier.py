@@ -1,0 +1,52 @@
+"""Hashed-BOW logistic classifier: training separates planted labels,
+scoring is a zero-shuffle narrow map."""
+
+from pyspark.sql import functions as F
+
+from asid_v2_data_pipeline_spark.functions.classifier import (
+    lcg_weights,
+    score_documents,
+    train_hashed_logreg,
+)
+
+
+def _planted(spark):
+    pos = [(i, "excellent insightful educational rigorous analysis " * 3, 1) for i in range(40)]
+    neg = [(100 + i, "click here buy now cheap deal spam offer " * 3, 0) for i in range(40)]
+    return spark.createDataFrame(
+        pos + neg, "doc_id long, text string, label int"
+    )
+
+
+def test_training_separates_planted_labels(spark):
+    d = _planted(spark)
+    w, b = train_hashed_logreg(d, "text", "label", dim=64, steps=8, lr=4.0)
+    scored = score_documents(d, "text", w, b)
+    rows = scored.select("label", "clf_score").collect()
+    pos = [r["clf_score"] for r in rows if r["label"] == 1]
+    neg = [r["clf_score"] for r in rows if r["label"] == 0]
+    assert min(pos) > max(neg), (min(pos), max(neg))
+
+
+def test_training_is_deterministic(spark):
+    d = _planted(spark)
+    w1, b1 = train_hashed_logreg(d, "text", "label", dim=32, steps=3)
+    w2, b2 = train_hashed_logreg(d, "text", "label", dim=32, steps=3)
+    assert w1 == w2 and b1 == b2
+
+
+def test_scoring_plan_is_narrow(spark):
+    """Scoring = broadcast one-row weight join + fold: no Exchange other
+    than the broadcast, no Python in the plan."""
+    d = _planted(spark)
+    out = score_documents(d, "text", lcg_weights(64), 0.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_empty_text_scores_at_bias(spark):
+    d = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = score_documents(d, "text", lcg_weights(16), bias=0.0).first()
+    assert abs(r["clf_score"] - 0.5) < 1e-12
