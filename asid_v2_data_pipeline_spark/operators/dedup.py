@@ -774,6 +774,58 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal half of Lee et al. substring dedup: excise every
+    detected cross-document duplicate span (:func:`duplicate_spans`) and
+    reassemble the surviving tokens.
+
+    Policy: spans are cut in EVERY document that carries them (the
+    conservative every-occurrence rule — boilerplate and templated
+    passages should vanish, not survive in one arbitrary winner; a
+    keep-one-copy variant is an orderBy/row_number tweak on the span
+    side).  Output text is the space-joined surviving token sequence —
+    whitespace is normalized as a side effect, same as every downstream
+    tokenizer sees it.
+
+    Shuffle profile on top of duplicate_spans' two keyed exchanges: one
+    id-keyed span collect + one id-keyed LEFT join back to the token
+    arrays (no explode of surviving docs — the position filter runs
+    inside an array lambda).  Returns ``(id_col, clean_text,
+    n_removed)`` for every input document, untouched docs included
+    (n_removed = 0).
+    """
+    from ..functions import text as tx
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_t")
+    )
+    spans = (
+        duplicate_spans(df, id_col, text_col, k, min_docs)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("span_start", "span_len")).alias("_spans"))
+        .select(F.col(id_col).alias("_id"), "_spans")
+    )
+    joined = toks.join(spans, "_id", "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array())
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — position i is 1-based
+        F.col("_spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_start"] + s["span_len"]),
+    )
+    clean = F.filter(F.col("_t"), lambda t, i: ~covered(i + 1))
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.array_join(clean, " ").alias("clean_text"),
+        (F.size("_t") - F.size(clean)).cast("long").alias("n_removed"),
+    )
+
+
 def semantic_dedup(
     clustered: DataFrame,
     threshold: float,

@@ -1970,6 +1970,60 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
 
 
 
+def dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of substring dedup: duplicated spans excised
+    from every carrier, surviving tokens re-joined — returns
+    (doc_id, clean_text, n_removed) for the whole corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.remove_duplicate_spans(d, "doc_id", "text", k=5).orderBy("doc_id")
+
+
+DD_SPAN_REMOVAL_SQL = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 4), ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS b
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) - MIN(pos) + 5 AS span_len
+  FROM isl GROUP BY doc_id, island
+),
+pos AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+),
+keep AS (
+  SELECT p.doc_id, p.i, p.tok FROM pos p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = p.doc_id
+      AND p.i >= s.span_start AND p.i < s.span_start + s.span_len)
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct, COUNT(*) AS nk
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(agg.ct, '') AS clean_text,
+       CAST(len(t.t) - COALESCE(agg.nk, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN agg ON agg.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def sp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (α=0.5) language mixing: rebalance the corpus
     toward low-resource languages, √-mass allocation, portable
@@ -2576,6 +2630,7 @@ GROUP BY label, clabel ORDER BY label, assigned
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
+    "dd_span_removal": (dd_span_removal, DD_SPAN_REMOVAL_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),

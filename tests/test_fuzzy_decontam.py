@@ -38,3 +38,30 @@ def test_no_explode_past_candidates_and_bench_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert out.count() > 0
+
+
+def test_remove_duplicate_spans_pinned(spark):
+    """Shared boilerplate vanishes from BOTH carriers; unique content
+    survives; an untouched doc round-trips (whitespace-normalized);
+    n_removed accounts exactly."""
+    from asid_v2_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    d = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {boiler} delta epsilon"),
+            (2, f"{boiler} zeta eta theta iota kappa"),
+            (3, "totally unique content with no duplication at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(d, k=5).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out[1]["n_removed"] == 9
+    assert out[2]["clean_text"] == "zeta eta theta iota kappa"
+    assert out[2]["n_removed"] == 9
+    assert out[3]["clean_text"].startswith("totally unique")
+    assert out[3]["n_removed"] == 0
+    assert len(out) == 3
