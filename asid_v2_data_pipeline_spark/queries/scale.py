@@ -2024,6 +2024,34 @@ ORDER BY t.doc_id
 """
 
 
+def tx_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training support: the first BPE step's adjacent
+    char-pair counts over the word-frequency table (the only
+    corpus-wide pass; the merge loop then runs on vocab only)."""
+    from ..functions.bpe import pair_counts, with_symbols, word_frequencies
+
+    d = load_table(spark, sf_dir, "documents")
+    table = with_symbols(word_frequencies(d, "text"))
+    return (
+        pair_counts(table)
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(15)
+    )
+
+
+TX_BPE_SQL = f"""
+WITH words AS (SELECT unnest({TOKENS_SQL}) AS word FROM documents),
+wf AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+pairs AS (
+  SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b,
+         SUM(freq) AS cnt
+  FROM wf, LATERAL (SELECT unnest(range(1, len(word))) AS i)
+  GROUP BY 1, 2
+)
+SELECT a, b, cnt FROM pairs ORDER BY cnt DESC, a, b LIMIT 15
+"""
+
+
 def sp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (α=0.5) language mixing: rebalance the corpus
     toward low-resource languages, √-mass allocation, portable
@@ -2631,6 +2659,7 @@ REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
     "dd_span_removal": (dd_span_removal, DD_SPAN_REMOVAL_SQL),
+    "tx_bpe_pairs": (tx_bpe_pairs, TX_BPE_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
