@@ -2024,6 +2024,56 @@ ORDER BY t.doc_id
 """
 
 
+def dd_semantic_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end from TEXT: deterministic hashed-BOW
+    embeddings (dim 32) bridge the documents table into the embedding
+    operators; clusters = lang (any partitioner works — pair cost stays
+    Σ|cluster|²); threshold 0.995 sits far above the 0.93 p99 of
+    unrelated-pair cosines on this corpus."""
+    from ..functions.doc_embed import with_doc_embeddings
+
+    d = load_table(spark, sf_dir, "documents")
+    e = with_doc_embeddings(d, "text", dim=32)
+    out = dd.semantic_dedup(
+        e, 0.995, id_col="doc_id", vec_col="embedding", cluster_col="lang"
+    )
+    return out.select(
+        "doc_id", "lang", "dup_of", F.round("cos", 6).alias("cos")
+    ).orderBy("doc_id")
+
+
+DD_SEMANTIC_TEXT_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKEN_HASHES_SQL} AS th FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         list_transform(range(0, 32),
+           f -> CAST(len(list_filter(th, h -> h % 32 = f)) AS DOUBLE)) AS cnt
+  FROM t
+),
+v AS (
+  SELECT doc_id, lang,
+         CASE WHEN sqrt(list_dot_product(cnt, cnt)) > 0
+              THEN list_transform(cnt, x -> x / sqrt(list_dot_product(cnt, cnt)))
+              ELSE list_transform(cnt, x -> 0.0) END AS v
+  FROM c
+),
+p AS (
+  SELECT b.doc_id AS doc_id, b.lang AS lang, a.doc_id AS dup_of,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM v a JOIN v b ON a.lang = b.lang AND a.doc_id < b.doc_id
+),
+h AS (SELECT * FROM p WHERE cos >= 0.995),
+r AS (
+  SELECT doc_id, lang, dup_of, cos,
+         row_number() OVER (PARTITION BY lang, doc_id ORDER BY dup_of, cos) AS rn
+  FROM h
+)
+SELECT doc_id, lang, dup_of, ROUND(cos, 6) AS cos FROM r WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def tx_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training support: the first BPE step's adjacent
     char-pair counts over the word-frequency table (the only
@@ -2660,6 +2710,7 @@ REGISTRY = {
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
     "dd_span_removal": (dd_span_removal, DD_SPAN_REMOVAL_SQL),
     "tx_bpe_pairs": (tx_bpe_pairs, TX_BPE_SQL),
+    "dd_semantic_text": (dd_semantic_text, DD_SEMANTIC_TEXT_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),

@@ -50,3 +50,35 @@ def test_empty_text_scores_at_bias(spark):
     d = spark.createDataFrame([(1, "")], "doc_id long, text string")
     r = score_documents(d, "text", lcg_weights(16), bias=0.0).first()
     assert abs(r["clf_score"] - 0.5) < 1e-12
+
+
+def test_hashed_bow_embedding_properties(spark):
+    """Unit-norm, shuffle-invariant (BOW), near-dup > unrelated cosine,
+    empty text -> zero vector."""
+    from asid_v2_data_pipeline_spark.functions.doc_embed import (
+        with_doc_embeddings,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "zeta epsilon delta gamma beta alpha"),  # permutation
+            (3, "alpha beta gamma delta epsilon eta"),  # one-token edit
+            (4, "totally different words entirely here now"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    e = with_doc_embeddings(d, "text", dim=32)
+    rows = {r["doc_id"]: list(r["embedding"]) for r in e.collect()}
+    import math
+
+    for i in (1, 2, 3, 4):
+        assert abs(math.sqrt(sum(x * x for x in rows[i])) - 1.0) < 1e-12
+    assert rows[1] == rows[2]  # order-invariant
+    assert rows[5] == [0.0] * 32
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(rows[1], rows[3]) > 0.7 > cos(rows[1], rows[4])
