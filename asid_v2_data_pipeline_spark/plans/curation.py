@@ -75,6 +75,85 @@ def curate(
     return weighted_repeat(capped, mix_col, weights, id_col, seed=mix_seed)
 
 
+def curate_v2(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    weights: dict[str, float],
+    clf_weights: list[float],
+    clf_bias: float = 0.0,
+    clf_min: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    span_k: int = 5,
+    decontam_n: int = 8,
+    fuzzy_jaccard: float = 0.4,
+    quota: int = 30,
+    quota_col: str = "source",
+    mix_col: str = "lang",
+    quota_seed: int = 17,
+    mix_seed: int = 29,
+) -> DataFrame:
+    """The round-5 curation chain — ``curate`` plus the three learned /
+    content-rewriting tiers a modern pipeline runs:
+
+        classifier gate → duplicate-SPAN removal (rewrites text) →
+        quality filter → exact dedup → MinHash near-dup dedup →
+        decontamination (exact n-gram ∪ FUZZY MinHash-banded) →
+        per-source quota → language mixture
+
+    Everything downstream of span removal operates on the REWRITTEN
+    text (``clean_text``) — fingerprints, shingles and decontam grams
+    see what a tokenizer would see after boilerplate excision, which is
+    the point of running removal early.
+
+    Added shuffle census vs ``curate``: the span detector's two keyed
+    exchanges + one id-keyed span collect/join (all on the
+    classifier-gated subset), and the fuzzy decontam band join
+    (benchmark side broadcast, candidates only).  The classifier gate
+    itself is free — a broadcast weight row + fold fused into the scan
+    stage.
+    """
+    from ..functions.classifier import score_documents
+    from ..operators.decontam import fuzzy_contamination
+    from ..operators.dedup import remove_duplicate_spans
+
+    gated = (
+        score_documents(docs, text_col, clf_weights, clf_bias)
+        .filter(F.col("clf_score") >= clf_min)
+        .drop("clf_score")
+    )
+    cleaned = remove_duplicate_spans(
+        gated, id_col, text_col, k=span_k
+    ).localCheckpoint()  # spans derived once; feeds the whole tail
+    rewritten = gated.drop(text_col).join(
+        cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col
+    )
+
+    good = rewritten.filter(tx.quality_score(F.col(text_col)) >= quality_min)
+    keyed = good.withColumn("_fp", tx.fingerprint(F.col(text_col)))
+    uniq = exact_dedup(keyed, ["_fp"], id_col).drop("_fp").localCheckpoint()
+
+    pairs = minhash_lsh_pairs(uniq, id_col, text_col, num_perm=16, bands=4)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    neat = uniq.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint()
+
+    contaminated = (
+        contamination(neat, benchmark, id_col, text_col, n=decontam_n)
+        .select(id_col)
+        .unionByName(
+            fuzzy_contamination(
+                neat, benchmark, id_col, text_col, min_jaccard=fuzzy_jaccard
+            ).select(id_col)
+        )
+        .distinct()
+    )
+    clean = neat.join(F.broadcast(contaminated), id_col, "left_anti")
+
+    capped = quota_per_group(clean, [quota_col], quota, id_col, seed=quota_seed)
+    return weighted_repeat(capped, mix_col, weights, id_col, seed=mix_seed)
+
+
 # staged materialization (the production shape the module docstring
 # describes): stage name -> subdirectory under the run's stage_dir
 STAGES = ("quality", "exact", "neardup", "clean", "mixed")

@@ -1442,6 +1442,120 @@ SELECT doc_id, lang, source, epoch FROM ({mix}) ORDER BY doc_id, epoch
 """
 
 
+_CLF_GATE = 0.5249  # ~30th percentile of corpus scores — a real gate
+
+
+def cur_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 flagship composition: classifier gate → duplicate-
+    span removal (text REWRITTEN) → quality → exact dedup → MinHash
+    near-dup → decontamination (exact ∪ fuzzy) → quota → mixture, as
+    one plan (plans/curation.py::curate_v2).  %5 split so the fuzzy
+    decontam tier has cross-boundary near-dups to catch."""
+    from ..functions.classifier import lcg_weights
+    from ..plans.curation import curate_v2
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    out = curate_v2(
+        corpus,
+        bench,
+        _MIX_WEIGHTS,
+        clf_weights=lcg_weights(_CLF_DIM, seed=17),
+        clf_bias=0.1,
+        clf_min=_CLF_GATE,
+        fuzzy_jaccard=_DC_FUZZY_T,
+    )
+    return out.select(
+        "doc_id", "lang", "source", F.col("epoch").cast("long").alias("epoch")
+    ).orderBy("doc_id", "epoch")
+
+
+def _cur_v2_sql() -> str:
+    from ..functions.classifier import lcg_weights
+    from ..operators.sampling import weighted_repeat_sql
+    from ..operators.split import shuffle_hash_sql
+
+    w = lcg_weights(_CLF_DIM, seed=17)
+    wlit = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+    clf_z = (
+        "0.1 + (CASE WHEN len(th) > 0 THEN "
+        f"list_sum(list_transform(th, h -> w[CAST(h % {_CLF_DIM} AS INT) + 1])) / len(th) "
+        "ELSE 0.0 END)"
+    )
+    fp_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), th), "
+        "(a, b) -> (a * 1000003 + b) % 2147483648)"
+    )
+    jac = (
+        "CAST(len(list_intersect(sc.hs, sb.hs)) AS DOUBLE) / "
+        "(len(sc.hs) + len(sb.hs) - len(list_intersect(sc.hs, sb.hs)))"
+    )
+    qh = shuffle_hash_sql("doc_id", 17)
+    mix = weighted_repeat_sql("lang", _MIX_WEIGHTS, "doc_id", 29, src="capped2")
+    return f"""
+WITH corpus0 AS (
+  SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 5 <> 0
+), bench0 AS (
+  SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 5 = 0
+), gth AS (
+  SELECT doc_id, lang, source, text, {_TOKEN_HASHES_SQL} AS th, {wlit} AS w
+  FROM corpus0
+), gated AS (
+  SELECT doc_id, lang, source, text FROM gth
+  WHERE 1.0 / (1.0 + exp(-({clf_z}))) >= {_CLF_GATE}
+), {_span_removal_ctes("gated", "v")},
+rewritten AS (
+  SELECT g.doc_id, g.lang, g.source, s.clean_text AS text
+  FROM gated g JOIN sroutv s ON s.doc_id = g.doc_id
+), good2 AS (
+  SELECT doc_id, lang, source, text FROM rewritten
+  WHERE {_quality_expr_sql()} >= 0.5
+), fpth2 AS (
+  SELECT doc_id, lang, source, text, {_TOKEN_HASHES_SQL} AS th FROM good2
+), fp2 AS (
+  SELECT doc_id, lang, source, text, {fp_hash} AS _fp FROM fpth2
+), uniq2 AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY _fp ORDER BY doc_id) AS rn FROM fp2
+  ) WHERE rn = 1
+), {_shingle_cte_sql(3, "uniq2", "u2")}, {_minhash_pair_ctes_from("shingu2", "u2")},
+neat2 AS (
+  SELECT * FROM uniq2 WHERE doc_id NOT IN (SELECT id_b FROM pairsu2)
+), {_shingle_cte_sql(8, "bench0", "b2")},
+bgrams2 AS (SELECT DISTINCT unnest(hs) AS sh FROM shingb2),
+{_shingle_cte_sql(8, "neat2", "n2")},
+contam_exact AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id, unnest(hs) AS sh FROM shingn2) g JOIN bgrams2 USING (sh)
+), {_shingle_cte_sql(3, "bench0", "f2b")}, {_minhash_pair_ctes_from("shingf2b", "f2b")},
+fcand AS (
+  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+  FROM (SELECT * FROM bandrowsu2
+        WHERE doc_id IN (SELECT doc_id FROM neat2)) c
+  JOIN bandrowsf2b b ON c.band = b.band AND c.bucket = b.bucket
+),
+contam_fuzzy AS (
+  SELECT DISTINCT fcand.doc_id
+  FROM fcand
+  JOIN shingu2 sc ON sc.doc_id = fcand.doc_id
+  JOIN shingf2b sb ON sb.doc_id = fcand.bench_id
+  WHERE ROUND({jac}, 6) >= {_DC_FUZZY_T}
+),
+clean2 AS (
+  SELECT * FROM neat2 WHERE doc_id NOT IN (
+    SELECT doc_id FROM contam_exact UNION SELECT doc_id FROM contam_fuzzy)
+), capped2 AS (
+  SELECT doc_id, lang, source FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (PARTITION BY source ORDER BY {qh}, doc_id) AS rn
+    FROM clean2
+  ) WHERE rn <= 30
+)
+SELECT doc_id, lang, source, epoch FROM ({mix}) ORDER BY doc_id, epoch
+"""
+
+
 # --- corpus statistics --------------------------------------------------------
 
 _QUANTS = [(1, 2), (9, 10), (99, 100)]  # p50 / p90 / p99
@@ -1978,49 +2092,60 @@ def dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.remove_duplicate_spans(d, "doc_id", "text", k=5).orderBy("doc_id")
 
 
-DD_SPAN_REMOVAL_SQL = f"""
-WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
-grams AS (
+def _span_removal_ctes(src: str, tag: str = "") -> str:
+    """CTE chain for duplicate-span removal over any doc relation
+    ``src`` (must expose doc_id, text): final CTE ``srout{tag}`` has
+    (doc_id, clean_text, n_removed) for EVERY src document."""
+    t = tag
+    return f"""
+toks{t} AS (SELECT doc_id, {TOKENS_SQL} AS t FROM {src}),
+grams{t} AS (
   SELECT doc_id, i AS pos, array_to_string(list_slice(t, i, i + 4), ' ') AS g
-  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+  FROM toks{t}, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
 ),
-dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
-hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
-brk AS (
+dupg{t} AS (SELECT g FROM grams{t} GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+hits{t} AS (SELECT doc_id, pos FROM grams{t} WHERE g IN (SELECT g FROM dupg{t})),
+brk{t} AS (
   SELECT doc_id, pos,
          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
               THEN 1 ELSE 0 END AS b
-  FROM hits
+  FROM hits{t}
 ),
-isl AS (
+isl{t} AS (
   SELECT doc_id, pos,
          SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-  FROM brk
+  FROM brk{t}
 ),
-spans AS (
+spans{t} AS (
   SELECT doc_id, MIN(pos) AS span_start, MAX(pos) - MIN(pos) + 5 AS span_len
-  FROM isl GROUP BY doc_id, island
+  FROM isl{t} GROUP BY doc_id, island
 ),
-pos AS (
+srpos{t} AS (
   SELECT doc_id, i, t[i] AS tok
-  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+  FROM toks{t}, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
 ),
-keep AS (
-  SELECT p.doc_id, p.i, p.tok FROM pos p
+srkeep{t} AS (
+  SELECT p.doc_id, p.i, p.tok FROM srpos{t} p
   WHERE NOT EXISTS (
-    SELECT 1 FROM spans s
+    SELECT 1 FROM spans{t} s
     WHERE s.doc_id = p.doc_id
       AND p.i >= s.span_start AND p.i < s.span_start + s.span_len)
 ),
-agg AS (
+sragg{t} AS (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS ct, COUNT(*) AS nk
-  FROM keep GROUP BY doc_id
-)
-SELECT t.doc_id,
-       COALESCE(agg.ct, '') AS clean_text,
-       CAST(len(t.t) - COALESCE(agg.nk, 0) AS BIGINT) AS n_removed
-FROM toks t LEFT JOIN agg ON agg.doc_id = t.doc_id
-ORDER BY t.doc_id
+  FROM srkeep{t} GROUP BY doc_id
+),
+srout{t} AS (
+  SELECT t.doc_id,
+         COALESCE(a.ct, '') AS clean_text,
+         CAST(len(t.t) - COALESCE(a.nk, 0) AS BIGINT) AS n_removed
+  FROM toks{t} t LEFT JOIN sragg{t} a ON a.doc_id = t.doc_id
+)"""
+
+
+DD_SPAN_REMOVAL_SQL = f"""
+WITH {_span_removal_ctes("documents")}
+SELECT doc_id, clean_text, n_removed FROM srout ORDER BY doc_id
 """
 
 
@@ -2726,6 +2851,7 @@ REGISTRY = {
     "dc_fuzzy_contamination": (dc_fuzzy_contamination, _dc_fuzzy_sql()),
     "tx_classifier_score": (tx_classifier_score, _clf_sql()),
     "cur_pipeline": (cur_pipeline, _cur_sql()),
+    "cur_pipeline_v2": (cur_pipeline_v2, _cur_v2_sql()),
     "tx_length_quantiles": (tx_length_quantiles, _tx_quant_sql()),
     "tx_top_tokens": (tx_top_tokens, TX_TOP_SQL),
     "tx_normalize_redact": (tx_normalize_redact, _tx_norm_sql()),
