@@ -774,6 +774,42 @@ def duplicate_spans(
     )
 
 
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Survivor selection after near-dup clustering: per connected
+    component keep the BEST-scoring member (``score_col`` desc, id asc
+    tie-break) instead of the id-minimal one — real pipelines keep the
+    highest-quality copy, not an arbitrary canonical.
+
+    Documents outside every pair are their own singleton cluster and
+    survive untouched.  Shuffle profile: the pointer-jumping rounds of
+    ``connected_components`` (O(log diameter) keyed exchanges over the
+    PAIR set only — near-dup clusters, a vanishing fraction of the
+    corpus), one id-keyed LEFT join to attach labels (pair side
+    broadcast-able at scale), one window over ``_cl``.  Returns the
+    surviving rows of ``df`` with their ``cluster_id``.
+    """
+    cc = connected_components(pairs).select(
+        F.col("node").alias(id_col), F.col("label").alias("_cl0")
+    )
+    labeled = df.join(F.broadcast(cc), id_col, "left").withColumn(
+        "_cl", F.coalesce(F.col("_cl0"), F.col(id_col))
+    )
+    w = Window.partitionBy("_cl").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cl0")
+        .withColumnRenamed("_cl", "cluster_id")
+    )
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -215,6 +215,56 @@ def dd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dd_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection: per near-dup cluster keep the HIGHEST-quality
+    member (not the id-minimal one) — quality desc, id asc tie-break;
+    singletons survive as their own cluster."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", num_perm=16, bands=4)
+    best = dd.keep_best_per_cluster(
+        d.withColumn("q", tx.quality_score(F.col("text"))),
+        pairs,
+        "doc_id",
+        "q",
+    )
+    return best.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.round("q", 6).alias("q"),
+    ).orderBy("doc_id")
+
+
+def _cluster_best_sql(num_perm: int = 16, bands: int = 4) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _minhash_pairs_ctes(num_perm, bands)
+        + f"""
+, sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(node, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node
+), lbl AS (
+  SELECT node, MIN(r) AS cl FROM reach GROUP BY node
+), scored AS (
+  SELECT d.doc_id,
+         COALESCE(l.cl, d.doc_id) AS cluster_id,
+         {_quality_expr_sql()} AS q
+  FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+), ranked AS (
+  SELECT doc_id, cluster_id, q,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, ROUND(q, 6) AS q
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+    )
+
+
 def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a signature index: documents with
     doc_id % 5 = 0 play the incoming micro-batch, the rest the persisted
@@ -2841,6 +2891,7 @@ REGISTRY = {
     "dd_minhash_lsh": (dd_minhash_lsh, _minhash_sql()),
     "dd_incremental": (dd_incremental, _incremental_sql()),
     "dd_cluster": (dd_cluster, _cluster_sql()),
+    "dd_cluster_best": (dd_cluster_best, _cluster_best_sql()),
     "sp_group_quota": (sp_group_quota, _sp_quota_sql()),
     "sp_stratified": (sp_stratified, _sp_strat_sql()),
     "sp_mixture": (sp_mixture, _sp_mix_sql()),

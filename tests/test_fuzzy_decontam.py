@@ -65,3 +65,24 @@ def test_remove_duplicate_spans_pinned(spark):
     assert out[3]["clean_text"].startswith("totally unique")
     assert out[3]["n_removed"] == 0
     assert len(out) == 3
+
+
+def test_keep_best_per_cluster_pinned(spark):
+    """Highest-score member survives per component (transitively
+    connected), ties break to lowest id, singletons survive."""
+    from asid_v2_data_pipeline_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+
+    d = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.3), (9, 0.1)],
+        "doc_id long, q double",
+    )
+    # 1-2 and 2-3 connect {1,2,3}; 4 and 9 appear in no pair (singletons)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = keep_best_per_cluster(d, pairs, "doc_id", "q").collect()
+    got = {(r["doc_id"], r["cluster_id"]) for r in out}
+    # cluster {1,2,3}: q ties 2 vs 3 at 0.9 -> lowest id 2 wins
+    assert got == {(2, 1), (4, 4), (9, 9)}
