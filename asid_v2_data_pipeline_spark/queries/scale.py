@@ -2249,6 +2249,78 @@ ORDER BY doc_id
 """
 
 
+def tx_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics per language: distinct token types, total
+    tokens, type-token ratio — one explode + one two-level aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.countDistinct("tok").alias("n_types"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_types",
+            "n_tokens",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        )
+        .orderBy("lang")
+    )
+
+
+TX_TTR_SQL = f"""
+WITH toks AS (SELECT lang, unnest({TOKENS_SQL}) AS tok FROM documents)
+SELECT lang, COUNT(DISTINCT tok) AS n_types, COUNT(*) AS n_tokens,
+       ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS ttr
+FROM toks GROUP BY lang ORDER BY lang
+"""
+
+
+def tx_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the top
+    50 corpus tokens (rank by freq desc, token asc — deterministic).
+    One token aggregate + a 50-row regression via covar/var aggregates;
+    a healthy natural corpus sits near -1."""
+    d = load_table(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    top = freqs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 50
+    )
+    xy = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+TX_ZIPF_SQL = f"""
+WITH toks AS (SELECT unnest({TOKENS_SQL}) AS tok FROM documents),
+freqs AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+top AS (
+  SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM freqs QUALIFY rank <= 50
+),
+xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM top)
+SELECT ROUND(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope,
+       COUNT(*) AS n_points
+FROM xy
+"""
+
+
 def tx_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-training support: the first BPE step's adjacent
     char-pair counts over the word-frequency table (the only
@@ -2885,6 +2957,8 @@ REGISTRY = {
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
     "dd_span_removal": (dd_span_removal, DD_SPAN_REMOVAL_SQL),
     "tx_bpe_pairs": (tx_bpe_pairs, TX_BPE_SQL),
+    "tx_type_token_ratio": (tx_type_token_ratio, TX_TTR_SQL),
+    "tx_zipf_slope": (tx_zipf_slope, TX_ZIPF_SQL),
     "dd_semantic_text": (dd_semantic_text, DD_SEMANTIC_TEXT_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
     "dd_jaccard_pairs": (dd_jaccard_pairs, DD_JACCARD_SQL),
