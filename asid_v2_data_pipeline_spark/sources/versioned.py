@@ -94,18 +94,30 @@ def _list_parquet(d: str) -> list[str]:
 
 
 def commit_version(
-    df: DataFrame, path: str, mode: str = "append"
+    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
 ) -> int:
     """Write ``df`` as the next table version; returns its number.
 
     ``mode="append"``: the new version's file set is the current one
     plus the new files.  ``mode="overwrite"``: new files only.  The
     data write lands in the version's own immutable directory, so a
-    crashed commit never perturbs any committed version."""
+    crashed commit never perturbs any committed version.
+
+    ``batch_id`` makes the commit IDEMPOTENT under foreachBatch's
+    at-least-once replay: when the latest committed manifest already
+    carries this batch_id, the commit is a no-op returning that version
+    — a restarted stream re-offering the last micro-batch cannot
+    double-append it (``streaming_sink`` wires this up)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(_versions_dir(path), exist_ok=True)
     cur = latest_version(path)
+    if (
+        batch_id is not None
+        and cur is not None
+        and read_manifest(path, cur).get("batch_id") == batch_id
+    ):
+        return cur
     n = 0 if cur is None else cur + 1
     vdir = os.path.join(path, "data", f"v{n}")
     # overwrite absorbs orphans from a previous crashed attempt at n
@@ -122,12 +134,42 @@ def commit_version(
         "files": base + new_files,
         "schema": df.schema.json(),
     }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     with open(_manifest_path(path, n), "w") as f:
         json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
     _swap_pointer(path, n)
     return n
+
+
+def streaming_sink(path: str, mode: str = "append"):
+    """A ``foreachBatch`` function committing each micro-batch as one
+    table version: ``stream.writeStream.foreachBatch(
+    streaming_sink(path)).start()``.  Exactly-once table state over
+    at-least-once delivery via the manifest's batch_id (a replayed last
+    batch is recognized and skipped), the same discipline as the
+    streaming IVF/rollup sinks."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_version(batch_df, path, mode=mode, batch_id=int(batch_id))
+
+    return _sink
+
+
+def diff_versions(
+    spark: SparkSession, path: str, a: int, b: int
+) -> tuple[DataFrame, DataFrame]:
+    """(added, removed) row sets between versions ``a`` → ``b`` — two
+    anti-joins over the exact file sets, for audits ("what did that
+    load change?") and incremental downstream refresh."""
+    da = read_version(spark, path, a)
+    db = read_version(spark, path, b)
+    cols = da.columns
+    added = db.join(da, cols, "left_anti")
+    removed = da.join(db, cols, "left_anti")
+    return added, removed
 
 
 def read_version(spark: SparkSession, path: str, n: int) -> DataFrame:

@@ -93,3 +93,45 @@ def test_vacuum_keeps_retained_files_only(spark, tmp_path):
     assert _rows(V.read_latest(spark, p)) == [(2,), (3,)]
     with pytest.raises(FileNotFoundError):
         V.read_manifest(p, 0)
+
+
+def test_batch_id_idempotent_replay(spark, tmp_path):
+    p = str(tmp_path / "t")
+    v0 = V.commit_version(spark.range(0, 3), p, batch_id=0)
+    v1 = V.commit_version(spark.range(3, 5), p, mode="append", batch_id=1)
+    # at-least-once: the stream restarts and re-offers batch 1
+    v1b = V.commit_version(spark.range(3, 5), p, mode="append", batch_id=1)
+    assert (v0, v1, v1b) == (0, 1, 1)
+    assert V.read_latest(spark, p).count() == 5  # not 7
+    # a NEW batch advances normally
+    v2 = V.commit_version(spark.range(5, 6), p, mode="append", batch_id=2)
+    assert v2 == 2 and V.read_latest(spark, p).count() == 6
+
+
+def test_streaming_sink_commits_micro_batches(spark, tmp_path):
+    p = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    spark.range(0, 4).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(V.streaming_sink(p))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert V.latest_version(p) is not None
+    assert _rows(V.read_latest(spark, p)) == _rows(spark.range(0, 4))
+
+
+def test_diff_versions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.commit_version(spark.range(0, 4), p)
+    V.commit_version(spark.range(2, 6), p, mode="overwrite")
+    added, removed = V.diff_versions(spark, p, 0, 1)
+    assert _rows(added) == [(4,), (5,)]
+    assert _rows(removed) == [(0,), (1,)]
