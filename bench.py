@@ -61,6 +61,13 @@ HEADLINE = [
     # round 5: the real-codec multimodal path (container build + parse
     # per document inside mapInPandas), so its cost stays pinned
     "mm_wav_rms",
+    # round-5 third session: the extended flagship (classifier gate +
+    # span rewrite + fuzzy decontam), the substring-removal transform,
+    # the fuzzy decontam tier alone, and the PQ ANN stage
+    "cur_pipeline_v2",
+    "dd_span_removal",
+    "dc_fuzzy_contamination",
+    "sim_ivf_pq",
 ]
 
 
