@@ -82,38 +82,6 @@ def contamination(
     )
 
 
-def _band_rows_from_hashes(
-    hashed: DataFrame, num_perm: int, bands: int
-) -> DataFrame:
-    """(_id, _band, _bucket) LSH rows from a pre-hashed (_id, _hs)
-    relation — avoids re-shingling when the hash arrays already exist."""
-    from .dedup import MASK31, _perm_constants, _perm_min
-
-    rows = num_perm // bands
-    hs = F.col("_hs")
-    sig = hashed.select(
-        "_id",
-        F.array(*[_perm_min(hs, a, b) for a, b in _perm_constants(num_perm)]).alias(
-            "_sig"
-        ),
-    )
-    return sig.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.aggregate(
-                        F.slice(F.col("_sig"), b * rows + 1, rows),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: (acc * 31 + x) % F.lit(MASK31 + 1),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band", "_bucket"),
-    )
-
-
 def fuzzy_contamination(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -123,6 +91,7 @@ def fuzzy_contamination(
     bands: int = 4,
     n: int = 3,
     min_jaccard: float = 0.5,
+    docs_hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate contamination: corpus documents MinHash-colliding
     with a benchmark document, verified by exact shingle Jaccard.
@@ -139,11 +108,23 @@ def fuzzy_contamination(
 
     Returns distinct ``(id_col, bench_id, jaccard)`` with
     ``jaccard >= min_jaccard``, jaccard rounded to 6 places.
+
+    ``docs_hashed``: optional pre-computed (_id, _hs) shingle table for
+    the corpus side (must be hashed at the same ``n``) — pass it when a
+    surrounding pipeline already paid the corpus shingle pass
+    (curate_v2 shares one checkpointed table between the MinHash dedup
+    and this tier).
     """
+    from .dedup import band_rows_from_hashes
+
     bench_hashed = with_shingle_hashes(benchmark, id_col, text_col, n).localCheckpoint()
-    corpus_hashed = with_shingle_hashes(docs, id_col, text_col, n).localCheckpoint()
-    bench_rows = _band_rows_from_hashes(bench_hashed, num_perm, bands)
-    corpus_rows = _band_rows_from_hashes(corpus_hashed, num_perm, bands)
+    corpus_hashed = (
+        docs_hashed
+        if docs_hashed is not None
+        else with_shingle_hashes(docs, id_col, text_col, n).localCheckpoint()
+    )
+    bench_rows = band_rows_from_hashes(bench_hashed, num_perm, bands)
+    corpus_rows = band_rows_from_hashes(corpus_hashed, num_perm, bands)
     cands = (
         corpus_rows.join(
             F.broadcast(

@@ -174,20 +174,20 @@ def _pairs_from_sorted(arr: Column) -> Column:
     )
 
 
-def minhash_band_rows(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_perm: int = 16,
-    bands: int = 4,
-    n: int = 3,
+def band_rows_from_hashes(
+    hashed: DataFrame, num_perm: int = 16, bands: int = 4
 ) -> DataFrame:
-    """(_id, _band, _bucket) LSH blocking rows — one per document per
-    band, bucket = fold of the band's signature slice.  This is the
-    relation a persisted dedup INDEX stores (partitioned by band,
-    bucketed by bucket at 100 TB)."""
+    """(_id, _band, _bucket) LSH blocking rows from a pre-hashed
+    (_id, _hs) relation — the shared kernel when one shingle pass feeds
+    several banded consumers (dedup pairs + fuzzy decontam)."""
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, n)
+    hs = F.col("_hs")
+    sig = hashed.select(
+        "_id",
+        F.array(*[_perm_min(hs, a, b) for a, b in _perm_constants(num_perm)]).alias(
+            "_sig"
+        ),
+    )
     return sig.select(
         "_id",
         F.posexplode(
@@ -202,6 +202,23 @@ def minhash_band_rows(
                 ]
             )
         ).alias("_band", "_bucket"),
+    )
+
+
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(_id, _band, _bucket) LSH blocking rows — one per document per
+    band, bucket = fold of the band's signature slice.  This is the
+    relation a persisted dedup INDEX stores (partitioned by band,
+    bucketed by bucket at 100 TB)."""
+    return band_rows_from_hashes(
+        with_shingle_hashes(df, id_col, text_col, n), num_perm, bands
     )
 
 
@@ -226,7 +243,20 @@ def minhash_lsh_pairs(
     the pair — candidates only, never all pairs.  Returns distinct
     (id_a, id_b) with id_a < id_b.
     """
-    band_rows = minhash_band_rows(df, id_col, text_col, num_perm, bands, n)
+    return minhash_lsh_pairs_from_hashes(
+        with_shingle_hashes(df, id_col, text_col, n), num_perm, bands
+    )
+
+
+def minhash_lsh_pairs_from_hashes(
+    hashed: DataFrame, num_perm: int = 16, bands: int = 4
+) -> DataFrame:
+    """``minhash_lsh_pairs`` over a pre-hashed (_id, _hs) relation —
+    use when the shingle pass is shared with other banded consumers
+    (e.g. curate_v2 feeds one checkpointed hash table to BOTH the
+    dedup pairs and the fuzzy decontam tier: one corpus char-hash pass
+    instead of two)."""
+    band_rows = band_rows_from_hashes(hashed, num_perm, bands)
     buckets = (
         band_rows.groupBy("_band", "_bucket")
         .agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
@@ -731,6 +761,14 @@ def duplicate_spans(
     toks = df.select(
         F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_t")
     )
+    return _spans_from_toks(toks, k, min_docs).select(
+        F.col("_id").alias(id_col), "span_start", "span_len"
+    )
+
+
+def _spans_from_toks(toks: DataFrame, k: int, min_docs: int) -> DataFrame:
+    """duplicate_spans over a pre-tokenized (_id, _t) relation — shared
+    with remove_duplicate_spans so the corpus tokenizes once there."""
     starts = F.when(
         F.size("_t") >= k, F.sequence(F.lit(1), F.size("_t") - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -770,7 +808,7 @@ def duplicate_spans(
             F.min("_pos").cast("long").alias("span_start"),
             (F.max("_pos") - F.min("_pos") + k).cast("long").alias("span_len"),
         )
-        .select(F.col("_id").alias(id_col), "span_start", "span_len")
+        .select("_id", "span_start", "span_len")
     )
 
 
@@ -832,20 +870,21 @@ def remove_duplicate_spans(
     Shuffle profile on top of duplicate_spans' two keyed exchanges: one
     id-keyed span collect + one id-keyed LEFT join back to the token
     arrays (no explode of surviving docs — the position filter runs
-    inside an array lambda).  Returns ``(id_col, clean_text,
-    n_removed)`` for every input document, untouched docs included
-    (n_removed = 0).
+    inside an array lambda).  The corpus is TOKENIZED ONCE (the token
+    table is checkpointed and feeds both the gram explode and the
+    reassembly — the char-level regex pass is the dominant per-row
+    cost).  Returns ``(id_col, clean_text, n_removed)`` for every input
+    document, untouched docs included (n_removed = 0).
     """
     from ..functions import text as tx
 
     toks = df.select(
         F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_t")
-    )
+    ).localCheckpoint()
     spans = (
-        duplicate_spans(df, id_col, text_col, k, min_docs)
-        .groupBy(id_col)
+        _spans_from_toks(toks, k, min_docs)
+        .groupBy("_id")
         .agg(F.collect_list(F.struct("span_start", "span_len")).alias("_spans"))
-        .select(F.col(id_col).alias("_id"), "_spans")
     )
     joined = toks.join(spans, "_id", "left").withColumn(
         "_spans", F.coalesce(F.col("_spans"), F.array())

@@ -116,16 +116,21 @@ def curate_v2(
     """
     from ..functions.classifier import score_documents
     from ..operators.decontam import fuzzy_contamination
-    from ..operators.dedup import remove_duplicate_spans
+    from ..operators.dedup import (
+        minhash_lsh_pairs_from_hashes,
+        remove_duplicate_spans,
+        with_shingle_hashes,
+    )
 
     gated = (
         score_documents(docs, text_col, clf_weights, clf_bias)
         .filter(F.col("clf_score") >= clf_min)
         .drop("clf_score")
     )
-    cleaned = remove_duplicate_spans(
-        gated, id_col, text_col, k=span_k
-    ).localCheckpoint()  # spans derived once; feeds the whole tail
+    # no checkpoint here: the span detector's token table is already
+    # checkpointed inside remove_duplicate_spans, and this output flows
+    # down a single linear path into the next checkpoint (uniq)
+    cleaned = remove_duplicate_spans(gated, id_col, text_col, k=span_k)
     rewritten = gated.drop(text_col).join(
         cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col
     )
@@ -134,16 +139,29 @@ def curate_v2(
     keyed = good.withColumn("_fp", tx.fingerprint(F.col(text_col)))
     uniq = exact_dedup(keyed, ["_fp"], id_col).drop("_fp").localCheckpoint()
 
-    pairs = minhash_lsh_pairs(uniq, id_col, text_col, num_perm=16, bands=4)
+    # ONE corpus shingle pass (n=3) feeds both banded consumers: the
+    # MinHash dedup pairs and the fuzzy decontam tier
+    hashed3 = with_shingle_hashes(uniq, id_col, text_col, 3).localCheckpoint()
+    pairs = minhash_lsh_pairs_from_hashes(hashed3, num_perm=16, bands=4)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     neat = uniq.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint()
+    neat_hashed = hashed3.join(
+        F.broadcast(losers.select(F.col(id_col).alias("_id"))),
+        "_id",
+        "left_anti",
+    )
 
     contaminated = (
         contamination(neat, benchmark, id_col, text_col, n=decontam_n)
         .select(id_col)
         .unionByName(
             fuzzy_contamination(
-                neat, benchmark, id_col, text_col, min_jaccard=fuzzy_jaccard
+                neat,
+                benchmark,
+                id_col,
+                text_col,
+                min_jaccard=fuzzy_jaccard,
+                docs_hashed=neat_hashed,
             ).select(id_col)
         )
         .distinct()
