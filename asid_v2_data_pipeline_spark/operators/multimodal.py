@@ -56,19 +56,34 @@ class DecodeStub:
     # PNG is NOT here: it decodes for real (functions/codecs.parse_png)
     COMPRESSED_MAGIC = (
         b"\xff\xd8\xff",  # JPEG
-        b"ID3",  # MP3 with ID3 tag
         b"\x1a\x45\xdf\xa3",  # Matroska/WebM
     )
+
+    @staticmethod
+    def _is_id3(payload: bytes) -> bool:
+        """A REAL ID3v2 header, not any text that happens to start with
+        the letters 'ID3' (byte-feature callers feed arbitrary text
+        payloads through this stub): version major 2/3/4, sane
+        revision/flags, 4 sync-safe size bytes."""
+        return (
+            len(payload) >= 10
+            and payload[:3] == b"ID3"
+            and payload[3] in (2, 3, 4)
+            and payload[4] != 0xFF
+            and (payload[5] & 0x0F) == 0
+            and all(b < 0x80 for b in payload[6:10])
+        )
 
     @staticmethod
     def decode(payload: bytes) -> list[float]:
         if payload is None:
             raise NotImplementedError("real decode requires codec libs")
-        for magic in DecodeStub.COMPRESSED_MAGIC:
-            if payload.startswith(magic):
-                raise NotImplementedError(
-                    "compressed codec: real decode requires codec libs"
-                )
+        if DecodeStub._is_id3(payload) or any(
+            payload.startswith(m) for m in DecodeStub.COMPRESSED_MAGIC
+        ):
+            raise NotImplementedError(
+                "compressed codec: real decode requires codec libs"
+            )
         # deterministic fake: byte histogram folded to FEATURE_DIM buckets
         buckets = [0.0] * DecodeStub.FEATURE_DIM
         for i, b in enumerate(payload):
@@ -355,41 +370,12 @@ def decode_image_pool(media: DataFrame, factor: int) -> DataFrame:
 
 
 def decode_bmp_pool(media: DataFrame, factor: int) -> DataFrame:
-    """REAL image codec path: parse each payload as an uncompressed BMP
-    (``functions/codecs.parse_bmp``: bottom-up rows, 4-byte row
-    padding, BGR order, palette expansion — all undone), convert to
-    grayscale by exact integer-friendly channel mean, and block-mean
-    pool by ``factor`` — ``pool_raw_frames`` with a real container
-    parse in front.  Block means of ≤255 values are exact in float64,
-    so the octet-level oracle matches bit-for-bit."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from ..functions.codecs import parse_bmp
-
-        for pdf in batches:
-            ids, ws, hs, out = [], [], [], []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if p is None:
-                    continue
-                rgb = parse_bmp(bytes(p))
-                h, w, _ = rgb.shape
-                if h % factor or w % factor:
-                    raise ValueError("factor must divide image dims")
-                gray = rgb.astype(np.float64).mean(axis=2)
-                pooled = gray.reshape(
-                    h // factor, factor, w // factor, factor
-                ).mean(axis=(1, 3))
-                ids.append(mid)
-                ws.append(w)
-                hs.append(h)
-                out.append([float(x) for x in pooled.ravel()])
-            yield pd.DataFrame(
-                {"media_id": ids, "width": ws, "height": hs, "pooled": out}
-            )
-
-    return media.mapInPandas(fn, BMP_POOL_SCHEMA)
+    """REAL image codec path for BMP payloads.  ``decode_image``
+    magic-dispatches to ``parse_bmp`` on the 'BM' header, so this is
+    exactly :func:`decode_image_pool` — kept as a named entry point for
+    callers that want the intent in the plan name (the two bodies were
+    line-for-line duplicates before; one kernel now serves both)."""
+    return decode_image_pool(media, factor)
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

@@ -146,19 +146,26 @@ def write_bm25_index(
     the index (stats row), so the query side picks it up automatically
     and a conflicting explicit value raises."""
     postings, stats = build_bm25_index(docs, id_col, text_col)
-    p = postings.withColumn("_tb", F.pmod(F.hash("token"), F.lit(n_buckets)))
+    # reserved _bid=-2 marks the bootstrap build (ad-hoc appends use -1,
+    # streaming batch ids start at 0) — the same replay-idempotency
+    # layout as write_ivf_index's cells table
+    p = postings.withColumn(
+        "_tb", F.pmod(F.hash("token"), F.lit(n_buckets))
+    ).withColumn("_bid", F.lit(-2))
     (
         p.repartition(F.col("_tb"))
         .write.mode("overwrite")
-        .partitionBy("_tb")
+        .partitionBy("_tb", "_bid")
         .parquet(f"{path}/postings")
     )
     # stats carries n_buckets too: the index is self-describing, so the
     # query side cannot silently prune with a different bucket count
-    # than the writer used (which would drop matching postings)
-    stats.withColumn("_n_buckets", F.lit(n_buckets)).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/stats")
+    # than the writer used (which would drop matching postings);
+    # _last_bid records the most recent append's batch id for replay
+    # detection
+    stats.withColumn("_n_buckets", F.lit(n_buckets)).withColumn(
+        "_last_bid", F.lit(-2)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def bm25_scores_persisted(
@@ -205,9 +212,9 @@ def bm25_scores_persisted(
     postings = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("_tb").isin(buckets))
-        .drop("_tb")
+        .drop("_tb", "_bid")
     )
-    stats = stats_full.drop("_n_buckets")
+    stats = stats_full.select("_n", "_avgdl")
     return bm25_scores_indexed(
         postings, stats, terms, k1, b, id_col, materialize=True
     )
@@ -265,49 +272,74 @@ def append_bm25_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> dict:
     """Incremental BM25 maintenance: append a new-document batch into
     the persisted index without rebuilding — the batch's postings land
-    in their token-hash buckets (parquet append; untouched buckets'
-    files never rewritten) and the one-row stats table updates EXACTLY
+    in their token-hash buckets (untouched buckets' files never
+    rewritten) and the one-row stats table updates EXACTLY
     (``N' = N + n``; ``avgdl' = (N·avgdl + Σdl)/N'`` — both closed
     form, no corpus rescan).  Query-time document frequencies come from
     the matched postings themselves, so they are automatically correct
     after any append; scores equal a full rebuild (equality-tested).
 
+    Batch counts come from the DOCUMENT table, not the postings: a
+    zero-token document emits no postings but still counts toward N and
+    avgdl, exactly as the full rebuild counts it.
+
+    ``batch_id`` (for streaming / retried callers): postings land under
+    ``(_tb, _bid=batch_id)`` via DYNAMIC partition overwrite and the
+    stats row records ``_last_bid`` — a replayed LAST batch rewrites
+    exactly its own partitions and skips the (already applied) stats
+    update, so foreachBatch's at-least-once delivery converges
+    (single-writer, in-order batches — the same contract as
+    ``append_ivf_index``).  A crash between the postings write and the
+    stats write is healed by the retry: the postings overwrite is
+    idempotent and the stats update then applies once.
+    ``batch_id=None`` is a plain ad-hoc append (``_bid=-1``), NOT
+    idempotent under retry.
+
     New ids are NOT deduplicated against the index (append-sink
-    contract — dedupe upstream); Returns ``{"appended_docs": n,
+    contract — dedupe upstream).  Returns ``{"appended_docs": n,
     "touched_buckets": k}``."""
     spark.catalog.refreshByPath(f"{path}/stats")
     stats_full = spark.read.parquet(f"{path}/stats")
     srow = stats_full.first()
     n_buckets = srow["_n_buckets"]
+    if batch_id is not None and srow["_last_bid"] == batch_id:
+        return {"appended_docs": 0, "touched_buckets": 0, "replayed": True}
+
+    # document-level stats FIRST, from the doc table (includes docs
+    # that tokenize to nothing)
+    lens = new_docs.select(F.size(tokens(F.col(text_col))).alias("_dl"))
+    brow = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_dl").alias("dl")
+    ).first()
+    n_new, dl_sum = brow["n"], brow["dl"] or 0
 
     postings, _ = build_bm25_index(new_docs, id_col, text_col)
-    p = postings.withColumn(
-        "_tb", F.pmod(F.hash("token"), F.lit(n_buckets))
-    ).localCheckpoint()  # stats + write from one posting build
-    batch = p.agg(
-        F.countDistinct(id_col).alias("n"),
-        F.countDistinct("_tb").alias("k"),
-    ).first()
-    # Σdl over DOCUMENTS: each doc's _dl repeats per posting row, so
-    # sum the per-doc values, not the rows
-    dl_sum = (
-        p.select(id_col, "_dl").distinct().agg(F.sum("_dl")).first()[0]
-    ) or 0
-    (
-        p.repartition(F.col("_tb"))
-        .write.mode("append")
-        .partitionBy("_tb")
-        .parquet(f"{path}/postings")
+    bid = -1 if batch_id is None else int(batch_id)
+    p = (
+        postings.withColumn("_tb", F.pmod(F.hash("token"), F.lit(n_buckets)))
+        .withColumn("_bid", F.lit(bid))
+        .localCheckpoint()
     )
+    k_touched = p.select("_tb").distinct().count()
+    writer = p.repartition(F.col("_tb")).write.partitionBy("_tb", "_bid")
+    if batch_id is None:
+        writer.mode("append").parquet(f"{path}/postings")
+    else:
+        # writer-level option, not session conf (foreachBatch clones
+        # the session — see append_ivf_index)
+        writer.option("partitionOverwriteMode", "dynamic").mode(
+            "overwrite"
+        ).parquet(f"{path}/postings")
     n0, avg0 = srow["_n"], srow["_avgdl"]
-    n1 = n0 + batch["n"]
+    n1 = n0 + n_new
     avg1 = (n0 * avg0 + dl_sum) / n1 if n1 else 0.0
     spark.createDataFrame(
-        [(n1, float(avg1), n_buckets)],
-        "_n long, _avgdl double, _n_buckets int",
+        [(n1, float(avg1), n_buckets, bid)],
+        "_n long, _avgdl double, _n_buckets int, _last_bid int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     spark.catalog.refreshByPath(f"{path}/postings")
-    return {"appended_docs": batch["n"], "touched_buckets": batch["k"]}
+    return {"appended_docs": n_new, "touched_buckets": k_touched}

@@ -393,7 +393,12 @@ def select_to_token_budget(
 
     Scale: one hash exchange on ``group_col`` + a bounded running-sum
     window per group; no joins, no Python.  Returns the kept rows with
-    ``n_tokens`` and the running ``cum_tokens``."""
+    ``n_tokens`` and the running ``cum_tokens``.
+
+    ``id_col`` must cast cleanly to long (same contract as
+    ``selection.gumbel_topk``): a NULL cast would hash to NULL and sort
+    FIRST under the window order, silently handing those rows the
+    budget prefix — so the rank key raises per-row instead."""
     from ..functions.text import token_count
 
     budget_expr = None
@@ -405,9 +410,22 @@ def select_to_token_budget(
     budget_expr = (
         budget_expr.otherwise(F.lit(0)) if budget_expr is not None else F.lit(0)
     )
+    idl = F.col(id_col).try_cast("long")
+    idl = F.when(
+        F.col(id_col).isNotNull() & idl.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"select_to_token_budget: {id_col} must be numeric "
+                    "(long-castable); got non-numeric value "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(idl)
     w = (
         Window.partitionBy(group_col)
-        .orderBy(shuffle_hash(F.col(id_col).cast("long"), seed), id_col)
+        .orderBy(shuffle_hash(idl, seed), id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     staged = df.select(

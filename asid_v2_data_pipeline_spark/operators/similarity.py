@@ -406,6 +406,40 @@ def with_int8_codes(
     ).drop("_adc_s")
 
 
+def _rescore_topk(
+    approx: DataFrame, full: DataFrame, k: int, rerank: int
+) -> DataFrame:
+    """The shared two-stage ANN tail: per-query approximate
+    top-``rerank`` window over ``approx`` (columns ``q_id, _qv, _qn,
+    c_id, _ascore``) → broadcast shortlist id-join against ``full``
+    (columns ``c_id, _cv, _cn``) → exact cosine rescore → top-``k``.
+    One definition serves the ADC and PQ paths, in-memory and indexed
+    (tie-breaks: score desc, c_id asc at both stages)."""
+    wa = Window.partitionBy("q_id").orderBy(
+        F.col("_ascore").desc(), F.col("c_id")
+    )
+    shortlist = (
+        approx.withColumn("_arn", F.row_number().over(wa))
+        .filter(F.col("_arn") <= rerank)
+        .select("q_id", "_qv", "_qn", "c_id")
+    )
+    rescored = full.join(F.broadcast(shortlist), "c_id").select(
+        "q_id",
+        "c_id",
+        (
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "c_id", F.col("score").cast("double").alias("score"), "rank"
+        )
+    )
+
+
 def topk_cosine_ivf_adc(
     corpus: DataFrame,
     queries: DataFrame,
@@ -459,28 +493,12 @@ def topk_cosine_ivf_adc(
             ).alias("_ascore"),
         )
     )
-    wa = Window.partitionBy("q_id").orderBy(F.col("_ascore").desc(), F.col("c_id"))
-    shortlist = (
-        approx.withColumn("_arn", F.row_number().over(wa))
-        .filter(F.col("_arn") <= rerank)
-        .select("q_id", "_qv", "_qn", "c_id")
-    )
     full = corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("_cv"),
         norm(F.col(vec_col)).alias("_cn"),
     )
-    rescored = full.join(F.broadcast(shortlist), "c_id").select(
-        "q_id",
-        "c_id",
-        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("score"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", F.col("score").cast("double").alias("score"), "rank")
-    )
+    return _rescore_topk(approx, full, k, rerank)
 
 
 def train_pq_codebooks_lite(
@@ -623,28 +641,12 @@ def topk_cosine_ivf_pq(
             ).alias("_ascore"),
         )
     )
-    wa = Window.partitionBy("q_id").orderBy(F.col("_ascore").desc(), F.col("c_id"))
-    shortlist = (
-        approx.withColumn("_arn", F.row_number().over(wa))
-        .filter(F.col("_arn") <= rerank)
-        .select("q_id", "_qv", "_qn", "c_id")
-    )
     full = corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("_cv"),
         norm(F.col(vec_col)).alias("_cn"),
     )
-    rescored = full.join(F.broadcast(shortlist), "c_id").select(
-        "q_id",
-        "c_id",
-        (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("score"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", F.col("score").cast("double").alias("score"), "rank")
-    )
+    return _rescore_topk(approx, full, k, rerank)
 
 
 def write_ivf_index(
@@ -732,10 +734,17 @@ def read_pq_codebooks(
     spark, path: str
 ) -> list[list[tuple[int, list[float]]]] | None:
     """The PQ codebooks stored with the index (None when the index was
-    built without a PQ tier)."""
-    import os
+    built without a PQ tier).
 
-    if not os.path.exists(f"{path}/pq_codebooks"):
+    Existence goes through the Hadoop FileSystem API, not os.path — the
+    index lives wherever Spark writes (HDFS/S3/local); a local-only
+    check would silently report "no PQ tier" on object stores and let
+    ``append_ivf_index`` write code-less rows (exactly the schema drift
+    the stored codebooks exist to prevent)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/pq_codebooks")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
         return None
     spark.catalog.refreshByPath(f"{path}/pq_codebooks")
     rows = spark.read.parquet(f"{path}/pq_codebooks").collect()
@@ -791,34 +800,12 @@ def topk_cosine_ivf_pq_indexed(
             ).alias("_ascore"),
         )
     )
-    wa = Window.partitionBy("q_id").orderBy(
-        F.col("_ascore").desc(), F.col("c_id")
-    )
-    shortlist = (
-        approx.withColumn("_arn", F.row_number().over(wa))
-        .filter(F.col("_arn") <= rerank)
-        .select("q_id", "_qv", "_qn", "c_id")
-    )
     full = idx.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("_cv"),
         F.col("_vn").alias("_cn"),
     )
-    rescored = full.join(F.broadcast(shortlist), "c_id").select(
-        "q_id",
-        "c_id",
-        (
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-        ).alias("score"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "q_id", "c_id", F.col("score").cast("double").alias("score"), "rank"
-        )
-    )
+    return _rescore_topk(approx, full, k, rerank)
 
 
 def topk_cosine_ivf_adc_indexed(
@@ -871,34 +858,12 @@ def topk_cosine_ivf_adc_indexed(
             ).alias("_ascore"),
         )
     )
-    wa = Window.partitionBy("q_id").orderBy(
-        F.col("_ascore").desc(), F.col("c_id")
-    )
-    shortlist = (
-        approx.withColumn("_arn", F.row_number().over(wa))
-        .filter(F.col("_arn") <= rerank)
-        .select("q_id", "_qv", "_qn", "c_id")
-    )
     full = idx.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("_cv"),
         F.col("_vn").alias("_cn"),
     )
-    rescored = full.join(F.broadcast(shortlist), "c_id").select(
-        "q_id",
-        "c_id",
-        (
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-        ).alias("score"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "q_id", "c_id", F.col("score").cast("double").alias("score"), "rank"
-        )
-    )
+    return _rescore_topk(approx, full, k, rerank)
 
 
 def _perturbation_sets(planes: int, nprobe: int) -> list[tuple[int, ...]]:

@@ -402,6 +402,17 @@ class HDF5File:
             self._attribute(b) for b in by_type.get(0x000C, [])
         )
         attrs.pop("", None)
+        for body in by_type.get(0x0015, []):  # attribute info: detect dense
+            # dense attribute storage (> max-compact attrs in 1.8+ file
+            # formats) lives in a fractal heap this reader does not
+            # parse — raising beats silently returning NO attributes
+            # (which would e.g. drop _FillValue and mis-mask data)
+            pos = 2 + (2 if body[1] & 0x01 else 0)
+            heap_addr = int.from_bytes(body[pos : pos + self._so], "little")
+            if heap_addr != (1 << (8 * self._so)) - 1:
+                raise ValueError(
+                    "dense (fractal-heap) attribute storage is not supported"
+                )
 
         if 0x0008 in by_type:  # data layout -> dataset
             self._add_dataset(prefix, by_type, attrs)

@@ -216,3 +216,14 @@ def test_decode_image_pool_dispatches_bmp_and_png(spark):
     want = list(gray.astype(float).reshape(2, 2, 2, 2).mean(axis=(1, 3)).ravel())
     assert rows[1] == pytest.approx(want)
     assert rows[2] == pytest.approx(want)
+
+
+def test_decode_stub_accepts_text_starting_with_id3():
+    """Plain text beginning with the letters 'ID3' is NOT an MP3: the
+    byte-feature path must histogram it, not crash the job (only a real
+    ID3v2 header — version 2/3/4, sync-safe sizes — raises)."""
+    from asid_v2_data_pipeline_spark.operators.multimodal import DecodeStub
+
+    assert len(DecodeStub.decode(b"ID3 tags are metadata containers")) == 8
+    with pytest.raises(NotImplementedError, match="compressed codec"):
+        DecodeStub.decode(b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 8)

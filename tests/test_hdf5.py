@@ -275,3 +275,37 @@ def test_vlen_string_attributes_via_global_heap(style):
     assert set(ds.variables) == {"sar_primary", "sar_secondary", "counts"}
     assert float(ds.variables["sar_primary"].attrs["_FillValue"]) == -999.0
     assert np.isnan(ds.masked("sar_primary")[0, 0])
+
+
+def test_dense_attribute_storage_raises_not_silently_drops():
+    """An object header carrying an Attribute Info message (0x0015)
+    whose fractal-heap address is DEFINED means attributes live in
+    dense storage this reader does not parse: it must raise, not
+    return an attribute-less variable (which would drop _FillValue and
+    silently mis-mask data)."""
+    import numpy as np
+    import pytest
+
+    from asid_v2_data_pipeline_spark.sources import hdf5_min as H
+
+    buf = H.write_hdf5_netcdf4(
+        {"x": 2},
+        {"v": (("x",), np.array([1.0, 2.0], dtype="f4"), {})},
+    )
+    assert "v" in H.HDF5File(buf).datasets  # baseline parses fine
+
+    body_defined = bytes([0, 0]) + (123456).to_bytes(8, "little") * 2
+    body_undefined = bytes([0, 0]) + b"\xff" * 16
+
+    class _Dense(H.HDF5File):
+        def _messages(self, addr):
+            return list(super()._messages(addr)) + [(0x0015, body_defined)]
+
+    with pytest.raises(ValueError, match="dense.*attribute"):
+        _Dense(buf)
+
+    class _Compact(H.HDF5File):
+        def _messages(self, addr):
+            return list(super()._messages(addr)) + [(0x0015, body_undefined)]
+
+    assert "v" in _Compact(buf).datasets  # undefined heap addr = compact

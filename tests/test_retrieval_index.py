@@ -183,3 +183,47 @@ def test_bm25_append_equals_rebuild(spark, tmp_path):
         for r in bm25_scores_persisted(spark, full, TERMS).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_append_counts_zero_token_docs_and_replays_idempotently(spark, tmp_path):
+    """(a) A batch containing an empty-text doc updates N/avgdl exactly
+    as a full rebuild counts it; (b) a replayed batch_id is a no-op for
+    both postings and stats."""
+    from asid_v2_data_pipeline_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_scores_persisted,
+        build_bm25_index,
+        write_bm25_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "spark shuffles data across executors"),
+         (2, "duckdb runs in process")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, "spark joins broadcast small tables"), (4, "")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "bm25")
+    write_bm25_index(base, p, n_buckets=8)
+    append_bm25_index(spark, batch, p, batch_id=0)
+
+    # stats equal a full rebuild over base+batch (empty doc counted)
+    _, rebuilt_stats = build_bm25_index(base.unionByName(batch))
+    want = rebuilt_stats.first()
+    got = spark.read.parquet(f"{p}/stats").first()
+    assert got["_n"] == want["_n"] == 4
+    assert abs(got["_avgdl"] - want["_avgdl"]) < 1e-12
+
+    # replay of batch 0: nothing changes
+    before = sorted(
+        map(tuple, bm25_scores_persisted(spark, p, ["spark"]).collect())
+    )
+    out = append_bm25_index(spark, batch, p, batch_id=0)
+    assert out.get("replayed") is True
+    after = sorted(
+        map(tuple, bm25_scores_persisted(spark, p, ["spark"]).collect())
+    )
+    assert before == after
+    assert spark.read.parquet(f"{p}/stats").first()["_n"] == 4

@@ -1642,3 +1642,18 @@ def test_ivf_pq_indexed_equals_memory_and_append_keeps_tier(spark, tmp_path):
         )
     )
     assert mem2 == via_idx2
+
+
+def test_token_budget_rejects_non_numeric_ids(spark):
+    """A non-long-castable id must raise, not silently hash to NULL and
+    take the budget prefix (the gumbel_topk guard, applied here too)."""
+    from asid_v2_data_pipeline_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    d = spark.createDataFrame(
+        [("doc-1", "en", "some words here"), ("doc-2", "en", "more words")],
+        "doc_id string, lang string, text string",
+    )
+    with pytest.raises(Exception, match="must be numeric"):
+        select_to_token_budget(d, "lang", {"en": 100}).collect()
