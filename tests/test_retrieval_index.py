@@ -227,3 +227,61 @@ def test_append_counts_zero_token_docs_and_replays_idempotently(spark, tmp_path)
     )
     assert before == after
     assert spark.read.parquet(f"{p}/stats").first()["_n"] == 4
+
+
+def test_streaming_bm25_ingest_equals_rebuild(spark, tmp_path):
+    """Two micro-batches streamed into the index == one full rebuild
+    over the union (scores per doc at 9 decimals), and the stream's
+    checkpointed restart does not double-apply."""
+    from asid_v2_data_pipeline_spark.operators.retrieval import (
+        bm25_scores_persisted,
+        build_bm25_index,
+        bm25_scores_indexed,
+        write_bm25_index,
+    )
+    from asid_v2_data_pipeline_spark.streaming.bm25_stream import (
+        index_document_stream,
+    )
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(1, "spark shuffles data across executors"),
+         (2, "duckdb runs in process")],
+        "doc_id long, text string",
+    )
+    more = spark.createDataFrame(
+        [(3, "spark joins broadcast small tables"),
+         (4, "indexes prune file scans")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "bm25")
+    src = str(tmp_path / "src")
+    write_bm25_index(base, p, n_buckets=8)
+    more.filter("doc_id = 3").coalesce(1).write.mode("append").parquet(src)
+    more.filter("doc_id = 4").coalesce(1).write.mode("append").parquet(src)
+
+    q = index_document_stream(
+        spark, src, "doc_id long, text string", p, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_scores_persisted(spark, p, ["spark", "scans"]).collect()
+    )
+    postings, stats = build_bm25_index(base.unionByName(more))
+    want = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_scores_indexed(
+            postings, stats, ["spark", "scans"]
+        ).collect()
+    )
+    assert got == want and len(got) >= 3
+
+    # restart over the same (fully-consumed) source: no state change
+    n_before = spark.read.parquet(f"{p}/stats").first()["_n"]
+    q2 = index_document_stream(
+        spark, src, "doc_id long, text string", p, str(tmp_path / "ck")
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{p}/stats").first()["_n"] == n_before
