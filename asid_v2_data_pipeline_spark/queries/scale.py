@@ -1390,6 +1390,101 @@ def dc_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- end-to-end curation ------------------------------------------------------
 
 
+def cur_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report — per-stage survivor counts through the
+    flagship chain (corpus → quality → exact-dedup → near-dup-free →
+    decontaminated → quota-capped): the audit artifact every production
+    pipeline publishes alongside its output.  Each stage is one count
+    over the same lazy chain ``curate`` runs; the mixture stage is
+    excluded (it multiplies rows, not documents)."""
+    from ..operators.decontam import contamination
+    from ..operators.sampling import quota_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+
+    good = corpus.filter(tx.quality_score(F.col("text")) >= 0.5)
+    keyed = good.withColumn("_fp", tx.fingerprint(F.col("text")))
+    uniq = dd.exact_dedup(keyed, ["_fp"], "doc_id").drop("_fp").localCheckpoint()
+    pairs = dd.minhash_lsh_pairs(uniq, "doc_id", "text", num_perm=16, bands=4)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    neat = uniq.join(F.broadcast(losers), "doc_id", "left_anti").localCheckpoint()
+    contaminated = contamination(neat, bench, "doc_id", "text", n=_DC_N).select(
+        "doc_id"
+    )
+    clean = neat.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    capped = quota_per_group(clean, ["source"], 30, "doc_id", seed=17)
+
+    stages = [
+        ("corpus", corpus),
+        ("quality", good),
+        ("exact", uniq),
+        ("neardup", neat),
+        ("decontam", clean),
+        ("quota", capped),
+    ]
+    out = None
+    for i, (name, df_) in enumerate(stages):
+        row = df_.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stage_ord")
+
+
+def _cur_funnel_sql() -> str:
+    from ..operators.split import shuffle_hash_sql
+
+    fp_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), th), "
+        "(a, b) -> (a * 1000003 + b) % 2147483648)"
+    )
+    qh = shuffle_hash_sql("doc_id", 17)
+    return f"""
+WITH corpus0 AS (
+  SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 97 <> 0
+), good AS (
+  SELECT doc_id, lang, source, text FROM corpus0
+  WHERE {_quality_expr_sql()} >= 0.5
+), fpth AS (
+  SELECT doc_id, lang, source, text, {_TOKEN_HASHES_SQL} AS th FROM good
+), fp AS (
+  SELECT doc_id, lang, source, text, {fp_hash} AS _fp FROM fpth
+), uniq AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY _fp ORDER BY doc_id) AS rn FROM fp
+  ) WHERE rn = 1
+), {_shingle_cte_sql(3, "uniq", "u")}, {_minhash_pair_ctes_from("shingu", "u")},
+neat AS (
+  SELECT * FROM uniq WHERE doc_id NOT IN (SELECT id_b FROM pairsu)
+), {_shingle_cte_sql(8, "(SELECT * FROM documents WHERE doc_id % 97 = 0)", "b")},
+bgrams AS (SELECT DISTINCT unnest(hs) AS sh FROM shingb),
+{_shingle_cte_sql(8, "neat", "n")},
+contam AS (
+  SELECT DISTINCT g.doc_id
+  FROM (SELECT doc_id, unnest(hs) AS sh FROM shingn) g JOIN bgrams USING (sh)
+), clean AS (
+  SELECT * FROM neat WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+), capped AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY source ORDER BY {qh}, doc_id) AS rn
+    FROM clean
+  ) WHERE rn <= 30
+)
+SELECT 0 AS stage_ord, 'corpus' AS stage, COUNT(*) AS n_docs FROM corpus0
+UNION ALL SELECT 1, 'quality', COUNT(*) FROM good
+UNION ALL SELECT 2, 'exact', COUNT(*) FROM uniq
+UNION ALL SELECT 3, 'neardup', COUNT(*) FROM neat
+UNION ALL SELECT 4, 'decontam', COUNT(*) FROM clean
+UNION ALL SELECT 5, 'quota', COUNT(*) FROM capped
+ORDER BY stage_ord
+"""
+
+
 def cur_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship composition: quality filter → exact dedup → MinHash
     near-dup dedup → benchmark decontamination → per-source quota →
@@ -2977,6 +3072,7 @@ REGISTRY = {
     "tx_classifier_score": (tx_classifier_score, _clf_sql()),
     "cur_pipeline": (cur_pipeline, _cur_sql()),
     "cur_pipeline_v2": (cur_pipeline_v2, _cur_v2_sql()),
+    "cur_funnel": (cur_funnel, _cur_funnel_sql()),
     "tx_length_quantiles": (tx_length_quantiles, _tx_quant_sql()),
     "tx_top_tokens": (tx_top_tokens, TX_TOP_SQL),
     "tx_normalize_redact": (tx_normalize_redact, _tx_norm_sql()),
