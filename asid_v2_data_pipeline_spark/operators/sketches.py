@@ -1,0 +1,225 @@
+"""Mergeable sketches for 100 TB aggregation (SURVEY.md §2.11 adjunct).
+
+Exact `groupBy(token)` over a 100 TB corpus shuffles the full token
+stream; the sketch tier trades bounded error for bounded state:
+
+- **Count-Min Sketch**: ``depth`` hashed count rows of ``width``
+  buckets — a (depth·width)-cell table that answers point frequency
+  queries with one-sided error ≤ ε·N (ε = e/width) at confidence
+  1−δ (δ = e^−depth).  The build is ONE map-side-combinable groupBy
+  whose key space is depth·width (bounded, unlike the token space);
+  sketches MERGE by cell-wise addition, so per-partition / per-day
+  sketches roll up without touching raw data again.
+- **HyperLogLog**: ``m = 2^p`` registers of max leading-zero ranks —
+  approximate distinct counts with ~1.04/√m relative error in
+  m·6 bits of state.  The build is one groupBy over ≤ m register
+  groups; merge = register-wise MAX.
+
+Both use the repo's PORTABLE integer hashing (31-poly char fold +
+LCG-constant universal permutations — the MinHash discipline), so the
+DuckDB oracles re-derive every cell and register bit-for-bit: the
+sketches are value-checked, not just tolerance-checked.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import MERSENNE31, _perm_constants
+
+MASK31 = (1 << 31) - 1
+
+
+def _permuted(h: Column, a: int, b: int) -> Column:
+    """Universal permutation h -> (a·h + b) mod p (p = 2³¹−1), the same
+    family MinHash uses — engine-portable integer arithmetic."""
+    return (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+
+
+def permuted_sql(h: str, a: int, b: int) -> str:
+    return f"(({h}) * {a} + {b}) % {MERSENNE31}"
+
+
+# --- Count-Min Sketch ---------------------------------------------------------
+
+
+def cms_build(
+    items: DataFrame, hash_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Build the sketch table ``(_d, _bucket, cnt)`` from a column of
+    non-negative item hashes (one row per item OCCURRENCE).
+
+    One exchange, key space ``depth·width`` — at 100 TB this is the
+    whole point: the shuffle carries bounded keys regardless of corpus
+    vocabulary.  Merge two sketches (same width/depth/seeds) by
+    unioning and summing ``cnt`` per cell."""
+    consts = _perm_constants(depth, seed=97)
+    h = F.col(hash_col)
+    rows = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("_d"),
+                        (_permuted(h, a, b) % F.lit(width)).alias("_bucket"),
+                    )
+                    for d, (a, b) in enumerate(consts)
+                ]
+            )
+        ).alias("_c")
+    )
+    return (
+        rows.select("_c._d", "_c._bucket")
+        .groupBy("_d", "_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    hash_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for the query items: per item, the MIN
+    over the ``depth`` cells its hash lands in (missing cell = 0).
+    The query side fans out ``depth`` rows per item and broadcast-joins
+    the (bounded) sketch — never the raw data."""
+    consts = _perm_constants(depth, seed=97)
+    h = F.col(hash_col)
+    probes = queries.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("_d"),
+                        (_permuted(h, a, b) % F.lit(width)).alias("_bucket"),
+                    )
+                    for d, (a, b) in enumerate(consts)
+                ]
+            )
+        ).alias("_c"),
+    ).select("*", "_c._d", "_c._bucket").drop("_c")
+    qcols = [c for c in queries.columns]
+    joined = probes.join(F.broadcast(sketch), ["_d", "_bucket"], "left")
+    return (
+        joined.withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .groupBy(*qcols)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def cms_sql(
+    src: str, hash_expr: str, width: int, depth: int, tag: str = ""
+) -> str:
+    """CTE twin of cms_build over ``src`` (one row per occurrence):
+    final CTE ``cms{tag}(_d, _bucket, cnt)``."""
+    consts = _perm_constants(depth, seed=97)
+    arms = " UNION ALL ".join(
+        f"SELECT {d} AS _d, ({permuted_sql('h', a, b)}) % {width} AS _bucket "
+        f"FROM h{tag}"
+        for d, (a, b) in enumerate(consts)
+    )
+    return f"""
+h{tag} AS (SELECT {hash_expr} AS h FROM {src}),
+cmsrows{tag} AS ({arms}),
+cms{tag} AS (
+  SELECT _d, _bucket, COUNT(*) AS cnt FROM cmsrows{tag} GROUP BY _d, _bucket
+)"""
+
+
+# --- HyperLogLog --------------------------------------------------------------
+
+HLL_RANK_BITS = 25  # 31-bit portable hash minus p register bits (p <= 6)
+
+
+def _rank_expr(w: Column, maxbits: int) -> Column:
+    """ρ(w) = position of the leftmost 1-bit in a ``maxbits``-wide
+    word (1-based); all-zero → maxbits + 1.  Integer CASE ladder — no
+    float log2, so both engines agree at every power-of-two boundary."""
+    expr = F.lit(maxbits + 1)
+    # build from the smallest threshold upward so higher bits win
+    for r in range(maxbits, 0, -1):
+        expr = F.when(w >= F.lit(1 << (maxbits - r)), F.lit(r)).otherwise(expr)
+    return expr
+
+
+def _rank_sql(w: str, maxbits: int) -> str:
+    arms = " ".join(
+        f"WHEN ({w}) >= {1 << (maxbits - r)} THEN {r}"
+        for r in range(1, maxbits + 1)
+    )
+    return f"(CASE {arms} ELSE {maxbits + 1} END)"
+
+
+def hll_registers(items: DataFrame, hash_col: str, p: int = 6) -> DataFrame:
+    """Register table ``(_reg, _rank)``: register = low ``p`` bits of
+    the (permuted) hash, rank = leftmost-1 position of the remaining
+    ``HLL_RANK_BITS`` bits.  One groupBy over ≤ 2^p groups; merge two
+    sketches by register-wise MAX."""
+    h = _permuted(F.col(hash_col), *_perm_constants(1, seed=131)[0])
+    reg = (h % F.lit(1 << p)).alias("_reg")
+    # shiftright, not float division: double-div + cast truncates in
+    # Spark but ROUNDS in a DuckDB double->BIGINT cast — integer ops
+    # only, so both engines floor identically
+    w = F.shiftright(h, p) % F.lit(1 << HLL_RANK_BITS)
+    return (
+        items.select(reg, _rank_expr(w, HLL_RANK_BITS).alias("_r"))
+        .groupBy("_reg")
+        .agg(F.max("_r").alias("_rank"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
+    """Bias-corrected HLL estimate from a register table: harmonic mean
+    with the standard small-range (linear-counting) correction.  All
+    closed-form double arithmetic — portable."""
+    m = 1 << p
+    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_rank"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nz")))
+    zeros = F.lit(m) - F.col("_nz")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
+    ).otherwise(raw)
+    return agg.select(F.round(est, 6).alias("estimate"))
+
+
+def hll_sql(src: str, hash_expr: str, p: int = 6, tag: str = "") -> str:
+    """CTE twin: final CTE ``hll{tag}(estimate)``."""
+    m = 1 << p
+    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    a, b = _perm_constants(1, seed=131)[0]
+    perm = permuted_sql("h", a, b)
+    rank = _rank_sql("w", HLL_RANK_BITS)
+    return f"""
+hh{tag} AS (SELECT {hash_expr} AS h FROM {src}),
+hp{tag} AS (SELECT {perm} AS ph FROM hh{tag}),
+hr{tag} AS (
+  SELECT ph % {m} AS _reg,
+         (ph // {m}) % {1 << HLL_RANK_BITS} AS w
+  FROM hp{tag}
+),
+hregs{tag} AS (
+  SELECT _reg, MAX({rank}) AS _rank FROM hr{tag} GROUP BY _reg
+),
+hagg{tag} AS (
+  SELECT SUM(POWER(2.0, -_rank)) AS s, COUNT(*) AS nz FROM hregs{tag}
+),
+hll{tag} AS (
+  SELECT ROUND(
+    CASE WHEN ({alpha} * {m} * {m}) / (s + ({m} - nz)) <= {2.5 * m}
+              AND ({m} - nz) > 0
+         THEN {float(m)} * ln({float(m)} / ({m} - nz))
+         ELSE ({alpha} * {m} * {m}) / (s + ({m} - nz)) END, 6) AS estimate
+  FROM hagg{tag}
+)"""

@@ -2344,6 +2344,95 @@ ORDER BY doc_id
 """
 
 
+_TOKHASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, len(token) + 1), i -> ascii(substr(token, i, 1)))), "
+    "(a, b) -> (a * 31 + b) % 2147483648)"
+)
+
+
+def sk_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch audit: estimate the top-10 tokens' frequencies
+    from a 4×256-cell sketch next to their exact counts — the sketch's
+    one-sided error is visible (est >= exact always), and every cell is
+    re-derived by the oracle (value-checked, not tolerance-checked)."""
+    from ..operators.dedup import token_hashes
+    from ..operators.sketches import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+    occ = toks.select(
+        "token", F.element_at(token_hashes(F.col("token")), 1).alias("_h")
+    )
+    sketch = cms_build(occ, "_h", width=256, depth=4)
+    top = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"), F.first("_h").alias("_h"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(10)
+    )
+    est = cms_estimate(sketch, top, "_h", width=256, depth=4)
+    return est.select("token", "exact_cnt", "est").orderBy(
+        F.col("exact_cnt").desc(), "token"
+    )
+
+
+def _sk_cms_sql() -> str:
+    from ..operators.dedup import _perm_constants
+    from ..operators.sketches import cms_sql, permuted_sql
+
+    consts = _perm_constants(4, seed=97)
+    probe_arms = " UNION ALL ".join(
+        f"SELECT token, exact_cnt, {d} AS _d, "
+        f"({permuted_sql('h', a, b)}) % 256 AS _bucket FROM tq"
+        for d, (a, b) in enumerate(consts)
+    )
+    return f"""
+WITH toksq AS (SELECT unnest({TOKENS_SQL}) AS token FROM documents),
+occ AS (SELECT token, {_TOKHASH_SQL} AS h FROM toksq),
+{cms_sql("occ", "h", 256, 4)},
+topq AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM toksq GROUP BY token
+  ORDER BY exact_cnt DESC, token LIMIT 10
+),
+tq AS (SELECT token, exact_cnt, {_TOKHASH_SQL} AS h FROM topq),
+probes AS ({probe_arms})
+SELECT token, exact_cnt, MIN(COALESCE(c.cnt, 0)) AS est
+FROM probes p LEFT JOIN cms c USING (_d, _bucket)
+GROUP BY token, exact_cnt
+ORDER BY exact_cnt DESC, token
+"""
+
+
+def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog: distinct-token estimate from 64 registers
+    next to the exact count — registers, ranks, and the bias-corrected
+    estimate are integer/closed-form arithmetic both engines re-derive
+    bit-for-bit (unlike approx_count_distinct, whose sketch is
+    engine-private)."""
+    from ..operators.dedup import token_hashes
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+    occ = toks.select(F.element_at(token_hashes(F.col("token")), 1).alias("_h"))
+    est = hll_estimate(hll_registers(occ, "_h", p=6), p=6)
+    exact = toks.agg(F.countDistinct("token").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def _sk_hll_sql() -> str:
+    from ..operators.sketches import hll_sql
+
+    return f"""
+WITH toksq AS (SELECT unnest({TOKENS_SQL}) AS token FROM documents),
+occ AS (SELECT {_TOKHASH_SQL} AS h FROM toksq),
+{hll_sql("occ", "h", p=6)}
+SELECT estimate, (SELECT COUNT(DISTINCT token) FROM toksq) AS exact_distinct
+FROM hll
+"""
+
+
 def tx_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary statistics per language: distinct token types, total
     tokens, type-token ratio — one explode + one two-level aggregate."""
@@ -3053,6 +3142,8 @@ REGISTRY = {
     "dd_span_removal": (dd_span_removal, DD_SPAN_REMOVAL_SQL),
     "tx_bpe_pairs": (tx_bpe_pairs, TX_BPE_SQL),
     "tx_type_token_ratio": (tx_type_token_ratio, TX_TTR_SQL),
+    "sk_cms_top_tokens": (sk_cms_top_tokens, _sk_cms_sql()),
+    "sk_hll_distinct": (sk_hll_distinct, _sk_hll_sql()),
     "tx_zipf_slope": (tx_zipf_slope, TX_ZIPF_SQL),
     "dd_semantic_text": (dd_semantic_text, DD_SEMANTIC_TEXT_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
