@@ -73,3 +73,56 @@ def test_hll_accuracy_and_merge_by_register_max(spark):
     dup = items.unionByName(items)
     est_dup = hll_estimate(hll_registers(dup, "_h", 6), 6).first()["estimate"]
     assert est_dup == est
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """Two micro-batches streamed through maintain_cms == cms_build
+    over the union, and point estimates agree; restart over the
+    consumed source changes nothing (merge_aggregate batch stamps)."""
+    from asid_v2_data_pipeline_spark.sources.merge import read_aggregate
+    from asid_v2_data_pipeline_spark.streaming.sketch_stream import (
+        maintain_cms,
+    )
+
+    a = _items(spark, {1: 5, 2: 3, 9: 8})
+    b = _items(spark, {2: 4, 3: 7})
+    src = str(tmp_path / "src")
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    tgt, ck = str(tmp_path / "cms"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema("_h long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_cms(stream, tgt, "_h", ck, width=64, depth=3)
+    q.awaitTermination(120)
+
+    live = read_aggregate(spark, tgt).select("_d", "_bucket", "cnt")
+    direct = cms_build(a.unionByName(b), "_h", 64, 3)
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    qr = spark.createDataFrame([(1,), (2,), (3,), (9,)], "_h long")
+    est_live = sorted(
+        map(tuple, cms_estimate(live, qr, "_h", 64, 3).collect())
+    )
+    est_direct = sorted(
+        map(tuple, cms_estimate(direct, qr, "_h", 64, 3).collect())
+    )
+    assert est_live == est_direct
+
+    # restart: fully-consumed source, no double-count
+    stream2 = (
+        spark.readStream.schema("_h long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q2 = maintain_cms(stream2, tgt, "_h", ck, width=64, depth=3)
+    q2.awaitTermination(120)
+    live2 = read_aggregate(spark, tgt).select("_d", "_bucket", "cnt")
+    assert sorted(map(tuple, live2.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
