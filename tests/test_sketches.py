@@ -126,3 +126,20 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     assert sorted(map(tuple, live2.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_cms_build_is_partial_aggregated(spark):
+    """The sketch build must map-side combine before its (bounded-key)
+    exchange: two HashAggregates over (_d, _bucket) with one Exchange
+    between them — the shape that keeps the shuffle at depth*width rows
+    per partition regardless of corpus size."""
+    items = _items(spark, {i: 2 for i in range(50)})
+    plan = (
+        cms_build(items, "_h", 64, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "merge_count" in plan or "count(1)" in plan
+    assert "CartesianProduct" not in plan
