@@ -225,3 +225,74 @@ def test_gumbel_topk_raises_on_non_numeric_id(spark):
         [("7", 0.9), ("8", 0.1)], "doc_id string, weight double"
     )
     assert gumbel_topk(ok, 1).count() == 1
+
+
+# --- sketch models (pure-Python twins of operators/sketches.py) --------------
+
+
+def _py_cms(items, width, depth):
+    from asid_v2_data_pipeline_spark.operators.dedup import _perm_constants
+
+    consts = _perm_constants(depth, seed=97)
+    cells = {}
+    for h in items:
+        for d, (a, b) in enumerate(consts):
+            k = (d, ((h * a + b) % ((1 << 31) - 1)) % width)
+            cells[k] = cells.get(k, 0) + 1
+    return cells
+
+
+def _py_cms_est(cells, h, width, depth):
+    from asid_v2_data_pipeline_spark.operators.dedup import _perm_constants
+
+    consts = _perm_constants(depth, seed=97)
+    return min(
+        cells.get((d, ((h * a + b) % ((1 << 31) - 1)) % width), 0)
+        for d, (a, b) in enumerate(consts)
+    )
+
+
+@given(
+    st.lists(st.integers(0, (1 << 31) - 1), min_size=1, max_size=200),
+    st.sampled_from([32, 64, 128]),
+    st.sampled_from([2, 3, 4]),
+)
+@settings(max_examples=200, deadline=None)
+def test_cms_model_never_underestimates(items, width, depth):
+    """Pure-Python model of the CMS arithmetic: estimates are one-sided
+    (>= exact) and bounded by the total occurrence count, for arbitrary
+    multisets — the invariant the Spark build inherits because the
+    arithmetic is identical integer math."""
+    cells = _py_cms(items, width, depth)
+    from collections import Counter
+
+    exact = Counter(items)
+    n = len(items)
+    for h, c in exact.items():
+        e = _py_cms_est(cells, h, width, depth)
+        assert c <= e <= n
+
+
+@given(st.lists(st.integers(0, (1 << 31) - 1), min_size=1, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_hll_rank_model_matches_bit_position(items):
+    """The integer CASE-ladder rank equals the mathematical
+    leftmost-1-bit position for every input — no power-of-two boundary
+    drift (the reason we avoided float log2)."""
+    from asid_v2_data_pipeline_spark.operators.dedup import _perm_constants
+    from asid_v2_data_pipeline_spark.operators.sketches import HLL_RANK_BITS
+
+    a, b = _perm_constants(1, seed=131)[0]
+    for h in items:
+        ph = (h * a + b) % ((1 << 31) - 1)
+        w = (ph >> 6) % (1 << HLL_RANK_BITS)
+        if w == 0:
+            rank = HLL_RANK_BITS + 1
+        else:
+            rank = HLL_RANK_BITS - w.bit_length() + 1
+        # mirror of _rank_expr's ladder
+        ladder = HLL_RANK_BITS + 1
+        for r in range(HLL_RANK_BITS, 0, -1):
+            if w >= 1 << (HLL_RANK_BITS - r):
+                ladder = r
+        assert ladder == rank
