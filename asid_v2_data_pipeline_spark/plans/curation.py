@@ -263,3 +263,117 @@ def curate_staged(
             seed=mix_seed,
         ),
     )
+
+
+STAGES_V2 = ("gated", "rewritten", "quality", "exact", "neardup", "clean", "mixed")
+
+
+def curate_v2_staged(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    weights: dict[str, float],
+    clf_weights: list[float],
+    stage_dir: str,
+    clf_bias: float = 0.0,
+    clf_min: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    span_k: int = 5,
+    decontam_n: int = 8,
+    fuzzy_jaccard: float = 0.4,
+    quota: int = 30,
+    quota_col: str = "source",
+    mix_col: str = "lang",
+    quota_seed: int = 17,
+    mix_seed: int = 29,
+) -> DataFrame:
+    """``curate_v2`` with every stage PERSISTED and idempotently
+    resumed — the production shape for the extended chain (same
+    ``_SUCCESS``-gated contract as ``curate_staged``; every stage is
+    deterministic, so a resumed run equals the single lazy plan —
+    equivalence pinned in tests/test_curation_staged.py).
+
+    Two stages are new vs the v1 ladder: ``gated`` (classifier scores
+    are recomputed on resume — the weight vector is part of the job
+    config, so a changed model means a new stage_dir) and ``rewritten``
+    (the span-rewritten text — persisting it is the 100 TB form of the
+    tokenize-once discipline: every downstream consumer reads rewritten
+    text from a table instead of re-running span detection)."""
+    from ..functions.classifier import score_documents
+    from ..operators.decontam import fuzzy_contamination
+    from ..operators.dedup import remove_duplicate_spans
+
+    sp = docs.sparkSession
+
+    def _materialize(name: str, build) -> DataFrame:
+        path = f"{stage_dir}/{name}"
+        if not _stage_complete(sp, path):
+            build().write.mode("overwrite").parquet(path)
+        sp.catalog.refreshByPath(path)
+        return sp.read.parquet(path)
+
+    gated = _materialize(
+        "gated",
+        lambda: score_documents(docs, text_col, clf_weights, clf_bias)
+        .filter(F.col("clf_score") >= clf_min)
+        .drop("clf_score"),
+    )
+
+    def _rewritten() -> DataFrame:
+        cleaned = remove_duplicate_spans(gated, id_col, text_col, k=span_k)
+        return gated.drop(text_col).join(
+            cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col
+        )
+
+    rewritten = _materialize("rewritten", _rewritten)
+    good = _materialize(
+        "quality",
+        lambda: rewritten.filter(
+            tx.quality_score(F.col(text_col)) >= quality_min
+        ),
+    )
+    uniq = _materialize(
+        "exact",
+        lambda: exact_dedup(
+            good.withColumn("_fp", tx.fingerprint(F.col(text_col))),
+            ["_fp"],
+            id_col,
+        ).drop("_fp"),
+    )
+
+    def _neardup() -> DataFrame:
+        pairs = minhash_lsh_pairs(uniq, id_col, text_col, num_perm=16, bands=4)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return uniq.join(F.broadcast(losers), id_col, "left_anti")
+
+    neat = _materialize("neardup", _neardup)
+
+    def _clean() -> DataFrame:
+        contaminated = (
+            contamination(neat, benchmark, id_col, text_col, n=decontam_n)
+            .select(id_col)
+            .unionByName(
+                fuzzy_contamination(
+                    neat,
+                    benchmark,
+                    id_col,
+                    text_col,
+                    min_jaccard=fuzzy_jaccard,
+                ).select(id_col)
+            )
+            .distinct()
+        )
+        return neat.join(F.broadcast(contaminated), id_col, "left_anti")
+
+    clean = _materialize("clean", _clean)
+    return _materialize(
+        "mixed",
+        lambda: weighted_repeat(
+            quota_per_group(clean, [quota_col], quota, id_col, seed=quota_seed),
+            mix_col,
+            weights,
+            id_col,
+            seed=mix_seed,
+        ),
+    )

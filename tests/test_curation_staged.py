@@ -70,3 +70,49 @@ def test_resume_after_kill(spark, tmp_path):
     # the killed stage was recommitted
     assert os.path.exists(stage_dir / "clean" / "_SUCCESS")
     assert os.path.exists(stage_dir / "mixed" / "_SUCCESS")
+
+
+def test_v2_staged_equals_lazy_and_resumes(spark, tmp_path):
+    """The staged v2 chain (classifier gate + span rewrite + fuzzy
+    decontam stages persisted) admits exactly what the lazy curate_v2
+    plan admits, and a kill during 'clean' resumes without recomputing
+    the committed 'rewritten' stage."""
+    from asid_v2_data_pipeline_spark.functions.classifier import lcg_weights
+    from asid_v2_data_pipeline_spark.plans.curation import (
+        STAGES_V2,
+        curate_v2,
+        curate_v2_staged,
+    )
+
+    d = load_table(spark, SF, "documents")
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    w = lcg_weights(64, seed=17)
+    kw = dict(clf_bias=0.1, clf_min=0.5249, fuzzy_jaccard=0.4)
+
+    lazy = _result_set(curate_v2(corpus, bench, WEIGHTS, w, **kw))
+    stage_dir = tmp_path / "v2stages"
+    staged = curate_v2_staged(
+        corpus, bench, WEIGHTS, w, str(stage_dir), **kw
+    )
+    assert _result_set(staged) == lazy and len(lazy) > 0
+    for s in STAGES_V2:
+        assert os.path.exists(stage_dir / s / "_SUCCESS"), s
+
+    rewritten_files = sorted(os.listdir(stage_dir / "rewritten"))
+    rewritten_mtimes = {
+        f: os.path.getmtime(stage_dir / "rewritten" / f)
+        for f in rewritten_files
+    }
+    os.remove(stage_dir / "clean" / "_SUCCESS")
+    shutil.rmtree(stage_dir / "mixed")
+    resumed = _result_set(
+        curate_v2_staged(corpus, bench, WEIGHTS, w, str(stage_dir), **kw)
+    )
+    assert resumed == lazy
+    assert sorted(os.listdir(stage_dir / "rewritten")) == rewritten_files
+    for f in rewritten_files:
+        assert (
+            os.path.getmtime(stage_dir / "rewritten" / f)
+            == rewritten_mtimes[f]
+        )
