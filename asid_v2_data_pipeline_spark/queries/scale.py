@@ -215,6 +215,56 @@ def dd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ds_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data generation for embedding models: near-dup pairs
+    become (anchor, positive) with a deterministic IN-BATCH negative —
+    the next pair's positive in hash order, cyclically — the standard
+    in-batch-negatives shape, derived entirely from the corpus with no
+    labels.  One window over the (tiny) pair set; the corpus itself
+    never re-shuffles."""
+    from pyspark.sql.window import Window
+
+    from ..operators.split import shuffle_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", num_perm=16, bands=4)
+    ordered = pairs.withColumn(
+        "_o", shuffle_hash(F.col("id_a") * 31 + F.col("id_b"), 43)
+    )
+    w = Window.orderBy("_o", "id_a", "id_b")
+    out = ordered.select(
+        F.col("id_a").alias("anchor"),
+        F.col("id_b").alias("positive"),
+        F.coalesce(
+            F.lead("id_b").over(w), F.first("id_b").over(w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            ))
+        ).alias("negative"),
+    )
+    return out.orderBy("anchor", "positive")
+
+
+def _contrastive_sql() -> str:
+    from ..operators.split import shuffle_hash_sql
+
+    oh = shuffle_hash_sql("(id_a * 31 + id_b)", 43)
+    return (
+        "WITH "
+        + _minhash_pairs_ctes(16, 4)
+        + f""",
+ordered AS (SELECT id_a, id_b, {oh} AS o FROM pairs)
+SELECT id_a AS anchor, id_b AS positive,
+       COALESCE(
+         lead(id_b) OVER (ORDER BY o, id_a, id_b),
+         first_value(id_b) OVER (ORDER BY o, id_a, id_b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ) AS negative
+FROM ordered
+ORDER BY anchor, positive
+"""
+    )
+
+
 def dd_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection: per near-dup cluster keep the HIGHEST-quality
     member (not the id-minimal one) — quality desc, id asc tie-break;
@@ -3152,6 +3202,7 @@ REGISTRY = {
     "dd_incremental": (dd_incremental, _incremental_sql()),
     "dd_cluster": (dd_cluster, _cluster_sql()),
     "dd_cluster_best": (dd_cluster_best, _cluster_best_sql()),
+    "ds_contrastive_pairs": (ds_contrastive_pairs, _contrastive_sql()),
     "sp_group_quota": (sp_group_quota, _sp_quota_sql()),
     "sp_stratified": (sp_stratified, _sp_strat_sql()),
     "sp_mixture": (sp_mixture, _sp_mix_sql()),
