@@ -51,8 +51,13 @@ def build_bm25_index(
       partitioned by a hash of ``token`` for query-term pruning);
     - stats — ONE row ``(_n, _avgdl)``.
     """
+    # coalesce: size(tokens(NULL)) is NULL, which avg() would SKIP while
+    # count() counts the row — _avgdl and _n would then disagree about
+    # the doc set and the closed-form append update could never match a
+    # rebuild.  NULL text = zero-length document, consistently.
     lens = docs.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).alias("_dl")
+        F.col(id_col),
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)).alias("_dl"),
     )
     postings = posting_lists(docs, id_col, text_col).join(lens, id_col)
     stats = lens.agg(
@@ -310,8 +315,11 @@ def append_bm25_index(
         return {"appended_docs": 0, "touched_buckets": 0, "replayed": True}
 
     # document-level stats FIRST, from the doc table (includes docs
-    # that tokenize to nothing)
-    lens = new_docs.select(F.size(tokens(F.col(text_col))).alias("_dl"))
+    # that tokenize to nothing; NULL text counts as zero-length — the
+    # same coalesce as build_bm25_index, so append == rebuild holds)
+    lens = new_docs.select(
+        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)).alias("_dl")
+    )
     brow = lens.agg(
         F.count(F.lit(1)).alias("n"), F.sum("_dl").alias("dl")
     ).first()

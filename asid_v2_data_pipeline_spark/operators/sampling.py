@@ -410,19 +410,9 @@ def select_to_token_budget(
     budget_expr = (
         budget_expr.otherwise(F.lit(0)) if budget_expr is not None else F.lit(0)
     )
-    idl = F.col(id_col).try_cast("long")
-    idl = F.when(
-        F.col(id_col).isNotNull() & idl.isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"select_to_token_budget: {id_col} must be numeric "
-                    "(long-castable); got non-numeric value "
-                ),
-                F.col(id_col).cast("string"),
-            )
-        ).cast("long"),
-    ).otherwise(idl)
+    from .split import checked_long_id
+
+    idl = checked_long_id(id_col, "select_to_token_budget")
     w = (
         Window.partitionBy(group_col)
         .orderBy(shuffle_hash(idl, seed), id_col)

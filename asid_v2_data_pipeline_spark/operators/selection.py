@@ -274,19 +274,9 @@ def gumbel_topk(
     ``id_col`` must cast cleanly to long: a NULL cast (non-numeric
     string id) would make ``_gkey`` NULL and silently sort those rows
     last, so the draw raises per-row instead of dropping them."""
-    idl = F.col(id_col).try_cast("long")
-    idl = F.when(
-        F.col(id_col).isNotNull() & idl.isNull(),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"gumbel_topk: {id_col} must be numeric "
-                    "(long-castable); got non-numeric value "
-                ),
-                F.col(id_col).cast("string"),
-            )
-        ).cast("long"),
-    ).otherwise(idl)
+    from .split import checked_long_id
+
+    idl = checked_long_id(id_col, "gumbel_topk")
     u = (
         shuffle_hash(idl, seed).cast("double")
         + F.lit(0.5)

@@ -135,7 +135,19 @@ cms{tag} AS (
 
 # --- HyperLogLog --------------------------------------------------------------
 
-HLL_RANK_BITS = 25  # 31-bit portable hash minus p register bits (p <= 6)
+HLL_RANK_BITS = 25  # rank window for the default p=6 (31-bit hash - p)
+
+
+def _hll_rank_bits(p: int) -> int:
+    """Rank window for register-index width ``p``: the portable hash is
+    31 bits, the register consumes ``p`` of them."""
+    return 31 - p
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constants: fixed values for the small register
+    counts, the asymptotic formula for m >= 128."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
 
 
 def _rank_expr(w: Column, maxbits: int) -> Column:
@@ -164,12 +176,13 @@ def hll_registers(items: DataFrame, hash_col: str, p: int = 6) -> DataFrame:
     sketches by register-wise MAX."""
     h = _permuted(F.col(hash_col), *_perm_constants(1, seed=131)[0])
     reg = (h % F.lit(1 << p)).alias("_reg")
+    rb = _hll_rank_bits(p)
     # shiftright, not float division: double-div + cast truncates in
     # Spark but ROUNDS in a DuckDB double->BIGINT cast — integer ops
     # only, so both engines floor identically
-    w = F.shiftright(h, p) % F.lit(1 << HLL_RANK_BITS)
+    w = F.shiftright(h, p) % F.lit(1 << rb)
     return (
-        items.select(reg, _rank_expr(w, HLL_RANK_BITS).alias("_r"))
+        items.select(reg, _rank_expr(w, rb).alias("_r"))
         .groupBy("_reg")
         .agg(F.max("_r").alias("_rank"))
     )
@@ -180,9 +193,14 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     with the standard small-range (linear-counting) correction.  All
     closed-form double arithmetic — portable."""
     m = 1 << p
-    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    alpha = _hll_alpha(m)
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("_rank"))).alias("_s"),
+        # coalesce: an EMPTY register table (no items) must estimate 0,
+        # not NULL — with _s=0 and zeros=m the linear-counting branch
+        # yields exactly 0
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("_rank"))), F.lit(0.0)
+        ).alias("_s"),
         F.count(F.lit(1)).alias("_nz"),
     )
     raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nz")))
@@ -197,23 +215,25 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
 def hll_sql(src: str, hash_expr: str, p: int = 6, tag: str = "") -> str:
     """CTE twin: final CTE ``hll{tag}(estimate)``."""
     m = 1 << p
-    alpha = 0.709 if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    alpha = _hll_alpha(m)
+    rb = _hll_rank_bits(p)
     a, b = _perm_constants(1, seed=131)[0]
     perm = permuted_sql("h", a, b)
-    rank = _rank_sql("w", HLL_RANK_BITS)
+    rank = _rank_sql("w", rb)
     return f"""
 hh{tag} AS (SELECT {hash_expr} AS h FROM {src}),
 hp{tag} AS (SELECT {perm} AS ph FROM hh{tag}),
 hr{tag} AS (
   SELECT ph % {m} AS _reg,
-         (ph // {m}) % {1 << HLL_RANK_BITS} AS w
+         (ph // {m}) % {1 << rb} AS w
   FROM hp{tag}
 ),
 hregs{tag} AS (
   SELECT _reg, MAX({rank}) AS _rank FROM hr{tag} GROUP BY _reg
 ),
 hagg{tag} AS (
-  SELECT SUM(POWER(2.0, -_rank)) AS s, COUNT(*) AS nz FROM hregs{tag}
+  SELECT COALESCE(SUM(POWER(2.0, -_rank)), 0.0) AS s, COUNT(*) AS nz
+  FROM hregs{tag}
 ),
 hll{tag} AS (
   SELECT ROUND(

@@ -37,6 +37,28 @@ def shuffle_hash(key, seed: int):
     return (h1 * SHUFFLE_A + SHUFFLE_C) % SHUFFLE_M
 
 
+def checked_long_id(id_col: str, context: str):
+    """``id_col`` as a long, raising PER-ROW on NULL or non-castable
+    values — the guard every seeded-hash consumer needs: a NULL key
+    would make ``shuffle_hash`` NULL and those rows silently sort
+    first (ascending) or last (descending) instead of erroring.
+    Shared by ``selection.gumbel_topk`` and
+    ``sampling.select_to_token_budget``."""
+    idl = F.col(id_col).try_cast("long")
+    return F.when(
+        F.col(id_col).isNull() | idl.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{context}: {id_col} must be a non-null numeric "
+                    "(long-castable) id; got "
+                ),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(idl)
+
+
 def shuffle_hash_sql(key_expr: str, seed: int) -> str:
     """The same permutation key as ANSI/DuckDB SQL text (oracle side)."""
     h1 = f"(({key_expr}) % {SHUFFLE_M} + {seed}) % {SHUFFLE_M}"

@@ -177,6 +177,18 @@ def curate_v2(
 STAGES = ("quality", "exact", "neardup", "clean", "mixed")
 
 
+def _materialize_stage(sp: SparkSession, stage_dir: str, name: str, build) -> DataFrame:
+    """Compute-or-resume one stage: a directory with a ``_SUCCESS``
+    marker is trusted and read back; anything else is (re)built with
+    ``mode=overwrite``.  ONE definition of the resume contract, shared
+    by ``curate_staged`` and ``curate_v2_staged``."""
+    path = f"{stage_dir}/{name}"
+    if not _stage_complete(sp, path):
+        build().write.mode("overwrite").parquet(path)
+    sp.catalog.refreshByPath(path)
+    return sp.read.parquet(path)
+
+
 def _stage_complete(spark: SparkSession, path: str) -> bool:
     """A stage is complete iff its commit marker exists — checked via the
     Hadoop FileSystem API (portable to HDFS/S3; a crashed write leaves no
@@ -220,11 +232,7 @@ def curate_staged(
     sp = docs.sparkSession
 
     def _materialize(name: str, build) -> DataFrame:
-        path = f"{stage_dir}/{name}"
-        if not _stage_complete(sp, path):
-            build().write.mode("overwrite").parquet(path)
-        sp.catalog.refreshByPath(path)
-        return sp.read.parquet(path)
+        return _materialize_stage(sp, stage_dir, name, build)
 
     good = _materialize(
         "quality",
@@ -307,11 +315,7 @@ def curate_v2_staged(
     sp = docs.sparkSession
 
     def _materialize(name: str, build) -> DataFrame:
-        path = f"{stage_dir}/{name}"
-        if not _stage_complete(sp, path):
-            build().write.mode("overwrite").parquet(path)
-        sp.catalog.refreshByPath(path)
-        return sp.read.parquet(path)
+        return _materialize_stage(sp, stage_dir, name, build)
 
     gated = _materialize(
         "gated",

@@ -227,7 +227,9 @@ def ds_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.split import shuffle_hash
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(d, "doc_id", "text", num_perm=16, bands=4)
+    pairs = dd.minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=16, bands=4
+    ).localCheckpoint()  # feeds the triple window AND the near-dup veto
     ordered = pairs.withColumn(
         "_o", shuffle_hash(F.col("id_a") * 31 + F.col("id_b"), 43)
     )
@@ -241,6 +243,25 @@ def ds_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
         ).alias("negative"),
     )
+    # a usable triple needs a REAL negative: not the anchor/positive
+    # themselves, and not a known near-dup of the anchor (veto via
+    # anti-join on the sorted pair key) — degenerate triples (tiny or
+    # wrap-around clusters) are dropped, not emitted poisoned
+    out = out.filter(
+        (F.col("negative") != F.col("anchor"))
+        & (F.col("negative") != F.col("positive"))
+    )
+    veto = pairs.select(
+        F.col("id_a").alias("_va"), F.col("id_b").alias("_vb")
+    )
+    out = out.join(
+        F.broadcast(veto),
+        (
+            (F.least("anchor", "negative") == F.col("_va"))
+            & (F.greatest("anchor", "negative") == F.col("_vb"))
+        ),
+        "left_anti",
+    )
     return out.orderBy("anchor", "positive")
 
 
@@ -252,14 +273,22 @@ def _contrastive_sql() -> str:
         "WITH "
         + _minhash_pairs_ctes(16, 4)
         + f""",
-ordered AS (SELECT id_a, id_b, {oh} AS o FROM pairs)
-SELECT id_a AS anchor, id_b AS positive,
-       COALESCE(
-         lead(id_b) OVER (ORDER BY o, id_a, id_b),
-         first_value(id_b) OVER (ORDER BY o, id_a, id_b
-           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-       ) AS negative
-FROM ordered
+ordered AS (SELECT id_a, id_b, {oh} AS o FROM pairs),
+trip AS (
+  SELECT id_a AS anchor, id_b AS positive,
+         COALESCE(
+           lead(id_b) OVER (ORDER BY o, id_a, id_b),
+           first_value(id_b) OVER (ORDER BY o, id_a, id_b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ) AS negative
+  FROM ordered
+)
+SELECT anchor, positive, negative FROM trip t
+WHERE negative <> anchor AND negative <> positive
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs p
+    WHERE p.id_a = LEAST(t.anchor, t.negative)
+      AND p.id_b = GREATEST(t.anchor, t.negative))
 ORDER BY anchor, positive
 """
     )

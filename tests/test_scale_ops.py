@@ -1657,3 +1657,42 @@ def test_token_budget_rejects_non_numeric_ids(spark):
     )
     with pytest.raises(Exception, match="must be numeric"):
         select_to_token_budget(d, "lang", {"en": 100}).collect()
+
+
+def test_token_budget_rejects_null_ids(spark):
+    """A literally-NULL id must also raise (NULLs sort FIRST ascending
+    and would silently take the budget prefix)."""
+    from asid_v2_data_pipeline_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "en", "some words"), (None, "en", "ghost words")],
+        "doc_id long, lang string, text string",
+    )
+    with pytest.raises(Exception, match="non-null numeric"):
+        select_to_token_budget(d, "lang", {"en": 100}).collect()
+
+
+def test_contrastive_triples_are_non_degenerate(spark):
+    """Negatives are never the anchor/positive and never a known
+    near-dup of the anchor, even for a single-pair corpus (which emits
+    nothing rather than a poisoned triple)."""
+    from asid_v2_data_pipeline_spark.queries.scale import (
+        ds_contrastive_pairs,
+    )
+
+    from asid_v2_data_pipeline_spark.schemas import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(d, "doc_id", "text", 16, 4).collect()
+    }
+    rows = ds_contrastive_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["negative"] != r["anchor"]
+        assert r["negative"] != r["positive"]
+        key = (min(r["anchor"], r["negative"]), max(r["anchor"], r["negative"]))
+        assert key not in lsh  # negative is not a near-dup of the anchor

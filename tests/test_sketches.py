@@ -143,3 +143,21 @@ def test_cms_build_is_partial_aggregated(spark):
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan or "merge_count" in plan or "count(1)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_large_m_and_empty_input(spark):
+    """p=7 (m=128): the asymptotic alpha formula applies and the rank
+    window shrinks to 24 bits — estimate still lands near exact; an
+    EMPTY input estimates exactly 0.0, not NULL."""
+    import random
+
+    rng = random.Random(11)
+    vals = [rng.randrange(1, 1 << 31) for _ in range(3000)]
+    items = spark.createDataFrame([(v,) for v in vals], "_h long")
+    est = hll_estimate(hll_registers(items, "_h", p=7), p=7).first()["estimate"]
+    exact = len(set(vals))
+    assert abs(est - exact) / exact < 0.3
+
+    empty = spark.createDataFrame([], "_h long")
+    e = hll_estimate(hll_registers(empty, "_h", p=6), p=6).first()["estimate"]
+    assert e == 0.0
