@@ -533,6 +533,80 @@ def _pq_sub(vec: Column, s: int, sub: int) -> Column:
     return F.slice(vec, s * sub + 1, sub)
 
 
+def train_pq_codebooks_kmeans(
+    vectors: DataFrame,
+    m: int,
+    ks: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Production PQ codebooks: per-subspace Lloyd's k-means under the
+    L2 metric (the metric :func:`with_pq_codes` encodes with — training
+    and encoding must agree or reconstruction error balloons).
+
+    Per subspace, per iteration: assignment is the same narrow
+    L2-argmin map the encoder uses; the update is posexplode +
+    groupBy(code, dim) — one exchange whose key space is ks·sub — and
+    only ks·sub mean cells reach the driver (the centroid-table
+    carve-out).  Deterministic init: the ks lowest-id vectors' slices
+    (= the lite codebooks), ties in assignment to the lowest code;
+    empty codes keep their previous codeword."""
+    books = train_pq_codebooks_lite(vectors, m, ks, id_col, vec_col)
+    sub = len(books[0][0][1])
+    for s in range(m):
+        sliced = vectors.select(
+            F.col(id_col).alias("_id"),
+            _pq_sub(F.col(vec_col), s, sub).alias("_sv"),
+        ).localCheckpoint()  # slice once; reused every iteration
+        book = books[s]
+        for _ in range(iters):
+            cands = F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("_sv"),
+                                F.array(*[F.lit(float(x)) for x in cw]),
+                                lambda x, c: (x - c) * (x - c),
+                            ),
+                            F.lit(0.0).cast("double"),
+                            lambda acc, v: acc + v,
+                        ).alias("d"),
+                        F.lit(j).alias("j"),
+                    )
+                    for j, cw in book
+                ]
+            )
+            assigned = sliced.withColumn(
+                "_code", F.element_at(F.array_sort(cands), 1)["j"]
+            )
+            stats = (
+                assigned.select(
+                    "_code", F.posexplode(F.col("_sv")).alias("_pos", "_x")
+                )
+                .groupBy("_code", "_pos")
+                .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )
+            by_code: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_code.setdefault(r["_code"], {})[r["_pos"]] = (
+                    r["_s"] / r["_n"]
+                )
+            book = [
+                (
+                    j,
+                    [mm[p] for p in sorted(mm)]
+                    if (mm := by_code.get(j))
+                    else old,
+                )
+                for j, old in book
+            ]
+        books[s] = book
+    return books
+
+
 def with_pq_codes(
     df: DataFrame,
     codebooks: list[list[tuple[int, list[float]]]],
