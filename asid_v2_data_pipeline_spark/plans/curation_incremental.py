@@ -98,6 +98,9 @@ def admit_increment(
     shingle_n: int = 3,
     return_stats: bool = True,
     validate_order: bool = True,
+    clf_weights: list[float] | None = None,
+    clf_bias: float = 0.0,
+    clf_min: float = 0.5,
 ) -> dict:
     """Admit one batch against the persisted state; returns admission
     stats (``return_stats=False`` skips the three counting jobs —
@@ -113,6 +116,20 @@ def admit_increment(
     degrade from min-id tie-break to first-arrival-wins on cross-batch
     exact/near-dup ties."""
     sp = batch.sparkSession
+
+    # optional learned-gate tier (curate_v2's classifier): scoring is a
+    # PURE per-document map, so it composes with the incremental
+    # equivalence proof unchanged — a doc's admission never depends on
+    # other documents through this stage.  (Span removal does depend on
+    # the whole corpus and stays batch-only — module docstring.)
+    if clf_weights is not None:
+        from ..functions.classifier import score_documents
+
+        batch = (
+            score_documents(batch, text_col, clf_weights, clf_bias)
+            .filter(F.col("clf_score") >= clf_min)
+            .drop("clf_score")
+        )
 
     q = batch.filter(
         tx.quality_score(F.col(text_col)) >= quality_min

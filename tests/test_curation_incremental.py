@@ -231,3 +231,31 @@ def test_greedy_streaming_quota_diverges_from_batch_plan(spark):
     }
     assert batch == {late}
     assert greedy != batch
+
+
+def test_incremental_with_classifier_gate_equals_gated_full(spark, tmp_path):
+    """The learned gate is a pure per-doc map, so incremental admission
+    with clf_weights == the batch curate() over the pre-gated corpus —
+    the composition argument the docstring makes, executed."""
+    from asid_v2_data_pipeline_spark.functions.classifier import (
+        lcg_weights,
+        score_documents,
+    )
+
+    corpus, bench = _setup(spark)
+    w = lcg_weights(64, seed=17)
+    state = str(tmp_path / "state")
+    for bid, b in enumerate(_batches(corpus)):
+        admit_increment(
+            b, bid, state, bench, clf_weights=w, clf_bias=0.1, clf_min=0.5249
+        )
+
+    inc = curated_view(spark, state, WEIGHTS)
+    gated = (
+        score_documents(corpus, "text", w, 0.1)
+        .filter(F.col("clf_score") >= 0.5249)
+        .drop("clf_score")
+    )
+    full = curate(gated, bench, WEIGHTS)
+    got, want = _mix_rows(inc), _mix_rows(full)
+    assert got == want and len(got) > 0
