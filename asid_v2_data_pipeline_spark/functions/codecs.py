@@ -26,6 +26,52 @@ import numpy as np
 # --------------------------------------------------------------------------
 
 
+def _build_mulaw_table() -> "np.ndarray":
+    """G.711 mu-law decode table (code byte -> linear int16), built from
+    the ITU-T definition: invert, split sign/exponent/mantissa, expand
+    with the 0x84 bias."""
+    out = np.zeros(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        x = (((mant << 3) + 0x84) << exp) - 0x84
+        out[code] = -x if sign else x
+    return out
+
+
+_MULAW_TABLE = _build_mulaw_table()
+
+
+def mulaw_encode(samples: "np.ndarray") -> "np.ndarray":
+    """Linear int16 -> G.711 mu-law code bytes (the fixture-writer half;
+    standard clamp to +/-32635, bias, exponent-segment search)."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.clip(np.abs(x), 0, 32635) + 0x84
+    exp = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def write_wav_mulaw(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Minimal mu-law WAV writer (fixture builder): linear int16 in,
+    audio_format=7 / 8-bit container out."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    codes = mulaw_encode(a)
+    nch = a.shape[1]
+    fmt = struct.pack("<HHIIHH", 7, nch, sample_rate, sample_rate * nch, nch, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data = codes.tobytes()
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a RIFF/WAVE container; returns ``(sample_rate, n_channels,
     samples)`` where samples is int16 (16-bit PCM) or uint8 (8-bit PCM)
@@ -48,12 +94,16 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
-    if audio_format != 1:
+    if audio_format == 7:  # G.711 mu-law: telephony's 8-bit log PCM
+        if bits != 8:
+            raise NotImplementedError(f"{bits}-bit mu-law not supported")
+        arr = _MULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format != 1:
         raise NotImplementedError(
             f"WAV audio format {audio_format} is not PCM; compressed "
             "audio needs real codec libraries"
         )
-    if bits == 8:
+    elif bits == 8:
         arr = np.frombuffer(data, dtype=np.uint8)
     elif bits == 16:
         arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")

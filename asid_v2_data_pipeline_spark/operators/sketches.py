@@ -212,6 +212,83 @@ def hll_estimate(registers: DataFrame, p: int = 6) -> DataFrame:
     return agg.select(F.round(est, 6).alias("estimate"))
 
 
+def hll_registers_by(
+    items: DataFrame, group_cols: list[str], hash_col: str, p: int = 6
+) -> DataFrame:
+    """Per-group register tables: ``(*group_cols, _reg, _rank)`` — one
+    groupBy over at most ``groups × 2^p`` keys.  The per-group sketch
+    state is what a 100 TB cube keeps instead of per-group distinct
+    sets; merge across time/partitions by register-wise MAX within the
+    group."""
+    h = _permuted(F.col(hash_col), *_perm_constants(1, seed=131)[0])
+    rb = _hll_rank_bits(p)
+    w = F.shiftright(h, p) % F.lit(1 << rb)
+    return (
+        items.select(
+            *group_cols,
+            (h % F.lit(1 << p)).alias("_reg"),
+            _rank_expr(w, rb).alias("_r"),
+        )
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_r").alias("_rank"))
+    )
+
+
+def hll_estimate_by(
+    registers: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Per-group estimates from grouped registers (same bias/linear
+    correction as :func:`hll_estimate`)."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    agg = registers.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("_rank"))), F.lit(0.0)
+        ).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    raw = F.lit(alpha * m * m) / (F.col("_s") + (F.lit(m) - F.col("_nz")))
+    zeros = F.lit(m) - F.col("_nz")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 6).alias("estimate"))
+
+
+def hll_by_sql(
+    src: str, group_cols: list[str], hash_expr: str, p: int = 6, tag: str = ""
+) -> str:
+    """CTE twin of the grouped form: final CTE ``hllg{tag}``
+    with ``(*group_cols, estimate)``."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    rb = _hll_rank_bits(p)
+    a, b = _perm_constants(1, seed=131)[0]
+    perm = permuted_sql("h", a, b)
+    rank = _rank_sql("w", rb)
+    g = ", ".join(group_cols)
+    return f"""
+ghh{tag} AS (SELECT {g}, {hash_expr} AS h FROM {src}),
+ghp{tag} AS (SELECT {g}, {perm} AS ph FROM ghh{tag}),
+ghr{tag} AS (
+  SELECT {g}, ph % {m} AS _reg, (ph // {m}) % {1 << rb} AS w FROM ghp{tag}
+),
+ghregs{tag} AS (
+  SELECT {g}, _reg, MAX({rank}) AS _rank FROM ghr{tag} GROUP BY {g}, _reg
+),
+ghagg{tag} AS (
+  SELECT {g}, COALESCE(SUM(POWER(2.0, -_rank)), 0.0) AS s, COUNT(*) AS nz
+  FROM ghregs{tag} GROUP BY {g}
+),
+hllg{tag} AS (
+  SELECT {g}, ROUND(
+    CASE WHEN ({alpha} * {m} * {m}) / (s + ({m} - nz)) <= {2.5 * m}
+              AND ({m} - nz) > 0
+         THEN {float(m)} * ln({float(m)} / ({m} - nz))
+         ELSE ({alpha} * {m} * {m}) / (s + ({m} - nz)) END, 6) AS estimate
+  FROM ghagg{tag}
+)"""
+
+
 def hll_sql(src: str, hash_expr: str, p: int = 6, tag: str = "") -> str:
     """CTE twin: final CTE ``hll{tag}(estimate)``."""
     m = 1 << p

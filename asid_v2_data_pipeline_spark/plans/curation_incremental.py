@@ -241,6 +241,9 @@ def curate_document_stream(
     bands: int = 4,
     shingle_n: int = 3,
     max_files_per_trigger: int = 1,
+    clf_weights: list[float] | None = None,
+    clf_bias: float = 0.0,
+    clf_min: float = 0.5,
 ):
     """The streaming form of the admission loop: each micro-batch runs
     ``admit_increment`` against the persisted state (``availableNow``
@@ -271,6 +274,9 @@ def curate_document_stream(
             bands=bands,
             shingle_n=shingle_n,
             return_stats=False,
+            clf_weights=clf_weights,
+            clf_bias=clf_bias,
+            clf_min=clf_min,
         )
 
     return (

@@ -2512,6 +2512,38 @@ FROM hll
 """
 
 
+def sk_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL: distinct users per event_type from per-group
+    register tables (groups × 64 keys of state — the cube form) next to
+    the exact distincts; both engines re-derive every register."""
+    from ..operators.sketches import hll_estimate_by, hll_registers_by
+
+    e = load_table(spark, sf_dir, "events")
+    items = e.select("event_type", F.col("user_id").cast("long").alias("_h"))
+    est = hll_estimate_by(
+        hll_registers_by(items, ["event_type"], "_h", p=6), ["event_type"], p=6
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").orderBy("event_type")
+
+
+def _sk_hll_by_sql() -> str:
+    from ..operators.sketches import hll_by_sql
+
+    return f"""
+WITH src AS (SELECT event_type, CAST(user_id AS BIGINT) AS h FROM events),
+{hll_by_sql("src", ["event_type"], "h", p=6)}
+SELECT g.event_type, g.estimate, x.exact_distinct
+FROM hllg g JOIN (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+) x USING (event_type)
+ORDER BY event_type
+"""
+
+
 def tx_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary statistics per language: distinct token types, total
     tokens, type-token ratio — one explode + one two-level aggregate."""
@@ -3223,6 +3255,7 @@ REGISTRY = {
     "tx_type_token_ratio": (tx_type_token_ratio, TX_TTR_SQL),
     "sk_cms_top_tokens": (sk_cms_top_tokens, _sk_cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, _sk_hll_sql()),
+    "sk_hll_by_group": (sk_hll_by_group, _sk_hll_by_sql()),
     "tx_zipf_slope": (tx_zipf_slope, TX_ZIPF_SQL),
     "dd_semantic_text": (dd_semantic_text, DD_SEMANTIC_TEXT_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),

@@ -227,3 +227,53 @@ def test_decode_stub_accepts_text_starting_with_id3():
     assert len(DecodeStub.decode(b"ID3 tags are metadata containers")) == 8
     with pytest.raises(NotImplementedError, match="compressed codec"):
         DecodeStub.decode(b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 8)
+
+
+def test_mulaw_wav_roundtrip_and_bounds():
+    """G.711 mu-law: decode(encode(x)) matches an independent pure-
+    Python model byte-for-byte; the full container round-trips through
+    parse_wav; quantization error obeys the segment bound."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _MULAW_TABLE,
+        mulaw_encode,
+        parse_wav,
+        write_wav_mulaw,
+    )
+
+    # independent reference encode (branch/loop form, no numpy tricks)
+    def ref_encode(x):
+        sign = 0x80 if x < 0 else 0
+        mag = min(abs(int(x)), 32635) + 0x84
+        exp = 7
+        for e in range(8):
+            if mag < (1 << (e + 8)):
+                exp = e
+                break
+        mant = (mag >> (exp + 3)) & 0x0F
+        return ~(sign | (exp << 4) | mant) & 0xFF
+
+    rng = np.random.RandomState(3)
+    xs = np.concatenate(
+        [
+            rng.randint(-32768, 32768, 500),
+            np.array([0, 1, -1, 132, -132, 32635, -32635, 32767, -32768]),
+        ]
+    ).astype(np.int16)
+    got = mulaw_encode(xs)
+    want = np.array([ref_encode(int(x)) for x in xs], dtype=np.uint8)
+    assert np.array_equal(got, want)
+
+    # container round-trip: parse returns the decoded linear samples
+    blob = write_wav_mulaw(xs, sample_rate=8000)
+    rate, nch, samples = parse_wav(blob)
+    assert (rate, nch) == (8000, 1)
+    assert np.array_equal(samples[:, 0], _MULAW_TABLE[got])
+
+    # error bound: mu-law quantization error < segment step size
+    dec = _MULAW_TABLE[got].astype(np.int64)
+    err = np.abs(dec - np.clip(xs.astype(np.int64), -32635, 32635))
+    mag = np.abs(np.clip(xs.astype(np.int64), -32635, 32635)) + 0x84
+    step = np.array([1 << (int(np.floor(np.log2(m))) - 4) for m in mag])
+    assert (err <= step).all()
