@@ -50,8 +50,8 @@ def checked_long_id(id_col: str, context: str):
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"{context}: {id_col} must be a non-null numeric "
-                    "(long-castable) id; got "
+                    f"{context}: {id_col} must be numeric "
+                    "(long-castable) and non-NULL; got "
                 ),
                 F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
             )

@@ -1670,7 +1670,7 @@ def test_token_budget_rejects_null_ids(spark):
         [(1, "en", "some words"), (None, "en", "ghost words")],
         "doc_id long, lang string, text string",
     )
-    with pytest.raises(Exception, match="non-null numeric"):
+    with pytest.raises(Exception, match="non-NULL"):
         select_to_token_budget(d, "lang", {"en": 100}).collect()
 
 
