@@ -161,3 +161,64 @@ def test_hll_large_m_and_empty_input(spark):
     empty = spark.createDataFrame([], "_h long")
     e = hll_estimate(hll_registers(empty, "_h", p=6), p=6).first()["estimate"]
     assert e == 0.0
+
+
+def test_streaming_hll_equals_batch_registers(spark, tmp_path):
+    """Grouped-HLL stream: per-batch register partitions + MAX-merging
+    read view == hll_registers_by over the union; estimates agree; a
+    checkpointed restart over the consumed source changes nothing
+    (append-only state, per-_bid dynamic overwrite)."""
+    from asid_v2_data_pipeline_spark.operators.sketches import (
+        hll_estimate_by,
+        hll_registers_by,
+    )
+    from asid_v2_data_pipeline_spark.streaming.sketch_stream import (
+        maintain_hll,
+        read_hll_registers,
+    )
+
+    a = spark.createDataFrame(
+        [("click", i) for i in range(1, 40)] + [("view", i) for i in range(5, 20)],
+        "etype string, _h long",
+    )
+    b = spark.createDataFrame(
+        [("click", i) for i in range(30, 70)] + [("buy", i) for i in range(1, 9)],
+        "etype string, _h long",
+    )
+    src = str(tmp_path / "src")
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    tgt, ck = str(tmp_path / "hll"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema("etype string, _h long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = maintain_hll(stream, tgt, ["etype"], "_h", ck, p=6)
+    q.awaitTermination(120)
+
+    live = read_hll_registers(spark, tgt, ["etype"])
+    direct = hll_registers_by(a.unionByName(b), ["etype"], "_h", p=6)
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est_live = sorted(
+        map(tuple, hll_estimate_by(live, ["etype"], 6).collect())
+    )
+    est_direct = sorted(
+        map(tuple, hll_estimate_by(direct, ["etype"], 6).collect())
+    )
+    assert est_live == est_direct
+
+    stream2 = (
+        spark.readStream.schema("etype string, _h long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q2 = maintain_hll(stream2, tgt, ["etype"], "_h", ck, p=6)
+    q2.awaitTermination(120)
+    live2 = read_hll_registers(spark, tgt, ["etype"])
+    assert sorted(map(tuple, live2.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
