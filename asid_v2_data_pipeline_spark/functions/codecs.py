@@ -352,12 +352,194 @@ def write_png(
     )
 
 
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    CLEAR resets the table, widths grow to 12 bits, codes packed
+    LSB-first.  Handles the KwK case (code == next table slot)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader, LSB-first
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int | None:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return None
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            if byte >> ((bitpos + i) & 7) & 1:
+                v |= 1 << i
+        bitpos += width
+        return v
+
+    def fresh():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    prev: list[int] | None = None
+    while len(out) < n_pixels:
+        code = read(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == len(table) + 2:  # KwK
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None:
+            # next assignable code = len(table) + 2 (CLEAR/EOI reserved)
+            table[len(table) + 2] = prev + [entry[0]]
+            # width grows when the next code to assign would not fit
+            if len(table) + 2 == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def parse_gif(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced GIF87a/89a first frame to uint8 RGB
+    (h, w, 3): logical screen + global color table, extensions skipped,
+    LZW-decompressed indices mapped through the palette.  Interlaced
+    images and local color tables raise ``NotImplementedError``."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF container")
+    w0, h0, flags = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos)
+        palette = palette.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF is not supported")
+            if iflags & 0x80:
+                raise NotImplementedError("local color tables are not supported")
+            if palette is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF pixel data")
+            arr = np.asarray(idx, dtype=np.int32).reshape(ih, iw)
+            return palette[arr].astype(np.uint8)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-flavor LZW encoder (fixture half): CLEAR first, table resets
+    at 4096 entries, codes packed LSB-first."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[int] = []
+    width = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal width
+        for i in range(width):
+            out_bits.append((code >> i) & 1)
+
+    def fresh():
+        return {(i,): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    emit(clear)
+    buf: tuple[int, ...] = ()
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = (sym,)
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    by = bytearray()
+    for i in range(0, len(out_bits), 8):
+        v = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            v |= bit << j
+        by.append(v)
+    return bytes(by)
+
+
+def write_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Minimal non-interlaced GIF89a writer (fixture builder):
+    ``indices`` (h, w) uint8 into ``palette`` (n, 3) uint8 with n a
+    power of two >= 2."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    n = pal.shape[0]
+    bits = max(1, (n - 1).bit_length())
+    if n != (1 << bits):
+        raise ValueError("palette size must be a power of two")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = max(2, bits)
+    out.append(min_code)
+    data = _lzw_encode([int(x) for x in idx.ravel()], min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: BMP or PNG -> uint8 RGB-ish array
-    (PNG alpha/gray channels preserved).  Other formats raise
+    """Magic-dispatched image decode: BMP, PNG or GIF -> uint8 RGB-ish
+    array (PNG alpha/gray channels preserved).  Other formats raise
     ``NotImplementedError`` (JPEG etc. need real codec libraries)."""
     if payload[:2] == b"BM":
         return parse_bmp(payload)
     if payload[:8] == PNG_MAGIC:
         return parse_png(payload)
+    if payload[:4] == b"GIF8":
+        return parse_gif(payload)
     raise NotImplementedError("unsupported image container")

@@ -277,3 +277,72 @@ def test_mulaw_wav_roundtrip_and_bounds():
     mag = np.abs(np.clip(xs.astype(np.int64), -32635, 32635)) + 0x84
     step = np.array([1 << (int(np.floor(np.log2(m))) - 4) for m in mag])
     assert (err <= step).all()
+
+
+def test_gif_lzw_roundtrip_and_independent_decoder():
+    """GIF write->parse round-trips exactly across palette sizes,
+    table-reset stress, and max-compression runs (the KwK LZW case);
+    the engine's bit-level LZW output also decodes identically under an
+    independent list-based decoder written here."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _lzw_encode,
+        parse_gif,
+        write_gif,
+    )
+
+    rng = np.random.RandomState(7)
+    for n_pal, shape in [(4, (8, 8)), (16, (13, 9)), (256, (24, 31)), (2, (5, 5))]:
+        pal = rng.randint(0, 256, (n_pal, 3)).astype(np.uint8)
+        idx = rng.randint(0, n_pal, shape).astype(np.uint8)
+        rgb = parse_gif(write_gif(idx, pal))
+        assert np.array_equal(rgb, pal[idx])
+
+    idx = np.zeros((64, 64), dtype=np.uint8)  # KwK-heavy runs
+    pal = np.array([[9, 8, 7], [1, 2, 3]], dtype=np.uint8)
+    assert np.array_equal(parse_gif(write_gif(idx, pal)), pal[idx])
+
+    # independent LZW decoder (list-table form, different structure)
+    def ref_decode(data, mcs, n):
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        bits = []
+        for byte in data:
+            for i in range(8):
+                bits.append((byte >> i) & 1)
+        pos, width = 0, mcs + 1
+        table = [[i] for i in range(clear)] + [None, None]
+        out, prev = [], None
+        while len(out) < n and pos + width <= len(bits):
+            code = sum(b << i for i, b in enumerate(bits[pos : pos + width]))
+            pos += width
+            if code == eoi:
+                break
+            if code == clear:
+                table = [[i] for i in range(clear)] + [None, None]
+                width, prev = mcs + 1, None
+                continue
+            if code < len(table) and table[code] is not None:
+                entry = list(table[code])
+            else:
+                entry = prev + [prev[0]]
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + [entry[0]])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+        return out[:n]
+
+    seq = [int(x) for x in rng.randint(0, 16, 3000)]
+    enc = _lzw_encode(seq, 4)
+    assert ref_decode(enc, 4, len(seq)) == seq
+
+    # interlaced flag raises
+    blob = bytearray(write_gif(np.zeros((4, 4), np.uint8), pal))
+    desc = blob.index(0x2C)
+    blob[desc + 9] |= 0x40
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        parse_gif(bytes(blob))
