@@ -2197,6 +2197,55 @@ def mm_png_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def mm_gif_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode per document: text bytes become palette indices
+    of a genuine GIF whose global palette is the identity grayscale
+    (palette[i] = (i,i,i)), so LZW decompression + palette mapping must
+    reproduce the octets exactly; ``decode_image_pool`` magic-
+    dispatches to ``parse_gif`` and 2×2 block-mean pools.  Oracle = raw
+    text octets pooled (same as the BMP/PNG paths) — any mistake in the
+    variable-width code reader, table resets, or the KwK case breaks
+    parity."""
+    from ..operators.multimodal import decode_image_pool
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import write_gif
+
+        n = _BMP_W * _BMP_H
+        pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                buf = t.encode("utf-8")[:n].ljust(n, b"\0")
+                idx = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    _BMP_H, _BMP_W
+                )
+                payloads.append(write_gif(idx, pal))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    pooled = decode_image_pool(media, _BMP_F)
+    k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
+    sel = [
+        F.round(F.element_at("pooled", i + 1), 6).alias(f"p{i}")
+        for i in range(k)
+    ]
+    return pooled.select(
+        F.col("media_id").alias("doc_id"), "width", "height", *sel
+    ).orderBy("doc_id")
+
+
 _FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
 
 
@@ -3314,6 +3363,7 @@ REGISTRY = {
     "mm_wav_rms": (mm_wav_rms, _mm_wav_sql()),
     "mm_bmp_pool": (mm_bmp_pool, _mm_bmp_sql()),
     "mm_png_pool": (mm_png_pool, _mm_bmp_sql()),
+    "mm_gif_pool": (mm_gif_pool, _mm_bmp_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }
