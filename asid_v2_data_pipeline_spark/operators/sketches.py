@@ -133,6 +133,113 @@ cms{tag} AS (
 )"""
 
 
+# --- log-bucket histogram (mergeable approximate quantiles) -------------------
+
+HIST_MAX_BITS = 41  # values up to ~2.2e12 scaled units
+
+
+def _fixed_point(value: Column, scale: int) -> Column:
+    """Non-negative double -> scaled long (floor).  Integer from here
+    on: bucketing never touches float log, so both engines agree at
+    every power-of-two boundary (the HLL rank-ladder lesson)."""
+    return F.floor(value * F.lit(scale)).cast("long")
+
+
+def log_histogram(
+    items: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Mergeable quantile sketch: count per power-of-two bucket of the
+    fixed-point value — ``_bucket = bit_length(floor(v*scale))`` via
+    the integer CASE ladder (bucket 0 = value 0; negatives raise
+    upstream contracts — filter first).  ≤ ``HIST_MAX_BITS`` + 1 groups
+    total, additive merge (cell-wise sum — composes with
+    ``maintain_rollup`` exactly like the CMS), so per-day / per-source
+    histograms roll up without raw retention."""
+    v = _fixed_point(F.col(value_col), scale)
+    # bit_length via the rank ladder: rank r means leftmost 1 at
+    # position r (1-based from the TOP of a HIST_MAX_BITS window), so
+    # bit_length = HIST_MAX_BITS + 1 - r; v == 0 -> bucket 0
+    bucket = F.when(v <= 0, F.lit(0)).otherwise(
+        F.lit(HIST_MAX_BITS + 1) - _rank_expr(v, HIST_MAX_BITS)
+    )
+    return (
+        items.select(bucket.alias("_bucket"))
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, quantiles: list[float], scale: int = 100
+) -> DataFrame:
+    """Quantile estimates from a log-bucket histogram: nearest-rank
+    over the cumulative bucket counts, estimate = the bucket's
+    geometric midpoint ``1.5 * 2^(b-1) / scale`` (0 for bucket 0).
+    Relative error is bounded by the bucket ratio (×2 buckets → ≤ ~50%
+    of the true value; tighten with a larger log base at more state).
+    Closed-form integer/double arithmetic — portable."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = hist.withColumn("_cum", F.sum("cnt").over(w))
+    total = hist.agg(F.sum("cnt").alias("_n"))
+    cc = c.crossJoin(F.broadcast(total))
+    mid = F.when(F.col("_bucket") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.5) * F.pow(F.lit(2.0), F.col("_bucket") - 1) / F.lit(float(scale))
+    )
+    aggs = []
+    for q in quantiles:
+        rank = F.ceil(F.lit(float(q)) * F.col("_n"))
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("_cum") >= rank, mid)), 6
+            ).alias(f"p{int(q * 100)}")
+        )
+    return cc.agg(*aggs)
+
+
+def log_histogram_sql(
+    src: str, value_expr: str, scale: int = 100, tag: str = ""
+) -> str:
+    """CTE twin: final CTE ``hist{tag}(_bucket, cnt)``."""
+    rank = _rank_sql("fx", HIST_MAX_BITS)
+    return f"""
+hfx{tag} AS (
+  SELECT CAST(FLOOR(({value_expr}) * {scale}) AS BIGINT) AS fx FROM {src}
+),
+hbk{tag} AS (
+  SELECT CASE WHEN fx <= 0 THEN 0
+              ELSE {HIST_MAX_BITS + 1} - {rank} END AS _bucket
+  FROM hfx{tag}
+),
+hist{tag} AS (SELECT _bucket, COUNT(*) AS cnt FROM hbk{tag} GROUP BY _bucket)"""
+
+
+def histogram_quantiles_sql(
+    hist_cte: str, quantiles: list[float], scale: int = 100
+) -> str:
+    """SELECT twin of histogram_quantiles over a hist CTE."""
+    mid = (
+        "CASE WHEN _bucket = 0 THEN 0.0 "
+        f"ELSE 1.5 * POWER(2.0, _bucket - 1) / {float(scale)} END"
+    )
+    cols = ", ".join(
+        f"ROUND(MIN(CASE WHEN _cum >= CEIL({float(q)} * _n) THEN {mid} END), 6)"
+        f" AS p{int(q * 100)}"
+        for q in quantiles
+    )
+    return f"""
+SELECT {cols} FROM (
+  SELECT _bucket, cnt,
+         SUM(cnt) OVER (ORDER BY _bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         SUM(cnt) OVER () AS _n
+  FROM {hist_cte}
+)"""
+
+
 # --- HyperLogLog --------------------------------------------------------------
 
 HLL_RANK_BITS = 25  # rank window for the default p=6 (31-bit hash - p)

@@ -2561,6 +2561,28 @@ FROM hll
 """
 
 
+def sk_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch over event values: power-of-two
+    fixed-point buckets (integer bit-length ladder — no float log) →
+    nearest-rank quantile estimates from the cumulative histogram.
+    ~42 cells of state regardless of cardinality; additive merge.
+    Accuracy vs exact quantiles is pinned in tests/test_sketches.py."""
+    from ..operators.sketches import histogram_quantiles, log_histogram
+
+    e = load_table(spark, sf_dir, "events")
+    hist = log_histogram(e.select("value"), "value", scale=100)
+    return histogram_quantiles(hist, [0.5, 0.9, 0.99], scale=100)
+
+
+def _sk_hist_sql() -> str:
+    from ..operators.sketches import histogram_quantiles_sql, log_histogram_sql
+
+    return f"""
+WITH {log_histogram_sql("events", "value", 100)}
+{histogram_quantiles_sql("hist", [0.5, 0.9, 0.99], 100)}
+"""
+
+
 def sk_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HLL: distinct users per event_type from per-group
     register tables (groups × 64 keys of state — the cube form) next to
@@ -3305,6 +3327,7 @@ REGISTRY = {
     "sk_cms_top_tokens": (sk_cms_top_tokens, _sk_cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, _sk_hll_sql()),
     "sk_hll_by_group": (sk_hll_by_group, _sk_hll_by_sql()),
+    "sk_quantile_histogram": (sk_quantile_histogram, _sk_hist_sql()),
     "tx_zipf_slope": (tx_zipf_slope, TX_ZIPF_SQL),
     "dd_semantic_text": (dd_semantic_text, DD_SEMANTIC_TEXT_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),

@@ -222,3 +222,39 @@ def test_streaming_hll_equals_batch_registers(spark, tmp_path):
     assert sorted(map(tuple, live2.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_log_histogram_quantiles_accuracy_and_merge(spark):
+    """Estimates stay within the power-of-two bucket bound of the true
+    quantile (est/true in [0.5, 2.0] — one bucket of slack each way);
+    histograms merge additively (streamed halves == direct)."""
+    import random
+
+    from asid_v2_data_pipeline_spark.operators.sketches import (
+        histogram_quantiles,
+        log_histogram,
+    )
+
+    rng = random.Random(17)
+    vals = [rng.lognormvariate(2.0, 1.0) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    hist = log_histogram(df, "value", scale=100)
+    est = histogram_quantiles(hist, [0.5, 0.9, 0.99], scale=100).first()
+    svals = sorted(vals)
+    import math
+
+    for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        true = svals[math.ceil(q * len(vals)) - 1]
+        assert 0.5 <= est[col] / true <= 2.0, (q, est[col], true)
+
+    a = spark.createDataFrame([(v,) for v in vals[:2000]], "value double")
+    b = spark.createDataFrame([(v,) for v in vals[2000:]], "value double")
+    merged = (
+        log_histogram(a, "value", 100)
+        .unionByName(log_histogram(b, "value", 100))
+        .groupBy("_bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, hist.collect())
+    )
