@@ -200,6 +200,100 @@ def histogram_quantiles(
     return cc.agg(*aggs)
 
 
+def log_histogram_by(
+    items: DataFrame, group_cols: list[str], value_col: str, scale: int = 100
+) -> DataFrame:
+    """Per-group log-bucket histograms: ``groups × ~42`` cells — the
+    cube form; merge across time/partitions by cell-wise addition
+    within the group."""
+    v = _fixed_point(F.col(value_col), scale)
+    bucket = F.when(v <= 0, F.lit(0)).otherwise(
+        F.lit(HIST_MAX_BITS + 1) - _rank_expr(v, HIST_MAX_BITS)
+    )
+    return (
+        items.select(*group_cols, bucket.alias("_bucket"))
+        .groupBy(*group_cols, "_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles_by(
+    hist: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group quantile estimates from grouped histograms (same
+    nearest-rank / geometric-midpoint arithmetic as the global form)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    c = hist.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_n", F.sum("cnt").over(wt)
+    )
+    mid = F.when(F.col("_bucket") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.5) * F.pow(F.lit(2.0), F.col("_bucket") - 1) / F.lit(float(scale))
+    )
+    aggs = [
+        F.round(
+            F.min(
+                F.when(F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_n")), mid)
+            ),
+            6,
+        ).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return c.groupBy(*group_cols).agg(*aggs)
+
+
+def log_histogram_by_sql(
+    src: str,
+    group_cols: list[str],
+    value_expr: str,
+    quantiles: list[float],
+    scale: int = 100,
+    tag: str = "",
+) -> str:
+    """CTE twin of the grouped histogram + quantiles: final CTE
+    ``histq{tag}(*group_cols, p..)``."""
+    rank = _rank_sql("fx", HIST_MAX_BITS)
+    g = ", ".join(group_cols)
+    mid = (
+        "CASE WHEN _bucket = 0 THEN 0.0 "
+        f"ELSE 1.5 * POWER(2.0, _bucket - 1) / {float(scale)} END"
+    )
+    cols = ", ".join(
+        f"ROUND(MIN(CASE WHEN _cum >= CEIL({float(q)} * _n) THEN {mid} END), 6)"
+        f" AS p{int(q * 100)}"
+        for q in quantiles
+    )
+    return f"""
+ghfx{tag} AS (
+  SELECT {g}, CAST(FLOOR(({value_expr}) * {scale}) AS BIGINT) AS fx FROM {src}
+),
+ghbk{tag} AS (
+  SELECT {g}, CASE WHEN fx <= 0 THEN 0
+                   ELSE {HIST_MAX_BITS + 1} - {rank} END AS _bucket
+  FROM ghfx{tag}
+),
+ghist{tag} AS (
+  SELECT {g}, _bucket, COUNT(*) AS cnt FROM ghbk{tag} GROUP BY {g}, _bucket
+),
+ghcum{tag} AS (
+  SELECT {g}, _bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY {g} ORDER BY _bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         SUM(cnt) OVER (PARTITION BY {g}) AS _n
+  FROM ghist{tag}
+),
+histq{tag} AS (SELECT {g}, {cols} FROM ghcum{tag} GROUP BY {g})"""
+
+
 def log_histogram_sql(
     src: str, value_expr: str, scale: int = 100, tag: str = ""
 ) -> str:

@@ -2583,6 +2583,30 @@ WITH {log_histogram_sql("events", "value", 100)}
 """
 
 
+def sk_quantile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile sketch: p50/p90/p99 of event values per event
+    type from per-group log-bucket histograms (groups × ~42 cells —
+    the cube form; every cell and estimate re-derived by the oracle)."""
+    from ..operators.sketches import histogram_quantiles_by, log_histogram_by
+
+    e = load_table(spark, sf_dir, "events")
+    hist = log_histogram_by(
+        e.select("event_type", "value"), ["event_type"], "value", scale=100
+    )
+    return histogram_quantiles_by(
+        hist, ["event_type"], [0.5, 0.9, 0.99], scale=100
+    ).orderBy("event_type")
+
+
+def _sk_hist_by_sql() -> str:
+    from ..operators.sketches import log_histogram_by_sql
+
+    return f"""
+WITH {log_histogram_by_sql("events", ["event_type"], "value", [0.5, 0.9, 0.99], 100)}
+SELECT event_type, p50, p90, p99 FROM histq ORDER BY event_type
+"""
+
+
 def sk_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HLL: distinct users per event_type from per-group
     register tables (groups × 64 keys of state — the cube form) next to
@@ -3328,6 +3352,7 @@ REGISTRY = {
     "sk_hll_distinct": (sk_hll_distinct, _sk_hll_sql()),
     "sk_hll_by_group": (sk_hll_by_group, _sk_hll_by_sql()),
     "sk_quantile_histogram": (sk_quantile_histogram, _sk_hist_sql()),
+    "sk_quantile_by_group": (sk_quantile_by_group, _sk_hist_by_sql()),
     "tx_zipf_slope": (tx_zipf_slope, TX_ZIPF_SQL),
     "dd_semantic_text": (dd_semantic_text, DD_SEMANTIC_TEXT_SQL),
     "dd_embedding_neardup": (dd_embedding_neardup, DD_EMB_SQL),
