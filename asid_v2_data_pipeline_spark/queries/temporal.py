@@ -415,6 +415,40 @@ def t_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def t_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: events whose value deviates more than
+    2.5σ from their event type's mean — the monitoring query every
+    event pipeline runs.  One hash exchange on event_type (the window
+    computes mean/σ per partition); at 100 TB replace the window with a
+    broadcast per-type stats table (same two aggregates)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_pop("value").over(w)
+    return (
+        e.withColumn("z", z)
+        .filter(F.abs("z") > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("z", 6).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+T_ZSCORE_SQL = """
+WITH scored AS (
+  SELECT event_id, event_type, value,
+         (value - AVG(value) OVER (PARTITION BY event_type)) /
+         STDDEV_POP(value) OVER (PARTITION BY event_type) AS z
+  FROM events
+)
+SELECT event_id, event_type, ROUND(value, 6) AS value, ROUND(z, 6) AS z
+FROM scored WHERE ABS(z) > 2.5 ORDER BY event_id
+"""
+
+
 def t_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded interval-containment join: every click landing inside a
     same-user "view" interval ``[ts, ts + floor(value)*600 seconds]``
@@ -609,6 +643,7 @@ REGISTRY = {
     "t_event_transitions": (t_event_transitions, T_TRANSITIONS_SQL),
     "t_rollup_daily": (t_rollup_daily, T_ROLLUP_SQL),
     "t_value_deciles": (t_value_deciles, T_DECILES_SQL),
+    "t_anomaly_zscore": (t_anomaly_zscore, T_ZSCORE_SQL),
     "t_funnel_conversion": (t_funnel_conversion, T_FUNNEL_SQL),
     "t_rolling_user_avg": (t_rolling_user_avg, T_ROLLING_SQL),
     "t_retention_cohorts": (t_retention_cohorts, T_RETENTION_SQL),
