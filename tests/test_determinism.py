@@ -42,6 +42,20 @@ CASES = [
     "t_gapfill_hourly",
     "sp_weighted_sample",
     "tx_top_quality_per_lang",
+    # round 5: sketches, fuzzy/bloom decontam, classifier, spans, BPE,
+    # contrastive triples, v2 flagship — same contract
+    "sk_cms_top_tokens",
+    "sk_hll_distinct",
+    "sk_quantile_by_group",
+    "dc_fuzzy_contamination",
+    "dc_bloom_prefilter",
+    "tx_classifier_score",
+    "dd_span_removal",
+    "tx_bpe_pairs",
+    "ds_contrastive_pairs",
+    "dd_cluster_best",
+    "cur_pipeline_v2",
+    "t_anomaly_zscore",
 ]
 
 
