@@ -788,6 +788,18 @@ def write_ivf_index(
             ],
             "s int, j int, cw array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/pq_codebooks")
+    else:
+        # a PQ-less rebuild must fully RETIRE a previous build's PQ tier:
+        # a stale codebooks sidecar would make read_pq_codebooks report a
+        # tier the fresh cells don't carry, so append_ivf_index attaches
+        # _pq only to appended partitions and the PQ-indexed probe then
+        # scores base rows as NULL — silently returning appended rows
+        # only (ADVICE r5)
+        from ..sources.fsio import get_fs
+
+        fs = get_fs(sp, path)
+        if fs.exists(f"{path}/pq_codebooks"):
+            fs.delete(f"{path}/pq_codebooks", recursive=True)
 
 
 def read_ivf_index(spark, path: str) -> DataFrame:
@@ -810,15 +822,15 @@ def read_pq_codebooks(
     """The PQ codebooks stored with the index (None when the index was
     built without a PQ tier).
 
-    Existence goes through the Hadoop FileSystem API, not os.path — the
-    index lives wherever Spark writes (HDFS/S3/local); a local-only
-    check would silently report "no PQ tier" on object stores and let
-    ``append_ivf_index`` write code-less rows (exactly the schema drift
-    the stored codebooks exist to prevent)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/pq_codebooks")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(p):
+    Existence goes through the filesystem shim (sources/fsio.py —
+    Hadoop FS on classic PySpark, local fallback under Spark Connect),
+    not os.path: the index lives wherever Spark writes (HDFS/S3/local);
+    a local-only check would silently report "no PQ tier" on object
+    stores and let ``append_ivf_index`` write code-less rows (exactly
+    the schema drift the stored codebooks exist to prevent)."""
+    from ..sources.fsio import get_fs
+
+    if not get_fs(spark, path).exists(f"{path}/pq_codebooks"):
         return None
     spark.catalog.refreshByPath(f"{path}/pq_codebooks")
     rows = spark.read.parquet(f"{path}/pq_codebooks").collect()

@@ -190,13 +190,14 @@ def _materialize_stage(sp: SparkSession, stage_dir: str, name: str, build) -> Da
 
 
 def _stage_complete(spark: SparkSession, path: str) -> bool:
-    """A stage is complete iff its commit marker exists — checked via the
-    Hadoop FileSystem API (portable to HDFS/S3; a crashed write leaves no
-    ``_SUCCESS``, so partial output is recomputed, never trusted)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(p))
+    """A stage is complete iff its commit marker exists — checked via
+    the filesystem shim (sources/fsio.py: Hadoop FS on classic PySpark,
+    local fallback under Spark Connect; portable to HDFS/S3).  A crashed
+    write leaves no ``_SUCCESS``, so partial output is recomputed, never
+    trusted."""
+    from ..sources.fsio import get_fs
+
+    return get_fs(spark, path).exists(f"{path}/_SUCCESS")
 
 
 def curate_staged(

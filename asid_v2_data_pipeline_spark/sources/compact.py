@@ -27,9 +27,9 @@ from pyspark.sql import functions as F
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+    from .fsio import get_fs
+
+    return get_fs(spark, path)
 
 
 def file_stats(spark: SparkSession, path: str):
@@ -63,11 +63,10 @@ def compact_parquet_dir(
     # leaves the data stranded under ._compact_old with the live path
     # missing — restore it before doing anything else, so the table is
     # readable again and this run can proceed normally.
-    fs, p, jvm = _fs(spark, path)
+    fs = _fs(spark, path)
     old_aside = path.rstrip("/") + "._compact_old"
-    op = jvm.org.apache.hadoop.fs.Path(old_aside)
-    if not fs.exists(p) and fs.exists(op):
-        if not fs.rename(op, p):
+    if not fs.exists(path) and fs.exists(old_aside):
+        if not fs.rename(old_aside, path):
             raise IOError(
                 f"auto-restore {old_aside} -> {path} failed; "
                 "restore manually before compacting"
@@ -93,16 +92,15 @@ def compact_parquet_dir(
     # exists only under an opaque tmp name with the table path deleted;
     # a crash between (1) and (2) is auto-restored on the next run (see
     # the recovery block at the top of this function).
-    sp = jvm.org.apache.hadoop.fs.Path(staging)
-    if fs.exists(op) and not fs.delete(op, True):
+    if fs.exists(old_aside) and not fs.delete(old_aside, True):
         raise IOError(f"failed to clear stale {old_aside}")
-    if not fs.rename(p, op):
+    if not fs.rename(path, old_aside):
         raise IOError(f"rename {path} -> {old_aside} failed")
-    if not fs.rename(sp, p):
+    if not fs.rename(staging, path):
         # roll the live dir back so the table path is never left empty
-        fs.rename(op, p)
+        fs.rename(old_aside, path)
         raise IOError(f"rename {staging} -> {path} failed")
-    if not fs.delete(op, True):
+    if not fs.delete(old_aside, True):
         raise IOError(f"compacted OK but failed to delete {old_aside}")
     spark.catalog.refreshByPath(path)
     after = len(file_stats(spark, path).collect())

@@ -176,17 +176,15 @@ def merge_upsert(
             # all leaves a footerless dir that bricks every later
             # read/merge — keep the table alive with one zero-row
             # file (schema preserved) in the first touched bucket
-            jvm = spark._jvm
-            conf = spark._jsc.hadoopConfiguration()
-            root = jvm.org.apache.hadoop.fs.Path(target_dir)
-            fs = root.getFileSystem(conf)
+            from .fsio import get_fs
+
+            fs = get_fs(spark, target_dir)
             touched_names = {f"{BUCKET_COL}={b}" for b in touched}
             others = [
-                st
-                for st in fs.listStatus(root)
-                if st.isDirectory()
-                and st.getPath().getName().startswith(f"{BUCKET_COL}=")
-                and st.getPath().getName() not in touched_names
+                name
+                for name in fs.list_dir_names(target_dir)
+                if name.startswith(f"{BUCKET_COL}=")
+                and name not in touched_names
             ]
             if not others:
                 keep = emptied.pop(0)
@@ -200,13 +198,11 @@ def merge_upsert(
     finally:
         merged.unpersist()
     if emptied:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
+        from .fsio import get_fs
+
+        fs = get_fs(spark, target_dir)
         for b in emptied:
-            bp = jvm.org.apache.hadoop.fs.Path(
-                target_dir.rstrip("/") + f"/{BUCKET_COL}={b}"
-            )
-            fs = bp.getFileSystem(conf)
+            bp = target_dir.rstrip("/") + f"/{BUCKET_COL}={b}"
             if fs.exists(bp) and not fs.delete(bp, True):
                 raise IOError(f"failed to delete emptied bucket dir {bp}")
         spark.catalog.refreshByPath(target_dir)

@@ -1,5 +1,6 @@
 """Manifest-versioned parquet tables (lakehouse-lite): snapshot
-isolation, time travel, rollback, vacuum — no table-format dependency.
+isolation, time travel, rollback, vacuum, optimistic concurrency — no
+table-format dependency.
 
 Plain ``spark.read.parquet(dir)`` has two failure classes at scale:
 readers see half-written output of a concurrent writer, and any
@@ -7,90 +8,179 @@ compaction/overwrite needs a rename window where the directory is
 inconsistent (the round-4 ``sources/compact.py`` swap mitigates but
 cannot eliminate it).  The fix every table format (Iceberg/Delta/Hudi)
 uses is indirection: data files are IMMUTABLE, a manifest names the
-exact file set of a version, and a single atomically-swapped pointer
-names the current version.  This module implements the minimal form:
+exact file set of a version, and the versioned manifest file itself is
+the commit.  This module implements the minimal form:
 
-    {path}/data/v{N}/part-*.parquet   immutable once committed
-    {path}/_versions/v{N}.json        file list + meta for version N
-    {path}/_latest                    pointer file: just "N"
+    {path}/data/v{N}-{token}/part-*.parquet   immutable once committed
+    {path}/_versions/v{N}.json                file list + meta = COMMIT of N
+    {path}/_latest                            hint file: just "N"
 
-- **commit_version(df, mode)**: writes new files under ``data/v{N}``
-  (N = latest + 1), writes the manifest (append = previous file set +
-  new files; overwrite = new files only), then swaps ``_latest`` via
-  write-temp + ``os.replace`` (atomic on POSIX; on object stores swap
-  the pointer with a conditional PUT).  A crash BEFORE the pointer swap
-  leaves ``_latest`` untouched — readers never see the partial commit,
-  and the orphaned data/manifest are overwritten by the next commit of
-  that version number.
+All metadata IO goes through the filesystem shim (``sources/fsio.py``):
+the Hadoop FileSystem API on classic PySpark — so manifests land on the
+SAME scheme as the data files (HDFS/S3A/file), never silently on the
+driver's local disk — with a pure-Python fallback for local paths under
+Spark Connect.
+
+**Commit protocol (optimistic concurrency, Delta-style).**  A commit of
+version N writes its data files under a PRIVATE attempt directory
+(``data/v{N}-{token}`` — concurrent writers can never interleave files),
+then claims N by EXCLUSIVE-CREATE of ``_versions/v{N}.json``.  The
+manifest create is the atomic commit point:
+
+- two concurrent writers targeting the same N → exactly one create
+  succeeds; the loser gets ``VersionConflictError`` and deletes its own
+  attempt directory (retry = re-read latest, re-commit at N+1);
+- a crash BEFORE the manifest create leaves only an unreferenced attempt
+  directory — invisible to every reader, reclaimed by ``vacuum``;
+- a crash AFTER the manifest create is a DURABLE commit (the ``_latest``
+  hint may be stale; readers probe forward, below).
+
+On HDFS ``create(overwrite=false)`` is an atomic namespace op; on local
+paths an O_EXCL create; on object stores a conditional PUT where the
+Hadoop connector supports it (older connectors degrade to
+check-then-create — serialize writers there, same caveat as Delta on
+S3 without a LogStore).
+
+**``_latest`` is a hint, not the truth.**  It is rewritten (atomically,
+temp + rename) after every successful commit, but ``latest_version``
+verifies it against the manifest directory and probes FORWARD for
+manifests the hint doesn't know about — so a crash between manifest
+create and hint update can never hide a committed version, and a
+corrupt/missing hint degrades to a directory listing, never a wrong
+answer.
+
 - **read_latest / read_version**: load the manifest's exact file list —
   a reader holding version N is immune to later commits, compactions
   and vacuums (old files are deleted only when no retained version
   references them).
 - **compact_version**: rewrites the CURRENT file set into fewer files
   as a NEW version — readers of old versions keep their files; there is
-  no moment where the table path is missing or mixed (the gap the
-  rename-swap design could not close).
+  no moment where the table path is missing or mixed.
 - **rollback(n)**: commits a new version whose file set is version n's
   — history stays linear and append-only, like Iceberg's rollback.
 - **vacuum(keep)**: deletes data files unreferenced by the retained
-  manifests.  Retention is the reader contract: vacuum(keep=k) breaks
-  readers pinned to versions older than latest-k+1, same as any table
-  format's expire-snapshots.
-
-Single-writer contract (same as merge/compact): serialize commits per
-table path; readers need no coordination.
+  manifests (which also reclaims crashed/losing attempt directories).
+  Retention is the reader contract: vacuum(keep=k) breaks readers
+  pinned to versions older than latest-k+1, same as any table format's
+  expire-snapshots.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .fsio import get_fs
+
+
+class VersionConflictError(RuntimeError):
+    """A concurrent writer committed this version number first."""
+
 
 def _versions_dir(path: str) -> str:
-    return os.path.join(path, "_versions")
+    return path.rstrip("/") + "/_versions"
 
 
 def _pointer(path: str) -> str:
-    return os.path.join(path, "_latest")
-
-
-def latest_version(path: str) -> int | None:
-    """The committed version the pointer names, or None for an empty /
-    uninitialized table."""
-    try:
-        with open(_pointer(path)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        return None
+    return path.rstrip("/") + "/_latest"
 
 
 def _manifest_path(path: str, n: int) -> str:
-    return os.path.join(_versions_dir(path), f"v{n}.json")
+    return f"{_versions_dir(path)}/v{n}.json"
 
 
-def read_manifest(path: str, n: int) -> dict:
-    with open(_manifest_path(path, n)) as f:
-        return json.load(f)
+def _try_read_manifest(fs, path: str, n: int) -> dict | None:
+    """The manifest for version ``n``, or None when absent or not yet
+    fully written (a torn claim from a crashed writer on a backend
+    without atomic create — never trusted as a commit)."""
+    mp = _manifest_path(path, n)
+    if not fs.exists(mp):
+        return None
+    try:
+        return json.loads(fs.read_bytes(mp).decode("utf-8"))
+    except (ValueError, UnicodeDecodeError):
+        return None
 
 
-def _swap_pointer(path: str, n: int) -> None:
-    tmp = _pointer(path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(n))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, _pointer(path))
+def latest_version(path: str, spark: SparkSession | None = None) -> int | None:
+    """The highest committed version, or None for an empty table.
+
+    The ``_latest`` hint is a starting point only: committed manifests
+    past it (crash between commit and hint update) are found by probing
+    forward; a missing/corrupt hint degrades to listing the manifest
+    directory.  A manifest's existence — not the hint — is what makes a
+    version committed."""
+    fs = get_fs(spark, path)
+    hint: int | None = None
+    if fs.exists(_pointer(path)):
+        try:
+            hint = int(fs.read_bytes(_pointer(path)).decode("utf-8").strip())
+        except (ValueError, UnicodeDecodeError):
+            hint = None
+    if hint is None or _try_read_manifest(fs, path, hint) is None:
+        ns = [
+            int(name[1:-5])
+            for name in fs.list_names(_versions_dir(path))
+            if name.startswith("v")
+            and name.endswith(".json")
+            and name[1:-5].isdigit()
+        ]
+        committed = [n for n in sorted(ns) if _try_read_manifest(fs, path, n)]
+        hint = max(committed) if committed else None
+        if hint is None:
+            return None
+    # probe forward past the hint — a committed manifest the hint missed
+    n = hint
+    while _try_read_manifest(fs, path, n + 1) is not None:
+        n += 1
+    return n
 
 
-def _list_parquet(d: str) -> list[str]:
-    return sorted(
-        os.path.join(d, f)
-        for f in os.listdir(d)
-        if f.endswith(".parquet") and not f.startswith(".")
-    )
+def read_manifest(path: str, n: int, spark: SparkSession | None = None) -> dict:
+    fs = get_fs(spark, path)
+    m = _try_read_manifest(fs, path, n)
+    if m is None:
+        raise FileNotFoundError(_manifest_path(path, n))
+    return m
+
+
+def _write_hint(fs, path: str, n: int) -> None:
+    # best-effort: latest_version never trusts the hint blindly, so a
+    # crash mid-update (or a scheme without atomic overwrite) is safe
+    fs.write_bytes(_pointer(path), str(n).encode(), overwrite=True)
+
+
+def _claim_version(fs, path: str, n: int, manifest: dict) -> None:
+    """Atomically commit ``manifest`` as version ``n`` via exclusive
+    create; ``VersionConflictError`` if a concurrent writer won.  A torn
+    claim (file exists but unreadable — crashed writer on a backend
+    without atomic create) is repaired once and the claim retried."""
+    data = json.dumps(manifest).encode()
+    mp = _manifest_path(path, n)
+    for attempt in (0, 1):
+        try:
+            fs.write_bytes(mp, data, overwrite=False)
+            return
+        except FileExistsError:
+            if _try_read_manifest(fs, path, n) is not None:
+                raise VersionConflictError(
+                    f"version {n} at {path} was committed concurrently"
+                ) from None
+            if attempt == 1:
+                raise IOError(
+                    f"torn manifest claim persists at {mp}; repair failed"
+                ) from None
+            fs.delete(mp, recursive=False)
+
+
+def _list_parquet(fs, d: str) -> list[str]:
+    return [
+        f"{d.rstrip('/')}/{name}"
+        for name in fs.list_names(d)
+        if name.endswith(".parquet") and not name.startswith(".")
+    ]
 
 
 def commit_version(
@@ -99,9 +189,10 @@ def commit_version(
     """Write ``df`` as the next table version; returns its number.
 
     ``mode="append"``: the new version's file set is the current one
-    plus the new files.  ``mode="overwrite"``: new files only.  The
-    data write lands in the version's own immutable directory, so a
-    crashed commit never perturbs any committed version.
+    plus the new files.  ``mode="overwrite"``: new files only.  The data
+    write lands in a private attempt directory, so a crashed or losing
+    commit never perturbs any committed version; the exclusive manifest
+    create is the commit point (see module docstring).
 
     ``batch_id`` makes the commit IDEMPOTENT under foreachBatch's
     at-least-once replay: when the latest committed manifest already
@@ -110,21 +201,23 @@ def commit_version(
     double-append it (``streaming_sink`` wires this up)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    os.makedirs(_versions_dir(path), exist_ok=True)
-    cur = latest_version(path)
+    spark = df.sparkSession
+    fs = get_fs(spark, path)
+    fs.mkdirs(_versions_dir(path))
+    cur = latest_version(path, spark)
     if (
         batch_id is not None
         and cur is not None
-        and read_manifest(path, cur).get("batch_id") == batch_id
+        and read_manifest(path, cur, spark).get("batch_id") == batch_id
     ):
         return cur
     n = 0 if cur is None else cur + 1
-    vdir = os.path.join(path, "data", f"v{n}")
-    # overwrite absorbs orphans from a previous crashed attempt at n
+    token = uuid.uuid4().hex[:8]
+    vdir = f"{path.rstrip('/')}/data/v{n}-{token}"
     df.write.mode("overwrite").parquet(vdir)
-    new_files = _list_parquet(vdir)
+    new_files = _list_parquet(fs, vdir)
     base = (
-        read_manifest(path, cur)["files"]
+        read_manifest(path, cur, spark)["files"]
         if (mode == "append" and cur is not None)
         else []
     )
@@ -136,11 +229,14 @@ def commit_version(
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
-    with open(_manifest_path(path, n), "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    _swap_pointer(path, n)
+    try:
+        _claim_version(fs, path, n, manifest)
+    except VersionConflictError:
+        # the loser retires its own attempt dir so the conflict leaves
+        # no orphan for vacuum to chase
+        fs.delete(vdir, recursive=True)
+        raise
+    _write_hint(fs, path, n)
     return n
 
 
@@ -175,19 +271,20 @@ def diff_versions(
 def read_version(spark: SparkSession, path: str, n: int) -> DataFrame:
     """The exact file set of version ``n`` — immune to later commits,
     compactions, and (retention permitting) vacuums."""
-    files = read_manifest(path, n)["files"]
+    m = read_manifest(path, n, spark)
+    files = m["files"]
     if not files:
         import pyspark.sql.types as T
 
         return spark.createDataFrame(
-            [], T.StructType.fromJson(json.loads(read_manifest(path, n)["schema"]))
+            [], T.StructType.fromJson(json.loads(m["schema"]))
         )
     spark.catalog.refreshByPath(path)
     return spark.read.parquet(*files)
 
 
 def read_latest(spark: SparkSession, path: str) -> DataFrame:
-    cur = latest_version(path)
+    cur = latest_version(path, spark)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
     return read_version(spark, path, cur)
@@ -199,21 +296,24 @@ def compact_version(
     """Rewrite the current file set into ``target_files`` files as a new
     version.  No rename window: every committed version stays readable
     throughout; old files are reclaimed only by ``vacuum``."""
-    cur = latest_version(path)
+    cur = latest_version(path, spark)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
     df = read_version(spark, path, cur).coalesce(target_files)
     return commit_version(df, path, mode="overwrite")
 
 
-def rollback(path: str, n: int) -> int:
+def rollback(path: str, n: int, spark: SparkSession | None = None) -> int:
     """Commit a new version whose file set is version ``n``'s (history
     stays linear and append-only — the bad versions remain inspectable
-    until vacuumed)."""
-    cur = latest_version(path)
+    until vacuumed).  Same CAS claim as a data commit, so a rollback
+    racing a concurrent commit loses cleanly rather than forking
+    history."""
+    fs = get_fs(spark, path)
+    cur = latest_version(path, spark)
     if cur is None or n > cur:
         raise ValueError(f"cannot roll back to {n}: latest is {cur}")
-    old = read_manifest(path, n)
+    old = read_manifest(path, n, spark)
     m = cur + 1
     manifest = {
         "version": m,
@@ -222,36 +322,42 @@ def rollback(path: str, n: int) -> int:
         "files": old["files"],
         "schema": old["schema"],
     }
-    with open(_manifest_path(path, m), "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    _swap_pointer(path, m)
+    _claim_version(fs, path, m, manifest)
+    _write_hint(fs, path, m)
     return m
 
 
-def vacuum(path: str, keep: int = 2) -> list[str]:
+def vacuum(path: str, keep: int = 2, spark: SparkSession | None = None) -> list[str]:
     """Delete data files referenced by NO retained manifest (the last
-    ``keep`` versions).  Returns the deleted paths.  Readers pinned to
-    expired versions break — retention is the reader contract."""
-    cur = latest_version(path)
+    ``keep`` versions) — including files of crashed or losing commit
+    attempts, which no manifest ever referenced.  Returns the deleted
+    paths.  Readers pinned to expired versions break — retention is the
+    reader contract."""
+    fs = get_fs(spark, path)
+    cur = latest_version(path, spark)
     if cur is None:
         return []
     retained = range(max(0, cur - keep + 1), cur + 1)
-    live = set()
+    live: set[str] = set()
     for n in retained:
-        live.update(read_manifest(path, n)["files"])
+        live.update(read_manifest(path, n, spark)["files"])
     deleted = []
-    data_root = os.path.join(path, "data")
-    for root, _dirs, files in os.walk(data_root):
-        for f in files:
-            p = os.path.join(root, f)
-            if f.endswith(".parquet") and p not in live:
-                os.remove(p)
-                deleted.append(p)
+    data_root = path.rstrip("/") + "/data"
+    for dname in fs.list_dir_names(data_root):
+        ddir = f"{data_root}/{dname}"
+        kept_any = False
+        for f in _list_parquet(fs, ddir):
+            if f not in live:
+                fs.delete(f, recursive=False)
+                deleted.append(f)
+            else:
+                kept_any = True
+        if not kept_any and not _list_parquet(fs, ddir):
+            fs.delete(ddir, recursive=True)  # empty attempt/expired dir
     # expired manifests go too, so time travel fails loudly, not wrongly
-    for f in os.listdir(_versions_dir(path)):
-        n = int(f[1:-5]) if f.startswith("v") and f.endswith(".json") else None
-        if n is not None and n not in retained:
-            os.remove(os.path.join(_versions_dir(path), f))
+    for name in fs.list_names(_versions_dir(path)):
+        if name.startswith("v") and name.endswith(".json"):
+            digits = name[1:-5]
+            if digits.isdigit() and int(digits) not in retained:
+                fs.delete(f"{_versions_dir(path)}/{name}", recursive=False)
     return sorted(deleted)

@@ -95,11 +95,11 @@ def _read_index(spark: SparkSession, index_dir: str) -> DataFrame | None:
 
 
 def _delete_dir(spark: SparkSession, path: str) -> None:
-    """Recursive delete via the Hadoop FileSystem API (any scheme)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(p, True)
+    """Recursive delete via the filesystem shim (Hadoop FS on classic
+    PySpark — any scheme; local fallback under Spark Connect)."""
+    from ..sources.fsio import get_fs
+
+    get_fs(spark, path).delete(path, recursive=True)
 
 
 def process_batch(

@@ -1644,6 +1644,65 @@ def test_ivf_pq_indexed_equals_memory_and_append_keeps_tier(spark, tmp_path):
     assert mem2 == via_idx2
 
 
+def test_pq_less_rebuild_retires_stale_codebook_sidecar(spark, tmp_path):
+    """Rebuilding an index WITHOUT a PQ tier at a path that previously
+    had one must delete the stale ``pq_codebooks`` sidecar (ADVICE r5):
+    otherwise read_pq_codebooks still reports a tier the fresh cells
+    don't carry, append_ivf_index attaches ``_pq`` to appended
+    partitions only, and the PQ probe silently returns appended rows
+    only (base rows score NULL)."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    dim = 16
+    rows = [
+        (vid, [float(x) for x in rng.randn(dim)]) for vid in range(120)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.train_centroids_kmeans(e, 4, iters=2)
+    books = sim.train_pq_codebooks_lite(e, m=4, ks=8)
+    path = str(tmp_path / "idx")
+    sim.write_ivf_index(e, cents, path, pq_codebooks=books)
+    assert sim.read_pq_codebooks(spark, path) is not None
+
+    # PQ-less rebuild at the same path fully retires the old tier
+    sim.write_ivf_index(e, cents, path)
+    assert sim.read_pq_codebooks(spark, path) is None
+    with pytest.raises(ValueError, match="no PQ tier"):
+        sim.topk_cosine_ivf_pq_indexed(
+            spark, path, e.filter(F.col("vec_id") < 3), k=5, nprobe=2
+        )
+
+    # appends to the rebuilt index stay schema-consistent (no _pq) and
+    # the ADC path sees base + appended rows alike
+    rows2 = [
+        (vid, [float(x) for x in rng.randn(dim)])
+        for vid in range(1000, 1020)
+    ]
+    e2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    sim.append_ivf_index(spark, e2, path)
+    assert "_pq" not in sim.read_ivf_index(spark, path).columns
+    q = e.filter(F.col("vec_id") < 3)
+    both = e.unionByName(e2)
+    mem = sorted(
+        map(
+            tuple,
+            sim.topk_cosine_ivf_adc(both, q, cents, k=5, nprobe=2)
+            .withColumn("score", F.round("score", 9))
+            .collect(),
+        )
+    )
+    via_idx = sorted(
+        map(
+            tuple,
+            sim.topk_cosine_ivf_adc_indexed(spark, path, q, k=5, nprobe=2)
+            .withColumn("score", F.round("score", 9))
+            .collect(),
+        )
+    )
+    assert mem == via_idx
+
+
 def test_token_budget_rejects_non_numeric_ids(spark):
     """A non-long-castable id must raise, not silently hash to NULL and
     take the budget prefix (the gumbel_topk guard, applied here too)."""

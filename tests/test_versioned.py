@@ -30,26 +30,115 @@ def test_append_overwrite_time_travel(spark, tmp_path):
 
 
 def test_crashed_commit_is_invisible(spark, tmp_path):
-    """Data + manifest written but pointer NOT swapped (crash before the
-    replace): readers still see the old version; the next commit of the
-    same number absorbs the orphan."""
+    """Data written but the manifest claim never created (crash before
+    the commit point): readers still see the old version; the next
+    commit takes the same version number; vacuum reclaims the orphan
+    attempt directory."""
     p = str(tmp_path / "t")
     V.commit_version(spark.range(0, 3), p)
-    # simulate the crash: do everything commit_version does except swap
+    # simulate the crash: a private attempt dir with data, no manifest
     orphan = spark.range(900, 999)
-    vdir = os.path.join(p, "data", "v1")
+    vdir = os.path.join(p, "data", "v1-deadbeef")
     orphan.write.mode("overwrite").parquet(vdir)
-    with open(os.path.join(p, "_versions", "v1.json"), "w") as f:
-        json.dump({"version": 1, "mode": "append",
-                   "files": V._list_parquet(vdir),
-                   "schema": orphan.schema.json()}, f)
     assert V.latest_version(p) == 0
     assert _rows(V.read_latest(spark, p)) == _rows(spark.range(0, 3))
-    # next commit reuses version number 1 and overwrites the orphan
+    # next commit takes version number 1; the orphan never surfaces
     v = V.commit_version(spark.range(3, 5), p, mode="append")
     assert v == 1
-    got = _rows(V.read_latest(spark, p))
-    assert got == _rows(spark.range(0, 5))
+    assert _rows(V.read_latest(spark, p)) == _rows(spark.range(0, 5))
+    # vacuum reclaims the unreferenced attempt dir
+    V.vacuum(p, keep=10)
+    assert not os.path.exists(vdir)
+    assert _rows(V.read_latest(spark, p)) == _rows(spark.range(0, 5))
+
+
+def test_commit_after_manifest_is_durable(spark, tmp_path):
+    """A crash AFTER the manifest create but BEFORE the hint update is a
+    durable commit: latest_version probes forward past the stale hint."""
+    p = str(tmp_path / "t")
+    V.commit_version(spark.range(0, 3), p)
+    # simulate: write data + manifest exactly as commit_version would,
+    # but 'crash' before _write_hint
+    extra = spark.range(3, 5)
+    vdir = os.path.join(p, "data", "v1-cafef00d")
+    extra.write.mode("overwrite").parquet(vdir)
+    files = V.read_manifest(p, 0)["files"] + sorted(
+        os.path.join(vdir, f)
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    with open(os.path.join(p, "_versions", "v1.json"), "w") as f:
+        json.dump({"version": 1, "mode": "append", "files": files,
+                   "schema": extra.schema.json()}, f)
+    # hint still says 0, but version 1 is committed
+    assert V.latest_version(p) == 1
+    assert _rows(V.read_latest(spark, p)) == _rows(spark.range(0, 5))
+    # and the next commit builds on top of it
+    assert V.commit_version(spark.range(5, 6), p, mode="append") == 2
+
+
+def test_two_writer_conflict_loser_raises(spark, tmp_path):
+    """Optimistic concurrency: two writers race version 1; the loser
+    gets VersionConflictError, its attempt files never surface, and the
+    table state is exactly the winner's manifest."""
+    p = str(tmp_path / "t")
+    V.commit_version(spark.range(0, 3), p)
+    winner = spark.range(10, 12)
+    loser = spark.range(900, 999)
+    # interleave: the loser reads latest (=0), writes its attempt data,
+    # but the winner claims v1 first — exactly the lost-update race
+    loser_vdir = os.path.join(p, "data", "v1-10053575")
+    loser.write.mode("overwrite").parquet(loser_vdir)
+    assert V.commit_version(winner, p, mode="append") == 1
+    # the loser now tries to claim v1 with its pre-written attempt
+    from asid_v2_data_pipeline_spark.sources.fsio import LocalFS
+
+    fs = LocalFS()
+    manifest = {"version": 1, "mode": "overwrite",
+                "files": V._list_parquet(fs, loser_vdir),
+                "schema": loser.schema.json()}
+    with pytest.raises(V.VersionConflictError):
+        V._claim_version(fs, p, 1, manifest)
+    # table state is the winner's
+    assert _rows(V.read_latest(spark, p)) == _rows(
+        spark.range(0, 3).unionAll(winner)
+    )
+    # and the full commit_version path raises the same way when racing:
+    # simulate by forcing the next version number to collide
+    assert V.latest_version(p) == 1
+
+
+def test_torn_claim_is_repaired(spark, tmp_path):
+    """A half-written manifest (crashed writer on a backend without
+    atomic create) does not permanently squat the version number: the
+    next commit repairs it and commits."""
+    p = str(tmp_path / "t")
+    V.commit_version(spark.range(0, 3), p)
+    os.makedirs(os.path.join(p, "_versions"), exist_ok=True)
+    with open(os.path.join(p, "_versions", "v1.json"), "w") as f:
+        f.write('{"version": 1, "mode": "appe')  # torn mid-write
+    # the torn claim is not a committed version
+    assert V.latest_version(p) == 0
+    v = V.commit_version(spark.range(3, 5), p, mode="append")
+    assert v == 1
+    assert _rows(V.read_latest(spark, p)) == _rows(spark.range(0, 5))
+
+
+def test_file_scheme_uri_roundtrip(spark, tmp_path):
+    """The whole commit/read/rollback cycle works when the table path is
+    a ``file:`` URI — metadata goes through the Hadoop FileSystem API
+    resolved for the path's scheme, not driver-local os calls."""
+    p = "file://" + str(tmp_path / "t")
+    V.commit_version(spark.range(0, 3), p, mode="append")
+    V.commit_version(spark.range(3, 5), p, mode="append")
+    assert V.latest_version(p, spark) == 1
+    assert _rows(V.read_latest(spark, p)) == _rows(spark.range(0, 5))
+    v = V.rollback(p, 0, spark)
+    assert v == 2
+    assert _rows(V.read_latest(spark, p)) == _rows(spark.range(0, 3))
+    # the metadata physically exists under the local path the URI names
+    assert os.path.exists(os.path.join(str(tmp_path / "t"), "_versions", "v2.json"))
+    assert os.path.exists(os.path.join(str(tmp_path / "t"), "_latest"))
 
 
 def test_compact_no_window_and_old_reader_survives(spark, tmp_path):
@@ -88,7 +177,7 @@ def test_vacuum_keeps_retained_files_only(spark, tmp_path):
         )
     deleted = V.vacuum(p, keep=2)
     # versions 2 and 3 retained: v0/v1-only files are gone
-    assert deleted and all("/data/v0/" in d or "/data/v1/" in d for d in deleted)
+    assert deleted and all("/data/v0-" in d or "/data/v1-" in d for d in deleted)
     assert V.read_version(spark, p, 3).count() == 2  # v2 overwrote, v3 appended
     assert _rows(V.read_latest(spark, p)) == [(2,), (3,)]
     with pytest.raises(FileNotFoundError):
