@@ -145,6 +145,35 @@ def _fixed_point(value: Column, scale: int) -> Column:
     return F.floor(value * F.lit(scale)).cast("long")
 
 
+def _hist_bucket(v: Column, value_col: str) -> Column:
+    """Power-of-two bucket of the fixed-point value, with a LOUD
+    overflow guard (ADVICE r5): a value whose fixed point exceeds the
+    rank ladder's 2^HIST_MAX_BITS range must raise, not silently clamp
+    into the top bucket — clamping caps upper-tail quantiles of
+    wide-range data at ~2^40/scale with no warning.  Out-of-range data
+    wants a larger HIST_MAX_BITS or a smaller ``scale``, both explicit
+    choices.  (Negatives raise upstream contracts — filter first; the
+    bucket for them here is 0 like zero, kept for NULL-safety of the
+    when-ladder.)"""
+    return (
+        F.when(
+            v >= F.lit(1 << HIST_MAX_BITS),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "log_histogram overflow: floor(value*scale) >= "
+                        f"2^{HIST_MAX_BITS} for value="
+                    ),
+                    F.col(value_col).cast("string"),
+                    F.lit("; lower scale= or raise HIST_MAX_BITS"),
+                )
+            ).cast("int"),
+        )
+        .when(v <= 0, F.lit(0))
+        .otherwise(F.lit(HIST_MAX_BITS + 1) - _rank_expr(v, HIST_MAX_BITS))
+    )
+
+
 def log_histogram(
     items: DataFrame, value_col: str, scale: int = 100
 ) -> DataFrame:
@@ -159,9 +188,7 @@ def log_histogram(
     # bit_length via the rank ladder: rank r means leftmost 1 at
     # position r (1-based from the TOP of a HIST_MAX_BITS window), so
     # bit_length = HIST_MAX_BITS + 1 - r; v == 0 -> bucket 0
-    bucket = F.when(v <= 0, F.lit(0)).otherwise(
-        F.lit(HIST_MAX_BITS + 1) - _rank_expr(v, HIST_MAX_BITS)
-    )
+    bucket = _hist_bucket(v, value_col)
     return (
         items.select(bucket.alias("_bucket"))
         .groupBy("_bucket")
@@ -207,9 +234,7 @@ def log_histogram_by(
     cube form; merge across time/partitions by cell-wise addition
     within the group."""
     v = _fixed_point(F.col(value_col), scale)
-    bucket = F.when(v <= 0, F.lit(0)).otherwise(
-        F.lit(HIST_MAX_BITS + 1) - _rank_expr(v, HIST_MAX_BITS)
-    )
+    bucket = _hist_bucket(v, value_col)
     return (
         items.select(*group_cols, bucket.alias("_bucket"))
         .groupBy(*group_cols, "_bucket")

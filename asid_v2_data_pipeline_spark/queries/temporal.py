@@ -418,34 +418,47 @@ def t_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outliers: events whose value deviates more than
     2.5σ from their event type's mean — the monitoring query every
-    event pipeline runs.  One hash exchange on event_type (the window
-    computes mean/σ per partition); at 100 TB replace the window with a
-    broadcast per-type stats table (same two aggregates)."""
+    event pipeline runs.
+
+    Broadcast-stats form (VERDICT r5 task 2): the per-type mean/σ are a
+    tiny partial-aggregated table (one row per event type), broadcast
+    back onto the stream — no ``Window.partitionBy(event_type)``, which
+    would concentrate a hot event type's entire row set in one task at
+    100 TB.  The scoring pass itself is embarrassingly parallel.
+
+    σ = 0 guard (ADVICE r5): a type whose values are all equal (or a
+    single event) has no outliers; without the guard z = 0/0 = NaN and
+    NaN > 2.5 is TRUE in both engines' ordering, emitting every row of
+    a constant stream as an "anomaly"."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_pop("value").over(w)
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"),
+        F.stddev_pop("value").alias("_sd"),
+    )
+    z = (F.col("value") - F.col("_mu")) / F.col("_sd")
     return (
-        e.withColumn("z", z)
-        .filter(F.abs("z") > 2.5)
+        e.join(F.broadcast(stats), "event_type")
+        .filter((F.col("_sd") > 0) & (F.abs(z) > 2.5))
         .select(
             "event_id",
             "event_type",
             F.round("value", 6).alias("value"),
-            F.round("z", 6).alias("z"),
+            F.round(z, 6).alias("z"),
         )
         .orderBy("event_id")
     )
 
 
 T_ZSCORE_SQL = """
-WITH scored AS (
-  SELECT event_id, event_type, value,
-         (value - AVG(value) OVER (PARTITION BY event_type)) /
-         STDDEV_POP(value) OVER (PARTITION BY event_type) AS z
-  FROM events
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sd
+  FROM events GROUP BY event_type
 )
-SELECT event_id, event_type, ROUND(value, 6) AS value, ROUND(z, 6) AS z
-FROM scored WHERE ABS(z) > 2.5 ORDER BY event_id
+SELECT e.event_id, e.event_type, ROUND(e.value, 6) AS value,
+       ROUND((e.value - s.mu) / s.sd, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > 2.5
+ORDER BY e.event_id
 """
 
 

@@ -403,3 +403,12 @@ def test_per_group_topk_uses_window_group_limit(spark):
     plan = _plan(spark, "tx_top_quality_per_lang")
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
+
+
+def test_anomaly_zscore_broadcast_stats_no_window(spark):
+    """VERDICT r5 task 2: the per-type stats ride a broadcast join, not
+    a Window over the full event stream — a hot event type must never
+    concentrate its whole row set in one task."""
+    plan = _plan(spark, "t_anomaly_zscore")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan

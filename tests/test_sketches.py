@@ -258,3 +258,25 @@ def test_log_histogram_quantiles_accuracy_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, hist.collect())
     )
+
+
+def test_log_histogram_overflow_raises_not_clamps(spark):
+    """ADVICE r5: a value whose fixed point exceeds 2^HIST_MAX_BITS
+    raises loudly instead of silently clamping into the top bucket
+    (which would cap upper-tail quantiles with no warning)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from asid_v2_data_pipeline_spark.operators import sketches as sk
+
+    ok = spark.createDataFrame(
+        [(1.0,), (2.0e10,)], "v double"  # 2e10 * 100 = 2e12 < 2^41
+    )
+    assert sk.log_histogram(ok, "v", scale=100).count() == 2
+    bad = spark.createDataFrame([(1.0,), (3.0e10,)], "v double")
+    with pytest.raises(Exception, match="log_histogram overflow"):
+        sk.log_histogram(bad, "v", scale=100).collect()
+    with pytest.raises(Exception, match="log_histogram overflow"):
+        sk.log_histogram_by(
+            bad.withColumn("g", F.lit("a")), ["g"], "v", scale=100
+        ).collect()
