@@ -18,6 +18,54 @@ from ..operators import similarity as sim
 from ..operators.multimodal import extract_features
 from ..schemas import load_table
 
+# --- serving-index cache ------------------------------------------------------
+#
+# The *_serve query twins (VERDICT r5 task 6) measure the scale-relevant
+# number: query latency against a PERSISTED index, with the index build
+# amortized away (offline on a real cluster).  The build lands once per
+# testdata fingerprint under .index_cache/ (gitignored, local to the
+# repo); a _COMPLETE marker written after the build makes a crashed build
+# invisible (recomputed, never trusted — the _stage_complete discipline).
+
+
+def _index_cache_path(sf_dir: str, table_file: str, kind: str) -> str:
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, table_file)
+    if os.path.isdir(src):
+        key = ";".join(
+            f"{n}:{os.stat(os.path.join(src, n)).st_size}"
+            for n in sorted(os.listdir(src))
+        )
+    else:
+        st = os.stat(src)
+        key = f"{st.st_size}:{st.st_mtime_ns}"
+    tag = hashlib.sha1(f"{src}|{key}".encode()).hexdigest()[:12]
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_CACHE",
+        os.path.join(
+            os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            ),
+            ".index_cache",
+        ),
+    )
+    return os.path.join(root, f"{kind}-{tag}")
+
+
+def _cached_index(path: str, build) -> None:
+    """Run ``build()`` unless a completed index already sits at ``path``."""
+    import os
+
+    marker = os.path.join(path, "_COMPLETE")
+    if os.path.exists(marker):
+        return
+    build()
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
 # --- shared SQL fragments -----------------------------------------------------
 
 TOKENS_SQL = (
@@ -836,6 +884,34 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sim.train_centroids_kmeanspp_lite(e, 4)
     books = sim.train_pq_codebooks_lite(e, m=4, ks=8)
     out = sim.topk_cosine_ivf_pq(e, q, cents, books, k=5, nprobe=2)
+    return out.select(
+        "q_id", "c_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("q_id", "rank")
+
+
+def sim_ivf_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of ``sim_ivf_pq`` (VERDICT r5 task 6): the identical
+    query answered from the PERSISTED IVF-PQ index
+    (``write_ivf_index`` + ``topk_cosine_ivf_pq_indexed``).  The
+    training + encode + index write run once per testdata fingerprint
+    (offline on a real cluster); what this query times is the
+    scale-relevant serving path — probed-cell partition pruning, m-byte
+    PQ codes in the approximate scan, broadcast-shortlist float
+    rescore.  Same deterministic quantizer/codebooks as ``sim_ivf_pq``,
+    so the result — and the oracle — are identical."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") < 5)
+    path = _index_cache_path(sf_dir, "embeddings.parquet", "ivf_pq")
+
+    def _build():
+        cents = sim.train_centroids_kmeanspp_lite(e, 4)
+        books = sim.train_pq_codebooks_lite(e, m=4, ks=8)
+        sim.write_ivf_index(e, cents, path, pq_codebooks=books)
+
+    _cached_index(path, _build)
+    out = sim.topk_cosine_ivf_pq_indexed(spark, path, q, k=5, nprobe=2)
     return out.select(
         "q_id", "c_id", F.round("score", 6).alias("score"), "rank"
     ).orderBy("q_id", "rank")
@@ -3293,6 +3369,31 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def tx_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of ``tx_bm25_indexed`` (VERDICT r5 task 6): the
+    identical query answered from the PERSISTED token-bucketed index
+    (``write_bm25_index`` + ``bm25_scores_persisted``).  The tokenize +
+    posting build runs once per testdata fingerprint (offline at
+    scale); what this query times is the serving path — static
+    ``_tb IN (...)`` partition pruning to the query terms' buckets,
+    then the broadcast equi-join scoring.  Scores are identical to the
+    in-query index build, so the oracle is shared."""
+    from ..operators.retrieval import bm25_scores_persisted, write_bm25_index
+
+    path = _index_cache_path(sf_dir, "documents.parquet", "bm25")
+
+    def _build():
+        write_bm25_index(load_table(spark, sf_dir, "documents"), path)
+
+    _cached_index(path, _build)
+    s = bm25_scores_persisted(spark, path, list(_BM25_TERMS))
+    return (
+        s.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
 def _rand_proj_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 23) -> str:
     rows = sim._hyperplanes(in_dim, out_dim, seed)
     scale = out_dim ** -0.5  # exact binary double for power-of-4 out_dim
@@ -3385,6 +3486,7 @@ REGISTRY = {
     "sim_topk_cosine": (sim_topk_cosine, SIM_TOPK_SQL),
     "sim_ivf_adc": (sim_ivf_adc, SIM_IVF_ADC_SQL),
     "sim_ivf_pq": (sim_ivf_pq, SIM_IVF_PQ_SQL),
+    "sim_ivf_pq_serve": (sim_ivf_pq_serve, SIM_IVF_PQ_SQL),
     "ds_dsir_select": (ds_dsir_select, _dsir_sql()),
     "ds_dsir_resample": (ds_dsir_resample, _dsir_resample_sql()),
     "sim_ann_lsh": (sim_ann_lsh, _ann_lsh_sql()),
@@ -3394,6 +3496,7 @@ REGISTRY = {
     "sim_random_projection": (sim_random_projection, _rand_proj_sql()),
     "tx_bm25_search": (tx_bm25_search, _bm25_sql()),
     "tx_bm25_indexed": (tx_bm25_indexed, _bm25_indexed_sql()),
+    "tx_bm25_serve": (tx_bm25_serve, _bm25_indexed_sql()),
     "sim_quantize_int8": (sim_quantize_int8, SIM_QUANT_SQL),
     "sp_weighted_sample": (sp_weighted_sample, _sp_weighted_sql()),
     "sp_token_budget": (sp_token_budget, _sp_token_budget_sql()),

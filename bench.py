@@ -68,6 +68,12 @@ HEADLINE = [
     "dd_span_removal",
     "dc_fuzzy_contamination",
     "sim_ivf_pq",
+    # round 6 (VERDICT r5 task 6): persisted-index SERVING twins — the
+    # build-inclusive numbers above stay for continuity; these track the
+    # scale-relevant query-only latency (index built once per testdata
+    # fingerprint outside the timed passes, like any offline index job)
+    "sim_ivf_pq_serve",
+    "tx_bm25_serve",
 ]
 
 
@@ -100,6 +106,11 @@ def main() -> None:
         fn = queries[name]
         times = []
         n = 0
+        if name.endswith("_serve"):
+            # serving twins: force the once-per-fingerprint index build
+            # (an offline job at scale) OUTSIDE the timed passes, so the
+            # number tracks query latency against the persisted index
+            fn(spark, SF_DIR).count()
         for _ in range(passes):
             t0 = time.time()
             n = fn(spark, SF_DIR).count()
