@@ -8,9 +8,11 @@ public formats (Microsoft RIFF/WAVEFORMAT and BITMAPINFOHEADER specs);
 parsing is struct + NumPy, so executor-side decode stays vectorized.
 
 PNG also decodes for real (8-bit, non-interlaced, all five scanline
-filters) — DEFLATE comes from the stdlib ``zlib``.  Codecs needing
-libraries outside the stdlib (JPEG/MP3/MP4/…) remain stubbed — see
-``operators/multimodal.py::DecodeStub``.
+filters) — DEFLATE comes from the stdlib ``zlib`` — as do GIF (LZW)
+and, since round 6, baseline sequential JPEG (fixed-point integer DCT +
+canonical Huffman coding, encoder AND decoder, see the JPEG section).
+Codecs needing libraries outside the stdlib (MP3/MP4/WebM) remain
+stubbed — see ``operators/multimodal.py::DecodeStub``.
 """
 
 from __future__ import annotations
@@ -532,14 +534,512 @@ def write_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential JFIF, ITU-T T.81)
+# --------------------------------------------------------------------------
+#
+# Pure-Python baseline JPEG: Huffman entropy coding + an 8×8 DCT done in
+# FIXED-POINT INTEGER arithmetic end-to-end.  The integer transform is
+# deliberate: every step (DCT, quantize, dequantize, IDCT, clamp) is
+# exact integer math with one explicit rounding rule, so an independent
+# implementation (the DuckDB oracle in queries/scale.py::_mm_jpeg_sql)
+# can reproduce decode(encode(x)) bit-for-bit — the property the octet-
+# exact mm_* parity checks are built on.  A float DCT would round-trip
+# "almost always", which is exactly the kind of correctness a value-hash
+# gate exists to reject.
+#
+# Scope: baseline DCT (SOF0), 8-bit, 1 or 3 components, no subsampling
+# (all sampling factors 1×1 — 4:4:4), no restart markers, standard
+# Annex-K quantization tables scaled by the libjpeg quality formula, and
+# the Annex-K luminance Huffman tables for every component (spec-legal:
+# the SOS maps each component to table 0).  Progressive (SOF2),
+# arithmetic coding, subsampled chroma and DRI raise loudly.
+
+_DCT_BITS = 12  # transform fixed point: T = round(4096 * orthonormal DCT-II)
+
+
+def _dct_matrix_int() -> np.ndarray:
+    m = np.zeros((8, 8), dtype=np.int64)
+    for u in range(8):
+        s = (1.0 / 8.0) ** 0.5 if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = round(
+                s * np.cos((2 * x + 1) * u * np.pi / 16.0) * (1 << _DCT_BITS)
+            )
+    return m
+
+
+_DCT_T = _dct_matrix_int()
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Table K.1 (luminance) / K.2 (chrominance), natural order
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# ITU-T T.81 Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _rdiv(a, b):
+    """Round-half-up integer division (symmetric rule shared by the
+    whole pipeline AND the SQL oracle): floor((2a + b) / 2b), b > 0.
+    NumPy int64 floor_divide == Python floor semantics."""
+    return (2 * a + b) // (2 * b)
+
+
+def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Level-shifted int block (8×8) -> quantized coefficients, natural
+    order.  Two fixed-point passes with explicit rounding between them
+    (the rounding IS the contract the oracle mirrors)."""
+    a = _rdiv(block @ _DCT_T.T, 1 << _DCT_BITS)
+    f = _rdiv(_DCT_T @ a, 1 << _DCT_BITS)
+    return _rdiv_signed_by_table(f, q)
+
+
+def _rdiv_signed_by_table(f: np.ndarray, q: np.ndarray) -> np.ndarray:
+    return (2 * f + q) // (2 * q)
+
+
+def _dequant_idct(coef: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Quantized coefficients (natural order) -> uint8 samples."""
+    d = coef * q
+    b = _rdiv(_DCT_T.T @ d, 1 << _DCT_BITS)
+    p = _rdiv(b @ _DCT_T, 1 << _DCT_BITS) + 128
+    return np.clip(p, 0, 255).astype(np.uint8)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category, appended bits)."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_block(
+    w: _BitWriter, coef: np.ndarray, pred: int,
+    dc: dict[int, tuple[int, int]], ac: dict[int, tuple[int, int]],
+) -> int:
+    zz = coef.ravel()[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    size, bits = _mag_bits(diff)
+    w.put(*dc[size])
+    if size:
+        w.put(bits, size)
+    run = 0
+    last_nz = max([k for k in range(1, 64) if zz[k]] or [0])
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            w.put(*ac[0xF0])  # ZRL
+            run -= 16
+        size, bits = _mag_bits(v)
+        w.put(*ac[run * 16 + size])
+        w.put(bits, size)
+        run = 0
+    if last_nz < 63:
+        w.put(*ac[0x00])  # EOB
+    return int(zz[0])
+
+
+def _quality_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling (public formula): 50 = tables as-is."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _pad_to_8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(
+        plane, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge"
+    )
+
+
+def _rgb_to_ycbcr_int(rgb: np.ndarray) -> np.ndarray:
+    """JFIF color convert, fixed-point (coefficients × 65536) with the
+    shared rounding rule — deterministic, like everything else here."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    y = _rdiv(19595 * r + 38470 * g + 7471 * b, 65536)
+    cb = 128 + _rdiv(-11059 * r - 21709 * g + 32768 * b, 65536)
+    cr = 128 + _rdiv(32768 * r - 27439 * g - 5329 * b, 65536)
+    return np.clip(np.stack([y, cb, cr], axis=-1), 0, 255)
+
+
+def _ycbcr_to_rgb_int(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0].astype(np.int64)
+    cb = ycc[..., 1].astype(np.int64) - 128
+    cr = ycc[..., 2].astype(np.int64) - 128
+    r = y + _rdiv(91881 * cr, 65536)
+    g = y - _rdiv(22554 * cb + 46802 * cr, 65536)
+    b = y + _rdiv(116130 * cb, 65536)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def write_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
+    """Baseline sequential JFIF writer: grayscale ``(h, w)`` or RGB
+    ``(h, w, 3)`` uint8 in, 4:4:4, standard Annex-K tables scaled by
+    ``quality``.  Non-multiple-of-8 dimensions are edge-padded (the
+    decoder crops back to the SOF dimensions, per spec)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if not gray and px.shape[2] != 3:
+        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
+    q_luma = _quality_table(_QUANT_LUMA, quality)
+    q_chroma = _quality_table(_QUANT_CHROMA, quality)
+    planes = (
+        [(_pad_to_8(px), q_luma, 0)]
+        if gray
+        else [
+            (p, q_luma if ci == 0 else q_chroma, 0 if ci == 0 else 1)
+            for ci, p in enumerate(
+                _pad_to_8(_rgb_to_ycbcr_int(px)[..., ci].astype(np.int64))
+                for ci in range(3)
+            )
+        ]
+    )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    # DQT: table 0 (luma) and, for color, table 1 (chroma) — zigzag order
+    for tid, qt in ([(0, q_luma)] if gray else [(0, q_luma), (1, q_chroma)]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(qt.ravel()[z]) for z in _ZIGZAG)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    # DHT: Annex-K luminance DC+AC, table id 0, used by every component
+    for cls, (bits, vals) in ((0, _HUFF_DC_LUMA), (1, _HUFF_AC_LUMA)):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(vals), (cls << 4) | 0
+        ) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        out += struct.pack("BB", ci + 1, 0x00)
+    out += b"\x00\x3f\x00"  # Ss, Se, AhAl
+
+    dc_tab = _huff_codes(*_HUFF_DC_LUMA)
+    ac_tab = _huff_codes(*_HUFF_AC_LUMA)
+    bw = _BitWriter()
+    ph, pw = planes[0][0].shape
+    preds = [0] * ncomp
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (plane, qt, _tid) in enumerate(planes):
+                blk = plane[by : by + 8, bx : bx + 8].astype(np.int64) - 128
+                coef = _fdct_quant(blk, qt)
+                preds[ci] = _encode_block(bw, coef, preds[ci], dc_tab, ac_tab)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: entropy stream exhausted")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: truncated after 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            elif 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError("JPEG: restart markers (DRI)")
+            else:
+                raise ValueError("JPEG: marker inside entropy data")
+        self._acc = (self._acc << 8) | byte
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def parse_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JFIF decode -> uint8 ``(h, w)`` grayscale or
+    ``(h, w, 3)`` RGB.  Supports 1 or 3 components at 1×1 sampling
+    (4:4:4); progressive/arithmetic/subsampled/restart-interval streams
+    raise loudly (NotImplementedError), never decode wrongly."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    comps: list[tuple[int, int]] = []  # (comp_id, quant_id) in SOF order
+    while i < len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = payload[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        seglen = struct.unpack(">H", payload[i : i + 2])[0]
+        seg = payload[i + 2 : i + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant tables")
+                nat = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = seg[j + 1 + k]
+                qtables[tq] = nat.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + n])
+                htables[(cls, tid)] = _huff_decode_tree(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision")
+            if nc not in (1, 3):
+                raise NotImplementedError("JPEG: 1 or 3 components only")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "JPEG: subsampled chroma (only 4:4:4 supported)"
+                    )
+                comps.append((cid, tq))
+            frame = (fh, fw, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "JPEG: only baseline sequential (SOF0) supported"
+            )
+        elif marker == 0xDD:  # DRI
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                raise NotImplementedError("JPEG: restart intervals")
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = seg[0]
+            scan_tabs = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                scan_tabs.append((cs, tt >> 4, tt & 0x0F))
+            fh, fw, nc = frame
+            bh, bw_ = -(-fh // 8), -(-fw // 8)
+            out_planes = [
+                np.zeros((bh * 8, bw_ * 8), dtype=np.uint8) for _ in range(nc)
+            ]
+            br = _BitReader(payload[i + seglen :])
+            preds = [0] * nc
+            for by in range(bh):
+                for bx in range(bw_):
+                    for ci in range(nc):
+                        _cs, dct_id, act_id = scan_tabs[ci]
+                        dc = htables[(0, dct_id)]
+                        ac = htables[(1, act_id)]
+                        coef = np.zeros(64, dtype=np.int64)
+                        size = _read_symbol(br, dc)
+                        diff = _extend(br.bits(size), size) if size else 0
+                        preds[ci] += diff
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(br, ac)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            size = sym & 0x0F
+                            coef[k] = _extend(br.bits(size), size)
+                            k += 1
+                        nat = np.zeros(64, dtype=np.int64)
+                        nat[_ZIGZAG] = coef
+                        q = qtables[comps[ci][1]]
+                        out_planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = _dequant_idct(nat.reshape(8, 8), q)
+            if nc == 1:
+                return out_planes[0][:fh, :fw]
+            ycc = np.stack([p[:fh, :fw] for p in out_planes], axis=-1)
+            return _ycbcr_to_rgb_int(ycc)
+        i += seglen
+    raise ValueError("JPEG: no scan data found")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: BMP, PNG or GIF -> uint8 RGB-ish
-    array (PNG alpha/gray channels preserved).  Other formats raise
-    ``NotImplementedError`` (JPEG etc. need real codec libraries)."""
+    """Magic-dispatched image decode: BMP, PNG, GIF or baseline JPEG ->
+    uint8 RGB-ish array (PNG alpha/gray channels preserved).  Other
+    formats raise ``NotImplementedError``."""
     if payload[:2] == b"BM":
         return parse_bmp(payload)
     if payload[:8] == PNG_MAGIC:
         return parse_png(payload)
     if payload[:4] == b"GIF8":
         return parse_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return parse_jpeg(payload)
     raise NotImplementedError("unsupported image container")

@@ -2,14 +2,15 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode/resize/frame-sample run as Arrow-batched ``mapInPandas``
-over them.  Real container decode (round 5): WAV/PCM, uncompressed BMP,
-AND PNG (DEFLATE + all five scanline filters, via stdlib zlib) parse
-for real via ``functions/codecs.py`` — ``decode_wav_rms``,
+over them.  Real container decode: WAV/PCM + G.711 mu-law, uncompressed
+BMP, PNG (DEFLATE + all five scanline filters, via stdlib zlib), GIF
+(LZW) and — round 6 — baseline JPEG (fixed-point integer DCT + canonical
+Huffman) parse for real via ``functions/codecs.py`` — ``decode_wav_rms``,
 ``decode_bmp_pool`` and ``decode_image_pool`` below, octet-exactly
-oracle-checked.  Only codecs needing non-stdlib libraries (JPEG/MP3/
-MP4) remain stubbed behind ``DecodeStub`` — the Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is identical either
-way.
+oracle-checked (the JPEG oracle re-derives the full lossy round-trip).
+Only codecs needing non-stdlib libraries (MP3 frames, WebM/MP4 video)
+remain stubbed behind ``DecodeStub`` — the Spark-side plumbing (schema,
+batching, partitioning, UDF signatures) is identical either way.
 """
 
 from __future__ import annotations
@@ -46,16 +47,16 @@ FEATURE_SCHEMA = T.StructType(
 
 class DecodeStub:
     """Deterministic fake decoder for codecs needing NON-STDLIB
-    libraries (JPEG/MP3/MP4; a deployment swaps in PIL/ffmpeg here).
-    WAV, BMP and PNG containers decode for real — see
+    libraries (MP3/MP4/WebM; a deployment swaps in ffmpeg here).  WAV,
+    BMP, PNG, GIF and baseline JPEG containers decode for real — see
     ``functions/codecs.py``.  Everything around the stub (Arrow
     batching, schema, partitioning) is production-shaped."""
 
     FEATURE_DIM = 8
 
-    # PNG is NOT here: it decodes for real (functions/codecs.parse_png)
+    # PNG/GIF/JPEG are NOT here: they decode for real
+    # (functions/codecs.parse_png / parse_gif / parse_jpeg)
     COMPRESSED_MAGIC = (
-        b"\xff\xd8\xff",  # JPEG
         b"\x1a\x45\xdf\xa3",  # Matroska/WebM
     )
 
@@ -350,7 +351,7 @@ def decode_image_pool(media: DataFrame, factor: int) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
                     continue
-                px = decode_image(bytes(p))
+                px = np.atleast_3d(decode_image(bytes(p)))  # gray -> 1 chan
                 h, w, _ = px.shape
                 if h % factor or w % factor:
                     raise ValueError("factor must divide image dims")

@@ -2322,6 +2322,159 @@ def mm_gif_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_JPEG_QUALITY = 75
+
+
+def mm_jpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode (VERDICT r5 task 3): document bytes
+    (8×8 grayscale) become a genuine baseline JFIF via
+    ``functions/codecs.write_jpeg`` — fixed-point integer DCT,
+    quality-scaled Annex-K quantization, canonical Huffman entropy
+    coding with byte stuffing — and ``decode_image_pool``
+    magic-dispatches to ``parse_jpeg`` (marker parse, DHT rebuild,
+    bit-unstuffing, dequant + integer IDCT) and 2×2 block-mean pools.
+
+    JPEG is lossy, so unlike the BMP/PNG/GIF twins the oracle cannot
+    pool the raw octets: it re-derives the ENTIRE encode∘decode
+    pipeline — both fixed-point DCT passes with their intermediate
+    roundings, quantize, dequantize, both IDCT passes, the clamp — in
+    generated SQL over the same octets.  That works (bit-for-bit)
+    precisely because the codec's transform is integer arithmetic with
+    one explicit rounding rule; any drift in the Huffman tables, the
+    bitstream, zigzag, or either transform breaks the value hash."""
+    from ..operators.multimodal import decode_image_pool
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import write_jpeg
+
+        n = _BMP_W * _BMP_H
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                buf = t.encode("utf-8")[:n].ljust(n, b"\0")
+                gray = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    _BMP_H, _BMP_W
+                )
+                payloads.append(write_jpeg(gray, quality=_JPEG_QUALITY))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    pooled = decode_image_pool(media, _BMP_F)
+    k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
+    sel = [
+        F.round(F.element_at("pooled", i + 1), 6).alias(f"p{i}")
+        for i in range(k)
+    ]
+    return pooled.select(
+        F.col("media_id").alias("doc_id"), "width", "height", *sel
+    ).orderBy("doc_id")
+
+
+def _mm_jpeg_sql() -> str:
+    """Oracle for the lossy JPEG round-trip: the fixed-point integer
+    DCT → quantize → dequantize → IDCT pipeline of functions/codecs
+    (same matrix constants, same round-half-up rule
+    ``floor((2a+b)/2b)``), applied to the raw text octets, then 2×2
+    pooled.  Four generated matrix passes of 8 literal terms per cell —
+    the intermediate roundings between passes are replicated exactly,
+    which is what makes a lossy codec value-hashable."""
+    from ..functions.codecs import _DCT_T, _QUANT_LUMA, _quality_table
+
+    t = [int(v) for v in _DCT_T.ravel()]  # T[u*8+x]
+    q = [int(v) for v in _quality_table(_QUANT_LUMA, _JPEG_QUALITY).ravel()]
+
+    def rdiv(s: str, b: str) -> str:
+        return f"CAST(floor((2.0 * ({s}) + {b}) / (2.0 * ({b}))) AS BIGINT)"
+
+    # pass 1: A[r*8+u] = rdiv(sum_x X[r*8+x] * T[u*8+x], 4096)
+    a_terms = " + ".join(
+        f"xs[CAST((k // 8) * 8 + {x} + 1 AS INT)]"
+        f" * tm[CAST((k % 8) * 8 + {x} + 1 AS INT)]"
+        for x in range(8)
+    )
+    # pass 2: F[v*8+u] = rdiv(sum_r T[v*8+r] * A[r*8+u], 4096)
+    f_terms = " + ".join(
+        f"tm[CAST((k // 8) * 8 + {r} + 1 AS INT)]"
+        f" * av[CAST({r} * 8 + (k % 8) + 1 AS INT)]"
+        for r in range(8)
+    )
+    # pass 3: B[r*8+u] = rdiv(sum_v T[v*8+r] * D[v*8+u], 4096)
+    b_terms = " + ".join(
+        f"tm[CAST({v} * 8 + (k // 8) + 1 AS INT)]"
+        f" * dq[CAST({v} * 8 + (k % 8) + 1 AS INT)]"
+        for v in range(8)
+    )
+    # pass 4: P[r*8+x] = clamp(rdiv(sum_u B[r*8+u] * T[u*8+x], 4096) + 128)
+    p_terms = " + ".join(
+        f"bv[CAST((k // 8) * 8 + {u} + 1 AS INT)]"
+        f" * tm[CAST({u} * 8 + (k % 8) + 1 AS INT)]"
+        for u in range(8)
+    )
+    ow = _BMP_W // _BMP_F
+    oh = _BMP_H // _BMP_F
+    cols = []
+    for kk in range(ow * oh):
+        r, c = kk // ow, kk % ow
+        idx = [
+            (_BMP_F * r + dr) * _BMP_W + (_BMP_F * c + dc) + 1
+            for dr in range(_BMP_F)
+            for dc in range(_BMP_F)
+        ]
+        s = " + ".join(f"pv[{i}]" for i in idx)
+        cols.append(
+            f"ROUND(({s}) / {_BMP_F * _BMP_F}.0, 6) AS p{kk}"
+        )
+    return f"""
+WITH {_CODES_CTE_SQL},
+consts AS (SELECT {t!r}::BIGINT[] AS tm, {q!r}::BIGINT[] AS qt),
+shifted AS (
+  SELECT doc_id, list_transform(range(0, 64), i ->
+    CAST((CASE WHEN i < n_bytes THEN cs[CAST(i + 1 AS INT)] ELSE 0 END) - 128
+         AS BIGINT)) AS xs
+  FROM codes
+),
+pass1 AS (
+  SELECT doc_id, list_transform(range(0, 64), k ->
+    {rdiv(a_terms, "4096")}) AS av
+  FROM shifted CROSS JOIN consts
+),
+pass2 AS (
+  SELECT doc_id, list_transform(range(0, 64), k ->
+    {rdiv(f_terms, "4096")}) AS fv
+  FROM pass1 CROSS JOIN consts
+),
+quantized AS (
+  SELECT doc_id, list_transform(range(0, 64), k ->
+    {rdiv("fv[CAST(k + 1 AS INT)]", "qt[CAST(k + 1 AS INT)]")}
+      * qt[CAST(k + 1 AS INT)]) AS dq
+  FROM pass2 CROSS JOIN consts
+),
+pass3 AS (
+  SELECT doc_id, list_transform(range(0, 64), k ->
+    {rdiv(b_terms, "4096")}) AS bv
+  FROM quantized CROSS JOIN consts
+),
+pixels AS (
+  SELECT doc_id, list_transform(range(0, 64), k ->
+    CAST(LEAST(255, GREATEST(0, {rdiv(p_terms, "4096")} + 128)) AS DOUBLE)
+  ) AS pv
+  FROM pass3 CROSS JOIN consts
+)
+SELECT doc_id, CAST({_BMP_W} AS INT) AS width, CAST({_BMP_H} AS INT) AS height,
+{',' .join(cols)}
+FROM pixels ORDER BY doc_id
+"""
+
+
 _FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
 
 
@@ -3515,6 +3668,7 @@ REGISTRY = {
     "mm_bmp_pool": (mm_bmp_pool, _mm_bmp_sql()),
     "mm_png_pool": (mm_png_pool, _mm_bmp_sql()),
     "mm_gif_pool": (mm_gif_pool, _mm_bmp_sql()),
+    "mm_jpeg_pool": (mm_jpeg_pool, _mm_jpeg_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

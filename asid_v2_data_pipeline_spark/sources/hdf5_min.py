@@ -16,8 +16,12 @@ Read scope (asserted, raises clearly outside it):
   library writes by default) and 2/3 (1.10+ "latest");
 - object headers v1 and v2 (``OHDR``), with continuation blocks;
 - old-style groups (symbol-table message -> B-tree v1 -> SNOD -> local
-  heap) and new-style compact groups (Link messages); dense (fractal
-  heap) groups/attributes are out of scope;
+  heap), new-style compact groups (Link messages), AND (round 6) dense
+  groups and dense attributes: fractal heaps (root direct block, or a
+  root indirect block of direct children) with v2-B-tree name indexes
+  (root-leaf trees) — the storage real 1.8+ writers switch to above
+  the max-compact thresholds; filtered heaps, nested indirect blocks,
+  huge/tiny heap objects and multi-level v2 B-trees raise clearly;
 - datatypes: fixed-point, IEEE float, fixed-length strings (either
   endianness); references/vlen attribute values parse as ``None``;
 - dataspaces v1/v2; fill-value message v1/v2/3; attribute message
@@ -388,6 +392,178 @@ class HDF5File:
             pos = data_at + (size + 7) // 8 * 8
         raise ValueError(f"global heap object {want_idx} not found")
 
+    # --- fractal heap + v2 B-tree (dense attribute / link storage) ----
+    def _fractal_heap(self, addr: int):
+        """Managed-object fetcher for the fractal heap headered at
+        ``addr``: returns ``get(heap_id) -> bytes``.  Supports a root
+        direct block or a root indirect block of direct children (the
+        shapes dense attribute/link storage produces); filtered heaps,
+        nested indirect blocks and huge/tiny objects raise clearly."""
+        b = self._buf
+        if b[addr : addr + 4] != b"FRHP":
+            raise ValueError("bad fractal heap header signature")
+        so, sl = self._so, self._sl
+        pos = addr + 5
+        id_len = self._u(pos, 2)
+        filter_len = self._u(pos + 2, 2)
+        if filter_len:
+            raise NotImplementedError("filtered fractal heaps not supported")
+        flags = b[pos + 4]
+        pos += 4 + 1 + 4  # id len, filter len, flags, max managed size
+        pos += sl + so  # next huge id, huge btree
+        pos += sl + so  # free space, free-space manager
+        # managed space, allocated, block iterator, managed count,
+        # huge size, huge count, tiny size, tiny count
+        pos += 8 * sl
+        table_width = self._u(pos, 2)
+        start_block = self._u(pos + 2, sl)
+        max_direct = self._u(pos + 2 + sl, sl)
+        max_heap_bits = self._u(pos + 2 + 2 * sl, 2)
+        pos += 2 + 2 * sl + 2 + 2  # width, start, maxdirect, maxbits, startrows
+        root_addr = self._addr(pos)
+        cur_rows = self._u(pos + so, 2)
+        off_size = (max_heap_bits + 7) // 8
+        len_size = id_len - 1 - off_size
+        if len_size <= 0:
+            raise ValueError("inconsistent fractal heap id length")
+        checksummed = bool(flags & 0x02)
+
+        # collect (block_offset, size, file_addr) for every direct block
+        blocks: list[tuple[int, int, int]] = []
+
+        def row_size(r: int) -> int:
+            return start_block if r < 2 else start_block << (r - 1)
+
+        def read_direct(daddr: int, size: int) -> None:
+            if b[daddr : daddr + 4] != b"FHDB":
+                raise ValueError("bad fractal heap direct block signature")
+            boff = self._u(daddr + 5 + so, off_size)
+            blocks.append((boff, size, daddr))
+
+        if root_addr is None:
+            return lambda _hid: (_ for _ in ()).throw(
+                ValueError("empty fractal heap")
+            )
+        if cur_rows == 0:
+            read_direct(root_addr, start_block)
+        else:
+            if b[root_addr : root_addr + 4] != b"FHIB":
+                raise ValueError(
+                    "bad fractal heap indirect block signature"
+                )
+            max_direct_rows = (
+                max_direct.bit_length() - start_block.bit_length() + 2
+            )
+            if cur_rows > max_direct_rows:
+                raise NotImplementedError(
+                    "nested fractal heap indirect blocks not supported"
+                )
+            p = root_addr + 5 + so + off_size
+            for r in range(cur_rows):
+                for _w in range(table_width):
+                    daddr = self._addr(p)
+                    p += so
+                    if daddr is not None:
+                        read_direct(daddr, row_size(r))
+
+        hdr_size = 5 + so + off_size + (4 if checksummed else 0)
+
+        def get(heap_id: bytes) -> bytes:
+            vt = heap_id[0]
+            if (vt >> 4) & 0x03 != 0:
+                raise NotImplementedError(
+                    "huge/tiny fractal heap objects not supported"
+                )
+            obj_off = int.from_bytes(heap_id[1 : 1 + off_size], "little")
+            obj_len = int.from_bytes(
+                heap_id[1 + off_size : 1 + off_size + len_size], "little"
+            )
+            for boff, size, daddr in blocks:
+                if boff <= obj_off < boff + size:
+                    start = daddr + (obj_off - boff)
+                    return bytes(b[start : start + obj_len])
+            raise ValueError(f"fractal heap object at {obj_off} not found")
+
+        # objects never land inside a block header; expose for sanity
+        get.header_size = hdr_size  # type: ignore[attr-defined]
+        return get
+
+    def _btree_v2_records(self, addr: int) -> list[bytes]:
+        """All raw records of the v2 B-tree headered at ``addr`` (used
+        for the dense-storage name indexes).  Root-leaf trees only —
+        the shape dense attribute/link storage produces below thousands
+        of entries; deeper trees raise clearly."""
+        b = self._buf
+        if b[addr : addr + 4] != b"BTHD":
+            raise ValueError("bad v2 B-tree header signature")
+        rec_size = self._u(addr + 10, 2)
+        depth = self._u(addr + 12, 2)
+        # +14/+15: split / merge percents
+        root = self._addr(addr + 16)
+        nrec = self._u(addr + 16 + self._so, 2)
+        if root is None or nrec == 0:
+            return []
+        if depth != 0:
+            raise NotImplementedError(
+                "multi-level v2 B-trees not supported (dense index too "
+                "large for the root leaf)"
+            )
+        if b[root : root + 4] != b"BTLF":
+            raise ValueError("bad v2 B-tree leaf signature")
+        pos = root + 6
+        return [
+            bytes(b[pos + i * rec_size : pos + (i + 1) * rec_size])
+            for i in range(nrec)
+        ]
+
+    def _dense_attributes(self, body: bytes) -> dict:
+        """Attributes stored densely (attribute-info message 0x0015):
+        v2-B-tree name index -> 8-byte heap IDs -> attribute messages in
+        the fractal heap.  Real netCDF-4 writers switch to this above
+        the max-compact threshold in 1.8+ ("latest") files."""
+        pos = 2 + (2 if body[1] & 0x01 else 0)
+        heap_addr = self._addr_from(body, pos)
+        btree_addr = self._addr_from(body, pos + self._so)
+        if heap_addr is None:
+            return {}
+        if btree_addr is None:
+            raise ValueError(
+                "dense attribute storage without a name index"
+            )
+        heap = self._fractal_heap(heap_addr)
+        out = {}
+        for rec in self._btree_v2_records(btree_addr):
+            # type-8 record: heap id (8), message flags (1), corder (4),
+            # name hash (4)
+            name, value = self._attribute(heap(rec[:8]))
+            if name:
+                out[name] = value
+        return out
+
+    def _dense_links(self, body: bytes) -> list[tuple[str, int]]:
+        """Links stored densely (link-info message 0x0002): v2-B-tree
+        name index -> 7-byte heap IDs -> link messages in the fractal
+        heap (the "dense group" storage of 1.8+ files)."""
+        pos = 2 + (8 if body[1] & 0x01 else 0)
+        heap_addr = self._addr_from(body, pos)
+        btree_addr = self._addr_from(body, pos + self._so)
+        if heap_addr is None:
+            return []
+        if btree_addr is None:
+            raise ValueError("dense group storage without a name index")
+        heap = self._fractal_heap(heap_addr)
+        out = []
+        for rec in self._btree_v2_records(btree_addr):
+            # type-5 record: name hash (4), heap id (7)
+            link = self._link(heap(rec[4:11]))
+            if link is not None:
+                out.append(link)
+        return out
+
+    def _addr_from(self, body: bytes, pos: int) -> int | None:
+        v = int.from_bytes(body[pos : pos + self._so], "little")
+        return None if v == (1 << (8 * self._so)) - 1 else v
+
     # --- group walking ------------------------------------------------
     def _walk_group(self, addr: int, prefix: str, is_root: bool, seen: set):
         if addr in seen:
@@ -402,17 +578,8 @@ class HDF5File:
             self._attribute(b) for b in by_type.get(0x000C, [])
         )
         attrs.pop("", None)
-        for body in by_type.get(0x0015, []):  # attribute info: detect dense
-            # dense attribute storage (> max-compact attrs in 1.8+ file
-            # formats) lives in a fractal heap this reader does not
-            # parse — raising beats silently returning NO attributes
-            # (which would e.g. drop _FillValue and mis-mask data)
-            pos = 2 + (2 if body[1] & 0x01 else 0)
-            heap_addr = int.from_bytes(body[pos : pos + self._so], "little")
-            if heap_addr != (1 << (8 * self._so)) - 1:
-                raise ValueError(
-                    "dense (fractal-heap) attribute storage is not supported"
-                )
+        for body in by_type.get(0x0015, []):  # attribute info: dense attrs
+            attrs.update(self._dense_attributes(body))
 
         if 0x0008 in by_type:  # data layout -> dataset
             self._add_dataset(prefix, by_type, attrs)
@@ -428,13 +595,8 @@ class HDF5File:
             link = self._link(body)
             if link is not None:
                 children.append(link)
-        for body in by_type.get(0x0002, []):  # link info: detect dense
-            pos = 2 + (8 if body[1] & 0x01 else 0)
-            heap_addr = int.from_bytes(body[pos : pos + self._so], "little")
-            if heap_addr != (1 << (8 * self._so)) - 1:
-                raise ValueError(
-                    "dense (fractal-heap) group storage is not supported"
-                )
+        for body in by_type.get(0x0002, []):  # link info: dense links
+            children.extend(self._dense_links(body))
         for name, child_addr in children:
             path = f"{prefix}{name}"
             self._walk_group(child_addr, path + "/", False, seen)
@@ -791,6 +953,139 @@ def _attr_msg_v1_vlen(name: str, ln: int, gaddr: int, idx: int) -> bytes:
     )
 
 
+def _attr_msg_v3(name: str, value, vlen_ref=None) -> bytes:
+    """Version-3 attribute message (the layout 1.8+ writers use, and
+    what dense attribute storage stores in the fractal heap).
+    ``vlen_ref=(ln, gaddr, idx)`` emits a variable-length-string value
+    through the global heap instead of a fixed string."""
+    nm = name.encode() + b"\x00"
+    if vlen_ref is not None:
+        ln, gaddr, idx = vlen_ref
+        base = bytes([0x13, 0, 0, 0]) + struct.pack("<I", 1)
+        dtm = bytes([0x19, 0x01, 0, 0]) + struct.pack("<I", 16) + base
+        dsm = _dataspace_msg(())
+        data = struct.pack("<IQI", ln, gaddr, idx)
+    else:
+        if isinstance(value, str):
+            raw = value.encode()
+            dt = np.dtype(f"S{len(raw)}")
+            data = raw
+            shape: tuple[int, ...] = ()
+        else:
+            a = np.atleast_1d(np.asarray(value))
+            dt = a.dtype.newbyteorder("<")
+            data = a.astype(dt).tobytes()
+            shape = () if np.asarray(value).ndim == 0 else a.shape
+        dtm = _np_dtype_msg(dt)
+        dsm = _dataspace_msg(shape)
+    return (
+        bytes([3, 0])
+        + struct.pack("<HHH", len(nm), len(dtm), len(dsm))
+        + bytes([0])  # name character-set encoding: ASCII
+        + nm
+        + dtm
+        + dsm
+        + data
+    )
+
+
+# dense-storage heap geometry (the values H5A/H5G configure): width 4,
+# max direct block 64 KiB, 32-bit heap offsets -> 8-byte attribute heap
+# IDs (offset 4 + length 3) and 7-byte link heap IDs (offset 4 + len 2)
+_FH_WIDTH = 4
+_FH_MAX_DIRECT = 65536
+_FH_MAX_HEAP_BITS = 32
+
+
+def _fheap_pack(
+    sizes: list[int], start_block: int, hdr_size: int
+) -> tuple[list[tuple[int, int, int]], list[int]]:
+    """First-fit packing of object sizes into doubling-table direct
+    blocks: returns (blocks=[(row, block_off, size)], heap_offsets per
+    object).  Every block's first ``hdr_size`` bytes belong to its
+    header (heap offsets include headers, like the real format)."""
+
+    def row_size(r: int) -> int:
+        return start_block if r < 2 else start_block << (r - 1)
+
+    blocks: list[tuple[int, int, int]] = []
+    offsets: list[int] = []
+    bi = -1
+    pos = 0  # next free byte within current block
+
+    def open_next() -> None:
+        nonlocal bi, pos
+        bi += 1
+        r = bi // _FH_WIDTH
+        size = row_size(r)
+        if size > _FH_MAX_DIRECT:
+            raise ValueError(
+                "fixture attributes exceed the single-level heap the "
+                "writer emits"
+            )
+        boff = blocks[-1][1] + blocks[-1][2] if blocks else 0
+        blocks.append((r, boff, size))
+        pos = hdr_size
+
+    open_next()
+    for s in sizes:
+        # advance to the first block with room; rows double, so any
+        # object <= max_direct - hdr_size fits eventually (open_next
+        # raises past the single-indirect-level cap)
+        while pos + s > blocks[-1][2]:
+            open_next()
+        offsets.append(blocks[-1][1] + pos)
+        pos += s
+    return blocks, offsets
+
+
+def _fheap_id(off: int, length: int, id_len: int) -> bytes:
+    off_size = _FH_MAX_HEAP_BITS // 8
+    len_size = id_len - 1 - off_size
+    return (
+        bytes([0])  # version 0, type 0 = managed
+        + off.to_bytes(off_size, "little")
+        + length.to_bytes(len_size, "little")
+    )
+
+
+def _frhp(
+    a, tag: str, id_len: int, start_block: int,
+    blocks: list[tuple[int, int, int]], n_objs: int, root_rows: int,
+) -> bytes:
+    """Fractal heap header; ``root_rows=0`` means the root block is the
+    single direct block, else the FHIB with that many rows."""
+    managed = blocks[-1][1] + blocks[-1][2] if blocks else 0
+    body = b"FRHP" + bytes([0])
+    body += struct.pack("<HHB", id_len, 0, 0)  # id len, filters, flags
+    body += struct.pack("<I", _FH_MAX_DIRECT)  # max managed object size
+    body += struct.pack("<Q", 0) + _UNDEF8  # next huge id, huge btree
+    body += struct.pack("<Q", 0) + _UNDEF8  # free space, fs manager
+    body += struct.pack("<QQQQ", managed, managed, managed, n_objs)
+    body += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    body += struct.pack("<H", _FH_WIDTH)
+    body += struct.pack("<QQ", start_block, _FH_MAX_DIRECT)
+    body += struct.pack("<HH", _FH_MAX_HEAP_BITS, 1)  # max bits, start rows
+    root_tag = f"fhdb:{tag}:0" if root_rows == 0 else f"fhib:{tag}"
+    body += struct.pack("<Q", a(root_tag))
+    body += struct.pack("<H", root_rows)
+    return body + struct.pack("<I", lookup3(body))
+
+
+def _bthd(a, tag: str, btype: int, rec_size: int, nrec: int) -> bytes:
+    body = b"BTHD" + bytes([0, btype])
+    body += struct.pack("<IHH", 2048, rec_size, 0)  # node size, rec, depth
+    body += bytes([100, 40])  # split / merge percents
+    body += struct.pack("<Q", a(f"btlf:{tag}"))
+    body += struct.pack("<HQ", nrec, nrec)
+    return body + struct.pack("<I", lookup3(body))
+
+
+def _btlf(btype: int, records: list[bytes]) -> bytes:
+    body = b"BTLF" + bytes([0, btype]) + b"".join(records)
+    return body + struct.pack("<I", lookup3(body))
+
+
 def write_hdf5_netcdf4(
     dims: dict[str, int],
     variables: dict[str, tuple[tuple[str, ...], np.ndarray, dict]],
@@ -800,6 +1095,9 @@ def write_hdf5_netcdf4(
     chunks: tuple[int, ...] | None = None,
     compress: str | None = None,
     vlen_strings: bool = False,
+    dense_attrs: bool = False,
+    dense_links: bool = False,
+    dense_block_size: int = 512,
 ) -> bytes:
     """Minimal netCDF-4/HDF5 fixture writer (root group only).
 
@@ -815,6 +1113,18 @@ def write_hdf5_netcdf4(
     VARIABLE-LENGTH string through a global heap collection (netCDF4's
     NC_STRING layout) instead of a fixed-length string — exercises the
     reader's GCOL path.
+
+    ``dense_attrs=True`` stores every object's attributes DENSELY — v3
+    attribute messages in a fractal heap, name-indexed by a v2 B-tree,
+    referenced from an attribute-info (0x0015) message — the storage
+    real 1.8+ ("latest") writers switch to above the max-compact
+    threshold; attribute-rich real scenes arrive this way.
+    ``dense_links=True`` does the same for the root group's links
+    (link-info 0x0002 + fractal heap + v2 B-tree) instead of the
+    symbol-table / compact-link-message group.  ``dense_block_size``
+    is the heap's starting direct-block size: small values force a
+    multi-block heap under a root indirect block, exercising the
+    reader's FHIB path with real bytes.
     """
     if style not in ("earliest", "latest"):
         raise ValueError("style must be 'earliest' or 'latest'")
@@ -882,12 +1192,24 @@ def write_hdf5_netcdf4(
             meta["chunk_blobs"] = chunk_blobs
         else:
             seg_payloads[name] = data
-        for k, v in attrs.items():
-            if vlen_strings and isinstance(v, str):
-                vstrings.append(v.encode())
-                msgs.append(("vlen", (k, len(vstrings))))
-            else:
-                msgs.append((0x000C, _attr_msg_v1(k, v)))
+        if dense_attrs:
+            items = []
+            for k, v in attrs.items():
+                if vlen_strings and isinstance(v, str):
+                    vstrings.append(v.encode())
+                    items.append(("vlen", k, len(vstrings)))
+                else:
+                    items.append(("plain", k, v))
+            if items:
+                msgs.append(("attrinfo", name))
+                meta["dense_attr_items"] = items
+        else:
+            for k, v in attrs.items():
+                if vlen_strings and isinstance(v, str):
+                    vstrings.append(v.encode())
+                    msgs.append(("vlen", (k, len(vstrings))))
+                else:
+                    msgs.append((0x000C, _attr_msg_v1(k, v)))
         return msgs, meta
 
     for dname, dsize in dims.items():
@@ -907,12 +1229,21 @@ def write_hdf5_netcdf4(
         objects.append((vname, msgs, meta))
 
     gat_markers: list = []
+    root_attr_items: list = []
     for k, v in (gatts or {}).items():
-        if vlen_strings and isinstance(v, str):
+        if dense_attrs:
+            if vlen_strings and isinstance(v, str):
+                vstrings.append(v.encode())
+                root_attr_items.append(("vlen", k, len(vstrings)))
+            else:
+                root_attr_items.append(("plain", k, v))
+        elif vlen_strings and isinstance(v, str):
             vstrings.append(v.encode())
             gat_markers.append(("vlen", (k, len(vstrings))))
         else:
             gat_markers.append((0x000C, _attr_msg_v1(k, v)))
+    if root_attr_items:
+        gat_markers.append(("attrinfo", "/"))
 
     # ---- lay the file out with a running allocator, two passes so the
     # layout/btree/heap messages can carry real addresses
@@ -947,9 +1278,119 @@ def write_hdf5_netcdf4(
                             ),
                         )
                     )
+                elif m[0] == "attrinfo":
+                    tag = f"a:{m[1]}"
+                    out.append(
+                        (
+                            0x0015,
+                            bytes([0, 0])
+                            + struct.pack(
+                                "<QQ", a(f"frhp:{tag}"), a(f"bthd:{tag}")
+                            ),
+                        )
+                    )
+                elif m[0] == "linkinfo":
+                    tag = f"l:{m[1]}"
+                    out.append(
+                        (
+                            0x0002,
+                            bytes([0, 0])
+                            + struct.pack(
+                                "<QQ", a(f"frhp:{tag}"), a(f"bthd:{tag}")
+                            ),
+                        )
+                    )
                 else:
                     out.append(m)
             return out
+
+        def attr_bodies(items):
+            out = []
+            for it in items:
+                if it[0] == "vlen":
+                    _k, k, idx = it
+                    out.append(
+                        (
+                            k,
+                            _attr_msg_v3(
+                                k,
+                                None,
+                                vlen_ref=(
+                                    len(vstrings[idx - 1]),
+                                    a("gheap:/"),
+                                    idx,
+                                ),
+                            ),
+                        )
+                    )
+                else:
+                    _k, k, v = it
+                    out.append((k, _attr_msg_v3(k, v)))
+            return out
+
+        def put_dense(tag: str, bodies, btype: int) -> None:
+            """Fractal heap (+ FHIB when multi-block) + v2 B-tree name
+            index for one object's dense attributes (btype 8) or the
+            root group's dense links (btype 5)."""
+            id_len = 8 if btype == 8 else 7
+            hdr_size = 5 + 8 + _FH_MAX_HEAP_BITS // 8  # no checksum
+            blocks, offs = _fheap_pack(
+                [len(body) for _n, body in bodies], dense_block_size,
+                hdr_size,
+            )
+            recs = []
+            for corder, ((nm, body), off) in enumerate(zip(bodies, offs)):
+                hid = _fheap_id(off, len(body), id_len)
+                h = lookup3(nm.encode())
+                if btype == 8:
+                    rec = (
+                        hid
+                        + bytes([0])
+                        + struct.pack("<II", corder, h)
+                    )
+                else:
+                    rec = struct.pack("<I", h) + hid
+                recs.append((h, rec))
+            records = [r for _h, r in sorted(recs, key=lambda t: t[0])]
+            root_rows = 0 if len(blocks) == 1 else blocks[-1][0] + 1
+            put(
+                f"frhp:{tag}",
+                _frhp(
+                    a, tag, id_len, dense_block_size, blocks,
+                    len(bodies), root_rows,
+                ),
+            )
+            if root_rows:
+                fhib = (
+                    b"FHIB"
+                    + bytes([0])
+                    + struct.pack("<Q", a(f"frhp:{tag}"))
+                    + (0).to_bytes(_FH_MAX_HEAP_BITS // 8, "little")
+                )
+                for bi in range(root_rows * _FH_WIDTH):
+                    if bi < len(blocks):
+                        fhib += struct.pack("<Q", a(f"fhdb:{tag}:{bi}"))
+                    else:
+                        fhib += _UNDEF8
+                fhib += struct.pack("<I", lookup3(fhib))
+                put(f"fhib:{tag}", fhib)
+            for bi, (_r, boff, size) in enumerate(blocks):
+                blob = bytearray(size)
+                head = (
+                    b"FHDB"
+                    + bytes([0])
+                    + struct.pack("<Q", a(f"frhp:{tag}"))
+                    + boff.to_bytes(_FH_MAX_HEAP_BITS // 8, "little")
+                )
+                blob[: len(head)] = head
+                for (nm, body), off in zip(bodies, offs):
+                    if boff <= off < boff + size:
+                        p0 = off - boff
+                        blob[p0 : p0 + len(body)] = body
+                put(f"fhdb:{tag}:{bi}", bytes(blob))
+            rec_size = 17 if btype == 8 else 11
+            put(f"bthd:{tag}", _bthd(a, tag, btype, rec_size, len(records)))
+            put(f"btlf:{tag}", _btlf(btype, records))
 
         if vstrings:
             gh = b""
@@ -987,7 +1428,15 @@ def write_hdf5_netcdf4(
         gat = resolve(gat_markers)
         names = [name for name, _m, _x in objects]
 
-        if style == "earliest":
+        if dense_links:
+            root_msgs = resolve([("linkinfo", "/")]) + gat
+            put(
+                "oh:/",
+                _v1_header(root_msgs)
+                if style == "earliest"
+                else _v2_header(root_msgs),
+            )
+        elif style == "earliest":
             # heap: 8 reserved bytes then NUL-terminated names, 8-aligned
             heap_offsets, hoff, hblob = {}, 8, b"\x00" * 8
             for n in names:
@@ -1061,6 +1510,27 @@ def write_hdf5_netcdf4(
                     put(f"chunk:{name}:{i}", blob)
             else:
                 put(f"data:{name}", seg_payloads[name])
+
+        if dense_attrs:
+            for name, _msgs, meta in objects:
+                items = meta.get("dense_attr_items")
+                if items:
+                    put_dense(f"a:{name}", attr_bodies(items), 8)
+            if root_attr_items:
+                put_dense("a:/", attr_bodies(root_attr_items), 8)
+        if dense_links:
+            link_bodies = []
+            for n in names:
+                raw = n.encode()
+                link_bodies.append(
+                    (
+                        n,
+                        bytes([1, 0, len(raw)])
+                        + raw
+                        + struct.pack("<Q", a(f"oh:{n}")),
+                    )
+                )
+            put_dense("l:/", link_bodies, 5)
 
         body = b"".join(parts)
         if style == "earliest":

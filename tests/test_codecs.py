@@ -97,7 +97,7 @@ def test_decode_stub_rejects_compressed_magic():
     from asid_v2_data_pipeline_spark.operators.multimodal import DecodeStub
 
     with pytest.raises(NotImplementedError, match="compressed codec"):
-        DecodeStub.decode(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
+        DecodeStub.decode(b"\x1a\x45\xdf\xa3" + b"\x00" * 16)  # WebM
     with pytest.raises(NotImplementedError, match="compressed codec"):
         DecodeStub.decode(b"ID3\x04" + b"\x00" * 16)  # MP3
     assert len(DecodeStub.decode(b"plain bytes")) == 8
@@ -346,3 +346,122 @@ def test_gif_lzw_roundtrip_and_independent_decoder():
 
     with pytest.raises(NotImplementedError, match="interlaced"):
         parse_gif(bytes(blob))
+
+
+# --- JPEG (baseline sequential, fixed-point integer transform) ------------
+
+
+def test_jpeg_gray_roundtrip_equals_integer_reference():
+    """decode(encode(x)) must equal the fixed-point reference pipeline
+    EXACTLY — the property the mm_jpeg_pool oracle is built on.  Any
+    drift in Huffman tables, bit stuffing, zigzag, quantization or
+    either transform pass shows up here."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _QUANT_LUMA,
+        _dequant_idct,
+        _fdct_quant,
+        _quality_table,
+        parse_jpeg,
+        write_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    for quality in (25, 50, 75, 95):
+        q = _quality_table(_QUANT_LUMA, quality)
+        for _ in range(20):
+            x = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+            dec = parse_jpeg(write_jpeg(x, quality=quality))
+            ref = _dequant_idct(
+                _fdct_quant(x.astype(np.int64) - 128, q), q
+            )
+            assert np.array_equal(dec, ref)
+
+
+def test_jpeg_multi_block_and_crop():
+    """Non-multiple-of-8 dims: encoder edge-pads, decoder crops back to
+    the SOF dimensions; DC prediction chains across blocks."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(0, 256, size=(19, 30)).astype(np.uint8)
+    d = parse_jpeg(write_jpeg(x, quality=90))
+    assert d.shape == (19, 30)
+    # a smooth gradient survives quantization nearly unchanged
+    g = np.linspace(0, 255, 64 * 48).reshape(48, 64).astype(np.uint8)
+    d = parse_jpeg(write_jpeg(g, quality=95))
+    assert d.shape == (48, 64)
+    assert np.mean(np.abs(d.astype(int) - g.astype(int))) < 1.0
+
+
+def test_jpeg_color_444_roundtrip():
+    """3-component 4:4:4 color: container + entropy plumbing identical
+    per component, integer YCbCr<->RGB on both sides."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+    )
+
+    g = np.linspace(0, 255, 16 * 16).reshape(16, 16).astype(np.uint8)
+    rgb = np.stack([g, g.T, 255 - g], axis=-1).astype(np.uint8)
+    d = parse_jpeg(write_jpeg(rgb, quality=95))
+    assert d.shape == (16, 16, 3)
+    assert np.mean(np.abs(d.astype(int) - rgb.astype(int))) < 3.0
+
+
+def test_jpeg_unsupported_streams_raise_loudly():
+    """Progressive (SOF2) and restart intervals raise
+    NotImplementedError; garbage raises ValueError — never a silent
+    wrong decode."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+    )
+
+    x = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(write_jpeg(x))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # pretend progressive
+    with pytest.raises(NotImplementedError, match="baseline"):
+        parse_jpeg(bytes(blob))
+    blob = bytearray(write_jpeg(x))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 11] = 0x22  # 2x2 sampling factors
+    with pytest.raises(NotImplementedError, match="4:4:4"):
+        parse_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg(b"\x00\x11\x22")
+
+
+def test_jpeg_magic_dispatch_and_pool_operator(spark):
+    """decode_image routes FFD8 payloads to parse_jpeg; the pooled
+    operator output matches the reference pipeline pooled by hand."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _QUANT_LUMA,
+        _dequant_idct,
+        _fdct_quant,
+        _quality_table,
+        decode_image,
+        write_jpeg,
+    )
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        decode_image_pool,
+    )
+
+    rng = np.random.RandomState(13)
+    x = rng.randint(0, 256, size=(8, 8)).astype(np.uint8)
+    payload = write_jpeg(x, quality=75)
+    assert decode_image(payload).shape == (8, 8)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    out = decode_image_pool(media, 2).collect()[0]
+    q = _quality_table(_QUANT_LUMA, 75)
+    ref = _dequant_idct(_fdct_quant(x.astype(np.int64) - 128, q), q)
+    expect = (
+        ref.astype(np.float64).reshape(4, 2, 4, 2).mean(axis=(1, 3)).ravel()
+    )
+    assert out["width"] == 8 and out["height"] == 8
+    assert np.allclose(out["pooled"], expect)

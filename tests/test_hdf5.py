@@ -277,12 +277,11 @@ def test_vlen_string_attributes_via_global_heap(style):
     assert np.isnan(ds.masked("sar_primary")[0, 0])
 
 
-def test_dense_attribute_storage_raises_not_silently_drops():
-    """An object header carrying an Attribute Info message (0x0015)
-    whose fractal-heap address is DEFINED means attributes live in
-    dense storage this reader does not parse: it must raise, not
-    return an attribute-less variable (which would drop _FillValue and
-    silently mis-mask data)."""
+def test_dense_attribute_storage_garbage_heap_raises():
+    """An Attribute Info message whose fractal-heap address points at
+    non-heap bytes must raise (bad signature), never silently return an
+    attribute-less object; an UNDEFINED heap address means compact
+    storage and parses normally."""
     import numpy as np
     import pytest
 
@@ -294,18 +293,127 @@ def test_dense_attribute_storage_raises_not_silently_drops():
     )
     assert "v" in H.HDF5File(buf).datasets  # baseline parses fine
 
-    body_defined = bytes([0, 0]) + (123456).to_bytes(8, "little") * 2
+    body_garbage = bytes([0, 0]) + (96).to_bytes(8, "little") * 2
     body_undefined = bytes([0, 0]) + b"\xff" * 16
 
-    class _Dense(H.HDF5File):
+    class _Garbage(H.HDF5File):
         def _messages(self, addr):
-            return list(super()._messages(addr)) + [(0x0015, body_defined)]
+            return list(super()._messages(addr)) + [(0x0015, body_garbage)]
 
-    with pytest.raises(ValueError, match="dense.*attribute"):
-        _Dense(buf)
+    with pytest.raises(ValueError, match="fractal heap"):
+        _Garbage(buf)
 
     class _Compact(H.HDF5File):
         def _messages(self, addr):
             return list(super()._messages(addr)) + [(0x0015, body_undefined)]
 
     assert "v" in _Compact(buf).datasets  # undefined heap addr = compact
+
+
+# --- dense (fractal-heap) attribute + link storage (round 6) --------------
+
+
+def _attr_rich_gatts() -> dict:
+    g = {f"ga_{i:02d}": np.float64(i) * 1.5 for i in range(20)}
+    g["title"] = "attribute-rich latest-format scene"
+    g["rm_swath"] = np.int32(3)
+    return g
+
+
+def _attr_rich_variables(side: int = 4):
+    out = {}
+    for name, (vdims, arr, attrs) in _variables(side).items():
+        extra = {f"va_{i:02d}": np.int32(i) for i in range(10)}
+        out[name] = (vdims, arr, {**attrs, **extra})
+    return out
+
+
+@pytest.mark.parametrize("style", ["earliest", "latest"])
+@pytest.mark.parametrize("block_size", [512, 64])
+@pytest.mark.parametrize("vlen", [False, True])
+def test_dense_attributes_roundtrip(style, block_size, vlen):
+    """Dense attribute storage (attribute-info message -> fractal heap
+    of v3 attribute messages + v2-B-tree name index) decodes completely:
+    global attrs, per-variable attrs incl. _FillValue masking, and the
+    dimension-scale NAME filter.  ``block_size=64`` forces a multi-block
+    heap under a root indirect block (the FHIB path)."""
+    blob = write_hdf5_netcdf4(
+        {"line": 4, "sample": 4},
+        _attr_rich_variables(4),
+        gatts=_attr_rich_gatts(),
+        style=style,
+        dense_attrs=True,
+        dense_block_size=block_size,
+        vlen_strings=vlen,
+    )
+    ds = HDF5NetCDF(blob)
+    assert ds.attrs["title"] == "attribute-rich latest-format scene"
+    assert ds.attrs["rm_swath"] == 3
+    assert len([k for k in ds.attrs if k.startswith("ga_")]) == 20
+    assert set(ds.variables) == {"sar_primary", "sar_secondary", "counts"}
+    sp = ds.variables["sar_primary"]
+    assert len([k for k in sp.attrs if k.startswith("va_")]) == 10
+    assert float(sp.attrs["_FillValue"]) == -999.0
+    assert np.isnan(ds.masked("sar_primary")[0, 0])
+    np.testing.assert_array_equal(ds.raw("counts"), _arrays(4)[2])
+
+
+@pytest.mark.parametrize("style", ["earliest", "latest"])
+def test_dense_links_roundtrip(style):
+    """Dense group storage (link-info message -> fractal heap of link
+    messages + v2-B-tree name index) discovers every child."""
+    blob = write_hdf5_netcdf4(
+        {"line": 4, "sample": 4},
+        _variables(4),
+        gatts={"title": "fixture scene"},
+        style=style,
+        dense_links=True,
+    )
+    ds = HDF5NetCDF(blob)
+    assert set(ds.variables) == {"sar_primary", "sar_secondary", "counts"}
+    assert np.isnan(ds.masked("sar_primary")[0, 0])
+
+
+def test_dense_decode_identical_to_compact_and_classic():
+    """The same arrays through classic CDF, compact HDF5 and dense HDF5
+    must decode to IDENTICAL long-form pixel frames — the acceptance
+    criterion for attribute-rich real scenes (VERDICT r5 task 1)."""
+    side = 4
+    variables = ["sar_primary", "sar_secondary"]
+    classic = write_classic({"line": side, "sample": side}, _variables(side))
+    a = decode_netcdf_scene("20180410T084537_p.nc", classic, variables)
+    for kw in (
+        {"style": "latest", "dense_attrs": True},
+        {"style": "latest", "dense_attrs": True, "dense_links": True},
+        {"style": "earliest", "dense_attrs": True, "dense_block_size": 64},
+        {
+            "style": "latest",
+            "dense_attrs": True,
+            "layout": "chunked",
+            "compress": "shuffle+deflate",
+        },
+    ):
+        b = decode_netcdf_scene(
+            "20180410T084537_p.nc", _payload(side, **kw), variables
+        )
+        assert a.equals(b), kw
+
+
+def test_read_scenes_includes_dense_generation(spark, tmp_path):
+    """S1 end-to-end over a directory mixing classic, compact-HDF5 and
+    dense-HDF5 scenes — one reader, magic + storage-style dispatch."""
+    (tmp_path / "20180410T084537_a.nc").write_bytes(
+        write_classic({"line": 4, "sample": 4}, _variables(4))
+    )
+    (tmp_path / "20180110T120000_b.nc").write_bytes(
+        _payload(4, style="latest", dense_attrs=True, dense_links=True)
+    )
+    df = read_scenes(spark, str(tmp_path), ["sar_primary", "sar_secondary"])
+    assert df.count() == 2 * 2 * 16
+    # identical arrays -> identical values per (var, line, sample)
+    pivot = (
+        df.groupBy("var", "line", "sample")
+        .agg(F.countDistinct("value").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert pivot.count() == 0
