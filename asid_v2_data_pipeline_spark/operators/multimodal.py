@@ -276,6 +276,97 @@ WAV_RMS_SCHEMA = T.StructType(
 )
 
 
+WAV_DFT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_no", T.IntegerType(), False),
+        T.StructField("bin", T.IntegerType(), False),
+        T.StructField("power", T.LongType(), True),
+    ]
+)
+
+_DFT_BITS = 12  # twiddle fixed point: round(4096 * cos/sin)
+
+
+def dft_twiddles(window: int) -> tuple[list[list[int]], list[list[int]]]:
+    """Integer twiddle tables for a ``window``-point real DFT:
+    ``C[b][k] = round(4096·cos(−2πbk/W))`` and the sine twin, for bins
+    0..W/2.  Integer end-to-end (like the JPEG DCT), so spectral powers
+    are EXACT int64s an independent SQL oracle reproduces bit-for-bit —
+    the audio-feature sibling of the codec family's octet parity."""
+    import math
+
+    bins = window // 2 + 1
+    scale = 1 << _DFT_BITS
+    cos_t = [
+        [
+            round(math.cos(-2.0 * math.pi * b * k / window) * scale)
+            for k in range(window)
+        ]
+        for b in range(bins)
+    ]
+    sin_t = [
+        [
+            round(math.sin(-2.0 * math.pi * b * k / window) * scale)
+            for k in range(window)
+        ]
+        for b in range(bins)
+    ]
+    return cos_t, sin_t
+
+
+def decode_wav_dft(media: DataFrame, window_samples: int) -> DataFrame:
+    """Windowed spectral energy over REAL decoded audio: parse each
+    payload as RIFF/WAVE, center channel 0, and per complete window of
+    ``window_samples`` samples emit the fixed-point DFT power
+    ``re² + im²`` (scaled by 4096², exact int64) for every bin
+    0..W/2 — the feature-extraction step of an audio pipeline
+    (VAD energy bands, spectral fingerprints), dependency-free.
+    Arrow-batched ``mapInPandas``; the integer twiddles make the result
+    value-hashable against a generated DuckDB oracle."""
+    cos_t, sin_t = dft_twiddles(window_samples)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import parse_wav
+
+        cmat = np.array(cos_t, dtype=np.int64)  # (bins, W)
+        smat = np.array(sin_t, dtype=np.int64)
+        nbins = cmat.shape[0]
+        for pdf in batches:
+            ids, wins, bins_, powers = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                _rate, _nch, samples = parse_wav(bytes(p))
+                ch0 = samples[:, 0].astype(np.int64)
+                if samples.dtype == np.uint8:
+                    ch0 = ch0 - 128
+                nw = ch0.size // window_samples
+                for w in range(nw):
+                    seg = ch0[
+                        w * window_samples : (w + 1) * window_samples
+                    ]
+                    re = cmat @ seg
+                    im = smat @ seg
+                    pw = re * re + im * im
+                    ids.extend([mid] * nbins)
+                    wins.extend([w] * nbins)
+                    bins_.extend(range(nbins))
+                    powers.extend(int(x) for x in pw)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "win_no": wins,
+                    "bin": bins_,
+                    "power": powers,
+                }
+            )
+
+    return media.mapInPandas(fn, WAV_DFT_SCHEMA)
+
+
 def decode_wav_rms(media: DataFrame, window_samples: int) -> DataFrame:
     """REAL audio codec path: parse each payload as a RIFF/WAVE
     container (``functions/codecs.parse_wav``), center the PCM samples

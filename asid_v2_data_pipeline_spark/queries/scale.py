@@ -2154,6 +2154,83 @@ FROM wins ORDER BY doc_id, win_no
 """
 
 
+def mm_wav_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION over real decoded containers: document
+    bytes become a genuine PCM WAV, ``decode_wav_dft`` parses it back
+    and computes per-window fixed-point DFT band powers (integer
+    twiddles ×4096, powers = exact int64) — the spectral-energy step of
+    an audio curation pipeline.  The oracle re-derives every power from
+    the raw octets with the same literal twiddle tables: spectral
+    values are hash-exact, not approximately compared."""
+    from ..operators.multimodal import decode_wav_dft
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import write_wav
+
+        for pdf in batches:
+            payloads = [
+                write_wav(
+                    np.frombuffer(t.encode("utf-8"), dtype=np.uint8), 8000
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    out = decode_wav_dft(media, _WAV_W)
+    return out.select(
+        F.col("media_id").alias("doc_id"), "win_no", "bin", "power"
+    ).orderBy("doc_id", "win_no", "bin")
+
+
+def _mm_wav_dft_sql() -> str:
+    """Oracle for the spectral features: literal integer twiddle rows,
+    one generated (re, im) sum pair per bin over the centered octets of
+    each window — all-integer arithmetic, so the hash match pins the
+    container round-trip AND the transform."""
+    from ..operators.multimodal import dft_twiddles
+
+    w = _WAV_W
+    cos_t, sin_t = dft_twiddles(w)
+    arms = []
+    for b in range(w // 2 + 1):
+        re = " + ".join(
+            f"(CAST(cs[CAST(w * {w} + {k} + 1 AS INT)] AS BIGINT) - 128)"
+            f" * ({cos_t[b][k]})"
+            for k in range(w)
+            if cos_t[b][k]
+        ) or "0"
+        im = " + ".join(
+            f"(CAST(cs[CAST(w * {w} + {k} + 1 AS INT)] AS BIGINT) - 128)"
+            f" * ({sin_t[b][k]})"
+            for k in range(w)
+            if sin_t[b][k]
+        ) or "0"
+        arms.append(
+            f"SELECT doc_id, CAST(w AS INT) AS win_no, {b} AS bin, "
+            f"CAST(({re}) * ({re}) + ({im}) * ({im}) AS BIGINT) AS power "
+            f"FROM wins"
+        )
+    union = " UNION ALL ".join(arms)
+    return f"""
+WITH {_CODES_CTE_SQL},
+wins AS (
+  SELECT doc_id, cs, w FROM codes, unnest(range(0, n_bytes // {w})) AS t(w)
+)
+SELECT doc_id, win_no, CAST(bin AS INT) AS bin, power
+FROM ({union}) ORDER BY doc_id, win_no, bin
+"""
+
+
 _BMP_W, _BMP_H, _BMP_F = 8, 8, 2
 
 
@@ -3547,6 +3624,68 @@ def tx_bm25_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed BPE merge table (ranked, applied in order) — a production
+# tokenizer ships a frozen vocab; applying it is the scale operation
+# (training is tx_bpe_pairs).  Common English digraph/trigraph merges.
+_BPE_MERGES = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("in", "g"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("an", "d"), ("t", "o"), ("o", "f"), ("e", "s"),
+    ("s", "t"),
+)
+
+
+def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: encode every token with a frozen, ranked
+    BPE merge table and count the resulting subword units (top 30).
+
+    Pure string algebra, zero Python: each token becomes a
+    ``|``-delimited symbol string (``that`` → ``|t||h||a||t|``) and
+    each ranked merge is one literal ``replace`` (``|t||h|`` →
+    ``|th|``) — the delimiters make symbol boundaries unambiguous, so
+    ``replace`` IS the left-to-right all-occurrences merge of the
+    Sennrich algorithm.  16 chained replaces stay inside whole-stage
+    codegen; the only shuffle is the final count.  The oracle applies
+    the identical replace chain in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    s = F.concat(
+        F.lit("|"), F.concat_ws("||", F.split(F.col("tok"), "")), F.lit("|")
+    )
+    for x, y in _BPE_MERGES:
+        s = F.replace(s, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+    sub = F.explode(
+        F.split(F.expr(f"trim(BOTH '|' FROM {'_enc'})"), r"\|\|")
+    ).alias("subword")
+    return (
+        toks.select(s.alias("_enc"))
+        .select(sub)
+        .groupBy("subword")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "subword")
+        .limit(30)
+    )
+
+
+def _bpe_encode_sql() -> str:
+    chars = (
+        "'|' || array_to_string(list_transform(range(1, len(tok) + 1), "
+        "i -> substr(tok, i, 1)), '||') || '|'"
+    )
+    expr = chars
+    for x, y in _BPE_MERGES:
+        expr = f"replace({expr}, '|{x}||{y}|', '|{x}{y}|')"
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOKENS_SQL}) AS tok FROM documents
+),
+enc AS (SELECT {expr} AS e FROM toks),
+subs AS (SELECT unnest(string_split(trim(e, '|'), '||')) AS subword FROM enc)
+SELECT subword, COUNT(*) AS n FROM subs
+GROUP BY subword ORDER BY n DESC, subword LIMIT 30
+"""
+
+
 def _rand_proj_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 23) -> str:
     rows = sim._hyperplanes(in_dim, out_dim, seed)
     scale = out_dim ** -0.5  # exact binary double for power-of-4 out_dim
@@ -3601,6 +3740,7 @@ REGISTRY = {
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
     "dd_span_removal": (dd_span_removal, DD_SPAN_REMOVAL_SQL),
     "tx_bpe_pairs": (tx_bpe_pairs, TX_BPE_SQL),
+    "tx_bpe_encode": (tx_bpe_encode, _bpe_encode_sql()),
     "tx_type_token_ratio": (tx_type_token_ratio, TX_TTR_SQL),
     "sk_cms_top_tokens": (sk_cms_top_tokens, _sk_cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, _sk_hll_sql()),
@@ -3669,6 +3809,7 @@ REGISTRY = {
     "mm_png_pool": (mm_png_pool, _mm_bmp_sql()),
     "mm_gif_pool": (mm_gif_pool, _mm_bmp_sql()),
     "mm_jpeg_pool": (mm_jpeg_pool, _mm_jpeg_sql()),
+    "mm_wav_dft": (mm_wav_dft, _mm_wav_dft_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

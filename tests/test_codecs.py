@@ -465,3 +465,38 @@ def test_jpeg_magic_dispatch_and_pool_operator(spark):
     )
     assert out["width"] == 8 and out["height"] == 8
     assert np.allclose(out["pooled"], expect)
+
+
+def test_decode_wav_dft_matches_fft_and_is_exact(spark):
+    """Fixed-point DFT band powers: exact int64, and (scaled) they track
+    numpy's float FFT to the twiddle-rounding bound — both the exactness
+    contract (oracle hashability) and the signal meaning."""
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        decode_wav_dft,
+        dft_twiddles,
+    )
+
+    rng = np.random.RandomState(5)
+    s = rng.randint(0, 256, size=32).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(write_wav(s, 8000)))], "media_id long, payload binary"
+    )
+    rows = decode_wav_dft(media, 8).collect()
+    assert len(rows) == 4 * 5  # 4 windows x bins 0..4
+    got = {(r["win_no"], r["bin"]): r["power"] for r in rows}
+    cos_t, sin_t = dft_twiddles(8)
+    c = np.array(cos_t, dtype=np.int64)
+    sn = np.array(sin_t, dtype=np.int64)
+    x = s.astype(np.int64) - 128
+    for w in range(4):
+        seg = x[w * 8 : (w + 1) * 8]
+        re = c @ seg
+        im = sn @ seg
+        for b in range(5):
+            assert got[(w, b)] == int(re[b] ** 2 + im[b] ** 2)
+        # float FFT agreement within the integer-twiddle rounding bound
+        f = np.fft.rfft(seg.astype(float))
+        scaled = np.sqrt(np.array([got[(w, b)] for b in range(5)], float))
+        np.testing.assert_allclose(
+            scaled / 4096.0, np.abs(f), atol=0.5, rtol=1e-3
+        )

@@ -1802,3 +1802,45 @@ def test_trained_pq_codebooks_cut_reconstruction_error(spark):
         ).collect()
     }
     assert len(pq & exact) / len(exact) >= 0.85
+
+
+def test_bpe_encode_replace_chain_equals_reference_bpe(spark):
+    """The delimiter-replace chain must equal a reference Sennrich-style
+    merge application (all non-overlapping occurrences, ranked order)
+    on every token — including the 'a a a' overlap and cross-symbol
+    false-match traps the delimiters exist to kill."""
+    from asid_v2_data_pipeline_spark.queries.scale import _BPE_MERGES
+
+    def ref_encode(tok: str) -> list[str]:
+        syms = list(tok)
+        for x, y in _BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = [
+        "that", "the", "thththe", "and", "standing", "tttthhhh",
+        "banana", "onion", "tother", "interesting", "a", "o'clock",
+        "thethethe", "ananan", "estereres",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    s = F.concat(
+        F.lit("|"), F.concat_ws("||", F.split(F.col("tok"), "")), F.lit("|")
+    )
+    for x, y in _BPE_MERGES:
+        s = F.replace(s, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+    enc = df.select("tok", s.alias("_enc")).select(
+        "tok",
+        F.split(F.expr("trim(BOTH '|' FROM _enc)"), r"\|\|").alias("subs"),
+    )
+    got = {r["tok"]: list(r["subs"]) for r in enc.collect()}
+    for w in words:
+        assert got[w] == ref_encode(w), (w, got[w], ref_encode(w))
+        assert "".join(got[w]) == w  # lossless segmentation
