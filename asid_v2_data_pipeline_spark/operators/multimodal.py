@@ -276,6 +276,68 @@ WAV_RMS_SCHEMA = T.StructType(
 )
 
 
+MKV_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("track", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("codec_id", T.StringType(), True),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("keyframe", T.BooleanType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+    ]
+)
+
+
+def demux_mkv_frames(media: DataFrame) -> DataFrame:
+    """REAL video-container demux: parse each payload as Matroska/WebM
+    (``functions/ebml.py``), join every SimpleBlock frame with its
+    track's metadata, and emit per-frame rows — track/kind/codec id,
+    absolute timestamp (ticks), keyframe flag, and the exact payload
+    byte stats the octet-level oracle reproduces.  This is the shard/
+    sample/route layer of a video pipeline (which frames, which track,
+    what codec) — frame DECODE stays behind the codec-library boundary
+    (``DecodeStub``), exactly like audio before ``parse_wav`` existed.
+    Arrow-batched ``mapInPandas`` with per-frame fan-out."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.ebml import parse_mkv
+
+        for pdf in batches:
+            ids, trs, kinds, codecs, tss, keys, nbs, sums = (
+                [], [], [], [], [], [], [], []
+            )
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                mkv = parse_mkv(bytes(p))
+                for track, ts, key, payload in mkv.frames:
+                    tr = mkv.tracks.get(track)
+                    ids.append(mid)
+                    trs.append(track)
+                    kinds.append(tr.kind if tr else None)
+                    codecs.append(tr.codec_id if tr else None)
+                    tss.append(ts)
+                    keys.append(key)
+                    nbs.append(len(payload))
+                    sums.append(int(sum(payload)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "track": trs,
+                    "kind": kinds,
+                    "codec_id": codecs,
+                    "ts": tss,
+                    "keyframe": keys,
+                    "n_bytes": nbs,
+                    "byte_sum": sums,
+                }
+            )
+
+    return media.mapInPandas(fn, MKV_FRAME_SCHEMA)
+
+
 WAV_DFT_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -2552,6 +2552,91 @@ FROM pixels ORDER BY doc_id
 """
 
 
+_MKV_FR = 16  # bytes per fixture video frame
+_MKV_TICKS = 40  # ticks between frames (25 fps at 1 ms scale)
+
+
+def mm_mkv_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container demux: document bytes become complete
+    ``_MKV_FR``-byte raw frames muxed into a genuine Matroska container
+    (EBML varints, Segment/Tracks/Cluster tree, un-laced SimpleBlocks,
+    clusters of 4 with rebased timestamps), then ``demux_mkv_frames``
+    parses it back — track metadata joined onto every frame, absolute
+    timestamps recomputed from cluster-relative offsets.  The oracle
+    re-derives frame count, timestamps, keyframe cadence and exact
+    byte sums from the raw octets, so any drift in varint encoding,
+    cluster rebasing or block framing breaks the value hash."""
+    from ..operators.multimodal import demux_mkv_frames
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(batches):
+        import pandas as pd
+
+        from ..functions.ebml import MkvTrack, write_mkv
+
+        tracks = [
+            MkvTrack(1, "video", "V_UNCOMPRESSED", width=4, height=4)
+        ]
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                n = len(raw) // _MKV_FR
+                frames = [
+                    (
+                        1,
+                        i * _MKV_TICKS,
+                        i % 4 == 0,
+                        raw[i * _MKV_FR : (i + 1) * _MKV_FR],
+                    )
+                    for i in range(n)
+                ]
+                payloads.append(
+                    write_mkv(frames, tracks, cluster_every=4)
+                    if frames
+                    else None
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    out = demux_mkv_frames(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "track",
+        "kind",
+        "codec_id",
+        "ts",
+        "keyframe",
+        "n_bytes",
+        "byte_sum",
+    ).orderBy("doc_id", "ts")
+
+
+def _mm_mkv_sql() -> str:
+    fr, tk = _MKV_FR, _MKV_TICKS
+    return f"""
+WITH {_CODES_CTE_SQL},
+frames AS (
+  SELECT doc_id, CAST(f AS INT) AS fno,
+         CAST(list_sum(list_transform(range(0, {fr}), k ->
+              CAST(cs[CAST(f * {fr} + k + 1 AS INT)] AS BIGINT))) AS BIGINT)
+           AS byte_sum
+  FROM codes, unnest(range(0, n_bytes // {fr})) AS t(f)
+)
+SELECT doc_id, CAST(1 AS INT) AS track, 'video' AS kind,
+       'V_UNCOMPRESSED' AS codec_id,
+       CAST(fno * {tk} AS BIGINT) AS ts,
+       (fno % 4 = 0) AS keyframe,
+       CAST({fr} AS INT) AS n_bytes, byte_sum
+FROM frames ORDER BY doc_id, ts
+"""
+
+
 _FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
 
 
@@ -3810,6 +3895,7 @@ REGISTRY = {
     "mm_gif_pool": (mm_gif_pool, _mm_bmp_sql()),
     "mm_jpeg_pool": (mm_jpeg_pool, _mm_jpeg_sql()),
     "mm_wav_dft": (mm_wav_dft, _mm_wav_dft_sql()),
+    "mm_mkv_demux": (mm_mkv_demux, _mm_mkv_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

@@ -1,0 +1,129 @@
+"""Matroska/WebM demuxer (functions/ebml.py): round-trips through the
+fixture muxer, cluster-relative timestamp math, unknown-size segments,
+laced-block and garbage rejection, and the Spark demux operator."""
+
+from __future__ import annotations
+
+import pytest
+
+from asid_v2_data_pipeline_spark.functions.ebml import (
+    MkvTrack,
+    parse_mkv,
+    write_mkv,
+)
+
+
+def _tracks():
+    return [
+        MkvTrack(1, "video", "V_VP9", width=640, height=360),
+        MkvTrack(
+            2, "audio", "A_OPUS", sampling_hz=48000.0, channels=2,
+            codec_private=b"OpusHead",
+        ),
+    ]
+
+
+def _frames(n=10):
+    out = []
+    for i in range(n):
+        out.append((1, i * 40, i % 4 == 0, bytes([i]) * 20))
+        out.append((2, i * 40 + 7, True, bytes([200 - i]) * 5))
+    return sorted(out, key=lambda f: (f[1], f[0]))
+
+
+def test_mux_demux_roundtrip_two_tracks():
+    blob = write_mkv(_frames(), _tracks(), doc_type="webm", cluster_every=3)
+    mkv = parse_mkv(blob)
+    assert mkv.doc_type == "webm"
+    assert mkv.tracks[1].kind == "video"
+    assert (mkv.tracks[1].width, mkv.tracks[1].height) == (640, 360)
+    assert mkv.tracks[1].codec_id == "V_VP9"
+    assert mkv.tracks[2].kind == "audio"
+    assert mkv.tracks[2].sampling_hz == 48000.0
+    assert mkv.tracks[2].channels == 2
+    assert mkv.tracks[2].codec_private == b"OpusHead"
+    got = sorted(mkv.frames, key=lambda f: (f[1], f[0]))
+    assert got == _frames()
+
+
+def test_cluster_rebasing_spans_many_clusters():
+    """Timestamps survive being split across clusters with different
+    bases — absolute ts = cluster base + signed 16-bit relative."""
+    frames = [(1, i * 1000, True, bytes([i % 256])) for i in range(50)]
+    blob = write_mkv(frames, _tracks()[:1], cluster_every=7)
+    mkv = parse_mkv(blob)
+    assert [f[1] for f in mkv.frames] == [i * 1000 for i in range(50)]
+    # more than one cluster was actually exercised
+    assert blob.count(b"\x1f\x43\xb6\x75") >= 7
+
+
+def test_unknown_size_segment_parses_to_eof():
+    """Streamed files leave the Segment size unknown (all-ones varint);
+    the parser must treat EOF as the segment end."""
+    frames = _frames(4)
+    blob = bytearray(write_mkv(frames, _tracks()))
+    seg = blob.find(b"\x18\x53\x80\x67")
+    assert seg >= 0
+    size_pos = seg + 4
+    length = 8 - blob[size_pos].bit_length() + 1
+    blob[size_pos : size_pos + length] = (
+        bytes([0xFF]) + b"\x00" * 0 if length == 1
+        else bytes([(1 << (8 - length)) | ((1 << (8 - length)) - 1)])
+        + b"\xff" * (length - 1)
+    )
+    mkv = parse_mkv(bytes(blob))
+    assert sorted(mkv.frames, key=lambda f: (f[1], f[0])) == frames
+
+
+def test_laced_block_and_garbage_raise():
+    blob = bytearray(write_mkv(_frames(4), _tracks()))
+    cluster = blob.find(b"\x1f\x43\xb6\x75")
+    sb = blob.find(b"\xa3", cluster + 4)  # first SimpleBlock id
+    # flags byte: id(1) + size(1) + track varint(1) + rel(2) -> +5
+    blob[sb + 5] |= 0x06  # claim EBML lacing
+    with pytest.raises(NotImplementedError, match="laced"):
+        parse_mkv(bytes(blob))
+    with pytest.raises(ValueError, match="EBML"):
+        parse_mkv(b"\x00" * 32)
+
+
+def test_unknown_elements_are_skipped_not_misparsed():
+    """A foreign element spliced between Tracks and Cluster must be
+    skipped by size."""
+    frames = _frames(2)
+    blob = write_mkv(frames, _tracks())
+    # splice a Void-like unknown element (id 0xEC) into the segment body
+    seg = blob.find(b"\x18\x53\x80\x67")
+    size_pos = seg + 4
+    length = 8 - blob[size_pos].bit_length() + 1
+    insert_at = blob.find(b"\x1f\x43\xb6\x75")  # before first cluster
+    foreign = b"\xec\x84" + b"\xde\xad\xbe\xef"
+    patched = bytearray(blob[:insert_at] + foreign + blob[insert_at:])
+    # fix the segment size (known-size varint)
+    old = int.from_bytes(patched[size_pos : size_pos + length], "big")
+    marker = 1 << (7 * length)
+    patched[size_pos : size_pos + length] = (
+        (old & (marker - 1)) + len(foreign) | marker
+    ).to_bytes(length, "big")
+    mkv = parse_mkv(bytes(patched))
+    assert sorted(mkv.frames, key=lambda f: (f[1], f[0])) == frames
+
+
+def test_demux_operator_joins_track_metadata(spark):
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        demux_mkv_frames,
+    )
+
+    blob = write_mkv(_frames(3), _tracks())
+    media = spark.createDataFrame(
+        [(7, bytearray(blob))], "media_id long, payload binary"
+    )
+    rows = demux_mkv_frames(media).collect()
+    assert len(rows) == 6
+    vids = [r for r in rows if r["track"] == 1]
+    auds = [r for r in rows if r["track"] == 2]
+    assert all(r["kind"] == "video" and r["codec_id"] == "V_VP9" for r in vids)
+    assert all(r["kind"] == "audio" and r["codec_id"] == "A_OPUS" for r in auds)
+    assert sorted(r["ts"] for r in auds) == [7, 47, 87]
+    assert all(r["n_bytes"] == 20 for r in vids)
+    assert vids[0]["byte_sum"] == sum(bytes([0]) * 20)
