@@ -1,0 +1,102 @@
+"""Pure-Python ID3v2 tag reader + fixture writer (MP3 metadata).
+
+MP3 AUDIO decode needs codec libraries and stays behind the
+``DecodeStub`` boundary, but the METADATA a curation pipeline routes on
+(title/artist/album/track, the ID3v2 tag block preceding the audio
+frames) is a simple public container: the informal standard at id3.org
+(ID3v2.3, ID3v2.4).  Parsing it is the audio twin of the EBML demuxer —
+real container, opaque codec payload.
+
+Scope: ID3v2.3 and v2.4 headers (syncsafe tag size; v2.4 syncsafe frame
+sizes vs v2.3 plain), text frames ``T***`` in Latin-1 (0), UTF-16 with
+BOM (1), UTF-16BE (2) and UTF-8 (3) encodings; other frame types are
+skipped by size.  Unsynchronization and extended headers raise loudly
+rather than desynchronize.
+"""
+
+from __future__ import annotations
+
+
+def _syncsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("ID3: non-syncsafe byte in syncsafe integer")
+    v = 0
+    for x in b:
+        v = (v << 7) | x
+    return v
+
+
+def _enc_syncsafe(v: int) -> bytes:
+    if v >= 1 << 28:
+        raise ValueError("ID3: size too large for syncsafe encoding")
+    return bytes((v >> s) & 0x7F for s in (21, 14, 7, 0))
+
+
+_DECODERS = {
+    0: "latin-1",
+    1: "utf-16",  # BOM-carrying
+    2: "utf-16-be",
+    3: "utf-8",
+}
+
+
+def parse_id3(payload: bytes) -> dict:
+    """The tag block's text frames as ``{frame_id: text}`` plus
+    ``{"_version": (major, rev), "_tag_bytes": n}``.  ``n`` is where the
+    audio stream begins — the split point a pipeline shards on."""
+    if payload[:3] != b"ID3":
+        raise ValueError("not an ID3v2 tag")
+    major, rev = payload[3], payload[4]
+    if major not in (3, 4):
+        raise NotImplementedError(f"ID3v2.{major} not supported (2.3/2.4)")
+    flags = payload[5]
+    if flags & 0x80:
+        raise NotImplementedError("ID3: unsynchronized tags not supported")
+    if flags & 0x40:
+        raise NotImplementedError("ID3: extended header not supported")
+    size = _syncsafe(payload[6:10])
+    out: dict = {"_version": (major, rev), "_tag_bytes": 10 + size}
+    pos, end = 10, 10 + size
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw_size = payload[pos + 4 : pos + 8]
+        fsize = _syncsafe(raw_size) if major == 4 else int.from_bytes(
+            raw_size, "big"
+        )
+        body = payload[pos + 10 : pos + 10 + fsize]
+        pos += 10 + fsize
+        name = fid.decode("latin-1")
+        if name.startswith("T") and body:
+            enc = body[0]
+            codec = _DECODERS.get(enc)
+            if codec is None:
+                raise ValueError(f"ID3: unknown text encoding {enc}")
+            out[name] = (
+                body[1:].decode(codec, "replace").split("\x00")[0]
+            )
+    return out
+
+
+def write_id3(
+    frames: dict[str, str],
+    major: int = 4,
+    audio: bytes = b"",
+    encoding: int = 3,
+    padding: int = 16,
+) -> bytes:
+    """Fixture writer: text frames (UTF-8 by default; pass
+    ``encoding=0/1/3`` to exercise the decoders) + padding, followed by
+    ``audio`` (opaque bytes standing in for the MPEG frames)."""
+    codec = _DECODERS[encoding]
+    body = b""
+    for fid, text in frames.items():
+        fb = bytes([encoding]) + text.encode(codec)
+        size = _enc_syncsafe(len(fb)) if major == 4 else len(fb).to_bytes(
+            4, "big"
+        )
+        body += fid.encode("latin-1") + size + b"\x00\x00" + fb
+    body += b"\x00" * padding
+    head = b"ID3" + bytes([major, 0, 0]) + _enc_syncsafe(len(body))
+    return head + body + audio

@@ -30,6 +30,16 @@ def tokens(text: Column) -> Column:
     )
 
 
+_TOKEN_RE = __import__("re").compile(r"[^a-z0-9']+")
+
+
+def tokens_py(text: str) -> list[str]:
+    """Plain-Python twin of :func:`tokens` (same lower + split regex) for
+    executor-side kernels that build fixtures from text (e.g. the ID3
+    tag builder) — keeps the engine and its oracles on one tokenizer."""
+    return [t for t in _TOKEN_RE.split(text.lower()) if t]
+
+
 def token_count(text: Column) -> Column:
     """Whitespace-regex token count."""
     return F.size(tokens(text))

@@ -276,6 +276,54 @@ WAV_RMS_SCHEMA = T.StructType(
 )
 
 
+ID3_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("major", T.IntegerType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("album", T.StringType(), True),
+        T.StructField("track", T.StringType(), True),
+        T.StructField("tag_bytes", T.IntegerType(), False),
+        T.StructField("audio_bytes", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_id3_tags(media: DataFrame) -> DataFrame:
+    """MP3 METADATA extraction: parse each payload's ID3v2 tag block
+    (``functions/id3.py`` — v2.3/v2.4, all four text encodings) into
+    typed columns plus the tag/audio split point.  The audio frames
+    after the tag stay opaque (codec-library boundary), exactly like
+    the EBML demuxer leaves VP9 payloads opaque — the metadata layer a
+    curation pipeline filters and routes on is real."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.id3 import parse_id3
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "major", "title", "artist", "album",
+                "track", "tag_bytes", "audio_bytes",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                raw = bytes(p)
+                tags = parse_id3(raw)
+                rows["media_id"].append(mid)
+                rows["major"].append(tags["_version"][0])
+                rows["title"].append(tags.get("TIT2"))
+                rows["artist"].append(tags.get("TPE1"))
+                rows["album"].append(tags.get("TALB"))
+                rows["track"].append(tags.get("TRCK"))
+                rows["tag_bytes"].append(tags["_tag_bytes"])
+                rows["audio_bytes"].append(len(raw) - tags["_tag_bytes"])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, ID3_SCHEMA)
+
+
 MKV_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -2637,6 +2637,86 @@ FROM frames ORDER BY doc_id, ts
 """
 
 
+def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata extraction through a REAL ID3v2 container: each
+    document becomes an ID3-tagged payload (title = first 3 tokens,
+    artist = lang, album = source, track = doc_id mod 100; version and
+    text encoding vary per doc to exercise v2.3 plain vs v2.4 syncsafe
+    frame sizes and the Latin-1 vs UTF-8 decoders) followed by opaque
+    'audio' bytes.  ``extract_id3_tags`` parses it back; the oracle
+    recomputes every column — including the tag/audio byte split, which
+    pins the syncsafe size arithmetic — from the documents table."""
+    from ..operators.multimodal import extract_id3_tags
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(batches):
+        import pandas as pd
+
+        from ..functions.id3 import write_id3
+        from ..functions.text import tokens_py
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, lang, source, t in zip(
+                pdf["doc_id"], pdf["lang"], pdf["source"], pdf["text"]
+            ):
+                toks = tokens_py(t)[:3]
+                frames = {
+                    "TIT2": " ".join(toks),
+                    "TPE1": str(lang),
+                    "TALB": str(source),
+                    "TRCK": str(int(did) % 100),
+                }
+                ids.append(did)
+                payloads.append(
+                    write_id3(
+                        frames,
+                        major=4 if int(did) % 3 else 3,
+                        encoding=3 if int(did) % 2 == 0 else 0,
+                        audio=t.encode("utf-8")[:32],
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.select("doc_id", "lang", "source", "text").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    out = extract_id3_tags(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "major",
+        "title",
+        "artist",
+        "album",
+        "track",
+        "tag_bytes",
+        "audio_bytes",
+    ).orderBy("doc_id")
+
+
+def _mm_id3_sql() -> str:
+    # tag layout: 10 header + per-frame (10 + 1 + len) + 16 padding;
+    # all fixture text is ASCII so char length == byte length in both
+    # Latin-1 and UTF-8
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         array_to_string(list_slice({TOKENS_SQL}, 1, 3), ' ') AS title,
+         CAST(doc_id % 100 AS VARCHAR) AS trck,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END AS INT) AS major,
+       title, lang AS artist, source AS album, trck AS track,
+       CAST(10 + (11 + len(title)) + (11 + len(lang)) + (11 + len(source))
+            + (11 + len(trck)) + 16 AS INT) AS tag_bytes,
+       CAST(LEAST(32, nb) AS INT) AS audio_bytes
+FROM base ORDER BY doc_id
+"""
+
+
 _FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
 
 
@@ -3896,6 +3976,7 @@ REGISTRY = {
     "mm_jpeg_pool": (mm_jpeg_pool, _mm_jpeg_sql()),
     "mm_wav_dft": (mm_wav_dft, _mm_wav_dft_sql()),
     "mm_mkv_demux": (mm_mkv_demux, _mm_mkv_sql()),
+    "mm_id3_tags": (mm_id3_tags, _mm_id3_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

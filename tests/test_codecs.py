@@ -500,3 +500,53 @@ def test_decode_wav_dft_matches_fft_and_is_exact(spark):
         np.testing.assert_allclose(
             scaled / 4096.0, np.abs(f), atol=0.5, rtol=1e-3
         )
+
+
+def test_id3_roundtrip_versions_and_encodings():
+    """ID3v2.3 (plain frame sizes) and v2.4 (syncsafe), all four text
+    encodings, padding skipped, audio split point exact."""
+    from asid_v2_data_pipeline_spark.functions.id3 import (
+        parse_id3,
+        write_id3,
+    )
+
+    frames = {"TIT2": "hello world", "TPE1": "en", "TRCK": "42"}
+    for major in (3, 4):
+        for enc in (0, 1, 2, 3):
+            blob = write_id3(
+                frames, major=major, encoding=enc, audio=b"\xffAUDIO"
+            )
+            tags = parse_id3(blob)
+            assert tags["_version"][0] == major
+            assert tags["TIT2"] == "hello world"
+            assert tags["TPE1"] == "en"
+            assert tags["TRCK"] == "42"
+            assert blob[tags["_tag_bytes"] :] == b"\xffAUDIO"
+
+    with pytest.raises(ValueError, match="not an ID3"):
+        parse_id3(b"MP3?" * 4)
+    blob = bytearray(write_id3(frames))
+    blob[3] = 2  # claim ID3v2.2
+    with pytest.raises(NotImplementedError, match="2.3/2.4"):
+        parse_id3(bytes(blob))
+    blob = bytearray(write_id3(frames))
+    blob[5] = 0x80  # unsynchronized flag
+    with pytest.raises(NotImplementedError, match="unsynchronized"):
+        parse_id3(bytes(blob))
+
+
+def test_extract_id3_tags_operator(spark):
+    from asid_v2_data_pipeline_spark.functions.id3 import write_id3
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        extract_id3_tags,
+    )
+
+    blob = write_id3(
+        {"TIT2": "t", "TALB": "a"}, major=4, audio=b"x" * 10
+    )
+    media = spark.createDataFrame(
+        [(3, bytearray(blob))], "media_id long, payload binary"
+    )
+    r = extract_id3_tags(media).collect()[0]
+    assert (r["major"], r["title"], r["album"]) == (4, "t", "a")
+    assert r["artist"] is None and r["audio_bytes"] == 10
