@@ -56,6 +56,15 @@ CASES = [
     "dd_cluster_best",
     "cur_pipeline_v2",
     "t_anomaly_zscore",
+    # round 6: lossy-codec pool, container demux/metadata, spectral
+    # features, frozen-vocab encoding, persisted-index serving
+    "mm_jpeg_pool",
+    "mm_mkv_demux",
+    "mm_id3_tags",
+    "mm_wav_dft",
+    "tx_bpe_encode",
+    "sim_ivf_pq_serve",
+    "tx_bm25_serve",
 ]
 
 
