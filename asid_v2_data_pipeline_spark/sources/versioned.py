@@ -183,22 +183,91 @@ def _list_parquet(fs, d: str) -> list[str]:
     ]
 
 
+def _evolve_schema(old_json: str, new_schema) -> str:
+    """Union schema for an append: old columns keep their position and
+    type, genuinely new columns are added at the end (old files read
+    them as NULL).  A same-name/different-type collision raises — the
+    silent-coercion failure mode every table format rejects."""
+    import pyspark.sql.types as T
+
+    old = T.StructType.fromJson(json.loads(old_json))
+    by_name = {f.name: f for f in old.fields}
+    merged = list(old.fields)
+    for f in new_schema.fields:
+        prev = by_name.get(f.name)
+        if prev is None:
+            merged.append(T.StructField(f.name, f.dataType, True))
+        elif prev.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution conflict on column {f.name!r}: "
+                f"{prev.dataType.simpleString()} vs "
+                f"{f.dataType.simpleString()}"
+            )
+    return T.StructType(merged).json()
+
+
+def _file_stats(
+    spark: SparkSession, files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file [min, max] for ``stats_cols`` over exactly ``files`` —
+    one narrow aggregate over the NEW files only (never the whole
+    table), the write-side half of manifest data-skipping."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"_lo_{c}"))
+        aggs.append(F.max(c).alias(f"_hi_{c}"))
+    rows = (
+        spark.read.parquet(*files)
+        .groupBy(F.col("_metadata.file_path").alias("_f"))
+        .agg(*aggs)
+        .collect()
+    )
+
+    def plain(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    out = {}
+    for r in rows:
+        # _metadata.file_path is a file: URI; key stats by basename so
+        # lookup is path-form independent
+        base = r["_f"].rsplit("/", 1)[-1]
+        out[base] = {
+            c: [plain(r[f"_lo_{c}"]), plain(r[f"_hi_{c}"])]
+            for c in stats_cols
+        }
+    return out
+
+
 def commit_version(
-    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    batch_id: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next table version; returns its number.
 
     ``mode="append"``: the new version's file set is the current one
-    plus the new files.  ``mode="overwrite"``: new files only.  The data
-    write lands in a private attempt directory, so a crashed or losing
-    commit never perturbs any committed version; the exclusive manifest
-    create is the commit point (see module docstring).
+    plus the new files — with SCHEMA EVOLUTION: new columns union onto
+    the stored schema (old files read them as NULL), same-name type
+    conflicts raise.  ``mode="overwrite"``: new files only, new schema.
+    The data write lands in a private attempt directory, so a crashed
+    or losing commit never perturbs any committed version; the
+    exclusive manifest create is the commit point (see module
+    docstring).
 
     ``batch_id`` makes the commit IDEMPOTENT under foreachBatch's
     at-least-once replay: when the latest committed manifest already
     carries this batch_id, the commit is a no-op returning that version
     — a restarted stream re-offering the last micro-batch cannot
-    double-append it (``streaming_sink`` wires this up)."""
+    double-append it (``streaming_sink`` wires this up).
+
+    ``stats_cols`` records per-file [min, max] for those columns in the
+    manifest (one narrow aggregate over the NEW files only) — the
+    data-skipping index ``read_version_pruned`` uses to open only
+    overlapping files, every table format's file-level zone map."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
@@ -216,17 +285,24 @@ def commit_version(
     vdir = f"{path.rstrip('/')}/data/v{n}-{token}"
     df.write.mode("overwrite").parquet(vdir)
     new_files = _list_parquet(fs, vdir)
-    base = (
-        read_manifest(path, cur, spark)["files"]
-        if (mode == "append" and cur is not None)
-        else []
-    )
+    base: list[str] = []
+    schema_json = df.schema.json()
+    stats: dict = {}
+    if mode == "append" and cur is not None:
+        prev = read_manifest(path, cur, spark)
+        base = prev["files"]
+        schema_json = _evolve_schema(prev["schema"], df.schema)
+        stats = dict(prev.get("stats", {}))
+    if stats_cols:
+        stats.update(_file_stats(spark, new_files, stats_cols))
     manifest = {
         "version": n,
         "mode": mode,
         "files": base + new_files,
-        "schema": df.schema.json(),
+        "schema": schema_json,
     }
+    if stats:
+        manifest["stats"] = stats
     if batch_id is not None:
         manifest["batch_id"] = batch_id
     try:
@@ -270,17 +346,64 @@ def diff_versions(
 
 def read_version(spark: SparkSession, path: str, n: int) -> DataFrame:
     """The exact file set of version ``n`` — immune to later commits,
-    compactions, and (retention permitting) vacuums."""
+    compactions, and (retention permitting) vacuums.  Reads with the
+    manifest's STORED schema (no footer merging at plan time; files
+    predating an evolved column return NULL for it)."""
     m = read_manifest(path, n, spark)
-    files = m["files"]
-    if not files:
-        import pyspark.sql.types as T
+    return _read_files(spark, path, m, m["files"])
 
-        return spark.createDataFrame(
-            [], T.StructType.fromJson(json.loads(m["schema"]))
-        )
+
+def _read_files(
+    spark: SparkSession, path: str, manifest: dict, files: list[str]
+) -> DataFrame:
+    import pyspark.sql.types as T
+
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
     spark.catalog.refreshByPath(path)
-    return spark.read.parquet(*files)
+    return spark.read.schema(schema).parquet(*files)
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    path: str,
+    n: int,
+    col: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Version ``n`` restricted to files whose manifest [min, max] for
+    ``col`` overlaps [lo, hi] — file-level data skipping from the
+    manifest's zone map, BEFORE Spark ever lists or opens a file (the
+    move every table format makes: partition pruning without
+    partitioning).  Files without recorded stats (or with NULL bounds)
+    are conservatively kept, so the result == full scan + filter for
+    any data; the caller still applies the row-level predicate (this
+    prunes files, not rows).  Pass plain comparable values (numbers /
+    strings / isoformat timestamps — the form the stats are stored
+    in)."""
+    m = read_manifest(path, n, spark)
+    stats = m.get("stats", {})
+    keep = []
+    for f in m["files"]:
+        st = stats.get(f.rsplit("/", 1)[-1], {}).get(col)
+        if st is None or st[0] is None or st[1] is None:
+            keep.append(f)
+            continue
+        fmin, fmax = st
+        if (hi is None or fmin <= hi) and (lo is None or fmax >= lo):
+            keep.append(f)
+    return _read_files(spark, path, m, keep)
+
+
+def read_latest_pruned(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None
+) -> DataFrame:
+    cur = latest_version(path, spark)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return read_version_pruned(spark, path, cur, col, lo, hi)
 
 
 def read_latest(spark: SparkSession, path: str) -> DataFrame:
@@ -291,16 +414,21 @@ def read_latest(spark: SparkSession, path: str) -> DataFrame:
 
 
 def compact_version(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Rewrite the current file set into ``target_files`` files as a new
     version.  No rename window: every committed version stays readable
-    throughout; old files are reclaimed only by ``vacuum``."""
+    throughout; old files are reclaimed only by ``vacuum``.  Pass
+    ``stats_cols`` to re-record the zone map for the compacted files
+    (an overwrite drops the old per-file stats with the old files)."""
     cur = latest_version(path, spark)
     if cur is None:
         raise FileNotFoundError(f"no committed version at {path}")
     df = read_version(spark, path, cur).coalesce(target_files)
-    return commit_version(df, path, mode="overwrite")
+    return commit_version(df, path, mode="overwrite", stats_cols=stats_cols)
 
 
 def rollback(path: str, n: int, spark: SparkSession | None = None) -> int:
@@ -332,7 +460,12 @@ def vacuum(path: str, keep: int = 2, spark: SparkSession | None = None) -> list[
     ``keep`` versions) — including files of crashed or losing commit
     attempts, which no manifest ever referenced.  Returns the deleted
     paths.  Readers pinned to expired versions break — retention is the
-    reader contract."""
+    reader contract.  MAINTENANCE CONTRACT: do not run vacuum
+    concurrently with writers — it computes the retained set from the
+    latest version it sees, so a commit landing mid-vacuum could have
+    its manifest swept as "expired future garbage"; serialize vacuum
+    with the writer, the same window every table format's
+    expire-snapshots needs."""
     fs = get_fs(spark, path)
     cur = latest_version(path, spark)
     if cur is None:

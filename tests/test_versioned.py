@@ -224,3 +224,66 @@ def test_diff_versions(spark, tmp_path):
     added, removed = V.diff_versions(spark, p, 0, 1)
     assert _rows(added) == [(4,), (5,)]
     assert _rows(removed) == [(0,), (1,)]
+
+
+def test_schema_evolution_appends_new_column(spark, tmp_path):
+    """Appending a frame with an extra column unions the schema: old
+    files read the new column as NULL; a same-name type conflict
+    raises instead of coercing."""
+    p = str(tmp_path / "t")
+    V.commit_version(spark.range(0, 3).selectExpr("id", "id * 2 AS x"), p)
+    V.commit_version(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS x", "'tag' AS note"),
+        p,
+        mode="append",
+    )
+    latest = V.read_latest(spark, p)
+    assert latest.columns == ["id", "x", "note"]
+    got = {r["id"]: r["note"] for r in latest.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: "tag", 4: "tag"}
+    # version 0 keeps its original two-column schema
+    assert V.read_version(spark, p, 0).columns == ["id", "x"]
+    # type conflict raises
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        V.commit_version(
+            spark.range(5, 6).selectExpr("id", "'oops' AS x"),
+            p,
+            mode="append",
+        )
+
+
+def test_stats_pruned_read_skips_files(spark, tmp_path):
+    """Per-file [min, max] recorded at commit prune the file set before
+    Spark opens anything; results equal full scan + filter."""
+    p = str(tmp_path / "t")
+    df = (
+        spark.range(0, 1000)
+        .selectExpr("id", "id AS k")
+        .repartitionByRange(5, "k")
+    )
+    V.commit_version(df, p, stats_cols=["k"])
+    m = V.read_manifest(p, 0)
+    assert len(m["files"]) == 5 and len(m["stats"]) == 5
+    pruned = V.read_latest_pruned(spark, p, "k", lo=100, hi=150)
+    assert len(pruned.inputFiles()) < 5
+    got = sorted(
+        r["id"] for r in pruned.filter("k BETWEEN 100 AND 150").collect()
+    )
+    assert got == list(range(100, 151))
+    # open bounds prune one side only; no-stats columns keep everything
+    assert len(V.read_latest_pruned(spark, p, "k", lo=900).inputFiles()) < 5
+    assert len(V.read_latest_pruned(spark, p, "id", lo=0).inputFiles()) == 5
+
+
+def test_stats_survive_appends_and_compaction_rerecords(spark, tmp_path):
+    p = str(tmp_path / "t")
+    a = spark.range(0, 100).selectExpr("id", "id AS k").repartitionByRange(2, "k")
+    b = spark.range(100, 200).selectExpr("id", "id AS k").repartitionByRange(2, "k")
+    V.commit_version(a, p, stats_cols=["k"])
+    V.commit_version(b, p, mode="append", stats_cols=["k"])
+    pruned = V.read_latest_pruned(spark, p, "k", lo=150, hi=199)
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.filter("k >= 150").count() == 50
+    v = V.compact_version(spark, p, target_files=2, stats_cols=["k"])
+    assert len(V.read_manifest(p, v)["stats"]) >= 2
+    assert V.read_latest(spark, p).count() == 200
