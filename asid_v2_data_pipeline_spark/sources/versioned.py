@@ -316,6 +316,203 @@ def commit_version(
     return n
 
 
+def _commit_file_set(
+    spark: SparkSession,
+    path: str,
+    prev: dict,
+    files: list[str],
+    mode: str,
+    stats: dict,
+) -> int:
+    """CAS-commit an explicit file set as the next version (the shared
+    tail of merge/delete): same claim protocol as commit_version."""
+    fs = get_fs(spark, path)
+    cur = latest_version(path, spark)
+    n = 0 if cur is None else cur + 1
+    manifest = {
+        "version": n,
+        "mode": mode,
+        "files": files,
+        "schema": prev["schema"],
+    }
+    if stats:
+        manifest["stats"] = stats
+    _claim_version(fs, path, n, manifest)
+    _write_hint(fs, path, n)
+    return n
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Copy-on-write MERGE (upsert by key) into a versioned table:
+    rewrite ONLY the files that contain a matched key; every untouched
+    file carries over into the new version's manifest unchanged — at
+    100 TB an upsert of a small batch rewrites a handful of files, not
+    the table.
+
+    File targeting is two-stage: the manifest zone map for ``key_col``
+    (when recorded) prunes to range-overlapping candidates WITHOUT
+    opening anything, then a semi-join over just those candidates finds
+    the files actually holding matched keys (file-count-bounded driver
+    list).  Rewritten = candidate rows with matched keys anti-joined
+    out, plus ALL update rows (unmatched keys insert).  Readers of old
+    versions keep their exact files; single-writer contract per table,
+    like every maintenance op here."""
+    from pyspark.sql import functions as F
+
+    fs = get_fs(spark, path)
+    cur = latest_version(path, spark)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    prev = read_manifest(path, cur, spark)
+    stats = dict(prev.get("stats", {}))
+
+    bounds = updates.agg(
+        F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi")
+    ).first()
+    candidates = []
+    untouched = []
+    for f in prev["files"]:
+        st = stats.get(f.rsplit("/", 1)[-1], {}).get(key_col)
+        if (
+            st is None
+            or st[0] is None
+            or bounds["_lo"] is None
+            or (st[0] <= bounds["_hi"] and st[1] >= bounds["_lo"])
+        ):
+            candidates.append(f)
+        else:
+            untouched.append(f)
+    touched: list[str] = []
+    if candidates and bounds["_lo"] is not None:
+        import pyspark.sql.types as T
+
+        schema = T.StructType.fromJson(json.loads(prev["schema"]))
+        cand = (
+            spark.read.schema(schema)
+            .parquet(*candidates)
+            .withColumn("_f", F.col("_metadata.file_path"))
+        )
+        keys = updates.select(key_col).distinct()
+        touched_rows = (
+            cand.join(F.broadcast(keys), key_col, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        )
+        touched_tails = {r["_f"].rsplit("/", 1)[-1] for r in touched_rows}
+        touched = [
+            f for f in candidates if f.rsplit("/", 1)[-1] in touched_tails
+        ]
+        untouched += [f for f in candidates if f not in touched]
+    else:
+        untouched += candidates
+
+    import pyspark.sql.types as T
+
+    table_cols = [
+        f.name for f in T.StructType.fromJson(json.loads(prev["schema"]))
+    ]
+    ups = updates.select(*table_cols)  # conform to the table schema
+    n_next = cur + 1
+    token = uuid.uuid4().hex[:8]
+    vdir = f"{path.rstrip('/')}/data/v{n_next}-{token}"
+    if touched:
+        keep = _read_files(spark, path, prev, touched).join(
+            F.broadcast(ups.select(key_col).distinct()),
+            key_col,
+            "left_anti",
+        )
+        out = keep.unionByName(ups)
+    else:
+        out = ups
+    out.write.mode("overwrite").parquet(vdir)
+    new_files = _list_parquet(fs, vdir)
+    if stats_cols:
+        stats.update(_file_stats(spark, new_files, stats_cols))
+    for f in touched:
+        stats.pop(f.rsplit("/", 1)[-1], None)
+    try:
+        v = _commit_file_set(
+            spark, path, prev, untouched + new_files, "merge", stats
+        )
+    except VersionConflictError:
+        fs.delete(vdir, recursive=True)
+        raise
+    return {
+        "version": v,
+        "files_rewritten": len(touched),
+        "files_carried": len(untouched),
+    }
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Copy-on-write DELETE: rewrite only the files that contain rows
+    matching ``predicate`` (a SQL boolean expression); files with no
+    matches carry over unchanged.  Targeting opens each file's rows
+    once (a count-per-file aggregate); combine with a zone-mapped
+    column in the predicate by running ``read_version_pruned``-style
+    maintenance for very large tables."""
+    from pyspark.sql import functions as F
+
+    fs = get_fs(spark, path)
+    cur = latest_version(path, spark)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    prev = read_manifest(path, cur, spark)
+    stats = dict(prev.get("stats", {}))
+    full = read_version(spark, path, cur).withColumn(
+        "_f", F.col("_metadata.file_path")
+    )
+    touched_tails = {
+        r["_f"].rsplit("/", 1)[-1]
+        for r in full.filter(predicate).select("_f").distinct().collect()
+    }
+    touched = [
+        f for f in prev["files"] if f.rsplit("/", 1)[-1] in touched_tails
+    ]
+    untouched = [f for f in prev["files"] if f not in touched]
+    new_files: list[str] = []
+    vdir = None
+    if touched:
+        token = uuid.uuid4().hex[:8]
+        vdir = f"{path.rstrip('/')}/data/v{cur + 1}-{token}"
+        (
+            _read_files(spark, path, prev, touched)
+            .filter(f"NOT ({predicate})")
+            .write.mode("overwrite")
+            .parquet(vdir)
+        )
+        new_files = _list_parquet(fs, vdir)
+        if stats_cols:
+            stats.update(_file_stats(spark, new_files, stats_cols))
+    for f in touched:
+        stats.pop(f.rsplit("/", 1)[-1], None)
+    try:
+        v = _commit_file_set(
+            spark, path, prev, untouched + new_files, "delete", stats
+        )
+    except VersionConflictError:
+        if vdir is not None:
+            fs.delete(vdir, recursive=True)
+        raise
+    return {
+        "version": v,
+        "files_rewritten": len(touched),
+        "files_carried": len(untouched),
+    }
+
+
 def streaming_sink(path: str, mode: str = "append"):
     """A ``foreachBatch`` function committing each micro-batch as one
     table version: ``stream.writeStream.foreachBatch(

@@ -287,3 +287,54 @@ def test_stats_survive_appends_and_compaction_rerecords(spark, tmp_path):
     v = V.compact_version(spark, p, target_files=2, stats_cols=["k"])
     assert len(V.read_manifest(p, v)["stats"]) >= 2
     assert V.read_latest(spark, p).count() == 200
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark, tmp_path):
+    """Copy-on-write MERGE: a small keyed batch rewrites only the files
+    holding matched keys (zone-map candidates -> semi-join targeting);
+    everything else carries over by reference; old versions intact."""
+    p = str(tmp_path / "t")
+    base = (
+        spark.range(0, 1000)
+        .selectExpr("id", "id AS k", "CAST(0 AS INT) AS rev")
+        .repartitionByRange(5, "k")
+    )
+    V.commit_version(base, p, stats_cols=["k"])
+    ups = spark.createDataFrame(
+        [(50, 50, 1), (60, 60, 1), (5000, 5000, 1)],  # 2 updates + 1 insert
+        "id long, k long, rev int",
+    )
+    r = V.merge_upsert(spark, p, ups, "k", stats_cols=["k"])
+    assert r["version"] == 1
+    assert r["files_rewritten"] == 1  # keys 50/60 live in one range file
+    assert r["files_carried"] == 4
+    latest = V.read_latest(spark, p)
+    assert latest.count() == 1001
+    got = {r["k"]: r["rev"] for r in latest.filter("k IN (50, 60, 61, 5000)").collect()}
+    assert got == {50: 1, 60: 1, 61: 0, 5000: 1}
+    # snapshot isolation: version 0 is untouched
+    v0 = V.read_version(spark, p, 0)
+    assert v0.count() == 1000 and v0.filter("rev != 0").count() == 0
+    # zone map still prunes after the merge
+    pruned = V.read_latest_pruned(spark, p, "k", lo=900, hi=950)
+    assert len(pruned.inputFiles()) < 6
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    base = (
+        spark.range(0, 400)
+        .selectExpr("id", "id AS k")
+        .repartitionByRange(4, "k")
+    )
+    V.commit_version(base, p, stats_cols=["k"])
+    r = V.delete_where(spark, p, "k BETWEEN 110 AND 130", stats_cols=["k"])
+    assert r["files_rewritten"] == 1 and r["files_carried"] == 3
+    latest = V.read_latest(spark, p)
+    assert latest.count() == 400 - 21
+    assert latest.filter("k BETWEEN 110 AND 130").count() == 0
+    assert V.read_version(spark, p, 0).count() == 400
+    # deleting nothing carries everything
+    r2 = V.delete_where(spark, p, "k > 99999")
+    assert r2["files_rewritten"] == 0
+    assert V.read_latest(spark, p).count() == 379
