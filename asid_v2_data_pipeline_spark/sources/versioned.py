@@ -513,6 +513,38 @@ def delete_where(
     }
 
 
+def table_history(
+    path: str, spark: SparkSession | None = None
+) -> list[dict]:
+    """The audit view: one row per retained version, oldest first —
+    version, mode, file count, batch_id (when present), rolled_back_to
+    (when a rollback).  Reads manifests only; never opens data files."""
+    fs = get_fs(spark, path)
+    cur = latest_version(path, spark)
+    if cur is None:
+        return []
+    out = []
+    for name in fs.list_names(_versions_dir(path)):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        digits = name[1:-5]
+        if not digits.isdigit():
+            continue
+        m = _try_read_manifest(fs, path, int(digits))
+        if m is None:
+            continue
+        row = {
+            "version": m["version"],
+            "mode": m["mode"],
+            "n_files": len(m["files"]),
+        }
+        for k in ("batch_id", "rolled_back_to"):
+            if k in m:
+                row[k] = m[k]
+        out.append(row)
+    return sorted(out, key=lambda r: r["version"])
+
+
 def streaming_sink(path: str, mode: str = "append"):
     """A ``foreachBatch`` function committing each micro-batch as one
     table version: ``stream.writeStream.foreachBatch(

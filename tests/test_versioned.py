@@ -338,3 +338,15 @@ def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
     r2 = V.delete_where(spark, p, "k > 99999")
     assert r2["files_rewritten"] == 0
     assert V.read_latest(spark, p).count() == 379
+
+
+def test_table_history_audit_view(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.commit_version(spark.range(0, 3), p, batch_id=0)
+    V.commit_version(spark.range(3, 5), p, mode="append")
+    V.delete_where(spark, p, "id = 3")
+    V.rollback(p, 1)
+    h = V.table_history(p)
+    assert [r["version"] for r in h] == [0, 1, 2, 3]
+    assert [r["mode"] for r in h] == ["append", "append", "delete", "rollback"]
+    assert h[0]["batch_id"] == 0 and h[3]["rolled_back_to"] == 1
