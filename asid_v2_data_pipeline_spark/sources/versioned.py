@@ -513,6 +513,38 @@ def delete_where(
     }
 
 
+def read_changes(
+    spark: SparkSession, path: str, since: int, until: int | None = None
+) -> DataFrame:
+    """Incremental consumption (append-only CDC): the rows ADDED after
+    version ``since`` up to ``until`` (default latest), computed as a
+    FILE-SET difference between the two manifests — zero joins, zero
+    scans of pre-existing data, the incremental-refresh primitive a
+    downstream pipeline polls.  Requires every intermediate version to
+    be an append (or rollback-free merge history would lie about rows);
+    any overwrite/delete/merge/rollback in the range raises with
+    guidance to use ``diff_versions`` (which compares row sets, at
+    full-scan cost) instead."""
+    cur = latest_version(path, spark)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    if until is None:
+        until = cur
+    if not 0 <= since <= until <= cur:
+        raise ValueError(f"bad version range [{since}, {until}] (latest {cur})")
+    for n in range(since + 1, until + 1):
+        mode = read_manifest(path, n, spark)["mode"]
+        if mode != "append":
+            raise ValueError(
+                f"version {n} is {mode!r}, not an append: file-diff CDC "
+                "would be wrong — use diff_versions for row-level diff"
+            )
+    old = set(read_manifest(path, since, spark)["files"])
+    m = read_manifest(path, until, spark)
+    added = [f for f in m["files"] if f not in old]
+    return _read_files(spark, path, m, added)
+
+
 def table_history(
     path: str, spark: SparkSession | None = None
 ) -> list[dict]:

@@ -350,3 +350,30 @@ def test_table_history_audit_view(spark, tmp_path):
     assert [r["version"] for r in h] == [0, 1, 2, 3]
     assert [r["mode"] for r in h] == ["append", "append", "delete", "rollback"]
     assert h[0]["batch_id"] == 0 and h[3]["rolled_back_to"] == 1
+
+
+def test_read_changes_incremental_cdc(spark, tmp_path):
+    """File-diff CDC over an append chain: exactly the appended rows,
+    no scan of pre-existing files; non-append history raises."""
+    p = str(tmp_path / "t")
+    V.commit_version(spark.range(0, 3), p)
+    V.commit_version(spark.range(3, 6), p, mode="append")
+    V.commit_version(spark.range(6, 10), p, mode="append")
+    assert _rows(V.read_changes(spark, p, 0)) == _rows(spark.range(3, 10))
+    assert _rows(V.read_changes(spark, p, 1, 2)) == _rows(spark.range(6, 10))
+    assert V.read_changes(spark, p, 2).count() == 0
+    # CDC read opens only the appended files
+    ch = V.read_changes(spark, p, 1, 2)
+    assert set(ch.inputFiles()) <= {
+        "file://" + f if not f.startswith("file:") else f
+        for f in V.read_manifest(p, 2)["files"]
+        if f not in set(V.read_manifest(p, 1)["files"])
+    } or len(ch.inputFiles()) == len(
+        set(V.read_manifest(p, 2)["files"])
+        - set(V.read_manifest(p, 1)["files"])
+    )
+    V.delete_where(spark, p, "id = 0")
+    with pytest.raises(ValueError, match="not an append"):
+        V.read_changes(spark, p, 0)
+    with pytest.raises(ValueError, match="bad version range"):
+        V.read_changes(spark, p, 5)
