@@ -3851,6 +3851,75 @@ GROUP BY subword ORDER BY n DESC, subword LIMIT 30
 """
 
 
+def _subword_count(tok):
+    """Column expr: number of frozen-vocab BPE subwords in one token —
+    the tx_bpe_encode replace chain, then counted as ``size(split(s,
+    '||'))`` (symbol boundaries are exactly the double delimiters; no
+    trim needed: the outer single pipes never form a segment)."""
+    s = F.concat(F.lit("|"), F.concat_ws("||", F.split(tok, "")), F.lit("|"))
+    for x, y in _BPE_MERGES:
+        s = F.replace(s, F.lit(f"|{x}||{y}|"), F.lit(f"|{x}{y}|"))
+    return F.size(F.split(s, r"\|\|"))
+
+
+def tx_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end TRAINING-FEED bridge: tokenize every document
+    with the frozen BPE vocab (``tx_bpe_encode``'s replace chain),
+    count SUBWORD units — the number a token budget actually meters,
+    not whitespace words — then greedily pack documents into
+    128-subword sequences per source shard and report per-bin fill.
+    Tokenization is pure string algebra fused into the scan; packing is
+    the sequential-per-shard applyInPandas recurrence; the oracle
+    replays subword counting AND the packing recurrence (recursive
+    CTE) end-to-end."""
+    from ..operators.packing import pack_greedy
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    # per-token subword count via the replace chain, summed per doc
+    per_tok = F.transform(toks, _subword_count)
+    n_sub = F.aggregate(
+        per_tok, F.lit(0), lambda acc, x: acc + x
+    ).alias("n_sub")
+    t = d.select("source", "doc_id", n_sub)
+    packed = pack_greedy(t, "source", "doc_id", "n_sub", _PACK_CAP)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sub").alias("fill_subwords"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+def _tokenize_pack_sql() -> str:
+    from ..operators.packing import pack_recurrence_sql
+
+    chars = (
+        "'|' || array_to_string(list_transform(range(1, len(tok) + 1), "
+        "i -> substr(tok, i, 1)), '||') || '|'"
+    )
+    expr = chars
+    for x, y in _BPE_MERGES:
+        expr = f"replace({expr}, '|{x}||{y}|', '|{x}{y}|')"
+    inner = (
+        "SELECT source, doc_id, COALESCE(list_sum(list_transform("
+        f"{TOKENS_SQL}, tok -> len(string_split(trim({expr}, '|'), '||'))"
+        ")), 0) AS n_sub FROM documents"
+    )
+    body = pack_recurrence_sql(inner, "source", "doc_id", "n_sub", _PACK_CAP)
+    return f"""
+SELECT source, bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_sub) AS BIGINT) AS fill_subwords,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM ({body})
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+
 def _rand_proj_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 23) -> str:
     rows = sim._hyperplanes(in_dim, out_dim, seed)
     scale = out_dim ** -0.5  # exact binary double for power-of-4 out_dim
@@ -3906,6 +3975,7 @@ REGISTRY = {
     "dd_span_removal": (dd_span_removal, DD_SPAN_REMOVAL_SQL),
     "tx_bpe_pairs": (tx_bpe_pairs, TX_BPE_SQL),
     "tx_bpe_encode": (tx_bpe_encode, _bpe_encode_sql()),
+    "tx_tokenize_pack": (tx_tokenize_pack, _tokenize_pack_sql()),
     "tx_type_token_ratio": (tx_type_token_ratio, TX_TTR_SQL),
     "sk_cms_top_tokens": (sk_cms_top_tokens, _sk_cms_sql()),
     "sk_hll_distinct": (sk_hll_distinct, _sk_hll_sql()),
