@@ -74,6 +74,11 @@ HEADLINE = [
     # fingerprint outside the timed passes, like any offline index job)
     "sim_ivf_pq_serve",
     "tx_bm25_serve",
+    # round 6: the lossy-codec round-trip (heaviest new mapInPandas
+    # kernel) and the training-feed bridge (BPE subword counting fused
+    # into packing) — pinned so their cost tracks round-over-round
+    "mm_jpeg_pool",
+    "tx_tokenize_pack",
 ]
 
 
