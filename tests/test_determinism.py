@@ -63,6 +63,7 @@ CASES = [
     "mm_id3_tags",
     "mm_wav_dft",
     "tx_bpe_encode",
+    "tx_tokenize_pack",
     "sim_ivf_pq_serve",
     "tx_bm25_serve",
 ]
