@@ -513,6 +513,41 @@ def delete_where(
     }
 
 
+def commit_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "append",
+    batch_id: int | None = None,
+) -> int:
+    """Commit with Z-curve file clustering + the zone map recorded for
+    every clustered column: ``repartitionByRange`` on the Morton key
+    gives each file a tight hyper-rectangle in ALL ``zorder_cols``, so
+    ``read_version_pruned`` skips files on ANY of them — Delta's
+    ``OPTIMIZE ZORDER BY`` + stats collection as one commit.  Columns
+    must be bucketed into ``[0, 2^bits)`` by the caller (see
+    functions/layout.zorder_key)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.layout import zorder_key
+
+    keyed = df.withColumn(
+        "_zkey", zorder_key([F.col(c) for c in zorder_cols], bits)
+    )
+    parts = (
+        keyed.repartitionByRange(num_files, "_zkey")
+        if num_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    clustered = parts.sortWithinPartitions("_zkey").drop("_zkey")
+    return commit_version(
+        clustered, path, mode=mode, batch_id=batch_id,
+        stats_cols=list(zorder_cols),
+    )
+
+
 def read_changes(
     spark: SparkSession, path: str, since: int, until: int | None = None
 ) -> DataFrame:

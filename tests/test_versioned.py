@@ -377,3 +377,21 @@ def test_read_changes_incremental_cdc(spark, tmp_path):
         V.read_changes(spark, p, 0)
     with pytest.raises(ValueError, match="bad version range"):
         V.read_changes(spark, p, 5)
+
+
+def test_commit_zordered_prunes_on_every_dimension(spark, tmp_path):
+    """Z-curve clustering + zone map: a 2-D grid committed z-ordered
+    prunes files on EITHER dimension (a 1-D range layout prunes only
+    its sort column)."""
+    p = str(tmp_path / "t")
+    grid = spark.range(0, 64 * 64).selectExpr(
+        "id", "CAST(id % 64 AS BIGINT) AS x", "CAST(id DIV 64 AS BIGINT) AS y"
+    )
+    V.commit_zordered(grid, p, ["x", "y"], bits=6, num_files=16)
+    m = V.read_manifest(p, 0)
+    assert len(m["files"]) == 16
+    for col in ("x", "y"):
+        pruned = V.read_latest_pruned(spark, p, col, lo=0, hi=7)
+        assert len(pruned.inputFiles()) < 16, col
+        got = pruned.filter(f"{col} <= 7").count()
+        assert got == 8 * 64, col
