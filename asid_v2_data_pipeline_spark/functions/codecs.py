@@ -923,6 +923,8 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
     frame = None
     comps: list[tuple[int, int]] = []  # (comp_id, quant_id) in SOF order
     while i < len(payload):
+        if i + 2 > len(payload):
+            raise ValueError("JPEG: truncated before marker")
         if payload[i] != 0xFF:
             raise ValueError("JPEG: expected marker")
         marker = payload[i + 1]
@@ -931,7 +933,11 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
+        if i + 2 > len(payload):
+            raise ValueError("JPEG: truncated segment length")
         seglen = struct.unpack(">H", payload[i : i + 2])[0]
+        if seglen < 2 or i + seglen > len(payload):
+            raise ValueError("JPEG: segment overruns payload")
         seg = payload[i + 2 : i + seglen]
         if marker == 0xDB:  # DQT
             j = 0

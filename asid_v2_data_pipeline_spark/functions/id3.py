@@ -65,6 +65,11 @@ def parse_id3(payload: bytes) -> dict:
         fsize = _syncsafe(raw_size) if major == 4 else int.from_bytes(
             raw_size, "big"
         )
+        if pos + 10 + fsize > end:
+            raise ValueError(
+                f"ID3: frame {fid!r} overruns the tag "
+                f"({fsize} bytes at {pos}, tag ends at {end})"
+            )
         body = payload[pos + 10 : pos + 10 + fsize]
         pos += 10 + fsize
         name = fid.decode("latin-1")

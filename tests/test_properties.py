@@ -296,3 +296,156 @@ def test_hll_rank_model_matches_bit_position(items):
             if w >= 1 << (HLL_RANK_BITS - r):
                 ladder = r
         assert ladder == rank
+
+
+def test_jpeg_multiblock_roundtrip_property():
+    """Property (round 6): for any size and quality, gray JPEG decode
+    equals the fixed-point reference pipeline applied blockwise to the
+    edge-padded image, cropped back — the exactness the mm_jpeg_pool
+    oracle depends on, at every shape."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _QUANT_LUMA,
+        _dequant_idct,
+        _fdct_quant,
+        _pad_to_8,
+        _quality_table,
+        parse_jpeg,
+        write_jpeg,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        quality=st.sampled_from([25, 50, 75, 95]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, quality, seed):
+        rng = np.random.RandomState(seed)
+        x = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        dec = parse_jpeg(write_jpeg(x, quality=quality))
+        assert dec.shape == (h, w)
+        q = _quality_table(_QUANT_LUMA, quality)
+        padded = _pad_to_8(x)
+        ref = np.zeros_like(padded)
+        for by in range(0, padded.shape[0], 8):
+            for bx in range(0, padded.shape[1], 8):
+                blk = padded[by : by + 8, bx : bx + 8].astype(np.int64) - 128
+                ref[by : by + 8, bx : bx + 8] = _dequant_idct(
+                    _fdct_quant(blk, q), q
+                )
+        assert np.array_equal(dec, ref[:h, :w])
+
+    check()
+
+
+def test_jpeg_truncation_raises_cleanly():
+    """Any prefix of a valid JPEG raises ValueError/NotImplementedError
+    (never IndexError/struct.error, never a silent wrong image)."""
+    import numpy as np
+    import pytest
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+    )
+
+    blob = write_jpeg(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), quality=75
+    )
+    for cut in list(range(2, min(len(blob), 120))) + [len(blob) - 3]:
+        try:
+            parse_jpeg(blob[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        raise AssertionError(f"prefix of {cut} bytes decoded silently")
+
+
+def test_mkv_roundtrip_property():
+    """Property: any frame sequence (sizes, tracks, timestamp gaps,
+    cluster granularity) round-trips through the muxer/demuxer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from asid_v2_data_pipeline_spark.functions.ebml import (
+        MkvTrack,
+        parse_mkv,
+        write_mkv,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 24),
+        gap=st.integers(1, 2000),
+        every=st.integers(1, 7),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, gap, every, seed):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        frames = []
+        for i in range(n):
+            frames.append(
+                (
+                    1 + int(rng.randint(0, 2)),
+                    i * gap,
+                    bool(rng.randint(0, 2)),
+                    bytes(rng.randint(0, 256, size=rng.randint(0, 40)).astype("uint8")),
+                )
+            )
+        tracks = [
+            MkvTrack(1, "video", "V_VP9", width=4, height=4),
+            MkvTrack(2, "audio", "A_OPUS", sampling_hz=48000.0, channels=1),
+        ]
+        blob = write_mkv(frames, tracks, cluster_every=every)
+        got = parse_mkv(blob)
+        assert sorted(got.frames, key=lambda f: (f[1], f[0], f[3])) == sorted(
+            frames, key=lambda f: (f[1], f[0], f[3])
+        )
+
+    check()
+
+
+def test_id3_roundtrip_property():
+    """Property: any text-frame dict round-trips in every encoding the
+    parser supports (incl. non-Latin text where the encoding can carry
+    it); frame overruns raise."""
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from asid_v2_data_pipeline_spark.functions.id3 import (
+        parse_id3,
+        write_id3,
+    )
+
+    ids = st.sampled_from(["TIT2", "TPE1", "TALB", "TRCK", "TCON"])
+    texts = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        min_size=0,
+        max_size=40,
+    ).map(lambda s: s.split("\x00")[0])
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        frames=st.dictionaries(ids, texts, min_size=1, max_size=5),
+        major=st.sampled_from([3, 4]),
+        enc=st.sampled_from([1, 2, 3]),  # utf-16/utf-16be/utf-8
+    )
+    def check(frames, major, enc):
+        tags = parse_id3(write_id3(frames, major=major, encoding=enc))
+        for k, v in frames.items():
+            assert tags[k] == v
+
+    check()
+
+    blob = bytearray(write_id3({"TIT2": "x"}, major=3))
+    # inflate the first frame's size beyond the tag
+    blob[14:18] = (10**6).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="overruns"):
+        parse_id3(bytes(blob))
