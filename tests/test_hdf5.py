@@ -417,3 +417,63 @@ def test_read_scenes_includes_dense_generation(spark, tmp_path):
         .filter(F.col("n") > 1)
     )
     assert pivot.count() == 0
+
+
+def test_dense_attrs_roundtrip_property():
+    """Property: any attribute census (count, value types, name
+    lengths), heap block size, container style and string layout
+    round-trips through dense storage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+        min_size=1,
+        max_size=24,
+    )
+    values = st.one_of(
+        st.integers(-(2**31), 2**31 - 1).map(np.int32),
+        st.floats(allow_nan=False, allow_infinity=False, width=32).map(
+            np.float32
+        ),
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=40,
+        ),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        attrs=st.dictionaries(names, values, min_size=1, max_size=24),
+        style=st.sampled_from(["earliest", "latest"]),
+        block=st.sampled_from([64, 128, 512]),
+        vlen=st.booleans(),
+    )
+    def check(attrs, style, block, vlen):
+        blob = write_hdf5_netcdf4(
+            {"x": 2},
+            {
+                "v": (
+                    ("x",),
+                    np.array([1.0, 2.0], dtype="<f4"),
+                    dict(attrs),
+                )
+            },
+            gatts=dict(attrs),
+            style=style,
+            dense_attrs=True,
+            dense_block_size=block,
+            vlen_strings=vlen,
+        )
+        ds = HDF5NetCDF(blob)
+        for k, want in attrs.items():
+            for got in (ds.attrs[k], ds.variables["v"].attrs[k]):
+                if isinstance(want, str):
+                    assert got == want, k
+                elif isinstance(want, np.float32):
+                    assert np.float32(got) == want, k
+                else:
+                    assert int(got) == int(want), k
+
+    check()
