@@ -580,6 +580,40 @@ def read_changes(
     return _read_files(spark, path, m, added)
 
 
+def sync_changes(
+    spark: SparkSession, src_path: str, cursor_path: str, apply_fn
+) -> int | None:
+    """Pull-based exactly-once downstream refresh: read the rows added
+    to ``src_path`` since the last synced version (``read_changes``),
+    hand them to ``apply_fn(df, since, until)``, then advance the
+    cursor — a tiny JSON file written through the filesystem shim, so
+    the cursor lives next to whatever scheme the consumer uses.
+
+    Crash semantics: the cursor advances only AFTER ``apply_fn``
+    returns, so a crash mid-apply re-delivers the same change set on
+    the next call — at-least-once delivery; make ``apply_fn``
+    idempotent (e.g. commit into another versioned table keyed by
+    ``until`` as the batch_id, which this composes with) and the
+    pipeline is exactly-once end-to-end.  Returns the new cursor
+    version, or None when there was nothing to sync."""
+    fs = get_fs(spark, cursor_path)
+    since = -1
+    if fs.exists(cursor_path):
+        since = json.loads(fs.read_bytes(cursor_path).decode())["version"]
+    until = latest_version(src_path, spark)
+    if until is None or until <= since:
+        return None
+    if since < 0:
+        changes = read_version(spark, src_path, until)  # bootstrap: all
+    else:
+        changes = read_changes(spark, src_path, since, until)
+    apply_fn(changes, since, until)
+    fs.write_bytes(
+        cursor_path, json.dumps({"version": until}).encode(), overwrite=True
+    )
+    return until
+
+
 def table_history(
     path: str, spark: SparkSession | None = None
 ) -> list[dict]:

@@ -395,3 +395,29 @@ def test_commit_zordered_prunes_on_every_dimension(spark, tmp_path):
         assert len(pruned.inputFiles()) < 16, col
         got = pruned.filter(f"{col} <= 7").count()
         assert got == 8 * 64, col
+
+
+def test_sync_changes_exactly_once_composition(spark, tmp_path):
+    """sync_changes + batch_id-keyed commit into a downstream versioned
+    table = exactly-once end-to-end: replays after a simulated crash
+    don't double-apply; each sync moves only the delta."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cursor = str(tmp_path / "cursor.json")
+
+    def apply_fn(df, since, until):
+        V.commit_version(df, dst, mode="append", batch_id=until)
+
+    V.commit_version(spark.range(0, 3), src)
+    assert V.sync_changes(spark, src, cursor, apply_fn) == 0  # bootstrap
+    assert _rows(V.read_latest(spark, dst)) == _rows(spark.range(0, 3))
+    assert V.sync_changes(spark, src, cursor, apply_fn) is None  # no-op
+
+    V.commit_version(spark.range(3, 5), src, mode="append")
+    V.commit_version(spark.range(5, 6), src, mode="append")
+    assert V.sync_changes(spark, src, cursor, apply_fn) == 2  # both deltas
+    assert _rows(V.read_latest(spark, dst)) == _rows(spark.range(0, 6))
+
+    # crash-before-cursor-advance: re-apply is absorbed by batch_id
+    apply_fn(V.read_changes(spark, src, 0, 2), 0, 2)  # replayed delivery
+    assert _rows(V.read_latest(spark, dst)) == _rows(spark.range(0, 6))
