@@ -84,6 +84,110 @@ def parse_id3(payload: bytes) -> dict:
     return out
 
 
+# --------------------------------------------------------------------------
+# MPEG audio frame headers (MP3 stream metadata)
+# --------------------------------------------------------------------------
+#
+# The frame-header layout is public (ISO/IEC 11172-3; reproduced in
+# every MP3 header reference): 11 sync bits, version, layer, bitrate
+# and sample-rate indexes, padding.  Walking the headers yields the
+# stream metadata a pipeline shards and filters on — frame count,
+# duration, bitrate census — without decoding any audio (the Huffman/
+# IMDCT payload stays behind the codec-library boundary).
+
+_MP3_BITRATES = (  # MPEG-1 Layer III, kbps; index 0 = free, 15 = bad
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = (44100, 48000, 32000)  # MPEG-1
+_MP3_SAMPLES_PER_FRAME = 1152  # Layer III, MPEG-1
+
+
+def parse_mp3_frames(payload: bytes) -> dict:
+    """Walk an MPEG-1 Layer III stream (optionally ID3v2-prefixed):
+    returns frame count, sample rate, exact per-frame bitrate sum (for
+    VBR census) and exact duration in microseconds.  The walk only
+    succeeds if every computed frame length lands exactly on the next
+    sync word — any drift in the length formula surfaces as a raise,
+    not a wrong count.  Other MPEG versions/layers raise."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        pos = parse_id3(payload)["_tag_bytes"]
+    n = 0
+    kbps_sum = 0
+    rate = None
+    end = len(payload)
+    while pos + 4 <= end:
+        if payload[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+            break
+        h = int.from_bytes(payload[pos : pos + 4], "big")
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError(f"MP3: lost sync at byte {pos}")
+        version = (h >> 19) & 0x3
+        layer = (h >> 17) & 0x3
+        if version != 0x3 or layer != 0x1:
+            raise NotImplementedError(
+                "MP3: only MPEG-1 Layer III streams supported"
+            )
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 0x3
+        padding = (h >> 9) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("MP3: free/invalid bitrate or sample rate")
+        kbps = _MP3_BITRATES[br_idx]
+        sr = _MP3_RATES[sr_idx]
+        if rate is None:
+            rate = sr
+        elif rate != sr:
+            raise ValueError("MP3: sample rate changed mid-stream")
+        flen = 144 * kbps * 1000 // sr + padding
+        if pos + flen > end:
+            raise ValueError("MP3: truncated final frame")
+        n += 1
+        kbps_sum += kbps
+        pos += flen
+    if n == 0:
+        raise ValueError("MP3: no audio frames")
+    duration_us = n * _MP3_SAMPLES_PER_FRAME * 1_000_000 // rate
+    return {
+        "n_frames": n,
+        "sample_rate": rate,
+        "kbps_sum": kbps_sum,
+        "duration_us": duration_us,
+    }
+
+
+def write_mp3(
+    frame_kbps: list[int],
+    sample_rate: int = 44100,
+    paddings: list[int] | None = None,
+    id3_frames: dict[str, str] | None = None,
+) -> bytes:
+    """Fixture writer: one MPEG-1 Layer III frame per entry (header +
+    filler payload of the exact computed length), optionally ID3v2-
+    prefixed — real sync-walkable bytes, opaque audio payload."""
+    sr_idx = _MP3_RATES.index(sample_rate)
+    out = bytearray()
+    if id3_frames:
+        out += write_id3(id3_frames)
+    for i, kbps in enumerate(frame_kbps):
+        pad = paddings[i] if paddings else 0
+        br_idx = _MP3_BITRATES.index(kbps)
+        h = (
+            (0x7FF << 21)
+            | (0x3 << 19)  # MPEG-1
+            | (0x1 << 17)  # Layer III
+            | (0x1 << 16)  # no CRC
+            | (br_idx << 12)
+            | (sr_idx << 10)
+            | (pad << 9)
+        )
+        flen = 144 * kbps * 1000 // sample_rate + pad
+        frame = bytearray(h.to_bytes(4, "big"))
+        frame += bytes((i + j) % 256 for j in range(flen - 4))
+        out += frame
+    return bytes(out)
+
+
 def write_id3(
     frames: dict[str, str],
     major: int = 4,

@@ -324,6 +324,46 @@ def extract_id3_tags(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, ID3_SCHEMA)
 
 
+MP3_INFO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("kbps_sum", T.LongType(), False),
+        T.StructField("duration_us", T.LongType(), False),
+    ]
+)
+
+
+def mp3_stream_info(media: DataFrame) -> DataFrame:
+    """MP3 stream metadata by REAL frame-header walking
+    (``functions/id3.parse_mp3_frames``): frame count, sample rate,
+    exact bitrate census and duration — the audio payload itself stays
+    opaque.  The walk lands on every successive sync word by the
+    computed frame length, so the parse is self-verifying."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.id3 import parse_mp3_frames
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_frames", "sample_rate", "kbps_sum",
+                "duration_us",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                info = parse_mp3_frames(bytes(p))
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(info["n_frames"])
+                rows["sample_rate"].append(info["sample_rate"])
+                rows["kbps_sum"].append(info["kbps_sum"])
+                rows["duration_us"].append(info["duration_us"])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, MP3_INFO_SCHEMA)
+
+
 MKV_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -2717,6 +2717,75 @@ FROM base ORDER BY doc_id
 """
 
 
+_MP3_KBPS = (64, 96, 128, 192, 256)
+
+
+def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 stream metadata through REAL frame headers: each document
+    becomes an ID3v2-prefixed MPEG-1 Layer III stream whose per-frame
+    bitrates cycle deterministically (VBR), with alternating padding
+    bits; ``mp3_stream_info`` walks the sync words — every computed
+    frame length must land exactly on the next header — and reports
+    frame count, bitrate census and exact duration.  The oracle
+    recomputes everything from doc_id and the text's byte length."""
+    from ..operators.multimodal import mp3_stream_info
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def build(batches):
+        import pandas as pd
+
+        from ..functions.id3 import write_mp3
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                nb = len(t.encode("utf-8"))
+                k = 1 + nb % 7
+                kbps = [
+                    _MP3_KBPS[(int(did) + i) % len(_MP3_KBPS)]
+                    for i in range(k)
+                ]
+                pads = [(int(did) + i) % 2 for i in range(k)]
+                ids.append(did)
+                payloads.append(
+                    write_mp3(
+                        kbps,
+                        paddings=pads,
+                        id3_frames={"TIT2": str(int(did))},
+                    )
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = d.select("doc_id", "text").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    out = mp3_stream_info(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "n_frames",
+        "sample_rate",
+        "kbps_sum",
+        "duration_us",
+    ).orderBy("doc_id")
+
+
+def _mm_mp3_sql() -> str:
+    ch = list(_MP3_KBPS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, 1 + (octet_length(encode(text)) % 7) AS k FROM documents
+)
+SELECT doc_id, CAST(k AS INT) AS n_frames,
+       CAST(44100 AS INT) AS sample_rate,
+       CAST(list_sum(list_transform(range(0, k), i ->
+            {ch!r}[CAST((doc_id + i) % {len(ch)} + 1 AS INT)])) AS BIGINT)
+         AS kbps_sum,
+       CAST((k * 1152 * 1000000) // 44100 AS BIGINT) AS duration_us
+FROM base ORDER BY doc_id
+"""
+
+
 _FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
 
 
@@ -4047,6 +4116,7 @@ REGISTRY = {
     "mm_wav_dft": (mm_wav_dft, _mm_wav_dft_sql()),
     "mm_mkv_demux": (mm_mkv_demux, _mm_mkv_sql()),
     "mm_id3_tags": (mm_id3_tags, _mm_id3_sql()),
+    "mm_mp3_meta": (mm_mp3_meta, _mm_mp3_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

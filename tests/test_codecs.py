@@ -550,3 +550,51 @@ def test_extract_id3_tags_operator(spark):
     r = extract_id3_tags(media).collect()[0]
     assert (r["major"], r["title"], r["album"]) == (4, "t", "a")
     assert r["artist"] is None and r["audio_bytes"] == 10
+
+
+def test_mp3_frame_walk_exact_and_guards():
+    """Frame-header walking: VBR census + exact duration; desync, mixed
+    sample rates, truncation and non-MPEG1/L3 streams raise."""
+    from asid_v2_data_pipeline_spark.functions.id3 import (
+        parse_mp3_frames,
+        write_mp3,
+    )
+
+    blob = write_mp3(
+        [128, 192, 64], paddings=[0, 1, 0],
+        id3_frames={"TIT2": "song", "TPE1": "band"},
+    )
+    info = parse_mp3_frames(blob)
+    assert info["n_frames"] == 3
+    assert info["sample_rate"] == 44100
+    assert info["kbps_sum"] == 128 + 192 + 64
+    assert info["duration_us"] == 3 * 1152 * 1_000_000 // 44100
+    # ID3v1 trailer terminates the walk cleanly
+    info2 = parse_mp3_frames(write_mp3([128]) + b"TAG" + b"\x00" * 125)
+    assert info2["n_frames"] == 1
+
+    with pytest.raises(ValueError, match="lost sync"):
+        parse_mp3_frames(write_mp3([128]) + b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError, match="truncated final"):
+        parse_mp3_frames(write_mp3([128])[:-10])
+    bad = bytearray(write_mp3([128]))
+    bad[1] = (bad[1] & ~0x08) | 0x00  # clear version bit -> MPEG-2
+    with pytest.raises(NotImplementedError, match="MPEG-1"):
+        parse_mp3_frames(bytes(bad))
+    with pytest.raises(ValueError, match="no audio frames"):
+        parse_mp3_frames(b"")
+
+
+def test_mp3_stream_info_operator(spark):
+    from asid_v2_data_pipeline_spark.functions.id3 import write_mp3
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        mp3_stream_info,
+    )
+
+    media = spark.createDataFrame(
+        [(5, bytearray(write_mp3([64, 64])))],
+        "media_id long, payload binary",
+    )
+    r = mp3_stream_info(media).collect()[0]
+    assert (r["n_frames"], r["kbps_sum"]) == (2, 128)
+    assert r["duration_us"] == 2 * 1152 * 1_000_000 // 44100
