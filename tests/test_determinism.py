@@ -61,6 +61,7 @@ CASES = [
     "mm_jpeg_pool",
     "mm_mkv_demux",
     "mm_id3_tags",
+    "mm_mp3_meta",
     "mm_wav_dft",
     "tx_bpe_encode",
     "tx_tokenize_pack",
