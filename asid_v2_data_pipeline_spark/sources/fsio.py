@@ -95,32 +95,41 @@ class LocalFS:
     def write_bytes(self, path: str, data: bytes, overwrite: bool = True) -> None:
         p = self._p(path)
         os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
-        # O_EXCL create is the atomic-claim primitive (two concurrent
-        # creators: exactly one wins); overwrite goes through a temp +
-        # os.replace so readers never see a partial file
+        # Both modes write the FULL bytes to a private temp file first,
+        # then publish the name atomically — overwrite via os.replace,
+        # exclusive create via os.link (fails EEXIST if claimed).  The
+        # link form makes name-appearance atomic WITH content: a
+        # concurrent committer losing the race always reads the winner's
+        # complete manifest, never a name whose bytes haven't landed yet
+        # (the O_CREAT|O_EXCL-then-write sequence had that window — the
+        # loser would see an empty file, treat it as a torn claim, and
+        # delete the winner's in-flight commit).
+        tmp = f"{p}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
         if overwrite:
-            tmp = p + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-                f.flush()
-                os.fsync(f.fileno())
             os.replace(tmp, p)
         else:
-            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             try:
+                os.link(tmp, p)
+            except FileExistsError:
+                raise
+            except OSError:
+                # filesystems without hard links (rare locally): fall
+                # back to O_EXCL create of the finished bytes — still a
+                # single write syscall of complete content
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 with os.fdopen(fd, "wb") as f:
                     f.write(data)
                     f.flush()
                     os.fsync(f.fileno())
-            except BaseException:
-                # a half-written claim must not permanently squat the
-                # name — the crash-repair path in versioned.py handles
-                # the window where the process dies before this cleanup
+            finally:
                 try:
-                    os.remove(p)
+                    os.remove(tmp)
                 except OSError:
                     pass
-                raise
 
     def list_names(self, path: str) -> list[str]:
         p = self._p(path)

@@ -28,8 +28,14 @@ then claims N by EXCLUSIVE-CREATE of ``_versions/v{N}.json``.  The
 manifest create is the atomic commit point:
 
 - two concurrent writers targeting the same N → exactly one create
-  succeeds; the loser gets ``VersionConflictError`` and deletes its own
-  attempt directory (retry = re-read latest, re-commit at N+1);
+  succeeds.  A losing APPEND auto-rebases (Delta-style logical conflict
+  resolution): a blind append reads nothing from the table and its
+  attempt directory is disjoint from every other writer's files by
+  construction, so the loser re-reads the winner's manifest and
+  re-claims N+1 with its already-written files — both appenders commit.
+  A losing merge/delete/overwrite/rollback DID read table state, so it
+  gets ``VersionConflictError`` and deletes its own attempt directory
+  (manual retry = re-read latest, redo the operation);
 - a crash BEFORE the manifest create leaves only an unreferenced attempt
   directory — invisible to every reader, reclaimed by ``vacuum``;
 - a crash AFTER the manifest create is a DURABLE commit (the ``_latest``
@@ -77,6 +83,12 @@ from .fsio import get_fs
 
 class VersionConflictError(RuntimeError):
     """A concurrent writer committed this version number first."""
+
+
+# how many times a losing APPEND re-reads the winner and re-claims
+# before giving up (appends never logically conflict — the bound only
+# guards against a pathological stream of faster writers)
+_APPEND_REBASE_RETRIES = 10
 
 
 def _versions_dir(path: str) -> str:
@@ -285,35 +297,73 @@ def commit_version(
     vdir = f"{path.rstrip('/')}/data/v{n}-{token}"
     df.write.mode("overwrite").parquet(vdir)
     new_files = _list_parquet(fs, vdir)
-    base: list[str] = []
-    schema_json = df.schema.json()
-    stats: dict = {}
-    if mode == "append" and cur is not None:
-        prev = read_manifest(path, cur, spark)
-        base = prev["files"]
-        schema_json = _evolve_schema(prev["schema"], df.schema)
-        stats = dict(prev.get("stats", {}))
-    if stats_cols:
-        stats.update(_file_stats(spark, new_files, stats_cols))
-    manifest = {
-        "version": n,
-        "mode": mode,
-        "files": base + new_files,
-        "schema": schema_json,
-    }
-    if stats:
-        manifest["stats"] = stats
-    if batch_id is not None:
-        manifest["batch_id"] = batch_id
-    try:
-        _claim_version(fs, path, n, manifest)
-    except VersionConflictError:
-        # the loser retires its own attempt dir so the conflict leaves
-        # no orphan for vacuum to chase
-        fs.delete(vdir, recursive=True)
-        raise
-    _write_hint(fs, path, n)
-    return n
+    new_stats = (
+        _file_stats(spark, new_files, stats_cols) if stats_cols else {}
+    )
+
+    def _manifest_at(cur_v: int | None) -> dict:
+        base: list[str] = []
+        schema_json = df.schema.json()
+        stats: dict = {}
+        if mode == "append" and cur_v is not None:
+            prev = read_manifest(path, cur_v, spark)
+            base = prev["files"]
+            schema_json = _evolve_schema(prev["schema"], df.schema)
+            stats = dict(prev.get("stats", {}))
+        stats.update(new_stats)
+        m = {
+            "version": 0 if cur_v is None else cur_v + 1,
+            "mode": mode,
+            "files": base + new_files,
+            "schema": schema_json,
+        }
+        if stats:
+            m["stats"] = stats
+        if batch_id is not None:
+            m["batch_id"] = batch_id
+        return m
+
+    manifest = _manifest_at(cur)
+    for _ in range(_APPEND_REBASE_RETRIES + 1):
+        try:
+            _claim_version(fs, path, n, manifest)
+            _write_hint(fs, path, n)
+            return n
+        except VersionConflictError:
+            if mode != "append":
+                # the loser retires its own attempt dir so the conflict
+                # leaves no orphan for vacuum to chase
+                fs.delete(vdir, recursive=True)
+                raise
+            # Delta-style logical conflict resolution: a blind append
+            # reads NOTHING from the table, so a concurrent commit can
+            # never invalidate it — its private attempt directory is
+            # disjoint from every other writer's file set by
+            # construction.  Rebase: re-read the winner's manifest and
+            # re-claim on top of it.  Data files are immutable and
+            # already written; only the manifest is recomputed (schema
+            # re-evolved against the winner's — a type conflict there is
+            # a REAL conflict and still raises).
+            cur = latest_version(path, spark)
+            if (
+                batch_id is not None
+                and cur is not None
+                and read_manifest(path, cur, spark).get("batch_id")
+                == batch_id
+            ):
+                fs.delete(vdir, recursive=True)
+                return cur
+            try:
+                manifest = _manifest_at(cur)
+            except ValueError:
+                fs.delete(vdir, recursive=True)
+                raise
+            n = manifest["version"]
+    fs.delete(vdir, recursive=True)
+    raise VersionConflictError(
+        f"append to {path} lost the commit race "
+        f"{_APPEND_REBASE_RETRIES + 1} times; giving up"
+    )
 
 
 def _commit_file_set(
@@ -325,10 +375,16 @@ def _commit_file_set(
     stats: dict,
 ) -> int:
     """CAS-commit an explicit file set as the next version (the shared
-    tail of merge/delete): same claim protocol as commit_version."""
+    tail of merge/delete): same claim protocol as commit_version.
+
+    The claimed number is ``prev["version"] + 1`` — the version the file
+    set was DERIVED from — never a re-read of latest: if a concurrent
+    commit landed after the caller read ``prev``, claiming latest+1
+    would succeed while silently dropping that commit's files from the
+    new manifest (lost update); claiming prev+1 makes the race surface
+    as ``VersionConflictError`` exactly like ``commit_version``."""
     fs = get_fs(spark, path)
-    cur = latest_version(path, spark)
-    n = 0 if cur is None else cur + 1
+    n = prev["version"] + 1
     manifest = {
         "version": n,
         "mode": mode,
@@ -375,6 +431,14 @@ def merge_upsert(
     bounds = updates.agg(
         F.min(key_col).alias("_lo"), F.max(key_col).alias("_hi")
     ).first()
+    # manifest stats were JSON-serialized through _file_stats' plain()
+    # (timestamps/dates → isoformat strings); normalize the live bounds
+    # the same way so the overlap compare never mixes str and datetime
+    # (isoformat order == chronological order for a uniform format)
+    def _plain(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    b_lo, b_hi = _plain(bounds["_lo"]), _plain(bounds["_hi"])
     candidates = []
     untouched = []
     for f in prev["files"]:
@@ -382,8 +446,8 @@ def merge_upsert(
         if (
             st is None
             or st[0] is None
-            or bounds["_lo"] is None
-            or (st[0] <= bounds["_hi"] and st[1] >= bounds["_lo"])
+            or b_lo is None
+            or (st[0] <= b_hi and st[1] >= b_lo)
         ):
             candidates.append(f)
         else:
@@ -489,7 +553,10 @@ def delete_where(
         vdir = f"{path.rstrip('/')}/data/v{cur + 1}-{token}"
         (
             _read_files(spark, path, prev, touched)
-            .filter(f"NOT ({predicate})")
+            # SQL DELETE removes rows where the predicate is TRUE only;
+            # a bare NOT(pred) would also drop NULL-evaluating rows
+            # (e.g. "x > 5" on x IS NULL) — coalesce keeps them
+            .filter(f"NOT coalesce(({predicate}), false)")
             .write.mode("overwrite")
             .parquet(vdir)
         )

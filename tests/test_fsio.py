@@ -55,3 +55,27 @@ def test_hadoop_backend_parity_with_local(spark, tmp_path):
     fs.mkdirs(str(tmp_path / "d" / "e"))
     assert fs.list_dir_names(str(tmp_path / "d")) == ["e"]
     assert fs.delete(str(tmp_path / "d"), recursive=True)
+
+
+def test_exclusive_create_atomic_with_content(tmp_path):
+    """write_bytes(overwrite=False) publishes the name atomically WITH
+    its bytes (temp + os.link): a loser of the claim race always reads
+    the winner's COMPLETE content, never an empty just-created file —
+    and the temp never leaks."""
+    import os
+
+    from asid_v2_data_pipeline_spark.sources.fsio import LocalFS
+
+    fs = LocalFS()
+    p = str(tmp_path / "claims" / "v1.json")
+    fs.write_bytes(p, b'{"version": 1}', overwrite=False)
+    assert fs.read_bytes(p) == b'{"version": 1}'
+    try:
+        fs.write_bytes(p, b'{"version": 1, "loser": true}', overwrite=False)
+        raise AssertionError("second exclusive create must fail")
+    except FileExistsError:
+        pass
+    # the winner's bytes are untouched and complete after the lost race
+    assert fs.read_bytes(p) == b'{"version": 1}'
+    leftovers = [n for n in os.listdir(tmp_path / "claims") if ".tmp" in n]
+    assert leftovers == []

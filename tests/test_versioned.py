@@ -421,3 +421,171 @@ def test_sync_changes_exactly_once_composition(spark, tmp_path):
     # crash-before-cursor-advance: re-apply is absorbed by batch_id
     apply_fn(V.read_changes(spark, src, 0, 2), 0, 2)  # replayed delivery
     assert _rows(V.read_latest(spark, dst)) == _rows(spark.range(0, 6))
+
+
+def test_append_rebase_on_conflict(spark, tmp_path, monkeypatch):
+    """Logical conflict resolution (Delta-style): a losing APPEND
+    re-reads the winner's manifest and re-claims on top — both
+    concurrent appenders commit (versions N and N+1) and the table is
+    the union, with no VersionConflictError surfacing."""
+    p = str(tmp_path / "t")
+    V.commit_version(spark.range(0, 3), p)
+    real = V._claim_version
+    state = {"injected": False}
+
+    def inject(fs, path, n, manifest):
+        if not state["injected"]:
+            state["injected"] = True
+            # a faster appender lands v1 while our claim is in flight
+            V.commit_version(spark.range(100, 103), p, mode="append")
+        return real(fs, path, n, manifest)
+
+    monkeypatch.setattr(V, "_claim_version", inject)
+    v = V.commit_version(spark.range(10, 13), p, mode="append")
+    assert v == 2
+    assert _rows(V.read_latest(spark, p)) == _rows(
+        spark.range(0, 3).unionAll(spark.range(100, 103)).unionAll(
+            spark.range(10, 13)
+        )
+    )
+    h = V.table_history(p)
+    assert [r["version"] for r in h] == [0, 1, 2]
+
+
+def test_append_rebase_preserves_winner_stats_and_schema(
+    spark, tmp_path, monkeypatch
+):
+    """The rebased manifest is re-derived from the WINNER's: its files,
+    zone-map stats, and evolved schema all carry into the loser's
+    re-claimed version."""
+    p = str(tmp_path / "t")
+    V.commit_version(
+        spark.range(0, 100).selectExpr("id AS k"), p, stats_cols=["k"]
+    )
+    real = V._claim_version
+    state = {"injected": False}
+
+    def inject(fs, path, n, manifest):
+        if not state["injected"]:
+            state["injected"] = True
+            V.commit_version(
+                spark.range(1000, 1100).selectExpr("id AS k"),
+                p, mode="append", stats_cols=["k"],
+            )
+        return real(fs, path, n, manifest)
+
+    monkeypatch.setattr(V, "_claim_version", inject)
+    v = V.commit_version(
+        spark.range(5000, 5100).selectExpr("id AS k"),
+        p, mode="append", stats_cols=["k"],
+    )
+    assert v == 2
+    # zone map covers all three generations: pruning to the winner's
+    # range opens neither v0's nor the loser's files
+    pruned = V.read_latest_pruned(spark, p, "k", lo=1000, hi=1099)
+    assert pruned.count() == 100
+    full = V.read_latest(spark, p)
+    assert pruned.count() < full.count() == 300
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_merge_race_still_conflicts_no_lost_update(
+    spark, tmp_path, monkeypatch
+):
+    """A merge that loses a race raises VersionConflictError instead of
+    silently committing a manifest derived from the stale base (the
+    lost-update bug: _commit_file_set must claim prev+1, not a re-read
+    latest+1 that would drop the concurrent commit's files)."""
+    p = str(tmp_path / "t")
+    V.commit_version(
+        spark.range(0, 100).selectExpr("id", "id AS k", "0 AS rev"), p
+    )
+    real = V._claim_version
+    state = {"injected": False}
+
+    def inject(fs, path, n, manifest):
+        if not state["injected"]:
+            state["injected"] = True
+            V.commit_version(
+                spark.range(100, 110).selectExpr(
+                    "id", "id AS k", "0 AS rev"
+                ),
+                p, mode="append",
+            )
+        return real(fs, path, n, manifest)
+
+    monkeypatch.setattr(V, "_claim_version", inject)
+    ups = spark.createDataFrame([(5, 5, 1)], "id long, k long, rev int")
+    with pytest.raises(V.VersionConflictError):
+        V.merge_upsert(spark, p, ups, "k")
+    # the winner's commit is intact — nothing was lost
+    assert V.latest_version(p) == 1
+    assert V.read_latest(spark, p).count() == 110
+
+
+def test_concurrent_appenders_stress(spark, tmp_path):
+    """N threads blind-append concurrently; every one commits (rebase
+    absorbs the races) and the final table is the exact union."""
+    import threading
+
+    p = str(tmp_path / "t")
+    V.commit_version(spark.range(0, 10), p)
+    errs = []
+
+    def worker(i):
+        try:
+            V.commit_version(
+                spark.range(i * 100, i * 100 + 10), p, mode="append"
+            )
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(1, 7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert V.latest_version(p) == 6
+    expect = spark.range(0, 10)
+    for i in range(1, 7):
+        expect = expect.unionAll(spark.range(i * 100, i * 100 + 10))
+    assert _rows(V.read_latest(spark, p)) == _rows(expect)
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE semantics: only rows where the predicate is TRUE go; rows
+    where it evaluates NULL (e.g. x IS NULL under 'x > 5') stay."""
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 3), (4, None), (5, 99)],
+        "id long, x int",
+    ).coalesce(1)
+    V.commit_version(base, p)
+    r = V.delete_where(spark, p, "x > 5")
+    assert r["files_rewritten"] == 1
+    got = _rows(V.read_latest(spark, p))
+    assert got == [(2, None), (3, 3), (4, None)]
+
+
+def test_merge_upsert_timestamp_key(spark, tmp_path):
+    """Zone-map targeting works when the merge key is a timestamp: the
+    stored stats are isoformat strings, the live bounds are normalized
+    the same way before comparing (no str-vs-datetime TypeError)."""
+    p = str(tmp_path / "t")
+    base = spark.sql(
+        "SELECT id, timestamp'2024-01-01' + make_interval(0,0,0,CAST(id AS INT)) AS ts,"
+        " 0 AS rev FROM range(0, 96)"
+    ).repartitionByRange(4, "ts")
+    V.commit_version(base, p, stats_cols=["ts"])
+    ups = spark.sql(
+        "SELECT id, timestamp'2024-01-01' + make_interval(0,0,0,CAST(id AS INT)) AS ts,"
+        " 1 AS rev FROM range(10, 12)"
+    )
+    r = V.merge_upsert(spark, p, ups, "ts", stats_cols=["ts"])
+    assert r["version"] == 1
+    assert r["files_rewritten"] == 1  # days 10-11 live in one range file
+    assert r["files_carried"] == 3
+    latest = V.read_latest(spark, p)
+    assert latest.count() == 96
+    assert latest.filter("rev = 1").count() == 2
