@@ -67,6 +67,8 @@ CASES = [
     "tx_tokenize_pack",
     "sim_ivf_pq_serve",
     "tx_bm25_serve",
+    # round 7: MJPEG-in-MKV end-to-end frame decode
+    "mm_mkv_jpeg_pool",
 ]
 
 

@@ -127,3 +127,41 @@ def test_demux_operator_joins_track_metadata(spark):
     assert sorted(r["ts"] for r in auds) == [7, 47, 87]
     assert all(r["n_bytes"] == 20 for r in vids)
     assert vids[0]["byte_sum"] == sum(bytes([0]) * 20)
+
+
+def test_mjpeg_in_mkv_end_to_end_decode(spark):
+    """Composition: JPEG frames muxed into MKV demux AND decode for
+    real — the pooled grayscale equals parse_jpeg on the pre-mux frame
+    bytes, and non-video tracks are skipped."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+    )
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        demux_decode_jpeg_pool,
+    )
+
+    rng = np.random.RandomState(7)
+    imgs = [rng.randint(0, 256, (8, 8), dtype=np.uint8) for _ in range(3)]
+    jpegs = [write_jpeg(im, quality=75) for im in imgs]
+    frames = [(1, i * 40, True, jp) for i, jp in enumerate(jpegs)]
+    frames.append((2, 0, True, b"\x01\x02\x03"))  # audio: must be skipped
+    tracks = [
+        MkvTrack(1, "video", "V_MJPEG", width=8, height=8),
+        MkvTrack(2, "audio", "A_OPUS"),
+    ]
+    blob = write_mkv(frames, tracks, cluster_every=2)
+    media = spark.createDataFrame(
+        [(9, bytearray(blob))], "media_id long, payload binary"
+    )
+    rows = sorted(
+        demux_decode_jpeg_pool(media, 2).collect(), key=lambda r: r["ts"]
+    )
+    assert [r["ts"] for r in rows] == [0, 40, 80]
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    for r, jp in zip(rows, jpegs):
+        px = parse_jpeg(jp).astype(np.float64)
+        want = px.reshape(4, 2, 4, 2).mean(axis=(1, 3)).ravel()
+        assert np.allclose(r["pooled"], want)
