@@ -7,14 +7,61 @@ frames) is a simple public container: the informal standard at id3.org
 (ID3v2.3, ID3v2.4).  Parsing it is the audio twin of the EBML demuxer —
 real container, opaque codec payload.
 
-Scope: ID3v2.3 and v2.4 headers (syncsafe tag size; v2.4 syncsafe frame
-sizes vs v2.3 plain), text frames ``T***`` in Latin-1 (0), UTF-16 with
-BOM (1), UTF-16BE (2) and UTF-8 (3) encodings; other frame types are
-skipped by size.  Unsynchronization and extended headers raise loudly
-rather than desynchronize.
+Scope: ID3v2.2, v2.3 and v2.4 headers (syncsafe tag size; v2.4
+syncsafe frame sizes vs v2.2/v2.3 plain; v2.2's 6-byte frame headers
+with 3-char ids mapped onto their v2.3 names), text frames ``T***`` in
+Latin-1 (0), UTF-16 with BOM (1), UTF-16BE (2) and UTF-8 (3)
+encodings; other frame types are skipped by size.  UNSYNCHRONIZATION
+is decoded for real — the whole-tag scheme of v2.2/v2.3 (flag 0x80)
+and v2.4's per-frame flag (format bit 0x02) — common in older
+real-world MP3 corpora.  Extended headers and v2.4 compressed/
+encrypted frames raise loudly rather than desynchronize.
 """
 
 from __future__ import annotations
+
+
+def _unsync_decode(data: bytes) -> bytes:
+    """Reverse the unsynchronization scheme: every 0x00 immediately
+    following 0xFF was inserted by the writer — drop it."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        out.append(data[i])
+        if data[i] == 0xFF and i + 1 < n and data[i + 1] == 0:
+            i += 2
+        else:
+            i += 1
+    return bytes(out)
+
+
+def _unsync_encode(data: bytes) -> bytes:
+    """Apply unsynchronization: insert 0x00 after every 0xFF that is
+    followed by 0x00 or a sync-pattern byte (>= 0xE0), or that ends the
+    data — so no false MPEG sync word survives in the tag."""
+    out = bytearray()
+    n = len(data)
+    for i, b in enumerate(data):
+        out.append(b)
+        if b == 0xFF and (
+            i + 1 == n or data[i + 1] == 0 or data[i + 1] >= 0xE0
+        ):
+            out.append(0)
+    return bytes(out)
+
+
+# v2.2's 3-char frame ids for the text frames this reader surfaces,
+# mapped onto their v2.3/v2.4 names (id3.org: ID3v2.2 §4 vs ID3v2.3 §4)
+_V22_TO_V23 = {
+    "TT2": "TIT2",
+    "TP1": "TPE1",
+    "TAL": "TALB",
+    "TRK": "TRCK",
+    "TYE": "TYER",
+    "TCO": "TCON",
+}
+_V23_TO_V22 = {v: k for k, v in _V22_TO_V23.items()}
 
 
 def _syncsafe(b: bytes) -> int:
@@ -47,32 +94,52 @@ def parse_id3(payload: bytes) -> dict:
     if payload[:3] != b"ID3":
         raise ValueError("not an ID3v2 tag")
     major, rev = payload[3], payload[4]
-    if major not in (3, 4):
-        raise NotImplementedError(f"ID3v2.{major} not supported (2.3/2.4)")
+    if major not in (2, 3, 4):
+        raise NotImplementedError(
+            f"ID3v2.{major} not supported (2.2/2.3/2.4)"
+        )
     flags = payload[5]
-    if flags & 0x80:
-        raise NotImplementedError("ID3: unsynchronized tags not supported")
     if flags & 0x40:
-        raise NotImplementedError("ID3: extended header not supported")
+        raise NotImplementedError(
+            "ID3: extended header (v2.3/v2.4) / compression (v2.2) "
+            "not supported"
+        )
     size = _syncsafe(payload[6:10])
     out: dict = {"_version": (major, rev), "_tag_bytes": 10 + size}
-    pos, end = 10, 10 + size
-    while pos + 10 <= end:
-        fid = payload[pos : pos + 4]
-        if fid == b"\x00\x00\x00\x00":
+    tag = payload[10 : 10 + size]
+    if flags & 0x80 and major in (2, 3):
+        # v2.2/v2.3: unsynchronization applies to the WHOLE tag body;
+        # the header's size counts the stored (unsynchronized) bytes
+        tag = _unsync_decode(tag)
+    id_len = 3 if major == 2 else 4
+    hdr_len = 6 if major == 2 else 10
+    pos, end = 0, len(tag)
+    while pos + hdr_len <= end:
+        fid = tag[pos : pos + id_len]
+        if fid == b"\x00" * id_len:
             break  # padding
-        raw_size = payload[pos + 4 : pos + 8]
+        raw_size = tag[pos + id_len : pos + 2 * id_len]
         fsize = _syncsafe(raw_size) if major == 4 else int.from_bytes(
             raw_size, "big"
         )
-        if pos + 10 + fsize > end:
+        if pos + hdr_len + fsize > end:
             raise ValueError(
                 f"ID3: frame {fid!r} overruns the tag "
                 f"({fsize} bytes at {pos}, tag ends at {end})"
             )
-        body = payload[pos + 10 : pos + 10 + fsize]
-        pos += 10 + fsize
+        body = tag[pos + hdr_len : pos + hdr_len + fsize]
+        if major == 4:
+            fmt = tag[pos + 9]
+            if fmt & 0x0C:
+                raise NotImplementedError(
+                    "ID3: compressed/encrypted v2.4 frame not supported"
+                )
+            if fmt & 0x02:  # v2.4: unsynchronization is PER FRAME
+                body = _unsync_decode(body)
+        pos += hdr_len + fsize
         name = fid.decode("latin-1")
+        if major == 2:
+            name = _V22_TO_V23.get(name, name)
         if name.startswith("T") and body:
             enc = body[0]
             codec = _DECODERS.get(enc)
@@ -194,18 +261,47 @@ def write_id3(
     audio: bytes = b"",
     encoding: int = 3,
     padding: int = 16,
+    unsync: bool = False,
 ) -> bytes:
     """Fixture writer: text frames (UTF-8 by default; pass
     ``encoding=0/1/3`` to exercise the decoders) + padding, followed by
-    ``audio`` (opaque bytes standing in for the MPEG frames)."""
+    ``audio`` (opaque bytes standing in for the MPEG frames).
+
+    ``major=2`` writes ID3v2.2 (6-byte frame headers, 3-char ids via
+    the reverse name map).  ``unsync=True`` applies real
+    unsynchronization — whole-tag for v2.2/v2.3 (flag 0x80, header size
+    counts the expanded bytes), per-frame for v2.4 (format bit 0x02,
+    syncsafe size of the expanded body)."""
     codec = _DECODERS[encoding]
     body = b""
     for fid, text in frames.items():
+        if major == 2:
+            fid = _V23_TO_V22.get(fid, fid)
+            if len(fid) != 3:
+                raise ValueError(f"ID3v2.2: no 3-char id for {fid!r}")
         fb = bytes([encoding]) + text.encode(codec)
-        size = _enc_syncsafe(len(fb)) if major == 4 else len(fb).to_bytes(
-            4, "big"
-        )
-        body += fid.encode("latin-1") + size + b"\x00\x00" + fb
+        if major == 4:
+            flags2 = b"\x00\x00"
+            if unsync:
+                fb = _unsync_encode(fb)
+                flags2 = b"\x00\x02"
+            body += (
+                fid.encode("latin-1") + _enc_syncsafe(len(fb)) + flags2 + fb
+            )
+        elif major == 3:
+            body += (
+                fid.encode("latin-1")
+                + len(fb).to_bytes(4, "big")
+                + b"\x00\x00"
+                + fb
+            )
+        else:
+            body += fid.encode("latin-1") + len(fb).to_bytes(3, "big") + fb
     body += b"\x00" * padding
-    head = b"ID3" + bytes([major, 0, 0]) + _enc_syncsafe(len(body))
+    tag_flags = 0
+    if unsync:
+        tag_flags |= 0x80  # v2.4: informational (all frames unsynced)
+        if major in (2, 3):
+            body = _unsync_encode(body)
+    head = b"ID3" + bytes([major, 0, tag_flags]) + _enc_syncsafe(len(body))
     return head + body + audio

@@ -2762,12 +2762,17 @@ FROM pixels ORDER BY doc_id, ts
 def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 metadata extraction through a REAL ID3v2 container: each
     document becomes an ID3-tagged payload (title = first 3 tokens,
-    artist = lang, album = source, track = doc_id mod 100; version and
-    text encoding vary per doc to exercise v2.3 plain vs v2.4 syncsafe
-    frame sizes and the Latin-1 vs UTF-8 decoders) followed by opaque
-    'audio' bytes.  ``extract_id3_tags`` parses it back; the oracle
-    recomputes every column — including the tag/audio byte split, which
-    pins the syncsafe size arithmetic — from the documents table."""
+    artist = lang, album = source, track = doc_id mod 100; version,
+    text encoding AND unsynchronization vary per doc to exercise
+    v2.2's 6-byte frame headers, v2.3 plain vs v2.4 syncsafe frame
+    sizes, the Latin-1 vs UTF-8 decoders, and the whole-tag (v2.2/
+    v2.3) vs per-frame (v2.4) unsync paths) followed by opaque 'audio'
+    bytes.  ``extract_id3_tags`` parses it back; the oracle recomputes
+    every column — including the tag/audio byte split, which pins the
+    per-version frame-header and syncsafe size arithmetic — from the
+    documents table.  (The fixture text is ASCII, so unsync inserts no
+    escape bytes here; the expansion arithmetic on 0xFF-bearing bodies
+    is pinned by the UTF-16 unit matrix in test_codecs.py.)"""
     from ..operators.multimodal import extract_id3_tags
 
     d = load_table(spark, sf_dir, "documents")
@@ -2790,12 +2795,15 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "TALB": str(source),
                     "TRCK": str(int(did) % 100),
                 }
+                did_i = int(did)
+                major = 2 if did_i % 5 == 0 else (3 if did_i % 3 == 0 else 4)
                 ids.append(did)
                 payloads.append(
                     write_id3(
                         frames,
-                        major=4 if int(did) % 3 else 3,
-                        encoding=3 if int(did) % 2 == 0 else 0,
+                        major=major,
+                        encoding=3 if did_i % 2 == 0 else 0,
+                        unsync=did_i % 4 == 1,
                         audio=t.encode("utf-8")[:32],
                     )
                 )
@@ -2818,22 +2826,28 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_id3_sql() -> str:
-    # tag layout: 10 header + per-frame (10 + 1 + len) + 16 padding;
-    # all fixture text is ASCII so char length == byte length in both
-    # Latin-1 and UTF-8
+    # tag layout: 10 header + per-frame (frame-header + 1 encoding byte
+    # + len) + 16 padding, where the frame overhead is 7 for v2.2's
+    # 6-byte headers and 11 for v2.3/v2.4's 10-byte headers; all
+    # fixture text is ASCII so char length == byte length in Latin-1
+    # and UTF-8 and unsynchronization inserts nothing
     return f"""
 WITH base AS (
   SELECT doc_id, lang, source,
          array_to_string(list_slice({TOKENS_SQL}, 1, 3), ' ') AS title,
          CAST(doc_id % 100 AS VARCHAR) AS trck,
-         octet_length(encode(text)) AS nb
+         octet_length(encode(text)) AS nb,
+         CASE WHEN doc_id % 5 = 0 THEN 2
+              WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END AS mj
   FROM documents
 )
 SELECT doc_id,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 4 END AS INT) AS major,
+       CAST(mj AS INT) AS major,
        title, lang AS artist, source AS album, trck AS track,
-       CAST(10 + (11 + len(title)) + (11 + len(lang)) + (11 + len(source))
-            + (11 + len(trck)) + 16 AS INT) AS tag_bytes,
+       CAST(10
+            + 4 * (CASE WHEN mj = 2 THEN 7 ELSE 11 END)
+            + len(title) + len(lang) + len(source) + len(trck)
+            + 16 AS INT) AS tag_bytes,
        CAST(LEAST(32, nb) AS INT) AS audio_bytes
 FROM base ORDER BY doc_id
 """

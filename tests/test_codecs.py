@@ -526,13 +526,82 @@ def test_id3_roundtrip_versions_and_encodings():
     with pytest.raises(ValueError, match="not an ID3"):
         parse_id3(b"MP3?" * 4)
     blob = bytearray(write_id3(frames))
-    blob[3] = 2  # claim ID3v2.2
-    with pytest.raises(NotImplementedError, match="2.3/2.4"):
+    blob[3] = 5  # claim a future ID3v2.5
+    with pytest.raises(NotImplementedError, match="2.2/2.3/2.4"):
         parse_id3(bytes(blob))
     blob = bytearray(write_id3(frames))
-    blob[5] = 0x80  # unsynchronized flag
-    with pytest.raises(NotImplementedError, match="unsynchronized"):
+    blob[5] = 0x40  # extended-header flag
+    with pytest.raises(NotImplementedError, match="extended header"):
         parse_id3(bytes(blob))
+
+
+def test_id3_v22_roundtrip():
+    """ID3v2.2: 6-byte frame headers with 3-char ids, mapped onto the
+    v2.3 names on read; tag/audio split exact."""
+    from asid_v2_data_pipeline_spark.functions.id3 import (
+        parse_id3,
+        write_id3,
+    )
+
+    frames = {"TIT2": "old song", "TPE1": "band", "TALB": "lp", "TRCK": "7"}
+    for enc in (0, 1, 2, 3):
+        blob = write_id3(frames, major=2, encoding=enc, audio=b"\xffA")
+        tags = parse_id3(blob)
+        assert tags["_version"][0] == 2
+        assert tags["TIT2"] == "old song"
+        assert tags["TPE1"] == "band"
+        assert tags["TALB"] == "lp"
+        assert tags["TRCK"] == "7"
+        assert blob[tags["_tag_bytes"] :] == b"\xffA"
+    # v2.2 frame headers are 7 bytes smaller than v2.3's per frame
+    v22 = parse_id3(write_id3(frames, major=2))["_tag_bytes"]
+    v23 = parse_id3(write_id3(frames, major=3))["_tag_bytes"]
+    assert v23 - v22 == 4 * 4
+
+
+def test_id3_unsynchronization_matrix():
+    """REAL unsynchronization round-trips: UTF-16 bodies carry 0xFF
+    (the BOM and many code units), so escape bytes are actually
+    inserted — whole-tag for v2.2/v2.3 (header size counts expanded
+    bytes), per-frame for v2.4 (syncsafe size of expanded body).  The
+    audio split point stays exact and no false sync survives in the
+    tag."""
+    from asid_v2_data_pipeline_spark.functions.id3 import (
+        _unsync_decode,
+        _unsync_encode,
+        parse_id3,
+        write_id3,
+    )
+
+    # the escape scheme itself round-trips on adversarial byte runs
+    for data in (
+        b"\xff\x00", b"\xff\xe0", b"\xff\xfb\x90", b"\xff", b"",
+        b"\xff\xff\xff", b"ok\xff\x00\xff", bytes(range(256)),
+    ):
+        enc = _unsync_encode(data)
+        assert _unsync_decode(enc) == data
+        # no FF followed by a sync-pattern byte survives encoding
+        assert not any(
+            enc[i] == 0xFF and enc[i + 1] >= 0xE0
+            for i in range(len(enc) - 1)
+        )
+
+    frames = {"TIT2": "hýllo wörld", "TPE1": "bänd"}
+    for major in (2, 3, 4):
+        for enc_id in (0, 1, 2, 3):
+            blob = write_id3(
+                frames, major=major, encoding=enc_id, unsync=True,
+                audio=b"\xff\xfb!",
+            )
+            if enc_id == 1:  # UTF-16 BOM FF FE: real escapes inserted
+                plain = write_id3(
+                    frames, major=major, encoding=enc_id, audio=b"\xff\xfb!"
+                )
+                assert len(blob) > len(plain)
+            tags = parse_id3(blob)
+            assert tags["TIT2"] == "hýllo wörld", (major, enc_id)
+            assert tags["TPE1"] == "bänd", (major, enc_id)
+            assert blob[tags["_tag_bytes"] :] == b"\xff\xfb!", (major, enc_id)
 
 
 def test_extract_id3_tags_operator(spark):
