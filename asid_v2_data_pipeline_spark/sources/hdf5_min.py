@@ -133,6 +133,40 @@ def lookup3(data: bytes, initval: int = 0) -> int:
 # --------------------------------------------------------------------------
 
 
+def _enc_size(n: int) -> int:
+    """Bytes needed to store a count with maximum value ``n`` (the
+    spec's 'size of number of records' fields)."""
+    return max(1, (n.bit_length() + 7) // 8)
+
+
+def _btree_v2_sizes(
+    node_size: int, rec_size: int, so: int, depth: int
+) -> tuple[list[int], list[int]]:
+    """v2 B-tree capacity arithmetic (HDF5 File Format Spec III.A.2):
+    per-depth maximum record counts ``caps[d]`` and maximum subtree
+    totals ``tots[d]`` for nodes at depth ``d`` (0 = leaf), up to
+    ``depth``.  These determine the child-pointer field widths inside
+    internal nodes — reader and fixture writer share this function so
+    the byte layout can never drift between them."""
+    # leaf/internal overhead: 4 signature + 1 version + 1 type + 4 checksum
+    leaf_cap = (node_size - 10) // rec_size
+    caps = [leaf_cap]
+    tots = [leaf_cap]
+    for d in range(1, depth + 1):
+        ptr = so + _enc_size(caps[d - 1]) + (
+            _enc_size(tots[d - 1]) if d > 1 else 0
+        )
+        cap = (node_size - 10 - ptr) // (rec_size + ptr)
+        if cap < 1:
+            raise ValueError(
+                f"v2 B-tree node size {node_size} too small for internal "
+                f"nodes at depth {d}"
+            )
+        caps.append(cap)
+        tots.append(cap + (cap + 1) * tots[d - 1])
+    return caps, tots
+
+
 @dataclass
 class _Dataset:
     name: str
@@ -396,9 +430,13 @@ class HDF5File:
     def _fractal_heap(self, addr: int):
         """Managed-object fetcher for the fractal heap headered at
         ``addr``: returns ``get(heap_id) -> bytes``.  Supports a root
-        direct block or a root indirect block of direct children (the
-        shapes dense attribute/link storage produces); filtered heaps,
-        nested indirect blocks and huge/tiny objects raise clearly."""
+        direct block, root indirect blocks, NESTED indirect blocks
+        (rows past the maximum-direct row recurse into child indirect
+        blocks whose span halves back down the doubling table), and
+        FILTERED heaps (direct blocks stored through the I/O filter
+        pipeline declared in the header — the stored size travels in
+        the header for a root direct block and in each indirect-block
+        entry otherwise).  Huge/tiny objects raise clearly."""
         b = self._buf
         if b[addr : addr + 4] != b"FRHP":
             raise ValueError("bad fractal heap header signature")
@@ -406,8 +444,6 @@ class HDF5File:
         pos = addr + 5
         id_len = self._u(pos, 2)
         filter_len = self._u(pos + 2, 2)
-        if filter_len:
-            raise NotImplementedError("filtered fractal heaps not supported")
         flags = b[pos + 4]
         pos += 4 + 1 + 4  # id len, filter len, flags, max managed size
         pos += sl + so  # next huge id, huge btree
@@ -422,49 +458,79 @@ class HDF5File:
         pos += 2 + 2 * sl + 2 + 2  # width, start, maxdirect, maxbits, startrows
         root_addr = self._addr(pos)
         cur_rows = self._u(pos + so, 2)
+        pos += so + 2
+        filters: list[tuple[int, int, tuple[int, ...]]] = []
+        root_filtered_size = None
+        if filter_len:
+            if cur_rows == 0:  # root is a direct block: stored size + mask
+                root_filtered_size = self._u(pos, sl)
+                pos += sl + 4
+            filters = self._filters(bytes(b[pos : pos + filter_len]))
         off_size = (max_heap_bits + 7) // 8
         len_size = id_len - 1 - off_size
         if len_size <= 0:
             raise ValueError("inconsistent fractal heap id length")
         checksummed = bool(flags & 0x02)
 
-        # collect (block_offset, size, file_addr) for every direct block
-        blocks: list[tuple[int, int, int]] = []
+        # every direct block as (block_offset, size, logical_bytes)
+        blocks: list[tuple[int, int, bytes]] = []
 
         def row_size(r: int) -> int:
             return start_block if r < 2 else start_block << (r - 1)
 
-        def read_direct(daddr: int, size: int) -> None:
-            if b[daddr : daddr + 4] != b"FHDB":
+        max_direct_rows = (
+            max_direct.bit_length() - start_block.bit_length() + 2
+        )
+
+        def read_direct(daddr: int, size: int, stored: int | None) -> None:
+            if filters:
+                raw = bytes(b[daddr : daddr + stored])
+                for fid, _fl, cd in reversed(filters):
+                    raw = _defilter(fid, cd, raw)
+                image = raw
+            else:
+                image = bytes(b[daddr : daddr + size])
+            if image[:4] != b"FHDB":
                 raise ValueError("bad fractal heap direct block signature")
-            boff = self._u(daddr + 5 + so, off_size)
-            blocks.append((boff, size, daddr))
+            boff = int.from_bytes(
+                image[5 + so : 5 + so + off_size], "little"
+            )
+            blocks.append((boff, size, image))
+
+        def read_indirect(iaddr: int, nrows: int) -> None:
+            if b[iaddr : iaddr + 4] != b"FHIB":
+                raise ValueError(
+                    "bad fractal heap indirect block signature"
+                )
+            p = iaddr + 5 + so + off_size
+            for r in range(nrows):
+                for _w in range(table_width):
+                    caddr = self._addr(p)
+                    p += so
+                    if r < max_direct_rows:
+                        stored = None
+                        if filters:
+                            stored = self._u(p, sl)
+                            p += sl + 4  # filtered size + filter mask
+                        if caddr is not None:
+                            read_direct(caddr, row_size(r), stored)
+                    elif caddr is not None:
+                        # child indirect block spanning row_size(r):
+                        # width*start*2^(n-1) bytes -> n rows
+                        span = row_size(r)
+                        child_rows = (
+                            span // (table_width * start_block)
+                        ).bit_length()
+                        read_indirect(caddr, child_rows)
 
         if root_addr is None:
             return lambda _hid: (_ for _ in ()).throw(
                 ValueError("empty fractal heap")
             )
         if cur_rows == 0:
-            read_direct(root_addr, start_block)
+            read_direct(root_addr, start_block, root_filtered_size)
         else:
-            if b[root_addr : root_addr + 4] != b"FHIB":
-                raise ValueError(
-                    "bad fractal heap indirect block signature"
-                )
-            max_direct_rows = (
-                max_direct.bit_length() - start_block.bit_length() + 2
-            )
-            if cur_rows > max_direct_rows:
-                raise NotImplementedError(
-                    "nested fractal heap indirect blocks not supported"
-                )
-            p = root_addr + 5 + so + off_size
-            for r in range(cur_rows):
-                for _w in range(table_width):
-                    daddr = self._addr(p)
-                    p += so
-                    if daddr is not None:
-                        read_direct(daddr, row_size(r))
+            read_indirect(root_addr, cur_rows)
 
         hdr_size = 5 + so + off_size + (4 if checksummed else 0)
 
@@ -478,10 +544,10 @@ class HDF5File:
             obj_len = int.from_bytes(
                 heap_id[1 + off_size : 1 + off_size + len_size], "little"
             )
-            for boff, size, daddr in blocks:
+            for boff, size, image in blocks:
                 if boff <= obj_off < boff + size:
-                    start = daddr + (obj_off - boff)
-                    return bytes(b[start : start + obj_len])
+                    start = obj_off - boff
+                    return image[start : start + obj_len]
             raise ValueError(f"fractal heap object at {obj_off} not found")
 
         # objects never land inside a block header; expose for sanity
@@ -490,12 +556,16 @@ class HDF5File:
 
     def _btree_v2_records(self, addr: int) -> list[bytes]:
         """All raw records of the v2 B-tree headered at ``addr`` (used
-        for the dense-storage name indexes).  Root-leaf trees only —
-        the shape dense attribute/link storage produces below thousands
-        of entries; deeper trees raise clearly."""
+        for the dense-storage name indexes), in key order — MULTI-LEVEL
+        trees included: internal ``BTIN`` nodes interleave records with
+        child pointers (address + child record count [+ subtree total
+        below internal children]), whose field widths derive from the
+        node-size capacity arithmetic (HDF5 File Format Spec III.A.2;
+        shared with the fixture writer via ``_btree_v2_sizes``)."""
         b = self._buf
         if b[addr : addr + 4] != b"BTHD":
             raise ValueError("bad v2 B-tree header signature")
+        node_size = self._u(addr + 6, 4)
         rec_size = self._u(addr + 10, 2)
         depth = self._u(addr + 12, 2)
         # +14/+15: split / merge percents
@@ -503,18 +573,45 @@ class HDF5File:
         nrec = self._u(addr + 16 + self._so, 2)
         if root is None or nrec == 0:
             return []
-        if depth != 0:
-            raise NotImplementedError(
-                "multi-level v2 B-trees not supported (dense index too "
-                "large for the root leaf)"
-            )
-        if b[root : root + 4] != b"BTLF":
-            raise ValueError("bad v2 B-tree leaf signature")
-        pos = root + 6
-        return [
-            bytes(b[pos + i * rec_size : pos + (i + 1) * rec_size])
-            for i in range(nrec)
-        ]
+        caps, tots = _btree_v2_sizes(node_size, rec_size, self._so, depth)
+        out: list[bytes] = []
+
+        def walk(naddr: int, d: int, n: int) -> None:
+            if d == 0:
+                if b[naddr : naddr + 4] != b"BTLF":
+                    raise ValueError("bad v2 B-tree leaf signature")
+                pos = naddr + 6
+                out.extend(
+                    bytes(b[pos + i * rec_size : pos + (i + 1) * rec_size])
+                    for i in range(n)
+                )
+                return
+            if b[naddr : naddr + 4] != b"BTIN":
+                raise ValueError("bad v2 B-tree internal node signature")
+            rpos = naddr + 6
+            ppos = rpos + n * rec_size
+            n_size = _enc_size(caps[d - 1])
+            tot_size = _enc_size(tots[d - 1]) if d > 1 else 0
+            ptr = self._so + n_size + tot_size
+            kids = []
+            for i in range(n + 1):
+                at = ppos + i * ptr
+                caddr = self._addr(at)
+                cnrec = self._u(at + self._so, n_size)
+                kids.append((caddr, cnrec))
+            for i, (caddr, cnrec) in enumerate(kids):
+                if caddr is None:
+                    raise ValueError("undefined v2 B-tree child pointer")
+                walk(caddr, d - 1, cnrec)
+                if i < n:
+                    out.append(
+                        bytes(
+                            b[rpos + i * rec_size : rpos + (i + 1) * rec_size]
+                        )
+                    )
+
+        walk(root, depth, nrec)
+        return out
 
     def _dense_attributes(self, body: bytes) -> dict:
         """Attributes stored densely (attribute-info message 0x0015):
@@ -998,45 +1095,94 @@ _FH_MAX_HEAP_BITS = 32
 
 
 def _fheap_pack(
-    sizes: list[int], start_block: int, hdr_size: int
-) -> tuple[list[tuple[int, int, int]], list[int]]:
+    sizes: list[int], start_block: int, hdr_size: int,
+    max_direct: int = _FH_MAX_DIRECT,
+) -> tuple[list[dict], list[int], int, dict]:
     """First-fit packing of object sizes into doubling-table direct
-    blocks: returns (blocks=[(row, block_off, size)], heap_offsets per
-    object).  Every block's first ``hdr_size`` bytes belong to its
-    header (heap offsets include headers, like the real format)."""
+    blocks, INCLUDING rows past the maximum-direct row, which nest
+    under child indirect blocks (each spanning what a direct block of
+    that row would, with its own doubling table restarting at the
+    start size).  Returns ``(blocks, heap_offsets, root_rows,
+    children)``: ``blocks`` = dicts with ``key`` (stable tag suffix),
+    ``boff``, ``size``, ``row`` (root-table row or None), ``parent``
+    (None or the (row, slot) of the child indirect block);
+    ``children`` maps (row, slot) -> {"rows", "boff", "slots": [block
+    key or None per slot]}.  Every block's first ``hdr_size`` bytes
+    belong to its header (heap offsets include headers, like the real
+    format)."""
 
     def row_size(r: int) -> int:
         return start_block if r < 2 else start_block << (r - 1)
 
-    blocks: list[tuple[int, int, int]] = []
+    max_rows = max_direct.bit_length() - start_block.bit_length() + 2
+
+    def slot_stream():
+        """(parent, root_row, key, size) for every direct-block slot in
+        table order; parent is None for root-table slots."""
+        r = 0
+        while True:
+            if r < max_rows:
+                for w in range(_FH_WIDTH):
+                    yield None, r, f"{r * _FH_WIDTH + w}", row_size(r)
+            else:
+                span = row_size(r)
+                child_rows = (
+                    span // (_FH_WIDTH * start_block)
+                ).bit_length()
+                if child_rows > max_rows:
+                    raise ValueError(
+                        "fixture attributes exceed the two-level heap "
+                        "the writer emits"
+                    )
+                for w in range(_FH_WIDTH):
+                    for cr in range(child_rows):
+                        for cw in range(_FH_WIDTH):
+                            yield (
+                                (r, w),
+                                r,
+                                f"c{r}.{w}.{cr * _FH_WIDTH + cw}",
+                                row_size(cr),
+                            )
+            r += 1
+
+    blocks: list[dict] = []
     offsets: list[int] = []
-    bi = -1
-    pos = 0  # next free byte within current block
+    children: dict = {}
+    stream = slot_stream()
+    boff = 0
+    pos = 0
 
     def open_next() -> None:
-        nonlocal bi, pos
-        bi += 1
-        r = bi // _FH_WIDTH
-        size = row_size(r)
-        if size > _FH_MAX_DIRECT:
-            raise ValueError(
-                "fixture attributes exceed the single-level heap the "
-                "writer emits"
-            )
-        boff = blocks[-1][1] + blocks[-1][2] if blocks else 0
-        blocks.append((r, boff, size))
+        nonlocal boff, pos
+        parent, r, key, size = next(stream)
+        if parent is not None and parent not in children:
+            span = row_size(parent[0])
+            children[parent] = {
+                "rows": (span // (_FH_WIDTH * start_block)).bit_length(),
+                "boff": boff,
+                "slots": {},
+            }
+        blocks.append(
+            {"key": key, "boff": boff, "size": size, "row": r,
+             "parent": parent}
+        )
+        if parent is not None:
+            children[parent]["slots"][key] = True
+        boff += size
         pos = hdr_size
 
     open_next()
     for s in sizes:
+        if s + hdr_size > max_direct:
+            raise ValueError("object larger than the maximum direct block")
         # advance to the first block with room; rows double, so any
-        # object <= max_direct - hdr_size fits eventually (open_next
-        # raises past the single-indirect-level cap)
-        while pos + s > blocks[-1][2]:
+        # object <= max_direct - hdr_size fits eventually
+        while pos + s > blocks[-1]["size"]:
             open_next()
-        offsets.append(blocks[-1][1] + pos)
+        offsets.append(blocks[-1]["boff"] + pos)
         pos += s
-    return blocks, offsets
+    root_rows = 0 if len(blocks) == 1 else blocks[-1]["row"] + 1
+    return blocks, offsets, root_rows, children
 
 
 def _fheap_id(off: int, length: int, id_len: int) -> bytes:
@@ -1049,41 +1195,109 @@ def _fheap_id(off: int, length: int, id_len: int) -> bytes:
     )
 
 
+# version-1 filter-pipeline body declaring a single deflate(6) filter —
+# what a filtered fixture heap carries as its I/O filter information
+_HEAP_FILTER_INFO = (
+    bytes([1, 1]) + b"\x00" * 6
+    + struct.pack("<HHHH", 1, 0, 1, 1)
+    + struct.pack("<I", 6)
+    + b"\x00" * 4  # ver-1 pad for odd client-data count
+)
+
+
 def _frhp(
     a, tag: str, id_len: int, start_block: int,
-    blocks: list[tuple[int, int, int]], n_objs: int, root_rows: int,
+    total_space: int, n_objs: int, root_rows: int,
+    max_direct: int = _FH_MAX_DIRECT,
+    filter_info: bytes = b"",
+    root_filtered_size: int | None = None,
 ) -> bytes:
     """Fractal heap header; ``root_rows=0`` means the root block is the
-    single direct block, else the FHIB with that many rows."""
-    managed = blocks[-1][1] + blocks[-1][2] if blocks else 0
+    single direct block, else the FHIB with that many rows.  A filtered
+    heap carries its pipeline in ``filter_info`` (and, when the root is
+    a direct block, that block's stored size + filter mask)."""
     body = b"FRHP" + bytes([0])
-    body += struct.pack("<HHB", id_len, 0, 0)  # id len, filters, flags
-    body += struct.pack("<I", _FH_MAX_DIRECT)  # max managed object size
+    body += struct.pack("<HHB", id_len, len(filter_info), 0)
+    body += struct.pack("<I", max_direct)  # max managed object size
     body += struct.pack("<Q", 0) + _UNDEF8  # next huge id, huge btree
     body += struct.pack("<Q", 0) + _UNDEF8  # free space, fs manager
-    body += struct.pack("<QQQQ", managed, managed, managed, n_objs)
+    body += struct.pack("<QQQQ", total_space, total_space, total_space, n_objs)
     body += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
     body += struct.pack("<H", _FH_WIDTH)
-    body += struct.pack("<QQ", start_block, _FH_MAX_DIRECT)
+    body += struct.pack("<QQ", start_block, max_direct)
     body += struct.pack("<HH", _FH_MAX_HEAP_BITS, 1)  # max bits, start rows
     root_tag = f"fhdb:{tag}:0" if root_rows == 0 else f"fhib:{tag}"
     body += struct.pack("<Q", a(root_tag))
     body += struct.pack("<H", root_rows)
-    return body + struct.pack("<I", lookup3(body))
-
-
-def _bthd(a, tag: str, btype: int, rec_size: int, nrec: int) -> bytes:
-    body = b"BTHD" + bytes([0, btype])
-    body += struct.pack("<IHH", 2048, rec_size, 0)  # node size, rec, depth
-    body += bytes([100, 40])  # split / merge percents
-    body += struct.pack("<Q", a(f"btlf:{tag}"))
-    body += struct.pack("<HQ", nrec, nrec)
+    if filter_info:
+        if root_rows == 0:
+            body += struct.pack("<QI", root_filtered_size or 0, 0)
+        body += filter_info
     return body + struct.pack("<I", lookup3(body))
 
 
 def _btlf(btype: int, records: list[bytes]) -> bytes:
     body = b"BTLF" + bytes([0, btype]) + b"".join(records)
     return body + struct.pack("<I", lookup3(body))
+
+
+def _put_btree_v2(
+    put, a, tag: str, btype: int, rec_size: int,
+    records: list[bytes], node_size: int,
+) -> None:
+    """Emit a v2 B-tree (header + nodes) for ``records`` (already in
+    key order) — MULTI-LEVEL when they exceed one leaf: internal BTIN
+    nodes hold separator records between children, with child-pointer
+    field widths from the same capacity arithmetic the reader uses
+    (``_btree_v2_sizes``)."""
+    n = len(records)
+    depth = 0
+    caps, tots = _btree_v2_sizes(node_size, rec_size, 8, 0)
+    while n > tots[depth]:
+        depth += 1
+        caps, tots = _btree_v2_sizes(node_size, rec_size, 8, depth)
+    counter = [0]
+
+    def build(recs: list[bytes], d: int) -> tuple[str, int, int]:
+        """Write the subtree for ``recs`` at depth ``d``; returns
+        (node tag, record count in node, total records in subtree)."""
+        i = counter[0]
+        counter[0] += 1
+        ntag = f"bt2n:{tag}:{d}:{i}"
+        if d == 0:
+            put(ntag, _btlf(btype, recs))
+            return ntag, len(recs), len(recs)
+        k = -(-(len(recs) + 1) // (tots[d - 1] + 1))  # children needed
+        base, rem = divmod(len(recs) - (k - 1), k)
+        kids = []
+        seps = []
+        pos = 0
+        for ci in range(k):
+            take = base + (1 if ci < rem else 0)
+            kids.append(build(recs[pos : pos + take], d - 1))
+            pos += take
+            if ci < k - 1:
+                seps.append(recs[pos])
+                pos += 1
+        body = b"BTIN" + bytes([0, btype]) + b"".join(seps)
+        n_size = _enc_size(caps[d - 1])
+        tot_size = _enc_size(tots[d - 1]) if d > 1 else 0
+        for ktag, knrec, ktotal in kids:
+            body += struct.pack("<Q", a(ktag))
+            body += knrec.to_bytes(n_size, "little")
+            if d > 1:
+                body += ktotal.to_bytes(tot_size, "little")
+        put(ntag, body + struct.pack("<I", lookup3(body)))
+        total = len(seps) + sum(kt for _t, _n, kt in kids)
+        return ntag, len(seps), total
+
+    root_tag, root_nrec, total = build(records, depth)
+    body = b"BTHD" + bytes([0, btype])
+    body += struct.pack("<IHH", node_size, rec_size, depth)
+    body += bytes([100, 40])  # split / merge percents
+    body += struct.pack("<Q", a(root_tag))
+    body += struct.pack("<HQ", root_nrec, total)
+    put(f"bthd:{tag}", body + struct.pack("<I", lookup3(body)))
 
 
 def write_hdf5_netcdf4(
@@ -1098,6 +1312,9 @@ def write_hdf5_netcdf4(
     dense_attrs: bool = False,
     dense_links: bool = False,
     dense_block_size: int = 512,
+    heap_filter: bool = False,
+    heap_max_direct: int | None = None,
+    btree_node_size: int = 2048,
 ) -> bytes:
     """Minimal netCDF-4/HDF5 fixture writer (root group only).
 
@@ -1125,6 +1342,15 @@ def write_hdf5_netcdf4(
     is the heap's starting direct-block size: small values force a
     multi-block heap under a root indirect block, exercising the
     reader's FHIB path with real bytes.
+
+    Round-7 structure knobs (each produces real bytes for a reader
+    path attribute-heavy scenes hit): ``heap_filter=True`` deflates
+    every heap direct block (a FILTERED fractal heap — pipeline in the
+    header, stored sizes beside each block reference);
+    ``heap_max_direct`` caps the direct-block doubling so rows past
+    the cap nest under CHILD indirect blocks (two-level FHIB);
+    ``btree_node_size`` shrinks the v2 B-tree node so the dense-name
+    index splits into a MULTI-LEVEL tree (internal BTIN nodes).
     """
     if style not in ("earliest", "latest"):
         raise ValueError("style must be 'earliest' or 'latest'")
@@ -1329,14 +1555,18 @@ def write_hdf5_netcdf4(
             return out
 
         def put_dense(tag: str, bodies, btype: int) -> None:
-            """Fractal heap (+ FHIB when multi-block) + v2 B-tree name
-            index for one object's dense attributes (btype 8) or the
-            root group's dense links (btype 5)."""
+            """Fractal heap (+ FHIB when multi-block, nested child
+            FHIBs past the max-direct row, deflated direct blocks when
+            ``heap_filter``) + v2 B-tree name index (multi-level when
+            the records outgrow ``btree_node_size``) for one object's
+            dense attributes (btype 8) or the root group's dense links
+            (btype 5)."""
             id_len = 8 if btype == 8 else 7
             hdr_size = 5 + 8 + _FH_MAX_HEAP_BITS // 8  # no checksum
-            blocks, offs = _fheap_pack(
+            max_direct = heap_max_direct or _FH_MAX_DIRECT
+            blocks, offs, root_rows, children = _fheap_pack(
                 [len(body) for _n, body in bodies], dense_block_size,
-                hdr_size,
+                hdr_size, max_direct,
             )
             recs = []
             for corder, ((nm, body), off) in enumerate(zip(bodies, offs)):
@@ -1352,29 +1582,13 @@ def write_hdf5_netcdf4(
                     rec = struct.pack("<I", h) + hid
                 recs.append((h, rec))
             records = [r for _h, r in sorted(recs, key=lambda t: t[0])]
-            root_rows = 0 if len(blocks) == 1 else blocks[-1][0] + 1
-            put(
-                f"frhp:{tag}",
-                _frhp(
-                    a, tag, id_len, dense_block_size, blocks,
-                    len(bodies), root_rows,
-                ),
-            )
-            if root_rows:
-                fhib = (
-                    b"FHIB"
-                    + bytes([0])
-                    + struct.pack("<Q", a(f"frhp:{tag}"))
-                    + (0).to_bytes(_FH_MAX_HEAP_BITS // 8, "little")
-                )
-                for bi in range(root_rows * _FH_WIDTH):
-                    if bi < len(blocks):
-                        fhib += struct.pack("<Q", a(f"fhdb:{tag}:{bi}"))
-                    else:
-                        fhib += _UNDEF8
-                fhib += struct.pack("<I", lookup3(fhib))
-                put(f"fhib:{tag}", fhib)
-            for bi, (_r, boff, size) in enumerate(blocks):
+
+            # direct-block images (and their stored, possibly deflated,
+            # bytes) first — the header needs the root stored size
+            stored_sizes: dict[str, int] = {}
+            block_blobs: dict[str, bytes] = {}
+            for blk in blocks:
+                size, boff = blk["size"], blk["boff"]
                 blob = bytearray(size)
                 head = (
                     b"FHDB"
@@ -1387,10 +1601,90 @@ def write_hdf5_netcdf4(
                     if boff <= off < boff + size:
                         p0 = off - boff
                         blob[p0 : p0 + len(body)] = body
-                put(f"fhdb:{tag}:{bi}", bytes(blob))
+                stored = bytes(blob)
+                if heap_filter:
+                    stored = zlib.compress(stored, 6)
+                stored_sizes[blk["key"]] = len(stored)
+                block_blobs[blk["key"]] = stored
+            total_space = blocks[-1]["boff"] + blocks[-1]["size"]
+            put(
+                f"frhp:{tag}",
+                _frhp(
+                    a, tag, id_len, dense_block_size, total_space,
+                    len(bodies), root_rows, max_direct,
+                    filter_info=_HEAP_FILTER_INFO if heap_filter else b"",
+                    root_filtered_size=(
+                        stored_sizes.get(blocks[0]["key"])
+                        if root_rows == 0
+                        else None
+                    ),
+                ),
+            )
+
+            def direct_entry(key: str | None) -> bytes:
+                e = (
+                    struct.pack("<Q", a(f"fhdb:{tag}:{key}"))
+                    if key is not None
+                    else _UNDEF8
+                )
+                if heap_filter:
+                    e += struct.pack(
+                        "<QI", stored_sizes.get(key, 0), 0
+                    )
+                return e
+
+            if root_rows:
+                max_rows = (
+                    max_direct.bit_length()
+                    - dense_block_size.bit_length() + 2
+                )
+                root_keys = {
+                    b["key"]: True for b in blocks if b["parent"] is None
+                }
+                fhib = (
+                    b"FHIB"
+                    + bytes([0])
+                    + struct.pack("<Q", a(f"frhp:{tag}"))
+                    + (0).to_bytes(_FH_MAX_HEAP_BITS // 8, "little")
+                )
+                for r in range(root_rows):
+                    for w in range(_FH_WIDTH):
+                        if r < max_rows:
+                            key = f"{r * _FH_WIDTH + w}"
+                            fhib += direct_entry(
+                                key if key in root_keys else None
+                            )
+                        elif (r, w) in children:
+                            fhib += struct.pack(
+                                "<Q", a(f"fhib:{tag}:c{r}.{w}")
+                            )
+                        else:
+                            fhib += _UNDEF8
+                fhib += struct.pack("<I", lookup3(fhib))
+                put(f"fhib:{tag}", fhib)
+                for (r, w), ch in children.items():
+                    cb = (
+                        b"FHIB"
+                        + bytes([0])
+                        + struct.pack("<Q", a(f"frhp:{tag}"))
+                        + ch["boff"].to_bytes(
+                            _FH_MAX_HEAP_BITS // 8, "little"
+                        )
+                    )
+                    for cr in range(ch["rows"]):
+                        for cw in range(_FH_WIDTH):
+                            key = f"c{r}.{w}.{cr * _FH_WIDTH + cw}"
+                            cb += direct_entry(
+                                key if key in ch["slots"] else None
+                            )
+                    cb += struct.pack("<I", lookup3(cb))
+                    put(f"fhib:{tag}:c{r}.{w}", cb)
+            for blk in blocks:
+                put(f"fhdb:{tag}:{blk['key']}", block_blobs[blk["key"]])
             rec_size = 17 if btype == 8 else 11
-            put(f"bthd:{tag}", _bthd(a, tag, btype, rec_size, len(records)))
-            put(f"btlf:{tag}", _btlf(btype, records))
+            _put_btree_v2(
+                put, a, tag, btype, rec_size, records, btree_node_size
+            )
 
         if vstrings:
             gh = b""
@@ -1552,7 +1846,15 @@ def write_hdf5_netcdf4(
         shifted = {k: v + base for k, v in out_addrs.items()}
         return sb + body, shifted
 
+    # Fixed-point allocation: messages embed addresses, so build until
+    # the address map stops moving.  Two passes suffice for unfiltered
+    # layouts (sizes don't depend on addresses); filtered heaps deflate
+    # block CONTENT that embeds addresses, so the stored sizes — and
+    # hence later addresses — can shift for another pass or two.
     _blob, addrs = build({})
-    blob, addrs2 = build(addrs)
-    assert addrs == addrs2, "writer allocation did not converge"
-    return blob
+    for _ in range(10):
+        blob, addrs2 = build(addrs)
+        if addrs == addrs2:
+            return blob
+        addrs = addrs2
+    raise AssertionError("writer allocation did not converge")
