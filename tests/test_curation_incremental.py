@@ -259,3 +259,48 @@ def test_incremental_with_classifier_gate_equals_gated_full(spark, tmp_path):
     full = curate(gated, bench, WEIGHTS)
     got, want = _mix_rows(inc), _mix_rows(full)
     assert got == want and len(got) > 0
+
+
+def test_admit_from_cdc_equals_full_curate(spark, tmp_path):
+    """VERDICT r6 task 7 — CDC → curation composition: the corpus is a
+    VERSIONED table; admission consumes its change feed exactly-once
+    through sync_changes cursors.  After three append commits (+ a
+    crash-replay of the last delta), the curated view over the
+    accumulated state equals one lazy curate() over the table's final
+    version."""
+    import json
+
+    from asid_v2_data_pipeline_spark.plans.curation_incremental import (
+        admit_from_cdc,
+    )
+    from asid_v2_data_pipeline_spark.sources import versioned as V
+
+    corpus, bench = _setup(spark)
+    table = str(tmp_path / "docs_table")
+    state = str(tmp_path / "state")
+    cursor = f"{state}/cdc_cursor.json"
+
+    batches = _batches(corpus)
+    # commit 1 -> admit (bootstrap: reads the whole v0)
+    V.commit_version(batches[0], table)
+    assert admit_from_cdc(spark, table, state, bench) == 0
+    # nothing new -> no-op
+    assert admit_from_cdc(spark, table, state, bench) is None
+    # commits 2 and 3 -> each admitted as exactly its file-set delta
+    V.commit_version(batches[1], table, mode="append")
+    assert admit_from_cdc(spark, table, state, bench) == 1
+    V.commit_version(batches[2], table, mode="append")
+    assert admit_from_cdc(spark, table, state, bench) == 2
+
+    inc = curated_view(spark, state, WEIGHTS)
+    full = curate(V.read_latest(spark, table), bench, WEIGHTS)
+    want = _mix_rows(full)
+    assert _mix_rows(inc) == want
+
+    # crash-replay: rewind the cursor to simulate dying after the
+    # admission but before the cursor advance — the re-delivered delta
+    # carries the same until-version batch id and is absorbed
+    with open(cursor, "w") as fh:
+        json.dump({"version": 1}, fh)
+    assert admit_from_cdc(spark, table, state, bench) == 2
+    assert _mix_rows(curated_view(spark, state, WEIGHTS)) == want
