@@ -45,11 +45,18 @@ def build_bm25_index(
 ) -> tuple[DataFrame, DataFrame]:
     """The serving-index pair for ``bm25_scores_indexed``:
 
-    - postings ``(token, doc, tf, _dl)`` — ``posting_lists`` denormalized
+    - postings ``(token, doc, tf, _dl)`` — the posting table denormalized
       with the document length, so query-time scoring needs NO corpus
       join at all (the standard BM25 index layout; at 100 TB write it
       partitioned by a hash of ``token`` for query-term pruning);
     - stats — ONE row ``(_n, _avgdl)``.
+
+    The document length rides THROUGH the explode as a grouping column
+    (it is functionally dependent on the doc id), so the build is one
+    tokenize scan + one groupBy shuffle — the round-6 shape
+    (``posting_lists`` ⋈ lens) paid a second tokenize scan and a
+    doc-keyed shuffle join for the same rows (the r7 profiling item,
+    PLANS.md "Round-7 tx_bm25_indexed").
     """
     # coalesce: size(tokens(NULL)) is NULL, which avg() would SKIP while
     # count() counts the row — _avgdl and _n would then disagree about
@@ -59,7 +66,18 @@ def build_bm25_index(
         F.col(id_col),
         F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)).alias("_dl"),
     )
-    postings = posting_lists(docs, id_col, text_col).join(lens, id_col)
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.size("_toks"), F.lit(0)).alias("_dl"),
+        F.explode("_toks").alias("token"),
+    )
+    postings = (
+        toks.groupBy("token", id_col, "_dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("token", id_col, "tf", "_dl")
+    )
     stats = lens.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
     )
