@@ -778,11 +778,16 @@ def _ycbcr_to_rgb_int(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
-def write_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
+def write_jpeg(
+    pixels: np.ndarray, quality: int = 75, restart_interval: int = 0
+) -> bytes:
     """Baseline sequential JFIF writer: grayscale ``(h, w)`` or RGB
     ``(h, w, 3)`` uint8 in, 4:4:4, standard Annex-K tables scaled by
     ``quality``.  Non-multiple-of-8 dimensions are edge-padded (the
-    decoder crops back to the SOF dimensions, per spec)."""
+    decoder crops back to the SOF dimensions, per spec).
+    ``restart_interval > 0`` emits a DRI segment and RST0–RST7 markers
+    every that many MCUs (byte-aligned, DC predictors reset) — the
+    resync structure real MJPEG encoders emit."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
@@ -822,6 +827,8 @@ def write_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
         out += b"\xff\xc4" + struct.pack(
             ">HB", 19 + len(vals), (cls << 4) | 0
         ) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for ci in range(ncomp):
         out += struct.pack("BB", ci + 1, 0x00)
@@ -832,8 +839,16 @@ def write_jpeg(pixels: np.ndarray, quality: int = 75) -> bytes:
     bw = _BitWriter()
     ph, pw = planes[0][0].shape
     preds = [0] * ncomp
+    mcu = 0
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()  # pad to byte boundary with 1-bits
+                bw.out += bytes(
+                    [0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]
+                )
+                preds = [0] * ncomp
+            mcu += 1
             for ci, (plane, qt, _tid) in enumerate(planes):
                 blk = plane[by : by + 8, bx : bx + 8].astype(np.int64) - 128
                 coef = _fdct_quant(blk, qt)
@@ -863,7 +878,10 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1  # stuffed
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError("JPEG: restart markers (DRI)")
+                raise ValueError(
+                    "JPEG: restart marker inside an entropy interval "
+                    "(decoder out of sync with DRI)"
+                )
             else:
                 raise ValueError("JPEG: marker inside entropy data")
         self._acc = (self._acc << 8) | byte
@@ -880,6 +898,21 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> int:
+        """Consume an RSTn marker at a restart-interval boundary:
+        discard the partial byte (writers pad with 1-bits), skip an
+        unconsumed stuffed padding pair, require 0xFFD0–0xFFD7, return
+        n.  The caller resets DC predictors (F.2.2.5)."""
+        self._acc = 0
+        self._n = 0
+        d, p = self.data, self.pos
+        if p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0x00:
+            p += 2  # stuffed 0xFF padding byte not yet consumed
+        if not (p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            raise ValueError("JPEG: expected restart marker")
+        self.pos = p + 2
+        return d[p + 1] & 0x07
 
 
 def _huff_decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -913,13 +946,16 @@ def _extend(v: int, size: int) -> int:
 def parse_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JFIF decode -> uint8 ``(h, w)`` grayscale or
     ``(h, w, 3)`` RGB.  Supports 1 or 3 components at 1×1 sampling
-    (4:4:4); progressive/arithmetic/subsampled/restart-interval streams
-    raise loudly (NotImplementedError), never decode wrongly."""
+    (4:4:4) and RESTART INTERVALS (DRI + RSTn resync with DC-predictor
+    reset — ubiquitous in real MJPEG streams); progressive/arithmetic/
+    subsampled streams raise loudly (NotImplementedError), never decode
+    wrongly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
     frame = None
     comps: list[tuple[int, int]] = []  # (comp_id, quant_id) in SOF order
     while i < len(payload):
@@ -980,8 +1016,7 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 "JPEG: only baseline sequential (SOF0) supported"
             )
         elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                raise NotImplementedError("JPEG: restart intervals")
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG: SOS before SOF")
@@ -997,8 +1032,19 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
             ]
             br = _BitReader(payload[i + seglen :])
             preds = [0] * nc
+            mcu = 0
             for by in range(bh):
                 for bx in range(bw_):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        got = br.restart()
+                        want = (mcu // restart_interval - 1) % 8
+                        if got != want:
+                            raise ValueError(
+                                f"JPEG: restart marker out of sequence "
+                                f"(RST{got}, expected RST{want})"
+                            )
+                        preds = [0] * nc
+                    mcu += 1
                     for ci in range(nc):
                         _cs, dct_id, act_id = scan_tabs[ci]
                         dc = htables[(0, dct_id)]

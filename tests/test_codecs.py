@@ -667,3 +667,36 @@ def test_mp3_stream_info_operator(spark):
     r = mp3_stream_info(media).collect()[0]
     assert (r["n_frames"], r["kbps_sum"]) == (2, 128)
     assert r["duration_us"] == 2 * 1152 * 1_000_000 // 44100
+
+
+def test_jpeg_restart_intervals():
+    """DRI + RSTn: every interval the stream byte-aligns, emits the
+    cycling restart marker and resets DC predictors — decode equals the
+    no-restart decode bit-for-bit (same quantization), gray and color,
+    at intervals that do and don't divide the MCU count."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (24, 32), dtype=np.uint8)  # 12 MCUs
+    rgb = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    rgb = np.stack([rgb, rgb // 2, 255 - rgb], axis=-1)  # 6 MCUs
+    for px in (gray, rgb):
+        base = parse_jpeg(write_jpeg(px, quality=80))
+        for ri in (1, 2, 5):
+            blob = write_jpeg(px, quality=80, restart_interval=ri)
+            assert b"\xff\xdd" in blob
+            n_mcus = (px.shape[0] // 8) * (px.shape[1] // 8)
+            n_markers = sum(
+                blob.count(bytes([0xFF, 0xD0 + m])) for m in range(8)
+            )
+            assert n_markers >= (n_mcus - 1) // ri
+            np.testing.assert_array_equal(parse_jpeg(blob), base)
+    # a stream whose markers are out of sequence raises, not misdecodes
+    blob = bytearray(write_jpeg(gray, quality=80, restart_interval=2))
+    first = blob.index(b"\xff\xd0")
+    blob[first + 1] = 0xD3  # RST0 -> RST3
+    with pytest.raises(ValueError, match="out of sequence"):
+        parse_jpeg(bytes(blob))
