@@ -15,9 +15,12 @@ frame bytes.
 
 Scope (raises clearly outside it): EBML varints up to 8 bytes; unknown-
 size elements only for Segment (streamed files end them at EOF); one
-Segment; SimpleBlock frames (lacing mode 0 = no lacing); BlockGroup/
-Block, laced blocks, chapters/cues/attachments are skipped structurally
-(unknown elements are skipped by size, never mis-parsed).
+Segment; SimpleBlock frames in ALL FOUR lacing modes (none, Xiph,
+fixed-size, EBML — laced frames share the block timestamp, per spec;
+per-frame offsets come from the track's default duration, which this
+metadata layer does not model); BlockGroup/Block, chapters/cues/
+attachments are skipped structurally (unknown elements are skipped by
+size, never mis-parsed).
 """
 
 from __future__ import annotations
@@ -166,7 +169,7 @@ def parse_mkv(payload: bytes) -> MkvFile:
                         if kid == CLUSTER_TIMESTAMP:
                             cluster_ts = _uint(payload, k_s, k_e)
                         elif kid == SIMPLE_BLOCK:
-                            frames.append(
+                            frames.extend(
                                 _parse_simple_block(
                                     payload, k_s, k_e, cluster_ts
                                 )
@@ -206,15 +209,62 @@ def _parse_track(buf: bytes, s: int, e: int) -> MkvTrack:
 
 def _parse_simple_block(
     buf: bytes, s: int, e: int, cluster_ts: int
-) -> tuple[int, int, bool, bytes]:
+) -> list[tuple[int, int, bool, bytes]]:
+    """One SimpleBlock -> its frames.  Lacing (Matroska §Block
+    Structure): 0 = none, 1 = Xiph (255-run size coding), 2 = fixed
+    (equal split), 3 = EBML (first size a vint, then signed-vint
+    deltas).  Sizes cover frames 0..n-2; the last frame is the
+    remainder.  Laced frames share the block timestamp."""
     track, p = _read_vint(buf, s, keep_marker=False)
     rel = struct.unpack(">h", buf[p : p + 2])[0]  # signed 16-bit
     flags = buf[p + 2]
     lacing = (flags >> 1) & 0x03
-    if lacing != 0:
-        raise NotImplementedError("EBML: laced SimpleBlocks not supported")
     keyframe = bool(flags & 0x80)
-    return (track, cluster_ts + rel, keyframe, bytes(buf[p + 3 : e]))
+    ts = cluster_ts + rel
+    q = p + 3
+    if lacing == 0:
+        return [(track, ts, keyframe, bytes(buf[q:e]))]
+    n = buf[q] + 1
+    q += 1
+    sizes: list[int] = []
+    if lacing == 1:  # Xiph
+        for _ in range(n - 1):
+            sz = 0
+            while True:
+                b0 = buf[q]
+                q += 1
+                sz += b0
+                if b0 < 255:
+                    break
+            sizes.append(sz)
+    elif lacing == 2:  # fixed-size
+        total = e - q
+        if total % n:
+            raise ValueError("EBML: fixed lacing does not divide evenly")
+        sizes = [total // n] * (n - 1)
+    else:  # EBML lacing
+        if n > 1:
+            sz, q = _read_vint(buf, q, keep_marker=False)
+            sizes.append(sz)
+            prev = sz
+            for _ in range(n - 2):
+                start = q
+                v, q = _read_vint(buf, q, keep_marker=False)
+                length = q - start
+                prev += v - ((1 << (7 * length - 1)) - 1)  # signed delta
+                if prev < 0:
+                    raise ValueError("EBML: negative laced frame size")
+                sizes.append(prev)
+    out = []
+    for sz in sizes:
+        if q + sz > e:
+            raise ValueError("EBML: laced frame overruns the block")
+        out.append((track, ts, keyframe, bytes(buf[q : q + sz])))
+        q += sz
+    if q > e:
+        raise ValueError("EBML: laced frame overruns the block")
+    out.append((track, ts, keyframe, bytes(buf[q:e])))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -243,19 +293,66 @@ def _uint_body(v: int) -> bytes:
     return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
 
 
+def _enc_svint(d: int) -> bytes:
+    """Signed EBML-lacing delta: biased into the unsigned vint range
+    for the shortest length (value = unsigned − (2^(7L−1) − 1))."""
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        if -bias <= d <= bias:
+            return ((d + bias) | (1 << (7 * length))).to_bytes(
+                length, "big"
+            )
+    raise ValueError("EBML: lacing delta out of range")
+
+
+def _lace_block(
+    track: int, rel: int, keyframe: bool,
+    payloads: list[bytes], mode: str,
+) -> bytes:
+    """A laced SimpleBlock body for ``payloads`` (all one track, one
+    timestamp): Xiph 255-run sizes, fixed equal split, or EBML
+    first-size + signed deltas — sizes for all but the last frame."""
+    mode_bits = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}[mode]
+    head = (
+        _enc_size(track)
+        + struct.pack(">h", rel)
+        + bytes([(0x80 if keyframe else 0x00) | mode_bits])
+        + bytes([len(payloads) - 1])
+    )
+    sizes = [len(p) for p in payloads]
+    if mode == "xiph":
+        for sz in sizes[:-1]:
+            head += b"\xff" * (sz // 255) + bytes([sz % 255])
+    elif mode == "fixed":
+        if len(set(sizes)) != 1:
+            raise ValueError("fixed lacing requires equal frame sizes")
+    else:
+        if len(payloads) > 1:
+            head += _enc_size(sizes[0])
+            for prev, cur in zip(sizes, sizes[1:-1]):
+                head += _enc_svint(cur - prev)
+    return head + b"".join(payloads)
+
+
 def write_mkv(
     frames: list[tuple[int, int, bool, bytes]],
     tracks: list[MkvTrack],
     doc_type: str = "matroska",
     timestamp_scale_ns: int = 1_000_000,
     cluster_every: int = 4,
+    lace_mode: str | None = None,
 ) -> bytes:
     """Minimal Matroska muxer (fixture builder): raw frame payloads as
-    un-laced SimpleBlocks, grouped into a Cluster every
-    ``cluster_every`` frames with the cluster timestamp rebased to the
-    first frame — so the parser's cluster-relative timestamp math is
-    exercised by real bytes.  Frames must be (track, ts_ticks,
-    keyframe, payload) in ascending ts order."""
+    SimpleBlocks, grouped into a Cluster every ``cluster_every`` frames
+    with the cluster timestamp rebased to the first frame — so the
+    parser's cluster-relative timestamp math is exercised by real
+    bytes.  Frames must be (track, ts_ticks, keyframe, payload) in
+    ascending ts order.
+
+    ``lace_mode`` in {"xiph", "fixed", "ebml"} packs each cluster's
+    frames into ONE laced SimpleBlock (all frames must then share one
+    track, one timestamp and one keyframe flag — the lacing contract;
+    "fixed" additionally needs equal payload sizes)."""
     head = _elem(
         EBML_HEADER,
         _elem(0x4286, _uint_body(1))  # EBMLVersion
@@ -305,17 +402,34 @@ def write_mkv(
         chunk = frames[i : i + cluster_every]
         base = chunk[0][1]
         body = _elem(CLUSTER_TIMESTAMP, _uint_body(base))
-        for track, ts, key, payload in chunk:
-            rel = ts - base
-            if not -32768 <= rel <= 32767:
-                raise ValueError("frame timestamp too far from cluster base")
-            blk = (
-                _enc_size(track)  # track number as varint
-                + struct.pack(">h", rel)
-                + bytes([0x80 if key else 0x00])
-                + payload
+        if lace_mode is not None:
+            if len({(t, ts, k) for t, ts, k, _p in chunk}) != 1:
+                raise ValueError(
+                    "lacing requires one track/timestamp/keyframe per "
+                    "cluster of frames"
+                )
+            track, ts, key, _ = chunk[0]
+            body += _elem(
+                SIMPLE_BLOCK,
+                _lace_block(
+                    track, ts - base, key,
+                    [p for _t, _ts, _k, p in chunk], lace_mode,
+                ),
             )
-            body += _elem(SIMPLE_BLOCK, blk)
+        else:
+            for track, ts, key, payload in chunk:
+                rel = ts - base
+                if not -32768 <= rel <= 32767:
+                    raise ValueError(
+                        "frame timestamp too far from cluster base"
+                    )
+                blk = (
+                    _enc_size(track)  # track number as varint
+                    + struct.pack(">h", rel)
+                    + bytes([0x80 if key else 0x00])
+                    + payload
+                )
+                body += _elem(SIMPLE_BLOCK, blk)
         clusters.append(_elem(CLUSTER, body))
 
     segment = _elem(SEGMENT, info + tracks_el + b"".join(clusters))
