@@ -446,7 +446,9 @@ class HDF5File:
         filter_len = self._u(pos + 2, 2)
         flags = b[pos + 4]
         pos += 4 + 1 + 4  # id len, filter len, flags, max managed size
-        pos += sl + so  # next huge id, huge btree
+        pos += sl  # next huge id
+        huge_btree = self._addr(pos)
+        pos += so
         pos += sl + so  # free space, free-space manager
         # managed space, allocated, block iterator, managed count,
         # huge size, huge count, tiny size, tiny count
@@ -534,12 +536,52 @@ class HDF5File:
 
         hdr_size = 5 + so + off_size + (4 if checksummed else 0)
 
+        huge_records: dict[int, tuple[int, int]] | None = None
+
         def get(heap_id: bytes) -> bytes:
+            nonlocal huge_records
             vt = heap_id[0]
-            if (vt >> 4) & 0x03 != 0:
-                raise NotImplementedError(
-                    "huge/tiny fractal heap objects not supported"
-                )
+            hid_type = (vt >> 4) & 0x03
+            if hid_type == 2:
+                # TINY object: the data lives INSIDE the heap id —
+                # normal form (id len <= 18): low 4 bits = length - 1
+                ln = (vt & 0x0F) + 1
+                if 1 + ln > len(heap_id):
+                    raise ValueError("tiny heap id longer than the id")
+                return bytes(heap_id[1 : 1 + ln])
+            if hid_type == 1:
+                # HUGE object, indirectly accessed (the only form a
+                # short id can carry): the id is a key into the heap's
+                # huge-object v2 B-tree, whose type-1 records map it to
+                # (file address, length)
+                if filters:
+                    raise NotImplementedError(
+                        "filtered huge heap objects not supported"
+                    )
+                if huge_btree is None:
+                    raise ValueError(
+                        "huge heap id but the heap has no huge-object "
+                        "B-tree"
+                    )
+                if huge_records is None:
+                    huge_records = {}
+                    for rec in self._btree_v2_records(huge_btree):
+                        # type-1 record: address (so), length (sl),
+                        # B-tree ID (sl)
+                        a0 = int.from_bytes(rec[:so], "little")
+                        ln0 = int.from_bytes(rec[so : so + sl], "little")
+                        bid = int.from_bytes(
+                            rec[so + sl : so + 2 * sl], "little"
+                        )
+                        huge_records[bid] = (a0, ln0)
+                    # records are keyed by ID; collisions impossible
+                bid = int.from_bytes(heap_id[1:], "little")
+                if bid not in huge_records:
+                    raise ValueError(f"huge heap object {bid} not found")
+                a0, ln0 = huge_records[bid]
+                return bytes(b[a0 : a0 + ln0])
+            if hid_type != 0:
+                raise ValueError(f"unknown fractal heap id type {hid_type}")
             obj_off = int.from_bytes(heap_id[1 : 1 + off_size], "little")
             obj_len = int.from_bytes(
                 heap_id[1 + off_size : 1 + off_size + len_size], "little"
@@ -1211,18 +1253,24 @@ def _frhp(
     max_direct: int = _FH_MAX_DIRECT,
     filter_info: bytes = b"",
     root_filtered_size: int | None = None,
+    max_managed_obj: int | None = None,
+    huge: tuple[str, int, int] | None = None,
 ) -> bytes:
     """Fractal heap header; ``root_rows=0`` means the root block is the
     single direct block, else the FHIB with that many rows.  A filtered
     heap carries its pipeline in ``filter_info`` (and, when the root is
-    a direct block, that block's stored size + filter mask)."""
+    a direct block, that block's stored size + filter mask).  ``huge``
+    = (btree tag, count, total size) when objects above the
+    max-managed threshold live behind the huge-object v2 B-tree."""
+    n_huge, huge_size = (huge[1], huge[2]) if huge else (0, 0)
     body = b"FRHP" + bytes([0])
     body += struct.pack("<HHB", id_len, len(filter_info), 0)
-    body += struct.pack("<I", max_direct)  # max managed object size
-    body += struct.pack("<Q", 0) + _UNDEF8  # next huge id, huge btree
+    body += struct.pack("<I", max_managed_obj or max_direct)
+    body += struct.pack("<Q", n_huge + 1)  # next huge id
+    body += struct.pack("<Q", a(huge[0])) if huge else _UNDEF8
     body += struct.pack("<Q", 0) + _UNDEF8  # free space, fs manager
     body += struct.pack("<QQQQ", total_space, total_space, total_space, n_objs)
-    body += struct.pack("<QQQQ", 0, 0, 0, 0)  # huge/tiny sizes+counts
+    body += struct.pack("<QQQQ", huge_size, n_huge, 0, 0)
     body += struct.pack("<H", _FH_WIDTH)
     body += struct.pack("<QQ", start_block, max_direct)
     body += struct.pack("<HH", _FH_MAX_HEAP_BITS, 1)  # max bits, start rows
@@ -1315,6 +1363,7 @@ def write_hdf5_netcdf4(
     heap_filter: bool = False,
     heap_max_direct: int | None = None,
     btree_node_size: int = 2048,
+    huge_threshold: int | None = None,
 ) -> bytes:
     """Minimal netCDF-4/HDF5 fixture writer (root group only).
 
@@ -1350,7 +1399,12 @@ def write_hdf5_netcdf4(
     ``heap_max_direct`` caps the direct-block doubling so rows past
     the cap nest under CHILD indirect blocks (two-level FHIB);
     ``btree_node_size`` shrinks the v2 B-tree node so the dense-name
-    index splits into a MULTI-LEVEL tree (internal BTIN nodes).
+    index splits into a MULTI-LEVEL tree (internal BTIN nodes);
+    ``huge_threshold`` lowers the max-managed-object size so larger
+    attribute messages become HUGE objects (stored at their own file
+    address, mapped through the heap's huge-object v2 B-tree, type-1
+    records — the storage a giant ``history`` string attribute lands
+    in).
     """
     if style not in ("earliest", "latest"):
         raise ValueError("style must be 'earliest' or 'latest'")
@@ -1564,13 +1618,45 @@ def write_hdf5_netcdf4(
             id_len = 8 if btype == 8 else 7
             hdr_size = 5 + 8 + _FH_MAX_HEAP_BITS // 8  # no checksum
             max_direct = heap_max_direct or _FH_MAX_DIRECT
+            threshold = huge_threshold or max_direct
+            # objects above the max-managed threshold become HUGE:
+            # stored at their own file location, mapped by the heap's
+            # huge-object v2 B-tree (type-1 records), referenced by a
+            # type-1 heap id carrying the B-tree ID
+            huge_ids: dict[int, bytes] = {}  # body index -> heap id
+            huge_recs: list[bytes] = []
+            for bi_, (_nm, body) in enumerate(bodies):
+                if len(body) > threshold:
+                    bid = len(huge_recs) + 1
+                    put(f"huge:{tag}:{bid}", body)
+                    huge_recs.append(
+                        struct.pack(
+                            "<QQQ", a(f"huge:{tag}:{bid}"), len(body), bid
+                        )
+                    )
+                    huge_ids[bi_] = bytes([0x10]) + bid.to_bytes(
+                        id_len - 1, "little"
+                    )
+            managed = [
+                (bi_, nb) for bi_, nb in enumerate(bodies)
+                if bi_ not in huge_ids
+            ]
             blocks, offs, root_rows, children = _fheap_pack(
-                [len(body) for _n, body in bodies], dense_block_size,
-                hdr_size, max_direct,
+                [len(body) for _bi, (_n, body) in managed],
+                dense_block_size, hdr_size, max_direct,
             )
+            managed_offs = {
+                bi_: off for (bi_, _nb), off in zip(managed, offs)
+            }
             recs = []
-            for corder, ((nm, body), off) in enumerate(zip(bodies, offs)):
-                hid = _fheap_id(off, len(body), id_len)
+            for corder, (nm, body) in enumerate(bodies):
+                hid = (
+                    huge_ids[corder]
+                    if corder in huge_ids
+                    else _fheap_id(
+                        managed_offs[corder], len(body), id_len
+                    )
+                )
                 h = lookup3(nm.encode())
                 if btype == 8:
                     rec = (
@@ -1597,7 +1683,7 @@ def write_hdf5_netcdf4(
                     + boff.to_bytes(_FH_MAX_HEAP_BITS // 8, "little")
                 )
                 blob[: len(head)] = head
-                for (nm, body), off in zip(bodies, offs):
+                for (_bi, (nm, body)), off in zip(managed, offs):
                     if boff <= off < boff + size:
                         p0 = off - boff
                         blob[p0 : p0 + len(body)] = body
@@ -1607,15 +1693,34 @@ def write_hdf5_netcdf4(
                 stored_sizes[blk["key"]] = len(stored)
                 block_blobs[blk["key"]] = stored
             total_space = blocks[-1]["boff"] + blocks[-1]["size"]
+            if huge_recs:
+                _put_btree_v2(
+                    put, a, f"h:{tag}", 1, 24,
+                    huge_recs, btree_node_size,
+                )
             put(
                 f"frhp:{tag}",
                 _frhp(
                     a, tag, id_len, dense_block_size, total_space,
-                    len(bodies), root_rows, max_direct,
+                    len(managed), root_rows, max_direct,
                     filter_info=_HEAP_FILTER_INFO if heap_filter else b"",
                     root_filtered_size=(
                         stored_sizes.get(blocks[0]["key"])
                         if root_rows == 0
+                        else None
+                    ),
+                    max_managed_obj=threshold,
+                    huge=(
+                        (
+                            f"bthd:h:{tag}",
+                            len(huge_recs),
+                            sum(
+                                len(body)
+                                for bi_, (_n, body) in enumerate(bodies)
+                                if bi_ in huge_ids
+                            ),
+                        )
+                        if huge_recs
                         else None
                     ),
                 ),
