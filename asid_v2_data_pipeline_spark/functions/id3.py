@@ -162,26 +162,79 @@ def parse_id3(payload: bytes) -> dict:
 # duration, bitrate census — without decoding any audio (the Huffman/
 # IMDCT payload stays behind the codec-library boundary).
 
-_MP3_BITRATES = (  # MPEG-1 Layer III, kbps; index 0 = free, 15 = bad
-    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
-)
-_MP3_RATES = (44100, 48000, 32000)  # MPEG-1
+# version field (header bits 19-20) -> label; 1 is reserved
+_MP3_VERSIONS = {3: "1", 2: "2", 0: "2.5"}
+# layer field (header bits 17-18) -> layer number; 0 is reserved
+_MP3_LAYERS = {3: 1, 2: 2, 1: 3}
+# bitrate tables, kbps, indexes 1..14 (0 = free, 15 = bad); keyed by
+# (version group, layer) — MPEG-2 and 2.5 share tables (ISO 11172-3
+# table B.1 / ISO 13818-3)
+_MP3_BITRATE_TABLES = {
+    ("1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+               416, 448),
+    ("1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+               320, 384),
+    ("1", 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320),
+    ("2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+               224, 256),
+    ("2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160),
+    ("2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160),
+}
+# sample-rate tables by version label, indexes 0..2 (3 = reserved)
+_MP3_RATE_TABLES = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+# kept for backward compatibility with existing fixtures/tests
+_MP3_BITRATES = (None,) + _MP3_BITRATE_TABLES[("1", 3)]
+_MP3_RATES = _MP3_RATE_TABLES["1"]
 _MP3_SAMPLES_PER_FRAME = 1152  # Layer III, MPEG-1
 
 
+def _mp3_group(version: str) -> str:
+    return "1" if version == "1" else "2"
+
+
+def _mp3_spf(version: str, layer: int) -> int:
+    """Samples per frame: Layer I 384; Layer II 1152; Layer III 1152
+    (MPEG-1) or 576 (MPEG-2/2.5)."""
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == "1" else 576
+
+
+def _mp3_frame_len(version: str, layer: int, kbps: int, sr: int,
+                   padding: int) -> int:
+    """Frame length in bytes: Layer I counts 4-byte slots."""
+    if layer == 1:
+        return (12 * kbps * 1000 // sr + padding) * 4
+    if layer == 2 or version == "1":
+        return 144 * kbps * 1000 // sr + padding
+    return 72 * kbps * 1000 // sr + padding  # Layer III, MPEG-2/2.5
+
+
 def parse_mp3_frames(payload: bytes) -> dict:
-    """Walk an MPEG-1 Layer III stream (optionally ID3v2-prefixed):
-    returns frame count, sample rate, exact per-frame bitrate sum (for
-    VBR census) and exact duration in microseconds.  The walk only
+    """Walk an MPEG audio stream (optionally ID3v2-prefixed) — MPEG-1,
+    MPEG-2 and MPEG-2.5, Layers I/II/III: returns frame count, sample
+    rate, exact per-frame bitrate sum (for VBR census), exact duration
+    in microseconds, and the stream's version/layer.  The walk only
     succeeds if every computed frame length lands exactly on the next
-    sync word — any drift in the length formula surfaces as a raise,
-    not a wrong count.  Other MPEG versions/layers raise."""
+    sync word — any drift in the per-layer length formula surfaces as a
+    raise, not a wrong count.  Version/layer/rate changes mid-stream
+    raise (real streams are homogeneous)."""
     pos = 0
     if payload[:3] == b"ID3":
         pos = parse_id3(payload)["_tag_bytes"]
     n = 0
     kbps_sum = 0
     rate = None
+    ver_layer: tuple[str, int] | None = None
     end = len(payload)
     while pos + 4 <= end:
         if payload[pos : pos + 3] == b"TAG":  # ID3v1 trailer
@@ -189,37 +242,45 @@ def parse_mp3_frames(payload: bytes) -> dict:
         h = int.from_bytes(payload[pos : pos + 4], "big")
         if (h >> 21) & 0x7FF != 0x7FF:
             raise ValueError(f"MP3: lost sync at byte {pos}")
-        version = (h >> 19) & 0x3
-        layer = (h >> 17) & 0x3
-        if version != 0x3 or layer != 0x1:
-            raise NotImplementedError(
-                "MP3: only MPEG-1 Layer III streams supported"
-            )
+        vbits = (h >> 19) & 0x3
+        lbits = (h >> 17) & 0x3
+        if vbits not in _MP3_VERSIONS or lbits not in _MP3_LAYERS:
+            raise ValueError("MP3: reserved version or layer")
+        version = _MP3_VERSIONS[vbits]
+        layer = _MP3_LAYERS[lbits]
+        if ver_layer is None:
+            ver_layer = (version, layer)
+        elif ver_layer != (version, layer):
+            raise ValueError("MP3: version/layer changed mid-stream")
         br_idx = (h >> 12) & 0xF
         sr_idx = (h >> 10) & 0x3
         padding = (h >> 9) & 0x1
         if br_idx in (0, 15) or sr_idx == 3:
             raise ValueError("MP3: free/invalid bitrate or sample rate")
-        kbps = _MP3_BITRATES[br_idx]
-        sr = _MP3_RATES[sr_idx]
+        kbps = _MP3_BITRATE_TABLES[(_mp3_group(version), layer)][br_idx - 1]
+        sr = _MP3_RATE_TABLES[version][sr_idx]
         if rate is None:
             rate = sr
         elif rate != sr:
             raise ValueError("MP3: sample rate changed mid-stream")
-        flen = 144 * kbps * 1000 // sr + padding
+        flen = _mp3_frame_len(version, layer, kbps, sr, padding)
         if pos + flen > end:
             raise ValueError("MP3: truncated final frame")
         n += 1
         kbps_sum += kbps
         pos += flen
-    if n == 0:
+    if n == 0 or ver_layer is None:
         raise ValueError("MP3: no audio frames")
-    duration_us = n * _MP3_SAMPLES_PER_FRAME * 1_000_000 // rate
+    version, layer = ver_layer
+    spf = _mp3_spf(version, layer)
+    duration_us = n * spf * 1_000_000 // rate
     return {
         "n_frames": n,
         "sample_rate": rate,
         "kbps_sum": kbps_sum,
         "duration_us": duration_us,
+        "version": version,
+        "layer": layer,
     }
 
 
@@ -228,27 +289,34 @@ def write_mp3(
     sample_rate: int = 44100,
     paddings: list[int] | None = None,
     id3_frames: dict[str, str] | None = None,
+    version: str = "1",
+    layer: int = 3,
 ) -> bytes:
-    """Fixture writer: one MPEG-1 Layer III frame per entry (header +
-    filler payload of the exact computed length), optionally ID3v2-
-    prefixed — real sync-walkable bytes, opaque audio payload."""
-    sr_idx = _MP3_RATES.index(sample_rate)
+    """Fixture writer: one MPEG audio frame per entry (header + filler
+    payload of the exact computed length), optionally ID3v2-prefixed —
+    real sync-walkable bytes, opaque audio payload.  ``version`` in
+    {"1", "2", "2.5"}, ``layer`` in {1, 2, 3}; the per-layer frame
+    length formula matches the parser's."""
+    sr_idx = _MP3_RATE_TABLES[version].index(sample_rate)
+    vbits = {v: k for k, v in _MP3_VERSIONS.items()}[version]
+    lbits = {v: k for k, v in _MP3_LAYERS.items()}[layer]
+    table = _MP3_BITRATE_TABLES[(_mp3_group(version), layer)]
     out = bytearray()
     if id3_frames:
         out += write_id3(id3_frames)
     for i, kbps in enumerate(frame_kbps):
         pad = paddings[i] if paddings else 0
-        br_idx = _MP3_BITRATES.index(kbps)
+        br_idx = table.index(kbps) + 1
         h = (
             (0x7FF << 21)
-            | (0x3 << 19)  # MPEG-1
-            | (0x1 << 17)  # Layer III
+            | (vbits << 19)
+            | (lbits << 17)
             | (0x1 << 16)  # no CRC
             | (br_idx << 12)
             | (sr_idx << 10)
             | (pad << 9)
         )
-        flen = 144 * kbps * 1000 // sample_rate + pad
+        flen = _mp3_frame_len(version, layer, kbps, sample_rate, pad)
         frame = bytearray(h.to_bytes(4, "big"))
         frame += bytes((i + j) % 256 for j in range(flen - 4))
         out += frame

@@ -331,16 +331,19 @@ MP3_INFO_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType(), False),
         T.StructField("kbps_sum", T.LongType(), False),
         T.StructField("duration_us", T.LongType(), False),
+        T.StructField("mpeg_version", T.StringType(), False),
+        T.StructField("mpeg_layer", T.IntegerType(), False),
     ]
 )
 
 
 def mp3_stream_info(media: DataFrame) -> DataFrame:
-    """MP3 stream metadata by REAL frame-header walking
-    (``functions/id3.parse_mp3_frames``): frame count, sample rate,
-    exact bitrate census and duration — the audio payload itself stays
+    """MPEG audio stream metadata by REAL frame-header walking
+    (``functions/id3.parse_mp3_frames`` — MPEG-1/2/2.5, Layers
+    I/II/III): frame count, sample rate, exact bitrate census,
+    duration, version and layer — the audio payload itself stays
     opaque.  The walk lands on every successive sync word by the
-    computed frame length, so the parse is self-verifying."""
+    computed per-layer frame length, so the parse is self-verifying."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.id3 import parse_mp3_frames
@@ -348,7 +351,7 @@ def mp3_stream_info(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in (
                 "media_id", "n_frames", "sample_rate", "kbps_sum",
-                "duration_us",
+                "duration_us", "mpeg_version", "mpeg_layer",
             )}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
@@ -359,6 +362,8 @@ def mp3_stream_info(media: DataFrame) -> DataFrame:
                 rows["sample_rate"].append(info["sample_rate"])
                 rows["kbps_sum"].append(info["kbps_sum"])
                 rows["duration_us"].append(info["duration_us"])
+                rows["mpeg_version"].append(info["version"])
+                rows["mpeg_layer"].append(info["layer"])
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, MP3_INFO_SCHEMA)

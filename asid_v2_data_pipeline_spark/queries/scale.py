@@ -2853,17 +2853,27 @@ FROM base ORDER BY doc_id
 """
 
 
-_MP3_KBPS = (64, 96, 128, 192, 256)
+# per-family fixture parameters: (version, layer, sample rate, samples
+# per frame, 5-entry kbps cycle drawn from that family's bitrate table)
+_MP3_FAMILIES = (
+    ("1", 3, 44100, 1152, (64, 96, 128, 192, 256)),
+    ("2", 3, 22050, 576, (16, 24, 32, 48, 64)),
+    ("1", 2, 44100, 1152, (48, 56, 64, 96, 128)),
+    ("2.5", 1, 11025, 384, (32, 48, 64, 96, 112)),
+)
 
 
 def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MP3 stream metadata through REAL frame headers: each document
-    becomes an ID3v2-prefixed MPEG-1 Layer III stream whose per-frame
-    bitrates cycle deterministically (VBR), with alternating padding
-    bits; ``mp3_stream_info`` walks the sync words — every computed
-    frame length must land exactly on the next header — and reports
-    frame count, bitrate census and exact duration.  The oracle
-    recomputes everything from doc_id and the text's byte length."""
+    """MPEG audio stream metadata through REAL frame headers — the
+    version×layer matrix: each document becomes an ID3v2-prefixed
+    stream whose (version, layer, sample rate) cycle over MPEG-1 L3 /
+    MPEG-2 L3 / MPEG-1 L2 / MPEG-2.5 L1 by doc_id, with per-frame VBR
+    bitrates from that family's table and alternating padding bits;
+    ``mp3_stream_info`` walks the sync words — every computed
+    per-layer frame length must land exactly on the next header — and
+    reports frame count, bitrate census, exact duration, version and
+    layer.  The oracle recomputes everything from doc_id and the
+    text's byte length."""
     from ..operators.multimodal import mp3_stream_info
 
     d = load_table(spark, sf_dir, "documents")
@@ -2878,17 +2888,20 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, t in zip(pdf["doc_id"], pdf["text"]):
                 nb = len(t.encode("utf-8"))
                 k = 1 + nb % 7
+                ver, layer, sr, _spf, cycle = _MP3_FAMILIES[int(did) % 4]
                 kbps = [
-                    _MP3_KBPS[(int(did) + i) % len(_MP3_KBPS)]
-                    for i in range(k)
+                    cycle[(int(did) + i) % len(cycle)] for i in range(k)
                 ]
                 pads = [(int(did) + i) % 2 for i in range(k)]
                 ids.append(did)
                 payloads.append(
                     write_mp3(
                         kbps,
+                        sample_rate=sr,
                         paddings=pads,
                         id3_frames={"TIT2": str(int(did))},
+                        version=ver,
+                        layer=layer,
                     )
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
@@ -2903,21 +2916,37 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         "kbps_sum",
         "duration_us",
+        "mpeg_version",
+        "mpeg_layer",
     ).orderBy("doc_id")
 
 
 def _mm_mp3_sql() -> str:
-    ch = list(_MP3_KBPS)
+    def fam_case(expr: str) -> str:
+        return (
+            "CASE doc_id % 4 "
+            + " ".join(
+                f"WHEN {i} THEN {expr.format(*fam)}"
+                for i, fam in enumerate(_MP3_FAMILIES)
+            )
+            + " END"
+        )
+
+    # expr placeholders: {0}=version {1}=layer {2}=rate {3}=spf {4}=cycle
+    cyc = fam_case("list_value{4}")
     return f"""
 WITH base AS (
   SELECT doc_id, 1 + (octet_length(encode(text)) % 7) AS k FROM documents
 )
 SELECT doc_id, CAST(k AS INT) AS n_frames,
-       CAST(44100 AS INT) AS sample_rate,
+       CAST({fam_case("{2}")} AS INT) AS sample_rate,
        CAST(list_sum(list_transform(range(0, k), i ->
-            {ch!r}[CAST((doc_id + i) % {len(ch)} + 1 AS INT)])) AS BIGINT)
+            ({cyc})[CAST((doc_id + i) % 5 + 1 AS INT)])) AS BIGINT)
          AS kbps_sum,
-       CAST((k * 1152 * 1000000) // 44100 AS BIGINT) AS duration_us
+       CAST((k * {fam_case("{3}")} * 1000000) // {fam_case("{2}")} AS BIGINT)
+         AS duration_us,
+       {fam_case("'{0}'")} AS mpeg_version,
+       CAST({fam_case("{1}")} AS INT) AS mpeg_layer
 FROM base ORDER BY doc_id
 """
 

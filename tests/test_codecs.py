@@ -647,11 +647,51 @@ def test_mp3_frame_walk_exact_and_guards():
     with pytest.raises(ValueError, match="truncated final"):
         parse_mp3_frames(write_mp3([128])[:-10])
     bad = bytearray(write_mp3([128]))
-    bad[1] = (bad[1] & ~0x08) | 0x00  # clear version bit -> MPEG-2
-    with pytest.raises(NotImplementedError, match="MPEG-1"):
+    bad[1] = (bad[1] & ~0x18) | 0x08  # version bits 01 = reserved
+    with pytest.raises(ValueError, match="reserved"):
         parse_mp3_frames(bytes(bad))
     with pytest.raises(ValueError, match="no audio frames"):
         parse_mp3_frames(b"")
+    # a homogeneous stream whose second frame flips version must raise
+    # (or desync), never average two incompatible families
+    two = write_mp3([64, 64], sample_rate=22050, version="2", layer=3)
+    flip = bytearray(two)
+    second = 4 + (72 * 64 * 1000 // 22050) - 4  # after first frame
+    flip[second + 1] |= 0x18  # claim MPEG-1 on frame 2
+    with pytest.raises(ValueError):
+        parse_mp3_frames(bytes(flip))
+
+
+def test_mp3_version_layer_matrix():
+    """MPEG-1/2/2.5 × Layer I/II/III: frame-length formulas (Layer I
+    4-byte slots; MPEG-2/2.5 L3 half-length), per-family bitrate
+    tables, samples-per-frame and exact durations all round-trip."""
+    from asid_v2_data_pipeline_spark.functions.id3 import (
+        _MP3_BITRATE_TABLES,
+        _MP3_RATE_TABLES,
+        _mp3_spf,
+        parse_mp3_frames,
+        write_mp3,
+    )
+
+    for version in ("1", "2", "2.5"):
+        for layer in (1, 2, 3):
+            group = "1" if version == "1" else "2"
+            table = _MP3_BITRATE_TABLES[(group, layer)]
+            kbps = [table[0], table[5], table[-1]]
+            sr = _MP3_RATE_TABLES[version][1]
+            blob = write_mp3(
+                kbps, sample_rate=sr, paddings=[1, 0, 1],
+                id3_frames={"TIT2": "x"}, version=version, layer=layer,
+            )
+            info = parse_mp3_frames(blob)
+            assert info["n_frames"] == 3, (version, layer)
+            assert info["sample_rate"] == sr
+            assert info["kbps_sum"] == sum(kbps)
+            assert info["version"] == version
+            assert info["layer"] == layer
+            spf = _mp3_spf(version, layer)
+            assert info["duration_us"] == 3 * spf * 1_000_000 // sr
 
 
 def test_mp3_stream_info_operator(spark):
