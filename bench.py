@@ -81,6 +81,11 @@ HEADLINE = [
     # into packing) — pinned so their cost tracks round-over-round
     "mm_jpeg_pool",
     "tx_tokenize_pack",
+    # round 7: end-to-end video frame decode (MKV demux ∘ per-frame JPEG
+    # decode ∘ pool — 4 frames/doc, the heaviest mapInPandas kernel;
+    # pure-Python codec disclosed as the correctness reference, libjpeg
+    # swap documented in SCALE.md)
+    "mm_mkv_jpeg_pool",
 ]
 
 
