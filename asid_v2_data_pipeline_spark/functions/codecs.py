@@ -409,11 +409,21 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
     return out[:n_pixels]
 
 
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF interlace storage order: pass 1 rows 0,8,…; pass 2 rows
+    4,12,…; pass 3 rows 2,6,…; pass 4 rows 1,3,… (GIF89a Appendix E)."""
+    rows = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        rows.extend(range(start, h, step))
+    return rows
+
+
 def parse_gif(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced GIF87a/89a first frame to uint8 RGB
-    (h, w, 3): logical screen + global color table, extensions skipped,
-    LZW-decompressed indices mapped through the palette.  Interlaced
-    images and local color tables raise ``NotImplementedError``."""
+    """Decode a GIF87a/89a first frame to uint8 RGB (h, w, 3): logical
+    screen + global color table, extensions skipped, LZW-decompressed
+    indices mapped through the palette.  INTERLACED images (four-pass
+    row order) and LOCAL color tables (per-image palettes overriding
+    the global one) decode for real."""
     if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF container")
     w0, h0, flags = struct.unpack_from("<HHB", payload, 6)
@@ -434,10 +444,12 @@ def parse_gif(payload: bytes) -> np.ndarray:
         elif b0 == 0x2C:  # image descriptor
             _x, _y, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF is not supported")
-            if iflags & 0x80:
-                raise NotImplementedError("local color tables are not supported")
+            if iflags & 0x80:  # local color table overrides global
+                n = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
             if palette is None:
                 raise ValueError("GIF image without a color table")
             min_code = payload[pos]
@@ -452,6 +464,10 @@ def parse_gif(payload: bytes) -> np.ndarray:
             if len(idx) < iw * ih:
                 raise ValueError("truncated GIF pixel data")
             arr = np.asarray(idx, dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: rows arrive in pass order
+                out = np.empty_like(arr)
+                out[_gif_interlace_rows(ih)] = arr
+                arr = out
             return palette[arr].astype(np.uint8)
         elif b0 == 0x3B:  # trailer
             break
@@ -508,10 +524,17 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
     return bytes(by)
 
 
-def write_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
-    """Minimal non-interlaced GIF89a writer (fixture builder):
-    ``indices`` (h, w) uint8 into ``palette`` (n, 3) uint8 with n a
-    power of two >= 2."""
+def write_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    local_palette: bool = False,
+) -> bytes:
+    """Minimal GIF89a writer (fixture builder): ``indices`` (h, w)
+    uint8 into ``palette`` (n, 3) uint8 with n a power of two >= 2.
+    ``interlace`` stores rows in the four-pass order;
+    ``local_palette`` moves the color table into the image descriptor
+    (no global table) — both real decoder paths."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     h, w = idx.shape
@@ -520,9 +543,19 @@ def write_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     if n != (1 << bits):
         raise ValueError("palette size must be a power of two")
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
-    out += pal.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    if local_palette:
+        out += struct.pack("<HHBBB", w, h, 0, 0, 0)
+    else:
+        out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+        out += pal.tobytes()
+    iflags = (0x40 if interlace else 0) | (
+        0x80 | (bits - 1) if local_palette else 0
+    )
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local_palette:
+        out += pal.tobytes()
+    if interlace:
+        idx = idx[_gif_interlace_rows(h)]
     min_code = max(2, bits)
     out.append(min_code)
     data = _lzw_encode([int(x) for x in idx.ravel()], min_code)

@@ -338,14 +338,26 @@ def test_gif_lzw_roundtrip_and_independent_decoder():
     enc = _lzw_encode(seq, 4)
     assert ref_decode(enc, 4, len(seq)) == seq
 
-    # interlaced flag raises
-    blob = bytearray(write_gif(np.zeros((4, 4), np.uint8), pal))
-    desc = blob.index(0x2C)
-    blob[desc + 9] |= 0x40
+    # flipping the interlace flag on sequentially-stored data must
+    # permute rows (the de-interlace really runs), preserving the
+    # pixel multiset; garbage still raises
     import pytest
 
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        parse_gif(bytes(blob))
+    pal4 = np.array(
+        [[0, 0, 0], [50, 0, 0], [0, 50, 0], [0, 0, 50]], dtype=np.uint8
+    )
+    idx4 = (np.arange(16, dtype=np.uint8).reshape(4, 4) // 4) % 4
+    blob = bytearray(write_gif(idx4, pal4))
+    desc = blob.index(0x2C)
+    blob[desc + 9] |= 0x40
+    reordered = parse_gif(bytes(blob))
+    plain = parse_gif(write_gif(idx4, pal4))
+    assert not np.array_equal(reordered, plain)
+    np.testing.assert_array_equal(
+        np.sort(reordered, axis=0), np.sort(plain, axis=0)
+    )
+    with pytest.raises(ValueError, match="GIF"):
+        parse_gif(b"\x00" * 24)
 
 
 # --- JPEG (baseline sequential, fixed-point integer transform) ------------
@@ -740,3 +752,31 @@ def test_jpeg_restart_intervals():
     blob[first + 1] = 0xD3  # RST0 -> RST3
     with pytest.raises(ValueError, match="out of sequence"):
         parse_jpeg(bytes(blob))
+
+
+def test_gif_interlace_and_local_palette():
+    """Interlaced GIFs (four-pass row order) and local color tables
+    decode identically to the plain form."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_gif,
+        write_gif,
+    )
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    for h, w in ((13, 6), (8, 8), (1, 5), (3, 4)):
+        idx = rng.randint(0, 16, (h, w), dtype=np.uint8)
+        want = parse_gif(write_gif(idx, pal))
+        np.testing.assert_array_equal(want, pal[idx])
+        np.testing.assert_array_equal(
+            parse_gif(write_gif(idx, pal, interlace=True)), want
+        )
+        np.testing.assert_array_equal(
+            parse_gif(write_gif(idx, pal, local_palette=True)), want
+        )
+        np.testing.assert_array_equal(
+            parse_gif(
+                write_gif(idx, pal, interlace=True, local_palette=True)
+            ),
+            want,
+        )
