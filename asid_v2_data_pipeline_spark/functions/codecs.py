@@ -811,34 +811,67 @@ def _ycbcr_to_rgb_int(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
+def _pad_to(plane: np.ndarray, m: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, (-h) % m), (0, (-w) % m)), mode="edge")
+
+
 def write_jpeg(
-    pixels: np.ndarray, quality: int = 75, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 75,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Baseline sequential JFIF writer: grayscale ``(h, w)`` or RGB
-    ``(h, w, 3)`` uint8 in, 4:4:4, standard Annex-K tables scaled by
+    ``(h, w, 3)`` uint8 in, standard Annex-K tables scaled by
     ``quality``.  Non-multiple-of-8 dimensions are edge-padded (the
     decoder crops back to the SOF dimensions, per spec).
     ``restart_interval > 0`` emits a DRI segment and RST0–RST7 markers
     every that many MCUs (byte-aligned, DC predictors reset) — the
-    resync structure real MJPEG encoders emit."""
+    resync structure real MJPEG encoders emit.  ``subsampling`` is
+    ``"444"`` (every component 1×1) or ``"420"`` (luma 2×2, chroma
+    quarter-resolution by floor-mean — the dominant real-world form;
+    MCU = four Y blocks + Cb + Cr over a 16×16 tile)."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if not gray and px.shape[2] != 3:
         raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and not gray
     q_luma = _quality_table(_QUANT_LUMA, quality)
     q_chroma = _quality_table(_QUANT_CHROMA, quality)
-    planes = (
-        [(_pad_to_8(px), q_luma, 0)]
-        if gray
-        else [
-            (p, q_luma if ci == 0 else q_chroma, 0 if ci == 0 else 1)
-            for ci, p in enumerate(
-                _pad_to_8(_rgb_to_ycbcr_int(px)[..., ci].astype(np.int64))
-                for ci in range(3)
+    # per component: (plane, quant table, quant id, h_samp, v_samp)
+    if gray:
+        planes = [(_pad_to_8(px).astype(np.int64), q_luma, 0, 1, 1)]
+    elif not sub420:
+        ycc = _rgb_to_ycbcr_int(px)
+        planes = [
+            (
+                _pad_to_8(ycc[..., ci].astype(np.int64)),
+                q_luma if ci == 0 else q_chroma,
+                0 if ci == 0 else 1,
+                1,
+                1,
             )
+            for ci in range(3)
         ]
-    )
+    else:
+        ycc = _rgb_to_ycbcr_int(px)
+        y16 = _pad_to(ycc[..., 0].astype(np.int64), 16)
+        hh, ww = y16.shape
+        chroma = []
+        for ci in (1, 2):
+            c16 = _pad_to(ycc[..., ci].astype(np.int64), 16)
+            chroma.append(
+                c16.reshape(hh // 2, 2, ww // 2, 2).sum(axis=(1, 3)) // 4
+            )
+        planes = [
+            (y16, q_luma, 0, 2, 2),
+            (chroma[0], q_chroma, 1, 1, 1),
+            (chroma[1], q_chroma, 1, 1, 1),
+        ]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
@@ -853,8 +886,8 @@ def write_jpeg(
         out += bytes(int(qt.ravel()[z]) for z in _ZIGZAG)
     ncomp = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for ci in range(ncomp):
-        out += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    for ci, (_p, _q, tid, hi, vi) in enumerate(planes):
+        out += struct.pack("BBB", ci + 1, (hi << 4) | vi, tid)
     # DHT: Annex-K luminance DC+AC, table id 0, used by every component
     for cls, (bits, vals) in ((0, _HUFF_DC_LUMA), (1, _HUFF_AC_LUMA)):
         out += b"\xff\xc4" + struct.pack(
@@ -870,11 +903,15 @@ def write_jpeg(
     dc_tab = _huff_codes(*_HUFF_DC_LUMA)
     ac_tab = _huff_codes(*_HUFF_AC_LUMA)
     bw = _BitWriter()
+    vmax = max(p[4] for p in planes)
+    hmax = max(p[3] for p in planes)
     ph, pw = planes[0][0].shape
+    mcus_y = ph // (8 * vmax)
+    mcus_x = pw // (8 * hmax)
     preds = [0] * ncomp
     mcu = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.flush()  # pad to byte boundary with 1-bits
                 bw.out += bytes(
@@ -882,10 +919,16 @@ def write_jpeg(
                 )
                 preds = [0] * ncomp
             mcu += 1
-            for ci, (plane, qt, _tid) in enumerate(planes):
-                blk = plane[by : by + 8, bx : bx + 8].astype(np.int64) - 128
-                coef = _fdct_quant(blk, qt)
-                preds[ci] = _encode_block(bw, coef, preds[ci], dc_tab, ac_tab)
+            for ci, (plane, qt, _tid, hi, vi) in enumerate(planes):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        r0 = (my * vi + byi) * 8
+                        c0 = (mx * hi + bxi) * 8
+                        blk = plane[r0 : r0 + 8, c0 : c0 + 8] - 128
+                        coef = _fdct_quant(blk, qt)
+                        preds[ci] = _encode_block(
+                            bw, coef, preds[ci], dc_tab, ac_tab
+                        )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -1037,11 +1080,15 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "JPEG: subsampled chroma (only 4:4:4 supported)"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0x0F))
+            samps = [(hi, vi) for _cid, _tq, hi, vi in comps]
+            if not (
+                all(s == (1, 1) for s in samps)
+                or (nc == 3 and samps == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise NotImplementedError(
+                    "JPEG: only 4:4:4 or 4:2:0 sampling supported"
+                )
             frame = (fh, fw, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -1059,15 +1106,21 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scan_tabs.append((cs, tt >> 4, tt & 0x0F))
             fh, fw, nc = frame
-            bh, bw_ = -(-fh // 8), -(-fw // 8)
+            hmax = max(hi for _c, _t, hi, _v in comps)
+            vmax = max(vi for _c, _t, _h, vi in comps)
+            mcus_y = -(-fh // (8 * vmax))
+            mcus_x = -(-fw // (8 * hmax))
             out_planes = [
-                np.zeros((bh * 8, bw_ * 8), dtype=np.uint8) for _ in range(nc)
+                np.zeros(
+                    (mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.uint8
+                )
+                for _cid, _tq, hi, vi in comps
             ]
             br = _BitReader(payload[i + seglen :])
             preds = [0] * nc
             mcu = 0
-            for by in range(bh):
-                for bx in range(bw_):
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         got = br.restart()
                         want = (mcu // restart_interval - 1) % 8
@@ -1082,35 +1135,55 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                         _cs, dct_id, act_id = scan_tabs[ci]
                         dc = htables[(0, dct_id)]
                         ac = htables[(1, act_id)]
-                        coef = np.zeros(64, dtype=np.int64)
-                        size = _read_symbol(br, dc)
-                        diff = _extend(br.bits(size), size) if size else 0
-                        preds[ci] += diff
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _read_symbol(br, ac)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            size = sym & 0x0F
-                            coef[k] = _extend(br.bits(size), size)
-                            k += 1
-                        nat = np.zeros(64, dtype=np.int64)
-                        nat[_ZIGZAG] = coef
-                        q = qtables[comps[ci][1]]
-                        out_planes[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = _dequant_idct(nat.reshape(8, 8), q)
+                        _cid, tq, hi, vi = comps[ci]
+                        for byi in range(vi):
+                            for bxi in range(hi):
+                                coef = np.zeros(64, dtype=np.int64)
+                                size = _read_symbol(br, dc)
+                                diff = (
+                                    _extend(br.bits(size), size)
+                                    if size
+                                    else 0
+                                )
+                                preds[ci] += diff
+                                coef[0] = preds[ci]
+                                k = 1
+                                while k < 64:
+                                    sym = _read_symbol(br, ac)
+                                    if sym == 0x00:  # EOB
+                                        break
+                                    if sym == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    k += sym >> 4
+                                    if k > 63:
+                                        raise ValueError(
+                                            "JPEG: AC index overflow"
+                                        )
+                                    size = sym & 0x0F
+                                    coef[k] = _extend(br.bits(size), size)
+                                    k += 1
+                                nat = np.zeros(64, dtype=np.int64)
+                                nat[_ZIGZAG] = coef
+                                q = qtables[tq]
+                                r0 = (my * vi + byi) * 8
+                                c0 = (mx * hi + bxi) * 8
+                                out_planes[ci][
+                                    r0 : r0 + 8, c0 : c0 + 8
+                                ] = _dequant_idct(nat.reshape(8, 8), q)
             if nc == 1:
                 return out_planes[0][:fh, :fw]
-            ycc = np.stack([p[:fh, :fw] for p in out_planes], axis=-1)
-            return _ycbcr_to_rgb_int(ycc)
+            full = []
+            for (_cid, _tq, hi, vi), plane in zip(comps, out_planes):
+                if hi != hmax or vi != vmax:
+                    # chroma upsample by sample replication
+                    plane = np.repeat(
+                        np.repeat(plane, vmax // vi, axis=0),
+                        hmax // hi,
+                        axis=1,
+                    )
+                full.append(plane[:fh, :fw])
+            return _ycbcr_to_rgb_int(np.stack(full, axis=-1))
         i += seglen
     raise ValueError("JPEG: no scan data found")
 

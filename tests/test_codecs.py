@@ -780,3 +780,79 @@ def test_gif_interlace_and_local_palette():
             ),
             want,
         )
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 chroma subsampling (the dominant real-world JPEG form):
+    MCU = four Y blocks + Cb + Cr over a 16x16 tile.  The decoded image
+    equals a block-by-block reference built from the module's own
+    transform helpers (pins the MCU interleave, quarter-res chroma and
+    replication upsample wiring), and constant-color images survive
+    nearly exactly; works with restart intervals and odd dimensions."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _QUANT_CHROMA,
+        _QUANT_LUMA,
+        _dequant_idct,
+        _fdct_quant,
+        _pad_to,
+        _quality_table,
+        _rgb_to_ycbcr_int,
+        _ycbcr_to_rgb_int,
+        parse_jpeg,
+        write_jpeg,
+    )
+
+    rng = np.random.RandomState(13)
+
+    def reference_420(px, quality):
+        ycc = _rgb_to_ycbcr_int(px)
+        qy = _quality_table(_QUANT_LUMA, quality)
+        qc = _quality_table(_QUANT_CHROMA, quality)
+        y = _pad_to(ycc[..., 0].astype(np.int64), 16)
+        hh, ww = y.shape
+        planes, qts, subs = [y], [qy], [1]
+        for ci in (1, 2):
+            c = _pad_to(ycc[..., ci].astype(np.int64), 16)
+            planes.append(
+                c.reshape(hh // 2, 2, ww // 2, 2).sum(axis=(1, 3)) // 4
+            )
+            qts.append(qc)
+            subs.append(2)
+        outs = []
+        for plane, qt, s in zip(planes, qts, subs):
+            out = np.zeros_like(plane)
+            for r in range(0, plane.shape[0], 8):
+                for c in range(0, plane.shape[1], 8):
+                    blk = plane[r : r + 8, c : c + 8] - 128
+                    out[r : r + 8, c : c + 8] = _dequant_idct(
+                        _fdct_quant(blk, qt), qt
+                    )
+            outs.append(np.repeat(np.repeat(out, s, 0), s, 1))
+        h, w = px.shape[:2]
+        ycc2 = np.stack([o[:h, :w] for o in outs], axis=-1)
+        return _ycbcr_to_rgb_int(ycc2)
+
+    for shape, ri in (((16, 16), 0), ((24, 40), 0), ((13, 19), 2)):
+        px = rng.randint(0, 256, shape + (3,), dtype=np.uint8)
+        blob = write_jpeg(
+            px, quality=80, subsampling="420", restart_interval=ri
+        )
+        # SOF carries the 2x2 luma sampling factor
+        sof = blob.index(b"\xff\xc0")
+        assert blob[sof + 11] == 0x22
+        got = parse_jpeg(blob)
+        np.testing.assert_array_equal(got, reference_420(px, 80))
+
+    # constant color: subsampling loses nothing
+    flat = np.full((32, 32, 3), 0, dtype=np.uint8)
+    flat[..., 0] = 180
+    flat[..., 1] = 90
+    flat[..., 2] = 40
+    got = parse_jpeg(write_jpeg(flat, quality=95, subsampling="420"))
+    assert np.abs(got.astype(int) - flat.astype(int)).max() <= 3
+
+    # 444 output is byte-identical to the pre-subsampling writer path
+    gray = rng.randint(0, 256, (8, 8), dtype=np.uint8)
+    assert write_jpeg(gray, quality=75) == write_jpeg(
+        gray, quality=75, subsampling="444"
+    )
