@@ -936,83 +936,120 @@ def write_jpeg(
 
 
 class _BitReader:
+    """Entropy reader over the scan bytes: byte-level destuffing
+    (0xFF00 → 0xFF) happens in the byte-fill loop, bit extraction is
+    integer shifts on a ≤31-bit window — the former per-bit Python loop
+    was the decoder's dominant cost."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self._acc = 0
         self._n = 0
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG: entropy stream exhausted")
-        byte = self.data[self.pos]
-        self.pos += 1
-        if byte == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG: truncated after 0xFF")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed
-            elif 0xD0 <= nxt <= 0xD7:
-                raise ValueError(
-                    "JPEG: restart marker inside an entropy interval "
-                    "(decoder out of sync with DRI)"
-                )
+    def _ensure(self, k: int) -> None:
+        d = self.data
+        n = self._n
+        acc = self._acc
+        pos = self.pos
+        ln = len(d)
+        while n < k and pos < ln:
+            b0 = d[pos]
+            if b0 == 0xFF:
+                nxt = d[pos + 1] if pos + 1 < ln else None
+                if nxt != 0x00:
+                    break  # a real marker (RSTn/EOI/...) ends the data
+                pos += 2  # stuffed
             else:
-                raise ValueError("JPEG: marker inside entropy data")
-        self._acc = (self._acc << 8) | byte
-        self._n += 8
+                pos += 1
+            acc = (acc << 8) | b0
+            n += 8
+        self._acc = acc
+        self._n = n
+        self.pos = pos
+
+    def bits(self, nb: int) -> int:
+        if self._n < nb:
+            self._ensure(nb)
+            if self._n < nb:
+                raise ValueError("JPEG: entropy stream exhausted")
+        self._n -= nb
+        v = (self._acc >> self._n) & ((1 << nb) - 1)
+        self._acc &= (1 << self._n) - 1
+        return v
 
     def bit(self) -> int:
-        if self._n == 0:
-            self._fill()
-        self._n -= 1
-        return (self._acc >> self._n) & 1
+        return self.bits(1)
 
-    def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+    def peek16(self) -> int:
+        """The next 16 bits without consuming (1-padded past the end of
+        the interval) — the Huffman LUT key."""
+        if self._n < 16:
+            self._ensure(16)
+        n = self._n
+        if n >= 16:
+            return (self._acc >> (n - 16)) & 0xFFFF
+        return ((self._acc << (16 - n)) | ((1 << (16 - n)) - 1)) & 0xFFFF
+
+    def skip(self, nb: int) -> None:
+        if self._n < nb:
+            raise ValueError("JPEG: entropy stream exhausted")
+        self._n -= nb
+        self._acc &= (1 << self._n) - 1
 
     def restart(self) -> int:
         """Consume an RSTn marker at a restart-interval boundary:
-        discard the partial byte (writers pad with 1-bits), skip an
-        unconsumed stuffed padding pair, require 0xFFD0–0xFFD7, return
-        n.  The caller resets DC predictors (F.2.2.5)."""
+        discard the padding bits (writers pad with 1-bits; any byte
+        holding real bits was already consumed, stuffed pairs
+        included), require 0xFFD0–0xFFD7, return n.  The caller resets
+        DC predictors (F.2.2.5)."""
         self._acc = 0
         self._n = 0
         d, p = self.data, self.pos
-        if p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0x00:
-            p += 2  # stuffed 0xFF padding byte not yet consumed
         if not (p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
             raise ValueError("JPEG: expected restart marker")
         self.pos = p + 2
         return d[p + 1] & 0x07
 
 
-def _huff_decode_tree(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, canonical."""
-    out: dict[tuple[int, int], int] = {}
+_HUFF_LUT_CACHE: dict[tuple[bytes, bytes], list] = {}
+
+
+def _huff_lut(bits: list[int], vals: list[int]) -> list:
+    """Canonical Huffman table -> 65536-entry lookup keyed by the next
+    16 bits: ``lut[peek16] = (symbol, code_length)`` (None for invalid
+    prefixes).  Cached process-wide by table content — the standard
+    Annex-K tables recur across every image, so a per-image decode
+    pays one dict hit, not a table build, and each symbol costs one
+    peek + one list index instead of a per-bit tree walk."""
+    key = (bytes(bits), bytes(vals))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [None] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = vals[k]
-            code += 1
+            sym = vals[k]
             k += 1
+            lo = code << (16 - length)
+            entry = (sym, length)
+            lut[lo : lo + (1 << (16 - length))] = [entry] * (
+                1 << (16 - length)
+            )
+            code += 1
         code <<= 1
-    return out
+    _HUFF_LUT_CACHE[key] = lut
+    return lut
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("JPEG: invalid Huffman code")
+def _read_symbol(br: _BitReader, lut: list) -> int:
+    e = lut[br.peek16()]
+    if e is None:
+        raise ValueError("JPEG: invalid Huffman code")
+    br.skip(e[1])
+    return e[0]
 
 
 def _extend(v: int, size: int) -> int:
@@ -1069,7 +1106,7 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[j + 1 : j + 17])
                 n = sum(bits)
                 vals = list(seg[j + 17 : j + 17 + n])
-                htables[(cls, tid)] = _huff_decode_tree(bits, vals)
+                htables[(cls, tid)] = _huff_lut(bits, vals)
                 j += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])

@@ -1950,6 +1950,22 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 # --- multimodal ---------------------------------------------------------------
 
 
+def _parallel_docs(d: DataFrame, *cols: str) -> DataFrame:
+    """Documents projected to ``cols`` and hash-repartitioned to the
+    session's default parallelism — the input stage of every mm_*
+    media kernel.  At bench SF the documents table is ONE small parquet
+    file → one input split, which would serialize the Arrow/Python
+    kernels onto a single core (measured 3.2 s single-core vs ~0.4 s of
+    actual compute for the MJPEG build).  At production scale the input
+    arrives in many splits and this exchange is the partitioning the
+    kernel wants anyway; the shuffle payload is just the projected
+    columns."""
+    sp = d.sparkSession
+    return d.select(*cols).repartition(
+        sp.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents' text bytes as binary
     payloads -> Arrow-batched mapInPandas feature extraction (byte
@@ -1963,7 +1979,7 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "media_id")
     feats = extract_features(media)
     sel = [F.round(F.element_at("feature", k + 1).cast("double"), 6).alias(f"f{k}") for k in range(8)]
     return feats.select(F.col("media_id").alias("doc_id"), F.col("n_bytes"), *sel).orderBy(
@@ -2015,7 +2031,7 @@ def mm_raw_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "media_id")
     pooled = pool_raw_frames(media, _RAW_W, _RAW_H, _RAW_F)
     k = (_RAW_W // _RAW_F) * (_RAW_H // _RAW_F)
     sel = [
@@ -2065,7 +2081,7 @@ def mm_window_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "media_id")
     out = window_rms(media, _RMS_W)
     return out.select(
         F.col("media_id").alias("doc_id"),
@@ -2124,7 +2140,7 @@ def mm_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
         build, "media_id long, payload binary"
     )
     out = decode_wav_rms(media, _WAV_W)
@@ -2183,7 +2199,7 @@ def mm_wav_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
         build, "media_id long, payload binary"
     )
     out = decode_wav_dft(media, _WAV_W)
@@ -2265,7 +2281,7 @@ def mm_bmp_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
         build, "media_id long, payload binary"
     )
     pooled = decode_bmp_pool(media, _BMP_F)
@@ -2336,7 +2352,7 @@ def mm_png_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
         build, "media_id long, payload binary"
     )
     pooled = decode_image_pool(media, _BMP_F)
@@ -2385,7 +2401,7 @@ def mm_gif_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
         build, "media_id long, payload binary"
     )
     pooled = decode_image_pool(media, _BMP_F)
@@ -2442,7 +2458,7 @@ def mm_jpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
         build, "media_id long, payload binary"
     )
     pooled = decode_image_pool(media, _BMP_F)
@@ -2614,7 +2630,7 @@ def mm_mkv_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
         build, "media_id long, payload binary"
     )
     out = demux_mkv_frames(media)
@@ -2714,7 +2730,7 @@ def mm_mkv_jpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
         build, "media_id long, payload binary"
     )
     pooled = demux_decode_jpeg_pool(media, _BMP_F)
@@ -2809,7 +2825,7 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = d.select("doc_id", "lang", "source", "text").mapInPandas(
+    media = _parallel_docs(d, "doc_id", "lang", "source", "text").mapInPandas(
         build, "media_id long, payload binary"
     )
     out = extract_id3_tags(media)
@@ -2906,7 +2922,7 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
         build, "media_id long, payload binary"
     )
     out = mp3_stream_info(media)
@@ -2963,7 +2979,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "media_id")
     out = sample_frames(media, _FR_BYTES, _FR_STRIDE, _FR_MAX)
     return out.select(
         F.col("media_id").alias("doc_id"), "frame_no", "f_sum"
