@@ -223,42 +223,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def parse_png(payload: bytes) -> np.ndarray:
-    """Parse a PNG (8-bit depth, non-interlaced); returns uint8 pixels
-    ``(height, width, channels)`` with palette entries expanded to RGB.
-    All five scanline filters (None/Sub/Up/Average/Paeth) are undone.
-    Unsupported depths/interlacing raise ``NotImplementedError``."""
-    if payload[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG file")
-    pos = 8
-    ihdr = None
-    idat = []
-    plte = None
-    while pos + 8 <= len(payload):
-        ln = struct.unpack_from(">I", payload, pos)[0]
-        ctype = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + type + body + crc
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            f"PNG depth={depth} interlace={interlace} not supported"
-        )
-    if color not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {color} not supported")
-    ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
+# Adam7 pass geometry: (row_start, row_step, col_start, col_step)
+_ADAM7 = (
+    (0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+    (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1),
+)
+
+
+def _png_defilter(raw: bytes, h: int, stride: int, ch: int) -> np.ndarray:
+    """Undo the five PNG scanline filters over ``h`` rows of
+    ``stride`` bytes (1 filter byte + stride data bytes per row)."""
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -289,7 +263,64 @@ def parse_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
         prev = out[y]
-    px = out.reshape(h, w, ch)
+    return out
+
+
+def parse_png(payload: bytes) -> np.ndarray:
+    """Parse a PNG (8-bit depth); returns uint8 pixels ``(height,
+    width, channels)`` with palette entries expanded to RGB.  All five
+    scanline filters (None/Sub/Up/Average/Paeth) are undone; ADAM7
+    INTERLACING decodes for real (seven independently-filtered
+    sub-images scattered back on the pass grid).  Unsupported depths
+    raise ``NotImplementedError``."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG file")
+    pos = 8
+    ihdr = None
+    idat = []
+    plte = None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + body + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"PNG depth={depth} interlace={interlace} not supported"
+        )
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        px = _png_defilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    else:
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for r0, rs, c0, cs in _ADAM7:
+            ph = len(range(r0, h, rs))
+            pw = len(range(c0, w, cs))
+            if ph == 0 or pw == 0:
+                continue  # empty pass contributes no bytes
+            seg = ph * (pw * ch + 1)
+            sub = _png_defilter(
+                raw[off : off + seg], ph, pw * ch, ch
+            ).reshape(ph, pw, ch)
+            off += seg
+            px[r0::rs, c0::cs] = sub
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -297,21 +328,13 @@ def parse_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
-def write_png(
-    pixels: np.ndarray, filter_mode: str = "cycle", level: int = 6
+def _png_filter_lines(
+    flat: np.ndarray, ch: int, filter_mode: str
 ) -> bytes:
-    """Minimal PNG writer (8-bit, non-interlaced).  ``pixels`` is uint8
-    ``(h, w)`` gray, or ``(h, w, c)`` with c ∈ {1,2,3,4}.
-    ``filter_mode``: ``"none"`` = filter 0 every row; ``"cycle"`` =
-    rows cycle through filters 0..4, so a reader must undo all five
-    (the fixture-builder's job)."""
-    a = np.asarray(pixels, dtype=np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
-    h, w, ch = a.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    flat = a.reshape(h, w * ch).astype(np.int16)
-    stride = w * ch
+    """Serialize rows of a (sub-)image with PNG scanline filters:
+    filter 0 everywhere, or rows cycling through 0..4."""
+    h, stride = flat.shape
+    flat = flat.astype(np.int16)
     lines = []
     prev = np.zeros(stride, dtype=np.int16)
     for y in range(h):
@@ -335,7 +358,39 @@ def write_png(
                 enc[i] = cur[i] - _paeth(int(left[i]), int(prev[i]), int(ul[i]))
         lines.append(bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes())
         prev = cur
-    comp = zlib.compress(b"".join(lines), level)
+    return b"".join(lines)
+
+
+def write_png(
+    pixels: np.ndarray,
+    filter_mode: str = "cycle",
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG writer (8-bit).  ``pixels`` is uint8 ``(h, w)``
+    gray, or ``(h, w, c)`` with c ∈ {1,2,3,4}.  ``filter_mode``:
+    ``"none"`` = filter 0 every row; ``"cycle"`` = rows cycle through
+    filters 0..4, so a reader must undo all five (the fixture-builder's
+    job).  ``interlace=True`` stores the seven ADAM7 sub-images, each
+    independently filtered."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    if interlace:
+        body = b""
+        for r0, rs, c0, cs in _ADAM7:
+            sub = a[r0::rs, c0::cs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            body += _png_filter_lines(
+                sub.reshape(sub.shape[0], sub.shape[1] * ch), ch,
+                filter_mode,
+            )
+    else:
+        body = _png_filter_lines(a.reshape(h, w * ch), ch, filter_mode)
+    comp = zlib.compress(body, level)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -345,7 +400,9 @@ def write_png(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0
+    )
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)

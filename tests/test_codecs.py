@@ -856,3 +856,22 @@ def test_jpeg_420_subsampling_roundtrip():
     assert write_jpeg(gray, quality=75) == write_jpeg(
         gray, quality=75, subsampling="444"
     )
+
+
+def test_png_adam7_interlace_roundtrip():
+    """ADAM7 interlacing: seven independently-filtered sub-images
+    scattered on the pass grid — every color type, both filter modes,
+    odd sizes (including dimensions with empty passes)."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_png,
+        write_png,
+    )
+
+    rng = np.random.RandomState(17)
+    for shape in [(9, 11), (8, 8, 3), (1, 1), (3, 2, 4), (16, 5, 2), (2, 13)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        want = a if a.ndim == 3 else a[:, :, None]
+        for mode in ("none", "cycle"):
+            blob = write_png(a, filter_mode=mode, interlace=True)
+            assert blob[8 + 8 + 12] == 1  # IHDR interlace byte
+            np.testing.assert_array_equal(parse_png(blob), want)
