@@ -150,8 +150,10 @@ def write_wav(
 
 def parse_bmp(payload: bytes) -> np.ndarray:
     """Parse an uncompressed BMP; returns uint8 pixels shaped
-    ``(height, width, 3)`` in RGB order (palette entries expanded).
-    RLE/other compressions raise ``NotImplementedError``."""
+    ``(height, width, 3)`` in RGB order — 24-bit BGR, 32-bit BGRX
+    (alpha dropped), 16-bit X1R5G5B5 (5-bit channels replicated to
+    8-bit), and 8-bit palette.  RLE/other compressions raise
+    ``NotImplementedError``."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP file")
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -174,6 +176,26 @@ def parse_bmp(payload: bytes) -> np.ndarray:
         ).reshape(height, row_bytes)
         bgr = rows[:, : width * 3].reshape(height, width, 3)
         rgb = bgr[:, :, ::-1]
+    elif bits == 32:
+        # BGRX / BGRA rows (already 4-aligned); alpha/pad byte dropped
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+        ).reshape(height, width, 4)
+        rgb = rows[:, :, 2::-1]
+    elif bits == 16:
+        # BI_RGB 16-bit is 5-5-5 (X1R5G5B5), little-endian; scaled to
+        # 8-bit by the standard (v << 3) | (v >> 2) replication
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+        ).reshape(height, row_bytes)[:, : width * 2]
+        v = rows.reshape(height, width, 2).astype(np.uint16)
+        pix = v[:, :, 0] | (v[:, :, 1] << 8)
+        r5 = (pix >> 10) & 0x1F
+        g5 = (pix >> 5) & 0x1F
+        b5 = pix & 0x1F
+        rgb = np.stack(
+            [(c << 3) | (c >> 2) for c in (r5, g5, b5)], axis=-1
+        ).astype(np.uint8)
     elif bits == 8:
         n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
         pal = np.frombuffer(

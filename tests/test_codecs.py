@@ -875,3 +875,43 @@ def test_png_adam7_interlace_roundtrip():
             blob = write_png(a, filter_mode=mode, interlace=True)
             assert blob[8 + 8 + 12] == 1  # IHDR interlace byte
             np.testing.assert_array_equal(parse_png(blob), want)
+
+
+def test_bmp_16_and_32_bit():
+    """Hand-built 32-bit BGRX and 16-bit X1R5G5B5 BMPs decode: alpha
+    dropped, 5-bit channels replicated to 8-bit, bottom-up order."""
+    import struct
+
+    def bmp(width, height, bits, rows):
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bits, 0, len(rows),
+            0, 0, 0, 0,
+        )
+        off = 14 + len(dib)
+        head = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+        return head + dib + rows
+
+    # 32-bit, 2x2, bottom-up: rows are BGRX
+    rows32 = (
+        bytes([10, 20, 30, 255]) + bytes([40, 50, 60, 0])  # bottom row
+        + bytes([1, 2, 3, 9]) + bytes([4, 5, 6, 7])  # top row
+    )
+    got = parse_bmp(bmp(2, 2, 32, rows32))
+    np.testing.assert_array_equal(
+        got,
+        np.array(
+            [[[3, 2, 1], [6, 5, 4]], [[30, 20, 10], [60, 50, 40]]],
+            dtype=np.uint8,
+        ),
+    )
+
+    # 16-bit 555: red 31, green 16, blue 5 in one pixel; width 1 rows
+    # pad to 4 bytes
+    pix = (31 << 10) | (16 << 5) | 5
+    rows16 = struct.pack("<H", pix) + b"\x00\x00"
+    got = parse_bmp(bmp(1, 1, 16, rows16))
+    def rep(c):
+        return (c << 3) | (c >> 2)
+    np.testing.assert_array_equal(
+        got[0, 0], np.array([rep(31), rep(16), rep(5)], dtype=np.uint8)
+    )
