@@ -689,6 +689,129 @@ def decode_bmp_pool(media: DataFrame, factor: int) -> DataFrame:
     return decode_image_pool(media, factor)
 
 
+FLAC_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("bits", T.IntegerType(), False),
+        T.StructField("channel", T.IntegerType(), False),
+        T.StructField("win_no", T.IntegerType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def _flac_windows(mid, rate, bits, samples, window_samples, rows):
+    """Shared fan-out: per (channel, complete window) exact integer
+    sum-of-squares + RMS appended to the ``rows`` column lists."""
+    import numpy as np
+
+    n, ch = samples.shape
+    nw = n // window_samples
+    for c in range(ch):
+        col = samples[:, c]
+        for w in range(nw):
+            seg = col[w * window_samples : (w + 1) * window_samples]
+            ss = int((seg * seg).sum())
+            rows["media_id"].append(mid)
+            rows["sample_rate"].append(rate)
+            rows["bits"].append(bits)
+            rows["channel"].append(c)
+            rows["win_no"].append(w)
+            rows["sum_sq"].append(ss)
+            rows["rms"].append(float(np.sqrt(ss / window_samples)))
+
+
+def decode_flac_rms(media: DataFrame, window_samples: int) -> DataFrame:
+    """REAL lossless-compressed audio decode: parse each payload as a
+    FLAC stream (``functions/flac.parse_flac`` — subframe prediction,
+    rice residuals, stereo decorrelation, CRC-8/16 and STREAMINFO MD5
+    verification) and emit one row per (channel, complete window of
+    ``window_samples`` samples) with the exact integer sum-of-squares
+    and RMS.  FLAC is lossless, so the DuckDB oracle recomputes the
+    same windows straight from the pre-encode samples — compression
+    round-trip + decode checked bit-for-bit.  Arrow-batched
+    ``mapInPandas``, zero shuffle, per-item parallel (the 100 TB shape:
+    decode scales with input splits).
+
+    Reference parity note: the reference pipeline's only media is
+    netCDF rasters (/root/reference/asip_v2/archive.py:19); this is
+    SURVEY §2.11 multimodal surface."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.flac import parse_flac
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "bits", "channel", "win_no",
+                "sum_sq", "rms",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                rate, bits, samples = parse_flac(bytes(p))
+                _flac_windows(mid, rate, bits, samples, window_samples, rows)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, FLAC_RMS_SCHEMA)
+
+
+MKV_FLAC_RMS_SCHEMA = T.StructType(
+    FLAC_RMS_SCHEMA.fields[:1]
+    + [T.StructField("n_blocks", T.IntegerType(), False)]
+    + FLAC_RMS_SCHEMA.fields[1:]
+)
+
+
+def demux_decode_flac_rms(media: DataFrame, window_samples: int) -> DataFrame:
+    """END-TO-END compressed AUDIO decode from a video container — the
+    audio sibling of ``demux_decode_jpeg_pool``: demux each payload as
+    Matroska (``parse_mkv``), reassemble every A_FLAC audio track from
+    its CodecPrivate (the stream's fLaC metadata headers, per the
+    Matroska codec mapping) + one FLAC frame per block, decode with the
+    repo's own FLAC decoder (CRC + MD5 verified — the MD5 spans ALL
+    samples, so a single dropped/reordered MKV block fails loudly), and
+    emit per-(channel, window) exact energies plus ``n_blocks``, the
+    demuxed frame count the oracle independently re-derives.  Zero
+    external codec libraries; Arrow-batched ``mapInPandas``; zero
+    shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.ebml import parse_mkv
+        from ..functions.flac import parse_flac
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_blocks", "sample_rate", "bits", "channel",
+                "win_no", "sum_sq", "rms",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                mkv = parse_mkv(bytes(p))
+                for tno, tr in sorted(mkv.tracks.items()):
+                    if tr.kind != "audio" or tr.codec_id != "A_FLAC":
+                        continue
+                    blocks = [
+                        bytes(payload)
+                        for track, _ts, _key, payload in mkv.frames
+                        if track == tno
+                    ]
+                    stream = (tr.codec_private or b"") + b"".join(blocks)
+                    rate, bits, samples = parse_flac(stream)
+                    mark = len(rows["media_id"])
+                    _flac_windows(
+                        mid, rate, bits, samples, window_samples, rows
+                    )
+                    rows["n_blocks"].extend(
+                        [len(blocks)] * (len(rows["media_id"]) - mark)
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, MKV_FLAC_RMS_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

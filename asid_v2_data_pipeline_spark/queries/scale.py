@@ -2775,6 +2775,187 @@ FROM pixels ORDER BY doc_id, ts
 """
 
 
+_FLAC_W = 16  # samples per RMS window
+_FLAC_RATE = 16000
+_FLAC_BLOCK = 16  # FLAC frame block size for the MKV variant (multi-block)
+
+
+def _flac_build(batches, block_size, mux_mkv):
+    """Shared fixture kernel for the FLAC queries: each document's
+    UTF-8 bytes become interleaved 16-bit big-endian stereo PCM
+    (sample[j][c] = raw[4j+2c]·256 + raw[4j+2c+1] − 32768), encoded as
+    REAL FLAC — mid/side stereo for even doc_ids, independent for odd,
+    so both decorrelation paths run under the oracle.  With
+    ``mux_mkv`` the stream is split per the Matroska A_FLAC codec
+    mapping: metadata headers into CodecPrivate, one frame per
+    SimpleBlock, clusters of 4."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.flac import (
+        flac_codec_private,
+        flac_frames,
+        write_flac,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode("utf-8")
+            m = len(raw) // 4
+            if m == 0:
+                payloads.append(None)
+                continue
+            b = np.frombuffer(raw, np.uint8, count=4 * m).astype(np.int64)
+            samples = (
+                (b[0::2] * 256 + b[1::2]) - 32768
+            ).reshape(m, 2)
+            blob = write_flac(
+                samples,
+                sample_rate=_FLAC_RATE,
+                block_size=block_size,
+                bits_per_sample=16,
+                stereo_mode="mid_side" if int(did) % 2 == 0 else "independent",
+            )
+            if not mux_mkv:
+                payloads.append(blob)
+                continue
+            from ..functions.ebml import MkvTrack, write_mkv
+
+            _info, frames = flac_frames(blob)
+            tracks = [
+                MkvTrack(
+                    1,
+                    "audio",
+                    "A_FLAC",
+                    sampling_hz=float(_FLAC_RATE),
+                    channels=2,
+                    codec_private=flac_codec_private(blob),
+                )
+            ]
+            payloads.append(
+                write_mkv(
+                    [
+                        (1, i * block_size, True, fr)
+                        for i, fr in enumerate(frames)
+                    ],
+                    tracks,
+                    cluster_every=4,
+                )
+            )
+        yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+
+def mm_flac_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-COMPRESSED audio codec end-to-end: document bytes
+    become interleaved 16-bit stereo PCM inside a genuine FLAC stream
+    (``functions/flac.write_flac`` — fixed/LPC subframe prediction
+    chosen by exact rice cost, optimal rice partitions, mid/side or
+    independent stereo per doc, CRC-8/16 footers, STREAMINFO MD5), then
+    ``decode_flac_rms`` decodes it back (prediction reconstruction,
+    rice, stereo undecorrelation, CRC + MD5 verification) and emits
+    exact per-(channel, 16-sample-window) energies.  FLAC is lossless,
+    so the DuckDB oracle recomputes the windows straight from the text
+    octets — any drift anywhere in the compression round-trip breaks
+    the value hash."""
+    from ..operators.multimodal import decode_flac_rms
+
+    d = load_table(spark, sf_dir, "documents")
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
+        lambda it: _flac_build(it, 4096, False),
+        "media_id long, payload binary",
+    )
+    out = decode_flac_rms(media, _FLAC_W)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "bits",
+        "channel",
+        "win_no",
+        "sum_sq",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("doc_id", "channel", "win_no")
+
+
+def _flac_wins_sql() -> str:
+    """Windowed stereo energies straight from the text octets — the
+    pre-encode samples, valid as the FLAC oracle precisely because the
+    codec is lossless."""
+    w = _FLAC_W
+    s = (
+        f"(CAST(cs[CAST(4 * (w * {w} + k) + 2 * c + 1 AS INT)] AS BIGINT)"
+        f" * 256"
+        f" + CAST(cs[CAST(4 * (w * {w} + k) + 2 * c + 2 AS INT)] AS BIGINT)"
+        f" - 32768)"
+    )
+    return f"""wins AS (
+  SELECT doc_id, n_bytes, CAST(c AS INT) AS channel, CAST(w AS INT) AS win_no,
+         CAST(list_sum(list_transform(range(0, {w}), k ->
+              {s} * {s})) AS BIGINT) AS sum_sq
+  FROM codes,
+       unnest(range(0, 2)) AS tc(c),
+       unnest(range(0, (n_bytes // 4) // {w})) AS tw(w)
+)"""
+
+
+def _mm_flac_sql() -> str:
+    return f"""
+WITH {_CODES_CTE_SQL},
+{_flac_wins_sql()}
+SELECT doc_id, CAST({_FLAC_RATE} AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits, channel, win_no, sum_sq,
+       ROUND(sqrt(CAST(sum_sq AS DOUBLE) / {_FLAC_W}), 6) AS rms
+FROM wins ORDER BY doc_id, channel, win_no
+"""
+
+
+def mm_mkv_flac_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END compressed audio in a video container — the audio
+    sibling of ``mm_mkv_jpeg_pool``: the same stereo PCM is FLAC-
+    encoded in 16-sample blocks (so every doc spans multiple frames),
+    split per the Matroska A_FLAC codec mapping (headers in
+    CodecPrivate, one frame per SimpleBlock, clusters of 4), then
+    ``demux_decode_flac_rms`` demuxes the container, reassembles the
+    stream, FLAC-decodes it (the STREAMINFO MD5 spans ALL samples, so
+    one dropped or reordered MKV block fails loudly) and emits the
+    windowed energies plus ``n_blocks``, the demuxed frame count the
+    oracle re-derives as ceil(samples / block).  Composition of the
+    repo's own EBML demuxer and FLAC codec — zero external codec
+    libraries."""
+    from ..operators.multimodal import demux_decode_flac_rms
+
+    d = load_table(spark, sf_dir, "documents")
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
+        lambda it: _flac_build(it, _FLAC_BLOCK, True),
+        "media_id long, payload binary",
+    )
+    out = demux_decode_flac_rms(media, _FLAC_W)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "n_blocks",
+        "sample_rate",
+        "bits",
+        "channel",
+        "win_no",
+        "sum_sq",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("doc_id", "channel", "win_no")
+
+
+def _mm_mkv_flac_sql() -> str:
+    b = _FLAC_BLOCK
+    return f"""
+WITH {_CODES_CTE_SQL},
+{_flac_wins_sql()}
+SELECT doc_id,
+       CAST(((n_bytes // 4) + {b} - 1) // {b} AS INT) AS n_blocks,
+       CAST({_FLAC_RATE} AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits, channel, win_no, sum_sq,
+       ROUND(sqrt(CAST(sum_sq AS DOUBLE) / {_FLAC_W}), 6) AS rms
+FROM wins ORDER BY doc_id, channel, win_no
+"""
+
+
 def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 metadata extraction through a REAL ID3v2 container: each
     document becomes an ID3-tagged payload (title = first 3 tokens,
@@ -4297,6 +4478,8 @@ REGISTRY = {
     "mm_wav_dft": (mm_wav_dft, _mm_wav_dft_sql()),
     "mm_mkv_demux": (mm_mkv_demux, _mm_mkv_sql()),
     "mm_mkv_jpeg_pool": (mm_mkv_jpeg_pool, _mm_mkv_jpeg_sql()),
+    "mm_flac_rms": (mm_flac_rms, _mm_flac_sql()),
+    "mm_mkv_flac_rms": (mm_mkv_flac_rms, _mm_mkv_flac_sql()),
     "mm_id3_tags": (mm_id3_tags, _mm_id3_sql()),
     "mm_mp3_meta": (mm_mp3_meta, _mm_mp3_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),

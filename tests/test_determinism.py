@@ -67,8 +67,11 @@ CASES = [
     "tx_tokenize_pack",
     "sim_ivf_pq_serve",
     "tx_bm25_serve",
-    # round 7: MJPEG-in-MKV end-to-end frame decode
+    # round 7: MJPEG-in-MKV end-to-end frame decode, FLAC lossless
+    # audio + FLAC-in-MKV reassembly
     "mm_mkv_jpeg_pool",
+    "mm_flac_rms",
+    "mm_mkv_flac_rms",
 ]
 
 
