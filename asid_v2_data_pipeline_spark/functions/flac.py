@@ -329,6 +329,9 @@ def _lpc_residual(
 # ------------------------------------------------------------ rice coding
 
 
+_RICE_PS = np.arange(15, dtype=np.int64)  # 4-bit params; 0b1111 = escape
+
+
 def _rice_cost(res: np.ndarray, p: int) -> int:
     if len(res) == 0:
         return 0
@@ -337,44 +340,64 @@ def _rice_cost(res: np.ndarray, p: int) -> int:
 
 
 def _best_rice(res: np.ndarray) -> tuple[int, int]:
-    """Exact-optimal rice parameter in [0, 14]: (param, bits)."""
-    best_p, best_c = 0, _rice_cost(res, 0)
-    for p in range(1, 15):
-        c = _rice_cost(res, p)
-        if c < best_c:
-            best_p, best_c = p, c
-    return best_p, best_c
+    """Exact-optimal rice parameter in [0, 14]: (param, bits) — all 15
+    candidates evaluated in one vectorized pass."""
+    if len(res) == 0:
+        return 0, 0
+    u = (np.abs(res) << 1) - (res < 0)
+    costs = (u[None, :] >> _RICE_PS[:, None]).sum(axis=1) + len(res) * (
+        _RICE_PS + 1
+    )
+    p = int(costs.argmin())
+    return p, int(costs[p])
 
 
 def _plan_partitions(
     res: np.ndarray, order: int, block_size: int, max_po: int = 4
 ) -> tuple[int, list[int], int]:
     """Choose partition order + per-partition rice params by exact cost.
-    Returns (po, params, total_bits incl. the 2+4 method/order header)."""
+    Returns (po, params, total_bits incl. the 2+4 method/order header).
+
+    Hierarchical, like libFLAC's precompute_partition_info_sums: the
+    per-p shifted sums are computed ONCE per deepest-level chunk
+    (``np.add.reduceat``) and every shallower order aggregates child
+    sums — the naive per-(order, partition) rescan was the encoder's
+    hot spot (measured 4.1 of 4.4 s of a 50-doc profile; 7.9 k
+    ``_rice_cost`` calls per 300-byte document)."""
+    # deepest feasible order (every shallower one divides if this does)
+    po_hi = 0
+    for po in range(max_po, 0, -1):
+        if block_size % (1 << po) == 0 and (block_size >> po) > order:
+            po_hi = po
+            break
+    u = (np.abs(res) << 1) - (res < 0)
+    sh = u[None, :] >> _RICE_PS[:, None]  # (15, n)
+    if po_hi == 0:
+        costs = sh.sum(axis=1) + len(res) * (_RICE_PS + 1)
+        p = int(costs.argmin())
+        return 0, [p], int(costs[p]) + 2 + 4 + 4
+    nch = 1 << po_hi
+    ppart = block_size >> po_hi
+    # chunk i covers samples [i*ppart, (i+1)*ppart) minus the warmup
+    # (res starts at sample ``order``); starts strictly increase because
+    # ppart > order at the deepest feasible level
+    starts = np.maximum(np.arange(nch, dtype=np.int64) * ppart - order, 0)
+    chunk = np.add.reduceat(sh, starts, axis=1)  # (15, nch)
     best = None
-    for po in range(max_po + 1):
+    for po in range(po_hi, -1, -1):
         if block_size % (1 << po):
             continue
-        ppart = block_size >> po
-        if ppart <= order and po > 0:
-            continue
-        cuts, params, bits = [], [], 2 + 4
-        start = 0
-        ok = True
-        for p_i in range(1 << po):
-            cnt = ppart - order if p_i == 0 else ppart
-            if cnt < 0:
-                ok = False
-                break
-            part = res[start : start + cnt]
-            prm, c = _best_rice(part)
-            params.append(prm)
-            bits += 4 + c
-            start += cnt
-        if not ok:
-            continue
+        nparts = 1 << po
+        s = chunk.reshape(15, nparts, nch // nparts).sum(axis=2)
+        cnts = np.full(nparts, block_size >> po, dtype=np.int64)
+        cnts[0] -= order
+        costs = s + cnts[None, :] * (_RICE_PS[:, None] + 1)
+        pbest = costs.argmin(axis=0)  # (nparts,)
+        bits = (
+            int(costs[pbest, np.arange(nparts)].sum()) + 2 + 4 + 4 * nparts
+        )
         if best is None or bits < best[2]:
-            best = (po, params, bits)
+            best = (po, [int(x) for x in pbest], bits)
     assert best is not None
     return best
 

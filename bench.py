@@ -86,6 +86,11 @@ HEADLINE = [
     # pure-Python codec disclosed as the correctness reference, libjpeg
     # swap documented in SCALE.md)
     "mm_mkv_jpeg_pool",
+    # round 7 second session: end-to-end compressed audio (FLAC encode
+    # with exact-rice-cost subframe search inside the fixture build +
+    # MKV A_FLAC reassembly + full decode with CRC/MD5 verification) —
+    # the audio sibling of the MJPEG pin above
+    "mm_mkv_flac_rms",
 ]
 
 
