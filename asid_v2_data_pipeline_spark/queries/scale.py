@@ -2775,6 +2775,81 @@ FROM pixels ORDER BY doc_id, ts
 """
 
 
+_PR_DAMP = 0.85
+_PR_ITERS = 6
+_PR_OFF = 1_000_000  # supplier-node namespace offset
+
+
+def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph centrality — the document-quality prior of web-corpus
+    curation (PageRank's original use), by fixed-iteration power method
+    over the symmetrized customer↔supplier transaction graph (an edge
+    per distinct (customer, supplier) trading pair; supplier nodes
+    offset into their own id space).  Symmetrizing removes dangling
+    nodes, so all ``_PR_ITERS`` rounds stay one lazy plan — each round
+    is one |E|-keyed equi-join + one |N|-keyed aggregation, no global
+    scalar round-trips (see ``operators/graph.py``).  The oracle
+    unrolls the identical six rounds in SQL; doubles rounded to 6
+    (parallel summation order differs between engines)."""
+    from ..operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), (F.col("s") + _PR_OFF).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.col("s") + _PR_OFF).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    ranks = pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS)
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+def _gr_pagerank_sql() -> str:
+    """The same six power-method rounds unrolled as chained CTEs."""
+    d, off = _PR_DAMP, _PR_OFF
+    parts = [
+        f"""pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s + {off} AS dst FROM pairs
+  UNION ALL
+  SELECT s + {off} AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src, (1.0 / n) / deg AS contrib FROM deg, nn)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""r{k} AS (
+  SELECT g.src, g.rank, g.rank / deg.deg AS contrib
+  FROM (
+    SELECT e.dst AS src,
+           (1 - {d}) / nn.n + {d} * sum(r.contrib) AS rank
+    FROM edges e JOIN r{k - 1} r ON e.src = r.src, nn
+    GROUP BY e.dst, nn.n
+  ) g JOIN deg ON deg.src = g.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT src AS node, ROUND(rank, 6) AS rank FROM r{_PR_ITERS}"
+        + " ORDER BY node"
+    )
+
+
 _FLAC_W = 16  # samples per RMS window
 _FLAC_RATE = 16000
 _FLAC_BLOCK = 16  # FLAC frame block size for the MKV variant (multi-block)
@@ -4480,6 +4555,7 @@ REGISTRY = {
     "mm_mkv_jpeg_pool": (mm_mkv_jpeg_pool, _mm_mkv_jpeg_sql()),
     "mm_flac_rms": (mm_flac_rms, _mm_flac_sql()),
     "mm_mkv_flac_rms": (mm_mkv_flac_rms, _mm_mkv_flac_sql()),
+    "gr_pagerank": (gr_pagerank, _gr_pagerank_sql()),
     "mm_id3_tags": (mm_id3_tags, _mm_id3_sql()),
     "mm_mp3_meta": (mm_mp3_meta, _mm_mp3_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),

@@ -72,6 +72,7 @@ CASES = [
     "mm_mkv_jpeg_pool",
     "mm_flac_rms",
     "mm_mkv_flac_rms",
+    "gr_pagerank",
 ]
 
 

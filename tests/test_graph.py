@@ -1,0 +1,66 @@
+"""PageRank operator: exact agreement with a dense NumPy power
+iteration on small graphs, stochasticity, and plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from asid_v2_data_pipeline_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, damping, iters):
+    """Dense reference: same formula, same iteration count."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        for u, v in edges:
+            nxt[idx[v]] += damping * r[idx[u]] / deg[idx[u]]
+        r = nxt
+    return dict(zip(nodes, r))
+
+
+def _sym(pairs):
+    return [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+
+
+@pytest.mark.parametrize("iters", [1, 6])
+def test_matches_dense_reference(spark, iters):
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5), (5, 6)]
+    edges = _sym(pairs)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, 0.85, iters).collect()}
+    want = _numpy_pagerank(edges, 0.85, iters)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_rank_is_stochastic_and_orders_hubs_first(spark):
+    # star: hub 0 touches 1..5 — hub must out-rank every leaf, total = 1
+    edges = _sym([(0, i) for i in range(1, 6)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["node"]: r["rank"] for r in pagerank(df, 0.85, 8).collect()}
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(rows[0] > rows[i] for i in range(1, 6))
+    # leaves are symmetric -> identical ranks
+    leaf = {round(rows[i], 12) for i in range(1, 6)}
+    assert len(leaf) == 1
+
+
+def test_single_lazy_plan_no_cartesian(spark):
+    edges = _sym([(1, 2), (2, 3)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    plan = (
+        pagerank(df, 0.85, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
