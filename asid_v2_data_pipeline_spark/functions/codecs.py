@@ -46,6 +46,61 @@ def _build_mulaw_table() -> "np.ndarray":
 _MULAW_TABLE = _build_mulaw_table()
 
 
+def _build_alaw_table() -> "np.ndarray":
+    """G.711 A-law decode table (code byte -> linear int16), from the
+    ITU-T definition: XOR the 0x55 toggle pattern, split sign/segment/
+    mantissa, expand to the segment midpoint (seg 0 = (mant<<4)+8,
+    seg s = ((mant<<4)+0x108) << (s-1); sign bit SET means positive)."""
+    out = np.zeros(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        x = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (
+            exp - 1
+        )
+        out[code] = x if sign else -x
+    return out
+
+
+_ALAW_TABLE = _build_alaw_table()
+
+
+def alaw_encode(samples: "np.ndarray") -> "np.ndarray":
+    """Linear int16 -> G.711 A-law code bytes: the symmetric segment
+    quantizer (|x| -> segment by leading bit, 4-bit mantissa; positive
+    sign bit set, whole code XORed with 0x55).  Exact inverse-image of
+    :func:`_build_alaw_table` — ``alaw_encode(table[c]) == c`` for all
+    256 codes, the identity the unit matrix pins."""
+    x = np.asarray(samples, dtype=np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.clip(np.abs(x), 0, 32767)
+    # segment = position of the leading bit above the seg-0 range
+    exp = np.zeros_like(mag)
+    nz = mag >= 256
+    exp[nz] = (np.floor(np.log2(mag[nz])).astype(np.int32) - 7).clip(1, 7)
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def write_wav_alaw(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Minimal A-law WAV writer (fixture builder): linear int16 in,
+    audio_format=6 / 8-bit container out."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    codes = alaw_encode(a)
+    nch = a.shape[1]
+    fmt = struct.pack("<HHIIHH", 6, nch, sample_rate, sample_rate * nch, nch, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data = codes.tobytes()
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def mulaw_encode(samples: "np.ndarray") -> "np.ndarray":
     """Linear int16 -> G.711 mu-law code bytes (the fixture-writer half;
     standard clamp to +/-32635, bias, exponent-segment search)."""
@@ -76,9 +131,12 @@ def write_wav_mulaw(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
 
 def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a RIFF/WAVE container; returns ``(sample_rate, n_channels,
-    samples)`` where samples is int16 (16-bit PCM) or uint8 (8-bit PCM)
-    shaped ``(n_frames, n_channels)``.  Non-PCM encodings raise
-    ``NotImplementedError`` (they need real codec libraries)."""
+    samples)`` shaped ``(n_frames, n_channels)`` — uint8 for 8-bit PCM,
+    int16 for 16-bit PCM and G.711 mu-law/A-law, int32 for 24/32-bit
+    PCM.  WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its
+    SubFormat GUID (how real-world 24-bit files are usually tagged).
+    Compressed encodings raise ``NotImplementedError`` (they need real
+    codec libraries)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
@@ -90,16 +148,22 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                if len(body) < 26:
+                    raise ValueError("WAV: truncated extensible fmt")
+                # real format = first two bytes of the SubFormat GUID
+                fmt = (struct.unpack_from("<H", body, 24)[0],) + fmt[1:]
         elif cid == b"data":
             data = body
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
-    if audio_format == 7:  # G.711 mu-law: telephony's 8-bit log PCM
+    if audio_format in (6, 7):  # G.711: telephony's 8-bit log PCM
         if bits != 8:
-            raise NotImplementedError(f"{bits}-bit mu-law not supported")
-        arr = _MULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+            raise NotImplementedError(f"{bits}-bit G.711 not supported")
+        table = _ALAW_TABLE if audio_format == 6 else _MULAW_TABLE
+        arr = table[np.frombuffer(data, dtype=np.uint8)]
     elif audio_format != 1:
         raise NotImplementedError(
             f"WAV audio format {audio_format} is not PCM; compressed "
@@ -109,6 +173,13 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         arr = np.frombuffer(data, dtype=np.uint8)
     elif bits == 16:
         arr = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    elif bits == 24:
+        b = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int32)
+        arr = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        arr -= (arr & 0x800000) << 1  # sign-extend bit 23
+    elif bits == 32:
+        arr = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
     else:
         raise NotImplementedError(f"{bits}-bit PCM not supported")
     n_frames = arr.size // n_channels
@@ -118,10 +189,11 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def write_wav(
-    samples: np.ndarray, sample_rate: int = 8000
+    samples: np.ndarray, sample_rate: int = 8000, bits: int | None = None
 ) -> bytes:
     """Minimal PCM WAV writer (fixture builder).  ``samples`` is uint8
-    (8-bit) or int16 (16-bit), 1-D mono or ``(frames, channels)``."""
+    (8-bit), int16 (16-bit) or int32 (32-bit, or 24-bit packed when
+    ``bits=24``), 1-D mono or ``(frames, channels)``."""
     a = np.asarray(samples)
     if a.ndim == 1:
         a = a[:, None]
@@ -129,6 +201,16 @@ def write_wav(
         bits, data = 8, a.astype(np.uint8).tobytes()
     elif a.dtype in (np.int16, np.dtype("<i2")):
         bits, data = 16, a.astype("<i2").tobytes()
+    elif a.dtype in (np.int32, np.dtype("<i4")) and bits == 24:
+        flat = a.astype("<i4").reshape(-1)
+        if flat.size and (
+            int(flat.max()) >= 1 << 23 or int(flat.min()) < -(1 << 23)
+        ):
+            raise ValueError("24-bit WAV samples exceed 24 bits")
+        le = flat.view(np.uint8).reshape(-1, 4)
+        data = le[:, :3].tobytes()  # drop each little-endian high byte
+    elif a.dtype in (np.int32, np.dtype("<i4")):
+        bits, data = 32, a.astype("<i4").tobytes()
     else:
         raise ValueError(f"unsupported sample dtype {a.dtype}")
     nch = a.shape[1]

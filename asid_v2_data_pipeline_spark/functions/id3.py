@@ -99,11 +99,10 @@ def parse_id3(payload: bytes) -> dict:
             f"ID3v2.{major} not supported (2.2/2.3/2.4)"
         )
     flags = payload[5]
-    if flags & 0x40:
-        raise NotImplementedError(
-            "ID3: extended header (v2.3/v2.4) / compression (v2.2) "
-            "not supported"
-        )
+    if flags & 0x40 and major == 2:
+        # v2.2 bit 6 = compression; the spec says such tags are
+        # unreadable without the (never-standardized) scheme
+        raise NotImplementedError("ID3v2.2 compressed tag not supported")
     size = _syncsafe(payload[6:10])
     out: dict = {"_version": (major, rev), "_tag_bytes": 10 + size}
     tag = payload[10 : 10 + size]
@@ -111,6 +110,21 @@ def parse_id3(payload: bytes) -> dict:
         # v2.2/v2.3: unsynchronization applies to the WHOLE tag body;
         # the header's size counts the stored (unsynchronized) bytes
         tag = _unsync_decode(tag)
+    if flags & 0x40 and major in (3, 4):
+        # extended header: skippable by size.  v2.3 stores a 4-byte
+        # plain size EXCLUDING itself (and is counted after unsync);
+        # v2.4 a syncsafe size INCLUDING the 6-byte fixed part
+        if len(tag) < 4:
+            raise ValueError("ID3: truncated extended header")
+        if major == 3:
+            ext = 4 + int.from_bytes(tag[:4], "big")
+        else:
+            ext = _syncsafe(tag[:4])
+            if ext < 6:
+                raise ValueError("ID3: bad extended header size")
+        if ext > len(tag):
+            raise ValueError("ID3: extended header overruns tag")
+        tag = tag[ext:]
     id_len = 3 if major == 2 else 4
     hdr_len = 6 if major == 2 else 10
     pos, end = 0, len(tag)

@@ -542,8 +542,9 @@ def test_id3_roundtrip_versions_and_encodings():
     with pytest.raises(NotImplementedError, match="2.2/2.3/2.4"):
         parse_id3(bytes(blob))
     blob = bytearray(write_id3(frames))
-    blob[5] = 0x40  # extended-header flag
-    with pytest.raises(NotImplementedError, match="extended header"):
+    blob[5] = 0x40  # extended-header flag with no real extended header:
+    # the first frame bytes misparse as a giant size -> overrun raise
+    with pytest.raises(ValueError, match="extended header"):
         parse_id3(bytes(blob))
 
 
@@ -915,3 +916,134 @@ def test_bmp_16_and_32_bit():
     np.testing.assert_array_equal(
         got[0, 0], np.array([rep(31), rep(16), rep(5)], dtype=np.uint8)
     )
+
+
+def test_alaw_wav_roundtrip_codebook_identity_and_bounds():
+    """G.711 A-law: encode is the exact inverse image of the decode
+    table (all 256 codes), the container round-trips through parse_wav
+    with audio_format=6, and quantization error obeys the segment
+    bound."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _ALAW_TABLE,
+        alaw_encode,
+        parse_wav,
+        write_wav_alaw,
+    )
+
+    # codebook identity: encode(decode(c)) == c for every code
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(alaw_encode(_ALAW_TABLE[codes]), codes)
+
+    rng = np.random.RandomState(5)
+    xs = np.concatenate(
+        [
+            rng.randint(-32768, 32768, 500),
+            np.array([0, 1, -1, 8, -8, 256, -256, 32767, -32768]),
+        ]
+    ).astype(np.int16)
+    got = alaw_encode(xs)
+    blob = write_wav_alaw(xs, sample_rate=8000)
+    rate, nch, samples = parse_wav(blob)
+    assert (rate, nch) == (8000, 1)
+    assert np.array_equal(samples[:, 0], _ALAW_TABLE[got])
+
+    # segment bound: |decode(encode(x)) - x| < 2^(seg+4) step
+    dec = _ALAW_TABLE[got].astype(np.int64)
+    err = np.abs(dec - xs.astype(np.int64))
+    seg = np.maximum(
+        (np.floor(np.log2(np.maximum(np.abs(xs.astype(np.int64)), 1)))
+         .astype(np.int64) - 7),
+        0,
+    )
+    assert np.all(err <= (1 << (seg + 4)))
+
+
+def test_wav_24_and_32_bit_pcm_roundtrip():
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_wav,
+        write_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    x24 = rng.randint(-(1 << 23), 1 << 23, (300, 2)).astype(np.int32)
+    rate, nch, got = parse_wav(write_wav(x24, 16000, bits=24))
+    assert (rate, nch) == (16000, 2)
+    assert got.dtype == np.int32 and np.array_equal(got, x24)
+
+    x32 = rng.randint(-(1 << 31), (1 << 31) - 1, (200, 1)).astype(np.int32)
+    rate, _nch, got = parse_wav(write_wav(x32, 8000))
+    assert np.array_equal(got, x32)
+
+    with pytest.raises(ValueError, match="24-bit"):
+        write_wav(np.array([[1 << 23]], dtype=np.int32), bits=24)
+
+
+def test_wav_extensible_subformat_resolves():
+    """WAVE_FORMAT_EXTENSIBLE: the fmt tag is 0xFFFE and the real
+    format hides in the SubFormat GUID — how real-world 24-bit PCM is
+    usually tagged."""
+    import struct
+
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_wav,
+        write_wav,
+    )
+
+    x = np.arange(-100, 100, dtype=np.int32) * 1000
+    blob = bytearray(write_wav(x, 8000, bits=24))
+    # rewrite the 16-byte fmt chunk as a 40-byte extensible one
+    i = blob.index(b"fmt ")
+    base = blob[i + 8 : i + 24]
+    ext = struct.pack("<HHI", 22, 24, 0) + struct.pack("<H", 1) + b"\0" * 14
+    newfmt = b"fmt " + struct.pack("<I", 40) + b"\xfe\xff" + base[2:] + ext
+    out = bytes(blob[:i]) + newfmt + bytes(blob[i + 24 :])
+    # fix RIFF size (+24 bytes of fmt growth)
+    out = (
+        out[:4]
+        + struct.pack("<I", struct.unpack_from("<I", out, 4)[0] + 24)
+        + out[8:]
+    )
+    rate, nch, got = parse_wav(out)
+    assert (rate, nch) == (8000, 1)
+    assert np.array_equal(got[:, 0], x)
+
+
+def test_id3_extended_headers_skipped():
+    """v2.3 (plain size excluding itself) and v2.4 (syncsafe size
+    including the fixed part) extended headers are skipped; frames
+    after them parse normally."""
+    from asid_v2_data_pipeline_spark.functions.id3 import (
+        parse_id3,
+        write_id3,
+    )
+
+    for major in (3, 4):
+        blob = bytearray(
+            write_id3({"TIT2": "hello", "TALB": "world"}, major=major)
+        )
+        size0 = (
+            (blob[6] << 21) | (blob[7] << 14) | (blob[8] << 7) | blob[9]
+        )
+        if major == 3:
+            ext = (6).to_bytes(4, "big") + b"\0\0" + b"\0\0\0\0"  # 4+6
+        else:
+            ext = bytes([0, 0, 0, 10]) + bytes([1, 0]) + b"\0\0\0\0"  # 10
+        tag = ext + bytes(blob[10:])
+        new_size = size0 + len(ext)
+        hdr = bytes(blob[:5]) + bytes([blob[5] | 0x40]) + bytes(
+            [
+                (new_size >> 21) & 0x7F,
+                (new_size >> 14) & 0x7F,
+                (new_size >> 7) & 0x7F,
+                new_size & 0x7F,
+            ]
+        )
+        out = parse_id3(hdr + tag)
+        assert out["TIT2"] == "hello" and out["TALB"] == "world", major
+        assert out["_tag_bytes"] == 10 + new_size
