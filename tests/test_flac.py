@@ -206,3 +206,46 @@ def test_flac_module_is_dependency_free():
     src = inspect.getsource(flac)
     for lib in ("soundfile", "librosa", "pydub", "audioop", "scipy"):
         assert lib not in src
+
+
+def test_property_any_samples_round_trip():
+    """Hypothesis: ANY int sample matrix within the bit depth round-
+    trips exactly, across channel counts, depths, block sizes and both
+    stereo modes — the lossless contract the SQL oracles rest on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 700),
+        ch=st.integers(1, 3),
+        bits=st.sampled_from([8, 16, 24]),
+        block=st.sampled_from([16, 64, 4096]),
+        ms=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+        shape=st.sampled_from(["noise", "tone", "const", "ramp", "edge"]),
+    )
+    def check(n, ch, bits, block, ms, seed, shape):
+        rng = np.random.default_rng(seed)
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        if shape == "noise":
+            x = rng.integers(lo, hi, size=(n, ch), endpoint=True)
+        elif shape == "tone":
+            t = np.arange(n * ch).reshape(n, ch)
+            x = (np.sin(t / 17.0) * (hi // 2)).astype(np.int64)
+        elif shape == "const":
+            x = np.full((n, ch), int(rng.integers(lo, hi)), dtype=np.int64)
+        elif shape == "ramp":
+            x = (np.arange(n)[:, None] % (hi or 1)).astype(np.int64) + lo // 2
+        else:  # edge: extremes only
+            x = rng.choice(np.array([lo, -1, 0, 1, hi]), size=(n, ch))
+        x = x.astype(np.int64)
+        mode = "mid_side" if (ms and ch == 2) else "independent"
+        blob = write_flac(
+            x, bits_per_sample=bits, block_size=block, stereo_mode=mode
+        )
+        rate, b2, y = parse_flac(blob)
+        assert b2 == bits
+        assert np.array_equal(y, x)
+
+    check()
