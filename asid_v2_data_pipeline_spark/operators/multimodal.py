@@ -47,9 +47,10 @@ FEATURE_SCHEMA = T.StructType(
 
 class DecodeStub:
     """Deterministic fake decoder for codecs needing NON-STDLIB
-    libraries (MP3/MP4/WebM; a deployment swaps in ffmpeg here).  WAV,
-    BMP, PNG, GIF and baseline JPEG containers decode for real — see
-    ``functions/codecs.py``.  Everything around the stub (Arrow
+    libraries (MP3/MP4 frames, VP8/VP9; a deployment swaps in ffmpeg
+    here).  WAV, BMP, PNG, GIF, baseline JPEG and FLAC decode for real
+    — see ``functions/codecs.py`` / ``functions/flac.py`` and the
+    ``decode_*`` operators below.  Everything around the stub (Arrow
     batching, schema, partitioning) is production-shaped."""
 
     FEATURE_DIM = 8
@@ -755,6 +756,64 @@ def decode_flac_rms(media: DataFrame, window_samples: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, FLAC_RMS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), False),
+        T.StructField("n_clip", T.LongType(), False),
+        T.StructField("n_silence", T.LongType(), False),
+        T.StructField("sum_sq", T.LongType(), False),
+        T.StructField("fp", T.LongType(), False),
+    ]
+)
+
+
+def decode_flac_audio_stats(
+    media: DataFrame, clip_at: int, silence_below: int, fp_window: int
+) -> DataFrame:
+    """Per-payload audio admission statistics over REAL FLAC decode —
+    the measurement stage of an audio curation funnel: total frames,
+    clipped-sample count (|s| ≥ ``clip_at``), near-silent count
+    (|s| < ``silence_below``), exact sum of squares (loudness), and an
+    order-sensitive integer INTRO fingerprint ``Σ (k+1)·s_k`` over the
+    first ``fp_window`` channel-interleaved samples (the head-window
+    hash of audio fingerprinting; exact int64).  All counts/sums are
+    integers, so the lossless codec makes every column value-hash
+    reproducible from the pre-encode bytes.  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.flac import parse_flac
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_frames", "n_clip",
+                "n_silence", "sum_sq", "fp",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                rate, _bits, samples = parse_flac(bytes(p))
+                flat = samples.reshape(-1)  # channel-interleaved
+                a = np.abs(flat)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(samples.shape[0])
+                rows["n_clip"].append(int((a >= clip_at).sum()))
+                rows["n_silence"].append(int((a < silence_below).sum()))
+                rows["sum_sq"].append(int((flat * flat).sum()))
+                head = flat[:fp_window]
+                rows["fp"].append(
+                    int(((np.arange(head.size) + 1) * head).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, AUDIO_STATS_SCHEMA)
 
 
 MKV_FLAC_RMS_SCHEMA = T.StructType(

@@ -3031,6 +3031,116 @@ FROM wins ORDER BY doc_id, channel, win_no
 """
 
 
+_AC_CLIP = 20000  # |sample| >= this counts as clipped
+_AC_SIL = 8192  # |sample| < this counts as near-silent
+_AC_MAX_CLIP = 0.2  # admission gates (empirically non-trivial: ~77%
+_AC_MAX_SIL = 0.85  # and ~86% pass individually on the fixture bytes)
+_AC_MIN_FRAMES = 16
+_AC_FP_WIN = 16  # intro-fingerprint window (interleaved samples)
+
+
+def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio CURATION FUNNEL — the multimodal twin of
+    ``cur_pipeline``: documents become real FLAC streams, decode back
+    through the full codec (``decode_flac_audio_stats``), then the
+    admission pipeline runs on MEASURED audio: quality gates (clipped-
+    sample ratio, near-silence ratio, minimum duration) followed by
+    exact dedup on an order-sensitive integer INTRO fingerprint (the
+    head-window hash of audio fingerprinting, over the first
+    ``_AC_FP_WIN`` decoded samples — ~24 real collision groups exist
+    in the fixture corpus, so the dedup stage does real work), keeping
+    the lowest doc_id per fingerprint as canonical.
+    Every statistic is integer-exact and FLAC is lossless, so the
+    DuckDB oracle re-derives the entire funnel — decode, gates, dedup,
+    survivor choice — from the pre-encode octets.
+
+    Scale shape: one zero-shuffle Arrow decode pass, then one
+    fingerprint-keyed aggregation (the dedup shuffle moves one stats
+    row per payload, never samples)."""
+    from ..operators.multimodal import decode_flac_audio_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
+        lambda it: _flac_build(it, 4096, False),
+        "media_id long, payload binary",
+    )
+    stats = decode_flac_audio_stats(media, _AC_CLIP, _AC_SIL, _AC_FP_WIN)
+    n = F.col("n_frames") * 2  # stereo: interleaved sample count
+    gated = stats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_frames",
+        (F.col("n_clip") / n).alias("clip_ratio"),
+        (F.col("n_silence") / n).alias("silence_ratio"),
+        F.sqrt(F.col("sum_sq") / n).alias("rms"),
+        "fp",
+    ).filter(
+        (F.col("n_frames") >= _AC_MIN_FRAMES)
+        & (F.col("clip_ratio") <= _AC_MAX_CLIP)
+        & (F.col("silence_ratio") <= _AC_MAX_SIL)
+    )
+    canon = gated.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return (
+        gated.join(canon, ["fp", "doc_id"])
+        .select(
+            "doc_id",
+            "n_frames",
+            F.round("clip_ratio", 6).alias("clip_ratio"),
+            F.round("silence_ratio", 6).alias("silence_ratio"),
+            F.round("rms", 6).alias("rms"),
+            "fp",
+            "dup_count",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mm_audio_curation_sql() -> str:
+    s = (
+        "(CAST(cs[CAST(2 * k + 1 AS INT)] AS BIGINT) * 256"
+        " + CAST(cs[CAST(2 * k + 2 AS INT)] AS BIGINT) - 32768)"
+    )
+    return f"""
+WITH {_CODES_CTE_SQL},
+stats AS (
+  SELECT doc_id, CAST(n_bytes // 4 AS BIGINT) AS n_frames,
+    2 * (n_bytes // 4) AS ns,
+    CAST(len(list_filter(list_transform(range(0, 2 * (n_bytes // 4)),
+      k -> abs({s})), a -> a >= {_AC_CLIP})) AS BIGINT) AS n_clip,
+    CAST(len(list_filter(list_transform(range(0, 2 * (n_bytes // 4)),
+      k -> abs({s})), a -> a < {_AC_SIL})) AS BIGINT) AS n_silence,
+    CAST(list_sum(list_transform(range(0, 2 * (n_bytes // 4)),
+      k -> {s} * {s})) AS BIGINT) AS sum_sq,
+    CAST(list_sum(list_transform(
+      range(0, LEAST(2 * (n_bytes // 4), {_AC_FP_WIN})),
+      k -> (k + 1) * {s})) AS BIGINT) AS fp
+  FROM codes WHERE n_bytes // 4 > 0
+),
+gated AS (
+  SELECT doc_id, n_frames,
+         n_clip * 1.0 / ns AS clip_ratio,
+         n_silence * 1.0 / ns AS silence_ratio,
+         sqrt(CAST(sum_sq AS DOUBLE) / ns) AS rms, fp
+  FROM stats
+  WHERE n_frames >= {_AC_MIN_FRAMES}
+    AND n_clip * 1.0 / ns <= {_AC_MAX_CLIP}
+    AND n_silence * 1.0 / ns <= {_AC_MAX_SIL}
+),
+canon AS (
+  SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+  FROM gated GROUP BY fp
+)
+SELECT g.doc_id, g.n_frames,
+       ROUND(g.clip_ratio, 6) AS clip_ratio,
+       ROUND(g.silence_ratio, 6) AS silence_ratio,
+       ROUND(g.rms, 6) AS rms, g.fp, c.dup_count
+FROM gated g JOIN canon c ON c.fp = g.fp AND c.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 metadata extraction through a REAL ID3v2 container: each
     document becomes an ID3-tagged payload (title = first 3 tokens,
@@ -4556,6 +4666,7 @@ REGISTRY = {
     "mm_flac_rms": (mm_flac_rms, _mm_flac_sql()),
     "mm_mkv_flac_rms": (mm_mkv_flac_rms, _mm_mkv_flac_sql()),
     "gr_pagerank": (gr_pagerank, _gr_pagerank_sql()),
+    "mm_audio_curation": (mm_audio_curation, _mm_audio_curation_sql()),
     "mm_id3_tags": (mm_id3_tags, _mm_id3_sql()),
     "mm_mp3_meta": (mm_mp3_meta, _mm_mp3_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),

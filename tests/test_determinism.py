@@ -73,6 +73,7 @@ CASES = [
     "mm_flac_rms",
     "mm_mkv_flac_rms",
     "gr_pagerank",
+    "mm_audio_curation",
 ]
 
 
