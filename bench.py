@@ -91,6 +91,12 @@ HEADLINE = [
     # MKV A_FLAC reassembly + full decode with CRC/MD5 verification) —
     # the audio sibling of the MJPEG pin above
     "mm_mkv_flac_rms",
+    # round 7 second session: the iterative-graph plan shape (6 power-
+    # method rounds = 6 keyed join+agg stages over a checkpointed edge
+    # table) and the multimodal curation funnel (real FLAC decode ->
+    # gates -> fingerprint dedup)
+    "gr_pagerank",
+    "mm_audio_curation",
 ]
 
 
