@@ -20,8 +20,9 @@ Read scope (asserted, raises clearly outside it):
   groups and dense attributes: fractal heaps (root direct block, or a
   root indirect block of direct children) with v2-B-tree name indexes
   (root-leaf trees) — the storage real 1.8+ writers switch to above
-  the max-compact thresholds; filtered heaps, nested indirect blocks,
-  huge/tiny heap objects and multi-level v2 B-trees raise clearly;
+  the max-compact thresholds; round 7 completes the family: filtered
+  heaps, nested indirect blocks, huge (incl. filtered, via type-2
+  B-tree records) and tiny heap objects, multi-level v2 B-trees;
 - datatypes: fixed-point, IEEE float, fixed-length strings (either
   endianness); references/vlen attribute values parse as ``None``;
 - dataspaces v1/v2; fill-value message v1/v2/3; attribute message
@@ -552,12 +553,11 @@ class HDF5File:
             if hid_type == 1:
                 # HUGE object, indirectly accessed (the only form a
                 # short id can carry): the id is a key into the heap's
-                # huge-object v2 B-tree, whose type-1 records map it to
-                # (file address, length)
-                if filters:
-                    raise NotImplementedError(
-                        "filtered huge heap objects not supported"
-                    )
+                # huge-object v2 B-tree.  Unfiltered heaps use type-1
+                # records (address, length, ID); filtered heaps use
+                # type-2 (address, FILTERED length, filter mask, memory
+                # size, ID) and the stored bytes pass back through the
+                # heap's I/O pipeline
                 if huge_btree is None:
                     raise ValueError(
                         "huge heap id but the heap has no huge-object "
@@ -566,20 +566,44 @@ class HDF5File:
                 if huge_records is None:
                     huge_records = {}
                     for rec in self._btree_v2_records(huge_btree):
-                        # type-1 record: address (so), length (sl),
-                        # B-tree ID (sl)
                         a0 = int.from_bytes(rec[:so], "little")
                         ln0 = int.from_bytes(rec[so : so + sl], "little")
-                        bid = int.from_bytes(
-                            rec[so + sl : so + 2 * sl], "little"
-                        )
-                        huge_records[bid] = (a0, ln0)
+                        if filters:
+                            # type-2: + filter mask (4), memory size (sl)
+                            mask = int.from_bytes(
+                                rec[so + sl : so + sl + 4], "little"
+                            )
+                            mem = int.from_bytes(
+                                rec[so + sl + 4 : so + 2 * sl + 4],
+                                "little",
+                            )
+                            bid = int.from_bytes(
+                                rec[so + 2 * sl + 4 : so + 3 * sl + 4],
+                                "little",
+                            )
+                            huge_records[bid] = (a0, ln0, mask, mem)
+                        else:
+                            bid = int.from_bytes(
+                                rec[so + sl : so + 2 * sl], "little"
+                            )
+                            huge_records[bid] = (a0, ln0, 0, None)
                     # records are keyed by ID; collisions impossible
                 bid = int.from_bytes(heap_id[1:], "little")
                 if bid not in huge_records:
                     raise ValueError(f"huge heap object {bid} not found")
-                a0, ln0 = huge_records[bid]
-                return bytes(b[a0 : a0 + ln0])
+                a0, ln0, mask, mem = huge_records[bid]
+                raw = bytes(b[a0 : a0 + ln0])
+                if filters:
+                    for fi, (fid, _fl, cd) in enumerate(
+                        reversed(filters)
+                    ):
+                        if not (mask >> (len(filters) - 1 - fi)) & 1:
+                            raw = _defilter(fid, cd, raw)
+                    if mem is not None and len(raw) != mem:
+                        raise ValueError(
+                            "filtered huge object memory-size mismatch"
+                        )
+                return raw
             if hid_type != 0:
                 raise ValueError(f"unknown fractal heap id type {hid_type}")
             obj_off = int.from_bytes(heap_id[1 : 1 + off_size], "little")
@@ -1628,12 +1652,32 @@ def write_hdf5_netcdf4(
             for bi_, (_nm, body) in enumerate(bodies):
                 if len(body) > threshold:
                     bid = len(huge_recs) + 1
-                    put(f"huge:{tag}:{bid}", body)
-                    huge_recs.append(
-                        struct.pack(
-                            "<QQQ", a(f"huge:{tag}:{bid}"), len(body), bid
+                    if heap_filter:
+                        # filtered heap: huge objects are stored
+                        # THROUGH the pipeline and mapped by type-2
+                        # records (addr, filtered len, mask, mem size)
+                        stored_body = zlib.compress(body, 6)
+                        put(f"huge:{tag}:{bid}", stored_body)
+                        huge_recs.append(
+                            struct.pack(
+                                "<QQIQQ",
+                                a(f"huge:{tag}:{bid}"),
+                                len(stored_body),
+                                0,
+                                len(body),
+                                bid,
+                            )
                         )
-                    )
+                    else:
+                        put(f"huge:{tag}:{bid}", body)
+                        huge_recs.append(
+                            struct.pack(
+                                "<QQQ",
+                                a(f"huge:{tag}:{bid}"),
+                                len(body),
+                                bid,
+                            )
+                        )
                     huge_ids[bi_] = bytes([0x10]) + bid.to_bytes(
                         id_len - 1, "little"
                     )
@@ -1695,7 +1739,9 @@ def write_hdf5_netcdf4(
             total_space = blocks[-1]["boff"] + blocks[-1]["size"]
             if huge_recs:
                 _put_btree_v2(
-                    put, a, f"h:{tag}", 1, 24,
+                    put, a, f"h:{tag}",
+                    2 if heap_filter else 1,
+                    36 if heap_filter else 24,
                     huge_recs, btree_node_size,
                 )
             put(

@@ -636,6 +636,37 @@ def test_huge_heap_objects_roundtrip():
     )
 
 
+def test_filtered_huge_heap_objects_roundtrip():
+    """Huge objects in a FILTERED heap are stored through the I/O
+    pipeline and mapped by type-2 B-tree records (address, filtered
+    length, filter mask, memory size) — the reader de-filters and
+    checks the memory size.  Equality against the unfiltered and the
+    compact decodes pins the whole path on real bytes."""
+    history = "processed;" * 300  # compresses hard -> filtered len <<
+    gatts = {**_many_gatts(40), "history": history}
+    kw = dict(
+        gatts=gatts, style="latest", dense_attrs=True, huge_threshold=512
+    )
+    filt = write_hdf5_netcdf4(
+        {"line": 4, "sample": 4}, _variables(4), heap_filter=True, **kw
+    )
+    plain = write_hdf5_netcdf4(
+        {"line": 4, "sample": 4}, _variables(4), **kw
+    )
+    compact = write_hdf5_netcdf4(
+        {"line": 4, "sample": 4},
+        _variables(4),
+        gatts=gatts,
+        style="latest",
+    )
+    assert len(filt) < len(plain)  # the huge object really was filtered
+    a, b, c = HDF5NetCDF(filt), HDF5NetCDF(plain), HDF5NetCDF(compact)
+    assert a.attrs["history"] == history
+    assert a.attrs == b.attrs == c.attrs
+    for v in a.variables:
+        np.testing.assert_array_equal(a.raw(v), b.raw(v))
+
+
 def test_tiny_heap_ids_decode_inline():
     """TINY heap ids carry the object bytes inside the id itself (low
     4 bits of the type byte = length - 1) — no heap block read."""
