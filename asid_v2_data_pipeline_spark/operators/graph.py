@@ -35,10 +35,15 @@ def pagerank(
     iters: int = 8,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
     """Power-method PageRank: ``r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/deg(u)``
     for ``iters`` rounds from the uniform vector, over the node set
-    {nodes with ≥1 out-edge}.
+    {nodes with ≥1 out-edge}.  With ``weight`` set, a WEIGHTED walk:
+    mass leaves ``u`` along each edge proportionally to its weight
+    (``deg`` becomes the out-weight sum) — the standard weighted-
+    PageRank form for graphs where edge multiplicity means something
+    (transaction counts, link counts, co-occurrence strength).
 
     Precondition (documented, not scanned-for): every node reachable by
     an in-edge must also carry an out-edge — i.e. the caller hands a
@@ -51,12 +56,15 @@ def pagerank(
     the result exactly reproducible AND lets an independent SQL oracle
     unroll the identical K rounds.
     """
+    w = (
+        F.col(weight).cast("double") if weight else F.lit(1.0)
+    )
     e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     ).localCheckpoint()  # reused by every iteration — materialize once
     deg = (
         e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.sum("w").alias("deg"))
         .localCheckpoint()
     )
     n = deg.count()  # |N| — one metadata-sized action
@@ -70,7 +78,8 @@ def pagerank(
             .groupBy("dst")
             .agg(
                 (
-                    F.lit(base) + F.lit(damping) * F.sum("contrib")
+                    F.lit(base)
+                    + F.lit(damping) * F.sum(F.col("w") * F.col("contrib"))
                 ).alias("rank")
             )
             .withColumnRenamed("dst", "src")

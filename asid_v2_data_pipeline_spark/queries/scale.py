@@ -2813,11 +2813,60 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
-def _gr_pagerank_sql() -> str:
-    """The same six power-method rounds unrolled as chained CTEs."""
+def gr_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the same trading graph: edge weight =
+    lineitem count between the (customer, supplier) pair, so mass
+    leaves a node proportionally to transaction volume — the form used
+    when link multiplicity carries signal (co-occurrence strength,
+    citation counts).  Same plan shape as ``gr_pagerank``; only the
+    degree table becomes an out-weight sum."""
+    from ..operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pw.select(
+        F.col("c").alias("src"), (F.col("s") + _PR_OFF).alias("dst"), "w"
+    ).unionAll(
+        pw.select(
+            (F.col("s") + _PR_OFF).alias("src"),
+            F.col("c").alias("dst"),
+            "w",
+        )
+    )
+    ranks = pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS, weight="w")
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+def _gr_pagerank_sql(weighted: bool = False) -> str:
+    """The same six power-method rounds unrolled as chained CTEs
+    (weighted: edge weight = pair lineitem count, degree = out-weight
+    sum, contributions weight-scaled — mirroring operators/graph.py)."""
     d, off = _PR_DAMP, _PR_OFF
-    parts = [
-        f"""pairs AS (
+    if weighted:
+        pairs = f"""pairs AS (
+  SELECT o_custkey AS c, l_suppkey AS s,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey
+),
+edges AS (
+  SELECT c AS src, s + {off} AS dst, w FROM pairs
+  UNION ALL
+  SELECT s + {off} AS src, c AS dst, w FROM pairs
+),
+deg AS (SELECT src, sum(w) AS deg FROM edges GROUP BY src)"""
+        contrib_sum = "sum(e.w * r.contrib)"
+    else:
+        pairs = f"""pairs AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
@@ -2826,7 +2875,10 @@ edges AS (
   UNION ALL
   SELECT s + {off} AS src, c AS dst FROM pairs
 ),
-deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)"""
+        contrib_sum = "sum(r.contrib)"
+    parts = [
+        f"""{pairs},
 nn AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT src, (1.0 / n) / deg AS contrib FROM deg, nn)"""
     ]
@@ -2836,7 +2888,7 @@ r0 AS (SELECT src, (1.0 / n) / deg AS contrib FROM deg, nn)"""
   SELECT g.src, g.rank, g.rank / deg.deg AS contrib
   FROM (
     SELECT e.dst AS src,
-           (1 - {d}) / nn.n + {d} * sum(r.contrib) AS rank
+           (1 - {d}) / nn.n + {d} * {contrib_sum} AS rank
     FROM edges e JOIN r{k - 1} r ON e.src = r.src, nn
     GROUP BY e.dst, nn.n
   ) g JOIN deg ON deg.src = g.src
@@ -4666,6 +4718,7 @@ REGISTRY = {
     "mm_flac_rms": (mm_flac_rms, _mm_flac_sql()),
     "mm_mkv_flac_rms": (mm_mkv_flac_rms, _mm_mkv_flac_sql()),
     "gr_pagerank": (gr_pagerank, _gr_pagerank_sql()),
+    "gr_pagerank_weighted": (gr_pagerank_weighted, _gr_pagerank_sql(True)),
     "mm_audio_curation": (mm_audio_curation, _mm_audio_curation_sql()),
     "mm_id3_tags": (mm_id3_tags, _mm_id3_sql()),
     "mm_mp3_meta": (mm_mp3_meta, _mm_mp3_sql()),

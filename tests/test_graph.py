@@ -64,3 +64,30 @@ def test_single_lazy_plan_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_matches_dense_reference(spark):
+    edges = [(1, 2, 3.0), (2, 1, 3.0), (1, 3, 1.0), (3, 1, 1.0),
+             (2, 3, 2.0), (3, 2, 2.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, 0.85, 6, weight="w").collect()
+    }
+    # dense reference with weighted degree
+    nodes = sorted({u for u, _, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    import numpy as np
+
+    deg = np.zeros(3)
+    for u, _v, w in edges:
+        deg[idx[u]] += w
+    r = np.full(3, 1 / 3)
+    for _ in range(6):
+        nxt = np.full(3, 0.15 / 3)
+        for u, v, w in edges:
+            nxt[idx[v]] += 0.85 * w * r[idx[u]] / deg[idx[u]]
+        r = nxt
+    for v, i in idx.items():
+        assert got[v] == pytest.approx(r[i], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
