@@ -371,12 +371,13 @@ def _png_defilter(raw: bytes, h: int, stride: int, ch: int) -> np.ndarray:
 
 
 def parse_png(payload: bytes) -> np.ndarray:
-    """Parse a PNG (8-bit depth); returns uint8 pixels ``(height,
-    width, channels)`` with palette entries expanded to RGB.  All five
-    scanline filters (None/Sub/Up/Average/Paeth) are undone; ADAM7
-    INTERLACING decodes for real (seven independently-filtered
-    sub-images scattered back on the pass grid).  Unsupported depths
-    raise ``NotImplementedError``."""
+    """Parse a PNG; returns pixels ``(height, width, channels)`` —
+    uint8 for depth ≤ 8 (sub-byte rows unpacked big-endian-first, raw
+    sample values), uint16 for 16-bit (network byte order), palette
+    entries expanded to RGB.  All five scanline filters
+    (None/Sub/Up/Average/Paeth) are undone at the spec's bpp offset;
+    ADAM7 INTERLACING decodes for real (seven independently-filtered
+    sub-images scattered back on the pass grid)."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG file")
     pos = 8
@@ -399,28 +400,54 @@ def parse_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace not in (0, 1):
+    if depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} interlace={interlace} not supported"
         )
     if color not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color} not supported")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError("PNG sub-byte depth is gray/palette-only")
     ch = _PNG_CHANNELS[color]
+    bpp = max(1, depth * ch // 8)  # filter offset: bytes per pixel
+
+    def unpack(rows: np.ndarray, pw: int) -> np.ndarray:
+        """(ph, stride) filtered bytes -> (ph, pw, ch) samples."""
+        ph = rows.shape[0]
+        if depth == 8:
+            return rows.reshape(ph, pw, ch)
+        if depth == 16:
+            u16 = rows.reshape(ph, pw * ch, 2).astype(np.uint16)
+            return ((u16[:, :, 0] << 8) | u16[:, :, 1]).reshape(
+                ph, pw, ch
+            )
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        return (
+            (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+        ).astype(np.uint8)[:, :, None]
+
+    def stride_of(pw: int) -> int:
+        return (pw * ch * depth + 7) // 8
+
     raw = zlib.decompress(b"".join(idat))
     if interlace == 0:
-        px = _png_defilter(raw, h, w * ch, ch).reshape(h, w, ch)
+        px = unpack(_png_defilter(raw, h, stride_of(w), bpp), w)
     else:
-        px = np.zeros((h, w, ch), dtype=np.uint8)
+        px = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
         off = 0
         for r0, rs, c0, cs in _ADAM7:
             ph = len(range(r0, h, rs))
             pw = len(range(c0, w, cs))
             if ph == 0 or pw == 0:
                 continue  # empty pass contributes no bytes
-            seg = ph * (pw * ch + 1)
-            sub = _png_defilter(
-                raw[off : off + seg], ph, pw * ch, ch
-            ).reshape(ph, pw, ch)
+            seg = ph * (stride_of(pw) + 1)
+            sub = unpack(
+                _png_defilter(raw[off : off + seg], ph, stride_of(pw), bpp),
+                pw,
+            )
             off += seg
             px[r0::rs, c0::cs] = sub
         if off != len(raw):
@@ -470,30 +497,51 @@ def write_png(
     filter_mode: str = "cycle",
     level: int = 6,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """Minimal PNG writer (8-bit).  ``pixels`` is uint8 ``(h, w)``
-    gray, or ``(h, w, c)`` with c ∈ {1,2,3,4}.  ``filter_mode``:
-    ``"none"`` = filter 0 every row; ``"cycle"`` = rows cycle through
-    filters 0..4, so a reader must undo all five (the fixture-builder's
-    job).  ``interlace=True`` stores the seven ADAM7 sub-images, each
+    """Minimal PNG writer.  ``pixels`` is uint8 ``(h, w)`` gray or
+    ``(h, w, c)`` with c ∈ {1,2,3,4} (``depth=8``); with
+    ``depth ∈ {1,2,4}`` a gray ``(h, w)`` of values < 2^depth packed
+    big-endian-first; with ``depth=16`` any channel count of uint16
+    stored network order.  ``filter_mode``: ``"none"`` = filter 0
+    every row; ``"cycle"`` = rows cycle through filters 0..4, so a
+    reader must undo all five (the fixture-builder's job).
+    ``interlace=True`` stores the seven ADAM7 sub-images, each
     independently filtered."""
-    a = np.asarray(pixels, dtype=np.uint8)
+    a = np.asarray(pixels, dtype=np.uint16 if depth == 16 else np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, ch = a.shape
+    if depth in (1, 2, 4):
+        if ch != 1:
+            raise ValueError("sub-byte PNG depth is grayscale-only")
+        if a.size and int(a.max()) >= 1 << depth:
+            raise ValueError(f"samples exceed {depth}-bit depth")
     color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = max(1, depth * ch // 8)
+
+    def rows_of(sub: np.ndarray) -> np.ndarray:
+        """(ph, pw, ch) samples -> (ph, stride) row bytes."""
+        ph, pw, _c = sub.shape
+        if depth == 8:
+            return sub.reshape(ph, pw * ch)
+        if depth == 16:
+            be = sub.reshape(ph, pw * ch).astype(">u2")
+            return be.view(np.uint8).reshape(ph, pw * ch * 2)
+        bits = (
+            (sub.reshape(ph, pw, 1) >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8)
+        return np.packbits(bits.reshape(ph, pw * depth), axis=1)
+
     if interlace:
         body = b""
         for r0, rs, c0, cs in _ADAM7:
             sub = a[r0::rs, c0::cs]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            body += _png_filter_lines(
-                sub.reshape(sub.shape[0], sub.shape[1] * ch), ch,
-                filter_mode,
-            )
+            body += _png_filter_lines(rows_of(sub), bpp, filter_mode)
     else:
-        body = _png_filter_lines(a.reshape(h, w * ch), ch, filter_mode)
+        body = _png_filter_lines(rows_of(a), bpp, filter_mode)
     comp = zlib.compress(body, level)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
@@ -505,7 +553,7 @@ def write_png(
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
     )
     return (
         PNG_MAGIC

@@ -187,12 +187,13 @@ def test_png_palette_and_rejects():
 
     with pytest.raises(ValueError, match="not a PNG"):
         parse_png(b"\x00" * 16)
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
-    blob16 = PNG_MAGIC + chunk(b"IHDR", ihdr16) + chunk(
+    # depth 3 is not a legal PNG bit depth (16-bit decodes for real now)
+    ihdr3 = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
+    blob3 = PNG_MAGIC + chunk(b"IHDR", ihdr3) + chunk(
         b"IDAT", z.compress(b"\x00" * 18)
     ) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError, match="depth"):
-        parse_png(blob16)
+        parse_png(blob3)
 
 
 def test_decode_image_pool_dispatches_bmp_and_png(spark):
@@ -1047,3 +1048,40 @@ def test_id3_extended_headers_skipped():
         out = parse_id3(hdr + tag)
         assert out["TIT2"] == "hello" and out["TALB"] == "world", major
         assert out["_tag_bytes"] == 10 + new_size
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 16])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_bit_depths_roundtrip(depth, interlace):
+    """Sub-byte grayscale (big-endian-first packed rows) and 16-bit
+    (network order) PNGs round-trip through all five filters at the
+    spec's bpp offset, plain and Adam7."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_png,
+        write_png,
+    )
+
+    rng = np.random.RandomState(depth * 7 + interlace)
+    h, w = 13, 11  # odd dims: ragged packing + uneven Adam7 passes
+    if depth == 16:
+        px = rng.randint(0, 1 << 16, (h, w, 3)).astype(np.uint16)
+    else:
+        px = rng.randint(0, 1 << depth, (h, w)).astype(np.uint8)
+    blob = write_png(px, depth=depth, interlace=interlace)
+    got = parse_png(blob)
+    want = px if px.ndim == 3 else px[:, :, None]
+    assert got.dtype == want.dtype
+    assert np.array_equal(got, want)
+
+
+def test_png_depth_validation():
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import write_png
+
+    with pytest.raises(ValueError, match="exceed"):
+        write_png(np.array([[4]], dtype=np.uint8), depth=2)
+    with pytest.raises(ValueError, match="grayscale"):
+        write_png(np.zeros((2, 2, 3), dtype=np.uint8), depth=4)
