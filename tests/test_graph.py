@@ -91,3 +91,21 @@ def test_weighted_matches_dense_reference(spark):
     for v, i in idx.items():
         assert got[v] == pytest.approx(r[i], abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hub_skew_star_graph(spark):
+    """A 5000-leaf star concentrates every round's aggregation on one
+    hot key — the AQE skew path must still produce the exact stochastic
+    vector (hub absorbs the damped mass, leaves split the rest)."""
+    n_leaves = 5000
+    edges = [(0, i) for i in range(1, n_leaves + 1)] + [
+        (i, 0) for i in range(1, n_leaves + 1)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["node"]: r["rank"] for r in pagerank(df, 0.85, 4).collect()}
+    assert len(rows) == n_leaves + 1
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-6)
+    # closed form after convergence-ish: leaves identical, hub dominant
+    leaf_vals = {round(rows[i], 15) for i in range(1, n_leaves + 1)}
+    assert len(leaf_vals) == 1
+    assert rows[0] > 100 * rows[1]
