@@ -3193,6 +3193,103 @@ ORDER BY g.doc_id
 """
 
 
+def mm_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental media admission — the oracle-checked BATCH TWIN of
+    ``streaming/media_stream.py`` (the pattern ``dd_incremental`` set
+    for text): even-doc_id media are the already-admitted history
+    (their gated fingerprints = the persisted index), odd-doc_id media
+    are the arriving batch; the batch passes the quality gates, drops
+    anything whose intro fingerprint is already indexed, and keeps the
+    lowest media_id per fingerprint within itself.  Exercises the
+    exact admission semantics the streaming loop runs per micro-batch,
+    end-to-end through real FLAC decode, against a from-octets SQL
+    oracle."""
+    from ..operators.multimodal import decode_flac_audio_stats
+    from ..streaming.media_stream import admit_media_batch
+
+    d = load_table(spark, sf_dir, "documents")
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
+        lambda it: _flac_build(it, 4096, False),
+        "media_id long, payload binary",
+    )
+    history = media.filter(F.col("media_id") % 2 == 0)
+    batch = media.filter(F.col("media_id") % 2 == 1)
+    hist_stats = decode_flac_audio_stats(
+        history, _AC_CLIP, _AC_SIL, _AC_FP_WIN
+    )
+    n = F.col("n_frames") * 2
+    index_rows = hist_stats.filter(
+        (F.col("n_frames") >= _AC_MIN_FRAMES)
+        & (F.col("n_clip") / n <= _AC_MAX_CLIP)
+        & (F.col("n_silence") / n <= _AC_MAX_SIL)
+    ).select("fp")
+    admitted, _fp_rows = admit_media_batch(
+        batch,
+        index_rows,
+        clip_at=_AC_CLIP,
+        silence_below=_AC_SIL,
+        fp_window=_AC_FP_WIN,
+        max_clip=_AC_MAX_CLIP,
+        max_silence=_AC_MAX_SIL,
+        min_frames=_AC_MIN_FRAMES,
+    )
+    return admitted.select(
+        F.col("media_id").alias("doc_id"),
+        "n_frames",
+        F.round("clip_ratio", 6).alias("clip_ratio"),
+        F.round("silence_ratio", 6).alias("silence_ratio"),
+        F.round("rms", 6).alias("rms"),
+        "fp",
+    ).orderBy("doc_id")
+
+
+def _mm_audio_incremental_sql() -> str:
+    s = (
+        "(CAST(cs[CAST(2 * k + 1 AS INT)] AS BIGINT) * 256"
+        " + CAST(cs[CAST(2 * k + 2 AS INT)] AS BIGINT) - 32768)"
+    )
+    return f"""
+WITH {_CODES_CTE_SQL},
+stats AS (
+  SELECT doc_id, CAST(n_bytes // 4 AS BIGINT) AS n_frames,
+    2 * (n_bytes // 4) AS ns,
+    CAST(len(list_filter(list_transform(range(0, 2 * (n_bytes // 4)),
+      k -> abs({s})), a -> a >= {_AC_CLIP})) AS BIGINT) AS n_clip,
+    CAST(len(list_filter(list_transform(range(0, 2 * (n_bytes // 4)),
+      k -> abs({s})), a -> a < {_AC_SIL})) AS BIGINT) AS n_silence,
+    CAST(list_sum(list_transform(range(0, 2 * (n_bytes // 4)),
+      k -> {s} * {s})) AS BIGINT) AS sum_sq,
+    CAST(list_sum(list_transform(
+      range(0, LEAST(2 * (n_bytes // 4), {_AC_FP_WIN})),
+      k -> (k + 1) * {s})) AS BIGINT) AS fp
+  FROM codes WHERE n_bytes // 4 > 0
+),
+gated AS (
+  SELECT doc_id, n_frames,
+         n_clip * 1.0 / ns AS clip_ratio,
+         n_silence * 1.0 / ns AS silence_ratio,
+         sqrt(CAST(sum_sq AS DOUBLE) / ns) AS rms, fp
+  FROM stats
+  WHERE n_frames >= {_AC_MIN_FRAMES}
+    AND n_clip * 1.0 / ns <= {_AC_MAX_CLIP}
+    AND n_silence * 1.0 / ns <= {_AC_MAX_SIL}
+),
+index_fps AS (SELECT DISTINCT fp FROM gated WHERE doc_id % 2 = 0),
+novel AS (
+  SELECT g.* FROM gated g
+  WHERE g.doc_id % 2 = 1
+    AND NOT EXISTS (SELECT 1 FROM index_fps i WHERE i.fp = g.fp)
+),
+surv AS (SELECT fp, min(doc_id) AS doc_id FROM novel GROUP BY fp)
+SELECT n.doc_id, n.n_frames,
+       ROUND(n.clip_ratio, 6) AS clip_ratio,
+       ROUND(n.silence_ratio, 6) AS silence_ratio,
+       ROUND(n.rms, 6) AS rms, n.fp
+FROM novel n JOIN surv s ON s.fp = n.fp AND s.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
 def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 metadata extraction through a REAL ID3v2 container: each
     document becomes an ID3-tagged payload (title = first 3 tokens,
@@ -4720,6 +4817,7 @@ REGISTRY = {
     "gr_pagerank": (gr_pagerank, _gr_pagerank_sql()),
     "gr_pagerank_weighted": (gr_pagerank_weighted, _gr_pagerank_sql(True)),
     "mm_audio_curation": (mm_audio_curation, _mm_audio_curation_sql()),
+    "mm_audio_incremental": (mm_audio_incremental, _mm_audio_incremental_sql()),
     "mm_id3_tags": (mm_id3_tags, _mm_id3_sql()),
     "mm_mp3_meta": (mm_mp3_meta, _mm_mp3_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
