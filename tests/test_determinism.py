@@ -74,6 +74,8 @@ CASES = [
     "mm_mkv_flac_rms",
     "gr_pagerank",
     "mm_audio_curation",
+    "gr_pagerank_weighted",
+    "mm_audio_incremental",
 ]
 
 
