@@ -236,7 +236,9 @@ def test_property_any_samples_round_trip():
         elif shape == "const":
             x = np.full((n, ch), int(rng.integers(lo, hi)), dtype=np.int64)
         elif shape == "ramp":
-            x = (np.arange(n)[:, None] % (hi or 1)).astype(np.int64) + lo // 2
+            x = np.tile(
+                (np.arange(n)[:, None] % (hi or 1)) + lo // 2, (1, ch)
+            )
         else:  # edge: extremes only
             x = rng.choice(np.array([lo, -1, 0, 1, hi]), size=(n, ch))
         x = x.astype(np.int64)
