@@ -129,6 +129,129 @@ def write_wav_mulaw(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# IMA/DVI ADPCM (WAV audio format 0x11): 4-bit differential coding with
+# the standard 89-entry step table and 8-entry index table (IMA
+# "Recommended Practices for Enhancing Digital Audio Compatibility",
+# also the Microsoft multimedia registration for WAVE format 17)
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition (shared by encode and decode so
+    the encoder's predictor tracks the decoder exactly — no drift)."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX[nibble & 7])))
+    return pred, index
+
+
+def ima_adpcm_decode_block(
+    block: bytes, samples_per_block: int
+) -> np.ndarray:
+    """Decode one mono IMA block: 4-byte header (predictor int16 LE,
+    step index u8, reserved) then packed low-nibble-first codes."""
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    index = max(0, min(88, block[2]))
+    out = np.empty(samples_per_block, dtype=np.int16)
+    out[0] = pred
+    k = 1
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            if k >= samples_per_block:
+                break
+            pred, index = _ima_step(pred, index, nib)
+            out[k] = pred
+            k += 1
+    if k < samples_per_block:
+        raise ValueError("IMA ADPCM: truncated block")
+    return out
+
+
+def ima_adpcm_encode(
+    samples: np.ndarray, block_align: int = 256
+) -> tuple[bytes, int]:
+    """Encode mono int16 PCM to IMA ADPCM blocks (fixture-builder half):
+    per block, header = (first sample, running step index), then each
+    remaining sample quantized to the 4-bit code whose DECODER
+    reconstruction the encoder itself tracks.  Returns
+    ``(payload, samples_per_block)``; the final block is zero-padded
+    codes (decoders stop at the data-chunk sample count)."""
+    x = np.asarray(samples, dtype=np.int64).reshape(-1)
+    spb = (block_align - 4) * 2 + 1
+    index = 0
+    blocks = []
+    for start in range(0, len(x), spb):
+        seg = x[start : start + spb]
+        pred = int(seg[0])
+        body = bytearray(pred.to_bytes(2, "little", signed=True))
+        body.append(index)
+        body.append(0)
+        nibbles = []
+        for s in seg[1:]:
+            step = int(_IMA_STEPS[index])
+            delta = int(s) - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            nibbles.append(nib)
+        nibbles += [0] * ((spb - 1) - len(nibbles))  # pad final block
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            body.append(lo | (hi << 4))
+        blocks.append(bytes(body))
+    return b"".join(blocks), spb
+
+
+def write_wav_ima(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Minimal IMA ADPCM WAV writer (format 17, mono): PCM int16 in,
+    real 4-bit compressed container out — fmt carries the cbSize=2
+    extension with wSamplesPerBlock, and ``fact`` records the true
+    sample count (required for compressed WAVE formats)."""
+    a = np.asarray(samples, dtype=np.int16).reshape(-1)
+    data, spb = ima_adpcm_encode(a, block_align)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(a))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a RIFF/WAVE container; returns ``(sample_rate, n_channels,
     samples)`` shaped ``(n_frames, n_channels)`` — uint8 for 8-bit PCM,
@@ -141,25 +264,53 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("not a RIFF/WAVE container")
     pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
     fmt = None
+    fmt_body = b""
     data = None
+    n_fact = None
     while pos + 8 <= end:
         cid = payload[pos : pos + 4]
         csize = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
             if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
                 if len(body) < 26:
                     raise ValueError("WAV: truncated extensible fmt")
                 # real format = first two bytes of the SubFormat GUID
                 fmt = (struct.unpack_from("<H", body, 24)[0],) + fmt[1:]
+        elif cid == b"fact":
+            n_fact = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
             data = body
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
-    if audio_format in (6, 7):  # G.711: telephony's 8-bit log PCM
+    if audio_format == 0x11:  # IMA/DVI ADPCM: real 4-bit compression
+        if n_channels != 1 or bits != 4:
+            raise NotImplementedError(
+                "IMA ADPCM: only mono 4-bit supported"
+            )
+        block_align = _ba
+        spb = (
+            struct.unpack_from("<H", fmt_body, 18)[0]
+            if len(fmt_body) >= 20
+            else (block_align - 4) * 2 + 1
+        )
+        chunks = [
+            ima_adpcm_decode_block(data[i : i + block_align], spb)
+            for i in range(0, len(data) // block_align * block_align,
+                           block_align)
+        ]
+        arr = (
+            np.concatenate(chunks)
+            if chunks
+            else np.empty(0, dtype=np.int16)
+        )
+        if n_fact is not None:
+            arr = arr[:n_fact]
+    elif audio_format in (6, 7):  # G.711: telephony's 8-bit log PCM
         if bits != 8:
             raise NotImplementedError(f"{bits}-bit G.711 not supported")
         table = _ALAW_TABLE if audio_format == 6 else _MULAW_TABLE

@@ -1085,3 +1085,56 @@ def test_png_depth_validation():
         write_png(np.array([[4]], dtype=np.uint8), depth=2)
     with pytest.raises(ValueError, match="grayscale"):
         write_png(np.zeros((2, 2, 3), dtype=np.uint8), depth=4)
+
+
+def test_ima_adpcm_wav_roundtrip():
+    """IMA/DVI ADPCM (WAV format 17): REAL 4:1 audio compression — the
+    encoder tracks the decoder's reconstruction exactly (no drift), so
+    the quantization error per sample is bounded by the running step
+    size; blocks re-seed the predictor, the fact chunk truncates the
+    final block's padding, and a hand-computed nibble fixture pins the
+    state machine."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _IMA_STEPS,
+        ima_adpcm_decode_block,
+        ima_adpcm_encode,
+        parse_wav,
+        write_wav_ima,
+    )
+
+    # hand-pinned state machine: pred=0, index=0 (step 7); nibble 5
+    # -> diff = 7>>3 + 7>>2 + 0 = 0+1... compute independently:
+    # diff = (7>>3) + (7>>2)*[bit0] ... canonical: 0 + 1(step>>2,bit0)
+    #        + 3(step>>1,bit2? no) -> nibble 5 = bits 0and2: diff=0+?:
+    # decode table walk done longhand in the assert below
+    blk = bytes([0, 0, 0, 0, 0x05])  # pred 0, idx 0, one byte of codes
+    out = ima_adpcm_decode_block(blk, 3)
+    step = int(_IMA_STEPS[0])  # 7
+    d5 = (step >> 3) + (step >> 2) + step  # nibble 5 = bits 0+2 -> +1 +7
+    assert out[0] == 0 and out[1] == d5
+    # second nibble 0 at the updated index
+    i2 = max(0, min(88, 0 + 4))  # index table[5&7] = 4
+    assert out[2] == out[1] + (int(_IMA_STEPS[i2]) >> 3)
+
+    # smooth tone: reconstruction tracks within the step bound and the
+    # container round-trips (multi-block: 1000 samples, 256-byte align)
+    t = np.arange(1000)
+    x = (np.sin(t / 9.0) * 9000).astype(np.int16)
+    blob = write_wav_ima(x, 8000, block_align=256)
+    rate, nch, got = parse_wav(blob)
+    assert (rate, nch) == (8000, 1)
+    assert got.shape == (1000, 1)
+    assert len(blob) < x.nbytes  # it actually compresses (4:1-ish)
+    err = np.abs(got[:, 0].astype(np.int64) - x.astype(np.int64))
+    # the first few samples are the classic IMA attack transient (the
+    # step index adapts up from 0); after adaptation the error stays
+    # within the running step size
+    assert err.mean() < 200 and err[16:].max() < 2000
+
+    # payload-level round-trip sanity: re-decoding the encoder's own
+    # blocks reproduces the decoder-tracked predictions exactly
+    data, spb = ima_adpcm_encode(x, 256)
+    first = ima_adpcm_decode_block(data[:256], spb)
+    assert np.array_equal(first, got[: spb, 0])
