@@ -167,65 +167,94 @@ def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
 
 
 def ima_adpcm_decode_block(
-    block: bytes, samples_per_block: int
+    block: bytes, samples_per_block: int, channels: int = 1
 ) -> np.ndarray:
-    """Decode one mono IMA block: 4-byte header (predictor int16 LE,
-    step index u8, reserved) then packed low-nibble-first codes."""
-    pred = int.from_bytes(block[0:2], "little", signed=True)
-    index = max(0, min(88, block[2]))
-    out = np.empty(samples_per_block, dtype=np.int16)
-    out[0] = pred
-    k = 1
-    for byte in block[4:]:
-        for nib in (byte & 0x0F, byte >> 4):
-            if k >= samples_per_block:
-                break
-            pred, index = _ima_step(pred, index, nib)
-            out[k] = pred
-            k += 1
-    if k < samples_per_block:
+    """Decode one IMA block -> ``(samples_per_block, channels)`` int16.
+    Layout per the WAVE format-17 registration: one 4-byte header per
+    channel (predictor int16 LE, step index u8, reserved), then the
+    channels' codes interleaved in 4-byte groups (8 nibbles per channel
+    per group), low nibble first."""
+    preds, idxs = [], []
+    for c in range(channels):
+        h = 4 * c
+        preds.append(int.from_bytes(block[h : h + 2], "little", signed=True))
+        idxs.append(max(0, min(88, block[h + 2])))
+    out = np.empty((samples_per_block, channels), dtype=np.int16)
+    out[0] = preds
+    ks = [1] * channels
+    pos = 4 * channels
+    while pos < len(block):
+        for c in range(channels):
+            for byte in block[pos : pos + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    if ks[c] >= samples_per_block:
+                        break
+                    preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                    out[ks[c], c] = preds[c]
+                    ks[c] += 1
+            pos += 4
+    if min(ks) < samples_per_block:
         raise ValueError("IMA ADPCM: truncated block")
     return out
+
+
+def _ima_quantize(seg, pred, index):
+    """Quantize one channel's samples after the block seed: returns
+    (nibbles, final pred, final index) — the encoder reconstructs with
+    the decoder's own step so there is no drift."""
+    nibbles = []
+    for s in seg:
+        step = int(_IMA_STEPS[index])
+        delta = int(s) - pred
+        nib = 8 if delta < 0 else 0
+        delta = abs(delta)
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        pred, index = _ima_step(pred, index, nib)
+        nibbles.append(nib)
+    return nibbles, pred, index
 
 
 def ima_adpcm_encode(
     samples: np.ndarray, block_align: int = 256
 ) -> tuple[bytes, int]:
-    """Encode mono int16 PCM to IMA ADPCM blocks (fixture-builder half):
-    per block, header = (first sample, running step index), then each
-    remaining sample quantized to the 4-bit code whose DECODER
-    reconstruction the encoder itself tracks.  Returns
+    """Encode int16 PCM — ``(n,)`` mono or ``(n, ch)`` — to IMA ADPCM
+    blocks (fixture-builder half): per block and channel, header =
+    (first sample, running step index), then the remaining samples'
+    4-bit codes, channels interleaved in 4-byte groups.  Returns
     ``(payload, samples_per_block)``; the final block is zero-padded
-    codes (decoders stop at the data-chunk sample count)."""
-    x = np.asarray(samples, dtype=np.int64).reshape(-1)
-    spb = (block_align - 4) * 2 + 1
-    index = 0
+    (decoders stop at the fact-chunk sample count)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    spb = (block_align - 4 * ch) * 2 // ch + 1
+    if (spb - 1) % 8:
+        raise ValueError("IMA ADPCM: block size must pack whole groups")
+    idxs = [0] * ch
     blocks = []
     for start in range(0, len(x), spb):
         seg = x[start : start + spb]
-        pred = int(seg[0])
-        body = bytearray(pred.to_bytes(2, "little", signed=True))
-        body.append(index)
-        body.append(0)
-        nibbles = []
-        for s in seg[1:]:
-            step = int(_IMA_STEPS[index])
-            delta = int(s) - pred
-            nib = 8 if delta < 0 else 0
-            delta = abs(delta)
-            if delta >= step:
-                nib |= 4
-                delta -= step
-            if delta >= step >> 1:
-                nib |= 2
-                delta -= step >> 1
-            if delta >= step >> 2:
-                nib |= 1
-            pred, index = _ima_step(pred, index, nib)
-            nibbles.append(nib)
-        nibbles += [0] * ((spb - 1) - len(nibbles))  # pad final block
-        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-            body.append(lo | (hi << 4))
+        body = bytearray()
+        nibs = []
+        for c in range(ch):
+            pred = int(seg[0, c])
+            body += pred.to_bytes(2, "little", signed=True)
+            body.append(idxs[c])
+            body.append(0)
+            n, _pred, idxs[c] = _ima_quantize(seg[1:, c], pred, idxs[c])
+            nibs.append(n + [0] * ((spb - 1) - len(n)))
+        for g in range(0, spb - 1, 8):
+            for c in range(ch):
+                grp = nibs[c][g : g + 8]
+                for lo, hi in zip(grp[0::2], grp[1::2]):
+                    body.append(lo | (hi << 4))
         blocks.append(bytes(body))
     return b"".join(blocks), spb
 
@@ -233,15 +262,18 @@ def ima_adpcm_encode(
 def write_wav_ima(
     samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
 ) -> bytes:
-    """Minimal IMA ADPCM WAV writer (format 17, mono): PCM int16 in,
-    real 4-bit compressed container out — fmt carries the cbSize=2
-    extension with wSamplesPerBlock, and ``fact`` records the true
-    sample count (required for compressed WAVE formats)."""
-    a = np.asarray(samples, dtype=np.int16).reshape(-1)
+    """Minimal IMA ADPCM WAV writer (format 17, mono or stereo): PCM
+    int16 in, real 4-bit compressed container out — fmt carries the
+    cbSize=2 extension with wSamplesPerBlock, and ``fact`` records the
+    true frame count (required for compressed WAVE formats)."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    nch = a.shape[1]
     data, spb = ima_adpcm_encode(a, block_align)
     fmt = struct.pack(
         "<HHIIHHHH",
-        0x11, 1, sample_rate,
+        0x11, nch, sample_rate,
         sample_rate * block_align // spb, block_align, 4, 2, spb,
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -288,29 +320,32 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
     if audio_format == 0x11:  # IMA/DVI ADPCM: real 4-bit compression
-        if n_channels != 1 or bits != 4:
+        if bits != 4 or not 1 <= n_channels <= 2:
             raise NotImplementedError(
-                "IMA ADPCM: only mono 4-bit supported"
+                "IMA ADPCM: only mono/stereo 4-bit supported"
             )
         block_align = _ba
         spb = (
             struct.unpack_from("<H", fmt_body, 18)[0]
             if len(fmt_body) >= 20
-            else (block_align - 4) * 2 + 1
+            else (block_align - 4 * n_channels) * 2 // n_channels + 1
         )
         chunks = [
-            ima_adpcm_decode_block(data[i : i + block_align], spb)
+            ima_adpcm_decode_block(
+                data[i : i + block_align], spb, n_channels
+            )
             for i in range(0, len(data) // block_align * block_align,
                            block_align)
         ]
         arr = (
             np.concatenate(chunks)
             if chunks
-            else np.empty(0, dtype=np.int16)
+            else np.empty((0, n_channels), dtype=np.int16)
         )
         if n_fact is not None:
             arr = arr[:n_fact]
-    elif audio_format in (6, 7):  # G.711: telephony's 8-bit log PCM
+        return sample_rate, n_channels, arr
+    if audio_format in (6, 7):  # G.711: telephony's 8-bit log PCM
         if bits != 8:
             raise NotImplementedError(f"{bits}-bit G.711 not supported")
         table = _ALAW_TABLE if audio_format == 6 else _MULAW_TABLE

@@ -1137,4 +1137,37 @@ def test_ima_adpcm_wav_roundtrip():
     # blocks reproduces the decoder-tracked predictions exactly
     data, spb = ima_adpcm_encode(x, 256)
     first = ima_adpcm_decode_block(data[:256], spb)
-    assert np.array_equal(first, got[: spb, 0])
+    assert np.array_equal(first[:, 0], got[: spb, 0])
+
+
+def test_ima_adpcm_stereo_roundtrip():
+    """Stereo IMA: per-channel headers + codes interleaved in 4-byte
+    groups; channels carry independent predictors/step indexes."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_wav,
+        write_wav_ima,
+    )
+
+    t = np.arange(700)
+    x = np.stack(
+        [
+            (np.sin(t / 9.0) * 9000).astype(np.int16),
+            (np.cos(t / 5.0) * 3000).astype(np.int16),
+        ],
+        axis=1,
+    )
+    blob = write_wav_ima(x, 16000, block_align=256)
+    rate, nch, got = parse_wav(blob)
+    assert (rate, nch) == (16000, 2)
+    assert got.shape == (700, 2)
+    err = np.abs(got.astype(np.int64) - x.astype(np.int64))
+    assert err.mean() < 200 and err[16:].max() < 2000
+    # channels are independent: a mono encode of channel 0 must equal
+    # the stereo decode's channel 0 exactly (same state machine walk)
+    _r, _c, mono = parse_wav(write_wav_ima(x[:, 0], 16000, block_align=132))
+    # (different block size -> different reseed points; just bound it)
+    assert np.abs(
+        mono[:, 0].astype(np.int64) - x[:, 0].astype(np.int64)
+    ).mean() < 200
