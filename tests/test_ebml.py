@@ -207,3 +207,70 @@ def test_mjpeg_in_mkv_end_to_end_decode(spark):
         px = parse_jpeg(jp).astype(np.float64)
         want = px.reshape(4, 2, 4, 2).mean(axis=(1, 3)).ravel()
         assert np.allclose(r["pooled"], want)
+
+
+def test_property_random_mux_demux_roundtrip():
+    """Hypothesis: ANY frame matrix (track mix, payload sizes incl.
+    empty, timestamps, keyframe flags, cluster grouping) muxes and
+    demuxes octet-exactly — the contract every mm_mkv_* oracle rests
+    on.  Laced modes are covered by their dedicated matrix tests (they
+    constrain frames per block); this sweeps the un-laced general
+    case."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from asid_v2_data_pipeline_spark.functions.ebml import (
+        MkvTrack,
+        parse_mkv,
+        write_mkv,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 24),
+        ntracks=st.integers(1, 3),
+        cluster_every=st.integers(1, 6),
+        scale=st.sampled_from([1_000_000, 500_000]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, ntracks, cluster_every, scale, seed):
+        import random
+
+        rng = random.Random(seed)
+        tracks = [
+            MkvTrack(
+                t + 1,
+                "video" if t == 0 else "audio",
+                "V_UNCOMPRESSED" if t == 0 else "A_PCM/INT/LIT",
+            )
+            for t in range(ntracks)
+        ]
+        ts = 0
+        frames = []
+        for _ in range(n):
+            ts += rng.randrange(0, 50)
+            frames.append(
+                (
+                    rng.randrange(1, ntracks + 1),
+                    ts,
+                    rng.random() < 0.5,
+                    bytes(
+                        rng.randrange(256)
+                        for _ in range(rng.randrange(0, 40))
+                    ),
+                )
+            )
+        blob = write_mkv(
+            frames,
+            tracks,
+            timestamp_scale_ns=scale,
+            cluster_every=cluster_every,
+        )
+        mkv = parse_mkv(blob)
+        assert mkv.timestamp_scale_ns == scale
+        assert len(mkv.tracks) == ntracks
+        assert [
+            (tr, t, k, bytes(p)) for tr, t, k, p in mkv.frames
+        ] == frames
+
+    check()
