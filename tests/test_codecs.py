@@ -1171,3 +1171,58 @@ def test_ima_adpcm_stereo_roundtrip():
     assert np.abs(
         mono[:, 0].astype(np.int64) - x[:, 0].astype(np.int64)
     ).mean() < 200
+
+
+def test_property_id3_random_tag_roundtrip():
+    """Hypothesis: random frame texts (incl. non-ASCII that forces
+    UTF-16 0xFF bytes through real unsynchronization escape insertion)
+    x version x encoding x unsync all parse back exactly, with the
+    tag/audio split intact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from asid_v2_data_pipeline_spark.functions.id3 import (
+        parse_id3,
+        write_id3,
+    )
+
+    text = st.text(
+        alphabet=st.characters(
+            min_codepoint=0x20,
+            max_codepoint=0xFFEF,
+            categories=("L", "N", "P", "S", "Z"),
+        ),
+        min_size=0,
+        max_size=24,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        title=text,
+        album=text,
+        major=st.sampled_from([2, 3, 4]),
+        encoding=st.sampled_from([0, 1, 3]),
+        unsync=st.booleans(),
+        n_audio=st.integers(0, 16),
+    )
+    def check(title, album, major, encoding, unsync, n_audio):
+        if encoding == 0:
+            # Latin-1 cannot carry the fullwidth range; restrict
+            title = "".join(c for c in title if ord(c) < 0x7F)
+            album = "".join(c for c in album if ord(c) < 0x7F)
+        frames = {"TIT2": title, "TALB": album}
+        audio = bytes(range(255, 255 - n_audio, -1))  # 0xFF-leading
+        blob = write_id3(
+            frames,
+            major=major,
+            encoding=encoding,
+            unsync=unsync,
+            audio=audio,
+        )
+        tags = parse_id3(blob)
+        assert tags["_version"][0] == major
+        assert tags["TIT2"] == title
+        assert tags["TALB"] == album
+        assert blob[tags["_tag_bytes"] :] == audio
+
+    check()
