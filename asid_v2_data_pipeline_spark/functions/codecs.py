@@ -871,6 +871,146 @@ def parse_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image data")
 
 
+def parse_gif_frames(
+    payload: bytes,
+) -> list[tuple[int, "np.ndarray"]]:
+    """Decode an ANIMATED GIF: every image block composed onto the
+    logical-screen canvas per its Graphic Control Extension — delay
+    (centiseconds), disposal (1 leave / 2 restore-background /
+    3 restore-previous), transparent index (those pixels keep the
+    canvas) — returning ``[(delay_cs, canvas_rgb_uint8), ...]``, one
+    entry per displayed frame.  Sub-rectangle frames, local color
+    tables and interlacing all compose correctly."""
+    if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF container")
+    w0, h0, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gpal = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * n, offset=pos
+        ).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h0, w0), dtype=np.int32)
+    if gpal is not None:
+        canvas[:] = bg
+    frames: list[tuple[int, np.ndarray]] = []
+    delay, disposal, t_idx = 0, 0, None
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                sz = payload[pos]
+                gflags = payload[pos + 1]
+                delay = struct.unpack_from("<H", payload, pos + 2)[0]
+                t_idx = payload[pos + 4] if gflags & 0x01 else None
+                disposal = (gflags >> 2) & 0x07
+                pos += 1 + sz
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            x, y, iw, ih, iflags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            pal = gpal
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(b"".join(chunks), min_code, iw * ih)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF pixel data")
+            arr = np.asarray(idx, dtype=np.int32).reshape(ih, iw)
+            if iflags & 0x40:
+                out = np.empty_like(arr)
+                out[_gif_interlace_rows(ih)] = arr
+                arr = out
+            before = canvas.copy()
+            region = canvas[y : y + ih, x : x + iw]
+            if t_idx is None:
+                region[:] = arr
+            else:
+                keep = arr == t_idx
+                region[:] = np.where(keep, region, arr)
+            frames.append((delay, pal[canvas].astype(np.uint8)))
+            if disposal == 2:  # restore background over the region
+                canvas[y : y + ih, x : x + iw] = bg
+            elif disposal == 3:  # restore previous canvas
+                canvas = before
+            delay, disposal, t_idx = 0, 0, None
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def write_gif_anim(
+    frames: list["np.ndarray"],
+    palette: np.ndarray,
+    delays_cs: list[int],
+    rects: list[tuple[int, int]] | None = None,
+    screen: tuple[int, int] | None = None,
+    disposal: int = 1,
+    transparent: int | None = None,
+) -> bytes:
+    """Minimal animated GIF89a writer: one image block per frame, each
+    preceded by a Graphic Control Extension carrying its delay,
+    ``disposal`` mode and optional ``transparent`` index.  ``rects``
+    places each frame's top-left on the logical screen (sub-rectangle
+    updates); ``screen`` sizes the canvas (defaults to frame 0)."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    n = pal.shape[0]
+    bits = max(1, (n - 1).bit_length())
+    if n != (1 << bits):
+        raise ValueError("palette size must be a power of two")
+    h0, w0 = screen or frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w0, h0, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    for fi, frame in enumerate(frames):
+        idx = np.asarray(frame, dtype=np.uint8)
+        h, w = idx.shape
+        x, y = (rects[fi] if rects else (0, 0))
+        gflags = (disposal & 0x07) << 2
+        t = 0
+        if transparent is not None:
+            gflags |= 0x01
+            t = transparent
+        out += bytes([0x21, 0xF9, 4, gflags])
+        out += struct.pack("<H", delays_cs[fi])
+        out += bytes([t, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", x, y, w, h, 0)
+        mcs = max(2, bits)
+        out += bytes([mcs])
+        data = _lzw_encode([int(v) for v in idx.reshape(-1)], mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
     """GIF-flavor LZW encoder (fixture half): CLEAR first, table resets
     at 4096 entries, codes packed LSB-first."""

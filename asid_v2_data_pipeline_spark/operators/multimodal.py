@@ -758,6 +758,63 @@ def decode_flac_rms(media: DataFrame, window_samples: int) -> DataFrame:
     return media.mapInPandas(fn, FLAC_RMS_SCHEMA)
 
 
+GIF_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("delay_cs", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pooled", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def decode_gif_frames(media: DataFrame, factor: int) -> DataFrame:
+    """ANIMATED-GIF demux + decode: every displayed frame of each
+    payload (GCE delays, disposal modes and transparency composed onto
+    the logical-screen canvas — ``functions/codecs.parse_gif_frames``),
+    grayscale block-mean pooled by ``factor`` — the frame-sampling
+    stage of a video pipeline on a second real animated container
+    format beside MKV.  Arrow-batched ``mapInPandas``, per-frame
+    fan-out, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import parse_gif_frames
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "frame_no", "delay_cs", "width", "height",
+                "pooled",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for fno, (delay, rgb) in enumerate(
+                    parse_gif_frames(bytes(p))
+                ):
+                    h, w, _ = rgb.shape
+                    if h % factor or w % factor:
+                        raise ValueError("factor must divide frame dims")
+                    gray = rgb.astype(np.float64).mean(axis=2)
+                    pooled = gray.reshape(
+                        h // factor, factor, w // factor, factor
+                    ).mean(axis=(1, 3))
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(fno)
+                    rows["delay_cs"].append(delay)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pooled"].append(
+                        [float(x) for x in pooled.ravel()]
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, GIF_FRAMES_SCHEMA)
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -3193,6 +3193,108 @@ ORDER BY g.doc_id
 """
 
 
+_GIF_DELAY = 10  # centiseconds between fixture frames (scaled by no.)
+
+
+def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF frame demux + decode — a second real animated
+    container beside MKV: each document's bytes become up to
+    ``_MJPEG_MAX_FRAMES`` full 8×8 frames in one genuine GIF89a
+    animation (identity grayscale palette, per-frame Graphic Control
+    Extensions with increasing delays), then ``decode_gif_frames``
+    composes every displayed frame and 2×2-pools it.  The identity
+    palette makes the animation lossless over the octets, so the oracle
+    pools the raw text bytes per frame and re-derives the delay
+    arithmetic — any drift in LZW, GCE parsing or canvas composition
+    breaks the value hash."""
+    from ..operators.multimodal import decode_gif_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    n = _BMP_W * _BMP_H
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import write_gif_anim
+
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                nf = min(_MJPEG_MAX_FRAMES, len(raw) // n)
+                if nf == 0:
+                    payloads.append(None)
+                    continue
+                frames = [
+                    np.frombuffer(
+                        raw, np.uint8, count=n, offset=i * n
+                    ).reshape(_BMP_H, _BMP_W)
+                    for i in range(nf)
+                ]
+                payloads.append(
+                    write_gif_anim(
+                        frames,
+                        pal,
+                        [_GIF_DELAY * (i + 1) for i in range(nf)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
+        build, "media_id long, payload binary"
+    )
+    pooled = decode_gif_frames(media, _BMP_F)
+    k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
+    sel = [
+        F.round(F.element_at("pooled", i + 1), 6).alias(f"p{i}")
+        for i in range(k)
+    ]
+    return pooled.select(
+        F.col("media_id").alias("doc_id"),
+        "frame_no",
+        "delay_cs",
+        "width",
+        "height",
+        *sel,
+    ).orderBy("doc_id", "frame_no")
+
+
+def _mm_gif_frames_sql() -> str:
+    n = _BMP_W * _BMP_H
+    ow = _BMP_W // _BMP_F
+    oh = _BMP_H // _BMP_F
+    cols = []
+    for kk in range(ow * oh):
+        r, c = kk // ow, kk % ow
+        idx = [
+            (_BMP_F * r + dr) * _BMP_W + (_BMP_F * c + dc)
+            for dr in range(_BMP_F)
+            for dc in range(_BMP_F)
+        ]
+        s = " + ".join(
+            f"CAST(cs[CAST(fno * {n} + {i} + 1 AS INT)] AS BIGINT)"
+            for i in idx
+        )
+        cols.append(f"ROUND(({s}) / {_BMP_F * _BMP_F}.0, 6) AS p{kk}")
+    return f"""
+WITH {_CODES_CTE_SQL},
+frames AS (
+  SELECT doc_id, CAST(f AS INT) AS fno, cs
+  FROM codes,
+       unnest(range(0, LEAST(n_bytes // {n}, {_MJPEG_MAX_FRAMES}))) AS t(f)
+)
+SELECT doc_id, fno AS frame_no,
+       CAST({_GIF_DELAY} * (fno + 1) AS INT) AS delay_cs,
+       CAST({_BMP_W} AS INT) AS width, CAST({_BMP_H} AS INT) AS height,
+{',' .join(cols)}
+FROM frames ORDER BY doc_id, frame_no
+"""
+
+
 def mm_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental media admission — the oracle-checked BATCH TWIN of
     ``streaming/media_stream.py`` (the pattern ``dd_incremental`` set
@@ -4818,6 +4920,7 @@ REGISTRY = {
     "gr_pagerank_weighted": (gr_pagerank_weighted, _gr_pagerank_sql(True)),
     "mm_audio_curation": (mm_audio_curation, _mm_audio_curation_sql()),
     "mm_audio_incremental": (mm_audio_incremental, _mm_audio_incremental_sql()),
+    "mm_gif_frames": (mm_gif_frames, _mm_gif_frames_sql()),
     "mm_id3_tags": (mm_id3_tags, _mm_id3_sql()),
     "mm_mp3_meta": (mm_mp3_meta, _mm_mp3_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),

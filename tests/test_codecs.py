@@ -1226,3 +1226,61 @@ def test_property_id3_random_tag_roundtrip():
         assert blob[tags["_tag_bytes"] :] == audio
 
     check()
+
+
+def test_gif_animation_composition():
+    """Animated GIF: full-frame sequences round-trip exactly through
+    the identity palette; sub-rectangle updates compose onto the
+    canvas; transparent indices keep the underlying pixels; disposal 3
+    restores the previous canvas."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_gif_frames,
+        write_gif_anim,
+    )
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    rng = np.random.RandomState(3)
+    frames = [
+        rng.randint(0, 256, (8, 8)).astype(np.uint8) for _ in range(4)
+    ]
+    got = parse_gif_frames(
+        write_gif_anim(frames, pal, [10, 20, 30, 40])
+    )
+    assert [d for d, _ in got] == [10, 20, 30, 40]
+    for (d, rgb), f in zip(got, frames):
+        np.testing.assert_array_equal(rgb[:, :, 0], f)
+
+    base = frames[0]
+    patch = rng.randint(0, 256, (4, 4)).astype(np.uint8)
+    got = parse_gif_frames(
+        write_gif_anim(
+            [base, patch], pal, [5, 5], rects=[(0, 0), (2, 3)],
+            screen=(8, 8),
+        )
+    )
+    want = base.copy()
+    want[3:7, 2:6] = patch
+    np.testing.assert_array_equal(got[1][1][:, :, 0], want)
+
+    f2 = patch.copy()
+    f2[0, :] = 7  # transparent index keeps the canvas
+    got = parse_gif_frames(
+        write_gif_anim(
+            [base, f2], pal, [5, 5], rects=[(0, 0), (0, 0)],
+            screen=(8, 8), transparent=7,
+        )
+    )
+    want = base.copy()
+    sel = f2 != 7
+    want[:4, :4][sel] = f2[sel]
+    np.testing.assert_array_equal(got[1][1][:4, :4, 0], want[:4, :4])
+
+    got = parse_gif_frames(
+        write_gif_anim(
+            [base, patch, base], pal, [1, 1, 1],
+            rects=[(0, 0), (0, 0), (0, 0)], screen=(8, 8), disposal=3,
+        )
+    )
+    np.testing.assert_array_equal(got[2][1][:, :, 0], base)

@@ -76,6 +76,7 @@ CASES = [
     "mm_audio_curation",
     "gr_pagerank_weighted",
     "mm_audio_incremental",
+    "mm_gif_frames",
 ]
 
 
