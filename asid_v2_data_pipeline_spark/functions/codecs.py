@@ -416,12 +416,49 @@ def write_wav(
 # --------------------------------------------------------------------------
 
 
+def _bmp_rle8_decode(
+    data: bytes, width: int, height: int
+) -> "np.ndarray":
+    """BI_RLE8: (count, value) runs; escape 0 -> end-of-line, 1 ->
+    end-of-bitmap, 2 -> (dx, dy) delta, n>=3 -> n absolute bytes
+    (word-aligned).  Rows are stored bottom-up like uncompressed BMPs;
+    unreached pixels stay 0 per the format's skip semantics."""
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = 0
+    pos = 0
+    while pos + 1 < len(data):
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n:
+            run = min(n, width - x)
+            out[y, x : x + run] = v
+            x += run
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y >= height:
+                break
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta skip
+            x = min(width, x + data[pos])
+            y = min(height - 1, y + data[pos + 1])
+            pos += 2
+        else:  # absolute mode: v literal bytes, padded to word
+            take = min(v, width - x)
+            out[y, x : x + take] = np.frombuffer(
+                data, np.uint8, count=take, offset=pos
+            )
+            x += take
+            pos += v + (v & 1)
+    return out[::-1]  # stored bottom-up
+
+
 def parse_bmp(payload: bytes) -> np.ndarray:
-    """Parse an uncompressed BMP; returns uint8 pixels shaped
-    ``(height, width, 3)`` in RGB order — 24-bit BGR, 32-bit BGRX
-    (alpha dropped), 16-bit X1R5G5B5 (5-bit channels replicated to
-    8-bit), and 8-bit palette.  RLE/other compressions raise
-    ``NotImplementedError``."""
+    """Parse a BMP; returns uint8 pixels shaped ``(height, width, 3)``
+    in RGB order — 24-bit BGR, 32-bit BGRX (alpha dropped), 16-bit
+    X1R5G5B5 (5-bit channels replicated to 8-bit), 8-bit palette, and
+    BI_RLE8 runs (runs / absolute mode / EOL / EOD / delta skips).
+    Other compressions raise ``NotImplementedError``."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP file")
     data_off = struct.unpack_from("<I", payload, 10)[0]
@@ -431,6 +468,15 @@ def parse_bmp(payload: bytes) -> np.ndarray:
     width, height = struct.unpack_from("<ii", payload, 18)
     bits = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression == 1:  # BI_RLE8
+        if bits != 8 or height < 0:
+            raise ValueError("BI_RLE8 requires bottom-up 8-bit data")
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_colors, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]
+        idx = _bmp_rle8_decode(payload[data_off:], width, height)
+        return np.ascontiguousarray(pal[idx])
     if compression != 0:
         raise NotImplementedError(
             f"BMP compression {compression} needs real codec libraries"

@@ -81,16 +81,53 @@ def test_bmp_8bit_palette():
     )
 
 
-def test_bmp_rejects_rle_and_garbage():
+def test_bmp_rejects_foreign_compression_and_garbage():
     import struct
 
     rgb = np.zeros((2, 2, 3), dtype=np.uint8)
     blob = bytearray(write_bmp(rgb))
-    blob[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    blob[30:34] = struct.pack("<I", 4)  # BI_JPEG (RLE8 decodes now)
     with pytest.raises(NotImplementedError, match="compression"):
+        parse_bmp(bytes(blob))
+    # RLE8 flag on non-8-bit data is malformed, not merely unsupported
+    blob[30:34] = struct.pack("<I", 1)
+    with pytest.raises(ValueError, match="RLE8"):
         parse_bmp(bytes(blob))
     with pytest.raises(ValueError, match="BMP"):
         parse_bmp(b"\x00" * 64)
+
+
+def test_bmp_rle8_decode():
+    """Hand-built BI_RLE8 stream: encoded runs, absolute mode (odd
+    length -> word pad), end-of-line, a delta skip (skipped pixels
+    stay palette index 0), end-of-bitmap."""
+    import struct
+
+    w, h = 6, 3
+    # bottom-up rows: the stream writes row y=0 (bottom) first
+    rle = bytes(
+        [
+            3, 5,            # run: 3 x index 5
+            0, 3, 1, 2, 3, 0,  # absolute: escape, count 3, literals, pad
+            0, 0,            # EOL -> next row up
+            2, 9,            # run: 2 x 9
+            0, 2, 2, 1,      # delta: skip dx=2, dy=1 (to top row, x=4)
+            2, 4,            # run on the top row
+            0, 1,            # EOD
+        ]
+    )
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))  # BGRA
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle), 0, 0, 256, 0
+    )
+    off = 14 + len(dib) + len(pal)
+    head = b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+    got = parse_bmp(head + dib + pal + rle)
+    want = np.zeros((h, w), dtype=np.uint8)
+    want[2] = [5, 5, 5, 1, 2, 3]   # bottom row -> top-down index 2
+    want[1, :2] = 9                 # middle row
+    want[0, 4:6] = 4                # delta lands on the top row
+    np.testing.assert_array_equal(got[:, :, 0], want)
 
 
 def test_decode_stub_rejects_compressed_magic():
