@@ -440,11 +440,15 @@ def _bmp_rle8_decode(
         elif v == 1:  # end of bitmap
             break
         elif v == 2:  # delta skip
+            if pos + 1 >= len(data):  # truncated (dx, dy) operands
+                raise ValueError("BI_RLE8 truncated")
             x = min(width, x + data[pos])
             y = min(height - 1, y + data[pos + 1])
             pos += 2
         else:  # absolute mode: v literal bytes, padded to word
             take = min(v, width - x)
+            if pos + take > len(data):
+                raise ValueError("BI_RLE8 truncated")
             out[y, x : x + take] = np.frombuffer(
                 data, np.uint8, count=take, offset=pos
             )
@@ -938,9 +942,13 @@ def parse_gif_frames(
             payload, dtype=np.uint8, count=3 * n, offset=pos
         ).reshape(n, 3)
         pos += 3 * n
-    canvas = np.zeros((h0, w0), dtype=np.int32)
-    if gpal is not None:
-        canvas[:] = bg
+    # Compose in RGB (ADVICE r7): each frame's indices map through its
+    # OWN palette before landing on the canvas, so leftover pixels from
+    # earlier frames keep their original colors when a later frame
+    # carries a different local color table.
+    canvas = np.zeros((h0, w0, 3), dtype=np.uint8)
+    bg_rgb = gpal[bg] if gpal is not None else np.zeros(3, np.uint8)
+    canvas[:] = bg_rgb
     frames: list[tuple[int, np.ndarray]] = []
     delay, disposal, t_idx = 0, 0, None
     while pos < len(payload):
@@ -988,16 +996,19 @@ def parse_gif_frames(
                 out = np.empty_like(arr)
                 out[_gif_interlace_rows(ih)] = arr
                 arr = out
+            if int(arr.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("GIF pixel index exceeds color table")
             before = canvas.copy()
             region = canvas[y : y + ih, x : x + iw]
+            rgb = pal[arr]  # this frame through ITS palette
             if t_idx is None:
-                region[:] = arr
+                region[:] = rgb
             else:
-                keep = arr == t_idx
-                region[:] = np.where(keep, region, arr)
-            frames.append((delay, pal[canvas].astype(np.uint8)))
+                keep = (arr == t_idx)[:, :, None]
+                region[:] = np.where(keep, region, rgb)
+            frames.append((delay, canvas.copy()))
             if disposal == 2:  # restore background over the region
-                canvas[y : y + ih, x : x + iw] = bg
+                canvas[y : y + ih, x : x + iw] = bg_rgb
             elif disposal == 3:  # restore previous canvas
                 canvas = before
             delay, disposal, t_idx = 0, 0, None
@@ -1018,12 +1029,15 @@ def write_gif_anim(
     screen: tuple[int, int] | None = None,
     disposal: int = 1,
     transparent: int | None = None,
+    local_palettes: list["np.ndarray"] | None = None,
 ) -> bytes:
     """Minimal animated GIF89a writer: one image block per frame, each
     preceded by a Graphic Control Extension carrying its delay,
     ``disposal`` mode and optional ``transparent`` index.  ``rects``
     places each frame's top-left on the logical screen (sub-rectangle
-    updates); ``screen`` sizes the canvas (defaults to frame 0)."""
+    updates); ``screen`` sizes the canvas (defaults to frame 0).
+    ``local_palettes`` gives each frame its own local color table
+    (the global ``palette`` then only supplies the background)."""
     pal = np.asarray(palette, dtype=np.uint8)
     n = pal.shape[0]
     bits = max(1, (n - 1).bit_length())
@@ -1045,8 +1059,18 @@ def write_gif_anim(
         out += bytes([0x21, 0xF9, 4, gflags])
         out += struct.pack("<H", delays_cs[fi])
         out += bytes([t, 0])
-        out += b"\x2c" + struct.pack("<HHHHB", x, y, w, h, 0)
-        mcs = max(2, bits)
+        iflags, lbits, lpal = 0, bits, None
+        if local_palettes is not None:
+            lpal = np.asarray(local_palettes[fi], dtype=np.uint8)
+            ln = lpal.shape[0]
+            lbits = max(1, (ln - 1).bit_length())
+            if ln != (1 << lbits):
+                raise ValueError("palette size must be a power of two")
+            iflags = 0x80 | (lbits - 1)
+        out += b"\x2c" + struct.pack("<HHHHB", x, y, w, h, iflags)
+        if lpal is not None:
+            out += lpal.tobytes()
+        mcs = max(2, lbits)
         out += bytes([mcs])
         data = _lzw_encode([int(v) for v in idx.reshape(-1)], mcs)
         for i in range(0, len(data), 255):

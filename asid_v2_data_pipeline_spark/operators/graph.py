@@ -45,12 +45,19 @@ def pagerank(
     PageRank form for graphs where edge multiplicity means something
     (transaction counts, link counts, co-occurrence strength).
 
+    General directed input is supported: a node with out-edges but NO
+    in-edges never appears as a ``dst``, so each round LEFT-joins the
+    aggregated in-mass back onto the degree table and fills the missing
+    rows with ``rank = (1-d)/N`` — those source-only nodes keep
+    contributing their residual mass every round and appear in the
+    output (they'd otherwise silently vanish after round one).
+
     Precondition (documented, not scanned-for): every node reachable by
     an in-edge must also carry an out-edge — i.e. the caller hands a
     dangling-free graph, e.g. by symmetrizing (undirected graphs have
-    none).  With dangling nodes the leaked mass would need a per-
-    iteration global scalar (a driver round-trip per round); the
-    symmetrized form keeps the whole computation one lazy plan.
+    none).  With dangling (in-edge-only) nodes the leaked mass would
+    need a per-iteration global scalar (a driver round-trip per round);
+    the symmetrized form keeps the whole computation one lazy plan.
 
     Fixed iteration count (not convergence-tested) on purpose: it makes
     the result exactly reproducible AND lets an independent SQL oracle
@@ -73,17 +80,20 @@ def pagerank(
     # contribution table carries rank/deg so each round is join + sum
     ranks = deg.select("src", (F.lit(1.0 / n) / F.col("deg")).alias("contrib"))
     for _ in range(iters):
-        ranks = (
+        in_mass = (
             e.join(ranks, "src")
             .groupBy("dst")
-            .agg(
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.sum(F.col("w") * F.col("contrib"))
-                ).alias("rank")
-            )
+            .agg(F.sum(F.col("w") * F.col("contrib")).alias("_in"))
             .withColumnRenamed("dst", "src")
-            .join(deg, "src")
-            .select("src", "rank", (F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        # LEFT join keeps source-only nodes (no in-edges) alive at the
+        # residual rank (1-d)/N so their mass propagates every round.
+        rank_col = F.lit(base) + F.lit(damping) * F.coalesce(
+            F.col("_in"), F.lit(0.0)
+        )
+        ranks = deg.join(in_mass, "src", "left").select(
+            "src",
+            rank_col.alias("rank"),
+            (rank_col / F.col("deg")).alias("contrib"),
         )
     return ranks.select(F.col("src").alias("node"), "rank")

@@ -819,6 +819,7 @@ AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_channels", T.IntegerType(), False),
         T.StructField("n_frames", T.LongType(), False),
         T.StructField("n_clip", T.LongType(), False),
         T.StructField("n_silence", T.LongType(), False),
@@ -849,8 +850,8 @@ def decode_flac_audio_stats(
 
         for pdf in batches:
             rows = {k: [] for k in (
-                "media_id", "sample_rate", "n_frames", "n_clip",
-                "n_silence", "sum_sq", "fp",
+                "media_id", "sample_rate", "n_channels", "n_frames",
+                "n_clip", "n_silence", "sum_sq", "fp",
             )}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None:
@@ -860,6 +861,7 @@ def decode_flac_audio_stats(
                 a = np.abs(flat)
                 rows["media_id"].append(mid)
                 rows["sample_rate"].append(rate)
+                rows["n_channels"].append(samples.shape[1])
                 rows["n_frames"].append(samples.shape[0])
                 rows["n_clip"].append(int((a >= clip_at).sum()))
                 rows["n_silence"].append(int((a < silence_below).sum()))

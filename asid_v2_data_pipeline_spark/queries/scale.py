@@ -3117,7 +3117,7 @@ def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id long, payload binary",
     )
     stats = decode_flac_audio_stats(media, _AC_CLIP, _AC_SIL, _AC_FP_WIN)
-    n = F.col("n_frames") * 2  # stereo: interleaved sample count
+    n = F.col("n_frames") * F.col("n_channels")  # decoded, not assumed
     gated = stats.select(
         F.col("media_id").alias("doc_id"),
         "n_frames",
@@ -3319,7 +3319,7 @@ def mm_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_stats = decode_flac_audio_stats(
         history, _AC_CLIP, _AC_SIL, _AC_FP_WIN
     )
-    n = F.col("n_frames") * 2
+    n = F.col("n_frames") * F.col("n_channels")
     index_rows = hist_stats.filter(
         (F.col("n_frames") >= _AC_MIN_FRAMES)
         & (F.col("n_clip") / n <= _AC_MAX_CLIP)

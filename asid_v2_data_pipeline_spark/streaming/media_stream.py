@@ -55,7 +55,9 @@ def admit_media_batch(
     stats = decode_flac_audio_stats(
         batch, clip_at, silence_below, fp_window
     )
-    n = F.col("n_frames") * 2  # stereo interleaved sample count
+    # decoded channel count — mono and stereo payloads gate correctly
+    # (ADVICE r7: a hardcoded *2 halved mono denominators)
+    n = F.col("n_frames") * F.col("n_channels")
     gated = stats.select(
         "media_id",
         "sample_rate",

@@ -1321,3 +1321,71 @@ def test_gif_animation_composition():
         )
     )
     np.testing.assert_array_equal(got[2][1][:, :, 0], base)
+
+
+def test_gif_multi_palette_composes_in_rgb():
+    """ADVICE r7: frames carrying DIFFERENT local color tables must
+    compose in RGB — leftover pixels from an earlier frame keep the
+    colors of THEIR palette, and a small later palette must not be
+    indexed by the earlier frame's larger indices."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_gif_frames,
+        write_gif_anim,
+    )
+
+    # frame 0: full 8x8 under a 4-entry palette, uses index 3 (red-ish)
+    pal_a = np.array(
+        [[0, 0, 0], [10, 20, 30], [40, 50, 60], [200, 0, 0]], np.uint8
+    )
+    f0 = np.full((8, 8), 3, np.uint8)
+    # frame 1: a 2x2 patch under a DIFFERENT 2-entry palette
+    pal_b = np.array([[0, 0, 255], [0, 255, 0]], np.uint8)
+    f1 = np.array([[0, 1], [1, 0]], np.uint8)
+    blob = write_gif_anim(
+        [f0, f1],
+        np.zeros((2, 3), np.uint8),  # global table: background only
+        [5, 5],
+        rects=[(0, 0), (3, 3)],
+        screen=(8, 8),
+        local_palettes=[pal_a, pal_b],
+    )
+    got = parse_gif_frames(blob)
+    # composed frame 1: patch in pal_b colors, everything else still
+    # pal_a's red — the old index-canvas composition would have mapped
+    # index 3 through the 2-entry pal_b (IndexError / wrong colors)
+    rgb = got[1][1]
+    np.testing.assert_array_equal(rgb[3:5, 3:5], pal_b[f1])
+    np.testing.assert_array_equal(rgb[0, 0], pal_a[3])
+    np.testing.assert_array_equal(rgb[7, 7], pal_a[3])
+
+
+def test_bmp_rle8_truncated_delta_raises_valueerror():
+    """ADVICE r7: a BI_RLE8 stream cut inside a delta escape's (dx,dy)
+    operands raises the module's ValueError, not IndexError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from asid_v2_data_pipeline_spark.functions.codecs import parse_bmp
+
+    def blob(rle):
+        pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(rle), 0, 0, 256, 0
+        )
+        off = 14 + len(dib) + len(pal)
+        head = b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+        return head + dib + pal + rle
+
+    # delta escape (0, 2) with only dx present — dy is cut off
+    with pytest.raises(ValueError, match="truncated"):
+        parse_bmp(blob(bytes([2, 7, 0, 2, 1])))
+    # absolute mode promising 3 literals but carrying only 1
+    with pytest.raises(ValueError, match="truncated"):
+        parse_bmp(blob(bytes([0, 3, 5])))
+    # intact stream still decodes
+    got = parse_bmp(blob(bytes([2, 7, 0, 2, 1, 0, 0, 1])))
+    assert got.shape == (2, 4, 3)

@@ -93,6 +93,26 @@ def test_weighted_matches_dense_reference(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_source_only_nodes_survive_every_round(spark):
+    """A node with out-edges but no in-edges (ADVICE r7): it must stay
+    in the rank table at the residual (1-d)/N each round, keep feeding
+    its successors, and appear in the output — not vanish after the
+    first dst-keyed aggregation."""
+    # 10 and 11 are pure sources; 1<->2 is a cycle they feed into.
+    edges = [(10, 1), (11, 2), (1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3, 6):
+        got = {
+            r["node"]: r["rank"] for r in pagerank(df, 0.85, iters).collect()
+        }
+        want = _numpy_pagerank(edges, 0.85, iters)
+        assert set(got) == {1, 2, 10, 11}
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+        # source-only nodes sit exactly at the residual mass
+        assert got[10] == pytest.approx(0.15 / 4, abs=1e-12)
+
+
 def test_hub_skew_star_graph(spark):
     """A 5000-leaf star concentrates every round's aggregation on one
     hot key — the AQE skew path must still produce the exact stochastic

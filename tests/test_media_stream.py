@@ -108,3 +108,30 @@ def test_media_batch_retry_is_idempotent(spark, tmp_path):
     assert _ids(spark, dirs["corpus"]) == first == [1, 2]
     fp_rows = spark.read.parquet(dirs["index"])
     assert fp_rows.count() == 2
+
+
+def test_mono_payload_gates_on_real_sample_count(spark):
+    """ADVICE r7: the admission gates hardcoded stereo (n = n_frames*2),
+    halving mono ratios — a fully-silent mono payload slipped through at
+    silence_ratio 0.5.  Gates must use the decoded channel count."""
+    from asid_v2_data_pipeline_spark.streaming.media_stream import (
+        admit_media_batch,
+    )
+
+    silent_mono = np.full((200, 1), 10, dtype=np.int64)  # |s| << 8192
+    loud_mono = np.arange(200, dtype=np.int64).reshape(200, 1) * 150 - 15000
+    batch = spark.createDataFrame(
+        [(1, _flac(silent_mono)), (2, _flac(loud_mono)), (3, _flac(_pcm(7)))],
+        SCHEMA,
+    )
+    admitted, _ = admit_media_batch(batch, None)
+    rows = {r["media_id"]: r for r in admitted.collect()}
+    # silent mono: true silence_ratio = 1.0 > 0.85 -> rejected
+    assert 1 not in rows
+    # loud mono admitted with mono denominators (n = 200, not 400)
+    flat = loud_mono.reshape(-1)
+    assert rows[2]["silence_ratio"] == float(
+        (np.abs(flat) < 8192).sum() / flat.size
+    )
+    assert rows[2]["rms"] == float(np.sqrt((flat * flat).sum() / flat.size))
+    assert 3 in rows  # stereo path unchanged
