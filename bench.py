@@ -100,6 +100,99 @@ HEADLINE = [
 ]
 
 
+def sweep() -> None:
+    """Full-surface timing sweep (VERDICT r7 task 1): ONE timed pass
+    over EVERY declared query at sf0.01 (the headline covers ~32 of
+    154; the rest had no perf record, so a regression there was
+    invisible until it broke the parity-suite wall clock).  Writes the
+    committed sidecar BENCH_SWEEP.json and diffs round-over-round
+    against the previous sweep, flagging any query >2x its prior time.
+
+    Methodology: same warmup discipline as the headline (each query
+    runs once at sf0.001 first, so the timed pass measures steady-state
+    execution, not codegen/JIT compile); single pass — the sweep is a
+    tripwire for order-of-magnitude regressions, not a median-grade
+    benchmark (that's the headline's job)."""
+    from asid_v2_data_pipeline_spark.queries import all_queries
+    from asid_v2_data_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="bench-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    warm_dir = "/root/testdata/sf0.001"
+    warm = os.path.isdir(warm_dir) and os.path.abspath(
+        warm_dir
+    ) != os.path.abspath(sf_dir)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        if warm:
+            fn(spark, warm_dir).count()
+        if name.endswith("_serve"):
+            fn(spark, sf_dir).count()  # index build is an offline job
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "sweep_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "passes": 1,
+        "warmup": warm,
+        "n_queries": len(timings),
+        "queries": timings,
+    }
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "BENCH_SWEEP.json")
+    prev = None
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = None
+    if prev and prev.get("sf") == out["sf"]:
+        pq = prev.get("queries", {})
+        flagged = {}
+        for k, v in timings.items():
+            if k in pq and pq[k] >= 0.05 and v > 2.0 * pq[k]:
+                flagged[k] = {"prev": pq[k], "now": v}
+        out["flagged_over_2x"] = flagged
+        for k, d in sorted(flagged.items(), key=lambda kv: -kv[1]["now"]):
+            print(
+                f"# FLAGGED >2x: {k} {d['prev']:.3f}s -> {d['now']:.3f}s",
+                file=sys.stderr,
+            )
+        if not flagged:
+            print("# no query exceeded 2x its previous sweep time", file=sys.stderr)
+    with open(sidecar, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"# sweep sidecar: {sidecar}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "sweep_total",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "n_queries": len(timings),
+                "flagged_over_2x": len(out.get("flagged_over_2x", {})),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
     from asid_v2_data_pipeline_spark.queries import all_queries
     from asid_v2_data_pipeline_spark.session import get_spark
@@ -225,4 +318,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sweep" in sys.argv[1:]:
+        sweep()
+    else:
+        main()
