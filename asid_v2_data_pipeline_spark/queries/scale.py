@@ -3392,6 +3392,210 @@ ORDER BY n.doc_id
 """
 
 
+_MP3_GG = 190  # fixture global_gain (2^-5 — PCM off the int16 rails)
+
+
+def _mp3_build(batches):
+    """Fixture kernel for ``mm_mp3_rms``: document bytes become ONE
+    real ID3v2-prefixed MPEG-1 Layer III frame (mono, 44.1 kHz,
+    320 kbps, Huffman table 1).  The byte→bitstream mapping the oracle
+    mirrors: line i of granule g takes quantized value from byte
+    ``(576g + i) mod n`` (b%3: 0→0, 1→+1, 2→−1); scalefactor band k of
+    granule g from byte ``(21g + k) mod n`` (b%8)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.id3 import write_id3
+    from ..functions.mp3 import write_mp3_l3
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode("utf-8")
+            nb = len(raw)
+            if nb == 0:
+                payloads.append(None)
+                continue
+            b = np.frombuffer(raw, np.uint8).astype(np.int64)
+            q = np.empty((1, 2, 576), np.int64)
+            sfs = np.empty((1, 2, 21), np.int64)
+            for g in range(2):
+                v = b[(576 * g + np.arange(576)) % nb] % 3
+                q[0, g] = np.where(v == 0, 0, np.where(v == 1, 1, -1))
+                sfs[0, g] = b[(21 * g + np.arange(21)) % nb] % 8
+            payloads.append(
+                write_id3({"TIT2": f"doc {did}"})
+                + write_mp3_l3(q, sfs, global_gain=_MP3_GG)
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END MP3 SAMPLE decode (VERDICT r7 task 2, the last
+    DecodeStub raise worth killing): each document becomes a REAL
+    ID3v2-tagged MPEG-1 Layer III stream — side info, scalefactors and
+    a table-1 Huffman-coded spectrum derived from the document bytes —
+    and ``decode_mp3_audio_stats`` decodes the SAMPLES back: ID3 skip,
+    sync walk, side-info parse, scalefactor read, Huffman decode,
+    then the fixed-point reconstruction (requant LUT → alias
+    butterflies → fused IMDCT+window with ONE rounding → overlap-add →
+    frequency inversion → polyphase synthesis → int16 clamp).  Every
+    reconstruction stage is integer-exact, so the DuckDB oracle
+    replays the WHOLE pipeline from the pre-encode octets — any drift
+    in the bitstream layout, the Huffman codes, a table constant or a
+    rounding rule breaks the value hash (the lossy-codec trick of
+    ``mm_jpeg_pool``, at Layer III scale: 5 chained stages over
+    576-line granules instead of 4 over 8×8 blocks).
+
+    Scale shape: one zero-shuffle Arrow decode pass over repartitioned
+    payloads; one stats row per document moves afterwards."""
+    from ..operators.multimodal import decode_mp3_audio_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
+        _mp3_build, "media_id long, payload binary"
+    )
+    stats = decode_mp3_audio_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "sum_sq",
+        "fp",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
+        ).alias("rms"),
+    ).orderBy("doc_id")
+
+
+def _mm_mp3_rms_sql() -> str:
+    """The fixed-point Layer III decode pipeline unrolled as chained
+    CTEs over the pre-encode octets — same tables, same single
+    rounding rule floor((2a+b)/2b) as ``functions/mp3.py`` (constants
+    embedded verbatim from the module, so the LUTs ARE the contract).
+    Stage layout mirrors the decoder: xq (requantized lines, 2
+    granules × 576), xa (alias butterflies, exact), zz (fused
+    IMDCT+window, the ONE mid-pipeline rounding), tv (overlap-add +
+    frequency inversion, exact), vv (polyphase matrixing, exact),
+    pcm (512-tap windowed output, final rounding + int16 clamp)."""
+    from ..functions.mp3 import (
+        _CA,
+        _CS,
+        _CW36,
+        _DWIN,
+        _NMAT,
+        SFB_LONG_44100,
+        requant_lut,
+    )
+
+    lut = requant_lut(_MP3_GG)
+    bo = []
+    for band in range(22):
+        bo += [band] * (SFB_LONG_44100[band + 1] - SFB_LONG_44100[band])
+    cw = [int(v) for v in _CW36.ravel()]  # [n*18+i]
+    nm = [int(v) for v in _NMAT.ravel()]  # [i*32+j]
+    dw = [int(v) for v in _DWIN]
+    csa = [int(v) for v in _CS]
+    caa = [int(v) for v in _CA]
+
+    def rdiv20(s: str) -> str:
+        return (
+            f"CAST(floor((2.0 * ({s}) + 1048576) / 2097152.0) AS BIGINT)"
+        )
+
+    imdct_terms = " + ".join(
+        f"xa[CAST((k // 1152) * 576 + ((k % 1152) // 36) * 18 + {i}"
+        f" + 1 AS INT)] * cw[CAST((k % 36) * 18 + {i} + 1 AS INT)]"
+        for i in range(18)
+    )
+    matrix_terms = " + ".join(
+        f"nm[CAST((k % 64) * 32 + {j} + 1 AS INT)]"
+        f" * tv[CAST((k // 64 // 18) * 576 + {j} * 18"
+        f" + ((k // 64) % 18) + 1 AS INT)]"
+        for j in range(32)
+    )
+    win_terms = " + ".join(
+        f"(CASE WHEN k // 32 >= {i} THEN"
+        f" vv[CAST((k // 32 - {i}) * 64 + k % 32 + {32 * (i % 2)}"
+        f" + 1 AS INT)] ELSE 0 END) * dw[CAST(k % 32 + {32 * i}"
+        f" + 1 AS INT)]"
+        for i in range(16)
+    )
+    sfx = (
+        "CASE WHEN bo[CAST(k % 576 + 1 AS INT)] < 21 THEN"
+        " cs[CAST(((k // 576) * 21 + bo[CAST(k % 576 + 1 AS INT)])"
+        " % n_bytes + 1 AS INT)] % 8 ELSE 0 END"
+    )
+    return f"""
+WITH {_CODES_CTE_SQL},
+consts AS (SELECT {lut!r}::BIGINT[] AS lut, {bo!r}::BIGINT[] AS bo,
+  {csa!r}::BIGINT[] AS csa, {caa!r}::BIGINT[] AS caa,
+  {cw!r}::BIGINT[] AS cw, {nm!r}::BIGINT[] AS nm, {dw!r}::BIGINT[] AS dw),
+xq AS (
+  SELECT doc_id, list_transform(range(0, 1152), k ->
+    (CASE cs[CAST(k % n_bytes + 1 AS INT)] % 3
+       WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE -1 END)
+    * lut[CAST(({sfx}) + 1 AS INT)]) AS x
+  FROM codes CROSS JOIN consts WHERE n_bytes > 0
+),
+xal AS (
+  SELECT doc_id, list_transform(range(0, 1152), k ->
+    CASE
+      WHEN (k % 576) % 18 >= 10 AND (k % 576) // 18 < 31 THEN
+        x[CAST(k + 1 AS INT)]
+          * csa[CAST(17 - (k % 576) % 18 + 1 AS INT)]
+        - x[CAST(k + 2 * (17 - (k % 576) % 18) + 2 AS INT)]
+          * caa[CAST(17 - (k % 576) % 18 + 1 AS INT)]
+      WHEN (k % 576) % 18 <= 7 AND (k % 576) // 18 >= 1 THEN
+        x[CAST(k + 1 AS INT)] * csa[CAST((k % 576) % 18 + 1 AS INT)]
+        + x[CAST(k - 2 * ((k % 576) % 18) AS INT)]
+          * caa[CAST((k % 576) % 18 + 1 AS INT)]
+      ELSE x[CAST(k + 1 AS INT)] * 1024
+    END) AS xa
+  FROM xq CROSS JOIN consts
+),
+zz AS (
+  SELECT doc_id, list_transform(range(0, 2304), k ->
+    {rdiv20(imdct_terms)}) AS z
+  FROM xal CROSS JOIN consts
+),
+tvs AS (
+  SELECT doc_id, list_transform(range(0, 1152), k ->
+    (CASE WHEN ((k % 576) // 18) % 2 = 1 AND (k % 18) % 2 = 1
+          THEN -1 ELSE 1 END)
+    * (z[CAST((k // 576) * 1152 + ((k % 576) // 18) * 36
+         + (k % 18) + 1 AS INT)]
+       + CASE WHEN k // 576 = 1 THEN
+           z[CAST(((k % 576) // 18) * 36 + 18 + (k % 18) + 1 AS INT)]
+         ELSE 0 END)) AS tv
+  FROM zz
+),
+vvs AS (
+  SELECT doc_id, list_transform(range(0, 2304), k ->
+    {matrix_terms}) AS vv
+  FROM tvs CROSS JOIN consts
+),
+pcms AS (
+  SELECT doc_id, list_transform(range(0, 1152), k ->
+    LEAST(32767, GREATEST(-32768, {rdiv20(win_terms)}))) AS pcm
+  FROM vvs CROSS JOIN consts
+),
+agg AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(pcm, p -> p * p)) AS BIGINT) AS sum_sq,
+    CAST(list_sum(list_transform(range(0, 1152), k ->
+      (k + 1) * pcm[CAST(k + 1 AS INT)])) AS BIGINT) AS fp
+  FROM pcms
+)
+SELECT doc_id, CAST(44100 AS INT) AS sample_rate,
+       CAST(1152 AS BIGINT) AS n_samples, sum_sq, fp,
+       ROUND(sqrt(sum_sq / 1152.0), 6) AS rms
+FROM agg ORDER BY doc_id
+"""
+
+
 def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MP3 metadata extraction through a REAL ID3v2 container: each
     document becomes an ID3-tagged payload (title = first 3 tokens,
@@ -4923,6 +5127,7 @@ REGISTRY = {
     "mm_gif_frames": (mm_gif_frames, _mm_gif_frames_sql()),
     "mm_id3_tags": (mm_id3_tags, _mm_id3_sql()),
     "mm_mp3_meta": (mm_mp3_meta, _mm_mp3_sql()),
+    "mm_mp3_rms": (mm_mp3_rms, _mm_mp3_rms_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

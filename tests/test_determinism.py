@@ -77,6 +77,8 @@ CASES = [
     "gr_pagerank_weighted",
     "mm_audio_incremental",
     "mm_gif_frames",
+    # round 8: MP3 Layer III sample decode
+    "mm_mp3_rms",
 ]
 
 
