@@ -21,10 +21,48 @@ score = Σ idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
 
 from __future__ import annotations
 
+import struct
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+
+
+def spark_string_hash(s: str, seed: int = 42) -> int:
+    """Driver-side replica of Spark's ``F.hash`` on a StringType column
+    (Murmur3 x86_32 over the UTF-8 bytes with Spark's seed and its
+    per-byte tail mixing) — lets the serving path compute a query
+    term's partition bucket WITHOUT launching a Spark job (profiled at
+    ~0.35 s per ``tx_bm25_serve`` call in round 8, pure job-dispatch
+    overhead for a 4-row hash).  Equality with ``F.hash`` is pinned in
+    tests/test_retrieval_index.py over fixed unicode cases and random
+    strings; any Spark-side change breaks that test, not silently the
+    pruning."""
+    data = s.encode("utf-8")
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h1 = seed & 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    def mix(h1: int, k1: int) -> int:
+        k1 = rotl((k1 * c1) & 0xFFFFFFFF, 15) * c2 & 0xFFFFFFFF
+        return (rotl(h1 ^ k1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+    n4 = len(data) // 4 * 4
+    for i in range(0, n4, 4):
+        h1 = mix(h1, struct.unpack_from("<i", data, i)[0] & 0xFFFFFFFF)
+    for i in range(n4, len(data)):
+        b = data[i] - 256 if data[i] >= 128 else data[i]  # signed byte
+        h1 = mix(h1, b & 0xFFFFFFFF)
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
 
 
 def _tf(arr: Column, term: str) -> Column:
@@ -86,7 +124,7 @@ def build_bm25_index(
 
 def bm25_scores_indexed(
     postings: DataFrame,
-    stats: DataFrame,
+    stats: DataFrame | tuple[int, float],
     terms: list[str],
     k1: float = 1.2,
     b: float = 0.75,
@@ -112,7 +150,13 @@ def bm25_scores_indexed(
     rows only, small — so a LAZY ``postings`` plan (an in-query index
     build) executes once, not once per consumer.  With postings read
     from a persisted index table the checkpoint is merely a small
-    cache either way."""
+    cache either way.
+
+    ``stats`` is either the one-row (_n, _avgdl) DataFrame (lazy
+    plans: in-query builds, incremental twins) or a plain
+    ``(n, avgdl)`` tuple — the serving path has already fetched the
+    stats row to the driver, and literals skip a broadcast exchange
+    per query."""
     if not terms:
         raise ValueError("empty query term set")
     from collections import Counter
@@ -125,8 +169,14 @@ def bm25_scores_indexed(
     if materialize:
         matched = matched.localCheckpoint()
     dfs = matched.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    if isinstance(stats, tuple):
+        n_lit, avgdl_lit = stats
+        n_col = F.lit(float(n_lit))
+        avgdl_col = F.lit(float(avgdl_lit))
+    else:
+        n_col, avgdl_col = F.col("_n"), F.col("_avgdl")
     idf = F.log(
-        (F.col("_n") - F.col("_df") + F.lit(0.5))
+        (n_col - F.col("_df") + F.lit(0.5))
         / (F.col("_df") + F.lit(0.5))
         + F.lit(1.0)
     )
@@ -139,14 +189,15 @@ def bm25_scores_indexed(
             / (
                 F.col("tf")
                 + F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl_col)
             )
         )
     )
+    scored = matched.join(F.broadcast(dfs), "token")
+    if not isinstance(stats, tuple):
+        scored = scored.crossJoin(F.broadcast(stats))
     return (
-        matched.join(F.broadcast(dfs), "token")
-        .crossJoin(F.broadcast(stats))
-        .select(F.col(id_col), part.alias("_p"))
+        scored.select(F.col(id_col), part.alias("_p"))
         .groupBy(id_col)
         .agg(F.sum("_p").alias("score"))
     )
@@ -202,10 +253,14 @@ def bm25_scores_persisted(
 ) -> DataFrame:
     """``bm25_scores_indexed`` against the PERSISTED index written by
     ``write_bm25_index``: the query terms' hash buckets are computed
-    with the engine's own ``hash`` (one metadata-sized local job) and
-    pushed as a static ``_tb IN (...)`` partition filter, so the
-    postings scan touches only those buckets' files.  Scoring is then
-    the usual broadcast equi-join on token — candidate rows only.
+    DRIVER-SIDE (``spark_string_hash``, the pinned Murmur3 replica of
+    ``F.hash`` — round 8 profiling measured ~0.35 s of pure
+    job-dispatch overhead for the previous 4-row hash job) and pushed
+    as a static ``_tb IN (...)`` partition filter, so the postings
+    scan touches only those buckets' files.  The one-row stats table
+    is fetched ONCE and scoring runs with (n, avgdl) literals — no
+    per-query broadcast exchange.  Scoring is then the usual broadcast
+    equi-join on token — candidate rows only.
 
     ``n_buckets=None`` (default) reads the bucket count STORED with the
     index; an explicit value that disagrees raises instead of silently
@@ -213,8 +268,8 @@ def bm25_scores_persisted(
     if not terms:
         raise ValueError("empty query term set")
     spark.catalog.refreshByPath(f"{path}/stats")
-    stats_full = spark.read.parquet(f"{path}/stats")
-    stored = stats_full.select("_n_buckets").first()["_n_buckets"]
+    row = spark.read.parquet(f"{path}/stats").first()
+    stored = row["_n_buckets"]
     if n_buckets is None:
         n_buckets = stored
     elif n_buckets != stored:
@@ -222,24 +277,21 @@ def bm25_scores_persisted(
             f"index at {path} was written with n_buckets={stored}, "
             f"query asked for {n_buckets}: pruning would drop postings"
         )
-    tq = spark.createDataFrame([(t,) for t in set(terms)], "token string")
-    buckets = sorted(
-        r["_tb"]
-        for r in tq.select(
-            F.pmod(F.hash("token"), F.lit(n_buckets)).alias("_tb")
-        )
-        .distinct()
-        .collect()
-    )
+    buckets = sorted({spark_string_hash(t) % n_buckets for t in terms})
     spark.catalog.refreshByPath(f"{path}/postings")
     postings = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("_tb").isin(buckets))
         .drop("_tb", "_bid")
     )
-    stats = stats_full.select("_n", "_avgdl")
     return bm25_scores_indexed(
-        postings, stats, terms, k1, b, id_col, materialize=True
+        postings,
+        (row["_n"], row["_avgdl"]),
+        terms,
+        k1,
+        b,
+        id_col,
+        materialize=True,
     )
 
 

@@ -285,3 +285,33 @@ def test_streaming_bm25_ingest_equals_rebuild(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{p}/stats").first()["_n"] == n_before
+
+
+def test_spark_string_hash_replicates_f_hash(spark):
+    """The serving path computes partition buckets with a driver-side
+    Murmur3 replica of F.hash (r8: saves a Spark job per query).  Pin
+    exact equality over unicode edge cases and random strings — if a
+    Spark upgrade ever changes the hash, THIS breaks, not the pruning."""
+    import random
+    import string
+
+    from asid_v2_data_pipeline_spark.operators.retrieval import (
+        spark_string_hash,
+    )
+
+    rng = random.Random(8)
+    words = [
+        "", "a", "the", "spark", "ä", "日本語", "emoji\U0001F600",
+        "\x00null", "x" * 257,
+    ] + [
+        "".join(
+            rng.choices(string.ascii_letters + string.digits + " é日",
+                        k=rng.randint(0, 24))
+        )
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame([(w,) for w in set(words)], "token string")
+    from pyspark.sql import functions as F
+
+    for r in df.select("token", F.hash("token").alias("h")).collect():
+        assert spark_string_hash(r["token"]) == r["h"], r["token"]
