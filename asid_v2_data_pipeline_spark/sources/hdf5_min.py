@@ -30,9 +30,13 @@ Read scope (asserted, raises clearly outside it):
 - data layout message v3: compact, contiguous, and chunked with the
   B-tree-v1 chunk index; missing chunks / unallocated datasets fill
   with the dataset fill value;
-- filter pipeline v1/v2 with deflate (zlib), shuffle, and fletcher32
-  — i.e. gzip-compressed netCDF-4 variables decode too; other filters
-  (szip, nbit, scaleoffset) raise.
+- filter pipeline v1/v2 with deflate (zlib), shuffle, fletcher32,
+  nbit and integer scaleoffset (r8; cd_values positions per the HDF5
+  library's public H5Znbit.c / H5Zscaleoffset.c, real-byte round-trip
+  tested against the writer twin — byte-conformance vs libhdf5 output
+  is untestable in this container, disclosed in the decoders) — i.e.
+  gzip/nbit/scaleoffset-compressed netCDF-4 variables decode; szip
+  stays raised (patent-encumbered tables).
 
 The writer emits fixture files in both generations — ``style=
 "earliest"`` (superblock v0 + v1 object headers + symbol-table group)
@@ -929,6 +933,122 @@ class HDF5File:
                 yield from self._chunks(child, dim)
 
 
+def _unpack_msb(raw: bytes, start_byte: int, nelmts: int, nbits: int) -> np.ndarray:
+    """Unpack ``nelmts`` values of ``nbits`` bits each, packed MSB-first
+    from ``raw[start_byte:]`` — the bit layout both H5Znbit and
+    H5Zscaleoffset stream their packed elements in.  Returns uint64."""
+    if nbits == 0:
+        return np.zeros(nelmts, dtype=np.uint64)
+    need = (nelmts * nbits + 7) // 8
+    if len(raw) - start_byte < need:
+        raise ValueError("HDF5 filter: packed stream truncated")
+    bits = np.unpackbits(
+        np.frombuffer(raw, np.uint8, count=need, offset=start_byte)
+    )[: nelmts * nbits].reshape(nelmts, nbits)
+    w = (np.uint64(1) << np.arange(nbits - 1, -1, -1, dtype=np.uint64))
+    return bits.astype(np.uint64) @ w
+
+
+def _pack_msb(vals: np.ndarray, nbits: int) -> bytes:
+    """Inverse of :func:`_unpack_msb` (writer side)."""
+    if nbits == 0 or vals.size == 0:
+        return b""
+    v = vals.astype(np.uint64)
+    shifts = np.arange(nbits - 1, -1, -1, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def _nbit_decode(cd: tuple[int, ...], raw: bytes) -> bytes:
+    """N-bit filter (id 5) — stores only each element's ``precision``
+    significant bits starting at bit ``offset``, packed MSB-first.
+    ``cd`` follows H5Znbit.c's atomic layout: (total_parms, do_comp,
+    nelmts, class, size, order, precision, offset); only the atomic
+    integer class is supported (what netCDF-4 emits).  Byte-level
+    conformance with libhdf5 output is untestable in this container
+    (no hdf5 libs) — the writer/decoder pair round-trips real bytes
+    and the transform itself is the documented one."""
+    if len(cd) < 8:
+        raise ValueError("nbit: short client data")
+    _total, do_comp, nelmts, cls, size, _order, prec, off = cd[:8]
+    if cls != 1:
+        raise NotImplementedError("nbit: only atomic datatypes")
+    if size not in (1, 2, 4, 8) or prec + off > 8 * size or prec < 1:
+        raise ValueError("nbit: bad precision/offset for element size")
+    if not do_comp:
+        return raw
+    vals = _unpack_msb(raw, 0, nelmts, prec) << np.uint64(off)
+    return vals.astype(f"<u{size}").tobytes()
+
+
+def _scaleoffset_decode(cd: tuple[int, ...], raw: bytes) -> bytes:
+    """Scale-offset filter (id 6), integer path — per-chunk min is
+    subtracted and the residuals stored in ``minbits`` bits each.
+    ``cd`` follows H5Zscaleoffset.c's parameter order: (scale_type,
+    scale_factor, nelmts, class, size, sign, order, fill_defined, ...);
+    the compressed chunk leads with a 4-byte LE ``minbits`` + 8-byte LE
+    ``minval`` header, then the MSB-first packed residuals.  Only the
+    integer class without a defined fill value is supported (the
+    netCDF-4 shape); float D-scaling raises.  Same conformance note as
+    :func:`_nbit_decode`."""
+    if len(cd) < 8:
+        raise ValueError("scaleoffset: short client data")
+    scale_type, _factor, nelmts, cls, size, sign, _order, filavail = cd[:8]
+    if cls != 0 or scale_type != 0:
+        raise NotImplementedError(
+            "scaleoffset: only integer H5Z_SO_INT supported"
+        )
+    if filavail:
+        raise NotImplementedError("scaleoffset: fill-value path")
+    if size not in (1, 2, 4, 8):
+        raise ValueError("scaleoffset: bad element size")
+    if len(raw) < 12:
+        raise ValueError("scaleoffset: truncated header")
+    minbits = int.from_bytes(raw[0:4], "little")
+    minval_u = int.from_bytes(raw[4:12], "little")
+    if minbits > 8 * size:
+        raise ValueError("scaleoffset: minbits exceeds element width")
+    if minbits == 8 * size:  # incompressible chunk: verbatim copy
+        return raw[12 : 12 + nelmts * size]
+    packed = _unpack_msb(raw, 12, nelmts, minbits)
+    mask = (1 << (8 * size)) - 1
+    out = (packed + np.uint64(minval_u & mask)) & np.uint64(mask)
+    del sign  # reconstruction is two's-complement either way
+    return out.astype(f"<u{size}").tobytes()
+
+
+def _nbit_encode(cd: tuple[int, ...], blob: bytes) -> bytes:
+    """Writer twin of :func:`_nbit_decode` (real-byte fixtures)."""
+    _t, _do, nelmts, _c, size, _o, prec, off = cd[:8]
+    a = np.frombuffer(blob, f"<u{size}").astype(np.uint64)
+    full = (1 << (8 * size)) - 1
+    window = ((1 << prec) - 1) << off
+    if int((a & np.uint64(full ^ window)).max(initial=0)):
+        raise ValueError("nbit: values carry bits outside the window")
+    return _pack_msb((a >> np.uint64(off)), prec)
+
+
+def _scaleoffset_encode(cd: tuple[int, ...], blob: bytes) -> bytes:
+    """Writer twin of :func:`_scaleoffset_decode`."""
+    _st, factor, nelmts, _c, size, sign, _o, _f = cd[:8]
+    kind = "i" if sign else "u"
+    sv = np.frombuffer(blob, f"<{kind}{size}").astype(np.int64)
+    minval = int(sv.min(initial=0))
+    resid = (sv - minval).astype(np.uint64)
+    span = int(resid.max(initial=0))
+    minbits = min(factor if factor > 0 else span.bit_length(), 8 * size)
+    if factor > 0 and factor < 8 * size and span >= (1 << factor):
+        raise ValueError("scaleoffset: data exceeds the fixed scale_factor")
+    full = (1 << (8 * size)) - 1
+    if minbits == 8 * size:  # incompressible: verbatim after the header
+        return minbits.to_bytes(4, "little") + bytes(8) + blob
+    return (
+        minbits.to_bytes(4, "little")
+        + (minval & full).to_bytes(8, "little")
+        + _pack_msb(resid, minbits)
+    )
+
+
 def _defilter(fid: int, cd: tuple[int, ...], raw: bytes) -> bytes:
     if fid == 1:  # deflate
         return zlib.decompress(raw)
@@ -940,6 +1060,10 @@ def _defilter(fid: int, cd: tuple[int, ...], raw: bytes) -> bytes:
         return a.T.tobytes()
     if fid == 3:  # fletcher32: payload + 4 checksum bytes
         return raw[:-4]
+    if fid == 5:  # nbit (VERDICT r7 task 4)
+        return _nbit_decode(cd, raw)
+    if fid == 6:  # scaleoffset (VERDICT r7 task 4)
+        return _scaleoffset_decode(cd, raw)
     raise ValueError(f"unsupported HDF5 filter id {fid}")
 
 
@@ -1388,6 +1512,9 @@ def write_hdf5_netcdf4(
     heap_max_direct: int | None = None,
     btree_node_size: int = 2048,
     huge_threshold: int | None = None,
+    nbit_precision: int | None = None,
+    nbit_offset: int = 0,
+    so_factor: int = 0,
 ) -> bytes:
     """Minimal netCDF-4/HDF5 fixture writer (root group only).
 
@@ -1396,7 +1523,12 @@ def write_hdf5_netcdf4(
     ``style="latest"`` = superblock v3, OHDR v2, link-message group.
     ``layout`` is ``contiguous`` or ``chunked`` (``chunks`` defaults to
     ceil(shape/2) so edge-partial chunks are exercised); ``compress``
-    may be ``"deflate"`` or ``"shuffle+deflate"`` (chunked only).
+    is a ``+``-chain over {``deflate``, ``shuffle``, ``nbit``,
+    ``scaleoffset``} applied in order (chunked only) — e.g.
+    ``"shuffle+deflate"``, ``"nbit"``, ``"scaleoffset+deflate"``;
+    ``nbit_precision``/``nbit_offset`` set the n-bit window (default:
+    full width minus the top bit), ``so_factor`` fixes the
+    scale-offset minbits (0 = per-chunk minimum span).
     Dimension entries become netCDF-4 dimension-scale stub datasets so
     readers must filter them out, exactly like real files.
     ``vlen_strings=True`` stores every string attribute as a
@@ -1458,9 +1590,35 @@ def write_hdf5_netcdf4(
             meta["cshape"] = cshape
             filters = []
             if compress:
-                if "shuffle" in compress:
-                    filters.append((2, (dt.itemsize,)))
-                filters.append((1, (6,)))
+                nelm = int(np.prod(cshape))
+                toks = compress.split("+")
+                if toks == ["shuffle"]:
+                    raise ValueError("shuffle must be chained with deflate")
+                for tok in toks:
+                    if tok == "shuffle":
+                        filters.append((2, (dt.itemsize,)))
+                    elif tok == "deflate":
+                        filters.append((1, (6,)))
+                    elif tok == "nbit":
+                        if dt.kind not in "iu":
+                            raise ValueError("nbit: integer datasets only")
+                        prec = nbit_precision or 8 * dt.itemsize - 1
+                        filters.append(
+                            (5, (8, 1, nelm, 1, dt.itemsize, 0, prec,
+                                 nbit_offset))
+                        )
+                    elif tok == "scaleoffset":
+                        if dt.kind not in "iu":
+                            raise ValueError(
+                                "scaleoffset: integer datasets only"
+                            )
+                        sign = 1 if dt.kind == "i" else 0
+                        filters.append(
+                            (6, (0, so_factor, nelm, 0, dt.itemsize,
+                                 sign, 0, 0) + (0,) * 12)
+                        )
+                    else:
+                        raise ValueError(f"unknown compress token {tok!r}")
             meta["filters"] = filters
             if filters:
                 fb = bytes([1, len(filters)]) + b"\x00" * 6
@@ -1492,6 +1650,10 @@ def write_hdf5_netcdf4(
                         blob = a.T.tobytes()
                     elif fid == 1:
                         blob = zlib.compress(blob, 6)
+                    elif fid == 5:
+                        blob = _nbit_encode(cd, blob)
+                    elif fid == 6:
+                        blob = _scaleoffset_encode(cd, blob)
                 chunk_blobs.append((coords, blob))
             meta["chunk_blobs"] = chunk_blobs
         else:
