@@ -20,6 +20,8 @@ encrypted frames raise loudly rather than desynchronize.
 
 from __future__ import annotations
 
+import zlib
+
 
 def _unsync_decode(data: bytes) -> bytes:
     """Reverse the unsynchronization scheme: every 0x00 immediately
@@ -144,12 +146,46 @@ def parse_id3(payload: bytes) -> dict:
         body = tag[pos + hdr_len : pos + hdr_len + fsize]
         if major == 4:
             fmt = tag[pos + 9]
-            if fmt & 0x0C:
+            if fmt & 0x04:
                 raise NotImplementedError(
-                    "ID3: compressed/encrypted v2.4 frame not supported"
+                    "ID3: encrypted v2.4 frame not supported"
                 )
             if fmt & 0x02:  # v2.4: unsynchronization is PER FRAME
                 body = _unsync_decode(body)
+            if fmt & 0x08:  # v2.4: zlib-compressed frame body
+                # the spec mandates the data-length indicator (4
+                # syncsafe bytes = decompressed size) with compression
+                if not fmt & 0x01 or len(body) < 4:
+                    raise ValueError(
+                        "ID3: compressed v2.4 frame without data length"
+                    )
+                want = _syncsafe(body[:4])
+                body = zlib.decompress(body[4:])
+                if len(body) != want:
+                    raise ValueError(
+                        "ID3: decompressed frame size mismatch"
+                    )
+            elif fmt & 0x01:  # bare data-length indicator: skip it
+                body = body[4:]
+        elif major == 3:
+            fmt = tag[pos + 9]
+            if fmt & 0x40:
+                raise NotImplementedError(
+                    "ID3: encrypted v2.3 frame not supported"
+                )
+            if fmt & 0x20:  # grouping identity byte precedes the body
+                body = body[1:]
+            if fmt & 0x80:  # v2.3: 4-byte plain decompressed size
+                if len(body) < 4:
+                    raise ValueError(
+                        "ID3: compressed v2.3 frame truncated"
+                    )
+                want = int.from_bytes(body[:4], "big")
+                body = zlib.decompress(body[4:])
+                if len(body) != want:
+                    raise ValueError(
+                        "ID3: decompressed frame size mismatch"
+                    )
         pos += hdr_len + fsize
         name = fid.decode("latin-1")
         if major == 2:
@@ -344,6 +380,7 @@ def write_id3(
     encoding: int = 3,
     padding: int = 16,
     unsync: bool = False,
+    compress: bool = False,
 ) -> bytes:
     """Fixture writer: text frames (UTF-8 by default; pass
     ``encoding=0/1/3`` to exercise the decoders) + padding, followed by
@@ -353,8 +390,14 @@ def write_id3(
     the reverse name map).  ``unsync=True`` applies real
     unsynchronization — whole-tag for v2.2/v2.3 (flag 0x80, header size
     counts the expanded bytes), per-frame for v2.4 (format bit 0x02,
-    syncsafe size of the expanded body)."""
+    syncsafe size of the expanded body).  ``compress=True`` (v2.3/v2.4
+    only) zlib-compresses every frame body — v2.4 sets format bits
+    0x08|0x01 with the syncsafe data-length indicator, v2.3 sets 0x80
+    with the 4-byte plain decompressed size; per the spec, compression
+    happens before (per-frame) unsynchronization on write."""
     codec = _DECODERS[encoding]
+    if compress and major == 2:
+        raise ValueError("ID3v2.2 has no standard frame compression")
     body = b""
     for fid, text in frames.items():
         if major == 2:
@@ -363,18 +406,28 @@ def write_id3(
                 raise ValueError(f"ID3v2.2: no 3-char id for {fid!r}")
         fb = bytes([encoding]) + text.encode(codec)
         if major == 4:
-            flags2 = b"\x00\x00"
+            fmt = 0
+            if compress:
+                fb = _enc_syncsafe(len(fb)) + zlib.compress(fb, 6)
+                fmt |= 0x08 | 0x01
             if unsync:
                 fb = _unsync_encode(fb)
-                flags2 = b"\x00\x02"
+                fmt |= 0x02
             body += (
-                fid.encode("latin-1") + _enc_syncsafe(len(fb)) + flags2 + fb
+                fid.encode("latin-1")
+                + _enc_syncsafe(len(fb))
+                + bytes([0, fmt])
+                + fb
             )
         elif major == 3:
+            fmt = 0
+            if compress:
+                fb = len(fb).to_bytes(4, "big") + zlib.compress(fb, 6)
+                fmt |= 0x80
             body += (
                 fid.encode("latin-1")
                 + len(fb).to_bytes(4, "big")
-                + b"\x00\x00"
+                + bytes([0, fmt])
                 + fb
             )
         else:
