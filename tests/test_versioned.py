@@ -489,38 +489,117 @@ def test_append_rebase_preserves_winner_stats_and_schema(
     assert len(pruned.inputFiles()) < len(full.inputFiles())
 
 
-def test_merge_race_still_conflicts_no_lost_update(
-    spark, tmp_path, monkeypatch
-):
-    """A merge that loses a race raises VersionConflictError instead of
-    silently committing a manifest derived from the stale base (the
-    lost-update bug: _commit_file_set must claim prev+1, not a re-read
-    latest+1 that would drop the concurrent commit's files)."""
-    p = str(tmp_path / "t")
-    V.commit_version(
-        spark.range(0, 100).selectExpr("id", "id AS k", "0 AS rev"), p
-    )
+def _inject_on_first_claim(monkeypatch, fn):
+    """Run ``fn`` (a concurrent winner) right before the first manifest
+    claim, so the claiming writer loses the race mid-commit."""
     real = V._claim_version
     state = {"injected": False}
 
     def inject(fs, path, n, manifest):
         if not state["injected"]:
             state["injected"] = True
-            V.commit_version(
-                spark.range(100, 110).selectExpr(
-                    "id", "id AS k", "0 AS rev"
-                ),
-                p, mode="append",
-            )
+            fn()
         return real(fs, path, n, manifest)
 
     monkeypatch.setattr(V, "_claim_version", inject)
+
+
+def test_merge_race_vs_append_rebases_no_lost_update(
+    spark, tmp_path, monkeypatch
+):
+    """A merge racing a concurrent blind APPEND rebases (r8 disjoint
+    file-set resolution): both commit, nothing is lost — the appended
+    rows AND the upsert are in the final table.  (Before r8 this raised;
+    the invariant under test is still no-lost-update: the rebased
+    manifest must carry the winner's files.)"""
+    p = str(tmp_path / "t")
+    V.commit_version(
+        spark.range(0, 100).selectExpr("id", "id AS k", "0 AS rev"), p
+    )
+    _inject_on_first_claim(
+        monkeypatch,
+        lambda: V.commit_version(
+            spark.range(100, 110).selectExpr("id", "id AS k", "0 AS rev"),
+            p,
+            mode="append",
+        ),
+    )
     ups = spark.createDataFrame([(5, 5, 1)], "id long, k long, rev int")
-    with pytest.raises(V.VersionConflictError):
-        V.merge_upsert(spark, p, ups, "k")
-    # the winner's commit is intact — nothing was lost
+    res = V.merge_upsert(spark, p, ups, "k")
+    assert res["version"] == 2 and V.latest_version(p) == 2
+    final = V.read_latest(spark, p)
+    assert final.count() == 110  # append kept, upsert replaced in place
+    assert final.filter("k = 5").first()["rev"] == 1
+    assert final.filter("k >= 100").count() == 10
+
+
+def test_disjoint_cow_deletes_both_commit(spark, tmp_path, monkeypatch):
+    """VERDICT r7 task 6: two COW deletes touching DISJOINT files both
+    commit — the loser rebases its rewritten file onto the winner's
+    manifest; both predicates' effects land."""
+    p = str(tmp_path / "t")
+    V.commit_version(
+        spark.range(0, 10).selectExpr("id", "id AS k").coalesce(1), p
+    )
+    V.commit_version(
+        spark.range(100, 110).selectExpr("id", "id AS k").coalesce(1),
+        p,
+        mode="append",
+    )
+    _inject_on_first_claim(
+        monkeypatch, lambda: V.delete_where(spark, p, "k < 3")
+    )
+    res = V.delete_where(spark, p, "k >= 100 and k < 105")
+    assert res["version"] == 3 and V.latest_version(p) == 3
+    got = sorted(r["k"] for r in V.read_latest(spark, p).collect())
+    assert got == [3, 4, 5, 6, 7, 8, 9, 105, 106, 107, 108, 109]
+
+
+def test_overlapping_cow_writers_still_conflict(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers rewriting the SAME file are a real conflict: the
+    loser raises and its attempt directory is cleaned up."""
+    p = str(tmp_path / "t")
+    V.commit_version(
+        spark.range(0, 10).selectExpr("id", "id AS k").coalesce(1), p
+    )
+    _inject_on_first_claim(
+        monkeypatch, lambda: V.delete_where(spark, p, "k = 1")
+    )
+    with pytest.raises(V.VersionConflictError, match="overlap"):
+        V.delete_where(spark, p, "k = 2")
     assert V.latest_version(p) == 1
-    assert V.read_latest(spark, p).count() == 110
+    got = sorted(r["k"] for r in V.read_latest(spark, p).collect())
+    assert got == [0, 2, 3, 4, 5, 6, 7, 8, 9]  # winner's delete only
+    # the loser's attempt directory was retired (no orphan data dirs
+    # beyond the two committed versions)
+    data = os.listdir(str(tmp_path / "t" / "data"))
+    assert len(data) == 2
+
+
+def test_cow_rebase_vs_schema_change_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """A concurrent schema-evolving append is NOT auto-resolvable for a
+    merge/delete loser — the rebased manifest would stamp the stale
+    schema over the winner's."""
+    p = str(tmp_path / "t")
+    V.commit_version(
+        spark.range(0, 10).selectExpr("id", "id AS k").coalesce(1), p
+    )
+    _inject_on_first_claim(
+        monkeypatch,
+        lambda: V.commit_version(
+            spark.range(100, 105).selectExpr(
+                "id", "id AS k", "CAST(1 AS INT) AS extra"
+            ),
+            p,
+            mode="append",
+        ),
+    )
+    with pytest.raises(V.VersionConflictError, match="schema"):
+        V.delete_where(spark, p, "k = 2")
 
 
 def test_concurrent_appenders_stress(spark, tmp_path):
