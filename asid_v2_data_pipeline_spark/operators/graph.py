@@ -63,31 +63,55 @@ def pagerank(
     the result exactly reproducible AND lets an independent SQL oracle
     unroll the identical K rounds.
     """
-    w = (
-        F.col(weight).cast("double") if weight else F.lit(1.0)
-    )
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
-    ).localCheckpoint()  # reused by every iteration — materialize once
-    deg = (
-        e.groupBy("src")
-        .agg(F.sum("w").alias("deg"))
-        .localCheckpoint()
-    )
-    n = deg.count()  # |N| — one metadata-sized action
-    base = (1.0 - damping) / n
-
+    e, deg, n = _edges_and_degrees(edges, src, dst, weight)
     # contribution table carries rank/deg so each round is join + sum
     ranks = deg.select("src", (F.lit(1.0 / n) / F.col("deg")).alias("contrib"))
-    for _ in range(iters):
+    return _power_iterations(e, deg, ranks, n, damping, iters)
+
+
+def _edges_and_degrees(
+    edges: DataFrame, src: str, dst: str, weight: str | None
+) -> tuple[DataFrame, DataFrame, int]:
+    """Normalized edge table + out-degree table (both checkpointed —
+    every iteration reuses them) + |N|."""
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    ).localCheckpoint()
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg")).localCheckpoint()
+    return e, deg, deg.count()
+
+
+def _power_iterations(
+    e: DataFrame,
+    deg: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    damping: float,
+    iters: int,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """The shared power-method loop: ``ranks`` is a (src, contrib)
+    seed; each round is ONE edge-keyed equi-join + ONE dst-keyed
+    aggregation, LEFT-joined back onto ``deg`` so source-only nodes
+    stay at the residual (1-d)/N.
+
+    Every ``checkpoint_every`` rounds the rank table is
+    ``localCheckpoint``-ed: an unbounded join chain makes Catalyst's
+    optimization time itself superlinear (measured: 60 chained rounds
+    stall planning) — exactly the lineage-truncation every iterative
+    Spark algorithm needs; short chains (the 6-round queries) stay one
+    lazy plan."""
+    base = (1.0 - damping) / n
+    for i in range(iters):
+        if i and i % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
         in_mass = (
             e.join(ranks, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("w") * F.col("contrib")).alias("_in"))
             .withColumnRenamed("dst", "src")
         )
-        # LEFT join keeps source-only nodes (no in-edges) alive at the
-        # residual rank (1-d)/N so their mass propagates every round.
         rank_col = F.lit(base) + F.lit(damping) * F.coalesce(
             F.col("_in"), F.lit(0.0)
         )
@@ -97,3 +121,44 @@ def pagerank(
             (rank_col / F.col("deg")).alias("contrib"),
         )
     return ranks.select(F.col("src").alias("node"), "rank")
+
+
+def pagerank_incremental(
+    edges: DataFrame,
+    prev_ranks: DataFrame,
+    damping: float = 0.85,
+    iters: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """WARM-START PageRank over an UPDATED edge table (VERDICT r7
+    task 7 — the graph member of the engine's incremental-maintenance
+    family): degrees are recomputed from the full current edge set
+    (folding any delta in), and the power method runs ``iters`` rounds
+    seeded from ``prev_ranks`` (``(node, rank)``, e.g. the persisted
+    output of the previous run) instead of the uniform vector.  Nodes
+    new to the graph seed at 1/N.
+
+    Semantics, exactly: with an EMPTY delta, ``iters`` warm rounds from
+    a ``k``-round cold start equal a ``k + iters``-round cold start
+    BIT-FOR-BIT (the seed contrib is the same rank/deg division the
+    loop would compute — pinned in tests).  With a real delta, the
+    power method's unique fixed point makes warm and cold starts
+    converge to the same vector; the warm start just begins ~‖prev −
+    uniform‖ closer, which is the entire point of incremental
+    maintenance at 100 TB: K rounds over the delta-extended graph
+    instead of a from-scratch schedule.  Same dangling-free
+    precondition and plan shape as :func:`pagerank`."""
+    e, deg, n = _edges_and_degrees(edges, src, dst, weight)
+    seed = deg.join(
+        prev_ranks.select(F.col("node").alias("src"), "rank"),
+        "src",
+        "left",
+    ).select(
+        "src",
+        (
+            F.coalesce(F.col("rank"), F.lit(1.0 / n)) / F.col("deg")
+        ).alias("contrib"),
+    )
+    return _power_iterations(e, deg, seed, n, damping, iters)

@@ -2846,6 +2846,109 @@ def gr_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
 
 
+_PRI_OLD = 4  # cold rounds over the "already-ranked" edge subset
+_PRI_WARM = 4  # warm rounds after the delta folds in
+
+
+def gr_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL graph maintenance (VERDICT r7 task 7): the trading
+    graph splits into an already-ranked subset (pairs with even
+    ``c + s`` — the persisted state of a previous run) and an arriving
+    delta; ``pagerank_incremental`` folds the delta into the degree
+    table and runs ``_PRI_WARM`` warm rounds seeded from the old ranks
+    (new nodes at 1/N).  The oracle unrolls BOTH phases — the cold
+    rounds on the old graph, the seed join, the warm rounds on the full
+    graph — as one CTE chain, so the warm-start semantics themselves
+    are value-hashed, not just the final fixed point.  Plan shape per
+    round is identical to ``gr_pagerank``; the warm start is the whole
+    scale story (K rounds instead of a from-scratch schedule)."""
+    from ..operators.graph import pagerank, pagerank_incremental
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+
+    def _edges(p):
+        return p.select(
+            F.col("c").alias("src"), (F.col("s") + _PR_OFF).alias("dst")
+        ).unionAll(
+            p.select(
+                (F.col("s") + _PR_OFF).alias("src"), F.col("c").alias("dst")
+            )
+        )
+
+    old = pairs.filter((F.col("c") + F.col("s")) % 2 == 0)
+    prev = pagerank(_edges(old), damping=_PR_DAMP, iters=_PRI_OLD)
+    ranks = pagerank_incremental(
+        _edges(pairs), prev, damping=_PR_DAMP, iters=_PRI_WARM
+    )
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+def _gr_pagerank_incr_sql() -> str:
+    """Both phases unrolled: ``a0..a{_PRI_OLD}`` cold rounds over the
+    even-(c+s) subgraph, the warm-seed LEFT join (new nodes at 1/N),
+    then ``w1..w{_PRI_WARM}`` rounds over the full graph — mirroring
+    operators/graph.py's warm-start definition round for round."""
+    d, off = _PR_DAMP, _PR_OFF
+
+    def _round(name, prevn, edges, deg, nn):
+        return f"""{name} AS (
+  SELECT g.src, g.rank, g.rank / {deg}.deg AS contrib
+  FROM (
+    SELECT e.dst AS src,
+           (1 - {d}) / {nn}.n + {d} * sum(r.contrib) AS rank
+    FROM {edges} e JOIN {prevn} r ON e.src = r.src, {nn}
+    GROUP BY e.dst, {nn}.n
+  ) g JOIN {deg} ON {deg}.src = g.src
+)"""
+
+    parts = [
+        f"""pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+op AS (SELECT c, s FROM pairs WHERE (c + s) % 2 = 0),
+eo AS (
+  SELECT c AS src, s + {off} AS dst FROM op
+  UNION ALL
+  SELECT s + {off} AS src, c AS dst FROM op
+),
+dego AS (SELECT src, count(*) AS deg FROM eo GROUP BY src),
+no AS (SELECT count(*) AS n FROM dego),
+a0 AS (SELECT src, (1.0 / n) / deg AS contrib FROM dego, no)"""
+    ]
+    for k in range(1, _PRI_OLD + 1):
+        parts.append(_round(f"a{k}", f"a{k - 1}", "eo", "dego", "no"))
+    parts.append(
+        f"""ef AS (
+  SELECT c AS src, s + {off} AS dst FROM pairs
+  UNION ALL
+  SELECT s + {off} AS src, c AS dst FROM pairs
+),
+degf AS (SELECT src, count(*) AS deg FROM ef GROUP BY src),
+nf AS (SELECT count(*) AS n FROM degf),
+w0 AS (
+  SELECT dd.src, coalesce(a{_PRI_OLD}.rank, 1.0 / nf.n) / dd.deg AS contrib
+  FROM degf dd LEFT JOIN a{_PRI_OLD} ON a{_PRI_OLD}.src = dd.src, nf
+)"""
+    )
+    for k in range(1, _PRI_WARM + 1):
+        parts.append(_round(f"w{k}", f"w{k - 1}", "ef", "degf", "nf"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT src AS node, ROUND(rank, 6) AS rank FROM w{_PRI_WARM}"
+        + " ORDER BY node"
+    )
+
+
 def _gr_pagerank_sql(weighted: bool = False) -> str:
     """The same six power-method rounds unrolled as chained CTEs
     (weighted: edge weight = pair lineitem count, degree = out-weight
@@ -5122,6 +5225,10 @@ REGISTRY = {
     "mm_mkv_flac_rms": (mm_mkv_flac_rms, _mm_mkv_flac_sql()),
     "gr_pagerank": (gr_pagerank, _gr_pagerank_sql()),
     "gr_pagerank_weighted": (gr_pagerank_weighted, _gr_pagerank_sql(True)),
+    "gr_pagerank_incremental": (
+        gr_pagerank_incremental,
+        _gr_pagerank_incr_sql(),
+    ),
     "mm_audio_curation": (mm_audio_curation, _mm_audio_curation_sql()),
     "mm_audio_incremental": (mm_audio_incremental, _mm_audio_incremental_sql()),
     "mm_gif_frames": (mm_gif_frames, _mm_gif_frames_sql()),

@@ -77,8 +77,9 @@ CASES = [
     "gr_pagerank_weighted",
     "mm_audio_incremental",
     "mm_gif_frames",
-    # round 8: MP3 Layer III sample decode
+    # round 8: MP3 Layer III sample decode, warm-start PageRank
     "mm_mp3_rms",
+    "gr_pagerank_incremental",
 ]
 
 

@@ -129,3 +129,74 @@ def test_hub_skew_star_graph(spark):
     leaf_vals = {round(rows[i], 15) for i in range(1, n_leaves + 1)}
     assert len(leaf_vals) == 1
     assert rows[0] > 100 * rows[1]
+
+
+def test_incremental_empty_delta_is_exactly_continuation(spark):
+    """Warm-starting K2 rounds from a K1-round cold start over the SAME
+    graph must equal a (K1+K2)-round cold start BIT-FOR-BIT — the seed
+    contrib is the identical rank/deg division the loop computes."""
+    from asid_v2_data_pipeline_spark.operators.graph import (
+        pagerank_incremental,
+    )
+
+    edges = _sym([(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    prev = pagerank(df, 0.85, 3)
+    warm = {
+        r["node"]: r["rank"]
+        for r in pagerank_incremental(df, prev, 0.85, 4).collect()
+    }
+    cold = {r["node"]: r["rank"] for r in pagerank(df, 0.85, 7).collect()}
+    assert warm == cold  # exact float equality, not approx
+
+
+def test_incremental_folds_delta_and_converges_to_cold_start(spark):
+    """New edges (and NEW nodes) fold into the degree table; after
+    enough warm rounds the result matches a long cold start on the full
+    graph (unique fixed point), and matches the dense NumPy model of
+    the warm-start definition exactly at low round counts."""
+    from asid_v2_data_pipeline_spark.operators.graph import (
+        pagerank_incremental,
+    )
+
+    old = _sym([(1, 2), (2, 3), (1, 3)])
+    delta = _sym([(3, 4), (4, 5), (5, 1)])  # nodes 4, 5 are new
+    full = old + delta
+    df_old = spark.createDataFrame(old, "src long, dst long")
+    df_full = spark.createDataFrame(full, "src long, dst long")
+    prev = pagerank(df_old, 0.85, 6)
+
+    # exact: 2 warm rounds == dense model of the same definition
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_incremental(df_full, prev, 0.85, 2).collect()
+    }
+    prev_d = {r["node"]: r["rank"] for r in prev.collect()}
+    nodes = sorted({u for u, _ in full})
+    n = len(nodes)
+    deg = {v: sum(1 for u, _ in full if u == v) for v in nodes}
+    r = {v: prev_d.get(v, 1.0 / n) for v in nodes}
+    for _ in range(2):
+        nxt = {v: 0.15 / n for v in nodes}
+        for u, v in full:
+            nxt[v] += 0.85 * r[u] / deg[u]
+        r = nxt
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], abs=1e-12)
+
+    # convergence: the seed difference contracts by the damping factor
+    # each round (0.85^80 * ||prev - uniform|| ~ 4e-7), so 80 warm
+    # rounds and 80 cold rounds agree to 1e-6 — same fixed point
+    warm = {
+        r["node"]: r["rank"]
+        for r in pagerank_incremental(df_full, prev, 0.85, 80).collect()
+    }
+    cold = {
+        r["node"]: r["rank"] for r in pagerank(df_full, 0.85, 80).collect()
+    }
+    assert set(warm) == set(cold)
+    for v in cold:
+        assert warm[v] == pytest.approx(cold[v], abs=1e-6)
+    # the warm seed is not exactly stochastic (prev sums to 1, new
+    # nodes add 1/N each); the excess decays at damping^k ~ 9e-7
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-5)
