@@ -229,18 +229,27 @@ def write_mp3_l3(
     global_gain: int = _GG_DEFAULT,
 ) -> bytes:
     """Encode quantized long-block spectra into real MPEG-1 Layer III
-    frames (mono, 44.1 kHz, 320 kbps, no CRC).  ``spectra`` is int
-    (n_frames, 2, 576) with values in {-1, 0, 1} (Huffman table 1's
-    range); ``scalefacs`` is int (n_frames, 2, 21) in 0..7 (slen 3).
-    All 576 lines ride in big_values (288 pairs, the spec maximum),
-    table 1 in all three regions, count1 = rzero = 0,
+    frames (44.1 kHz, 320 kbps, no CRC).  ``spectra`` is int
+    (n_frames, 2, 576) for MONO or (n_frames, 2, 2, 576) for STEREO
+    (granule, channel) with values in {-1, 0, 1} (Huffman table 1's
+    range); ``scalefacs`` matches with a trailing (..., 21) in 0..7
+    (slen 3).  All 576 lines ride in big_values (288 pairs, the spec
+    maximum), table 1 in all three regions, count1 = rzero = 0,
     main_data_begin = 0 (self-contained frames)."""
     spectra = np.asarray(spectra, dtype=np.int64)
     scalefacs = np.asarray(scalefacs, dtype=np.int64)
-    if spectra.ndim != 3 or spectra.shape[1:] != (2, 576):
-        raise ValueError("MP3: spectra must be (n_frames, 2, 576)")
-    if scalefacs.shape != (spectra.shape[0], 2, 21):
-        raise ValueError("MP3: scalefacs must be (n_frames, 2, 21)")
+    if spectra.ndim == 3 and spectra.shape[1:] == (2, 576):
+        spectra = spectra[:, :, None, :]
+        scalefacs = scalefacs[:, :, None, :]
+        nch = 1
+    elif spectra.ndim == 4 and spectra.shape[1:] == (2, 2, 576):
+        nch = 2
+    else:
+        raise ValueError(
+            "MP3: spectra must be (n_frames, 2, 576) or (n_frames, 2, 2, 576)"
+        )
+    if scalefacs.shape != spectra.shape[:3] + (21,):
+        raise ValueError("MP3: scalefacs shape must match spectra + (21,)")
     if np.abs(spectra).max(initial=0) > 1:
         raise ValueError("MP3: table-1 encoder needs values in {-1,0,1}")
     if scalefacs.min(initial=0) < 0 or scalefacs.max(initial=0) > 7:
@@ -254,28 +263,29 @@ def write_mp3_l3(
         md = _BitWriter()
         p23 = []
         for g in range(2):
-            start = md.bit_length()
-            for sf in scalefacs[f, g]:
-                md.write(int(sf), 3)
-            q = spectra[f, g]
-            for k in range(288):
-                x, y = abs(int(q[2 * k])), abs(int(q[2 * k + 1]))
-                code, ln = _HUFF1[(x, y)]
-                md.write(code, ln)
-                if x:
-                    md.write(1 if q[2 * k] < 0 else 0, 1)
-                if y:
-                    md.write(1 if q[2 * k + 1] < 0 else 0, 1)
-            p23.append(md.bit_length() - start)
+            for ch in range(nch):
+                start = md.bit_length()
+                for sf in scalefacs[f, g, ch]:
+                    md.write(int(sf), 3)
+                q = spectra[f, g, ch]
+                for k in range(288):
+                    x, y = abs(int(q[2 * k])), abs(int(q[2 * k + 1]))
+                    code, ln = _HUFF1[(x, y)]
+                    md.write(code, ln)
+                    if x:
+                        md.write(1 if q[2 * k] < 0 else 0, 1)
+                    if y:
+                        md.write(1 if q[2 * k + 1] < 0 else 0, 1)
+                p23.append(md.bit_length() - start)
         md.align()
         main = md.getvalue()
 
         si = _BitWriter()
         si.write(0, 9)  # main_data_begin
-        si.write(0, 5)  # private_bits (mono)
-        si.write(0, 4)  # scfsi
-        for g in range(2):
-            si.write(p23[g], 12)
+        si.write(0, 5 if nch == 1 else 3)  # private_bits
+        si.write(0, 4 * nch)  # scfsi
+        for p in p23:  # (granule, channel) order
+            si.write(p, 12)
             si.write(288, 9)  # big_values
             si.write(global_gain, 8)
             si.write(_SF_COMPRESS, 4)
@@ -288,7 +298,7 @@ def write_mp3_l3(
             si.write(0, 1)  # scalefac_scale
             si.write(0, 1)  # count1table_select
         side = si.getvalue()
-        assert len(side) == 17
+        assert len(side) == (17 if nch == 1 else 32)
 
         header = struct.pack(
             ">I",
@@ -299,7 +309,7 @@ def write_mp3_l3(
             | (0xE << 12)       # 320 kbps
             | (0x0 << 10)       # 44.1 kHz
             | (0x0 << 9)        # padding 0
-            | (0x3 << 6),       # mono
+            | ((0x3 if nch == 1 else 0x0) << 6),  # mono / stereo
         )
         body = header + side + main
         if len(body) > _FRAME_LEN:
@@ -376,14 +386,17 @@ def _reconstruct_granule(
 
 
 def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
-    """SAMPLE-decode an MPEG-1 Layer III mono stream (optionally
+    """SAMPLE-decode an MPEG-1 Layer III stream (optionally
     ID3v2-prefixed): sync-walk frames, parse side info, read
     scalefactors, Huffman-decode the spectrum from the real bitstream,
     requantize through the fixed-point LUT and run the reconstruction
-    pipeline.  Returns ``(sample_rate, int16 PCM)`` — 1152 samples per
-    frame.  Unsupported spec surface raises ``NotImplementedError``
-    with the feature named (bit reservoir, non-transcribed Huffman
-    tables, count1 quads, window switching, stereo, non-44.1 kHz)."""
+    pipeline.  Mono returns ``(rate, int16[n])``; stereo and dual
+    channel (two INDEPENDENT channels, each with its own overlap and
+    filterbank state) return ``(rate, int16[n, 2])``.  Joint stereo
+    (mode 01: MS/intensity recombination) and the other unsupported
+    spec surface raise ``NotImplementedError`` with the feature named
+    (bit reservoir, non-transcribed Huffman tables, count1 quads,
+    window switching, non-44.1 kHz)."""
     pos = 0
     if payload[:3] == b"ID3":
         from .id3 import parse_id3
@@ -391,10 +404,11 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
         pos = parse_id3(payload)["_tag_bytes"]
     sfb = np.asarray(SFB_LONG_44100)
     band_width = np.diff(sfb)
-    pcm_parts: list[np.ndarray] = []
-    state = _SynthState()
+    pcm_parts: list[list[np.ndarray]] = []
+    states: list[_SynthState] = []
     end = len(payload)
     n_frames = 0
+    nch_stream: int | None = None
     while pos + 4 <= end:
         if payload[pos : pos + 3] == b"TAG":
             break
@@ -410,8 +424,15 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
             raise NotImplementedError("MP3: only the 44.1 kHz band table")
         if br_idx != 0xE:
             raise NotImplementedError("MP3: fixture decoder expects 320 kbps")
-        if (h >> 6) & 0x3 != 0x3:
-            raise NotImplementedError("MP3: only mono streams")
+        mode = (h >> 6) & 0x3
+        if mode == 0x1:
+            raise NotImplementedError("MP3: joint stereo (MS/intensity)")
+        nch = 1 if mode == 0x3 else 2
+        if nch_stream is None:
+            nch_stream = nch
+            states = [_SynthState() for _ in range(nch)]
+        elif nch_stream != nch:
+            raise ValueError("MP3: channel mode changed mid-stream")
         padding = (h >> 9) & 0x1
         flen = _FRAME_LEN + padding
         if pos + flen > end:
@@ -420,11 +441,11 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
         br = _BitReader(payload, pos + 4)
         if br.read(9):
             raise NotImplementedError("MP3: bit reservoir not supported")
-        br.read(5)  # private
-        if br.read(4):
+        br.read(5 if nch == 1 else 3)  # private
+        if br.read(4 * nch):
             raise NotImplementedError("MP3: scfsi sharing not supported")
         gr_info = []
-        for _ in range(2):
+        for _ in range(2 * nch):  # (granule, channel) order
             info = {
                 "part2_3_length": br.read(12),
                 "big_values": br.read(9),
@@ -441,9 +462,11 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
             info["count1table_select"] = br.read(1)
             gr_info.append(info)
 
-        md = _BitReader(payload, pos + 21)
-        for g in range(2):
-            info = gr_info[g]
+        md = _BitReader(payload, pos + 4 + (17 if nch == 1 else 32))
+        frame_ch: list[list[np.ndarray]] = [[] for _ in range(nch)]
+        for gc in range(2 * nch):
+            g, ch = gc // nch, gc % nch
+            info = gr_info[gc]
             start_bits = md.bits_read()
             slen1, slen2 = _SLEN[info["scalefac_compress"]]
             sf = np.zeros(22, dtype=np.int64)  # band 21 (>418) stays 0
@@ -489,9 +512,16 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
             )
             line_sf = np.repeat(sf, band_width)
             x = np.sign(q) * lut[line_sf]
-            pcm_parts.append(_reconstruct_granule(x, state))
+            frame_ch[ch].append(_reconstruct_granule(x, states[ch]))
+        pcm_parts.append([np.concatenate(c) for c in frame_ch])
         pos += flen
         n_frames += 1
     if n_frames == 0:
         raise ValueError("MP3: no audio frames")
-    return _RATE, np.concatenate(pcm_parts).astype(np.int16)
+    chans = [
+        np.concatenate([fp[c] for fp in pcm_parts])
+        for c in range(nch_stream)
+    ]
+    if nch_stream == 1:
+        return _RATE, chans[0].astype(np.int16)
+    return _RATE, np.stack(chans, axis=1).astype(np.int16)

@@ -914,7 +914,8 @@ def decode_mp3_audio_stats(media: DataFrame) -> DataFrame:
                 if p is None:
                     continue
                 rate, pcm = parse_mp3_l3(bytes(p))
-                s = pcm.astype(np.int64)
+                # stereo decodes to (n, 2) — flatten channel-interleaved
+                s = pcm.astype(np.int64).reshape(-1)
                 rows["media_id"].append(mid)
                 rows["sample_rate"].append(rate)
                 rows["n_samples"].append(s.size)

@@ -3498,13 +3498,15 @@ ORDER BY n.doc_id
 _MP3_GG = 190  # fixture global_gain (2^-5 — PCM off the int16 rails)
 
 
-def _mp3_build(batches):
-    """Fixture kernel for ``mm_mp3_rms``: document bytes become ONE
-    real ID3v2-prefixed MPEG-1 Layer III frame (mono, 44.1 kHz,
-    320 kbps, Huffman table 1).  The byte→bitstream mapping the oracle
-    mirrors: line i of granule g takes quantized value from byte
-    ``(576g + i) mod n`` (b%3: 0→0, 1→+1, 2→−1); scalefactor band k of
-    granule g from byte ``(21g + k) mod n`` (b%8)."""
+def _mp3_build(batches, nch: int = 1):
+    """Fixture kernel for the ``mm_mp3*`` queries: document bytes
+    become ONE real ID3v2-prefixed MPEG-1 Layer III frame (44.1 kHz,
+    320 kbps, Huffman table 1; mono or independent-channel stereo).
+    The byte→bitstream mapping the oracle mirrors, over granule-channel
+    segments ``gc = g*nch + ch`` (bitstream order): line i of segment
+    gc takes its quantized value from byte ``(576·gc + i) mod n``
+    (b%3: 0→0, 1→+1, 2→−1); scalefactor band k of segment gc from byte
+    ``(21·gc + k) mod n`` (b%8)."""
     import numpy as np
     import pandas as pd
 
@@ -3520,12 +3522,18 @@ def _mp3_build(batches):
                 payloads.append(None)
                 continue
             b = np.frombuffer(raw, np.uint8).astype(np.int64)
-            q = np.empty((1, 2, 576), np.int64)
-            sfs = np.empty((1, 2, 21), np.int64)
+            q = np.empty((1, 2, nch, 576), np.int64)
+            sfs = np.empty((1, 2, nch, 21), np.int64)
             for g in range(2):
-                v = b[(576 * g + np.arange(576)) % nb] % 3
-                q[0, g] = np.where(v == 0, 0, np.where(v == 1, 1, -1))
-                sfs[0, g] = b[(21 * g + np.arange(21)) % nb] % 8
+                for ch in range(nch):
+                    gc = g * nch + ch
+                    v = b[(576 * gc + np.arange(576)) % nb] % 3
+                    q[0, g, ch] = np.where(
+                        v == 0, 0, np.where(v == 1, 1, -1)
+                    )
+                    sfs[0, g, ch] = b[(21 * gc + np.arange(21)) % nb] % 8
+            if nch == 1:
+                q, sfs = q[:, :, 0], sfs[:, :, 0]
             payloads.append(
                 write_id3({"TIT2": f"doc {did}"})
                 + write_mp3_l3(q, sfs, global_gain=_MP3_GG)
@@ -3573,16 +3581,49 @@ def mm_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _mm_mp3_rms_sql() -> str:
+def mm_mp3_stereo_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEREO twin of ``mm_mp3_rms``: two INDEPENDENT channels per
+    frame (mode 00; 32-byte side info, four granule-channel blocks,
+    per-channel overlap + filterbank state), decoded samples
+    channel-interleaved into the same integer stats.  The oracle runs
+    the full fixed-point pipeline over all four granule-channel
+    segments — the per-channel state separation (the overlap tail is
+    the same-channel segment TWO back; the window FIFO never crosses
+    channels) is exactly what the value hash pins."""
+    from functools import partial
+
+    from ..operators.multimodal import decode_mp3_audio_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
+        partial(_mp3_build, nch=2), "media_id long, payload binary"
+    )
+    stats = decode_mp3_audio_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "sum_sq",
+        "fp",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
+        ).alias("rms"),
+    ).orderBy("doc_id")
+
+
+def _mm_mp3_rms_sql(nch: int = 1) -> str:
     """The fixed-point Layer III decode pipeline unrolled as chained
     CTEs over the pre-encode octets — same tables, same single
     rounding rule floor((2a+b)/2b) as ``functions/mp3.py`` (constants
     embedded verbatim from the module, so the LUTs ARE the contract).
-    Stage layout mirrors the decoder: xq (requantized lines, 2
-    granules × 576), xa (alias butterflies, exact), zz (fused
+    Stage layout mirrors the decoder over ``2*nch`` granule-channel
+    segments of 576 lines in bitstream (granule, channel) order:
+    xq (requantized lines), xa (alias butterflies, exact), zz (fused
     IMDCT+window, the ONE mid-pipeline rounding), tv (overlap-add +
-    frequency inversion, exact), vv (polyphase matrixing, exact),
-    pcm (512-tap windowed output, final rounding + int16 clamp)."""
+    frequency inversion, exact — the previous-granule tail is the
+    SAME-CHANNEL segment ``nch`` back), vv (polyphase matrixing per
+    channel, exact), pcm (512-tap windowed output, final rounding +
+    int16 clamp, channel-interleaved like the operator's flatten)."""
     from ..functions.mp3 import (
         _CA,
         _CS,
@@ -3602,6 +3643,8 @@ def _mm_mp3_rms_sql() -> str:
     dw = [int(v) for v in _DWIN]
     csa = [int(v) for v in _CS]
     caa = [int(v) for v in _CA]
+    nseg = 2 * nch  # granule-channel segments
+    nsamp = 1152 * nch
 
     def rdiv20(s: str) -> str:
         return (
@@ -3613,17 +3656,23 @@ def _mm_mp3_rms_sql() -> str:
         f" + 1 AS INT)] * cw[CAST((k % 36) * 18 + {i} + 1 AS INT)]"
         for i in range(18)
     )
+    # vv block layout is CHANNEL-major time (ch*36 + t) so the 16-deep
+    # window FIFO never crosses channels; ts segment for (ch, t) is
+    # (t // 18) * nch + ch
     matrix_terms = " + ".join(
         f"nm[CAST((k % 64) * 32 + {j} + 1 AS INT)]"
-        f" * tv[CAST((k // 64 // 18) * 576 + {j} * 18"
+        f" * tv[CAST(((((k // 64) % 36) // 18) * {nch}"
+        f" + (k // 64) // 36) * 576 + {j} * 18"
         f" + ((k // 64) % 18) + 1 AS INT)]"
         for j in range(32)
     )
+    # pcm is channel-interleaved: sample n = k // nch, channel = k % nch
     win_terms = " + ".join(
-        f"(CASE WHEN k // 32 >= {i} THEN"
-        f" vv[CAST((k // 32 - {i}) * 64 + k % 32 + {32 * (i % 2)}"
-        f" + 1 AS INT)] ELSE 0 END) * dw[CAST(k % 32 + {32 * i}"
-        f" + 1 AS INT)]"
+        f"(CASE WHEN (k // {nch}) // 32 >= {i} THEN"
+        f" vv[CAST(((k % {nch}) * 36 + (k // {nch}) // 32 - {i}) * 64"
+        f" + (k // {nch}) % 32 + {32 * (i % 2)}"
+        f" + 1 AS INT)] ELSE 0 END) * dw[CAST((k // {nch}) % 32"
+        f" + {32 * i} + 1 AS INT)]"
         for i in range(16)
     )
     sfx = (
@@ -3637,14 +3686,14 @@ consts AS (SELECT {lut!r}::BIGINT[] AS lut, {bo!r}::BIGINT[] AS bo,
   {csa!r}::BIGINT[] AS csa, {caa!r}::BIGINT[] AS caa,
   {cw!r}::BIGINT[] AS cw, {nm!r}::BIGINT[] AS nm, {dw!r}::BIGINT[] AS dw),
 xq AS (
-  SELECT doc_id, list_transform(range(0, 1152), k ->
+  SELECT doc_id, list_transform(range(0, {576 * nseg}), k ->
     (CASE cs[CAST(k % n_bytes + 1 AS INT)] % 3
        WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE -1 END)
     * lut[CAST(({sfx}) + 1 AS INT)]) AS x
   FROM codes CROSS JOIN consts WHERE n_bytes > 0
 ),
 xal AS (
-  SELECT doc_id, list_transform(range(0, 1152), k ->
+  SELECT doc_id, list_transform(range(0, {576 * nseg}), k ->
     CASE
       WHEN (k % 576) % 18 >= 10 AND (k % 576) // 18 < 31 THEN
         x[CAST(k + 1 AS INT)]
@@ -3660,41 +3709,42 @@ xal AS (
   FROM xq CROSS JOIN consts
 ),
 zz AS (
-  SELECT doc_id, list_transform(range(0, 2304), k ->
+  SELECT doc_id, list_transform(range(0, {1152 * nseg}), k ->
     {rdiv20(imdct_terms)}) AS z
   FROM xal CROSS JOIN consts
 ),
 tvs AS (
-  SELECT doc_id, list_transform(range(0, 1152), k ->
+  SELECT doc_id, list_transform(range(0, {576 * nseg}), k ->
     (CASE WHEN ((k % 576) // 18) % 2 = 1 AND (k % 18) % 2 = 1
           THEN -1 ELSE 1 END)
     * (z[CAST((k // 576) * 1152 + ((k % 576) // 18) * 36
          + (k % 18) + 1 AS INT)]
-       + CASE WHEN k // 576 = 1 THEN
-           z[CAST(((k % 576) // 18) * 36 + 18 + (k % 18) + 1 AS INT)]
+       + CASE WHEN k // 576 >= {nch} THEN
+           z[CAST((k // 576 - {nch}) * 1152 + ((k % 576) // 18) * 36
+             + 18 + (k % 18) + 1 AS INT)]
          ELSE 0 END)) AS tv
   FROM zz
 ),
 vvs AS (
-  SELECT doc_id, list_transform(range(0, 2304), k ->
+  SELECT doc_id, list_transform(range(0, {64 * 36 * nch}), k ->
     {matrix_terms}) AS vv
   FROM tvs CROSS JOIN consts
 ),
 pcms AS (
-  SELECT doc_id, list_transform(range(0, 1152), k ->
+  SELECT doc_id, list_transform(range(0, {nsamp}), k ->
     LEAST(32767, GREATEST(-32768, {rdiv20(win_terms)}))) AS pcm
   FROM vvs CROSS JOIN consts
 ),
 agg AS (
   SELECT doc_id,
     CAST(list_sum(list_transform(pcm, p -> p * p)) AS BIGINT) AS sum_sq,
-    CAST(list_sum(list_transform(range(0, 1152), k ->
+    CAST(list_sum(list_transform(range(0, {nsamp}), k ->
       (k + 1) * pcm[CAST(k + 1 AS INT)])) AS BIGINT) AS fp
   FROM pcms
 )
 SELECT doc_id, CAST(44100 AS INT) AS sample_rate,
-       CAST(1152 AS BIGINT) AS n_samples, sum_sq, fp,
-       ROUND(sqrt(sum_sq / 1152.0), 6) AS rms
+       CAST({nsamp} AS BIGINT) AS n_samples, sum_sq, fp,
+       ROUND(sqrt(sum_sq / {nsamp}.0), 6) AS rms
 FROM agg ORDER BY doc_id
 """
 
@@ -5235,6 +5285,7 @@ REGISTRY = {
     "mm_id3_tags": (mm_id3_tags, _mm_id3_sql()),
     "mm_mp3_meta": (mm_mp3_meta, _mm_mp3_sql()),
     "mm_mp3_rms": (mm_mp3_rms, _mm_mp3_rms_sql()),
+    "mm_mp3_stereo_rms": (mm_mp3_stereo_rms, _mm_mp3_rms_sql(2)),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

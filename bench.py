@@ -97,6 +97,12 @@ HEADLINE = [
     # gates -> fingerprint dedup)
     "gr_pagerank",
     "mm_audio_curation",
+    # round 8: MP3 Layer III sample decode (new heaviest audio kernel —
+    # bitstream parse + fixed-point reconstruction per document) and the
+    # warm-start incremental PageRank (8 keyed join+agg rounds across
+    # two graph phases)
+    "mm_mp3_rms",
+    "gr_pagerank_incremental",
 ]
 
 

@@ -77,8 +77,10 @@ CASES = [
     "gr_pagerank_weighted",
     "mm_audio_incremental",
     "mm_gif_frames",
-    # round 8: MP3 Layer III sample decode, warm-start PageRank
+    # round 8: MP3 Layer III sample decode (mono + stereo), warm-start
+    # PageRank
     "mm_mp3_rms",
+    "mm_mp3_stereo_rms",
     "gr_pagerank_incremental",
 ]
 

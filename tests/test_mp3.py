@@ -150,9 +150,9 @@ def test_clamp_at_high_gain():
 def test_disclosed_boundaries_raise():
     q, sf = _rand(1, 9)
     blob = bytearray(mp3.write_mp3_l3(q, sf))
-    # stereo (mode bits 00) is a disclosed boundary
-    blob[3] &= 0x3F
-    with pytest.raises(NotImplementedError, match="mono"):
+    # joint stereo (mode bits 01) is a disclosed boundary
+    blob[3] = (blob[3] & 0x3F) | 0x40
+    with pytest.raises(NotImplementedError, match="joint"):
         mp3.parse_mp3_l3(bytes(blob))
     # bit reservoir: nonzero main_data_begin
     blob = bytearray(mp3.write_mp3_l3(q, sf))
@@ -167,3 +167,36 @@ def test_disclosed_boundaries_raise():
         mp3.write_mp3_l3(
             np.full((1, 2, 576), 2), np.zeros((1, 2, 21))
         )
+
+
+def test_stereo_decode_matches_per_channel_scalar_model():
+    """Stereo (independent channels): each channel carries its own
+    overlap + filterbank state, so the decode must equal the scalar
+    model run per channel; the mono path is byte-compatible with the
+    channel-0 extraction of a stereo stream built from the same data."""
+    rng = np.random.default_rng(21)
+    q = rng.integers(-1, 2, size=(2, 2, 2, 576))
+    sf = rng.integers(0, 8, size=(2, 2, 2, 21))
+    blob = mp3.write_mp3_l3(q, sf)
+    assert len(blob) == 2 * 1044
+    meta = parse_mp3_frames(blob)
+    assert meta["n_frames"] == 2 and meta["sample_rate"] == 44100
+    rate, pcm = mp3.parse_mp3_l3(blob)
+    assert rate == 44100 and pcm.shape == (2304, 2)
+    for ch in range(2):
+        want = _scalar_pipeline(q[:, :, ch], sf[:, :, ch], mp3._GG_DEFAULT)
+        np.testing.assert_array_equal(pcm[:, ch], want)
+
+
+def test_joint_stereo_raises_and_dual_channel_decodes():
+    q = np.zeros((1, 2, 2, 576), np.int64)
+    sf = np.zeros((1, 2, 2, 21), np.int64)
+    blob = bytearray(mp3.write_mp3_l3(q, sf))
+    # dual channel (mode 10): two independent channels, decodes
+    blob[3] = (blob[3] & 0x3F) | 0x80
+    rate, pcm = mp3.parse_mp3_l3(bytes(blob))
+    assert pcm.shape == (1152, 2)
+    # joint stereo (mode 01): MS/intensity recombination not supported
+    blob[3] = (blob[3] & 0x3F) | 0x40
+    with pytest.raises(NotImplementedError, match="joint"):
+        mp3.parse_mp3_l3(bytes(blob))
