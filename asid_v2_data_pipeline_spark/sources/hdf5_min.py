@@ -24,7 +24,11 @@ Read scope (asserted, raises clearly outside it):
   heaps, nested indirect blocks, huge (incl. filtered, via type-2
   B-tree records) and tiny heap objects, multi-level v2 B-trees;
 - datatypes: fixed-point, IEEE float, fixed-length strings (either
-  endianness); references/vlen attribute values parse as ``None``;
+  endianness); object-reference attributes resolve to the referenced
+  object's PATH and vlen-sequence attributes decode through the global
+  heap (r8 — ``DIMENSION_LIST``, netCDF-4's dimension mapping, now
+  reads as dimension names); region-reference / compound values parse
+  as ``None``;
 - dataspaces v1/v2; fill-value message v1/v2/3; attribute message
   v1/2/3 (compact storage);
 - data layout message v3: compact, contiguous, and chunked with the
@@ -183,6 +187,16 @@ class _Dataset:
     filters: list = field(default_factory=list)
 
 
+class _H5Ref:
+    """An unresolved HDF5 object reference (a file address) — replaced
+    with the referenced object's path after the full group walk."""
+
+    __slots__ = ("addr",)
+
+    def __init__(self, addr: int):
+        self.addr = addr
+
+
 class HDF5File:
     """Parsed minimal-HDF5 file (read-only, from bytes).  Exposes
     ``root_attrs`` and ``datasets`` (path -> :class:`_Dataset`, root
@@ -195,7 +209,25 @@ class HDF5File:
         root = self._superblock()
         self.root_attrs: dict = {}
         self.datasets: dict[str, _Dataset] = {}
+        self._addr_names: dict[int, str] = {}
         self._walk_group(root, prefix="", is_root=True, seen=set())
+        # object references resolve to PATHS once every object has been
+        # walked (DIMENSION_LIST -> dimension-scale names); unknown
+        # addresses stay as raw ints rather than raising
+        self.root_attrs = self._resolve_refs(self.root_attrs)
+        for ds in self.datasets.values():
+            ds.attrs = self._resolve_refs(ds.attrs)
+
+    def _resolve_refs(self, value):
+        """Replace :class:`_H5Ref` placeholders (recursively, through
+        lists) with the referenced object's path."""
+        if isinstance(value, _H5Ref):
+            return self._addr_names.get(value.addr, value.addr)
+        if isinstance(value, list):
+            return [self._resolve_refs(v) for v in value]
+        if isinstance(value, dict):
+            return {k: self._resolve_refs(v) for k, v in value.items()}
+        return value
 
     # --- primitives ---------------------------------------------------
     def _u(self, pos: int, n: int) -> int:
@@ -302,9 +334,23 @@ class HDF5File:
             return np.dtype(f"{order}f{size}")
         if cls == 3:
             return np.dtype(f"S{size}")
+        if cls == 7:
+            # reference: type in bits 0-3 — 0 = object reference
+            # (region references -> None)
+            return ("ref", size) if (bits & 0x0F) == 0 else None
         if cls == 9 and (bits & 0x0F) == 1:
             return "vlen_str"  # variable-length string (global heap)
-        return None  # reference / vlen-sequence / compound: value -> None
+        if cls == 9 and (bits & 0x0F) == 0:
+            # vlen SEQUENCE: the base datatype message follows the
+            # 8-byte header (r8 — DIMENSION_LIST is a vlen sequence of
+            # object references, netCDF-4's dimension mapping)
+            base = self._dtype(body[8:])
+            if isinstance(base, np.dtype) or (
+                isinstance(base, tuple) and base[0] == "ref"
+            ):
+                return ("vlen_seq", base)
+            return None
+        return None  # region ref / compound / nested vlen: value -> None
 
     @staticmethod
     def _u4(b: bytes, pos: int) -> int:
@@ -405,6 +451,46 @@ class HDF5File:
                     )
                 )
             return (name, vals[0] if n == 1 else vals)
+        if isinstance(dt, tuple) and dt[0] == "ref":
+            rs = dt[1]
+            refs = [
+                _H5Ref(
+                    int.from_bytes(
+                        body[pos + i * rs : pos + (i + 1) * rs], "little"
+                    )
+                )
+                for i in range(n)
+            ]
+            # collapse only truly SCALAR dataspaces — a rank-1 size-1
+            # DIMENSION_LIST is still a list-of-lists
+            return (name, refs[0] if not shape else refs)
+        if isinstance(dt, tuple) and dt[0] == "vlen_seq":
+            base = dt[1]
+            esz = 8 + self._so
+            out: list = []
+            for i in range(n):
+                off = pos + i * esz
+                ln = self._u4(body, off)
+                gaddr = int.from_bytes(
+                    body[off + 4 : off + 4 + self._so], "little"
+                )
+                idx = self._u4(body, off + 4 + self._so)
+                raw = self._gheap_object(gaddr, idx)
+                if isinstance(base, tuple):  # ("ref", size)
+                    bs = base[1]
+                    out.append(
+                        [
+                            _H5Ref(
+                                int.from_bytes(
+                                    raw[j * bs : (j + 1) * bs], "little"
+                                )
+                            )
+                            for j in range(ln)
+                        ]
+                    )
+                else:
+                    out.append(np.frombuffer(raw, dtype=base, count=ln))
+            return (name, out[0] if not shape else out)
         raw = body[pos : pos + n * dt.itemsize]
         if dt.kind == "S":
             return (name, raw.split(b"\x00")[0].decode("utf-8", "replace"))
@@ -736,6 +822,7 @@ class HDF5File:
         if addr in seen:
             return
         seen.add(addr)
+        self._addr_names[addr] = prefix.rstrip("/") or "/"
         msgs = self._messages(addr)
         by_type: dict[int, list[bytes]] = {}
         for t, body in msgs:
@@ -826,7 +913,7 @@ class HDF5File:
     def _add_dataset(self, prefix: str, by_type: dict, attrs: dict):
         name = prefix.rstrip("/")
         dt = self._dtype(by_type[0x0003][0])
-        if dt is None:
+        if not isinstance(dt, np.dtype):
             return  # reference/vlen datasets: not scene data
         shape = self._dataspace(by_type[0x0001][0])
         layout = by_type[0x0008][0]
@@ -1240,6 +1327,33 @@ def _attr_msg_v1_vlen(name: str, ln: int, gaddr: int, idx: int) -> bytes:
     )
 
 
+def _attr_msg_v1_dimlist(gaddr: int, entries: list[int]) -> bytes:
+    """DIMENSION_LIST attribute — netCDF-4's dimension mapping: a
+    vlen SEQUENCE (class 9, type 0) of OBJECT REFERENCES (class 7),
+    one element per dimension, each holding one reference into the
+    global heap (the heap object is the dimension-scale dataset's
+    8-byte header address)."""
+    nm = b"DIMENSION_LIST\x00"
+    base = bytes([0x17, 0, 0, 0]) + struct.pack("<I", 8)
+    dtm = bytes([0x19, 0x00, 0, 0]) + struct.pack("<I", 16) + base
+    dsm = _dataspace_msg((len(entries),))
+
+    def pad8(b: bytes) -> bytes:
+        return b + b"\x00" * (-len(b) % 8)
+
+    data = b"".join(
+        struct.pack("<IQI", 1, gaddr, idx) for idx in entries
+    )
+    return (
+        bytes([1, 0])
+        + struct.pack("<HHH", len(nm), len(dtm), len(dsm))
+        + pad8(nm)
+        + pad8(dtm)
+        + pad8(dsm)
+        + data
+    )
+
+
 def _attr_msg_v3(name: str, value, vlen_ref=None) -> bytes:
     """Version-3 attribute message (the layout 1.8+ writers use, and
     what dense attribute storage stores in the fractal heap).
@@ -1515,6 +1629,7 @@ def write_hdf5_netcdf4(
     nbit_precision: int | None = None,
     nbit_offset: int = 0,
     so_factor: int = 0,
+    dimension_list: bool = False,
 ) -> bytes:
     """Minimal netCDF-4/HDF5 fixture writer (root group only).
 
@@ -1573,6 +1688,11 @@ def write_hdf5_netcdf4(
     objects: list[tuple[str, list[tuple[int, bytes]], dict]] = []
     seg_payloads: dict[str, bytes] = {}
     vstrings: list[bytes] = []  # global-heap payloads, 1-based index
+    ref_dims: list[str] = []  # dimension refs appended AFTER vstrings
+    if dimension_list and dense_attrs:
+        raise ValueError(
+            "dimension_list is supported on the compact-attribute path"
+        )
 
     def dataset_msgs(name, arr, attrs, is_dim):
         arr = np.ascontiguousarray(arr)
@@ -1692,6 +1812,17 @@ def write_hdf5_netcdf4(
         objects.append((dname, msgs, meta))
     for vname, (_vdims, arr, attrs) in variables.items():
         msgs, meta = dataset_msgs(vname, np.asarray(arr), attrs, is_dim=False)
+        if dimension_list:
+            # marker carries (dim names, their 0-based ref_dims slots);
+            # the final global-heap index is len(vstrings)+1+slot, fixed
+            # once all string attrs are collected (resolve() computes it)
+            slots = []
+            for dname in _vdims:
+                if dname not in dims:
+                    raise ValueError(f"unknown dimension {dname!r}")
+                slots.append(len(ref_dims))
+                ref_dims.append(dname)
+            msgs.append(("dimlist", (tuple(_vdims), tuple(slots))))
         objects.append((vname, msgs, meta))
 
     gat_markers: list = []
@@ -1741,6 +1872,17 @@ def write_hdf5_netcdf4(
                                 len(vstrings[idx - 1]),
                                 a("gheap:/"),
                                 idx,
+                            ),
+                        )
+                    )
+                elif m[0] == "dimlist":
+                    vdims, slots = m[1]
+                    out.append(
+                        (
+                            0x000C,
+                            _attr_msg_v1_dimlist(
+                                a("gheap:/"),
+                                [len(vstrings) + 1 + s for s in slots],
                             ),
                         )
                     )
@@ -1999,9 +2141,15 @@ def write_hdf5_netcdf4(
                 put, a, tag, btype, rec_size, records, btree_node_size
             )
 
-        if vstrings:
+        heap_payloads = list(vstrings) + [
+            # each DIMENSION_LIST element references one dim-scale
+            # dataset: the heap object is its 8-byte header address
+            struct.pack("<Q", a(f"oh:{d}"))
+            for d in ref_dims
+        ]
+        if heap_payloads:
             gh = b""
-            for i, blob in enumerate(vstrings, start=1):
+            for i, blob in enumerate(heap_payloads, start=1):
                 gh += struct.pack("<HH4x", i, 1) + struct.pack(
                     "<Q", len(blob)
                 )
