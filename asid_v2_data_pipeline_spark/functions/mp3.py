@@ -128,6 +128,9 @@ for _t in range(16):
         _V_COL[_t, _j] = _j + 32 * (_t % 2)
         _D_TAP[_t, _j] = _DWIN[_j + 32 * _t]
 del _t, _j
+# chronological-history row index for the vectorized synthesis:
+# output block n, tap i -> history row 16 + n - i
+_HIST_ROWS = 16 + np.arange(18)[:, None] - np.arange(16)[None, :]
 
 
 def _rdiv(a, b):
@@ -339,6 +342,55 @@ def _huffman_read_pair(br: _BitReader) -> tuple[int, int]:
     return x, y
 
 
+def _build_huff1_lut() -> list[tuple[int, int, int] | None]:
+    """Peek-5 decode LUT for table 1 (the JPEG peek-LUT trick): the
+    longest code (3) plus two sign bits is 5 bits, so every 5-bit
+    window resolves one full (x, y, consumed-bits) step — one list
+    index instead of up to five bit reads."""
+    lut: list[tuple[int, int, int] | None] = [None] * 32
+    for (ax, ay), (code, ln) in _HUFF1.items():
+        nsign = (1 if ax else 0) + (1 if ay else 0)
+        free = 5 - ln - nsign
+        for signs in range(1 << nsign):
+            for fill in range(1 << free):
+                w = (code << (5 - ln)) | (signs << free) | fill
+                x, y = ax, ay
+                s = signs
+                if ay:
+                    if s & 1:
+                        y = -y
+                    s >>= 1
+                if ax and s & 1:
+                    x = -x
+                lut[w] = (x, y, ln + nsign)
+    return lut
+
+
+_HUFF1_LUT = _build_huff1_lut()
+
+
+def _decode_table1_run(
+    buf: bytes, bitpos: int, out: np.ndarray, start: int, n_pairs: int
+) -> int:
+    """Decode ``n_pairs`` table-1 pairs from ``buf`` starting at
+    absolute ``bitpos``, writing into ``out[start:]``; returns the new
+    bit position.  Byte-window peek + the 5-bit LUT — the hot path of
+    the sample decoder (exactness pinned against the scalar model and
+    the per-bit reference reader in tests)."""
+    lut = _HUFF1_LUT
+    for k in range(n_pairs):
+        byte = bitpos >> 3
+        chunk = buf[byte : byte + 3]
+        if len(chunk) < 3:  # stream tail: zero-extend
+            chunk = chunk + bytes(3 - len(chunk))
+        w = (int.from_bytes(chunk, "big") >> (19 - (bitpos & 7))) & 31
+        step = lut[w]
+        i = start + 2 * k
+        out[i], out[i + 1] = step[0], step[1]
+        bitpos += step[2]
+    return bitpos
+
+
 class _SynthState:
     """Per-stream reconstruction state: the 18-sample IMDCT overlap
     tail per subband and the 16-deep V FIFO of the polyphase bank —
@@ -372,16 +424,16 @@ def _reconstruct_granule(
     state.overlap = z[:, 18:].copy()
     # frequency inversion: odd time samples of odd subbands
     ts[1::2, 1::2] = -ts[1::2, 1::2]
-    # polyphase synthesis: 18 blocks of 32 subband samples
-    pcm = np.empty(576, dtype=np.int64)
-    for n in range(18):
-        v = _NMAT @ ts[:, n]  # exact, 2^-25
-        state.vfifo = np.roll(state.vfifo, 1, axis=0)
-        state.vfifo[0] = v
-        acc = (
-            state.vfifo[np.arange(16)[:, None], _V_COL] * _D_TAP
-        ).sum(axis=0)  # exact, 2^-35
-        pcm[32 * n : 32 * n + 32] = _rdiv(acc, 1 << (2 * _TBITS))
+    # polyphase synthesis, whole granule at once: 18 V vectors in one
+    # matmul, then one gather over the chronological V history (16 FIFO
+    # rows + the 18 new ones) replaces the per-block np.roll loop
+    v18 = (_NMAT @ ts).T  # (18, 64), exact, 2^-25
+    hist = np.concatenate([state.vfifo[::-1], v18])  # hist[m]=V_{t0-16+m}
+    # output block n needs V_{t0+n-i} = hist[16 + n - i]
+    g = hist[_HIST_ROWS[:, :, None], _V_COL[None, :, :]]  # (18, 16, 32)
+    acc = (g * _D_TAP[None, :, :]).sum(axis=1)  # exact, 2^-35
+    state.vfifo = hist[-16:][::-1].copy()
+    pcm = _rdiv(acc, 1 << (2 * _TBITS)).reshape(-1)
     return np.clip(pcm, -32768, 32767)
 
 
@@ -483,18 +535,28 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
             r1 = min(r0 + info["region1_count"] + 1, len(sfb) - 1)
             bound1, bound2 = int(sfb[r0]), int(sfb[r1])
             q = np.zeros(576, dtype=np.int64)
-            for k in range(bv):
-                i = 2 * k
-                region_table = info["table_select"][
-                    0 if i < bound1 else (1 if i < bound2 else 2)
-                ]
-                if region_table == 0:
-                    continue  # table 0: no bits, both values zero
-                if region_table != 1:
-                    raise NotImplementedError(
-                        f"MP3: Huffman table {region_table} not transcribed"
+            # decode per REGION RUN (same table over a contiguous pair
+            # range) through the peek-5 LUT instead of per-bit reads
+            bitpos = md.bits_read()
+            run_start = 0
+            for run_end, table in (
+                (min(bound1 // 2, bv), info["table_select"][0]),
+                (min(bound2 // 2, bv), info["table_select"][1]),
+                (bv, info["table_select"][2]),
+            ):
+                n_pairs = run_end - run_start
+                if n_pairs <= 0:
+                    continue
+                if table == 1:
+                    bitpos = _decode_table1_run(
+                        payload, bitpos, q, 2 * run_start, n_pairs
                     )
-                q[i], q[i + 1] = _huffman_read_pair(md)
+                elif table != 0:  # table 0: no bits, values stay zero
+                    raise NotImplementedError(
+                        f"MP3: Huffman table {table} not transcribed"
+                    )
+                run_start = run_end
+            md._pos, md._bit = bitpos >> 3, bitpos & 7
             used = md.bits_read() - start_bits
             if used > info["part2_3_length"]:
                 raise ValueError("MP3: part2_3_length overrun")
