@@ -928,6 +928,64 @@ def decode_mp3_audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, MP3_RMS_SCHEMA)
 
 
+MKV_MP3_SCHEMA = T.StructType(
+    [MP3_RMS_SCHEMA.fields[0]]
+    + [T.StructField("n_blocks", T.IntegerType(), False)]
+    + MP3_RMS_SCHEMA.fields[1:]
+)
+
+
+def demux_decode_mp3_stats(media: DataFrame) -> DataFrame:
+    """END-TO-END MP3-in-Matroska audio decode — the Layer III sibling
+    of ``demux_decode_flac_rms``: demux each payload (``parse_mkv``),
+    reassemble every A_MPEG/L3 track (per the Matroska codec mapping
+    the frames ARE the MPEG frames — blocks concatenated in timestamp
+    order, no CodecPrivate), SAMPLE-decode with ``parse_mp3_l3`` (the
+    reconstruction state crosses block boundaries, so one dropped or
+    reordered SimpleBlock changes every later sample), and emit the
+    integer loudness stats plus ``n_blocks``, the demuxed frame count
+    the oracle independently re-derives.  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.ebml import parse_mkv
+        from ..functions.mp3 import parse_mp3_l3
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_blocks", "sample_rate", "n_samples",
+                "sum_sq", "fp",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                mkv = parse_mkv(bytes(p))
+                for tno, tr in sorted(mkv.tracks.items()):
+                    if tr.kind != "audio" or tr.codec_id != "A_MPEG/L3":
+                        continue
+                    blocks = sorted(
+                        (f for f in mkv.frames if f[0] == tno),
+                        key=lambda f: f[1],
+                    )
+                    rate, pcm = parse_mp3_l3(
+                        b"".join(f[3] for f in blocks)
+                    )
+                    s = pcm.astype(np.int64).reshape(-1)
+                    rows["media_id"].append(mid)
+                    rows["n_blocks"].append(len(blocks))
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(s.size)
+                    rows["sum_sq"].append(int((s * s).sum()))
+                    rows["fp"].append(
+                        int(((np.arange(s.size) + 1) * s).sum())
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, MKV_MP3_SCHEMA)
+
+
 MKV_FLAC_RMS_SCHEMA = T.StructType(
     FLAC_RMS_SCHEMA.fields[:1]
     + [T.StructField("n_blocks", T.IntegerType(), False)]

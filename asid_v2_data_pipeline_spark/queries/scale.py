@@ -3498,6 +3498,59 @@ ORDER BY n.doc_id
 _MP3_GG = 190  # fixture global_gain (2^-5 — PCM off the int16 rails)
 
 
+_MP3_MKV_TICKS = 26  # ~1152/44100 s per frame at the 1 ms default scale
+
+
+def _mp3_mkv_build(batches):
+    """Fixture kernel for ``mm_mkv_mp3_rms``: a data-dependent NUMBER
+    of frames per document (F = 1 + n_bytes mod 3, so the decode chain
+    length varies per row), built as one mono Layer III stream (segment
+    gc = f*2 + g keeps the byte→bitstream mapping of ``_mp3_build``),
+    then muxed per the Matroska A_MPEG/L3 codec mapping: one MPEG frame
+    per SimpleBlock, no CodecPrivate, clusters of 2."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.ebml import MkvTrack, write_mkv
+    from ..functions.mp3 import _FRAME_LEN, write_mp3_l3
+
+    tracks = [
+        MkvTrack(1, "audio", "A_MPEG/L3", sampling_hz=44100.0, channels=1)
+    ]
+    for pdf in batches:
+        payloads = []
+        for t in pdf["text"]:
+            raw = t.encode("utf-8")
+            nb = len(raw)
+            if nb == 0:
+                payloads.append(None)
+                continue
+            b = np.frombuffer(raw, np.uint8).astype(np.int64)
+            nf = 1 + nb % 3
+            q = np.empty((nf, 2, 576), np.int64)
+            sfs = np.empty((nf, 2, 21), np.int64)
+            for f in range(nf):
+                for g in range(2):
+                    gc = f * 2 + g
+                    v = b[(576 * gc + np.arange(576)) % nb] % 3
+                    q[f, g] = np.where(v == 0, 0, np.where(v == 1, 1, -1))
+                    sfs[f, g] = b[(21 * gc + np.arange(21)) % nb] % 8
+            stream = write_mp3_l3(q, sfs, global_gain=_MP3_GG)
+            frames = [
+                (
+                    1,
+                    f * _MP3_MKV_TICKS,
+                    True,
+                    stream[f * _FRAME_LEN : (f + 1) * _FRAME_LEN],
+                )
+                for f in range(nf)
+            ]
+            payloads.append(write_mkv(frames, tracks, cluster_every=2))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
 def _mp3_build(batches, nch: int = 1):
     """Fixture kernel for the ``mm_mp3*`` queries: document bytes
     become ONE real ID3v2-prefixed MPEG-1 Layer III frame (44.1 kHz,
@@ -3611,19 +3664,54 @@ def mm_mp3_stereo_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _mm_mp3_rms_sql(nch: int = 1) -> str:
+def mm_mkv_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END MP3-in-Matroska decode — completes the demux∘codec
+    family (MJPEG video, FLAC audio, now the most common compressed
+    audio format): a data-dependent number of REAL Layer III frames per
+    document (1–3, so the decode-chain length varies per row) muxed per
+    the A_MPEG/L3 codec mapping, demuxed back, reassembled in timestamp
+    order and SAMPLE-decoded with cross-frame reconstruction state —
+    one dropped or reordered SimpleBlock would change every later
+    sample and break the value hash.  The oracle re-derives the frame
+    count AND the whole variable-length fixed-point pipeline from the
+    pre-encode octets (the ``frames_expr`` form of the shared
+    generator).  One zero-shuffle Arrow pass; one stats row per doc."""
+    from ..operators.multimodal import demux_decode_mp3_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
+        _mp3_mkv_build, "media_id long, payload binary"
+    )
+    stats = demux_decode_mp3_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_blocks",
+        "sample_rate",
+        "n_samples",
+        "sum_sq",
+        "fp",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
+        ).alias("rms"),
+    ).orderBy("doc_id")
+
+
+def _mm_mp3_rms_sql(nch: int = 1, frames_expr: str = "1") -> str:
     """The fixed-point Layer III decode pipeline unrolled as chained
     CTEs over the pre-encode octets — same tables, same single
     rounding rule floor((2a+b)/2b) as ``functions/mp3.py`` (constants
     embedded verbatim from the module, so the LUTs ARE the contract).
-    Stage layout mirrors the decoder over ``2*nch`` granule-channel
-    segments of 576 lines in bitstream (granule, channel) order:
-    xq (requantized lines), xa (alias butterflies, exact), zz (fused
-    IMDCT+window, the ONE mid-pipeline rounding), tv (overlap-add +
-    frequency inversion, exact — the previous-granule tail is the
-    SAME-CHANNEL segment ``nch`` back), vv (polyphase matrixing per
-    channel, exact), pcm (512-tap windowed output, final rounding +
-    int16 clamp, channel-interleaved like the operator's flatten)."""
+    Stage layout mirrors the decoder over ``2*nch*F`` frame-granule-
+    channel segments of 576 lines in bitstream order (``frames_expr``
+    is a per-row SQL expression for the frame count F — "1" for the
+    single-frame queries, data-dependent for the MKV variant, so the
+    list stages are VARIABLE-length per document): xq (requantized
+    lines), xa (alias butterflies, exact), zz (fused IMDCT+window, the
+    ONE mid-pipeline rounding), tv (overlap-add + frequency inversion,
+    exact — the previous-granule tail is the SAME-CHANNEL segment
+    ``nch`` back, which also chains granules ACROSS frame boundaries),
+    vv (polyphase matrixing per channel, exact), pcm (512-tap windowed
+    output, final rounding + int16 clamp, channel-interleaved)."""
     from ..functions.mp3 import (
         _CA,
         _CS,
@@ -3643,8 +3731,9 @@ def _mm_mp3_rms_sql(nch: int = 1) -> str:
     dw = [int(v) for v in _DWIN]
     csa = [int(v) for v in _CS]
     caa = [int(v) for v in _CA]
-    nseg = 2 * nch  # granule-channel segments
-    nsamp = 1152 * nch
+    nseg = f"(2 * {nch} * ff)"  # frame-granule-channel segments
+    nsamp = f"(1152 * {nch} * ff)"
+    blocks = "(36 * ff)"  # per-channel filterbank blocks
 
     def rdiv20(s: str) -> str:
         return (
@@ -3656,21 +3745,21 @@ def _mm_mp3_rms_sql(nch: int = 1) -> str:
         f" + 1 AS INT)] * cw[CAST((k % 36) * 18 + {i} + 1 AS INT)]"
         for i in range(18)
     )
-    # vv block layout is CHANNEL-major time (ch*36 + t) so the 16-deep
+    # vv block layout is CHANNEL-major time (ch*36F + t) so the 16-deep
     # window FIFO never crosses channels; ts segment for (ch, t) is
     # (t // 18) * nch + ch
     matrix_terms = " + ".join(
         f"nm[CAST((k % 64) * 32 + {j} + 1 AS INT)]"
-        f" * tv[CAST(((((k // 64) % 36) // 18) * {nch}"
-        f" + (k // 64) // 36) * 576 + {j} * 18"
+        f" * tv[CAST(((((k // 64) % {blocks}) // 18) * {nch}"
+        f" + (k // 64) // {blocks}) * 576 + {j} * 18"
         f" + ((k // 64) % 18) + 1 AS INT)]"
         for j in range(32)
     )
     # pcm is channel-interleaved: sample n = k // nch, channel = k % nch
     win_terms = " + ".join(
         f"(CASE WHEN (k // {nch}) // 32 >= {i} THEN"
-        f" vv[CAST(((k % {nch}) * 36 + (k // {nch}) // 32 - {i}) * 64"
-        f" + (k // {nch}) % 32 + {32 * (i % 2)}"
+        f" vv[CAST(((k % {nch}) * {blocks} + (k // {nch}) // 32 - {i})"
+        f" * 64 + (k // {nch}) % 32 + {32 * (i % 2)}"
         f" + 1 AS INT)] ELSE 0 END) * dw[CAST((k // {nch}) % 32"
         f" + {32 * i} + 1 AS INT)]"
         for i in range(16)
@@ -3685,15 +3774,19 @@ WITH {_CODES_CTE_SQL},
 consts AS (SELECT {lut!r}::BIGINT[] AS lut, {bo!r}::BIGINT[] AS bo,
   {csa!r}::BIGINT[] AS csa, {caa!r}::BIGINT[] AS caa,
   {cw!r}::BIGINT[] AS cw, {nm!r}::BIGINT[] AS nm, {dw!r}::BIGINT[] AS dw),
+mp AS (
+  SELECT doc_id, n_bytes, cs, CAST({frames_expr} AS BIGINT) AS ff
+  FROM codes WHERE n_bytes > 0
+),
 xq AS (
-  SELECT doc_id, list_transform(range(0, {576 * nseg}), k ->
+  SELECT doc_id, ff, n_bytes, list_transform(range(0, 576 * {nseg}), k ->
     (CASE cs[CAST(k % n_bytes + 1 AS INT)] % 3
        WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE -1 END)
     * lut[CAST(({sfx}) + 1 AS INT)]) AS x
-  FROM codes CROSS JOIN consts WHERE n_bytes > 0
+  FROM mp CROSS JOIN consts
 ),
 xal AS (
-  SELECT doc_id, list_transform(range(0, {576 * nseg}), k ->
+  SELECT doc_id, ff, list_transform(range(0, 576 * {nseg}), k ->
     CASE
       WHEN (k % 576) % 18 >= 10 AND (k % 576) // 18 < 31 THEN
         x[CAST(k + 1 AS INT)]
@@ -3709,12 +3802,12 @@ xal AS (
   FROM xq CROSS JOIN consts
 ),
 zz AS (
-  SELECT doc_id, list_transform(range(0, {1152 * nseg}), k ->
+  SELECT doc_id, ff, list_transform(range(0, 1152 * {nseg}), k ->
     {rdiv20(imdct_terms)}) AS z
   FROM xal CROSS JOIN consts
 ),
 tvs AS (
-  SELECT doc_id, list_transform(range(0, {576 * nseg}), k ->
+  SELECT doc_id, ff, list_transform(range(0, 576 * {nseg}), k ->
     (CASE WHEN ((k % 576) // 18) % 2 = 1 AND (k % 18) % 2 = 1
           THEN -1 ELSE 1 END)
     * (z[CAST((k // 576) * 1152 + ((k % 576) // 18) * 36
@@ -3726,25 +3819,26 @@ tvs AS (
   FROM zz
 ),
 vvs AS (
-  SELECT doc_id, list_transform(range(0, {64 * 36 * nch}), k ->
+  SELECT doc_id, ff, list_transform(range(0, 64 * {blocks} * {nch}), k ->
     {matrix_terms}) AS vv
   FROM tvs CROSS JOIN consts
 ),
 pcms AS (
-  SELECT doc_id, list_transform(range(0, {nsamp}), k ->
+  SELECT doc_id, ff, list_transform(range(0, {nsamp}), k ->
     LEAST(32767, GREATEST(-32768, {rdiv20(win_terms)}))) AS pcm
   FROM vvs CROSS JOIN consts
 ),
 agg AS (
-  SELECT doc_id,
+  SELECT doc_id, ff,
     CAST(list_sum(list_transform(pcm, p -> p * p)) AS BIGINT) AS sum_sq,
     CAST(list_sum(list_transform(range(0, {nsamp}), k ->
       (k + 1) * pcm[CAST(k + 1 AS INT)])) AS BIGINT) AS fp
   FROM pcms
 )
-SELECT doc_id, CAST(44100 AS INT) AS sample_rate,
+SELECT doc_id{", CAST(ff AS INT) AS n_blocks" if frames_expr != "1" else ""},
+       CAST(44100 AS INT) AS sample_rate,
        CAST({nsamp} AS BIGINT) AS n_samples, sum_sq, fp,
-       ROUND(sqrt(sum_sq / {nsamp}.0), 6) AS rms
+       ROUND(sqrt(sum_sq / CAST({nsamp} AS DOUBLE)), 6) AS rms
 FROM agg ORDER BY doc_id
 """
 
@@ -5286,6 +5380,10 @@ REGISTRY = {
     "mm_mp3_meta": (mm_mp3_meta, _mm_mp3_sql()),
     "mm_mp3_rms": (mm_mp3_rms, _mm_mp3_rms_sql()),
     "mm_mp3_stereo_rms": (mm_mp3_stereo_rms, _mm_mp3_rms_sql(2)),
+    "mm_mkv_mp3_rms": (
+        mm_mkv_mp3_rms,
+        _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),
+    ),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

@@ -81,6 +81,7 @@ CASES = [
     # PageRank
     "mm_mp3_rms",
     "mm_mp3_stereo_rms",
+    "mm_mkv_mp3_rms",
     "gr_pagerank_incremental",
 ]
 
