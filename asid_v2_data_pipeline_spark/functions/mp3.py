@@ -112,6 +112,9 @@ _NMAT = np.rint(
     np.cos((16 + _im) * (2 * _jm + 1) * np.pi / 64.0) * (1 << _TBITS)
 ).astype(np.int64)
 
+# mid/side recombination constant: round(2^10 / sqrt(2))
+_RSQRT2 = 724
+
 # synthesis prototype window (computed stand-in for ISO Table B.3 —
 # see module docstring); 512 taps at 2^10
 _DWIN = np.rint(
@@ -230,15 +233,19 @@ def write_mp3_l3(
     spectra: np.ndarray,
     scalefacs: np.ndarray,
     global_gain: int = _GG_DEFAULT,
+    stereo_mode: str = "independent",
 ) -> bytes:
     """Encode quantized long-block spectra into real MPEG-1 Layer III
     frames (44.1 kHz, 320 kbps, no CRC).  ``spectra`` is int
     (n_frames, 2, 576) for MONO or (n_frames, 2, 2, 576) for STEREO
     (granule, channel) with values in {-1, 0, 1} (Huffman table 1's
     range); ``scalefacs`` matches with a trailing (..., 21) in 0..7
-    (slen 3).  All 576 lines ride in big_values (288 pairs, the spec
-    maximum), table 1 in all three regions, count1 = rzero = 0,
-    main_data_begin = 0 (self-contained frames)."""
+    (slen 3).  ``stereo_mode="ms"`` (2-channel input interpreted as
+    quantized MID/SIDE spectra) writes joint-stereo mode 01 with
+    mode_ext MS — the decoder recombines L,R = (M ± S)/sqrt(2).  All
+    576 lines ride in big_values (288 pairs, the spec maximum), table 1
+    in all three regions, count1 = rzero = 0, main_data_begin = 0
+    (self-contained frames)."""
     spectra = np.asarray(spectra, dtype=np.int64)
     scalefacs = np.asarray(scalefacs, dtype=np.int64)
     if spectra.ndim == 3 and spectra.shape[1:] == (2, 576):
@@ -259,6 +266,10 @@ def write_mp3_l3(
         raise ValueError("MP3: slen-3 scalefactors must be in 0..7")
     if not 0 <= global_gain <= 255:
         raise ValueError("MP3: global_gain out of range")
+    if stereo_mode not in ("independent", "ms"):
+        raise ValueError("MP3: stereo_mode must be 'independent' or 'ms'")
+    if stereo_mode == "ms" and nch != 2:
+        raise ValueError("MP3: mid/side needs exactly 2 channels")
 
     out = bytearray()
     for f in range(spectra.shape[0]):
@@ -312,7 +323,11 @@ def write_mp3_l3(
             | (0xE << 12)       # 320 kbps
             | (0x0 << 10)       # 44.1 kHz
             | (0x0 << 9)        # padding 0
-            | ((0x3 if nch == 1 else 0x0) << 6),  # mono / stereo
+            | (
+                (0x3 if nch == 1 else (0x1 if stereo_mode == "ms" else 0x0))
+                << 6
+            )  # mono / joint stereo / stereo
+            | ((0x2 if stereo_mode == "ms" else 0x0) << 4),  # mode_ext
         )
         body = header + side + main
         if len(body) > _FRAME_LEN:
@@ -442,10 +457,12 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
     ID3v2-prefixed): sync-walk frames, parse side info, read
     scalefactors, Huffman-decode the spectrum from the real bitstream,
     requantize through the fixed-point LUT and run the reconstruction
-    pipeline.  Mono returns ``(rate, int16[n])``; stereo and dual
-    channel (two INDEPENDENT channels, each with its own overlap and
-    filterbank state) return ``(rate, int16[n, 2])``.  Joint stereo
-    (mode 01: MS/intensity recombination) and the other unsupported
+    pipeline.  Mono returns ``(rate, int16[n])``; stereo, dual channel
+    and joint stereo return ``(rate, int16[n, 2])`` — independent
+    channels each keep their own overlap/filterbank state, and
+    MID/SIDE joint stereo (mode 01, mode_ext MS) recombines the
+    requantized spectra ``L,R = rdiv((M ± S)·724, 2^10)`` before
+    reconstruction (r8).  Intensity stereo and the other unsupported
     spec surface raise ``NotImplementedError`` with the feature named
     (bit reservoir, non-transcribed Huffman tables, count1 quads,
     window switching, non-44.1 kHz)."""
@@ -477,8 +494,14 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
         if br_idx != 0xE:
             raise NotImplementedError("MP3: fixture decoder expects 320 kbps")
         mode = (h >> 6) & 0x3
-        if mode == 0x1:
-            raise NotImplementedError("MP3: joint stereo (MS/intensity)")
+        mode_ext = (h >> 4) & 0x3
+        ms_on = False
+        if mode == 0x1:  # joint stereo: mode_ext picks the coding
+            if mode_ext & 0x1:
+                raise NotImplementedError("MP3: intensity stereo")
+            # mode_ext 00 = no joint coding this frame (plain stereo);
+            # bit 1 = mid/side over the whole spectrum
+            ms_on = bool(mode_ext & 0x2)
         nch = 1 if mode == 0x3 else 2
         if nch_stream is None:
             nch_stream = nch
@@ -516,6 +539,7 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
 
         md = _BitReader(payload, pos + 4 + (17 if nch == 1 else 32))
         frame_ch: list[list[np.ndarray]] = [[] for _ in range(nch)]
+        gx: list = [None] * nch  # per-granule requantized channels
         for gc in range(2 * nch):
             g, ch = gc // nch, gc % nch
             info = gr_info[gc]
@@ -573,8 +597,20 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
                 dtype=np.int64,
             )
             line_sf = np.repeat(sf, band_width)
-            x = np.sign(q) * lut[line_sf]
-            frame_ch[ch].append(_reconstruct_granule(x, states[ch]))
+            gx[ch] = np.sign(q) * lut[line_sf]
+            if ch < nch - 1:
+                continue
+            if ms_on:
+                # mid/side recombination on the requantized spectra:
+                # L,R = (M ± S)/sqrt(2) — ONE extra fixed-point rounding
+                # (x 724 at 2^10), scale stays 2^-15
+                m, s_ = gx[0], gx[1]
+                gx[0] = _rdiv((m + s_) * _RSQRT2, 1 << _TBITS)
+                gx[1] = _rdiv((m - s_) * _RSQRT2, 1 << _TBITS)
+            for c in range(nch):
+                frame_ch[c].append(
+                    _reconstruct_granule(gx[c], states[c])
+                )
         pcm_parts.append([np.concatenate(c) for c in frame_ch])
         pos += flen
         n_frames += 1

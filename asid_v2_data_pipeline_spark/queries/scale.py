@@ -3551,7 +3551,7 @@ def _mp3_mkv_build(batches):
         )
 
 
-def _mp3_build(batches, nch: int = 1):
+def _mp3_build(batches, nch: int = 1, stereo_mode: str = "independent"):
     """Fixture kernel for the ``mm_mp3*`` queries: document bytes
     become ONE real ID3v2-prefixed MPEG-1 Layer III frame (44.1 kHz,
     320 kbps, Huffman table 1; mono or independent-channel stereo).
@@ -3589,7 +3589,10 @@ def _mp3_build(batches, nch: int = 1):
                 q, sfs = q[:, :, 0], sfs[:, :, 0]
             payloads.append(
                 write_id3({"TIT2": f"doc {did}"})
-                + write_mp3_l3(q, sfs, global_gain=_MP3_GG)
+                + write_mp3_l3(
+                    q, sfs, global_gain=_MP3_GG,
+                    stereo_mode=stereo_mode,
+                )
             )
         yield pd.DataFrame(
             {"media_id": pdf["doc_id"], "payload": payloads}
@@ -3664,6 +3667,36 @@ def mm_mp3_stereo_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def mm_mp3_ms_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MID/SIDE joint-stereo twin of ``mm_mp3_stereo_rms`` (mode 01,
+    mode_ext MS — how most real stereo MP3s are coded): the document
+    bytes become quantized MID/SIDE spectra, and the decoder recombines
+    ``L,R = rdiv((M ± S)·724, 2^10)`` on the requantized lines before
+    reconstruction.  The oracle inserts the identical recombination CTE
+    between requantization and the alias butterflies — the 724 constant
+    and the extra rounding rule are value-hashed."""
+    from functools import partial
+
+    from ..operators.multimodal import decode_mp3_audio_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
+        partial(_mp3_build, nch=2, stereo_mode="ms"),
+        "media_id long, payload binary",
+    )
+    stats = decode_mp3_audio_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "sum_sq",
+        "fp",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
+        ).alias("rms"),
+    ).orderBy("doc_id")
+
+
 def mm_mkv_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END MP3-in-Matroska decode — completes the demux∘codec
     family (MJPEG video, FLAC audio, now the most common compressed
@@ -3696,7 +3729,9 @@ def mm_mkv_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _mm_mp3_rms_sql(nch: int = 1, frames_expr: str = "1") -> str:
+def _mm_mp3_rms_sql(
+    nch: int = 1, frames_expr: str = "1", ms: bool = False
+) -> str:
     """The fixed-point Layer III decode pipeline unrolled as chained
     CTEs over the pre-encode octets — same tables, same single
     rounding rule floor((2a+b)/2b) as ``functions/mp3.py`` (constants
@@ -3769,6 +3804,27 @@ def _mm_mp3_rms_sql(nch: int = 1, frames_expr: str = "1") -> str:
         " cs[CAST(((k // 576) * 21 + bo[CAST(k % 576 + 1 AS INT)])"
         " % n_bytes + 1 AS INT)] % 8 ELSE 0 END"
     )
+
+    def rdiv10(expr: str) -> str:
+        return f"CAST(floor((2.0 * ({expr}) + 1024) / 2048.0) AS BIGINT)"
+
+    # mid/side recombination (ms=True, nch=2): even segments are the
+    # MID channel, partner SIDE at k+576 of the same granule —
+    # L,R = rdiv((M +- S) * 724, 2^10), mirroring the decoder stage
+    ms_cte = ""
+    if ms:
+        if nch != 2:
+            raise ValueError("ms oracle needs nch=2")
+        ms_cte = f"""msr AS (
+  SELECT doc_id, ff, list_transform(range(0, 576 * {nseg}), k ->
+    CASE WHEN (k // 576) % 2 = 0 THEN
+      {rdiv10("(x[CAST(k + 1 AS INT)] + x[CAST(k + 577 AS INT)]) * 724")}
+    ELSE
+      {rdiv10("(x[CAST(k - 575 AS INT)] - x[CAST(k + 1 AS INT)]) * 724")}
+    END) AS x
+  FROM xq
+),
+"""
     return f"""
 WITH {_CODES_CTE_SQL},
 consts AS (SELECT {lut!r}::BIGINT[] AS lut, {bo!r}::BIGINT[] AS bo,
@@ -3785,7 +3841,7 @@ xq AS (
     * lut[CAST(({sfx}) + 1 AS INT)]) AS x
   FROM mp CROSS JOIN consts
 ),
-xal AS (
+{ms_cte}xal AS (
   SELECT doc_id, ff, list_transform(range(0, 576 * {nseg}), k ->
     CASE
       WHEN (k % 576) % 18 >= 10 AND (k % 576) // 18 < 31 THEN
@@ -3799,7 +3855,7 @@ xal AS (
           * caa[CAST((k % 576) % 18 + 1 AS INT)]
       ELSE x[CAST(k + 1 AS INT)] * 1024
     END) AS xa
-  FROM xq CROSS JOIN consts
+  FROM {"msr" if ms else "xq"} CROSS JOIN consts
 ),
 zz AS (
   SELECT doc_id, ff, list_transform(range(0, 1152 * {nseg}), k ->
@@ -5384,6 +5440,7 @@ REGISTRY = {
         mm_mkv_mp3_rms,
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),
     ),
+    "mm_mp3_ms_rms": (mm_mp3_ms_rms, _mm_mp3_rms_sql(2, ms=True)),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

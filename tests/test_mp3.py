@@ -23,25 +23,34 @@ def _rand(n_frames: int, seed: int):
     return q, sf
 
 
-def _scalar_pipeline(q, sf, gg):
-    """Independent straight-from-the-docstring scalar model of the
-    fixed-point reconstruction: same tables, no NumPy matmuls, plain
-    Python loops — pins the vectorized decoder's every index."""
-    rd = lambda a, b: (2 * a + b) // (2 * b)
+def _scalar_requant(q, sf, gg):
+    """Scalar requantization: (frames, 2, 576) quantized values +
+    (frames, 2, 21) scalefactors -> list of per-granule x vectors."""
     lut = mp3.requant_lut(gg)
     sfb = mp3.SFB_LONG_44100
-    overlap = [[0] * 18 for _ in range(32)]
-    vfifo = [[0] * 64 for _ in range(16)]
     out = []
     for f in range(q.shape[0]):
         for g in range(2):
-            # requantize
             x = [0] * 576
             for band in range(22):
                 s = int(sf[f, g, band]) if band < 21 else 0
                 for i in range(sfb[band], sfb[band + 1]):
                     v = int(q[f, g, i])
                     x[i] = (1 if v > 0 else -1) * lut[s] if v else 0
+            out.append(x)
+    return out
+
+
+def _scalar_reconstruct(x_vectors):
+    """Independent straight-from-the-docstring scalar model of the
+    fixed-point reconstruction from requantized granule vectors: same
+    tables, no NumPy matmuls, plain Python loops — pins the vectorized
+    decoder's every index."""
+    rd = lambda a, b: (2 * a + b) // (2 * b)
+    overlap = [[0] * 18 for _ in range(32)]
+    vfifo = [[0] * 64 for _ in range(16)]
+    out = []
+    for x in x_vectors:
             # alias butterflies
             xa = [v * 1024 for v in x]
             for b in range(1, 32):
@@ -83,6 +92,10 @@ def _scalar_pipeline(q, sf, gg):
                     p = rd(acc, 1 << 20)
                     out.append(max(-32768, min(32767, p)))
     return np.asarray(out, dtype=np.int16)
+
+
+def _scalar_pipeline(q, sf, gg):
+    return _scalar_reconstruct(_scalar_requant(q, sf, gg))
 
 
 def test_huffman_table_prefix_free_and_complete():
@@ -150,9 +163,9 @@ def test_clamp_at_high_gain():
 def test_disclosed_boundaries_raise():
     q, sf = _rand(1, 9)
     blob = bytearray(mp3.write_mp3_l3(q, sf))
-    # joint stereo (mode bits 01) is a disclosed boundary
-    blob[3] = (blob[3] & 0x3F) | 0x40
-    with pytest.raises(NotImplementedError, match="joint"):
+    # intensity stereo (mode 01, mode_ext bit 0) is a disclosed boundary
+    blob[3] = (blob[3] & 0x0F) | 0x40 | 0x10
+    with pytest.raises(NotImplementedError, match="intensity"):
         mp3.parse_mp3_l3(bytes(blob))
     # bit reservoir: nonzero main_data_begin
     blob = bytearray(mp3.write_mp3_l3(q, sf))
@@ -188,7 +201,7 @@ def test_stereo_decode_matches_per_channel_scalar_model():
         np.testing.assert_array_equal(pcm[:, ch], want)
 
 
-def test_joint_stereo_raises_and_dual_channel_decodes():
+def test_joint_stereo_modes_and_dual_channel():
     q = np.zeros((1, 2, 2, 576), np.int64)
     sf = np.zeros((1, 2, 2, 21), np.int64)
     blob = bytearray(mp3.write_mp3_l3(q, sf))
@@ -196,7 +209,37 @@ def test_joint_stereo_raises_and_dual_channel_decodes():
     blob[3] = (blob[3] & 0x3F) | 0x80
     rate, pcm = mp3.parse_mp3_l3(bytes(blob))
     assert pcm.shape == (1152, 2)
-    # joint stereo (mode 01): MS/intensity recombination not supported
-    blob[3] = (blob[3] & 0x3F) | 0x40
-    with pytest.raises(NotImplementedError, match="joint"):
+    # joint stereo with mode_ext 00 = no joint coding: plain stereo
+    blob[3] = (blob[3] & 0x0F) | 0x40
+    assert mp3.parse_mp3_l3(bytes(blob))[1].shape == (1152, 2)
+    # intensity stereo (mode_ext bit 0) stays a disclosed boundary
+    blob[3] = (blob[3] & 0x0F) | 0x40 | 0x10
+    with pytest.raises(NotImplementedError, match="intensity"):
         mp3.parse_mp3_l3(bytes(blob))
+
+
+def test_ms_stereo_matches_scalar_recombination():
+    """Mid/side joint stereo: the decoder recombines the requantized
+    M/S spectra as L,R = rdiv((M ± S)·724, 2^10) — pinned against the
+    scalar requant + explicit recombination + scalar reconstruction
+    per channel (independent states)."""
+    rng = np.random.default_rng(31)
+    q = rng.integers(-1, 2, size=(2, 2, 2, 576))
+    sf = rng.integers(0, 8, size=(2, 2, 2, 21))
+    blob = mp3.write_mp3_l3(q, sf, stereo_mode="ms")
+    rate, pcm = mp3.parse_mp3_l3(blob)
+    assert rate == 44100 and pcm.shape == (2304, 2)
+    rd = lambda a, b: (2 * a + b) // (2 * b)
+    xm = _scalar_requant(q[:, :, 0], sf[:, :, 0], mp3._GG_DEFAULT)
+    xs = _scalar_requant(q[:, :, 1], sf[:, :, 1], mp3._GG_DEFAULT)
+    left, right = [], []
+    for m, s in zip(xm, xs):
+        left.append([rd((a + b) * 724, 1 << 10) for a, b in zip(m, s)])
+        right.append([rd((a - b) * 724, 1 << 10) for a, b in zip(m, s)])
+    np.testing.assert_array_equal(pcm[:, 0], _scalar_reconstruct(left))
+    np.testing.assert_array_equal(pcm[:, 1], _scalar_reconstruct(right))
+
+    with pytest.raises(ValueError, match="mid/side"):
+        mp3.write_mp3_l3(
+            np.zeros((1, 2, 576)), np.zeros((1, 2, 21)), stereo_mode="ms"
+        )
