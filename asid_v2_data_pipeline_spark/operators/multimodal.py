@@ -877,6 +877,68 @@ def decode_flac_audio_stats(
     return media.mapInPandas(fn, AUDIO_STATS_SCHEMA)
 
 
+def decode_audio_stats(
+    media: DataFrame, clip_at: int, silence_below: int, fp_window: int
+) -> DataFrame:
+    """Codec-dispatched admission statistics (r8): the audio funnel's
+    measurement stage over HETEROGENEOUS payloads — ``fLaC`` magic
+    routes to the FLAC decoder, an ID3 prefix or MPEG sync to the
+    Layer III SAMPLE decoder; both emit the identical integer stats
+    (clip/silence counts, exact loudness, order-sensitive intro
+    fingerprint over the channel-interleaved samples), so one gate +
+    dedup pipeline curates a mixed-codec corpus.  Same schema as
+    ``decode_flac_audio_stats``; unknown magic raises ValueError
+    (malformed corpus, not a soft skip).  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.flac import parse_flac
+        from ..functions.mp3 import parse_mp3_l3
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_frames",
+                "n_clip", "n_silence", "sum_sq", "fp",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                raw = bytes(p)
+                if raw[:4] == b"fLaC":
+                    rate, _bits, samples = parse_flac(raw)
+                elif raw[:3] == b"ID3" or (
+                    len(raw) >= 2
+                    and raw[0] == 0xFF
+                    and raw[1] >= 0xE0
+                ):
+                    rate, pcm = parse_mp3_l3(raw)
+                    samples = (
+                        pcm[:, None] if pcm.ndim == 1 else pcm
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown audio payload magic {raw[:4]!r}"
+                    )
+                flat = samples.reshape(-1).astype(np.int64)
+                a = np.abs(flat)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(samples.shape[1])
+                rows["n_frames"].append(samples.shape[0])
+                rows["n_clip"].append(int((a >= clip_at).sum()))
+                rows["n_silence"].append(int((a < silence_below).sum()))
+                rows["sum_sq"].append(int((flat * flat).sum()))
+                head = flat[:fp_window]
+                rows["fp"].append(
+                    int(((np.arange(head.size) + 1) * head).sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, AUDIO_STATS_SCHEMA)
+
+
 MP3_RMS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -3667,6 +3667,179 @@ def mm_mp3_stereo_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _audio_mixed_build(batches):
+    """Fixture kernel for ``mm_audio_multicodec``: a HETEROGENEOUS
+    corpus — even doc_ids become real FLAC stereo streams (the
+    ``_flac_build`` sample mapping: interleaved 16-bit big-endian pairs
+    from the UTF-8 bytes; mid/side for doc_id % 4 == 0), odd doc_ids
+    become ID3-prefixed mono Layer III (the ``_mp3_build`` mapping)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.flac import write_flac
+    from ..functions.id3 import write_id3
+    from ..functions.mp3 import write_mp3_l3
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode("utf-8")
+            nb = len(raw)
+            if did % 2 == 0:
+                m = nb // 4
+                if m == 0:
+                    payloads.append(None)
+                    continue
+                b = np.frombuffer(raw, np.uint8, count=4 * m).astype(
+                    np.int64
+                )
+                samples = ((b[0::2] * 256 + b[1::2]) - 32768).reshape(m, 2)
+                payloads.append(
+                    write_flac(
+                        samples,
+                        sample_rate=_FLAC_RATE,
+                        block_size=4096,
+                        stereo_mode=(
+                            "mid_side" if did % 4 == 0 else "independent"
+                        ),
+                    )
+                )
+            else:
+                if nb == 0:
+                    payloads.append(None)
+                    continue
+                b = np.frombuffer(raw, np.uint8).astype(np.int64)
+                q = np.empty((1, 2, 576), np.int64)
+                sfs = np.empty((1, 2, 21), np.int64)
+                for g in range(2):
+                    v = b[(576 * g + np.arange(576)) % nb] % 3
+                    q[0, g] = np.where(v == 0, 0, np.where(v == 1, 1, -1))
+                    sfs[0, g] = b[(21 * g + np.arange(21)) % nb] % 8
+                payloads.append(
+                    write_id3({"TIT2": f"doc {did}"})
+                    + write_mp3_l3(q, sfs, global_gain=_MP3_GG)
+                )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_audio_multicodec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CODEC audio curation (r8): the admission funnel of
+    ``mm_audio_curation`` over a HETEROGENEOUS corpus — half the
+    payloads are real FLAC stereo, half ID3-prefixed MP3 mono — decoded
+    by the magic-dispatched ``decode_audio_stats`` into ONE integer
+    stats schema, then gated and fingerprint-deduplicated together.
+    The oracle is the union of both codec re-derivations: FLAC stats
+    straight from the pre-encode octets (lossless), MP3 stats through
+    the full variable-free fixed-point pipeline (the ``admission``
+    form of the shared generator) — the mixed-corpus gates and
+    survivor choice are value-hashed end-to-end.
+
+    Scale shape: one zero-shuffle Arrow decode pass regardless of
+    codec mix; one fingerprint-keyed agg moving a stats row per doc."""
+    from ..operators.multimodal import decode_audio_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
+        _audio_mixed_build, "media_id long, payload binary"
+    )
+    stats = decode_audio_stats(media, _AC_CLIP, _AC_SIL, _AC_FP_WIN)
+    n = F.col("n_frames") * F.col("n_channels")
+    gated = stats.select(
+        F.col("media_id").alias("doc_id"),
+        F.when(F.col("media_id") % 2 == 0, F.lit("flac"))
+        .otherwise(F.lit("mp3"))
+        .alias("codec"),
+        "n_channels",
+        "n_frames",
+        (F.col("n_clip") / n).alias("clip_ratio"),
+        (F.col("n_silence") / n).alias("silence_ratio"),
+        F.sqrt(F.col("sum_sq") / n).alias("rms"),
+        "fp",
+    ).filter(
+        (F.col("n_frames") >= _AC_MIN_FRAMES)
+        & (F.col("clip_ratio") <= _AC_MAX_CLIP)
+        & (F.col("silence_ratio") <= _AC_MAX_SIL)
+    )
+    canon = gated.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return (
+        gated.join(canon, ["fp", "doc_id"])
+        .select(
+            "doc_id",
+            "codec",
+            "n_channels",
+            "n_frames",
+            F.round("clip_ratio", 6).alias("clip_ratio"),
+            F.round("silence_ratio", 6).alias("silence_ratio"),
+            F.round("rms", 6).alias("rms"),
+            "fp",
+            "dup_count",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mm_audio_multicodec_sql() -> str:
+    """Union oracle: even docs re-derived from octets (FLAC is
+    lossless), odd docs through the admission form of the MP3 pipeline
+    generator; then the identical gates + min-doc_id dedup."""
+    s = (
+        "(CAST(cs[CAST(2 * k + 1 AS INT)] AS BIGINT) * 256"
+        " + CAST(cs[CAST(2 * k + 2 AS INT)] AS BIGINT) - 32768)"
+    )
+    mp3_adm = _mm_mp3_rms_sql(
+        1, admission=True, doc_where=" AND doc_id % 2 = 1"
+    )
+    return f"""
+WITH {_CODES_CTE_SQL},
+fl AS (
+  SELECT doc_id, CAST(2 AS INT) AS n_channels,
+    CAST(n_bytes // 4 AS BIGINT) AS n_frames,
+    CAST(len(list_filter(list_transform(range(0, 2 * (n_bytes // 4)),
+      k -> abs({s})), a -> a >= {_AC_CLIP})) AS BIGINT) AS n_clip,
+    CAST(len(list_filter(list_transform(range(0, 2 * (n_bytes // 4)),
+      k -> abs({s})), a -> a < {_AC_SIL})) AS BIGINT) AS n_silence,
+    CAST(list_sum(list_transform(range(0, 2 * (n_bytes // 4)),
+      k -> {s} * {s})) AS BIGINT) AS sum_sq,
+    CAST(list_sum(list_transform(
+      range(0, LEAST(2 * (n_bytes // 4), {_AC_FP_WIN})),
+      k -> (k + 1) * {s})) AS BIGINT) AS fp
+  FROM codes WHERE doc_id % 2 = 0 AND n_bytes // 4 > 0
+),
+mp3a AS (
+  SELECT doc_id, n_channels, n_frames, n_clip, n_silence, sum_sq, fp
+  FROM ({mp3_adm})
+),
+allst AS (SELECT * FROM fl UNION ALL SELECT * FROM mp3a),
+gated AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS codec,
+    n_channels, n_frames,
+    n_clip * 1.0 / (n_frames * n_channels) AS clip_ratio,
+    n_silence * 1.0 / (n_frames * n_channels) AS silence_ratio,
+    sqrt(CAST(sum_sq AS DOUBLE) / (n_frames * n_channels)) AS rms, fp
+  FROM allst
+  WHERE n_frames >= {_AC_MIN_FRAMES}
+    AND n_clip * 1.0 / (n_frames * n_channels) <= {_AC_MAX_CLIP}
+    AND n_silence * 1.0 / (n_frames * n_channels) <= {_AC_MAX_SIL}
+),
+canon AS (
+  SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+  FROM gated GROUP BY fp
+)
+SELECT g.doc_id, g.codec, g.n_channels, g.n_frames,
+       ROUND(g.clip_ratio, 6) AS clip_ratio,
+       ROUND(g.silence_ratio, 6) AS silence_ratio,
+       ROUND(g.rms, 6) AS rms, g.fp, c.dup_count
+FROM gated g JOIN canon c ON c.fp = g.fp AND c.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 def mm_mp3_ms_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MID/SIDE joint-stereo twin of ``mm_mp3_stereo_rms`` (mode 01,
     mode_ext MS — how most real stereo MP3s are coded): the document
@@ -3729,8 +3902,50 @@ def mm_mkv_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _mp3_final_select(
+    nch: int, frames_expr: str, nsamp: str, admission: bool
+) -> str:
+    """Tail of the generated MP3 oracle: the rms shape for the
+    ``mm_mp3*_rms`` queries, or the ADMISSION-stats shape (clip and
+    silence counts, per-channel frame count, intro fingerprint) the
+    multi-codec curation funnel gates on."""
+    if not admission:
+        return f"""agg AS (
+  SELECT doc_id, ff,
+    CAST(list_sum(list_transform(pcm, p -> p * p)) AS BIGINT) AS sum_sq,
+    CAST(list_sum(list_transform(range(0, {nsamp}), k ->
+      (k + 1) * pcm[CAST(k + 1 AS INT)])) AS BIGINT) AS fp
+  FROM pcms
+)
+SELECT doc_id{", CAST(ff AS INT) AS n_blocks" if frames_expr != "1" else ""},
+       CAST(44100 AS INT) AS sample_rate,
+       CAST({nsamp} AS BIGINT) AS n_samples, sum_sq, fp,
+       ROUND(sqrt(sum_sq / CAST({nsamp} AS DOUBLE)), 6) AS rms
+FROM agg ORDER BY doc_id"""
+    return f"""adm AS (
+  SELECT doc_id,
+    CAST(44100 AS INT) AS sample_rate,
+    CAST({nch} AS INT) AS n_channels,
+    CAST(1152 * ff AS BIGINT) AS n_frames,
+    CAST(len(list_filter(pcm, p -> abs(p) >= {_AC_CLIP})) AS BIGINT)
+      AS n_clip,
+    CAST(len(list_filter(pcm, p -> abs(p) < {_AC_SIL})) AS BIGINT)
+      AS n_silence,
+    CAST(list_sum(list_transform(pcm, p -> p * p)) AS BIGINT) AS sum_sq,
+    CAST(list_sum(list_transform(
+      range(0, LEAST({nsamp}, {_AC_FP_WIN})), k ->
+        (k + 1) * pcm[CAST(k + 1 AS INT)])) AS BIGINT) AS fp
+  FROM pcms
+)
+SELECT * FROM adm ORDER BY doc_id"""
+
+
 def _mm_mp3_rms_sql(
-    nch: int = 1, frames_expr: str = "1", ms: bool = False
+    nch: int = 1,
+    frames_expr: str = "1",
+    ms: bool = False,
+    admission: bool = False,
+    doc_where: str = "",
 ) -> str:
     """The fixed-point Layer III decode pipeline unrolled as chained
     CTEs over the pre-encode octets — same tables, same single
@@ -3832,7 +4047,7 @@ consts AS (SELECT {lut!r}::BIGINT[] AS lut, {bo!r}::BIGINT[] AS bo,
   {cw!r}::BIGINT[] AS cw, {nm!r}::BIGINT[] AS nm, {dw!r}::BIGINT[] AS dw),
 mp AS (
   SELECT doc_id, n_bytes, cs, CAST({frames_expr} AS BIGINT) AS ff
-  FROM codes WHERE n_bytes > 0
+  FROM codes WHERE n_bytes > 0{doc_where}
 ),
 xq AS (
   SELECT doc_id, ff, n_bytes, list_transform(range(0, 576 * {nseg}), k ->
@@ -3884,18 +4099,7 @@ pcms AS (
     LEAST(32767, GREATEST(-32768, {rdiv20(win_terms)}))) AS pcm
   FROM vvs CROSS JOIN consts
 ),
-agg AS (
-  SELECT doc_id, ff,
-    CAST(list_sum(list_transform(pcm, p -> p * p)) AS BIGINT) AS sum_sq,
-    CAST(list_sum(list_transform(range(0, {nsamp}), k ->
-      (k + 1) * pcm[CAST(k + 1 AS INT)])) AS BIGINT) AS fp
-  FROM pcms
-)
-SELECT doc_id{", CAST(ff AS INT) AS n_blocks" if frames_expr != "1" else ""},
-       CAST(44100 AS INT) AS sample_rate,
-       CAST({nsamp} AS BIGINT) AS n_samples, sum_sq, fp,
-       ROUND(sqrt(sum_sq / CAST({nsamp} AS DOUBLE)), 6) AS rms
-FROM agg ORDER BY doc_id
+{_mp3_final_select(nch, frames_expr, nsamp, admission)}
 """
 
 
@@ -5441,6 +5645,7 @@ REGISTRY = {
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),
     ),
     "mm_mp3_ms_rms": (mm_mp3_ms_rms, _mm_mp3_rms_sql(2, ms=True)),
+    "mm_audio_multicodec": (mm_audio_multicodec, _mm_audio_multicodec_sql()),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
 }

@@ -50,17 +50,18 @@ def admit_media_batch(
     ``(admitted_stats, their_fp_rows)``.  Pure DataFrame logic (no side
     effects) so batch and streaming paths share it and tests can check
     it directly."""
-    from ..operators.multimodal import decode_flac_audio_stats
+    from ..operators.multimodal import decode_audio_stats
 
-    stats = decode_flac_audio_stats(
-        batch, clip_at, silence_below, fp_window
-    )
+    # codec-dispatched (r8): FLAC and MP3 payloads gate through the
+    # same integer stats — the funnel curates a mixed-codec corpus
+    stats = decode_audio_stats(batch, clip_at, silence_below, fp_window)
     # decoded channel count — mono and stereo payloads gate correctly
     # (ADVICE r7: a hardcoded *2 halved mono denominators)
     n = F.col("n_frames") * F.col("n_channels")
     gated = stats.select(
         "media_id",
         "sample_rate",
+        "n_channels",
         "n_frames",
         (F.col("n_clip") / n).alias("clip_ratio"),
         (F.col("n_silence") / n).alias("silence_ratio"),

@@ -83,6 +83,7 @@ CASES = [
     "mm_mp3_stereo_rms",
     "mm_mkv_mp3_rms",
     "mm_mp3_ms_rms",
+    "mm_audio_multicodec",
     "gr_pagerank_incremental",
 ]
 

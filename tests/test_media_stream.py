@@ -135,3 +135,42 @@ def test_mono_payload_gates_on_real_sample_count(spark):
     )
     assert rows[2]["rms"] == float(np.sqrt((flat * flat).sum() / flat.size))
     assert 3 in rows  # stereo path unchanged
+
+
+def test_mixed_codec_payloads_admit_through_one_funnel(spark):
+    """r8: the admission step is codec-dispatched — FLAC and
+    ID3-prefixed MP3 payloads gate through the same integer stats, and
+    the fingerprint dedup sees both; unknown magic is malformed."""
+    import pytest
+
+    from asid_v2_data_pipeline_spark.functions.id3 import write_id3
+    from asid_v2_data_pipeline_spark.functions.mp3 import write_mp3_l3
+    from asid_v2_data_pipeline_spark.streaming.media_stream import (
+        admit_media_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    q = rng.integers(-1, 2, size=(1, 2, 576))
+    sf = np.full((1, 2, 21), 0, np.int64)
+    # gg=194: clip 0.066, silence 0.675 -> passes both gates
+    mp3_loud = write_mp3_l3(q, sf, global_gain=194)
+    # gg=170 (2^-10): everything under the silence threshold -> rejected
+    mp3_silent = write_id3({"TIT2": "x"}) + write_mp3_l3(
+        q, sf, global_gain=170
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, _flac(_pcm(1))),          # FLAC, admitted
+            (2, bytearray(mp3_loud)),     # MP3, admitted
+            (3, bytearray(mp3_silent)),   # MP3, silence gate rejects
+            (4, _flac(_clipped())),       # FLAC, clip gate rejects
+        ],
+        SCHEMA,
+    )
+    admitted, fps = admit_media_batch(batch, None)
+    got = {r["media_id"]: r for r in admitted.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_channels"] == 2 and got[2]["n_channels"] == 1
+    bad = spark.createDataFrame([(9, bytearray(b"???junk"))], SCHEMA)
+    with pytest.raises(Exception, match="unknown audio payload"):
+        admit_media_batch(bad, None)[0].collect()
