@@ -103,6 +103,10 @@ HEADLINE = [
     # two graph phases)
     "mm_mp3_rms",
     "gr_pagerank_incremental",
+    # round 8 second block: the MKV∘MP3 composition (variable frames
+    # per doc) and the mixed-codec curation funnel (FLAC+MP3 dispatch)
+    "mm_mkv_mp3_rms",
+    "mm_audio_multicodec",
 ]
 
 
