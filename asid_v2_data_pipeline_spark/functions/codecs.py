@@ -947,7 +947,12 @@ def parse_gif_frames(
     # earlier frames keep their original colors when a later frame
     # carries a different local color table.
     canvas = np.zeros((h0, w0, 3), dtype=np.uint8)
-    bg_rgb = gpal[bg] if gpal is not None else np.zeros(3, np.uint8)
+    if gpal is not None and bg >= gpal.shape[0]:
+        # malformed background index (ADVICE r8): fall back to black
+        # rather than letting numpy raise a raw IndexError
+        bg_rgb = np.zeros(3, np.uint8)
+    else:
+        bg_rgb = gpal[bg] if gpal is not None else np.zeros(3, np.uint8)
     canvas[:] = bg_rgb
     frames: list[tuple[int, np.ndarray]] = []
     delay, disposal, t_idx = 0, 0, None

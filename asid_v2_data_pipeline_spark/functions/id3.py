@@ -150,6 +150,10 @@ def parse_id3(payload: bytes) -> dict:
                 raise NotImplementedError(
                     "ID3: encrypted v2.4 frame not supported"
                 )
+            if fmt & 0x40:  # v2.4: grouping identity byte leads the
+                # frame data, BEFORE the (possibly unsynced) body
+                # (ADVICE r8: was silently left prepended)
+                body = body[1:]
             if fmt & 0x02:  # v2.4: unsynchronization is PER FRAME
                 body = _unsync_decode(body)
             if fmt & 0x08:  # v2.4: zlib-compressed frame body
@@ -173,15 +177,22 @@ def parse_id3(payload: bytes) -> dict:
                 raise NotImplementedError(
                     "ID3: encrypted v2.3 frame not supported"
                 )
-            if fmt & 0x20:  # grouping identity byte precedes the body
-                body = body[1:]
+            # ID3v2.3 appends the flag-derived fields in FLAG order:
+            # 4-byte decompressed size (0x80) first, THEN the grouping
+            # identity byte (0x20) — so the size must be read before
+            # the group byte is stripped (ADVICE r8).
+            want = None
             if fmt & 0x80:  # v2.3: 4-byte plain decompressed size
                 if len(body) < 4:
                     raise ValueError(
                         "ID3: compressed v2.3 frame truncated"
                     )
                 want = int.from_bytes(body[:4], "big")
-                body = zlib.decompress(body[4:])
+                body = body[4:]
+            if fmt & 0x20:  # grouping identity byte precedes the body
+                body = body[1:]
+            if fmt & 0x80:
+                body = zlib.decompress(body)
                 if len(body) != want:
                     raise ValueError(
                         "ID3: decompressed frame size mismatch"
@@ -381,6 +392,7 @@ def write_id3(
     padding: int = 16,
     unsync: bool = False,
     compress: bool = False,
+    group: int | None = None,
 ) -> bytes:
     """Fixture writer: text frames (UTF-8 by default; pass
     ``encoding=0/1/3`` to exercise the decoders) + padding, followed by
@@ -394,10 +406,16 @@ def write_id3(
     only) zlib-compresses every frame body — v2.4 sets format bits
     0x08|0x01 with the syncsafe data-length indicator, v2.3 sets 0x80
     with the 4-byte plain decompressed size; per the spec, compression
-    happens before (per-frame) unsynchronization on write."""
+    happens before (per-frame) unsynchronization on write.
+    ``group`` (v2.3/v2.4 only) tags every frame with a grouping
+    identity byte — v2.3 stores it AFTER the decompressed-size field
+    (flag 0x20, flag-order layout), v2.4 stores it FIRST, before the
+    unsynced body (format bit 0x40)."""
     codec = _DECODERS[encoding]
     if compress and major == 2:
         raise ValueError("ID3v2.2 has no standard frame compression")
+    if group is not None and major == 2:
+        raise ValueError("ID3v2.2 has no frame grouping")
     body = b""
     for fid, text in frames.items():
         if major == 2:
@@ -413,6 +431,9 @@ def write_id3(
             if unsync:
                 fb = _unsync_encode(fb)
                 fmt |= 0x02
+            if group is not None:  # group byte leads the stored data
+                fb = bytes([group]) + fb
+                fmt |= 0x40
             body += (
                 fid.encode("latin-1")
                 + _enc_syncsafe(len(fb))
@@ -422,8 +443,16 @@ def write_id3(
         elif major == 3:
             fmt = 0
             if compress:
-                fb = len(fb).to_bytes(4, "big") + zlib.compress(fb, 6)
+                size4 = len(fb).to_bytes(4, "big")
+                fb = zlib.compress(fb, 6)
                 fmt |= 0x80
+            else:
+                size4 = b""
+            if group is not None:
+                fb = bytes([group]) + fb
+                fmt |= 0x20
+            # flag-order layout: decompressed size, then group byte
+            fb = size4 + fb
             body += (
                 fid.encode("latin-1")
                 + len(fb).to_bytes(4, "big")

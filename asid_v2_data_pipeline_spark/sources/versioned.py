@@ -401,8 +401,9 @@ def _commit_file_set(
     and a concurrent rewrite of an untouched file carries the winner's
     version of those rows."""
     fs = get_fs(spark, path)
-    removed = set(prev["files"]) - set(files)  # files this commit rewrote
-    added = [f for f in files if f not in set(prev["files"])]
+    prev_set = set(prev["files"])
+    removed = prev_set - set(files)  # files this commit rewrote
+    added = [f for f in files if f not in prev_set]
     added_tails = {f.rsplit("/", 1)[-1] for f in added}
     removed_tails = {f.rsplit("/", 1)[-1] for f in removed}
     base = prev
@@ -430,12 +431,28 @@ def _commit_file_set(
                     f"{mode} to {path} conflicts with a concurrent "
                     "schema-changing commit"
                 )
-            winner_removed = set(prev["files"]) - set(winner["files"])
+            winner_removed = prev_set - set(winner["files"])
             if winner_removed & removed:
                 raise VersionConflictError(
                     f"{mode} to {path} rewrote files a concurrent commit "
                     f"also removed ({len(winner_removed & removed)} "
                     "overlapping); not auto-resolvable"
+                )
+            # The rebase drops the loser's rewritten files from the
+            # winner's manifest by basename tail (part filenames embed
+            # a job UUID, so tails are unique per writer) — but guard
+            # against a pathological tail collision with a file the
+            # winner chain ADDED, which the filter would silently drop
+            # (ADVICE r8).
+            winner_added_tails = {
+                f.rsplit("/", 1)[-1]
+                for f in set(winner["files"]) - prev_set
+            }
+            if winner_added_tails & removed_tails:
+                raise VersionConflictError(
+                    f"{mode} to {path}: a concurrently added file shares "
+                    "a basename with a file this commit rewrote; "
+                    "not auto-resolvable"
                 )
             out_files = [
                 f

@@ -655,6 +655,63 @@ def test_id3_unsynchronization_matrix():
             assert blob[tags["_tag_bytes"] :] == b"\xff\xfb!", (major, enc_id)
 
 
+def test_gif_background_index_out_of_range_falls_back():
+    """ADVICE r8: a malformed GIF whose background index exceeds the
+    global color table must not raise a raw numpy IndexError — the
+    canvas falls back to black for the uncovered region."""
+    import numpy as np
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_gif_frames,
+        write_gif_anim,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 0]], dtype=np.uint8)
+    frame = np.zeros((2, 2), dtype=np.uint8)
+    blob = bytearray(
+        write_gif_anim([frame], pal, [10], rects=[(1, 1)], screen=(4, 4))
+    )
+    blob[11] = 7  # background index beyond the 2-entry color table
+    frames = parse_gif_frames(bytes(blob))
+    # uncovered canvas = black fallback, the frame still composes
+    first = frames[0][1]
+    assert first.shape == (4, 4, 3)
+    assert (first[0, 0] == 0).all()
+    assert (first[1, 1] == pal[0]).all()
+
+
+def test_id3_grouping_identity_flag_orderings():
+    """ADVICE r8: v2.3 stores the flag-derived fields in FLAG order —
+    4-byte decompressed size (0x80) BEFORE the grouping byte (0x20) —
+    and v2.4's grouping byte (format 0x40) leads the frame data, before
+    the per-frame-unsynced body.  Both must decode; combined with
+    compression/unsync the orderings are where the r8 bug lived."""
+    from asid_v2_data_pipeline_spark.functions.id3 import (
+        parse_id3,
+        write_id3,
+    )
+
+    frames = {"TIT2": "grouped tïtle", "TALB": "älbum"}
+    # v2.3: group alone, compress alone, and both (size-then-group)
+    for compress in (False, True):
+        blob = write_id3(
+            frames, major=3, compress=compress, group=0x41,
+            audio=b"\xff\xfb!",
+        )
+        tags = parse_id3(blob)
+        assert tags["TIT2"] == "grouped tïtle", compress
+        assert blob[tags["_tag_bytes"]:] == b"\xff\xfb!"
+    # v2.4: group byte before the (compressed, unsynced) body
+    for compress in (False, True):
+        for unsync in (False, True):
+            blob = write_id3(
+                frames, major=4, compress=compress, unsync=unsync,
+                group=0xFF,  # worst case: group byte looks like sync
+                audio=b"\xff\xfb!",
+            )
+            tags = parse_id3(blob)
+            assert tags["TALB"] == "älbum", (compress, unsync)
+
+
 def test_extract_id3_tags_operator(spark):
     from asid_v2_data_pipeline_spark.functions.id3 import write_id3
     from asid_v2_data_pipeline_spark.operators.multimodal import (
