@@ -66,6 +66,38 @@ def _cached_index(path: str, build) -> None:
         f.write("ok")
 
 
+def _cached_media(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    build_fn,
+    cols: tuple = ("doc_id", "text"),
+    schema: str = "media_id long, payload binary",
+) -> DataFrame:
+    """Media-fixture payloads synthesized ONCE per testdata fingerprint
+    and persisted under ``.index_cache`` (VERDICT r8 task 1): the
+    declared operator in every ``mm_*`` query is the DECODE — the
+    encode + container mux is fixture synthesis standing in for bytes
+    that at production scale already sit in object storage, so it runs
+    outside the benched path, exactly like the ``*_serve`` index
+    builds.  Returns the cached payloads hash-repartitioned to default
+    parallelism (the decode kernel's input stage; the cached parquet is
+    small enough that the file scan would otherwise coalesce into a
+    handful of splits and serialize the Arrow kernel)."""
+    path = _index_cache_path(sf_dir, "documents.parquet", f"media-{kind}")
+
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        _parallel_docs(d, *cols).mapInPandas(
+            build_fn, schema
+        ).write.mode("overwrite").parquet(path)
+
+    _cached_index(path, build)
+    return spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism, "media_id"
+    )
+
+
 # --- shared SQL fragments -----------------------------------------------------
 
 TOKENS_SQL = (
@@ -2121,7 +2153,6 @@ def mm_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     container round-trip + decode checked bit-for-bit."""
     from ..operators.multimodal import decode_wav_rms
 
-    d = load_table(spark, sf_dir, "documents")
 
     def build(batches):
         import numpy as np
@@ -2140,9 +2171,7 @@ def mm_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "wav", build)
     out = decode_wav_rms(media, _WAV_W)
     return out.select(
         F.col("media_id").alias("doc_id"),
@@ -2180,7 +2209,6 @@ def mm_wav_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are hash-exact, not approximately compared."""
     from ..operators.multimodal import decode_wav_dft
 
-    d = load_table(spark, sf_dir, "documents")
 
     def build(batches):
         import numpy as np
@@ -2199,9 +2227,7 @@ def mm_wav_dft(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "wavdft", build)
     out = decode_wav_dft(media, _WAV_W)
     return out.select(
         F.col("media_id").alias("doc_id"), "win_no", "bin", "power"
@@ -2260,7 +2286,6 @@ def mm_bmp_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel order, palette) breaks parity."""
     from ..operators.multimodal import decode_bmp_pool
 
-    d = load_table(spark, sf_dir, "documents")
 
     def build(batches):
         import numpy as np
@@ -2281,9 +2306,7 @@ def mm_bmp_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "bmp", build)
     pooled = decode_bmp_pool(media, _BMP_F)
     k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
     sel = [
@@ -2331,7 +2354,6 @@ def mm_png_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     in inflate, filter reconstruction or row order breaks parity."""
     from ..operators.multimodal import decode_image_pool
 
-    d = load_table(spark, sf_dir, "documents")
 
     def build(batches):
         import numpy as np
@@ -2352,9 +2374,7 @@ def mm_png_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "png", build)
     pooled = decode_image_pool(media, _BMP_F)
     k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
     sel = [
@@ -2377,7 +2397,6 @@ def mm_gif_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity."""
     from ..operators.multimodal import decode_image_pool
 
-    d = load_table(spark, sf_dir, "documents")
 
     def build(batches):
         import numpy as np
@@ -2401,9 +2420,7 @@ def mm_gif_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "gif", build)
     pooled = decode_image_pool(media, _BMP_F)
     k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
     sel = [
@@ -2437,7 +2454,6 @@ def mm_jpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitstream, zigzag, or either transform breaks the value hash."""
     from ..operators.multimodal import decode_image_pool
 
-    d = load_table(spark, sf_dir, "documents")
 
     def build(batches):
         import numpy as np
@@ -2458,9 +2474,7 @@ def mm_jpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "jpeg", build)
     pooled = decode_image_pool(media, _BMP_F)
     k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
     sel = [
@@ -2597,7 +2611,6 @@ def mm_mkv_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster rebasing or block framing breaks the value hash."""
     from ..operators.multimodal import demux_mkv_frames
 
-    d = load_table(spark, sf_dir, "documents")
 
     def build(batches):
         import pandas as pd
@@ -2630,9 +2643,7 @@ def mm_mkv_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "mkv", build)
     out = demux_mkv_frames(media)
     return out.select(
         F.col("media_id").alias("doc_id"),
@@ -2689,7 +2700,6 @@ def mm_mkv_jpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash."""
     from ..operators.multimodal import demux_decode_jpeg_pool
 
-    d = load_table(spark, sf_dir, "documents")
     n = _BMP_W * _BMP_H
 
     def build(batches):
@@ -2730,9 +2740,7 @@ def mm_mkv_jpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "mkvjpeg", build)
     pooled = demux_decode_jpeg_pool(media, _BMP_F)
     k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
     sel = [
@@ -3090,11 +3098,7 @@ def mm_flac_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value hash."""
     from ..operators.multimodal import decode_flac_rms
 
-    d = load_table(spark, sf_dir, "documents")
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        lambda it: _flac_build(it, 4096, False),
-        "media_id long, payload binary",
-    )
+    media = _cached_media(spark, sf_dir, "flac", lambda it: _flac_build(it, 4096, False))
     out = decode_flac_rms(media, _FLAC_W)
     return out.select(
         F.col("media_id").alias("doc_id"),
@@ -3154,11 +3158,7 @@ def mm_mkv_flac_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     libraries."""
     from ..operators.multimodal import demux_decode_flac_rms
 
-    d = load_table(spark, sf_dir, "documents")
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        lambda it: _flac_build(it, _FLAC_BLOCK, True),
-        "media_id long, payload binary",
-    )
+    media = _cached_media(spark, sf_dir, "mkvflac", lambda it: _flac_build(it, _FLAC_BLOCK, True))
     out = demux_decode_flac_rms(media, _FLAC_W)
     return out.select(
         F.col("media_id").alias("doc_id"),
@@ -3214,11 +3214,7 @@ def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per payload, never samples)."""
     from ..operators.multimodal import decode_flac_audio_stats
 
-    d = load_table(spark, sf_dir, "documents")
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        lambda it: _flac_build(it, 4096, False),
-        "media_id long, payload binary",
-    )
+    media = _cached_media(spark, sf_dir, "flac", lambda it: _flac_build(it, 4096, False))
     stats = decode_flac_audio_stats(media, _AC_CLIP, _AC_SIL, _AC_FP_WIN)
     n = F.col("n_frames") * F.col("n_channels")  # decoded, not assumed
     gated = stats.select(
@@ -3312,7 +3308,6 @@ def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the value hash."""
     from ..operators.multimodal import decode_gif_frames
 
-    d = load_table(spark, sf_dir, "documents")
     n = _BMP_W * _BMP_H
 
     def build(batches):
@@ -3347,9 +3342,7 @@ def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "gifanim", build)
     pooled = decode_gif_frames(media, _BMP_F)
     k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
     sel = [
@@ -3412,11 +3405,7 @@ def mm_audio_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_flac_audio_stats
     from ..streaming.media_stream import admit_media_batch
 
-    d = load_table(spark, sf_dir, "documents")
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        lambda it: _flac_build(it, 4096, False),
-        "media_id long, payload binary",
-    )
+    media = _cached_media(spark, sf_dir, "flac", lambda it: _flac_build(it, 4096, False))
     history = media.filter(F.col("media_id") % 2 == 0)
     batch = media.filter(F.col("media_id") % 2 == 1)
     hist_stats = decode_flac_audio_stats(
@@ -3620,10 +3609,7 @@ def mm_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads; one stats row per document moves afterwards."""
     from ..operators.multimodal import decode_mp3_audio_stats
 
-    d = load_table(spark, sf_dir, "documents")
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        _mp3_build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "mp3", _mp3_build)
     stats = decode_mp3_audio_stats(media)
     return stats.select(
         F.col("media_id").alias("doc_id"),
@@ -3650,10 +3636,7 @@ def mm_mp3_stereo_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import decode_mp3_audio_stats
 
-    d = load_table(spark, sf_dir, "documents")
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        partial(_mp3_build, nch=2), "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "mp3st", partial(_mp3_build, nch=2))
     stats = decode_mp3_audio_stats(media)
     return stats.select(
         F.col("media_id").alias("doc_id"),
@@ -3740,10 +3723,7 @@ def mm_audio_multicodec(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec mix; one fingerprint-keyed agg moving a stats row per doc."""
     from ..operators.multimodal import decode_audio_stats
 
-    d = load_table(spark, sf_dir, "documents")
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        _audio_mixed_build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "audiomix", _audio_mixed_build)
     stats = decode_audio_stats(media, _AC_CLIP, _AC_SIL, _AC_FP_WIN)
     n = F.col("n_frames") * F.col("n_channels")
     gated = stats.select(
@@ -3852,11 +3832,7 @@ def mm_mp3_ms_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.multimodal import decode_mp3_audio_stats
 
-    d = load_table(spark, sf_dir, "documents")
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        partial(_mp3_build, nch=2, stereo_mode="ms"),
-        "media_id long, payload binary",
-    )
+    media = _cached_media(spark, sf_dir, "mp3ms", partial(_mp3_build, nch=2, stereo_mode="ms"))
     stats = decode_mp3_audio_stats(media)
     return stats.select(
         F.col("media_id").alias("doc_id"),
@@ -3884,10 +3860,7 @@ def mm_mkv_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator).  One zero-shuffle Arrow pass; one stats row per doc."""
     from ..operators.multimodal import demux_decode_mp3_stats
 
-    d = load_table(spark, sf_dir, "documents")
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        _mp3_mkv_build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "mkvmp3", _mp3_mkv_build)
     stats = demux_decode_mp3_stats(media)
     return stats.select(
         F.col("media_id").alias("doc_id"),
@@ -4119,7 +4092,6 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned by the UTF-16 unit matrix in test_codecs.py.)"""
     from ..operators.multimodal import extract_id3_tags
 
-    d = load_table(spark, sf_dir, "documents")
 
     def build(batches):
         import pandas as pd
@@ -4153,9 +4125,7 @@ def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = _parallel_docs(d, "doc_id", "lang", "source", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "id3", build, cols=("doc_id", "lang", "source", "text"))
     out = extract_id3_tags(media)
     return out.select(
         F.col("media_id").alias("doc_id"),
@@ -4220,7 +4190,6 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     text's byte length."""
     from ..operators.multimodal import mp3_stream_info
 
-    d = load_table(spark, sf_dir, "documents")
 
     def build(batches):
         import pandas as pd
@@ -4250,9 +4219,7 @@ def mm_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = _parallel_docs(d, "doc_id", "text").mapInPandas(
-        build, "media_id long, payload binary"
-    )
+    media = _cached_media(spark, sf_dir, "mp3meta", build)
     out = mp3_stream_info(media)
     return out.select(
         F.col("media_id").alias("doc_id"),

@@ -142,8 +142,11 @@ def sweep() -> None:
         fn = queries[name]
         if warm:
             fn(spark, warm_dir).count()
-        if name.endswith("_serve"):
-            fn(spark, sf_dir).count()  # index build is an offline job
+        if name.endswith("_serve") or name.startswith("mm_"):
+            # index / media-fixture cache build is an offline job: one
+            # untimed pass forces the once-per-fingerprint build so the
+            # timed pass measures the declared operator (decode / probe)
+            fn(spark, sf_dir).count()
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
@@ -232,10 +235,15 @@ def main() -> None:
         fn = queries[name]
         times = []
         n = 0
-        if name.endswith("_serve"):
-            # serving twins: force the once-per-fingerprint index build
-            # (an offline job at scale) OUTSIDE the timed passes, so the
-            # number tracks query latency against the persisted index
+        if name.endswith("_serve") or name.startswith("mm_"):
+            # serving twins + media kernels: force the once-per-
+            # fingerprint index / fixture-payload cache build (an
+            # offline job at scale) OUTSIDE the timed passes, so the
+            # number tracks the declared operator — probe latency
+            # against the persisted index, or container/codec DECODE
+            # over already-materialized payloads (VERDICT r8 task 1:
+            # the encode+mux fixture synthesis was 3-4x the decode and
+            # made the media family's record environment-sensitive)
             fn(spark, SF_DIR).count()
         for _ in range(passes):
             t0 = time.time()
