@@ -883,10 +883,13 @@ def decode_audio_stats(
     """Codec-dispatched admission statistics (r8): the audio funnel's
     measurement stage over HETEROGENEOUS payloads — ``fLaC`` magic
     routes to the FLAC decoder, an ID3 prefix or MPEG sync to the
-    Layer III SAMPLE decoder; both emit the identical integer stats
-    (clip/silence counts, exact loudness, order-sensitive intro
-    fingerprint over the channel-interleaved samples), so one gate +
-    dedup pipeline curates a mixed-codec corpus.  Same schema as
+    Layer III SAMPLE decoder, and ``RIFF`` (r9, VERDICT r8 task 3) to
+    the WAV decoder (PCM 8/16/24/32-bit, G.711 µ/A-law, IMA ADPCM —
+    the most common raw-audio container finally passes the one-funnel
+    admission path); all emit the identical integer stats (clip/
+    silence counts, exact loudness, order-sensitive intro fingerprint
+    over the channel-interleaved samples), so one gate + dedup
+    pipeline curates a mixed-codec corpus.  Same schema as
     ``decode_flac_audio_stats``; unknown magic raises ValueError
     (malformed corpus, not a soft skip).  Arrow-batched
     ``mapInPandas``, zero shuffle."""
@@ -894,6 +897,7 @@ def decode_audio_stats(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from ..functions.codecs import parse_wav
         from ..functions.flac import parse_flac
         from ..functions.mp3 import parse_mp3_l3
 
@@ -908,6 +912,8 @@ def decode_audio_stats(
                 raw = bytes(p)
                 if raw[:4] == b"fLaC":
                     rate, _bits, samples = parse_flac(raw)
+                elif raw[:4] == b"RIFF":
+                    rate, _nch, samples = parse_wav(raw)
                 elif raw[:3] == b"ID3" or (
                     len(raw) >= 2
                     and raw[0] == 0xFF

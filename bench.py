@@ -93,20 +93,23 @@ HEADLINE = [
     "mm_mkv_flac_rms",
     # round 7 second session: the iterative-graph plan shape (6 power-
     # method rounds = 6 keyed join+agg stages over a checkpointed edge
-    # table) and the multimodal curation funnel (real FLAC decode ->
-    # gates -> fingerprint dedup)
+    # table)
     "gr_pagerank",
-    "mm_audio_curation",
-    # round 8: MP3 Layer III sample decode (new heaviest audio kernel —
-    # bitstream parse + fixed-point reconstruction per document) and the
-    # warm-start incremental PageRank (8 keyed join+agg rounds across
-    # two graph phases)
+    # round 8: MP3 Layer III sample decode (bitstream parse +
+    # fixed-point reconstruction per document) and the warm-start
+    # incremental PageRank (8 keyed join+agg rounds across two graph
+    # phases)
     "mm_mp3_rms",
     "gr_pagerank_incremental",
-    # round 8 second block: the MKV∘MP3 composition (variable frames
-    # per doc) and the mixed-codec curation funnel (FLAC+MP3 dispatch)
-    "mm_mkv_mp3_rms",
+    # round 8 second block: the mixed-codec curation funnel (FLAC+MP3
+    # dispatch into one admission schema + fingerprint dedup)
     "mm_audio_multicodec",
+    # round 9 (VERDICT r8 task 6): with fixture payloads cached, the
+    # headline keeps ONE query per kernel family — mm_mkv_mp3_rms
+    # (MKV∘MP3: both kernels already pinned via mm_mkv_jpeg_pool +
+    # mm_mp3_rms) and mm_audio_curation (FLAC decode + dedup funnel:
+    # covered by mm_mkv_flac_rms + mm_audio_multicodec) moved to the
+    # sweep's long tail
 ]
 
 

@@ -85,6 +85,8 @@ CASES = [
     "mm_mp3_ms_rms",
     "mm_audio_multicodec",
     "gr_pagerank_incremental",
+    # round 9: the three-codec funnel (FLAC + MP3 + WAV arms)
+    "mm_audio_multicodec3",
 ]
 
 

@@ -174,3 +174,45 @@ def test_mixed_codec_payloads_admit_through_one_funnel(spark):
     bad = spark.createDataFrame([(9, bytearray(b"???junk"))], SCHEMA)
     with pytest.raises(Exception, match="unknown audio payload"):
         admit_media_batch(bad, None)[0].collect()
+
+
+def test_wav_payloads_admit_through_the_same_funnel(spark):
+    """r9 (VERDICT r8 task 3): RIFF/WAVE joins the magic dispatch — a
+    mixed FLAC + MP3 + WAV batch gates through one funnel, the WAV
+    stats match the raw PCM exactly (lossless), and a WAV duplicate of
+    an earlier admitted fingerprint dedups against the index."""
+    from asid_v2_data_pipeline_spark.functions.codecs import write_wav
+    from asid_v2_data_pipeline_spark.functions.mp3 import write_mp3_l3
+    from asid_v2_data_pipeline_spark.streaming.media_stream import (
+        admit_media_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    q = rng.integers(-1, 2, size=(1, 2, 576))
+    sf = np.full((1, 2, 21), 0, np.int64)
+    mp3_loud = write_mp3_l3(q, sf, global_gain=194)
+    wav_pcm = rng.integers(-15000, 15000, size=300).astype(np.int16)
+    wav_silent = np.zeros(300, np.int16)
+    batch = spark.createDataFrame(
+        [
+            (1, _flac(_pcm(7))),                       # FLAC, admitted
+            (2, bytearray(mp3_loud)),                  # MP3, admitted
+            (3, bytearray(write_wav(wav_pcm, 16000))),  # WAV, admitted
+            (4, bytearray(write_wav(wav_silent, 16000))),  # silence gate
+        ],
+        SCHEMA,
+    )
+    admitted, fps = admit_media_batch(batch, None)
+    got = {r["media_id"]: r for r in admitted.collect()}
+    assert set(got) == {1, 2, 3}
+    w = got[3]
+    flat = wav_pcm.astype(np.int64)
+    assert w["n_channels"] == 1 and w["n_frames"] == 300
+    assert abs(w["rms"] - float(np.sqrt((flat * flat).mean()))) < 1e-9
+    assert w["fp"] == int(((np.arange(16) + 1) * flat[:16]).sum())
+    # a WAV byte-duplicate of media 3's samples dedups vs the index
+    dup = spark.createDataFrame(
+        [(9, bytearray(write_wav(wav_pcm, 16000)))], SCHEMA
+    )
+    admitted2, _ = admit_media_batch(dup, fps)
+    assert admitted2.count() == 0
