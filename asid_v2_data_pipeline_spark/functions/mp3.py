@@ -82,6 +82,43 @@ _HUFF1 = {
 }
 _HUFF1_DEC = {v: k for k, v in _HUFF1.items()}
 
+# Huffman table 2 (xlen = ylen = 3, no linbits) — transcribed from the
+# public ISO 11172-3 Table B.7 tabulation (r9, VERDICT r8 task 2's
+# "a table >1").  Verified prefix-free and complete (Kraft sum = 1) by
+# test_mp3; encoder, decoder and oracle share this one dict, so the
+# round-trip is bit-exact by construction — a corrected transcription
+# would drop in without touching any other code (the Table B.3
+# convention of the module docstring).
+_HUFF2 = {
+    (0, 0): (0b1, 1),
+    (0, 1): (0b010, 3),
+    (0, 2): (0b000001, 6),
+    (1, 0): (0b011, 3),
+    (1, 1): (0b001, 3),
+    (1, 2): (0b00001, 5),
+    (2, 0): (0b00011, 5),
+    (2, 1): (0b00010, 5),
+    (2, 2): (0b000000, 6),
+}
+_HUFF2_DEC = {v: k for k, v in _HUFF2.items()}
+
+# count1 (quadruple) table B: every (v, w, x, y) in FOUR bits, code =
+# the one's complement of the quad bits (ISO 11172-3 Table B.7,
+# "count1 table 1") — (0,0,0,0) -> 1111.  Table A (the variable-length
+# count1 table) stays a disclosed NotImplementedError boundary.
+_C1B = {q: (0xF ^ q, 4) for q in range(16)}
+
+# pretab (ISO 11172-3 Table B.6): added to the scalefactors of the top
+# long bands when preflag is set
+_PRETAB = np.array(
+    [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0],
+    dtype=np.int64,
+)
+
+# short-block scalefactor band boundaries, 44.1 kHz (ISO Table B.8):
+# 13 bands per window; the last (136..192) carries no scalefactor
+SFB_SHORT_44100 = [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192]
+
 # alias-reduction coefficients: the spec's eight ci values;
 # cs = 1/sqrt(1+ci^2), ca = ci/sqrt(1+ci^2)
 _CI = np.array(
@@ -104,6 +141,95 @@ _CW36 = np.rint(
     * np.sin(np.pi / 36.0 * (_n + 0.5))
     * (1 << _TBITS)
 ).astype(np.int64)
+
+# start (block_type 1) / stop (block_type 3) long windows (ISO
+# 2.4.3.4.10.3), fused with the same 36-point IMDCT cosine — the three
+# long tables share one rounding point, exactly like _CW36
+def _long_window(bt: int) -> np.ndarray:
+    n = np.arange(36, dtype=np.float64)
+    if bt == 0:
+        return np.sin(np.pi / 36.0 * (n + 0.5))
+    if bt == 1:  # start: long rise, flat, short fall, zero tail
+        return np.where(
+            n < 18,
+            np.sin(np.pi / 36.0 * (n + 0.5)),
+            np.where(
+                n < 24,
+                1.0,
+                np.where(
+                    n < 30, np.sin(np.pi / 12.0 * (n - 18 + 0.5)), 0.0
+                ),
+            ),
+        )
+    if bt == 3:  # stop: zero head, short rise, flat, long fall
+        return np.where(
+            n < 6,
+            0.0,
+            np.where(
+                n < 12,
+                np.sin(np.pi / 12.0 * (n - 6 + 0.5)),
+                np.where(n < 18, 1.0, np.sin(np.pi / 36.0 * (n + 0.5))),
+            ),
+        )
+    raise ValueError(f"no long window for block_type {bt}")
+
+
+_CW36_BT = {
+    bt: np.rint(
+        np.cos(np.pi / 72.0 * (2 * _n + 19) * (2 * _i + 1))
+        * _long_window(bt)[:, None]
+        * (1 << _TBITS)
+    ).astype(np.int64)
+    for bt in (0, 1, 3)
+}
+
+# 12-point IMDCT fused with the short sine window, same 2^10 scale:
+# SW12[n, i] = cos(pi/24 (2n+7)(2i+1)) * sin(pi/12 (n+0.5))
+_n12 = np.arange(12)[:, None]
+_i6 = np.arange(6)[None, :]
+_SW12 = np.rint(
+    np.cos(np.pi / 24.0 * (2 * _n12 + 7) * (2 * _i6 + 1))
+    * np.sin(np.pi / 12.0 * (_n12 + 0.5))
+    * (1 << _TBITS)
+).astype(np.int64)
+
+# short-block layout maps: the bitstream stores a short granule sfb by
+# sfb, window by window within the sfb; window w's own 192-line
+# spectrum (what the per-window IMDCT consumes, 6 lines per subband)
+# gathers through _STORED_IDX[w]; _STORED_SFB/_STORED_WIN give each
+# stored line its (sfb, window) for requantization
+_STORED_IDX = np.empty((3, 192), dtype=np.int64)
+_STORED_SFB = np.empty(576, dtype=np.int64)
+_STORED_WIN = np.empty(576, dtype=np.int64)
+for _s in range(13):
+    _a, _b2 = SFB_SHORT_44100[_s], SFB_SHORT_44100[_s + 1]
+    _w2 = _b2 - _a
+    for _w in range(3):
+        _STORED_IDX[_w, _a:_b2] = 3 * _a + _w * _w2 + np.arange(_w2)
+        _STORED_SFB[3 * _a + _w * _w2 : 3 * _a + (_w + 1) * _w2] = _s
+        _STORED_WIN[3 * _a + _w * _w2 : 3 * _a + (_w + 1) * _w2] = _w
+
+# intensity-stereo position factors (MPEG-1, is_pos 0..6):
+# ratio = tan(is_pos * pi / 12); left = x * ratio/(1+ratio),
+# right = x * 1/(1+ratio) — at 2^10 with ONE rounding per line,
+# the MS-recombination convention (is_pos 6 -> all left, 0 -> all
+# right; is_pos 7 is illegal and leaves the band untouched)
+_IS_KL = np.array(
+    [
+        int(np.rint(np.tan(p * np.pi / 12.0)
+                    / (1.0 + np.tan(p * np.pi / 12.0)) * (1 << _TBITS)))
+        for p in range(6)
+    ] + [1 << _TBITS],
+    dtype=np.int64,
+)
+_IS_KR = np.array(
+    [
+        int(np.rint(1.0 / (1.0 + np.tan(p * np.pi / 12.0))
+                    * (1 << _TBITS)))
+        for p in range(6)
+    ] + [0],
+    dtype=np.int64,
+)
 
 # polyphase synthesis matrixing: N[i, j] = cos((16+i)(2j+1) pi/64)
 _im = np.arange(64)[:, None]
@@ -220,6 +346,12 @@ class _BitReader:
 
 # ---------------------------------------------------------------- encode
 
+# MPEG-1 Layer III bitrate rows, kbps, indexed by the header's 4-bit
+# field (0 = free format, 15 = invalid)
+_MP3_BR_L3 = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+
 _GG_DEFAULT = 190  # global_gain -> 2^-5 overall (keeps PCM off the rails)
 _SF_COMPRESS = 13  # slen1 = slen2 = 3 -> scalefacs 0..7
 _KBPS = 320
@@ -227,6 +359,8 @@ _RATE = 44100
 _FRAME_LEN = 144 * _KBPS * 1000 // _RATE  # 1044 bytes, padding 0
 _R0_COUNT = 7  # region0 = sfb 0..7  (lines 0..35)
 _R1_COUNT = 7  # region1 = sfb 8..15 (lines 36..161)
+_IS_BV = 67  # intensity: right channel transmits 134 lines (sfb 15)
+_RESERVOIR_MAX = 511  # main_data_begin is a 9-bit field
 
 
 def write_mp3_l3(
@@ -242,10 +376,16 @@ def write_mp3_l3(
     range); ``scalefacs`` matches with a trailing (..., 21) in 0..7
     (slen 3).  ``stereo_mode="ms"`` (2-channel input interpreted as
     quantized MID/SIDE spectra) writes joint-stereo mode 01 with
-    mode_ext MS — the decoder recombines L,R = (M ± S)/sqrt(2).  All
-    576 lines ride in big_values (288 pairs, the spec maximum), table 1
-    in all three regions, count1 = rzero = 0, main_data_begin = 0
-    (self-contained frames)."""
+    mode_ext MS — the decoder recombines L,R = (M ± S)/sqrt(2).
+    ``stereo_mode="intensity"`` (r9, VERDICT r8 task 5) writes
+    joint-stereo mode 01 with mode_ext intensity: the LEFT channel
+    carries the full spectrum, the RIGHT channel transmits only its
+    first 134 lines (big_values 67, rzero from sfb 15) and its
+    scalefactors in bands 15..20 are the is_pos positions (0..6; 7 is
+    illegal) the decoder uses to split each band back into L and R.
+    All transmitted lines ride in big_values, table 1 in all regions,
+    count1 = rzero-quads = 0, main_data_begin = 0 (self-contained
+    frames)."""
     spectra = np.asarray(spectra, dtype=np.int64)
     scalefacs = np.asarray(scalefacs, dtype=np.int64)
     if spectra.ndim == 3 and spectra.shape[1:] == (2, 576):
@@ -266,10 +406,21 @@ def write_mp3_l3(
         raise ValueError("MP3: slen-3 scalefactors must be in 0..7")
     if not 0 <= global_gain <= 255:
         raise ValueError("MP3: global_gain out of range")
-    if stereo_mode not in ("independent", "ms"):
-        raise ValueError("MP3: stereo_mode must be 'independent' or 'ms'")
-    if stereo_mode == "ms" and nch != 2:
-        raise ValueError("MP3: mid/side needs exactly 2 channels")
+    if stereo_mode not in ("independent", "ms", "intensity"):
+        raise ValueError(
+            "MP3: stereo_mode must be 'independent', 'ms' or 'intensity'"
+        )
+    if stereo_mode in ("ms", "intensity") and nch != 2:
+        raise ValueError("MP3: joint stereo needs exactly 2 channels")
+    bvs = [288] * nch
+    if stereo_mode == "intensity":
+        bvs[1] = _IS_BV
+        if np.abs(spectra[:, :, 1, 2 * _IS_BV :]).max(initial=0):
+            raise ValueError(
+                "MP3: intensity right channel must be zero above the bound"
+            )
+        if scalefacs[:, :, 1, 15:21].max(initial=0) > 6:
+            raise ValueError("MP3: is_pos scalefactors must be 0..6")
 
     out = bytearray()
     for f in range(spectra.shape[0]):
@@ -282,7 +433,7 @@ def write_mp3_l3(
                 for sf in scalefacs[f, g, ch]:
                     md.write(int(sf), 3)
                 q = spectra[f, g, ch]
-                for k in range(288):
+                for k in range(bvs[ch]):
                     x, y = abs(int(q[2 * k])), abs(int(q[2 * k + 1]))
                     code, ln = _HUFF1[(x, y)]
                     md.write(code, ln)
@@ -298,9 +449,9 @@ def write_mp3_l3(
         si.write(0, 9)  # main_data_begin
         si.write(0, 5 if nch == 1 else 3)  # private_bits
         si.write(0, 4 * nch)  # scfsi
-        for p in p23:  # (granule, channel) order
+        for i_p, p in enumerate(p23):  # (granule, channel) order
             si.write(p, 12)
-            si.write(288, 9)  # big_values
+            si.write(bvs[i_p % nch], 9)  # big_values
             si.write(global_gain, 8)
             si.write(_SF_COMPRESS, 4)
             si.write(0, 1)  # window_switching_flag: long blocks
@@ -324,15 +475,253 @@ def write_mp3_l3(
             | (0x0 << 10)       # 44.1 kHz
             | (0x0 << 9)        # padding 0
             | (
-                (0x3 if nch == 1 else (0x1 if stereo_mode == "ms" else 0x0))
+                (
+                    0x3
+                    if nch == 1
+                    else (0x1 if stereo_mode != "independent" else 0x0)
+                )
                 << 6
             )  # mono / joint stereo / stereo
-            | ((0x2 if stereo_mode == "ms" else 0x0) << 4),  # mode_ext
+            | (
+                (
+                    0x2
+                    if stereo_mode == "ms"
+                    else (0x1 if stereo_mode == "intensity" else 0x0)
+                )
+                << 4
+            ),  # mode_ext
         )
         body = header + side + main
         if len(body) > _FRAME_LEN:
             raise ValueError("MP3: frame data exceeds 320 kbps budget")
         out += body + bytes(_FRAME_LEN - len(body))
+    return bytes(out)
+
+
+def _huff_encode_pair(md: "_BitWriter", x: int, y: int, table: int) -> None:
+    """Write one big-value pair with sign bits under the given table."""
+    ax, ay = abs(x), abs(y)
+    if table == 0:
+        if ax or ay:
+            raise ValueError("MP3: table 0 region must be all zero")
+        return
+    tab = _HUFF1 if table == 1 else _HUFF2
+    if (ax, ay) not in tab:
+        raise ValueError(
+            f"MP3: pair ({x},{y}) exceeds table {table} range"
+        )
+    code, ln = tab[(ax, ay)]
+    md.write(code, ln)
+    if ax:
+        md.write(1 if x < 0 else 0, 1)
+    if ay:
+        md.write(1 if y < 0 else 0, 1)
+
+
+def write_mp3_l3_general(frames: list[dict]) -> bytes:
+    """GENERAL-profile mono Layer III encoder (r9, VERDICT r8 task 2):
+    per-frame bitrate rows (VBR), the bit reservoir (each frame's main
+    data starts up to 511 bytes back in earlier frames' regions, with
+    byte-alignment + stuffing exactly like a real encoder's ancillary
+    bits), scfsi scalefactor sharing, preflag, Huffman tables 0/1/2
+    per region, the count1 quadruple region under table B, and window
+    switching (start/short/stop block types with subblock_gain and
+    short scalefactors).  44.1 kHz, no CRC.
+
+    ``frames`` is a list of dicts::
+
+        {"kbps": 320, "scfsi": 0b0011, "granules": [g0, g1]}
+
+    Each granule dict (mono):
+
+    - long (``block_type`` 0/1/3): ``spectrum`` int[576],
+      ``big_values`` (pairs), ``count1`` (quads coded right after the
+      big values), ``scalefacs`` int[21], ``preflag``,
+      ``scalefac_scale``, ``table_select`` [t0, t1, t2] with the
+      region layout the decoder uses (region bounds 36/134 for
+      block_type 0 via region0/1_count = 7/7, 36/576 under window
+      switching);
+    - short (``block_type`` 2, non-mixed): ``spectrum`` int[576] in
+      STORED order, ``scalefacs_short`` int[12][3],
+      ``subblock_gain`` [3], ``scalefac_scale``, ``table_select``
+      [t0, t1].
+
+    ``global_gain`` defaults to ``_GG_DEFAULT`` per granule.  scfsi
+    groups are scalefactor bands (0-5, 6-10, 11-15, 16-20); a set bit
+    requires granule 1's scalefactors to equal granule 0's in that
+    group (they are not transmitted)."""
+    chunks: list[bytes] = []
+    p23s: list[list[int]] = []
+    caps: list[int] = []
+    flens: list[int] = []
+    br_indices: list[int] = []
+    for fr in frames:
+        kbps = fr.get("kbps", _KBPS)
+        if kbps not in _MP3_BR_L3[1:]:
+            raise ValueError(f"MP3: no MPEG-1 Layer III {kbps} kbps row")
+        br_indices.append(_MP3_BR_L3.index(kbps))
+        flen = 144 * kbps * 1000 // _RATE
+        flens.append(flen)
+        caps.append(flen - 4 - 17)  # mono side info
+        scfsi = fr.get("scfsi", 0)
+        grans = fr["granules"]
+        if len(grans) != 2:
+            raise ValueError("MP3: a frame has exactly two granules")
+        md = _BitWriter()
+        p23 = []
+        sf_g0 = None
+        for gi, g in enumerate(grans):
+            start = md.bit_length()
+            bt = g.get("block_type", 0)
+            sfc = g.get("scalefac_compress", _SF_COMPRESS)
+            slen1, slen2 = _SLEN[sfc]
+            q = np.asarray(g["spectrum"], dtype=np.int64)
+            if q.shape != (576,):
+                raise ValueError("MP3: granule spectrum must be int[576]")
+            if bt == 2:
+                if scfsi:
+                    raise ValueError("MP3: scfsi with short blocks")
+                sfs3 = np.asarray(g["scalefacs_short"], dtype=np.int64)
+                if sfs3.shape != (12, 3):
+                    raise ValueError("MP3: short scalefacs must be (12,3)")
+                for b in range(6):
+                    for w in range(3):
+                        md.write(int(sfs3[b, w]), slen1)
+                for b in range(6, 12):
+                    for w in range(3):
+                        md.write(int(sfs3[b, w]), slen2)
+                bounds = (36, 576)
+                tables = list(g["table_select"][:2]) + [0]
+            else:
+                sf = np.asarray(g["scalefacs"], dtype=np.int64)
+                if sf.shape != (21,):
+                    raise ValueError("MP3: long scalefacs must be (21,)")
+                if gi == 0:
+                    sf_g0 = sf
+                for band in range(21):
+                    group = (
+                        0 if band < 6 else
+                        1 if band < 11 else
+                        2 if band < 16 else 3
+                    )
+                    shared = gi == 1 and (scfsi >> (3 - group)) & 1
+                    if shared:
+                        if sf[band] != sf_g0[band]:
+                            raise ValueError(
+                                "MP3: scfsi-shared band differs from "
+                                "granule 0"
+                            )
+                        continue
+                    md.write(int(sf[band]), slen1 if band < 11 else slen2)
+                bounds = (576, 576) if bt else (36, 134)
+                if bt:  # window switching (start/stop): bounds 36/576
+                    bounds = (36, 576)
+                    tables = list(g["table_select"][:2]) + [0]
+                else:
+                    tables = list(g["table_select"][:3])
+            bv = int(g.get("big_values", 288))
+            nq = int(g.get("count1", 0))
+            if bv > 288:
+                raise ValueError("MP3: big_values > 288")
+            if 2 * bv + 4 * nq > 576:
+                raise ValueError("MP3: spectrum overrun")
+            if np.abs(q[2 * bv + 4 * nq :]).max(initial=0):
+                raise ValueError("MP3: rzero region must be all zero")
+            run_start = 0
+            for run_end, table in (
+                (min(bounds[0] // 2, bv), tables[0]),
+                (min(bounds[1] // 2, bv), tables[1]),
+                (bv, tables[2]),
+            ):
+                for k in range(run_start, run_end):
+                    _huff_encode_pair(
+                        md, int(q[2 * k]), int(q[2 * k + 1]), table
+                    )
+                run_start = max(run_start, run_end)
+            for j in range(nq):  # count1 quads, table B
+                vals = [int(q[2 * bv + 4 * j + t]) for t in range(4)]
+                bits = 0
+                for v in vals:
+                    if abs(v) > 1:
+                        raise ValueError("MP3: count1 values must be ±1/0")
+                    bits = (bits << 1) | (1 if v else 0)
+                code, ln = _C1B[bits]
+                md.write(code, ln)
+                for v in vals:
+                    if v:
+                        md.write(1 if v < 0 else 0, 1)
+            p23.append(md.bit_length() - start)
+        md.align()
+        chunks.append(md.getvalue())
+        p23s.append(p23)
+
+    # reservoir packing: each frame's main data begins at the first
+    # free byte, pulled forward only by the 511-byte window cap; the
+    # gaps are stuffing (ancillary bytes no granule ever reads)
+    stream = bytearray()
+    mdbs: list[int] = []
+    for n, chunk in enumerate(chunks):
+        cap_before = sum(caps[:n])
+        if len(stream) > cap_before:
+            raise ValueError(
+                "MP3: reservoir overflow — earlier main data spills past "
+                f"frame {n}'s own region start"
+            )
+        begin = max(len(stream), cap_before - _RESERVOIR_MAX)
+        stream.extend(bytes(begin - len(stream)))
+        mdbs.append(cap_before - begin)
+        stream.extend(chunk)
+        if len(stream) > cap_before + caps[n]:
+            raise ValueError(
+                f"MP3: frame {n} main data exceeds its bitrate budget"
+            )
+    stream.extend(bytes(sum(caps) - len(stream)))
+
+    out = bytearray()
+    offset = 0
+    for n, fr in enumerate(frames):
+        header = struct.pack(
+            ">I",
+            (0x7FF << 21)
+            | (0x3 << 19)        # MPEG-1
+            | (0x1 << 17)        # Layer III
+            | (0x1 << 16)        # no CRC
+            | (br_indices[n] << 12)
+            | (0x0 << 10)        # 44.1 kHz
+            | (0x0 << 9)         # padding 0
+            | (0x3 << 6),        # mono
+        )
+        si = _BitWriter()
+        si.write(mdbs[n], 9)
+        si.write(0, 5)  # private
+        si.write(fr.get("scfsi", 0), 4)
+        for gi, g in enumerate(fr["granules"]):
+            bt = g.get("block_type", 0)
+            si.write(p23s[n][gi], 12)
+            si.write(int(g.get("big_values", 288)), 9)
+            si.write(int(g.get("global_gain", _GG_DEFAULT)), 8)
+            si.write(int(g.get("scalefac_compress", _SF_COMPRESS)), 4)
+            if bt:
+                si.write(1, 1)  # window_switching_flag
+                si.write(bt, 2)
+                si.write(0, 1)  # mixed_block_flag
+                for t in list(g["table_select"][:2]):
+                    si.write(int(t), 5)
+                for sb in g.get("subblock_gain", (0, 0, 0)):
+                    si.write(int(sb), 3)
+            else:
+                si.write(0, 1)
+                for t in list(g["table_select"][:3]):
+                    si.write(int(t), 5)
+                si.write(_R0_COUNT, 4)
+                si.write(_R1_COUNT, 3)
+            si.write(int(g.get("preflag", 0)), 1)
+            si.write(int(g.get("scalefac_scale", 0)), 1)
+            si.write(1 if g.get("count1", 0) else 0, 1)  # table B
+        side = si.getvalue()
+        assert len(side) == 17
+        out += header + side + stream[offset : offset + caps[n]]
+        offset += caps[n]
     return bytes(out)
 
 
@@ -357,18 +746,23 @@ def _huffman_read_pair(br: _BitReader) -> tuple[int, int]:
     return x, y
 
 
-def _build_huff1_lut() -> list[tuple[int, int, int] | None]:
-    """Peek-5 decode LUT for table 1 (the JPEG peek-LUT trick): the
-    longest code (3) plus two sign bits is 5 bits, so every 5-bit
-    window resolves one full (x, y, consumed-bits) step — one list
-    index instead of up to five bit reads."""
-    lut: list[tuple[int, int, int] | None] = [None] * 32
-    for (ax, ay), (code, ln) in _HUFF1.items():
+def _build_pair_lut(
+    table: dict, peek: int
+) -> list[tuple[int, int, int] | None]:
+    """Peek-``peek`` decode LUT for a big-value pair table (the JPEG
+    peek-LUT trick): the longest code plus two sign bits fits in
+    ``peek`` bits, so every window resolves one full (x, y,
+    consumed-bits) step — one list index instead of up to ``peek`` bit
+    reads.  Sign-bit order is x then y (spec: the sign bit follows its
+    value immediately, x first)."""
+    lut: list[tuple[int, int, int] | None] = [None] * (1 << peek)
+    for (ax, ay), (code, ln) in table.items():
         nsign = (1 if ax else 0) + (1 if ay else 0)
-        free = 5 - ln - nsign
+        free = peek - ln - nsign
+        assert free >= 0, "peek window too small for table"
         for signs in range(1 << nsign):
             for fill in range(1 << free):
-                w = (code << (5 - ln)) | (signs << free) | fill
+                w = (code << (peek - ln)) | (signs << free) | fill
                 x, y = ax, ay
                 s = signs
                 if ay:
@@ -381,29 +775,84 @@ def _build_huff1_lut() -> list[tuple[int, int, int] | None]:
     return lut
 
 
-_HUFF1_LUT = _build_huff1_lut()
+_HUFF1_LUT = _build_pair_lut(_HUFF1, 5)
+_HUFF2_LUT = _build_pair_lut(_HUFF2, 8)
+# count1 table B quads: 4-bit code + up to 4 sign bits -> peek 8; the
+# LUT maps the window to (v, w, x, y, consumed-bits)
+_C1B_LUT: list[tuple[int, int, int, int, int]] = [None] * 256  # type: ignore[list-item]
+for _q, (_code, _ln) in _C1B.items():
+    _vals = [(_q >> 3) & 1, (_q >> 2) & 1, (_q >> 1) & 1, _q & 1]
+    _ns = sum(_vals)
+    _free = 8 - _ln - _ns
+    for _signs in range(1 << _ns):
+        for _fill in range(1 << _free):
+            _w3 = (_code << (8 - _ln)) | (_signs << _free) | _fill
+            _out = list(_vals)
+            _s = _signs
+            for _j in range(3, -1, -1):  # sign bits follow v,w,x,y order
+                if _out[_j]:
+                    if _s & 1:
+                        _out[_j] = -_out[_j]
+                    _s >>= 1
+            _C1B_LUT[_w3] = (*_out, _ln + _ns)
 
 
-def _decode_table1_run(
-    buf: bytes, bitpos: int, out: np.ndarray, start: int, n_pairs: int
+def _decode_pair_run(
+    buf: bytes,
+    bitpos: int,
+    out: np.ndarray,
+    start: int,
+    n_pairs: int,
+    lut: list,
+    peek: int,
 ) -> int:
-    """Decode ``n_pairs`` table-1 pairs from ``buf`` starting at
-    absolute ``bitpos``, writing into ``out[start:]``; returns the new
-    bit position.  Byte-window peek + the 5-bit LUT — the hot path of
-    the sample decoder (exactness pinned against the scalar model and
-    the per-bit reference reader in tests)."""
-    lut = _HUFF1_LUT
+    """Decode ``n_pairs`` big-value pairs from ``buf`` starting at
+    absolute ``bitpos`` through a peek-``peek`` LUT, writing into
+    ``out[start:]``; returns the new bit position.  Byte-window peek —
+    the hot path of the sample decoder (exactness pinned against the
+    scalar model and the per-bit reference reader in tests)."""
+    mask = (1 << peek) - 1
+    shift0 = 32 - peek
     for k in range(n_pairs):
         byte = bitpos >> 3
-        chunk = buf[byte : byte + 3]
-        if len(chunk) < 3:  # stream tail: zero-extend
-            chunk = chunk + bytes(3 - len(chunk))
-        w = (int.from_bytes(chunk, "big") >> (19 - (bitpos & 7))) & 31
+        chunk = buf[byte : byte + 4]
+        if len(chunk) < 4:  # stream tail: zero-extend
+            chunk = chunk + bytes(4 - len(chunk))
+        w = (int.from_bytes(chunk, "big") >> (shift0 - (bitpos & 7))) & mask
         step = lut[w]
+        if step is None:
+            raise ValueError("MP3: bad big-value Huffman code")
         i = start + 2 * k
         out[i], out[i + 1] = step[0], step[1]
         bitpos += step[2]
     return bitpos
+
+
+def _decode_count1_run(
+    buf: bytes,
+    bitpos: int,
+    out: np.ndarray,
+    start: int,
+    bit_limit: int,
+) -> tuple[int, int]:
+    """Decode count1 quadruples (table B) from absolute ``bitpos``
+    until ``bit_limit`` is reached or the spectrum is full; returns
+    ``(new_bitpos, lines_written)``.  The spec ends the count1 region
+    exactly when part2_3_length runs out."""
+    line = start
+    while bitpos < bit_limit and line + 4 <= 576:
+        byte = bitpos >> 3
+        chunk = buf[byte : byte + 4]
+        if len(chunk) < 4:
+            chunk = chunk + bytes(4 - len(chunk))
+        w = (int.from_bytes(chunk, "big") >> (24 - (bitpos & 7))) & 255
+        v0, v1, v2, v3, used = _C1B_LUT[w]
+        if bitpos + used > bit_limit:
+            raise ValueError("MP3: count1 quad crosses part2_3 boundary")
+        out[line : line + 4] = (v0, v1, v2, v3)
+        line += 4
+        bitpos += used
+    return bitpos, line - start
 
 
 class _SynthState:
@@ -417,23 +866,43 @@ class _SynthState:
 
 
 def _reconstruct_granule(
-    x: np.ndarray, state: _SynthState
+    x: np.ndarray, state: _SynthState, block_type: int = 0
 ) -> np.ndarray:
     """Fixed-point reconstruction of one granule: 576 requantized
     lines (int64 at 2^-15) -> 576 int16 PCM samples.  Integer
     end-to-end; the ONLY rounding is the ``_rdiv`` after the fused
-    IMDCT+window and the final PCM ``_rdiv`` (see module docstring)."""
-    # alias reduction (exact; untouched lines scaled by 2^10 so the
-    # whole vector leaves at 2^-25)
-    xa = x * (1 << _TBITS)
-    for b in range(1, 32):
-        u = 18 * b - 1 - np.arange(8)
-        l = 18 * b + np.arange(8)
-        xu, xl = x[u], x[l]
-        xa[u] = xu * _CS - xl * _CA
-        xa[l] = xl * _CS + xu * _CA
-    # fused IMDCT + window, ONE rounding back to 2^-15
-    z = _rdiv(xa.reshape(32, 18) @ _CW36.T, 1 << (2 * _TBITS))
+    IMDCT+window and the final PCM ``_rdiv`` (see module docstring).
+
+    ``block_type`` selects the filterbank shape (r9): 0/1/3 run the
+    36-point IMDCT fused with the normal/start/stop window after alias
+    reduction; 2 (short, non-mixed) takes ``x`` in STORED order, skips
+    alias reduction per spec, and runs three 12-point IMDCTs per
+    subband whose windowed outputs overlap at offsets 6/12/18 inside
+    the 36-sample block — accumulated exactly, ONE rounding for the
+    whole block (the same single mid-pipeline rounding as long)."""
+    if block_type == 2:
+        acc = np.zeros((32, 36), dtype=np.int64)
+        for w in range(3):
+            spec_w = x[_STORED_IDX[w]] * (1 << _TBITS)  # 2^-25
+            acc[:, 6 + 6 * w : 18 + 6 * w] += (
+                spec_w.reshape(32, 6) @ _SW12.T
+            )
+        z = _rdiv(acc, 1 << (2 * _TBITS))
+    else:
+        # alias reduction (exact; untouched lines scaled by 2^10 so
+        # the whole vector leaves at 2^-25)
+        xa = x * (1 << _TBITS)
+        for b in range(1, 32):
+            u = 18 * b - 1 - np.arange(8)
+            l = 18 * b + np.arange(8)
+            xu, xl = x[u], x[l]
+            xa[u] = xu * _CS - xl * _CA
+            xa[l] = xl * _CS + xu * _CA
+        # fused IMDCT + window, ONE rounding back to 2^-15
+        z = _rdiv(
+            xa.reshape(32, 18) @ _CW36_BT[block_type].T,
+            1 << (2 * _TBITS),
+        )
     # overlap-add (exact), save next tail
     ts = z[:, :18] + state.overlap
     state.overlap = z[:, 18:].copy()
@@ -458,14 +927,37 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
     scalefactors, Huffman-decode the spectrum from the real bitstream,
     requantize through the fixed-point LUT and run the reconstruction
     pipeline.  Mono returns ``(rate, int16[n])``; stereo, dual channel
-    and joint stereo return ``(rate, int16[n, 2])`` — independent
-    channels each keep their own overlap/filterbank state, and
-    MID/SIDE joint stereo (mode 01, mode_ext MS) recombines the
-    requantized spectra ``L,R = rdiv((M ± S)·724, 2^10)`` before
-    reconstruction (r8).  Intensity stereo and the other unsupported
-    spec surface raise ``NotImplementedError`` with the feature named
-    (bit reservoir, non-transcribed Huffman tables, count1 quads,
-    window switching, non-44.1 kHz)."""
+    and joint stereo return ``(rate, int16[n, 2])``.
+
+    General-profile surface (r9, VERDICT r8 tasks 2+5) on top of the
+    r8 fixture profile:
+
+    - **any MPEG-1 Layer III bitrate row** (32..320 kbps incl. the
+      padding bit), so VBR streams walk correctly;
+    - **the bit reservoir**: main-data regions concatenate into a
+      rolling buffer (capped at the spec's 511-byte window) and
+      ``main_data_begin`` points back into it;
+    - **scfsi**: granule 1 reuses granule 0's scalefactors per shared
+      band group;
+    - **preflag**: the Table B.6 pretab joins the effective
+      scalefactor;
+    - **Huffman tables 0/1/2** for big values and **count1 table B**
+      for the quadruple region (table A and tables 3..31 stay
+      disclosed ``NotImplementedError`` boundaries);
+    - **window switching**: block types 1 (start), 2 (short,
+      non-mixed; per-window subblock_gain + short scalefactors, stored
+      -> window gather, three 12-point IMDCTs, no alias reduction) and
+      3 (stop); mixed blocks stay disclosed;
+    - **intensity stereo** (mode 01, mode_ext bit 0, long blocks): for
+      scalefactor bands at/above the right channel's transmitted-line
+      bound, ``is_pos`` = the right channel's raw scalefactor (band 21
+      reuses band 20's), and L,R = rdiv(x*KL/KR[is_pos], 2^10) — the
+      MS recombination convention; is_pos 7 leaves the band untouched;
+      combined MS+intensity (mode_ext 11) stays disclosed.
+
+    Still raising by design: CRC-protected frames, non-44.1 kHz rows
+    (their band tables are untranscribed), mixed blocks, count1 table
+    A, big-value tables 3..31, free-format bitrate."""
     pos = 0
     if payload[:3] == b"ID3":
         from .id3 import parse_id3
@@ -478,6 +970,10 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
     end = len(payload)
     n_frames = 0
     nch_stream: int | None = None
+    # bit reservoir: concatenated main-data regions, trimmed to the
+    # 511-byte spec window; md_base counts trimmed-off bytes
+    md_stream = bytearray()
+    md_base = 0
     while pos + 4 <= end:
         if payload[pos : pos + 3] == b"TAG":
             break
@@ -491,17 +987,17 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
         br_idx, sr_idx = (h >> 12) & 0xF, (h >> 10) & 0x3
         if sr_idx != 0:
             raise NotImplementedError("MP3: only the 44.1 kHz band table")
-        if br_idx != 0xE:
-            raise NotImplementedError("MP3: fixture decoder expects 320 kbps")
+        if br_idx in (0, 15):
+            raise NotImplementedError("MP3: free-format/invalid bitrate")
+        kbps = _MP3_BR_L3[br_idx]
         mode = (h >> 6) & 0x3
         mode_ext = (h >> 4) & 0x3
-        ms_on = False
+        ms_on = is_on = False
         if mode == 0x1:  # joint stereo: mode_ext picks the coding
-            if mode_ext & 0x1:
-                raise NotImplementedError("MP3: intensity stereo")
-            # mode_ext 00 = no joint coding this frame (plain stereo);
-            # bit 1 = mid/side over the whole spectrum
+            if mode_ext == 0x3:
+                raise NotImplementedError("MP3: combined MS + intensity")
             ms_on = bool(mode_ext & 0x2)
+            is_on = bool(mode_ext & 0x1)
         nch = 1 if mode == 0x3 else 2
         if nch_stream is None:
             nch_stream = nch
@@ -509,71 +1005,128 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
         elif nch_stream != nch:
             raise ValueError("MP3: channel mode changed mid-stream")
         padding = (h >> 9) & 0x1
-        flen = _FRAME_LEN + padding
+        flen = 144 * kbps * 1000 // _RATE + padding
         if pos + flen > end:
             raise ValueError("MP3: truncated final frame")
+        si_len = 17 if nch == 1 else 32
 
-        br = _BitReader(payload, pos + 4)
-        if br.read(9):
-            raise NotImplementedError("MP3: bit reservoir not supported")
-        br.read(5 if nch == 1 else 3)  # private
-        if br.read(4 * nch):
-            raise NotImplementedError("MP3: scfsi sharing not supported")
+        si = _BitReader(payload, pos + 4)
+        mdb = si.read(9)
+        si.read(5 if nch == 1 else 3)  # private
+        scfsi = [[si.read(1) for _ in range(4)] for _ in range(nch)]
         gr_info = []
-        for _ in range(2 * nch):  # (granule, channel) order
+        for _gc in range(2 * nch):  # (granule, channel) order
             info = {
-                "part2_3_length": br.read(12),
-                "big_values": br.read(9),
-                "global_gain": br.read(8),
-                "scalefac_compress": br.read(4),
+                "part2_3_length": si.read(12),
+                "big_values": si.read(9),
+                "global_gain": si.read(8),
+                "scalefac_compress": si.read(4),
             }
-            if br.read(1):
-                raise NotImplementedError("MP3: window switching")
-            info["table_select"] = [br.read(5) for _ in range(3)]
-            info["region0_count"] = br.read(4)
-            info["region1_count"] = br.read(3)
-            info["preflag"] = br.read(1)
-            info["scalefac_scale"] = br.read(1)
-            info["count1table_select"] = br.read(1)
+            if si.read(1):  # window_switching_flag
+                bt = si.read(2)
+                if bt == 0:
+                    raise ValueError("MP3: block_type 0 with switching")
+                if si.read(1):
+                    raise NotImplementedError("MP3: mixed blocks")
+                info["table_select"] = [si.read(5) for _ in range(2)] + [0]
+                info["subblock_gain"] = [si.read(3) for _ in range(3)]
+                info["block_type"] = bt
+                # implicit region layout under window switching
+                info["bound1"], info["bound2"] = 36, 576
+            else:
+                info["block_type"] = bt = 0
+                info["subblock_gain"] = [0, 0, 0]
+                info["table_select"] = [si.read(5) for _ in range(3)]
+                r0 = min(si.read(4) + 1, len(sfb) - 1)
+                r1 = min(r0 + si.read(3) + 1, len(sfb) - 1)
+                info["bound1"], info["bound2"] = int(sfb[r0]), int(sfb[r1])
+            info["preflag"] = si.read(1)
+            info["scalefac_scale"] = si.read(1)
+            info["count1table_select"] = si.read(1)
             gr_info.append(info)
 
-        md = _BitReader(payload, pos + 4 + (17 if nch == 1 else 32))
+        # splice this frame's main-data region into the reservoir
+        region = payload[pos + 4 + si_len : pos + flen]
+        start_byte = len(md_stream) - mdb
+        if start_byte < 0:
+            raise ValueError("MP3: bit reservoir underflow")
+        md_stream += region
+        mdbuf = bytes(md_stream)
+        md = _BitReader(mdbuf, start_byte)
+
         frame_ch: list[list[np.ndarray]] = [[] for _ in range(nch)]
         gx: list = [None] * nch  # per-granule requantized channels
+        gbt: list = [0] * nch
+        sfraw: list = [None] * nch  # raw long scalefacs (intensity pos)
+        lines_tx: list = [0] * nch  # transmitted-line bound per channel
+        sf_gr0: list = [None] * nch  # granule 0 scalefacs (scfsi)
         for gc in range(2 * nch):
             g, ch = gc // nch, gc % nch
             info = gr_info[gc]
+            p23 = info["part2_3_length"]
             start_bits = md.bits_read()
             slen1, slen2 = _SLEN[info["scalefac_compress"]]
-            sf = np.zeros(22, dtype=np.int64)  # band 21 (>418) stays 0
-            for b in range(11):
-                sf[b] = md.read(slen1)
-            for b in range(11, 21):
-                sf[b] = md.read(slen2)
-            if info["preflag"]:
-                raise NotImplementedError("MP3: preflag pretab")
+            bt = info["block_type"]
+            if bt == 2:
+                if any(scfsi[ch]) and g == 1:
+                    raise ValueError("MP3: scfsi with short blocks")
+                sfshort = np.zeros((13, 3), dtype=np.int64)
+                for b in range(6):
+                    for w in range(3):
+                        sfshort[b, w] = md.read(slen1)
+                for b in range(6, 12):
+                    for w in range(3):
+                        sfshort[b, w] = md.read(slen2)
+                sfraw[ch] = None
+            else:
+                sf = np.zeros(22, dtype=np.int64)
+                if g == 1 and any(scfsi[ch]):
+                    prev = sf_gr0[ch]
+                    if prev is None:
+                        raise ValueError("MP3: scfsi without granule 0")
+                    for gi, (a, b) in enumerate(
+                        ((0, 6), (6, 11), (11, 16), (16, 21))
+                    ):
+                        if scfsi[ch][gi]:
+                            sf[a:b] = prev[a:b]
+                        else:
+                            for band in range(a, b):
+                                sf[band] = md.read(
+                                    slen1 if band < 11 else slen2
+                                )
+                else:
+                    for band in range(11):
+                        sf[band] = md.read(slen1)
+                    for band in range(11, 21):
+                        sf[band] = md.read(slen2)
+                if g == 0:
+                    sf_gr0[ch] = sf.copy()
+                sfraw[ch] = sf
             bv = info["big_values"]
             if bv > 288:
                 raise ValueError("MP3: big_values > 288")
-            r0 = min(info["region0_count"] + 1, len(sfb) - 1)
-            r1 = min(r0 + info["region1_count"] + 1, len(sfb) - 1)
-            bound1, bound2 = int(sfb[r0]), int(sfb[r1])
             q = np.zeros(576, dtype=np.int64)
             # decode per REGION RUN (same table over a contiguous pair
-            # range) through the peek-5 LUT instead of per-bit reads
+            # range) through the peek LUTs instead of per-bit reads
             bitpos = md.bits_read()
             run_start = 0
             for run_end, table in (
-                (min(bound1 // 2, bv), info["table_select"][0]),
-                (min(bound2 // 2, bv), info["table_select"][1]),
+                (min(info["bound1"] // 2, bv), info["table_select"][0]),
+                (min(info["bound2"] // 2, bv), info["table_select"][1]),
                 (bv, info["table_select"][2]),
             ):
                 n_pairs = run_end - run_start
                 if n_pairs <= 0:
                     continue
                 if table == 1:
-                    bitpos = _decode_table1_run(
-                        payload, bitpos, q, 2 * run_start, n_pairs
+                    bitpos = _decode_pair_run(
+                        mdbuf, bitpos, q, 2 * run_start, n_pairs,
+                        _HUFF1_LUT, 5,
+                    )
+                elif table == 2:
+                    bitpos = _decode_pair_run(
+                        mdbuf, bitpos, q, 2 * run_start, n_pairs,
+                        _HUFF2_LUT, 8,
                     )
                 elif table != 0:  # table 0: no bits, values stay zero
                     raise NotImplementedError(
@@ -582,36 +1135,95 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
                 run_start = run_end
             md._pos, md._bit = bitpos >> 3, bitpos & 7
             used = md.bits_read() - start_bits
-            if used > info["part2_3_length"]:
+            if used > p23:
                 raise ValueError("MP3: part2_3_length overrun")
-            if md.bits_read() - start_bits < info["part2_3_length"]:
-                # count1 region would start here
-                raise NotImplementedError(
-                    "MP3: count1 quadruples not transcribed"
+            c1_lines = 0
+            if used < p23:
+                if not info["count1table_select"]:
+                    raise NotImplementedError(
+                        "MP3: count1 table A not transcribed"
+                    )
+                bitpos, c1_lines = _decode_count1_run(
+                    mdbuf, bitpos, q, 2 * bv, start_bits + p23
                 )
-            lut = np.asarray(
-                requant_lut(
-                    info["global_gain"], info["scalefac_scale"],
-                    max_sf=1 << max(slen1, slen2, 1),
-                ),
-                dtype=np.int64,
-            )
-            line_sf = np.repeat(sf, band_width)
-            gx[ch] = np.sign(q) * lut[line_sf]
+            lines_tx[ch] = 2 * bv + c1_lines
+            # ancillary/stuffing bits: seek to exactly part2_3_length
+            tgt = start_bits + p23
+            md._pos, md._bit = tgt >> 3, tgt & 7
+
+            maxsf = (1 << max(slen1, slen2, 1)) + 3  # pretab headroom
+            absq = np.abs(q)
+            if bt == 2:
+                lut_w = np.array(
+                    [
+                        [
+                            requant_lut(
+                                info["global_gain"]
+                                - 8 * info["subblock_gain"][w],
+                                info["scalefac_scale"], maxsf, q=a,
+                            )
+                            for a in (0, 1, 2)
+                        ]
+                        for w in range(3)
+                    ],
+                    dtype=np.int64,
+                )
+                sfl = sfshort[_STORED_SFB, _STORED_WIN]
+                gx[ch] = np.sign(q) * lut_w[_STORED_WIN, absq, sfl]
+            else:
+                lutq = np.array(
+                    [
+                        requant_lut(
+                            info["global_gain"],
+                            info["scalefac_scale"], maxsf, q=a,
+                        )
+                        for a in (0, 1, 2)
+                    ],
+                    dtype=np.int64,
+                )
+                sfe = sf[:22] + info["preflag"] * _PRETAB
+                line_sf = np.repeat(sfe, band_width)
+                gx[ch] = np.sign(q) * lutq[absq, line_sf]
+            gbt[ch] = bt
             if ch < nch - 1:
                 continue
             if ms_on:
                 # mid/side recombination on the requantized spectra:
-                # L,R = (M ± S)/sqrt(2) — ONE extra fixed-point rounding
-                # (x 724 at 2^10), scale stays 2^-15
+                # L,R = (M +- S)/sqrt(2) — ONE extra fixed-point
+                # rounding (x 724 at 2^10), scale stays 2^-15
                 m, s_ = gx[0], gx[1]
                 gx[0] = _rdiv((m + s_) * _RSQRT2, 1 << _TBITS)
                 gx[1] = _rdiv((m - s_) * _RSQRT2, 1 << _TBITS)
+            if is_on:
+                if gbt[0] == 2 or gbt[1] == 2:
+                    raise NotImplementedError(
+                        "MP3: intensity stereo on short blocks"
+                    )
+                bound = lines_tx[1]
+                sfr = sfraw[1]
+                for band in range(22):
+                    if int(sfb[band]) < bound:
+                        continue
+                    pos_is = int(sfr[min(band, 20)])
+                    if pos_is == 7:  # illegal position: band untouched
+                        continue
+                    a, b = int(sfb[band]), int(sfb[band + 1])
+                    xl = gx[0][a:b].copy()  # not a view: L is written
+                    gx[0][a:b] = _rdiv(xl * _IS_KL[pos_is], 1 << _TBITS)
+                    gx[1][a:b] = _rdiv(xl * _IS_KR[pos_is], 1 << _TBITS)
             for c in range(nch):
                 frame_ch[c].append(
-                    _reconstruct_granule(gx[c], states[c])
+                    _reconstruct_granule(
+                        gx[c], states[c],
+                        block_type=gr_info[g * nch + c]["block_type"],
+                    )
                 )
         pcm_parts.append([np.concatenate(c) for c in frame_ch])
+        # trim the reservoir to the spec window for the next frame
+        if len(md_stream) > 511:
+            drop = len(md_stream) - 511
+            md_base += drop
+            del md_stream[:drop]
         pos += flen
         n_frames += 1
     if n_frames == 0:

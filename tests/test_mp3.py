@@ -162,15 +162,16 @@ def test_clamp_at_high_gain():
 
 def test_disclosed_boundaries_raise():
     q, sf = _rand(1, 9)
+    # CRC-protected frames stay a disclosed boundary
     blob = bytearray(mp3.write_mp3_l3(q, sf))
-    # intensity stereo (mode 01, mode_ext bit 0) is a disclosed boundary
-    blob[3] = (blob[3] & 0x0F) | 0x40 | 0x10
-    with pytest.raises(NotImplementedError, match="intensity"):
+    blob[1] &= 0xFE  # protection bit 0 = CRC present
+    with pytest.raises(NotImplementedError, match="CRC"):
         mp3.parse_mp3_l3(bytes(blob))
-    # bit reservoir: nonzero main_data_begin
+    # main_data_begin pointing before the stream start is malformed
+    # (the reservoir itself is implemented in r9)
     blob = bytearray(mp3.write_mp3_l3(q, sf))
     blob[4] = 0x80
-    with pytest.raises(NotImplementedError, match="reservoir"):
+    with pytest.raises(ValueError, match="reservoir underflow"):
         mp3.parse_mp3_l3(bytes(blob))
     with pytest.raises(ValueError, match="lost sync"):
         mp3.parse_mp3_l3(b"\x00\x00\x00\x00")
@@ -212,9 +213,13 @@ def test_joint_stereo_modes_and_dual_channel():
     # joint stereo with mode_ext 00 = no joint coding: plain stereo
     blob[3] = (blob[3] & 0x0F) | 0x40
     assert mp3.parse_mp3_l3(bytes(blob))[1].shape == (1152, 2)
-    # intensity stereo (mode_ext bit 0) stays a disclosed boundary
+    # intensity (mode_ext bit 0) now decodes (r9) — with full big_values
+    # on both channels the bound is 576, so no band is intensity-coded
     blob[3] = (blob[3] & 0x0F) | 0x40 | 0x10
-    with pytest.raises(NotImplementedError, match="intensity"):
+    assert mp3.parse_mp3_l3(bytes(blob))[1].shape == (1152, 2)
+    # combined MS + intensity (mode_ext 11) stays a disclosed boundary
+    blob[3] = (blob[3] & 0x0F) | 0x40 | 0x30
+    with pytest.raises(NotImplementedError, match="MS \\+ intensity"):
         mp3.parse_mp3_l3(bytes(blob))
 
 
@@ -239,7 +244,274 @@ def test_ms_stereo_matches_scalar_recombination():
     np.testing.assert_array_equal(pcm[:, 0], _scalar_reconstruct(left))
     np.testing.assert_array_equal(pcm[:, 1], _scalar_reconstruct(right))
 
-    with pytest.raises(ValueError, match="mid/side"):
+    with pytest.raises(ValueError, match="joint stereo"):
         mp3.write_mp3_l3(
             np.zeros((1, 2, 576)), np.zeros((1, 2, 21)), stereo_mode="ms"
         )
+
+
+# ------------------------------------------------------- general profile (r9)
+
+
+def test_table2_and_count1b_codes_are_prefix_free_and_complete():
+    for table, width in ((mp3._HUFF2, None), (mp3._C1B, 4)):
+        codes = sorted(
+            (ln, code) for (code, ln) in table.values()
+        )
+        # Kraft sum exactly 1 = complete; pairwise prefix-freedom
+        assert sum(2.0 ** -ln for ln, _ in codes) == 1.0
+        bits = [format(c, f"0{ln}b") for ln, c in codes]
+        for i, a in enumerate(bits):
+            for b in bits[i + 1 :]:
+                assert not b.startswith(a), (a, b)
+        if width:
+            assert all(ln == width for ln, _ in codes)
+
+
+def _plain_long_granule(q576, sf21, **kw):
+    g = {
+        "block_type": 0,
+        "spectrum": q576,
+        "big_values": 288,
+        "count1": 0,
+        "scalefacs": sf21,
+        "preflag": 0,
+        "scalefac_scale": 0,
+        "table_select": [1, 1, 1],
+    }
+    g.update(kw)
+    return g
+
+
+def test_general_writer_plain_frames_match_the_fixture_writer():
+    """The general writer with plain long granules (table 1, no
+    count1, 320 kbps) must decode to EXACTLY the PCM of the
+    self-contained fixture writer on the same spectra — this pins the
+    reservoir plumbing, byte alignment and side-info layout against
+    the already-oracle-pinned path."""
+    q, sf = _rand(3, 33)
+    want_rate, want = mp3.parse_mp3_l3(mp3.write_mp3_l3(q, sf))
+    frames = [
+        {
+            "kbps": 320,
+            "scfsi": 0,
+            "granules": [
+                _plain_long_granule(q[f, g], sf[f, g]) for g in range(2)
+            ],
+        }
+        for f in range(3)
+    ]
+    blob = mp3.write_mp3_l3_general(frames)
+    rate, pcm = mp3.parse_mp3_l3(blob)
+    assert rate == want_rate
+    np.testing.assert_array_equal(pcm, want)
+
+
+def test_bit_reservoir_and_vbr_decode_identically():
+    """Dropping the bitrate (VBR) forces later frames' main data back
+    into earlier frames' slack: main_data_begin goes nonzero, yet the
+    decoded PCM is bit-identical to the 320 kbps stream — the
+    reservoir is pure transport."""
+    q, sf = _rand(4, 34)
+    want = mp3.parse_mp3_l3(mp3.write_mp3_l3(q, sf))[1]
+    kbps = [320, 128, 112, 128]
+    frames = [
+        {
+            "kbps": kbps[f],
+            "granules": [
+                _plain_long_granule(q[f, g], sf[f, g]) for g in range(2)
+            ],
+        }
+        for f in range(4)
+    ]
+    blob = mp3.write_mp3_l3_general(frames)
+    # at least one frame must actually point back into the reservoir
+    meta = parse_mp3_frames(blob)
+    assert meta["n_frames"] == 4
+    mdbs = []
+    pos = 0
+    for f in range(4):
+        h = int.from_bytes(blob[pos : pos + 4], "big")
+        flen = 144 * mp3._MP3_BR_L3[(h >> 12) & 0xF] * 1000 // 44100
+        mdbs.append(blob[pos + 4] >> 7 << 8 | (blob[pos + 4] & 0x7F) << 1
+                    | blob[pos + 5] >> 7)
+        pos += flen
+    assert any(m > 0 for m in mdbs[1:]), mdbs
+    got = mp3.parse_mp3_l3(blob)[1]
+    np.testing.assert_array_equal(got, want)
+    # underflow: a main_data_begin pointing before the stream raises
+    bad = bytearray(mp3.write_mp3_l3(q[:1], sf[:1]))
+    bad[4] = 0x80  # main_data_begin = 256 with an empty reservoir
+    with pytest.raises(ValueError, match="reservoir underflow"):
+        mp3.parse_mp3_l3(bytes(bad))
+
+
+def test_scfsi_shares_granule0_scalefactors():
+    q, sf = _rand(1, 35)
+    sf[0, 1, 11:21] = sf[0, 0, 11:21]  # groups 2+3 shared
+    want = mp3.parse_mp3_l3(mp3.write_mp3_l3(q, sf))[1]
+    frames = [{
+        "kbps": 320,
+        "scfsi": 0b0011,
+        "granules": [
+            _plain_long_granule(q[0, g], sf[0, g]) for g in range(2)
+        ],
+    }]
+    blob = mp3.write_mp3_l3_general(frames)
+    # the shared groups' bits are genuinely absent from the stream
+    plain = mp3.write_mp3_l3_general([{
+        "kbps": 320, "scfsi": 0,
+        "granules": [
+            _plain_long_granule(q[0, g], sf[0, g]) for g in range(2)
+        ],
+    }])
+    np.testing.assert_array_equal(mp3.parse_mp3_l3(blob)[1], want)
+    np.testing.assert_array_equal(mp3.parse_mp3_l3(plain)[1], want)
+    # mismatched shared bands are an encoder error
+    sf2 = sf.copy()
+    sf2[0, 1, 12] = (sf2[0, 0, 12] + 1) % 8
+    with pytest.raises(ValueError, match="scfsi-shared"):
+        mp3.write_mp3_l3_general([{
+            "kbps": 320, "scfsi": 0b0011,
+            "granules": [
+                _plain_long_granule(q[0, g], sf2[0, g]) for g in range(2)
+            ],
+        }])
+
+
+def test_table2_count1_preflag_roundtrip_matches_direct_requant():
+    """A granule carrying table-2 values (|q| up to 2) in region 0,
+    table 1 in region 1, a count1 quadruple region under table B and
+    preflag: the decoded PCM equals the reconstruction of the directly
+    requantized spectrum (sf + pretab, |q|^(4/3) LUT rows)."""
+    rng = np.random.default_rng(36)
+    bv, nq = 81, 24  # big values to line 162, quads to line 258
+    q = np.zeros(576, np.int64)
+    q[:36] = rng.integers(-2, 3, size=36)
+    q[36 : 2 * bv] = rng.integers(-1, 2, size=2 * bv - 36)
+    q[2 * bv : 2 * bv + 4 * nq] = rng.integers(-1, 2, size=4 * nq)
+    sf = rng.integers(0, 8, size=21)
+    gran = _plain_long_granule(
+        q, sf, big_values=bv, count1=nq, preflag=1,
+        table_select=[2, 1, 1],
+    )
+    zero = _plain_long_granule(np.zeros(576, np.int64),
+                               np.zeros(21, np.int64))
+    blob = mp3.write_mp3_l3_general(
+        [{"kbps": 320, "granules": [gran, zero]}]
+    )
+    rate, pcm = mp3.parse_mp3_l3(blob)
+    # expected: direct requant + the module reconstruction
+    lutq = np.array(
+        [mp3.requant_lut(mp3._GG_DEFAULT, 0, 16 + 3, q=a)
+         for a in (0, 1, 2)], dtype=np.int64,
+    )
+    sfe = np.concatenate([sf, [0]]) + mp3._PRETAB
+    line_sf = np.repeat(sfe, np.diff(mp3.SFB_LONG_44100))
+    x = np.sign(q) * lutq[np.abs(q), line_sf]
+    st = mp3._SynthState()
+    want = np.concatenate([
+        mp3._reconstruct_granule(x, st),
+        mp3._reconstruct_granule(np.zeros(576, np.int64), st),
+    ])
+    np.testing.assert_array_equal(pcm, np.clip(want, -32768, 32767)
+                                  .astype(np.int16))
+
+
+def test_window_switching_sequence_start_short_stop():
+    """A valid window sequence long→start→short→stop→long decodes; the
+    short granule's PCM equals the stored-order requant (per-window
+    subblock_gain + short scalefactors) fed through the short
+    filterbank, with overlap state carried across block types."""
+    rng = np.random.default_rng(37)
+    qs = rng.integers(-1, 2, size=(6, 576)).astype(np.int64)
+    sfl = rng.integers(0, 8, size=(6, 21))
+    sfs3 = rng.integers(0, 8, size=(12, 3))
+    sbg = [int(v) for v in rng.integers(0, 8, size=3)]
+    bts = [0, 0, 1, 2, 3, 0]
+    grans = []
+    for i, bt in enumerate(bts):
+        if bt == 2:
+            grans.append({
+                "block_type": 2, "spectrum": qs[i], "big_values": 288,
+                "count1": 0, "scalefacs_short": sfs3,
+                "subblock_gain": sbg, "scalefac_scale": 0,
+                "table_select": [1, 1],
+            })
+        else:
+            grans.append(_plain_long_granule(qs[i], sfl[i],
+                                             block_type=bt))
+    frames = [
+        {"kbps": 320, "granules": grans[2 * f : 2 * f + 2]}
+        for f in range(3)
+    ]
+    rate, pcm = mp3.parse_mp3_l3(mp3.write_mp3_l3_general(frames))
+    assert pcm.shape == (3 * 1152,)
+    # expected: per-granule requant + reconstruction with one state
+    lut1 = np.array(
+        [mp3.requant_lut(mp3._GG_DEFAULT, 0, 16 + 3, q=a)
+         for a in (0, 1, 2)], dtype=np.int64)
+    st = mp3._SynthState()
+    parts = []
+    for i, bt in enumerate(bts):
+        if bt == 2:
+            lut_w = np.array(
+                [[mp3.requant_lut(mp3._GG_DEFAULT - 8 * sbg[w], 0,
+                                  16 + 3, q=a) for a in (0, 1, 2)]
+                 for w in range(3)], dtype=np.int64)
+            sfs3p = np.vstack([sfs3, np.zeros((1, 3), np.int64)])
+            sfl_line = sfs3p[mp3._STORED_SFB, mp3._STORED_WIN]
+            x = np.sign(qs[i]) * lut_w[
+                mp3._STORED_WIN, np.abs(qs[i]), sfl_line]
+        else:
+            sfe = np.concatenate([sfl[i], [0]])
+            line_sf = np.repeat(sfe, np.diff(mp3.SFB_LONG_44100))
+            x = np.sign(qs[i]) * lut1[np.abs(qs[i]), line_sf]
+        parts.append(mp3._reconstruct_granule(x, st, block_type=bt))
+    want = np.concatenate(parts).astype(np.int16)
+    np.testing.assert_array_equal(pcm, want)
+
+
+def test_intensity_stereo_decodes_with_position_factors():
+    """mode 01 / mode_ext 01: bands at/above the right channel's
+    transmitted bound split the left carrier by the is_pos tan
+    factors; below the bound both channels decode independently."""
+    rng = np.random.default_rng(38)
+    q = np.zeros((1, 2, 2, 576), np.int64)
+    sf = np.zeros((1, 2, 2, 21), np.int64)
+    q[:, :, 0] = rng.integers(-1, 2, size=(1, 2, 576))
+    q[:, :, 1, : 2 * mp3._IS_BV] = rng.integers(
+        -1, 2, size=(1, 2, 2 * mp3._IS_BV))
+    sf[:, :, 0] = rng.integers(0, 8, size=(1, 2, 21))
+    sf[:, :, 1, :15] = rng.integers(0, 8, size=(1, 2, 15))
+    sf[:, :, 1, 15:] = rng.integers(0, 7, size=(1, 2, 6))  # is_pos
+    blob = mp3.write_mp3_l3(q, sf, stereo_mode="intensity")
+    rate, pcm = mp3.parse_mp3_l3(blob)
+    assert pcm.shape == (1152, 2)
+    # expected via direct per-granule math
+    rd = lambda a, b: (2 * a + b) // (2 * b)
+    lut = np.array([mp3.requant_lut(mp3._GG_DEFAULT, 0, 8, q=a)
+                    for a in (0, 1, 2)], dtype=np.int64)
+    sfb = np.asarray(mp3.SFB_LONG_44100)
+    widths = np.diff(sfb)
+    sts = [mp3._SynthState(), mp3._SynthState()]
+    chans = [[], []]
+    for g in range(2):
+        xs = []
+        for ch in range(2):
+            sfe = np.concatenate([sf[0, g, ch], [0]])
+            line_sf = np.repeat(sfe, widths)
+            xs.append(np.sign(q[0, g, ch])
+                      * lut[np.abs(q[0, g, ch]), line_sf])
+        for band in range(22):
+            if int(sfb[band]) < 2 * mp3._IS_BV:
+                continue
+            p = int(sf[0, g, 1, min(band, 20)])
+            a, b = int(sfb[band]), int(sfb[band + 1])
+            xl = xs[0][a:b].copy()
+            xs[0][a:b] = rd(xl * int(mp3._IS_KL[p]), 1024)
+            xs[1][a:b] = rd(xl * int(mp3._IS_KR[p]), 1024)
+        for ch in range(2):
+            chans[ch].append(mp3._reconstruct_granule(xs[ch], sts[ch]))
+    want = np.stack([np.concatenate(c) for c in chans], axis=1)
+    np.testing.assert_array_equal(pcm, want.astype(np.int16))
