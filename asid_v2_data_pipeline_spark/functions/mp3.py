@@ -4,22 +4,43 @@ DecodeStub raise worth killing).
 
 Scope (each boundary disclosed, every supported path oracle-checked):
 
-- **Bitstream layer — per ISO/IEC 11172-3**: frame header, mono side
-  info (main_data_begin / scfsi / per-granule part2_3_length,
-  big_values, global_gain, scalefac_compress, table_select,
-  region0/1_count, preflag, scalefac_scale, count1table_select),
-  long-block scalefactors under the slen1/slen2 table, Huffman-coded
-  big_values pairs with sign bits, ancillary padding to the exact
-  bitrate-derived frame length (``id3.py``'s frame-walk formula).
-- **Huffman tables**: table 0 (all-zero, zero bits) and table 1
-  (xlen=ylen=2) are transcribed from the spec and verified prefix-free
-  + complete by test; the remaining big-value tables and the count1
-  quadruple tables are NOT transcribed — streams selecting them raise
-  ``NotImplementedError`` (same disclosed-boundary convention as the
-  szip HDF5 filter).  The encoder only ever selects tables 0/1, so
-  every fixture round-trips through real Huffman decode.
-- **Bit reservoir**: ``main_data_begin != 0`` raises (disclosed); the
-  encoder always writes self-contained frames.
+- **Bitstream layer — per ISO/IEC 11172-3**: frame header (any
+  MPEG-1 Layer III bitrate row incl. the padding bit, so VBR streams
+  walk), side info (main_data_begin / scfsi / per-granule
+  part2_3_length, big_values, global_gain, scalefac_compress,
+  table_select, region0/1_count or window-switching block_type +
+  subblock_gain, preflag, scalefac_scale, count1table_select),
+  long- and short-block scalefactors under the slen1/slen2 table
+  (scfsi shares granule 0's groups), Huffman-coded big_values pairs
+  with sign bits, the count1 quadruple region, ancillary padding to
+  the exact bitrate-derived frame length (``id3.py``'s frame-walk
+  formula).
+- **Huffman tables**: tables 0 (all-zero), 1 (xlen=ylen=2) and 2
+  (xlen=ylen=3) plus count1 table B (fixed 4-bit complement codes)
+  are transcribed from the spec and verified prefix-free + complete
+  (Kraft sum = 1) by test; tables 3..31 and count1 table A are NOT
+  transcribed — streams selecting them raise ``NotImplementedError``
+  (same disclosed-boundary convention as the szip HDF5 filter).  The
+  encoders only select transcribed tables, so every fixture
+  round-trips through real Huffman decode.
+- **Bit reservoir (r9)**: main-data regions concatenate into a
+  rolling buffer capped at the spec's 511-byte window;
+  ``main_data_begin`` splices each frame's granules back into it.
+  ``write_mp3_l3_general`` packs the reservoir for real (VBR frames
+  pull their data into earlier frames' slack, byte-aligned with
+  stuffing); ``write_mp3_l3`` keeps writing self-contained frames.
+- **Window switching (r9)**: block types 1 (start), 2 (short,
+  non-mixed: stored-order spectrum gathered per window, three
+  12-point IMDCTs per subband overlapped at 6/12/18 with ONE shared
+  rounding, no alias reduction, per-window subblock_gain) and 3
+  (stop) — the start/stop windows fuse into their own 36-point
+  tables.  Mixed blocks raise (disclosed).
+- **Joint stereo**: mid/side (mode_ext 10) recombines requantized
+  spectra at 724/2^10; intensity (mode_ext 01, r9) splits the left
+  carrier by tan-position factors KL/KR at 2^10 for bands at/above
+  the right channel's transmitted bound (band 21 reuses band 20's
+  is_pos; is_pos 7 leaves the band untouched).  Combined
+  MS+intensity (mode_ext 11) raises (disclosed).
 - **Reconstruction — fixed-point, the JPEG/WAV oracle trick**: after
   Huffman decode the pipeline is integer end-to-end with ONE explicit
   rounding point, so an independent SQL oracle replays it bit-exactly:
@@ -38,8 +59,10 @@ Scope (each boundary disclosed, every supported path oracle-checked):
   Encoder, decoder and oracle share the one table, so every check is
   bit-exact; a transcribed B.3 table can be dropped into ``_DWIN``
   without touching any other code.
-- **Scalefactor bands**: the 44.1 kHz long-block boundary table
-  (ISO 11172-3 Annex B Table B.8); other sample rates raise.
+- **Scalefactor bands**: the 44.1 kHz long- and short-block boundary
+  tables (ISO 11172-3 Annex B Table B.8) and the preflag pretab
+  (Table B.6); other sample rates raise (their band tables are
+  untranscribed).  CRC-protected frames also raise.
 
 Reference parity note: the reference pipeline's only media format is
 NetCDF rasters (/root/reference/asip_v2/archive.py) — this is SURVEY

@@ -4035,6 +4035,229 @@ def mm_mp3_ms_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# general-profile MP3 fixture layout (r9, VERDICT r8 task 2): four
+# mono frames per document = eight granule segments with fixed block
+# types and per-frame bitrates (VBR exercises the reservoir packing)
+_MP3G_BT = (0, 0, 0, 0, 1, 2, 3, 0)  # long,long | long,long | start,short | stop,long
+_MP3G_KBPS = (320, 256, 224, 320)
+_MP3G_V5 = (0, 1, 2, -1, -2)  # byte%5 -> table-2 value
+
+
+def _mp3_general_build(batches):
+    """Fixture kernel for ``mm_mp3_general``: each document becomes an
+    ID3v2-prefixed GENERAL-profile Layer III stream — four mono frames
+    at varying bitrates (the bit reservoir genuinely engages), a valid
+    long→start→short→stop→long window sequence, Huffman table 2 +
+    count1 table B + preflag on segments 0/3, scfsi sharing + a
+    scalefac_scale=1 granule on frame 0, and a short granule with
+    byte-derived subblock_gain and per-window scalefactors.
+
+    Byte→bitstream mapping (the oracle mirrors it, segment
+    ``seg = 2f+g``): line i of seg takes byte ``(576·seg+i) mod n`` —
+    %5 mapped over {0,±1,±2} in the table-2 region (lines 0..35 of
+    segs 0/3), %3 over {0,±1} elsewhere; segs 0/3 transmit 162
+    big-value lines + 96 count1 lines and zero the rest.  Long
+    scalefactor band k of seg: byte ``(21·seg+k) mod n`` %8 (seg 1
+    shares bands 11..20 with seg 0 via scfsi); the short seg's
+    36 per-window scalefactors sit at ``21·seg + 3·sfb + w`` and its
+    subblock gains at ``21·seg + 36 + w``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.id3 import write_id3
+    from ..functions.mp3 import write_mp3_l3_general
+
+    v5 = np.array(_MP3G_V5, np.int64)
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode("utf-8")
+            nb = len(raw)
+            if nb == 0:
+                payloads.append(None)
+                continue
+            b = np.frombuffer(raw, np.uint8).astype(np.int64)
+            frames = []
+            for f in range(4):
+                grans = []
+                for g in range(2):
+                    seg = 2 * f + g
+                    bt = _MP3G_BT[seg]
+                    idx = (576 * seg + np.arange(576)) % nb
+                    q = np.zeros(576, np.int64)
+                    if seg in (0, 3):
+                        q[:36] = v5[b[idx[:36]] % 5]
+                        m3 = b[idx[36:258]] % 3
+                        q[36:258] = np.where(
+                            m3 == 0, 0, np.where(m3 == 1, 1, -1)
+                        )
+                        bv, nq, tsel = 81, 24, [2, 1, 1]
+                    else:
+                        m3 = b[idx] % 3
+                        q[:] = np.where(
+                            m3 == 0, 0, np.where(m3 == 1, 1, -1)
+                        )
+                        bv, nq, tsel = 288, 0, [1, 1, 1]
+                    if bt == 2:
+                        sfs3 = (
+                            b[
+                                (
+                                    21 * seg
+                                    + 3 * np.arange(12)[:, None]
+                                    + np.arange(3)[None, :]
+                                )
+                                % nb
+                            ]
+                            % 8
+                        )
+                        sbg = [
+                            int(b[(21 * seg + 36 + w) % nb] % 8)
+                            for w in range(3)
+                        ]
+                        grans.append({
+                            "block_type": 2,
+                            "spectrum": q,
+                            "big_values": bv,
+                            "count1": nq,
+                            "scalefacs_short": sfs3,
+                            "subblock_gain": sbg,
+                            "scalefac_scale": 0,
+                            "table_select": tsel[:2],
+                            "global_gain": _MP3_GG,
+                        })
+                    else:
+                        sf = b[(21 * seg + np.arange(21)) % nb] % 8
+                        if seg == 1:  # scfsi groups 2+3 share seg 0's
+                            sf[11:21] = b[np.arange(11, 21) % nb] % 8
+                        grans.append({
+                            "block_type": bt,
+                            "spectrum": q,
+                            "big_values": bv,
+                            "count1": nq,
+                            "scalefacs": sf,
+                            "preflag": 1 if seg in (0, 3) else 0,
+                            "scalefac_scale": 1 if seg == 1 else 0,
+                            "table_select": tsel,
+                            "global_gain": _MP3_GG,
+                        })
+                frames.append({
+                    "kbps": _MP3G_KBPS[f],
+                    "scfsi": 0b0011 if f == 0 else 0,
+                    "granules": grans,
+                })
+            payloads.append(
+                write_id3({"TIT2": f"doc {did}"})
+                + write_mp3_l3_general(frames)
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_mp3_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL-PROFILE MP3 decode (r9, VERDICT r8 task 2): the fixture
+    exercises every general-stream feature the r8 decoder disclosed —
+    the bit reservoir across VBR frames (256/224 kbps frames pull
+    their main data back into earlier frames' slack), scfsi, preflag,
+    scalefac_scale, Huffman table 2, the count1 table-B quadruple
+    region, and window switching (start → short → stop, with
+    subblock_gain and per-window short scalefactors).  The oracle
+    replays the complete fixed-point reconstruction from the
+    pre-encode octets — per-segment block types select the fused
+    normal/start/stop IMDCT tables or the three-window short path —
+    so the value hash pins the whole general profile end to end.
+
+    Scale shape: identical to ``mm_mp3_rms`` — one zero-shuffle Arrow
+    decode pass over cached payloads, one stats row per document."""
+    from ..operators.multimodal import decode_mp3_audio_stats
+
+    media = _cached_media(spark, sf_dir, "mp3gen", _mp3_general_build)
+    stats = decode_mp3_audio_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "sum_sq",
+        "fp",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
+        ).alias("rms"),
+    ).orderBy("doc_id")
+
+
+def _mp3_intensity_build(batches):
+    """Fixture kernel for ``mm_mp3_intensity_rms``: stereo frames in
+    joint-stereo mode 01 / mode_ext 01 — the left channel carries the
+    full 576-line spectrum, the right channel transmits only its first
+    134 lines (sfb 15 bound) and its scalefactors in bands 15..20 are
+    byte-derived is_pos positions (%7, so 0..6).  Same %3 value and %8
+    scalefactor byte mappings as ``_mp3_build``."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.id3 import write_id3
+    from ..functions.mp3 import _IS_BV, write_mp3_l3
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode("utf-8")
+            nb = len(raw)
+            if nb == 0:
+                payloads.append(None)
+                continue
+            b = np.frombuffer(raw, np.uint8).astype(np.int64)
+            q = np.zeros((1, 2, 2, 576), np.int64)
+            sfs = np.empty((1, 2, 2, 21), np.int64)
+            for g in range(2):
+                for ch in range(2):
+                    gc = g * 2 + ch
+                    lines = 576 if ch == 0 else 2 * _IS_BV
+                    v = b[(576 * gc + np.arange(lines)) % nb] % 3
+                    q[0, g, ch, :lines] = np.where(
+                        v == 0, 0, np.where(v == 1, 1, -1)
+                    )
+                    sfs[0, g, ch] = b[(21 * gc + np.arange(21)) % nb] % 8
+                # right bands 15..20 are is_pos: cap at 6
+                sfs[0, g, 1, 15:21] %= 7
+            payloads.append(
+                write_id3({"TIT2": f"doc {did}"})
+                + write_mp3_l3(
+                    q, sfs, global_gain=_MP3_GG,
+                    stereo_mode="intensity",
+                )
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_mp3_intensity_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTENSITY joint-stereo twin of ``mm_mp3_stereo_rms`` (r9,
+    VERDICT r8 task 5 — the remaining mode_ext bit): bands at/above
+    the right channel's transmitted bound (sfb 15) carry one spectrum
+    split by the fixed-point tan-position factors
+    ``L,R = rdiv(x·KL/KR[is_pos], 2^10)``; the oracle inserts the
+    identical position-split CTE between requantization and the alias
+    butterflies, value-hashing the KL/KR tables, the band-21-reuses-
+    band-20 rule and the bound arithmetic."""
+    from ..operators.multimodal import decode_mp3_audio_stats
+
+    media = _cached_media(spark, sf_dir, "mp3is", _mp3_intensity_build)
+    stats = decode_mp3_audio_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "sum_sq",
+        "fp",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
+        ).alias("rms"),
+    ).orderBy("doc_id")
+
+
 def mm_mkv_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END MP3-in-Matroska decode — completes the demux∘codec
     family (MJPEG video, FLAC audio, now the most common compressed
@@ -4108,6 +4331,7 @@ def _mm_mp3_rms_sql(
     ms: bool = False,
     admission: bool = False,
     doc_where: str = "",
+    intensity: bool = False,
 ) -> str:
     """The fixed-point Layer III decode pipeline unrolled as chained
     CTEs over the pre-encode octets — same tables, same single
@@ -4129,6 +4353,8 @@ def _mm_mp3_rms_sql(
         _CS,
         _CW36,
         _DWIN,
+        _IS_KL,
+        _IS_KR,
         _NMAT,
         SFB_LONG_44100,
         requant_lut,
@@ -4143,6 +4369,8 @@ def _mm_mp3_rms_sql(
     dw = [int(v) for v in _DWIN]
     csa = [int(v) for v in _CS]
     caa = [int(v) for v in _CA]
+    kl = [int(v) for v in _IS_KL]
+    kr = [int(v) for v in _IS_KR]
     nseg = f"(2 * {nch} * ff)"  # frame-granule-channel segments
     nsamp = f"(1152 * {nch} * ff)"
     blocks = "(36 * ff)"  # per-channel filterbank blocks
@@ -4188,6 +4416,13 @@ def _mm_mp3_rms_sql(
     # mid/side recombination (ms=True, nch=2): even segments are the
     # MID channel, partner SIDE at k+576 of the same granule —
     # L,R = rdiv((M +- S) * 724, 2^10), mirroring the decoder stage
+    # intensity position split (intensity=True, nch=2): even segments
+    # carry the spectrum; for lines at/above the right channel's
+    # 134-line bound, L,R = rdiv(xL * KL/KR[is_pos], 2^10) with is_pos
+    # = the right channel's raw %7 scalefactor (band 21 reuses 20's)
+    if intensity:
+        if nch != 2 or ms:
+            raise ValueError("intensity oracle needs nch=2 and not ms")
     ms_cte = ""
     if ms:
         if nch != 2:
@@ -4202,10 +4437,31 @@ def _mm_mp3_rms_sql(
   FROM xq
 ),
 """
+    if intensity:
+        # is_pos byte of the partner RIGHT segment: fixture maps right
+        # bands 15..20 (and 21 -> reuse 20) through %7
+        is_pos = (
+            "(cs[CAST((((k // 576) - (k // 576) % 2 + 1) * 21"
+            " + LEAST(bo[CAST(k % 576 + 1 AS INT)], 20)) % mp.n_bytes"
+            " + 1 AS INT)] % 8 % 7)"
+        )
+        nseg_q = nseg.replace("ff", "xq.ff")
+        ms_cte = f"""isr AS (
+  SELECT xq.doc_id, xq.ff, list_transform(range(0, 576 * {nseg_q}), k ->
+    CASE WHEN (k % 576) < 134 THEN x[CAST(k + 1 AS INT)]
+    WHEN (k // 576) % 2 = 0 THEN
+      {rdiv10(f"x[CAST(k + 1 AS INT)] * kl[CAST({is_pos} + 1 AS INT)]")}
+    ELSE
+      {rdiv10(f"x[CAST(k - 575 AS INT)] * kr[CAST({is_pos} + 1 AS INT)]")}
+    END) AS x
+  FROM xq JOIN mp ON mp.doc_id = xq.doc_id CROSS JOIN consts
+),
+"""
     return f"""
 WITH {_CODES_CTE_SQL},
 consts AS (SELECT {lut!r}::BIGINT[] AS lut, {bo!r}::BIGINT[] AS bo,
   {csa!r}::BIGINT[] AS csa, {caa!r}::BIGINT[] AS caa,
+  {kl!r}::BIGINT[] AS kl, {kr!r}::BIGINT[] AS kr,
   {cw!r}::BIGINT[] AS cw, {nm!r}::BIGINT[] AS nm, {dw!r}::BIGINT[] AS dw),
 mp AS (
   SELECT doc_id, n_bytes, cs, CAST({frames_expr} AS BIGINT) AS ff
@@ -4232,7 +4488,7 @@ xq AS (
           * caa[CAST((k % 576) % 18 + 1 AS INT)]
       ELSE x[CAST(k + 1 AS INT)] * 1024
     END) AS xa
-  FROM {"msr" if ms else "xq"} CROSS JOIN consts
+  FROM {"msr" if ms else ("isr" if intensity else "xq")} CROSS JOIN consts
 ),
 zz AS (
   SELECT doc_id, ff, list_transform(range(0, 1152 * {nseg}), k ->
@@ -4262,6 +4518,227 @@ pcms AS (
   FROM vvs CROSS JOIN consts
 ),
 {_mp3_final_select(nch, frames_expr, nsamp, admission)}
+"""
+
+
+def _mm_mp3_general_sql() -> str:
+    """The GENERAL-profile decode oracle (r9): the ``_mm_mp3_rms_sql``
+    pipeline with per-segment block structure — the eight
+    granule-segments of the fixed 4-frame mono fixture carry the block
+    types ``_MP3G_BT`` (long ×4, start, short, stop, long), so the
+    requant stage selects per-segment scalefactor rules (scfsi share,
+    preflag pretab, scalefac_scale, table-2 magnitudes, per-window
+    short scalefactors + subblock gains), the alias stage skips the
+    short segment, and the IMDCT stage picks the fused
+    normal/start/stop long tables or the three-window short path
+    (gathered through the stored-order index map).  The reservoir,
+    VBR framing, scfsi bits and Huffman/count1 coding have no oracle
+    footprint by construction — they are transport for exactly these
+    values, which the round-trip pins (``test_mp3``); everything from
+    requantization on is replayed here bit-exactly."""
+    from ..functions.mp3 import (
+        _CA,
+        _CS,
+        _CW36_BT,
+        _DWIN,
+        _NMAT,
+        _PRETAB,
+        _STORED_IDX,
+        _STORED_SFB,
+        _STORED_WIN,
+        _SW12,
+        SFB_LONG_44100,
+        requant_lut,
+    )
+
+    rqa = [
+        v
+        for a in (0, 1, 2)
+        for v in requant_lut(_MP3_GG, 0, 11, q=a)
+    ]
+    rqb = [
+        v
+        for a in (0, 1, 2)
+        for v in requant_lut(_MP3_GG, 1, 11, q=a)
+    ]
+    rqs = [
+        v
+        for g in range(8)
+        for v in requant_lut(_MP3_GG - 8 * g, 0, 8, q=1)
+    ]
+    bo = []
+    for band in range(22):
+        bo += [band] * (SFB_LONG_44100[band + 1] - SFB_LONG_44100[band])
+    pt = [int(v) for v in _PRETAB]
+    sfb3 = [int(v) for v in _STORED_SFB]
+    win3 = [int(v) for v in _STORED_WIN]
+    sid = [
+        int(_STORED_IDX[w, 6 * sb + i])
+        for sb in range(32)
+        for w in range(3)
+        for i in range(6)
+    ]
+    cw0 = [int(v) for v in _CW36_BT[0].ravel()]
+    cw1 = [int(v) for v in _CW36_BT[1].ravel()]
+    cw3 = [int(v) for v in _CW36_BT[3].ravel()]
+    sw = [int(v) for v in _SW12.ravel()]
+    nm = [int(v) for v in _NMAT.ravel()]
+    dw = [int(v) for v in _DWIN]
+    csa = [int(v) for v in _CS]
+    caa = [int(v) for v in _CA]
+
+    def rdiv20(s: str) -> str:
+        return (
+            f"CAST(floor((2.0 * ({s}) + 1048576) / 2097152.0) AS BIGINT)"
+        )
+
+    # per-line helpers (l = k % 576, seg = k // 576)
+    L = "CAST(k % 576 + 1 AS INT)"
+    band = f"bo[{L}]"
+    byte = "cs[CAST(k % n_bytes + 1 AS INT)]"
+    # long effective scalefactor: raw %8 byte (seg 1 shares bands
+    # 11..20 with seg 0 -> base 0) + preflag pretab on segs 0/3
+    sf_raw = (
+        f"(CASE WHEN {band} < 21 THEN "
+        f"(CASE WHEN k // 576 = 1 AND {band} >= 11 THEN "
+        f"cs[CAST({band} % n_bytes + 1 AS INT)] % 8 "
+        f"ELSE cs[CAST((21 * (k // 576) + {band}) % n_bytes + 1 AS INT)]"
+        f" % 8 END) ELSE 0 END)"
+    )
+    sfe = (
+        f"({sf_raw} + (CASE WHEN k // 576 = 0 OR k // 576 = 3 "
+        f"THEN pt[CAST({band} + 1 AS INT)] ELSE 0 END))"
+    )
+    # short segment (5): per-window subblock gain + short scalefactor
+    sbg_byte = (
+        f"cs[CAST((141 + win3[{L}]) % n_bytes + 1 AS INT)] % 8"
+    )
+    sfs_short = (
+        f"(CASE WHEN sfb3[{L}] < 12 THEN "
+        f"cs[CAST((105 + 3 * sfb3[{L}] + win3[{L}]) % n_bytes"
+        f" + 1 AS INT)] % 8 ELSE 0 END)"
+    )
+    sgn = (
+        "(CASE WHEN v[CAST(k + 1 AS INT)] > 0 THEN 1 "
+        "WHEN v[CAST(k + 1 AS INT)] < 0 THEN -1 ELSE 0 END)"
+    )
+    absv = "abs(v[CAST(k + 1 AS INT)])"
+
+    def imdct_terms(t: str) -> str:
+        return " + ".join(
+            f"xa[CAST((k // 1152) * 576 + ((k % 1152) // 36) * 18 + {i}"
+            f" + 1 AS INT)] * {t}[CAST((k % 36) * 18 + {i} + 1 AS INT)]"
+            for i in range(18)
+        )
+
+    short_terms = " + ".join(
+        f"(CASE WHEN k % 36 >= {6 + 6 * w} AND k % 36 < {18 + 6 * w}"
+        f" THEN xa[CAST((k // 1152) * 576"
+        f" + sid[CAST(((k % 1152) // 36) * 18 + {w * 6 + i}"
+        f" + 1 AS INT)] + 1 AS INT)]"
+        f" * sw[CAST((k % 36 - {6 + 6 * w}) * 6 + {i} + 1 AS INT)]"
+        f" ELSE 0 END)"
+        for w in range(3)
+        for i in range(6)
+    )
+    matrix_terms = " + ".join(
+        f"nm[CAST((k % 64) * 32 + {j} + 1 AS INT)]"
+        f" * tv[CAST(((k // 64) % 144) // 18 * 576 + {j} * 18"
+        f" + ((k // 64) % 18) + 1 AS INT)]"
+        for j in range(32)
+    )
+    win_terms = " + ".join(
+        f"(CASE WHEN k // 32 >= {i} THEN"
+        f" vv[CAST((k // 32 - {i})"
+        f" * 64 + k % 32 + {32 * (i % 2)}"
+        f" + 1 AS INT)] ELSE 0 END) * dw[CAST(k % 32"
+        f" + {32 * i} + 1 AS INT)]"
+        for i in range(16)
+    )
+    return f"""
+WITH {_CODES_CTE_SQL},
+consts AS (SELECT {rqa!r}::BIGINT[] AS rqa, {rqb!r}::BIGINT[] AS rqb,
+  {rqs!r}::BIGINT[] AS rqs, {bo!r}::BIGINT[] AS bo,
+  {pt!r}::BIGINT[] AS pt, {sfb3!r}::BIGINT[] AS sfb3,
+  {win3!r}::BIGINT[] AS win3, {sid!r}::BIGINT[] AS sid,
+  {csa!r}::BIGINT[] AS csa, {caa!r}::BIGINT[] AS caa,
+  {cw0!r}::BIGINT[] AS cw0, {cw1!r}::BIGINT[] AS cw1,
+  {cw3!r}::BIGINT[] AS cw3, {sw!r}::BIGINT[] AS sw,
+  {nm!r}::BIGINT[] AS nm, {dw!r}::BIGINT[] AS dw),
+vq AS (
+  SELECT doc_id, n_bytes, cs, CAST(4 AS BIGINT) AS ff,
+    list_transform(range(0, 4608), k ->
+      CASE
+        WHEN (k // 576 = 0 OR k // 576 = 3) AND k % 576 < 36 THEN
+          CASE {byte} % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+            WHEN 3 THEN -1 ELSE -2 END
+        WHEN (k // 576 = 0 OR k // 576 = 3) AND k % 576 >= 258 THEN 0
+        ELSE CASE {byte} % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE -1 END
+      END) AS v
+  FROM codes WHERE n_bytes > 0
+),
+xq AS (
+  SELECT doc_id, ff, list_transform(range(0, 4608), k ->
+    CASE WHEN k // 576 = 5 THEN
+      v[CAST(k + 1 AS INT)]
+      * rqs[CAST(({sbg_byte}) * 8 + {sfs_short} + 1 AS INT)]
+    WHEN k // 576 = 1 THEN
+      {sgn} * rqb[CAST({absv} * 11 + {sfe} + 1 AS INT)]
+    ELSE
+      {sgn} * rqa[CAST({absv} * 11 + {sfe} + 1 AS INT)]
+    END) AS x
+  FROM vq CROSS JOIN consts
+),
+xal AS (
+  SELECT doc_id, ff, list_transform(range(0, 4608), k ->
+    CASE
+      WHEN k // 576 = 5 THEN x[CAST(k + 1 AS INT)] * 1024
+      WHEN (k % 576) % 18 >= 10 AND (k % 576) // 18 < 31 THEN
+        x[CAST(k + 1 AS INT)]
+          * csa[CAST(17 - (k % 576) % 18 + 1 AS INT)]
+        - x[CAST(k + 2 * (17 - (k % 576) % 18) + 2 AS INT)]
+          * caa[CAST(17 - (k % 576) % 18 + 1 AS INT)]
+      WHEN (k % 576) % 18 <= 7 AND (k % 576) // 18 >= 1 THEN
+        x[CAST(k + 1 AS INT)] * csa[CAST((k % 576) % 18 + 1 AS INT)]
+        + x[CAST(k - 2 * ((k % 576) % 18) AS INT)]
+          * caa[CAST((k % 576) % 18 + 1 AS INT)]
+      ELSE x[CAST(k + 1 AS INT)] * 1024
+    END) AS xa
+  FROM xq CROSS JOIN consts
+),
+zz AS (
+  SELECT doc_id, ff, list_transform(range(0, 9216), k ->
+    CASE k // 1152
+      WHEN 5 THEN {rdiv20(short_terms)}
+      WHEN 4 THEN {rdiv20(imdct_terms("cw1"))}
+      WHEN 6 THEN {rdiv20(imdct_terms("cw3"))}
+      ELSE {rdiv20(imdct_terms("cw0"))}
+    END) AS z
+  FROM xal CROSS JOIN consts
+),
+tvs AS (
+  SELECT doc_id, ff, list_transform(range(0, 4608), k ->
+    (CASE WHEN ((k % 576) // 18) % 2 = 1 AND (k % 18) % 2 = 1
+          THEN -1 ELSE 1 END)
+    * (z[CAST((k // 576) * 1152 + ((k % 576) // 18) * 36
+         + (k % 18) + 1 AS INT)]
+       + CASE WHEN k // 576 >= 1 THEN
+           z[CAST((k // 576 - 1) * 1152 + ((k % 576) // 18) * 36
+             + 18 + (k % 18) + 1 AS INT)]
+         ELSE 0 END)) AS tv
+  FROM zz
+),
+vvs AS (
+  SELECT doc_id, ff, list_transform(range(0, 64 * 144), k ->
+    {matrix_terms}) AS vv
+  FROM tvs CROSS JOIN consts
+),
+pcms AS (
+  SELECT doc_id, ff, list_transform(range(0, 4608), k ->
+    LEAST(32767, GREATEST(-32768, {rdiv20(win_terms)}))) AS pcm
+  FROM vvs CROSS JOIN consts
+),
+{_mp3_final_select(1, "1", "4608", False)}
 """
 
 
@@ -5801,6 +6278,11 @@ REGISTRY = {
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),
     ),
     "mm_mp3_ms_rms": (mm_mp3_ms_rms, _mm_mp3_rms_sql(2, ms=True)),
+    "mm_mp3_intensity_rms": (
+        mm_mp3_intensity_rms,
+        _mm_mp3_rms_sql(2, intensity=True),
+    ),
+    "mm_mp3_general": (mm_mp3_general, _mm_mp3_general_sql()),
     "mm_audio_multicodec": (mm_audio_multicodec, _mm_audio_multicodec_sql()),
     "mm_audio_multicodec3": (
         mm_audio_multicodec3,

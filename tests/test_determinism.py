@@ -85,8 +85,11 @@ CASES = [
     "mm_mp3_ms_rms",
     "mm_audio_multicodec",
     "gr_pagerank_incremental",
-    # round 9: the three-codec funnel (FLAC + MP3 + WAV arms)
+    # round 9: the three-codec funnel (FLAC + MP3 + WAV arms), the
+    # general-profile MP3 stream, intensity joint stereo
     "mm_audio_multicodec3",
+    "mm_mp3_general",
+    "mm_mp3_intensity_rms",
 ]
 
 
