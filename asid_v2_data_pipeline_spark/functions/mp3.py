@@ -62,7 +62,11 @@ Scope (each boundary disclosed, every supported path oracle-checked):
 - **Scalefactor bands**: the 44.1 kHz long- and short-block boundary
   tables (ISO 11172-3 Annex B Table B.8) and the preflag pretab
   (Table B.6); other sample rates raise (their band tables are
-  untranscribed).  CRC-protected frames also raise.
+  untranscribed).
+- **Error check (r9)**: protected frames (protection bit 0) carry the
+  CRC-16 word (poly 0x8005, preset 0xFFFF) over the last two header
+  bytes + the side information; the decoder verifies it and the
+  general encoder can emit it (``"crc": True`` per frame).
 
 Reference parity note: the reference pipeline's only media format is
 NetCDF rasters (/root/reference/asip_v2/archive.py) — this is SURVEY
@@ -290,6 +294,22 @@ def _rdiv(a, b):
     (identical to ``codecs._rdiv`` and the SQL oracle):
     floor((2a + b) / 2b), b > 0."""
     return (2 * a + b) // (2 * b)
+
+
+def crc16_protect(data: bytes) -> int:
+    """The MPEG audio CRC-16 (ISO 11172-3 2.4.3.1 error check):
+    generator polynomial x^16 + x^15 + x^2 + 1 (0x8005), preset
+    0xFFFF, applied MSB-first over the protected bits — for Layer III
+    the last two header bytes plus the complete side information."""
+    crc = 0xFFFF
+    for byte in data:
+        for i in range(7, -1, -1):
+            bit = (byte >> i) & 1
+            msb = (crc >> 15) & 1
+            crc = (crc << 1) & 0xFFFF
+            if bit ^ msb:
+                crc ^= 0x8005
+    return crc
 
 
 def requant_lut(global_gain: int, scalefac_scale: int = 0,
@@ -585,7 +605,9 @@ def write_mp3_l3_general(frames: list[dict]) -> bytes:
         br_indices.append(_MP3_BR_L3.index(kbps))
         flen = 144 * kbps * 1000 // _RATE
         flens.append(flen)
-        caps.append(flen - 4 - 17)  # mono side info
+        # the CRC word, when present, takes 2 bytes from the main-data
+        # capacity (the frame length formula does not change)
+        caps.append(flen - 4 - 17 - (2 if fr.get("crc") else 0))
         scfsi = fr.get("scfsi", 0)
         grans = fr["granules"]
         if len(grans) != 2:
@@ -703,12 +725,13 @@ def write_mp3_l3_general(frames: list[dict]) -> bytes:
     out = bytearray()
     offset = 0
     for n, fr in enumerate(frames):
+        crc_on = bool(fr.get("crc"))
         header = struct.pack(
             ">I",
             (0x7FF << 21)
             | (0x3 << 19)        # MPEG-1
             | (0x1 << 17)        # Layer III
-            | (0x1 << 16)        # no CRC
+            | ((0x0 if crc_on else 0x1) << 16)  # protection bit
             | (br_indices[n] << 12)
             | (0x0 << 10)        # 44.1 kHz
             | (0x0 << 9)         # padding 0
@@ -743,7 +766,12 @@ def write_mp3_l3_general(frames: list[dict]) -> bytes:
             si.write(1 if g.get("count1", 0) else 0, 1)  # table B
         side = si.getvalue()
         assert len(side) == 17
-        out += header + side + stream[offset : offset + caps[n]]
+        if crc_on:
+            word = crc16_protect(header[2:4] + side)
+            out += header + struct.pack(">H", word) + side
+        else:
+            out += header + side
+        out += stream[offset : offset + caps[n]]
         offset += caps[n]
     return bytes(out)
 
@@ -978,9 +1006,11 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
       MS recombination convention; is_pos 7 leaves the band untouched;
       combined MS+intensity (mode_ext 11) stays disclosed.
 
-    Still raising by design: CRC-protected frames, non-44.1 kHz rows
-    (their band tables are untranscribed), mixed blocks, count1 table
-    A, big-value tables 3..31, free-format bitrate."""
+    Protected frames (protection bit 0) have their CRC-16 word
+    verified against the header/side-info bits (r9).  Still raising
+    by design: non-44.1 kHz rows (their band tables are
+    untranscribed), mixed blocks, count1 table A, big-value tables
+    3..31, free-format bitrate."""
     pos = 0
     if payload[:3] == b"ID3":
         from .id3 import parse_id3
@@ -1005,8 +1035,7 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
             raise ValueError(f"MP3: lost sync at byte {pos}")
         if (h >> 19) & 0x3 != 0x3 or (h >> 17) & 0x3 != 0x1:
             raise NotImplementedError("MP3: only MPEG-1 Layer III")
-        if not (h >> 16) & 0x1:
-            raise NotImplementedError("MP3: CRC frames not supported")
+        crc_on = not (h >> 16) & 0x1
         br_idx, sr_idx = (h >> 12) & 0xF, (h >> 10) & 0x3
         if sr_idx != 0:
             raise NotImplementedError("MP3: only the 44.1 kHz band table")
@@ -1032,8 +1061,21 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
         if pos + flen > end:
             raise ValueError("MP3: truncated final frame")
         si_len = 17 if nch == 1 else 32
+        si_off = pos + 4 + (2 if crc_on else 0)
+        if crc_on:  # r9: verify the error-check word over the
+            # protected bits (header bytes 2-3 + the side information)
+            want = int.from_bytes(payload[pos + 4 : pos + 6], "big")
+            got = crc16_protect(
+                payload[pos + 2 : pos + 4]
+                + payload[si_off : si_off + si_len]
+            )
+            if want != got:
+                raise ValueError(
+                    f"MP3: CRC mismatch at byte {pos} "
+                    f"(stored {want:#06x}, computed {got:#06x})"
+                )
 
-        si = _BitReader(payload, pos + 4)
+        si = _BitReader(payload, si_off)
         mdb = si.read(9)
         si.read(5 if nch == 1 else 3)  # private
         scfsi = [[si.read(1) for _ in range(4)] for _ in range(nch)]
@@ -1069,7 +1111,7 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
             gr_info.append(info)
 
         # splice this frame's main-data region into the reservoir
-        region = payload[pos + 4 + si_len : pos + flen]
+        region = payload[si_off + si_len : pos + flen]
         start_byte = len(md_stream) - mdb
         if start_byte < 0:
             raise ValueError("MP3: bit reservoir underflow")

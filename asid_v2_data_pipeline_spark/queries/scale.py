@@ -83,7 +83,12 @@ def _cached_media(
     builds.  Returns the cached payloads hash-repartitioned to default
     parallelism (the decode kernel's input stage; the cached parquet is
     small enough that the file scan would otherwise coalesce into a
-    handful of splits and serialize the Arrow kernel)."""
+    handful of splits and serialize the Arrow kernel).
+
+    The cache key is (testdata fingerprint, ``kind``) — it does NOT
+    hash the builder code, so BUMP THE ``kind`` TAG (e.g. ``mp3-v2``)
+    whenever a builder's output bytes change, or stale payloads
+    survive on disk."""
     path = _index_cache_path(sf_dir, "documents.parquet", f"media-{kind}")
 
     def build():
@@ -4144,6 +4149,10 @@ def _mp3_general_build(batches):
                 frames.append({
                     "kbps": _MP3G_KBPS[f],
                     "scfsi": 0b0011 if f == 0 else 0,
+                    # frame 2 is CRC-protected: the decoder verifies
+                    # the error-check word (pure transport, no oracle
+                    # footprint)
+                    "crc": f == 2,
                     "granules": grans,
                 })
             payloads.append(
@@ -4172,7 +4181,7 @@ def mm_mp3_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode pass over cached payloads, one stats row per document."""
     from ..operators.multimodal import decode_mp3_audio_stats
 
-    media = _cached_media(spark, sf_dir, "mp3gen", _mp3_general_build)
+    media = _cached_media(spark, sf_dir, "mp3gen2", _mp3_general_build)
     stats = decode_mp3_audio_stats(media)
     return stats.select(
         F.col("media_id").alias("doc_id"),

@@ -162,10 +162,11 @@ def test_clamp_at_high_gain():
 
 def test_disclosed_boundaries_raise():
     q, sf = _rand(1, 9)
-    # CRC-protected frames stay a disclosed boundary
+    # flipping the protection bit on a CRC-less stream: the "word" is
+    # two bytes of side info, so verification fails loudly (r9)
     blob = bytearray(mp3.write_mp3_l3(q, sf))
     blob[1] &= 0xFE  # protection bit 0 = CRC present
-    with pytest.raises(NotImplementedError, match="CRC"):
+    with pytest.raises(ValueError, match="CRC mismatch"):
         mp3.parse_mp3_l3(bytes(blob))
     # main_data_begin pointing before the stream start is malformed
     # (the reservoir itself is implemented in r9)
@@ -515,3 +516,30 @@ def test_intensity_stereo_decodes_with_position_factors():
             chans[ch].append(mp3._reconstruct_granule(xs[ch], sts[ch]))
     want = np.stack([np.concatenate(c) for c in chans], axis=1)
     np.testing.assert_array_equal(pcm, want.astype(np.int16))
+
+
+def test_crc_protected_frames_verify_and_reject_corruption():
+    """r9: protection bit 0 carries the MPEG CRC-16 (poly 0x8005,
+    preset 0xFFFF) over header bytes 2-3 + the side info; the decoder
+    verifies it — clean streams decode identically to their
+    unprotected twins, a flipped side-info bit is caught."""
+    q, sf = _rand(2, 40)
+    plain_frames = [
+        {
+            "kbps": 320,
+            "granules": [
+                _plain_long_granule(q[f, g], sf[f, g]) for g in range(2)
+            ],
+        }
+        for f in range(2)
+    ]
+    want = mp3.parse_mp3_l3(mp3.write_mp3_l3_general(plain_frames))[1]
+    for fr in plain_frames:
+        fr["crc"] = True
+    blob = bytearray(mp3.write_mp3_l3_general(plain_frames))
+    assert not blob[1] & 0x01  # protection bit cleared
+    got = mp3.parse_mp3_l3(bytes(blob))[1]
+    np.testing.assert_array_equal(got, want)
+    blob[8] ^= 0x40  # flip a side-info bit inside the protected span
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mp3.parse_mp3_l3(bytes(blob))
