@@ -658,11 +658,14 @@ def write_mp3_l3_general(frames: list[dict]) -> bytes:
                             )
                         continue
                     md.write(int(sf[band]), slen1 if band < 11 else slen2)
-                bounds = (576, 576) if bt else (36, 134)
                 if bt:  # window switching (start/stop): bounds 36/576
                     bounds = (36, 576)
                     tables = list(g["table_select"][:2]) + [0]
                 else:
+                    # region0/1_count = 7/7: region boundaries at
+                    # sfb[8] = line 36 and sfb[16] = line 162 — the
+                    # same bounds the decoder derives
+                    bounds = (36, 162)
                     tables = list(g["table_select"][:3])
             bv = int(g.get("big_values", 288))
             nq = int(g.get("count1", 0))

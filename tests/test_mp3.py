@@ -543,3 +543,126 @@ def test_crc_protected_frames_verify_and_reject_corruption():
     blob[8] ^= 0x40  # flip a side-info bit inside the protected span
     with pytest.raises(ValueError, match="CRC mismatch"):
         mp3.parse_mp3_l3(bytes(blob))
+
+
+def test_general_writer_randomized_roundtrip_matrix():
+    """Randomized general-profile round-trips (seeded): random block
+    sequences (valid window transitions), per-region tables 0/1/2,
+    random big_values/count1 splits, VBR rows, random scfsi on
+    all-long frames, preflag/scalefac_scale — decoded PCM must equal
+    the direct requant + reconstruction of what the encoder was given.
+    Guards the whole bitstream transport layer in one sweep."""
+    sfb = np.asarray(mp3.SFB_LONG_44100)
+    widths = np.diff(sfb)
+
+    def expected(grans, st):
+        parts = []
+        for g in grans:
+            bt = g.get("block_type", 0)
+            if bt == 2:
+                sbg = g["subblock_gain"]
+                lut_w = np.array(
+                    [[mp3.requant_lut(mp3._GG_DEFAULT - 8 * sbg[w],
+                                      g["scalefac_scale"], 16 + 3, q=a)
+                      for a in (0, 1, 2)] for w in range(3)],
+                    dtype=np.int64)
+                sfs3p = np.vstack([np.asarray(g["scalefacs_short"]),
+                                   np.zeros((1, 3), np.int64)])
+                sfl = sfs3p[mp3._STORED_SFB, mp3._STORED_WIN]
+                q = np.asarray(g["spectrum"])
+                x = np.sign(q) * lut_w[mp3._STORED_WIN, np.abs(q), sfl]
+            else:
+                lutq = np.array(
+                    [mp3.requant_lut(mp3._GG_DEFAULT,
+                                     g["scalefac_scale"], 16 + 3, q=a)
+                     for a in (0, 1, 2)], dtype=np.int64)
+                sfe = (np.concatenate([np.asarray(g["scalefacs"]), [0]])
+                       + g["preflag"] * mp3._PRETAB)
+                line_sf = np.repeat(sfe, widths)
+                q = np.asarray(g["spectrum"])
+                x = np.sign(q) * lutq[np.abs(q), line_sf]
+            parts.append(mp3._reconstruct_granule(x, st, block_type=bt))
+        return parts
+
+    for seed in range(6):
+        rng = np.random.default_rng(100 + seed)
+        # a valid window sequence over 3 frames (6 granules)
+        seqs = [
+            [0, 0, 0, 0, 0, 0],
+            [0, 1, 2, 2, 3, 0],
+            [1, 2, 3, 1, 2, 3],
+        ]
+        bts = seqs[seed % 3]
+        frames = []
+        st = mp3._SynthState()
+        want_parts = []
+        for f in range(3):
+            grans = []
+            for gi in range(2):
+                bt = bts[2 * f + gi]
+                if bt == 2:
+                    q = rng.integers(-1, 2, size=576)
+                    grans.append({
+                        "block_type": 2, "spectrum": q,
+                        "big_values": 288, "count1": 0,
+                        "scalefacs_short": rng.integers(
+                            0, 8, size=(12, 3)),
+                        "subblock_gain": [int(v) for v in
+                                          rng.integers(0, 8, size=3)],
+                        "scalefac_scale": int(rng.integers(0, 2)),
+                        "table_select": [1, 1],
+                    })
+                else:
+                    # random region tables; table 2 allows |q|<=2
+                    if bt == 0:
+                        tsel = [int(t) for t in
+                                rng.choice([0, 1, 2], size=3)]
+                        bounds = (36, 162)
+                    else:
+                        tsel = [int(t) for t in
+                                rng.choice([0, 1, 2], size=2)] + [0]
+                        bounds = (36, 576)
+                    bv = int(rng.integers(20, 289))
+                    nq = int(rng.integers(0, (576 - 2 * bv) // 4 + 1))
+                    q = np.zeros(576, np.int64)
+                    run_start = 0
+                    for run_end, t in ((min(bounds[0] // 2, bv),
+                                        tsel[0]),
+                                       (min(bounds[1] // 2, bv),
+                                        tsel[1]),
+                                       (bv, tsel[2])):
+                        n = max(0, run_end - run_start)
+                        if n and t:
+                            hi = 3 if t == 2 else 2
+                            q[2 * run_start : 2 * run_start + 2 * n] = (
+                                rng.integers(-hi + 1, hi, size=2 * n))
+                        run_start = max(run_start, run_end)
+                    q[2 * bv : 2 * bv + 4 * nq] = rng.integers(
+                        -1, 2, size=4 * nq)
+                    grans.append({
+                        "block_type": bt, "spectrum": q,
+                        "big_values": bv, "count1": nq,
+                        "scalefacs": rng.integers(0, 8, size=21),
+                        "preflag": int(rng.integers(0, 2)),
+                        "scalefac_scale": int(rng.integers(0, 2)),
+                        "table_select": tsel,
+                    })
+            scfsi = 0
+            if all(g.get("block_type", 0) == 0 for g in grans):
+                scfsi = int(rng.integers(0, 16))
+                for gi_, (a, b) in enumerate(
+                        ((0, 6), (6, 11), (11, 16), (16, 21))):
+                    if (scfsi >> (3 - gi_)) & 1:
+                        grans[1]["scalefacs"][a:b] = (
+                            grans[0]["scalefacs"][a:b])
+            frames.append({
+                "kbps": int(rng.choice([160, 224, 256, 320])),
+                "scfsi": scfsi,
+                "crc": bool(rng.integers(0, 2)),
+                "granules": grans,
+            })
+            want_parts += expected(grans, st)
+        blob = mp3.write_mp3_l3_general(frames)
+        rate, pcm = mp3.parse_mp3_l3(blob)
+        want = np.concatenate(want_parts).astype(np.int16)
+        np.testing.assert_array_equal(pcm, want, err_msg=f"seed {seed}")
