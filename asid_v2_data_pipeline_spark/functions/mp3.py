@@ -16,9 +16,10 @@ Scope (each boundary disclosed, every supported path oracle-checked):
   the exact bitrate-derived frame length (``id3.py``'s frame-walk
   formula).
 - **Huffman tables**: tables 0 (all-zero), 1 (xlen=ylen=2) and 2
-  (xlen=ylen=3) plus count1 table B (fixed 4-bit complement codes)
-  are transcribed from the spec and verified prefix-free + complete
-  (Kraft sum = 1) by test; tables 3..31 and count1 table A are NOT
+  (xlen=ylen=3) plus BOTH count1 tables (A — the variable-length
+  default real encoders pick — and B, the fixed 4-bit complement
+  codes) are transcribed from the spec and verified prefix-free +
+  complete (Kraft sum = 1) by test; big-value tables 3..31 are NOT
   transcribed — streams selecting them raise ``NotImplementedError``
   (same disclosed-boundary convention as the szip HDF5 filter).  The
   encoders only select transcribed tables, so every fixture
@@ -131,9 +132,33 @@ _HUFF2_DEC = {v: k for k, v in _HUFF2.items()}
 
 # count1 (quadruple) table B: every (v, w, x, y) in FOUR bits, code =
 # the one's complement of the quad bits (ISO 11172-3 Table B.7,
-# "count1 table 1") — (0,0,0,0) -> 1111.  Table A (the variable-length
-# count1 table) stays a disclosed NotImplementedError boundary.
+# "count1 table 1") — (0,0,0,0) -> 1111.
 _C1B = {q: (0xF ^ q, 4) for q in range(16)}
+
+# count1 table A (ISO Table B.7, "count1 table 0" — the default table
+# real encoders select): variable-length codes, transcribed from the
+# public tabulation with the same caveat as _HUFF2 — verified
+# prefix-free and complete (Kraft sum = 1) by test, shared by encoder,
+# decoder and round-trip pins, drop-in replaceable if a transcription
+# error surfaces.  Key = the quad bits v<<3 | w<<2 | x<<1 | y.
+_C1A = {
+    0b0000: (0b1, 1),
+    0b0001: (0b0101, 4),
+    0b0010: (0b0100, 4),
+    0b0011: (0b00101, 5),
+    0b0100: (0b0110, 4),
+    0b0101: (0b000101, 6),
+    0b0110: (0b00100, 5),
+    0b0111: (0b000100, 6),
+    0b1000: (0b0111, 4),
+    0b1001: (0b00011, 5),
+    0b1010: (0b00110, 5),
+    0b1011: (0b000000, 6),
+    0b1100: (0b00111, 5),
+    0b1101: (0b000010, 6),
+    0b1110: (0b000011, 6),
+    0b1111: (0b000001, 6),
+}
 
 # pretab (ISO 11172-3 Table B.6): added to the scalefactors of the top
 # long bands when preflag is set
@@ -686,14 +711,15 @@ def write_mp3_l3_general(frames: list[dict]) -> bytes:
                         md, int(q[2 * k]), int(q[2 * k + 1]), table
                     )
                 run_start = max(run_start, run_end)
-            for j in range(nq):  # count1 quads, table B
+            c1tab = _C1B if g.get("count1_table", "B") == "B" else _C1A
+            for j in range(nq):  # count1 quads, table A or B
                 vals = [int(q[2 * bv + 4 * j + t]) for t in range(4)]
                 bits = 0
                 for v in vals:
                     if abs(v) > 1:
                         raise ValueError("MP3: count1 values must be ±1/0")
                     bits = (bits << 1) | (1 if v else 0)
-                code, ln = _C1B[bits]
+                code, ln = c1tab[bits]
                 md.write(code, ln)
                 for v in vals:
                     if v:
@@ -766,7 +792,9 @@ def write_mp3_l3_general(frames: list[dict]) -> bytes:
                 si.write(_R1_COUNT, 3)
             si.write(int(g.get("preflag", 0)), 1)
             si.write(int(g.get("scalefac_scale", 0)), 1)
-            si.write(1 if g.get("count1", 0) else 0, 1)  # table B
+            si.write(
+                1 if g.get("count1_table", "B") == "B" else 0, 1
+            )
         side = si.getvalue()
         assert len(side) == 17
         if crc_on:
@@ -831,24 +859,36 @@ def _build_pair_lut(
 
 _HUFF1_LUT = _build_pair_lut(_HUFF1, 5)
 _HUFF2_LUT = _build_pair_lut(_HUFF2, 8)
-# count1 table B quads: 4-bit code + up to 4 sign bits -> peek 8; the
-# LUT maps the window to (v, w, x, y, consumed-bits)
-_C1B_LUT: list[tuple[int, int, int, int, int]] = [None] * 256  # type: ignore[list-item]
-for _q, (_code, _ln) in _C1B.items():
-    _vals = [(_q >> 3) & 1, (_q >> 2) & 1, (_q >> 1) & 1, _q & 1]
-    _ns = sum(_vals)
-    _free = 8 - _ln - _ns
-    for _signs in range(1 << _ns):
-        for _fill in range(1 << _free):
-            _w3 = (_code << (8 - _ln)) | (_signs << _free) | _fill
-            _out = list(_vals)
-            _s = _signs
-            for _j in range(3, -1, -1):  # sign bits follow v,w,x,y order
-                if _out[_j]:
-                    if _s & 1:
-                        _out[_j] = -_out[_j]
-                    _s >>= 1
-            _C1B_LUT[_w3] = (*_out, _ln + _ns)
+
+
+def _build_quad_lut(table: dict, peek: int) -> list:
+    """Peek-``peek`` LUT for a count1 quadruple table: each window
+    resolves one (v, w, x, y, consumed-bits) step — code + up to four
+    sign bits, signs following the values in v,w,x,y order."""
+    lut: list = [None] * (1 << peek)
+    for q, (code, ln) in table.items():
+        vals = [(q >> 3) & 1, (q >> 2) & 1, (q >> 1) & 1, q & 1]
+        ns = sum(vals)
+        free = peek - ln - ns
+        assert free >= 0, "peek window too small for quad table"
+        for signs in range(1 << ns):
+            for fill in range(1 << free):
+                w = (code << (peek - ln)) | (signs << free) | fill
+                out = list(vals)
+                sgn = signs
+                for j in range(3, -1, -1):
+                    if out[j]:
+                        if sgn & 1:
+                            out[j] = -out[j]
+                        sgn >>= 1
+                lut[w] = (*out, ln + ns)
+    return lut
+
+
+# table B: 4-bit code + up to 4 signs -> peek 8;
+# table A: up to 6-bit code + up to 4 signs -> peek 10
+_C1B_LUT = _build_quad_lut(_C1B, 8)
+_C1A_LUT = _build_quad_lut(_C1A, 10)
 
 
 def _decode_pair_run(
@@ -888,19 +928,26 @@ def _decode_count1_run(
     out: np.ndarray,
     start: int,
     bit_limit: int,
+    lut: list,
+    peek: int,
 ) -> tuple[int, int]:
-    """Decode count1 quadruples (table B) from absolute ``bitpos``
-    until ``bit_limit`` is reached or the spectrum is full; returns
-    ``(new_bitpos, lines_written)``.  The spec ends the count1 region
-    exactly when part2_3_length runs out."""
+    """Decode count1 quadruples (table A or B) from absolute
+    ``bitpos`` until ``bit_limit`` is reached or the spectrum is full;
+    returns ``(new_bitpos, lines_written)``.  The spec ends the count1
+    region exactly when part2_3_length runs out."""
     line = start
+    mask = (1 << peek) - 1
+    shift0 = 32 - peek
     while bitpos < bit_limit and line + 4 <= 576:
         byte = bitpos >> 3
         chunk = buf[byte : byte + 4]
         if len(chunk) < 4:
             chunk = chunk + bytes(4 - len(chunk))
-        w = (int.from_bytes(chunk, "big") >> (24 - (bitpos & 7))) & 255
-        v0, v1, v2, v3, used = _C1B_LUT[w]
+        w = (int.from_bytes(chunk, "big") >> (shift0 - (bitpos & 7))) & mask
+        step = lut[w]
+        if step is None:
+            raise ValueError("MP3: bad count1 Huffman code")
+        v0, v1, v2, v3, used = step
         if bitpos + used > bit_limit:
             raise ValueError("MP3: count1 quad crosses part2_3 boundary")
         out[line : line + 4] = (v0, v1, v2, v3)
@@ -995,8 +1042,8 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
       band group;
     - **preflag**: the Table B.6 pretab joins the effective
       scalefactor;
-    - **Huffman tables 0/1/2** for big values and **count1 table B**
-      for the quadruple region (table A and tables 3..31 stay
+    - **Huffman tables 0/1/2** for big values and **both count1
+      tables** for the quadruple region (big-value tables 3..31 stay
       disclosed ``NotImplementedError`` boundaries);
     - **window switching**: block types 1 (start), 2 (short,
       non-mixed; per-window subblock_gain + short scalefactors, stored
@@ -1012,8 +1059,8 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
     Protected frames (protection bit 0) have their CRC-16 word
     verified against the header/side-info bits (r9).  Still raising
     by design: non-44.1 kHz rows (their band tables are
-    untranscribed), mixed blocks, count1 table A, big-value tables
-    3..31, free-format bitrate."""
+    untranscribed), mixed blocks, big-value tables 3..31, free-format
+    bitrate."""
     pos = 0
     if payload[:3] == b"ID3":
         from .id3 import parse_id3
@@ -1207,13 +1254,16 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
                 raise ValueError("MP3: part2_3_length overrun")
             c1_lines = 0
             if used < p23:
-                if not info["count1table_select"]:
-                    raise NotImplementedError(
-                        "MP3: count1 table A not transcribed"
+                if info["count1table_select"]:
+                    bitpos, c1_lines = _decode_count1_run(
+                        mdbuf, bitpos, q, 2 * bv, start_bits + p23,
+                        _C1B_LUT, 8,
                     )
-                bitpos, c1_lines = _decode_count1_run(
-                    mdbuf, bitpos, q, 2 * bv, start_bits + p23
-                )
+                else:
+                    bitpos, c1_lines = _decode_count1_run(
+                        mdbuf, bitpos, q, 2 * bv, start_bits + p23,
+                        _C1A_LUT, 10,
+                    )
             lines_tx[ch] = 2 * bv + c1_lines
             # ancillary/stuffing bits: seek to exactly part2_3_length
             tgt = start_bits + p23

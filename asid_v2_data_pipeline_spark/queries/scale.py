@@ -4053,7 +4053,8 @@ def _mp3_general_build(batches):
     ID3v2-prefixed GENERAL-profile Layer III stream — four mono frames
     at varying bitrates (the bit reservoir genuinely engages), a valid
     long→start→short→stop→long window sequence, Huffman table 2 +
-    count1 table B + preflag on segments 0/3, scfsi sharing + a
+    count1 quads + preflag on segments 0/3 (table B on seg 0, the
+    variable-length table A on seg 3), scfsi sharing + a
     scalefac_scale=1 granule on frame 0, and a short granule with
     byte-derived subblock_gain and per-window scalefactors.
 
@@ -4140,6 +4141,11 @@ def _mp3_general_build(batches):
                             "spectrum": q,
                             "big_values": bv,
                             "count1": nq,
+                            # seg 0 codes its quads under count1 table
+                            # B, seg 3 under the variable-length table
+                            # A (r9) — both transport, zero oracle
+                            # footprint
+                            "count1_table": "A" if seg == 3 else "B",
                             "scalefacs": sf,
                             "preflag": 1 if seg in (0, 3) else 0,
                             "scalefac_scale": 1 if seg == 1 else 0,
@@ -4181,7 +4187,7 @@ def mm_mp3_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode pass over cached payloads, one stats row per document."""
     from ..operators.multimodal import decode_mp3_audio_stats
 
-    media = _cached_media(spark, sf_dir, "mp3gen2", _mp3_general_build)
+    media = _cached_media(spark, sf_dir, "mp3gen3", _mp3_general_build)
     stats = decode_mp3_audio_stats(media)
     return stats.select(
         F.col("media_id").alias("doc_id"),

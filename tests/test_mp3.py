@@ -255,7 +255,8 @@ def test_ms_stereo_matches_scalar_recombination():
 
 
 def test_table2_and_count1b_codes_are_prefix_free_and_complete():
-    for table, width in ((mp3._HUFF2, None), (mp3._C1B, 4)):
+    for table, width in ((mp3._HUFF2, None), (mp3._C1B, 4),
+                         (mp3._C1A, None)):
         codes = sorted(
             (ln, code) for (code, ln) in table.values()
         )
@@ -642,6 +643,8 @@ def test_general_writer_randomized_roundtrip_matrix():
                     grans.append({
                         "block_type": bt, "spectrum": q,
                         "big_values": bv, "count1": nq,
+                        "count1_table": ["A", "B"][int(
+                            rng.integers(0, 2))],
                         "scalefacs": rng.integers(0, 8, size=21),
                         "preflag": int(rng.integers(0, 2)),
                         "scalefac_scale": int(rng.integers(0, 2)),
