@@ -30,12 +30,15 @@ Scope (each boundary disclosed, every supported path oracle-checked):
   ``write_mp3_l3_general`` packs the reservoir for real (VBR frames
   pull their data into earlier frames' slack, byte-aligned with
   stuffing); ``write_mp3_l3`` keeps writing self-contained frames.
-- **Window switching (r9)**: block types 1 (start), 2 (short,
-  non-mixed: stored-order spectrum gathered per window, three
-  12-point IMDCTs per subband overlapped at 6/12/18 with ONE shared
-  rounding, no alias reduction, per-window subblock_gain) and 3
-  (stop) — the start/stop windows fuse into their own 36-point
-  tables.  Mixed blocks raise (disclosed).
+- **Window switching (r9)**: block types 1 (start), 2 (short:
+  stored-order spectrum gathered per window, three 12-point IMDCTs
+  per subband overlapped at 6/12/18 with ONE shared rounding, no
+  alias reduction, per-window subblock_gain) and 3 (stop) — the
+  start/stop windows fuse into their own 36-point tables.  MIXED
+  blocks decode too: the two lowest subbands run the long path (long
+  sfbs 0..7, one alias butterfly at their internal boundary, normal
+  window) while subbands 2..31 run the short path from the mixed
+  stored layout (short sfbs 3..11).
 - **Joint stereo**: mid/side (mode_ext 10) recombines requantized
   spectra at 724/2^10; intensity (mode_ext 01, r9) splits the left
   carrier by tan-position factors KL/KR at 2^10 for bands at/above
@@ -260,6 +263,27 @@ for _s in range(13):
         _STORED_IDX[_w, _a:_b2] = 3 * _a + _w * _w2 + np.arange(_w2)
         _STORED_SFB[3 * _a + _w * _w2 : 3 * _a + (_w + 1) * _w2] = _s
         _STORED_WIN[3 * _a + _w * _w2 : 3 * _a + (_w + 1) * _w2] = _w
+
+# MIXED-block layout (r9): lines 0..35 are LONG (the two lowest
+# subbands); the short part starts at short sfb 3 (whose per-window
+# line 12 = stored line 36) — stored base of sfb s is
+# 36 + 3·(S_s − 12).  _STORED_IDX_MIX[w, l] maps window w's line l
+# (12 ≤ l < 192) to its stored position; _STORED_SFB/WIN_MIX give each
+# stored line ≥ 36 its (sfb, window).
+_STORED_IDX_MIX = np.empty((3, 192), dtype=np.int64)
+_STORED_IDX_MIX[:, :12] = -1  # lines 0..11 live in the long part
+_STORED_SFB_MIX = np.empty(576, dtype=np.int64)
+_STORED_WIN_MIX = np.empty(576, dtype=np.int64)
+_STORED_SFB_MIX[:36] = -1
+_STORED_WIN_MIX[:36] = -1
+for _s in range(3, 13):
+    _a, _b2 = SFB_SHORT_44100[_s], SFB_SHORT_44100[_s + 1]
+    _w2 = _b2 - _a
+    _base = 36 + 3 * (_a - 12)
+    for _w in range(3):
+        _STORED_IDX_MIX[_w, _a:_b2] = _base + _w * _w2 + np.arange(_w2)
+        _STORED_SFB_MIX[_base + _w * _w2 : _base + (_w + 1) * _w2] = _s
+        _STORED_WIN_MIX[_base + _w * _w2 : _base + (_w + 1) * _w2] = _w
 
 # intensity-stereo position factors (MPEG-1, is_pos 0..6):
 # ratio = tan(is_pos * pi / 12); left = x * ratio/(1+ratio),
@@ -654,12 +678,35 @@ def write_mp3_l3_general(frames: list[dict]) -> bytes:
                 sfs3 = np.asarray(g["scalefacs_short"], dtype=np.int64)
                 if sfs3.shape != (12, 3):
                     raise ValueError("MP3: short scalefacs must be (12,3)")
-                for b in range(6):
-                    for w in range(3):
-                        md.write(int(sfs3[b, w]), slen1)
-                for b in range(6, 12):
-                    for w in range(3):
-                        md.write(int(sfs3[b, w]), slen2)
+                if g.get("mixed"):
+                    # mixed: long sfbs 0..7 then short sfbs 3..11
+                    sfl8 = np.asarray(
+                        g.get("scalefacs_long", np.zeros(8)),
+                        dtype=np.int64,
+                    )
+                    if sfl8.shape != (8,):
+                        raise ValueError(
+                            "MP3: mixed long scalefacs must be (8,)"
+                        )
+                    if sfs3[:3].any():
+                        raise ValueError(
+                            "MP3: mixed short sfbs 0..2 must be zero"
+                        )
+                    for b in range(8):
+                        md.write(int(sfl8[b]), slen1)
+                    for b in range(3, 6):
+                        for w in range(3):
+                            md.write(int(sfs3[b, w]), slen1)
+                    for b in range(6, 12):
+                        for w in range(3):
+                            md.write(int(sfs3[b, w]), slen2)
+                else:
+                    for b in range(6):
+                        for w in range(3):
+                            md.write(int(sfs3[b, w]), slen1)
+                    for b in range(6, 12):
+                        for w in range(3):
+                            md.write(int(sfs3[b, w]), slen2)
                 bounds = (36, 576)
                 tables = list(g["table_select"][:2]) + [0]
             else:
@@ -779,7 +826,7 @@ def write_mp3_l3_general(frames: list[dict]) -> bytes:
             if bt:
                 si.write(1, 1)  # window_switching_flag
                 si.write(bt, 2)
-                si.write(0, 1)  # mixed_block_flag
+                si.write(1 if g.get("mixed") else 0, 1)
                 for t in list(g["table_select"][:2]):
                     si.write(int(t), 5)
                 for sb in g.get("subblock_gain", (0, 0, 0)):
@@ -967,7 +1014,10 @@ class _SynthState:
 
 
 def _reconstruct_granule(
-    x: np.ndarray, state: _SynthState, block_type: int = 0
+    x: np.ndarray,
+    state: _SynthState,
+    block_type: int = 0,
+    mixed: bool = False,
 ) -> np.ndarray:
     """Fixed-point reconstruction of one granule: 576 requantized
     lines (int64 at 2^-15) -> 576 int16 PCM samples.  Integer
@@ -980,8 +1030,33 @@ def _reconstruct_granule(
     alias reduction per spec, and runs three 12-point IMDCTs per
     subband whose windowed outputs overlap at offsets 6/12/18 inside
     the 36-sample block — accumulated exactly, ONE rounding for the
-    whole block (the same single mid-pipeline rounding as long)."""
-    if block_type == 2:
+    whole block (the same single mid-pipeline rounding as long).
+    ``mixed`` (with ``block_type=2``, r9): the two lowest subbands run
+    the long path (alias butterfly at their one internal boundary,
+    normal window), subbands 2..31 the short path — the spec's mixed
+    block."""
+    if block_type == 2 and mixed:
+        acc = np.zeros((32, 36), dtype=np.int64)
+        # long part: subbands 0..1 from stored lines 0..35, with the
+        # single alias butterfly at the sb0/sb1 boundary
+        xl = x[:36]
+        xa = xl * (1 << _TBITS)
+        u = 17 - np.arange(8)
+        l2 = 18 + np.arange(8)
+        xu, xlo = xl[u], xl[l2]
+        xa[u] = xu * _CS - xlo * _CA
+        xa[l2] = xlo * _CS + xu * _CA
+        acc[:2] = xa.reshape(2, 18) @ _CW36_BT[0].T
+        # short part: subbands 2..31 gather per window from the mixed
+        # stored layout (window lines 12..191)
+        for w in range(3):
+            spec_w = np.zeros(192, dtype=np.int64)
+            spec_w[12:] = x[_STORED_IDX_MIX[w, 12:]]
+            spec_w *= 1 << _TBITS
+            zw = spec_w.reshape(32, 6) @ _SW12.T
+            acc[2:, 6 + 6 * w : 18 + 6 * w] += zw[2:]
+        z = _rdiv(acc, 1 << (2 * _TBITS))
+    elif block_type == 2:
         acc = np.zeros((32, 36), dtype=np.int64)
         for w in range(3):
             spec_w = x[_STORED_IDX[w]] * (1 << _TBITS)  # 2^-25
@@ -1045,10 +1120,11 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
     - **Huffman tables 0/1/2** for big values and **both count1
       tables** for the quadruple region (big-value tables 3..31 stay
       disclosed ``NotImplementedError`` boundaries);
-    - **window switching**: block types 1 (start), 2 (short,
-      non-mixed; per-window subblock_gain + short scalefactors, stored
-      -> window gather, three 12-point IMDCTs, no alias reduction) and
-      3 (stop); mixed blocks stay disclosed;
+    - **window switching**: block types 1 (start), 2 (short AND
+      mixed; per-window subblock_gain + short scalefactors, stored ->
+      window gather, three 12-point IMDCTs, no alias reduction on the
+      short part — mixed runs the two lowest subbands through the
+      long path) and 3 (stop);
     - **intensity stereo** (mode 01, mode_ext bit 0, long blocks): for
       scalefactor bands at/above the right channel's transmitted-line
       bound, ``is_pos`` = the right channel's raw scalefactor (band 21
@@ -1059,8 +1135,7 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
     Protected frames (protection bit 0) have their CRC-16 word
     verified against the header/side-info bits (r9).  Still raising
     by design: non-44.1 kHz rows (their band tables are
-    untranscribed), mixed blocks, big-value tables 3..31, free-format
-    bitrate."""
+    untranscribed), big-value tables 3..31, free-format bitrate."""
     pos = 0
     if payload[:3] == b"ID3":
         from .id3 import parse_id3
@@ -1141,8 +1216,11 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
                 bt = si.read(2)
                 if bt == 0:
                     raise ValueError("MP3: block_type 0 with switching")
-                if si.read(1):
-                    raise NotImplementedError("MP3: mixed blocks")
+                info["mixed"] = si.read(1)
+                if info["mixed"] and bt != 2:
+                    raise ValueError(
+                        "MP3: mixed_block_flag with a long block type"
+                    )
                 info["table_select"] = [si.read(5) for _ in range(2)] + [0]
                 info["subblock_gain"] = [si.read(3) for _ in range(3)]
                 info["block_type"] = bt
@@ -1150,6 +1228,7 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
                 info["bound1"], info["bound2"] = 36, 576
             else:
                 info["block_type"] = bt = 0
+                info["mixed"] = 0
                 info["subblock_gain"] = [0, 0, 0]
                 info["table_select"] = [si.read(5) for _ in range(3)]
                 r0 = min(si.read(4) + 1, len(sfb) - 1)
@@ -1186,12 +1265,24 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
                 if any(scfsi[ch]) and g == 1:
                     raise ValueError("MP3: scfsi with short blocks")
                 sfshort = np.zeros((13, 3), dtype=np.int64)
-                for b in range(6):
-                    for w in range(3):
-                        sfshort[b, w] = md.read(slen1)
-                for b in range(6, 12):
-                    for w in range(3):
-                        sfshort[b, w] = md.read(slen2)
+                sfmix = np.zeros(22, dtype=np.int64)
+                if info["mixed"]:
+                    # long sfbs 0..7 then short sfbs 3..11 per window
+                    for b in range(8):
+                        sfmix[b] = md.read(slen1)
+                    for b in range(3, 6):
+                        for w in range(3):
+                            sfshort[b, w] = md.read(slen1)
+                    for b in range(6, 12):
+                        for w in range(3):
+                            sfshort[b, w] = md.read(slen2)
+                else:
+                    for b in range(6):
+                        for w in range(3):
+                            sfshort[b, w] = md.read(slen1)
+                    for b in range(6, 12):
+                        for w in range(3):
+                            sfshort[b, w] = md.read(slen2)
                 sfraw[ch] = None
             else:
                 sf = np.zeros(22, dtype=np.int64)
@@ -1286,8 +1377,31 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
                     ],
                     dtype=np.int64,
                 )
-                sfl = sfshort[_STORED_SFB, _STORED_WIN]
-                gx[ch] = np.sign(q) * lut_w[_STORED_WIN, absq, sfl]
+                if info["mixed"]:
+                    lutq = np.array(
+                        [
+                            requant_lut(
+                                info["global_gain"],
+                                info["scalefac_scale"], maxsf, q=a,
+                            )
+                            for a in (0, 1, 2)
+                        ],
+                        dtype=np.int64,
+                    )
+                    sfe = sfmix + info["preflag"] * _PRETAB
+                    line_sf = np.repeat(sfe, band_width)
+                    x = np.empty(576, dtype=np.int64)
+                    x[:36] = (np.sign(q[:36])
+                              * lutq[absq[:36], line_sf[:36]])
+                    sfl = sfshort[_STORED_SFB_MIX[36:],
+                                  _STORED_WIN_MIX[36:]]
+                    x[36:] = (np.sign(q[36:])
+                              * lut_w[_STORED_WIN_MIX[36:],
+                                      absq[36:], sfl])
+                    gx[ch] = x
+                else:
+                    sfl = sfshort[_STORED_SFB, _STORED_WIN]
+                    gx[ch] = np.sign(q) * lut_w[_STORED_WIN, absq, sfl]
             else:
                 lutq = np.array(
                     [
@@ -1330,10 +1444,12 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
                     gx[0][a:b] = _rdiv(xl * _IS_KL[pos_is], 1 << _TBITS)
                     gx[1][a:b] = _rdiv(xl * _IS_KR[pos_is], 1 << _TBITS)
             for c in range(nch):
+                gi2 = gr_info[g * nch + c]
                 frame_ch[c].append(
                     _reconstruct_granule(
                         gx[c], states[c],
-                        block_type=gr_info[g * nch + c]["block_type"],
+                        block_type=gi2["block_type"],
+                        mixed=bool(gi2.get("mixed")),
                     )
                 )
         pcm_parts.append([np.concatenate(c) for c in frame_ch])

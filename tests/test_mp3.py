@@ -560,6 +560,34 @@ def test_general_writer_randomized_roundtrip_matrix():
         parts = []
         for g in grans:
             bt = g.get("block_type", 0)
+            if bt == 2 and g.get("mixed"):
+                sbg = g["subblock_gain"]
+                lut_w = np.array(
+                    [[mp3.requant_lut(mp3._GG_DEFAULT - 8 * sbg[w],
+                                      g["scalefac_scale"], 16 + 3, q=a)
+                      for a in (0, 1, 2)] for w in range(3)],
+                    dtype=np.int64)
+                lutq = np.array(
+                    [mp3.requant_lut(mp3._GG_DEFAULT,
+                                     g["scalefac_scale"], 16 + 3, q=a)
+                     for a in (0, 1, 2)], dtype=np.int64)
+                q = np.asarray(g["spectrum"])
+                sfe = np.concatenate([np.asarray(g["scalefacs_long"]),
+                                      np.zeros(14, np.int64)])
+                line_sf = np.repeat(sfe, widths)
+                x = np.empty(576, np.int64)
+                x[:36] = np.sign(q[:36]) * lutq[np.abs(q[:36]),
+                                                line_sf[:36]]
+                sfs3p = np.vstack([np.asarray(g["scalefacs_short"]),
+                                   np.zeros((1, 3), np.int64)])
+                sfl = sfs3p[mp3._STORED_SFB_MIX[36:],
+                            mp3._STORED_WIN_MIX[36:]]
+                x[36:] = (np.sign(q[36:])
+                          * lut_w[mp3._STORED_WIN_MIX[36:],
+                                  np.abs(q[36:]), sfl])
+                parts.append(mp3._reconstruct_granule(
+                    x, st, block_type=2, mixed=True))
+                continue
             if bt == 2:
                 sbg = g["subblock_gain"]
                 lut_w = np.array(
@@ -603,11 +631,15 @@ def test_general_writer_randomized_roundtrip_matrix():
                 bt = bts[2 * f + gi]
                 if bt == 2:
                     q = rng.integers(-1, 2, size=576)
+                    mixed = bool(rng.integers(0, 2))
+                    sfs3 = rng.integers(0, 8, size=(12, 3))
+                    if mixed:
+                        sfs3[:3] = 0
                     grans.append({
-                        "block_type": 2, "spectrum": q,
+                        "block_type": 2, "mixed": mixed, "spectrum": q,
                         "big_values": 288, "count1": 0,
-                        "scalefacs_short": rng.integers(
-                            0, 8, size=(12, 3)),
+                        "scalefacs_short": sfs3,
+                        "scalefacs_long": rng.integers(0, 8, size=8),
                         "subblock_gain": [int(v) for v in
                                           rng.integers(0, 8, size=3)],
                         "scalefac_scale": int(rng.integers(0, 2)),
@@ -669,3 +701,77 @@ def test_general_writer_randomized_roundtrip_matrix():
         rate, pcm = mp3.parse_mp3_l3(blob)
         want = np.concatenate(want_parts).astype(np.int16)
         np.testing.assert_array_equal(pcm, want, err_msg=f"seed {seed}")
+
+
+def test_mixed_blocks_roundtrip_matches_direct_requant():
+    """r9: mixed blocks (block_type 2, mixed_block_flag 1) — lines
+    0..35 are the two lowest LONG subbands (long sfbs 0..7, one alias
+    butterfly at their internal boundary, normal window), lines 36+
+    are SHORT starting at short sfb 3 (per-window subblock_gain).
+    Decode must equal the direct mixed requant + reconstruction; a
+    long→start→mixed→stop sequence carries state across the types."""
+    rng = np.random.default_rng(50)
+    sfb = np.asarray(mp3.SFB_LONG_44100)
+    widths = np.diff(sfb)
+    qs = rng.integers(-1, 2, size=(4, 576)).astype(np.int64)
+    sfl = rng.integers(0, 8, size=(4, 21))
+    sfl8 = rng.integers(0, 8, size=8)
+    sfs3 = rng.integers(0, 8, size=(12, 3))
+    sfs3[:3] = 0
+    sbg = [int(v) for v in rng.integers(0, 8, size=3)]
+    bts = [0, 1, 2, 3]
+    grans = []
+    for i, bt in enumerate(bts):
+        if bt == 2:
+            grans.append({
+                "block_type": 2, "mixed": True, "spectrum": qs[i],
+                "big_values": 288, "count1": 0,
+                "scalefacs_long": sfl8, "scalefacs_short": sfs3,
+                "subblock_gain": sbg, "scalefac_scale": 0,
+                "table_select": [1, 1],
+            })
+        else:
+            grans.append(_plain_long_granule(qs[i], sfl[i],
+                                             block_type=bt))
+    frames = [
+        {"kbps": 320, "granules": grans[2 * f : 2 * f + 2]}
+        for f in range(2)
+    ]
+    rate, pcm = mp3.parse_mp3_l3(mp3.write_mp3_l3_general(frames))
+    # expected
+    lut1 = np.array(
+        [mp3.requant_lut(mp3._GG_DEFAULT, 0, 16 + 3, q=a)
+         for a in (0, 1, 2)], dtype=np.int64)
+    st = mp3._SynthState()
+    parts = []
+    for i, bt in enumerate(bts):
+        if bt == 2:
+            lut_w = np.array(
+                [[mp3.requant_lut(mp3._GG_DEFAULT - 8 * sbg[w], 0,
+                                  16 + 3, q=a) for a in (0, 1, 2)]
+                 for w in range(3)], dtype=np.int64)
+            sfe = np.concatenate([sfl8, np.zeros(14, np.int64)])
+            line_sf = np.repeat(sfe, widths)
+            x = np.empty(576, np.int64)
+            x[:36] = np.sign(qs[i][:36]) * lut1[np.abs(qs[i][:36]),
+                                                line_sf[:36]]
+            sfs3p = np.vstack([sfs3, np.zeros((1, 3), np.int64)])
+            sfl_line = sfs3p[mp3._STORED_SFB_MIX[36:],
+                             mp3._STORED_WIN_MIX[36:]]
+            x[36:] = (np.sign(qs[i][36:])
+                      * lut_w[mp3._STORED_WIN_MIX[36:],
+                              np.abs(qs[i][36:]), sfl_line])
+            parts.append(mp3._reconstruct_granule(
+                x, st, block_type=2, mixed=True))
+        else:
+            sfe = np.concatenate([sfl[i], [0]])
+            line_sf = np.repeat(sfe, widths)
+            x = np.sign(qs[i]) * lut1[np.abs(qs[i]), line_sf]
+            parts.append(mp3._reconstruct_granule(x, st, block_type=bt))
+    want = np.concatenate(parts).astype(np.int16)
+    np.testing.assert_array_equal(pcm, want)
+    # a mixed granule with a silent short part still differs from a
+    # pure-long granule ONLY through the absent butterflies at
+    # boundaries 2..31 (sb1's top lines alias against zeros with
+    # cs != 1), so no equality check there — the spec's single-
+    # butterfly rule for mixed is exactly what the assert above pins
