@@ -4043,7 +4043,11 @@ def mm_mp3_ms_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # general-profile MP3 fixture layout (r9, VERDICT r8 task 2): four
 # mono frames per document = eight granule segments with fixed block
 # types and per-frame bitrates (VBR exercises the reservoir packing)
-_MP3G_BT = (0, 0, 0, 0, 1, 2, 3, 0)  # long,long | long,long | start,short | stop,long
+# seg 5 is a MIXED block (r9 second pass), seg 6 pure short:
+# long,long | long,long | start,mixed | short,stop — every transition
+# valid (start->mixed, mixed->short, short->stop)
+_MP3G_BT = (0, 0, 0, 0, 1, 2, 2, 3)
+_MP3G_MIXED = (0, 0, 0, 0, 0, 1, 0, 0)
 _MP3G_KBPS = (320, 256, 224, 320)
 _MP3G_V5 = (0, 1, 2, -1, -2)  # byte%5 -> table-2 value
 
@@ -4052,7 +4056,7 @@ def _mp3_general_build(batches):
     """Fixture kernel for ``mm_mp3_general``: each document becomes an
     ID3v2-prefixed GENERAL-profile Layer III stream — four mono frames
     at varying bitrates (the bit reservoir genuinely engages), a valid
-    long→start→short→stop→long window sequence, Huffman table 2 +
+    long→start→MIXED→short→stop window sequence, Huffman table 2 +
     count1 quads + preflag on segments 0/3 (table B on seg 0, the
     variable-length table A on seg 3), scfsi sharing + a
     scalefac_scale=1 granule on frame 0, and a short granule with
@@ -4106,6 +4110,7 @@ def _mp3_general_build(batches):
                         )
                         bv, nq, tsel = 288, 0, [1, 1, 1]
                     if bt == 2:
+                        mixed = bool(_MP3G_MIXED[seg])
                         sfs3 = (
                             b[
                                 (
@@ -4121,8 +4126,9 @@ def _mp3_general_build(batches):
                             int(b[(21 * seg + 36 + w) % nb] % 8)
                             for w in range(3)
                         ]
-                        grans.append({
+                        gran = {
                             "block_type": 2,
+                            "mixed": mixed,
                             "spectrum": q,
                             "big_values": bv,
                             "count1": nq,
@@ -4131,7 +4137,17 @@ def _mp3_general_build(batches):
                             "scalefac_scale": 0,
                             "table_select": tsel[:2],
                             "global_gain": _MP3_GG,
-                        })
+                        }
+                        if mixed:
+                            # long sfbs 0..7 from bytes 39..46 of the
+                            # segment's sf range; short rows 0..2 zero
+                            sfs3[:3] = 0
+                            gran["scalefacs_short"] = sfs3
+                            gran["scalefacs_long"] = (
+                                b[(21 * seg + 39 + np.arange(8)) % nb]
+                                % 8
+                            )
+                        grans.append(gran)
                     else:
                         sf = b[(21 * seg + np.arange(21)) % nb] % 8
                         if seg == 1:  # scfsi groups 2+3 share seg 0's
@@ -4176,8 +4192,9 @@ def mm_mp3_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bit reservoir across VBR frames (256/224 kbps frames pull
     their main data back into earlier frames' slack), scfsi, preflag,
     scalefac_scale, Huffman table 2, the count1 table-B quadruple
-    region, and window switching (start → short → stop, with
-    subblock_gain and per-window short scalefactors).  The oracle
+    region, and window switching (start → MIXED → short → stop, with
+    subblock_gain, per-window short scalefactors, and the mixed
+    block's two long subbands).  The oracle
     replays the complete fixed-point reconstruction from the
     pre-encode octets — per-segment block types select the fused
     normal/start/stop IMDCT tables or the three-window short path —
@@ -4187,7 +4204,7 @@ def mm_mp3_general(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode pass over cached payloads, one stats row per document."""
     from ..operators.multimodal import decode_mp3_audio_stats
 
-    media = _cached_media(spark, sf_dir, "mp3gen3", _mp3_general_build)
+    media = _cached_media(spark, sf_dir, "mp3gen4", _mp3_general_build)
     stats = decode_mp3_audio_stats(media)
     return stats.select(
         F.col("media_id").alias("doc_id"),
@@ -4559,8 +4576,11 @@ def _mm_mp3_general_sql() -> str:
         _NMAT,
         _PRETAB,
         _STORED_IDX,
+        _STORED_IDX_MIX,
         _STORED_SFB,
+        _STORED_SFB_MIX,
         _STORED_WIN,
+        _STORED_WIN_MIX,
         _SW12,
         SFB_LONG_44100,
         requant_lut,
@@ -4593,6 +4613,15 @@ def _mm_mp3_general_sql() -> str:
         for w in range(3)
         for i in range(6)
     ]
+    # mixed stored gather (sb >= 2 only; sb 0..1 entries unused -> 0)
+    sidm = [
+        int(_STORED_IDX_MIX[w, 6 * sb + i]) if sb >= 2 else 0
+        for sb in range(32)
+        for w in range(3)
+        for i in range(6)
+    ]
+    sfb3m = [max(int(v), 0) for v in _STORED_SFB_MIX]
+    win3m = [max(int(v), 0) for v in _STORED_WIN_MIX]
     cw0 = [int(v) for v in _CW36_BT[0].ravel()]
     cw1 = [int(v) for v in _CW36_BT[1].ravel()]
     cw3 = [int(v) for v in _CW36_BT[3].ravel()]
@@ -4624,14 +4653,32 @@ def _mm_mp3_general_sql() -> str:
         f"({sf_raw} + (CASE WHEN k // 576 = 0 OR k // 576 = 3 "
         f"THEN pt[CAST({band} + 1 AS INT)] ELSE 0 END))"
     )
-    # short segment (5): per-window subblock gain + short scalefactor
+    # short segments: per-window subblock gain + short scalefactor,
+    # with the segment's own byte base 21*seg (pure-short layout maps)
     sbg_byte = (
-        f"cs[CAST((141 + win3[{L}]) % n_bytes + 1 AS INT)] % 8"
+        f"cs[CAST((21 * (k // 576) + 36 + win3[{L}]) % n_bytes"
+        f" + 1 AS INT)] % 8"
     )
     sfs_short = (
         f"(CASE WHEN sfb3[{L}] < 12 THEN "
-        f"cs[CAST((105 + 3 * sfb3[{L}] + win3[{L}]) % n_bytes"
-        f" + 1 AS INT)] % 8 ELSE 0 END)"
+        f"cs[CAST((21 * (k // 576) + 3 * sfb3[{L}] + win3[{L}])"
+        f" % n_bytes + 1 AS INT)] % 8 ELSE 0 END)"
+    )
+    # the MIXED segment (5): short part uses the mixed layout maps,
+    # the long part (lines < 36) uses byte base 21*5 + 39 for its
+    # eight long scalefactors
+    sbg_byte_m = (
+        f"cs[CAST((21 * (k // 576) + 36 + win3m[{L}]) % n_bytes"
+        f" + 1 AS INT)] % 8"
+    )
+    sfs_short_m = (
+        f"(CASE WHEN sfb3m[{L}] < 12 THEN "
+        f"cs[CAST((21 * (k // 576) + 3 * sfb3m[{L}] + win3m[{L}])"
+        f" % n_bytes + 1 AS INT)] % 8 ELSE 0 END)"
+    )
+    sf_mix_long = (
+        f"cs[CAST((21 * (k // 576) + 39 + {band}) % n_bytes"
+        f" + 1 AS INT)] % 8"
     )
     sgn = (
         "(CASE WHEN v[CAST(k + 1 AS INT)] > 0 THEN 1 "
@@ -4656,6 +4703,7 @@ def _mm_mp3_general_sql() -> str:
         for w in range(3)
         for i in range(6)
     )
+    short_terms_mix = short_terms.replace("sid[", "sidm[")
     matrix_terms = " + ".join(
         f"nm[CAST((k % 64) * 32 + {j} + 1 AS INT)]"
         f" * tv[CAST(((k // 64) % 144) // 18 * 576 + {j} * 18"
@@ -4676,6 +4724,8 @@ consts AS (SELECT {rqa!r}::BIGINT[] AS rqa, {rqb!r}::BIGINT[] AS rqb,
   {rqs!r}::BIGINT[] AS rqs, {bo!r}::BIGINT[] AS bo,
   {pt!r}::BIGINT[] AS pt, {sfb3!r}::BIGINT[] AS sfb3,
   {win3!r}::BIGINT[] AS win3, {sid!r}::BIGINT[] AS sid,
+  {sidm!r}::BIGINT[] AS sidm, {sfb3m!r}::BIGINT[] AS sfb3m,
+  {win3m!r}::BIGINT[] AS win3m,
   {csa!r}::BIGINT[] AS csa, {caa!r}::BIGINT[] AS caa,
   {cw0!r}::BIGINT[] AS cw0, {cw1!r}::BIGINT[] AS cw1,
   {cw3!r}::BIGINT[] AS cw3, {sw!r}::BIGINT[] AS sw,
@@ -4694,9 +4744,14 @@ vq AS (
 ),
 xq AS (
   SELECT doc_id, ff, list_transform(range(0, 4608), k ->
-    CASE WHEN k // 576 = 5 THEN
+    CASE WHEN k // 576 = 6 THEN
       v[CAST(k + 1 AS INT)]
       * rqs[CAST(({sbg_byte}) * 8 + {sfs_short} + 1 AS INT)]
+    WHEN k // 576 = 5 AND k % 576 >= 36 THEN
+      v[CAST(k + 1 AS INT)]
+      * rqs[CAST(({sbg_byte_m}) * 8 + {sfs_short_m} + 1 AS INT)]
+    WHEN k // 576 = 5 THEN
+      {sgn} * rqa[CAST({absv} * 11 + {sf_mix_long} + 1 AS INT)]
     WHEN k // 576 = 1 THEN
       {sgn} * rqb[CAST({absv} * 11 + {sfe} + 1 AS INT)]
     ELSE
@@ -4707,7 +4762,11 @@ xq AS (
 xal AS (
   SELECT doc_id, ff, list_transform(range(0, 4608), k ->
     CASE
-      WHEN k // 576 = 5 THEN x[CAST(k + 1 AS INT)] * 1024
+      WHEN k // 576 = 6 THEN x[CAST(k + 1 AS INT)] * 1024
+      WHEN k // 576 = 5 AND NOT ((k % 576) % 18 >= 10
+           AND (k % 576) // 18 = 0)
+           AND NOT ((k % 576) % 18 <= 7 AND (k % 576) // 18 = 1)
+        THEN x[CAST(k + 1 AS INT)] * 1024
       WHEN (k % 576) % 18 >= 10 AND (k % 576) // 18 < 31 THEN
         x[CAST(k + 1 AS INT)]
           * csa[CAST(17 - (k % 576) % 18 + 1 AS INT)]
@@ -4724,9 +4783,12 @@ xal AS (
 zz AS (
   SELECT doc_id, ff, list_transform(range(0, 9216), k ->
     CASE k // 1152
-      WHEN 5 THEN {rdiv20(short_terms)}
+      WHEN 6 THEN {rdiv20(short_terms)}
+      WHEN 5 THEN CASE WHEN (k % 1152) // 36 < 2
+        THEN {rdiv20(imdct_terms("cw0"))}
+        ELSE {rdiv20(short_terms_mix)} END
       WHEN 4 THEN {rdiv20(imdct_terms("cw1"))}
-      WHEN 6 THEN {rdiv20(imdct_terms("cw3"))}
+      WHEN 7 THEN {rdiv20(imdct_terms("cw3"))}
       ELSE {rdiv20(imdct_terms("cw0"))}
     END) AS z
   FROM xal CROSS JOIN consts
