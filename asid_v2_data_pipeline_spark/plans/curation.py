@@ -127,9 +127,12 @@ def curate_v2(
         .filter(F.col("clf_score") >= clf_min)
         .drop("clf_score")
     )
-    # no checkpoint here: the span detector's token table is already
-    # checkpointed inside remove_duplicate_spans, and this output flows
-    # down a single linear path into the next checkpoint (uniq)
+    # gated feeds two consumers (the span detector's token table and
+    # the rewrite join below), so the scoring pass evaluates twice —
+    # but a localCheckpoint here is a measured WASH at sf0.1 (r9 A/B,
+    # same session: 9.1-10.9 s with vs 9.3-9.5 s without): the span
+    # detector's internal checkpoint already cuts the expensive arm,
+    # and materializing gated trades the cheap re-scan for write+read.
     cleaned = remove_duplicate_spans(gated, id_col, text_col, k=span_k)
     rewritten = gated.drop(text_col).join(
         cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col
