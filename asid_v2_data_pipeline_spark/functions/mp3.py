@@ -649,10 +649,16 @@ def write_mp3_l3_general(frames: list[dict]) -> bytes:
     br_indices: list[int] = []
     for fr in frames:
         kbps = fr.get("kbps", _KBPS)
-        if kbps not in _MP3_BR_L3[1:]:
+        if kbps == "free":
+            # free format: bitrate index 0, caller-chosen CONSTANT
+            # frame length (the decoder measures it from the stream)
+            br_indices.append(0)
+            flen = int(fr["flen"])
+        elif kbps not in _MP3_BR_L3[1:]:
             raise ValueError(f"MP3: no MPEG-1 Layer III {kbps} kbps row")
-        br_indices.append(_MP3_BR_L3.index(kbps))
-        flen = 144 * kbps * 1000 // _RATE
+        else:
+            br_indices.append(_MP3_BR_L3.index(kbps))
+            flen = 144 * kbps * 1000 // _RATE
         flens.append(flen)
         # the CRC word, when present, takes 2 bytes from the main-data
         # capacity (the frame length formula does not change)
@@ -1133,9 +1139,12 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
       combined MS+intensity (mode_ext 11) stays disclosed.
 
     Protected frames (protection bit 0) have their CRC-16 word
-    verified against the header/side-info bits (r9).  Still raising
-    by design: non-44.1 kHz rows (their band tables are
-    untranscribed), big-value tables 3..31, free-format bitrate."""
+    verified against the header/side-info bits (r9).  Free-format
+    streams (bitrate index 0) decode: the constant frame length is
+    measured once by scanning for the next matching header and
+    verified at every later frame boundary.  Still raising by design:
+    non-44.1 kHz rows (their band tables are untranscribed) and
+    big-value tables 3..31."""
     pos = 0
     if payload[:3] == b"ID3":
         from .id3 import parse_id3
@@ -1152,6 +1161,7 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
     # 511-byte spec window; md_base counts trimmed-off bytes
     md_stream = bytearray()
     md_base = 0
+    free_flen: int | None = None
     while pos + 4 <= end:
         if payload[pos : pos + 3] == b"TAG":
             break
@@ -1164,8 +1174,8 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
         br_idx, sr_idx = (h >> 12) & 0xF, (h >> 10) & 0x3
         if sr_idx != 0:
             raise NotImplementedError("MP3: only the 44.1 kHz band table")
-        if br_idx in (0, 15):
-            raise NotImplementedError("MP3: free-format/invalid bitrate")
+        if br_idx == 15:
+            raise ValueError("MP3: invalid bitrate index 15")
         kbps = _MP3_BR_L3[br_idx]
         mode = (h >> 6) & 0x3
         mode_ext = (h >> 4) & 0x3
@@ -1182,7 +1192,35 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
         elif nch_stream != nch:
             raise ValueError("MP3: channel mode changed mid-stream")
         padding = (h >> 9) & 0x1
-        flen = 144 * kbps * 1000 // _RATE + padding
+        if kbps is None:  # free format (r9): the spec fixes ONE frame
+            # length for the whole stream; measure it once by scanning
+            # for the next frame header with identical version/layer/
+            # samplerate/channel-mode bits, then verify the sync at
+            # every later boundary (a false sync inside main data
+            # fails that check loudly)
+            if free_flen is None:
+                # sync+version+layer (not CRC), bitrate(=0), sample
+                # rate, channel mode — the fields free format keeps
+                # constant across frames
+                hdr_mask = 0xFFFEFCC0
+                want = h & hdr_mask
+                scan = pos + 4 + (17 if (h >> 6) & 0x3 == 0x3 else 32)
+                while scan + 4 <= end:
+                    if (
+                        payload[scan] == 0xFF
+                        and payload[scan + 1] >= 0xE0
+                        and int.from_bytes(
+                            payload[scan : scan + 4], "big"
+                        ) & hdr_mask == want
+                    ):
+                        break
+                    scan += 1
+                else:
+                    scan = end  # single-frame stream: runs to the end
+                free_flen = scan - pos - padding
+            flen = free_flen + padding
+        else:
+            flen = 144 * kbps * 1000 // _RATE + padding
         if pos + flen > end:
             raise ValueError("MP3: truncated final frame")
         si_len = 17 if nch == 1 else 32

@@ -775,3 +775,42 @@ def test_mixed_blocks_roundtrip_matches_direct_requant():
     # boundaries 2..31 (sb1's top lines alias against zeros with
     # cs != 1), so no equality check there — the spec's single-
     # butterfly rule for mixed is exactly what the assert above pins
+
+
+def test_free_format_streams_decode_by_sync_scan():
+    """r9: bitrate index 0 (free format) — the decoder measures the
+    stream's constant frame length once by scanning for the next
+    matching header and verifies the sync at every later boundary;
+    PCM must equal the 320 kbps twin built from the same granules."""
+    q, sf = _rand(3, 60)
+    frames_std = [
+        {
+            "kbps": 320,
+            "granules": [
+                _plain_long_granule(q[f, g], sf[f, g]) for g in range(2)
+            ],
+        }
+        for f in range(3)
+    ]
+    want = mp3.parse_mp3_l3(mp3.write_mp3_l3_general(frames_std))[1]
+    frames_free = [
+        {
+            "kbps": "free",
+            "flen": 900,  # not any standard row's length
+            "granules": [
+                _plain_long_granule(q[f, g], sf[f, g]) for g in range(2)
+            ],
+        }
+        for f in range(3)
+    ]
+    blob = mp3.write_mp3_l3_general(frames_free)
+    assert len(blob) == 3 * 900
+    assert (blob[2] >> 4) == 0  # bitrate index 0 on the wire
+    got = mp3.parse_mp3_l3(blob)[1]
+    np.testing.assert_array_equal(got, want)
+    # a free-format stream whose measured length is broken fails
+    # loudly at the next boundary
+    bad = bytearray(blob)
+    bad[900] = 0x00  # destroy frame 1's sync
+    with pytest.raises(ValueError, match="lost sync|truncated"):
+        mp3.parse_mp3_l3(bytes(bad))
