@@ -597,6 +597,11 @@ def _huff_encode_pair(md: "_BitWriter", x: int, y: int, table: int) -> None:
         if ax or ay:
             raise ValueError("MP3: table 0 region must be all zero")
         return
+    if table not in (1, 2):
+        # only tables 0/1/2 are transcribed (disclosed boundary); fail
+        # at WRITE time rather than emitting table-2 codes under a
+        # side-info word that signals a different table
+        raise ValueError(f"MP3: unsupported Huffman table {table}")
     tab = _HUFF1 if table == 1 else _HUFF2
     if (ax, ay) not in tab:
         raise ValueError(
@@ -630,9 +635,9 @@ def write_mp3_l3_general(frames: list[dict]) -> bytes:
       ``big_values`` (pairs), ``count1`` (quads coded right after the
       big values), ``scalefacs`` int[21], ``preflag``,
       ``scalefac_scale``, ``table_select`` [t0, t1, t2] with the
-      region layout the decoder uses (region bounds 36/134 for
-      block_type 0 via region0/1_count = 7/7, 36/576 under window
-      switching);
+      region layout the decoder uses (region bounds 36/162 for
+      block_type 0 via region0/1_count = 7/7 — region 1 ends at
+      sfb[16] = 162 — and 36/576 under window switching);
     - short (``block_type`` 2, non-mixed): ``spectrum`` int[576] in
       STORED order, ``scalefacs_short`` int[12][3],
       ``subblock_gain`` [3], ``scalefac_scale``, ``table_select``
@@ -960,15 +965,22 @@ def _decode_pair_run(
     scalar model and the per-bit reference reader in tests)."""
     mask = (1 << peek) - 1
     shift0 = 32 - peek
+    nbits = 8 * len(buf)
     for k in range(n_pairs):
         byte = bitpos >> 3
         chunk = buf[byte : byte + 4]
-        if len(chunk) < 4:  # stream tail: zero-extend
+        if len(chunk) < 4:  # peek window past the tail: zero-extend
             chunk = chunk + bytes(4 - len(chunk))
         w = (int.from_bytes(chunk, "big") >> (shift0 - (bitpos & 7))) & mask
         step = lut[w]
         if step is None:
             raise ValueError("MP3: bad big-value Huffman code")
+        if bitpos + step[2] > nbits:
+            # the CODE itself must lie inside the reservoir; only the
+            # peek window may overhang (r9 ADVICE: a part2_3_length
+            # pointing past the buffer must fail loudly, not decode
+            # fabricated lines from zero-fill)
+            raise ValueError("MP3: bitstream truncated")
         i = start + 2 * k
         out[i], out[i + 1] = step[0], step[1]
         bitpos += step[2]
@@ -991,6 +1003,7 @@ def _decode_count1_run(
     line = start
     mask = (1 << peek) - 1
     shift0 = 32 - peek
+    nbits = 8 * len(buf)
     while bitpos < bit_limit and line + 4 <= 576:
         byte = bitpos >> 3
         chunk = buf[byte : byte + 4]
@@ -1001,6 +1014,8 @@ def _decode_count1_run(
         if step is None:
             raise ValueError("MP3: bad count1 Huffman code")
         v0, v1, v2, v3, used = step
+        if bitpos + used > nbits:
+            raise ValueError("MP3: bitstream truncated")
         if bitpos + used > bit_limit:
             raise ValueError("MP3: count1 quad crosses part2_3 boundary")
         out[line : line + 4] = (v0, v1, v2, v3)
@@ -1204,7 +1219,15 @@ def parse_mp3_l3(payload: bytes) -> tuple[int, np.ndarray]:
                 # constant across frames
                 hdr_mask = 0xFFFEFCC0
                 want = h & hdr_mask
-                scan = pos + 4 + (17 if (h >> 6) & 0x3 == 0x3 else 32)
+                # start past the CRC word (when protected) AND the side
+                # info — both are frame-fixed regions where a byte pair
+                # could false-sync (r9 ADVICE)
+                scan = (
+                    pos
+                    + 4
+                    + (2 if crc_on else 0)
+                    + (17 if (h >> 6) & 0x3 == 0x3 else 32)
+                )
                 while scan + 4 <= end:
                     if (
                         payload[scan] == 0xFF

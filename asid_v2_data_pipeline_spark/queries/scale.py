@@ -66,6 +66,37 @@ def _cached_index(path: str, build) -> None:
         f.write("ok")
 
 
+_CODEC_FPRINT: str | None = None
+
+
+def _codec_fprint() -> str:
+    """Fingerprint of every module whose code shapes media-fixture
+    BYTES (codecs, containers, the builders' host modules).  Folded
+    into the media cache key so a codec/builder change invalidates the
+    cached payloads automatically — r9 ADVICE closed: a forgotten
+    ``kind`` bump can no longer serve stale bytes."""
+    global _CODEC_FPRINT
+    if _CODEC_FPRINT is None:
+        import os
+
+        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha1()
+        for rel in (
+            "functions/codecs.py",
+            "functions/flac.py",
+            "functions/mp3.py",
+            "functions/ebml.py",
+            "functions/id3.py",
+            "operators/multimodal.py",
+        ):
+            p = os.path.join(pkg, rel)
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        _CODEC_FPRINT = h.hexdigest()[:8]
+    return _CODEC_FPRINT
+
+
 def _cached_media(
     spark: SparkSession,
     sf_dir: str,
@@ -85,11 +116,21 @@ def _cached_media(
     small enough that the file scan would otherwise coalesce into a
     handful of splits and serialize the Arrow kernel).
 
-    The cache key is (testdata fingerprint, ``kind``) — it does NOT
-    hash the builder code, so BUMP THE ``kind`` TAG (e.g. ``mp3-v2``)
-    whenever a builder's output bytes change, or stale payloads
-    survive on disk."""
-    path = _index_cache_path(sf_dir, "documents.parquet", f"media-{kind}")
+    The cache key is (testdata fingerprint, ``kind``, codec+builder
+    fingerprint): ``_codec_fprint()`` hashes every codec/container
+    module plus this builder's own source, so a code change that
+    alters fixture bytes invalidates the cache automatically — no
+    manual ``kind`` bump needed (r9 ADVICE)."""
+    import inspect
+
+    try:
+        src = inspect.getsource(build_fn)
+    except (OSError, TypeError):  # builders are always file-backed;
+        src = repr(build_fn)  # belt-and-braces for exotic callables
+    ver = hashlib.sha1((_codec_fprint() + src).encode()).hexdigest()[:8]
+    path = _index_cache_path(
+        sf_dir, "documents.parquet", f"media-{kind}-{ver}"
+    )
 
     def build():
         d = load_table(spark, sf_dir, "documents")
