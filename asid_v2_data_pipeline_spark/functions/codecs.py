@@ -1191,12 +1191,12 @@ def write_gif(
 # "almost always", which is exactly the kind of correctness a value-hash
 # gate exists to reject.
 #
-# Scope: baseline DCT (SOF0), 8-bit, 1 or 3 components, no subsampling
-# (all sampling factors 1×1 — 4:4:4), no restart markers, standard
-# Annex-K quantization tables scaled by the libjpeg quality formula, and
-# the Annex-K luminance Huffman tables for every component (spec-legal:
-# the SOS maps each component to table 0).  Progressive (SOF2),
-# arithmetic coding, subsampled chroma and DRI raise loudly.
+# Scope: baseline DCT (SOF0) AND progressive DCT (SOF2, Huffman —
+# spectral selection + successive approximation, r10), 8-bit, 1 or 3
+# components, 4:4:4 or 4:2:0 sampling, restart markers (DRI + RSTn),
+# in-stream DQT/DHT.  Quantization uses the standard Annex-K tables
+# scaled by the public libjpeg quality formula.  Arithmetic coding,
+# hierarchical and lossless modes raise loudly.
 
 _DCT_BITS = 12  # transform fixed point: T = round(4096 * orthonormal DCT-II)
 
@@ -1426,6 +1426,50 @@ def _pad_to(plane: np.ndarray, m: int) -> np.ndarray:
     return np.pad(plane, ((0, (-h) % m), (0, (-w) % m)), mode="edge")
 
 
+def _jpeg_planes(
+    px: np.ndarray, quality: int, subsampling: str
+) -> list[tuple[np.ndarray, np.ndarray, int, int, int]]:
+    """Shared component prep for the baseline and progressive writers:
+    color convert, subsample, pad to the MCU grid.  Returns per
+    component ``(plane int64, quant table, quant id, h_samp, v_samp)``."""
+    gray = px.ndim == 2
+    if not gray and px.shape[2] != 3:
+        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and not gray
+    q_luma = _quality_table(_QUANT_LUMA, quality)
+    q_chroma = _quality_table(_QUANT_CHROMA, quality)
+    if gray:
+        return [(_pad_to_8(px).astype(np.int64), q_luma, 0, 1, 1)]
+    if not sub420:
+        ycc = _rgb_to_ycbcr_int(px)
+        return [
+            (
+                _pad_to_8(ycc[..., ci].astype(np.int64)),
+                q_luma if ci == 0 else q_chroma,
+                0 if ci == 0 else 1,
+                1,
+                1,
+            )
+            for ci in range(3)
+        ]
+    ycc = _rgb_to_ycbcr_int(px)
+    y16 = _pad_to(ycc[..., 0].astype(np.int64), 16)
+    hh, ww = y16.shape
+    chroma = []
+    for ci in (1, 2):
+        c16 = _pad_to(ycc[..., ci].astype(np.int64), 16)
+        chroma.append(
+            c16.reshape(hh // 2, 2, ww // 2, 2).sum(axis=(1, 3)) // 4
+        )
+    return [
+        (y16, q_luma, 0, 2, 2),
+        (chroma[0], q_chroma, 1, 1, 1),
+        (chroma[1], q_chroma, 1, 1, 1),
+    ]
+
+
 def write_jpeg(
     pixels: np.ndarray,
     quality: int = 75,
@@ -1445,43 +1489,9 @@ def write_jpeg(
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     h, w = px.shape[:2]
-    if not gray and px.shape[2] != 3:
-        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    sub420 = subsampling == "420" and not gray
-    q_luma = _quality_table(_QUANT_LUMA, quality)
-    q_chroma = _quality_table(_QUANT_CHROMA, quality)
-    # per component: (plane, quant table, quant id, h_samp, v_samp)
-    if gray:
-        planes = [(_pad_to_8(px).astype(np.int64), q_luma, 0, 1, 1)]
-    elif not sub420:
-        ycc = _rgb_to_ycbcr_int(px)
-        planes = [
-            (
-                _pad_to_8(ycc[..., ci].astype(np.int64)),
-                q_luma if ci == 0 else q_chroma,
-                0 if ci == 0 else 1,
-                1,
-                1,
-            )
-            for ci in range(3)
-        ]
-    else:
-        ycc = _rgb_to_ycbcr_int(px)
-        y16 = _pad_to(ycc[..., 0].astype(np.int64), 16)
-        hh, ww = y16.shape
-        chroma = []
-        for ci in (1, 2):
-            c16 = _pad_to(ycc[..., ci].astype(np.int64), 16)
-            chroma.append(
-                c16.reshape(hh // 2, 2, ww // 2, 2).sum(axis=(1, 3)) // 4
-            )
-        planes = [
-            (y16, q_luma, 0, 2, 2),
-            (chroma[0], q_chroma, 1, 1, 1),
-            (chroma[1], q_chroma, 1, 1, 1),
-        ]
+    planes = _jpeg_planes(px, quality, subsampling)
+    q_luma = planes[0][1]
+    q_chroma = planes[1][1] if len(planes) > 1 else None
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
@@ -1541,6 +1551,399 @@ def write_jpeg(
                         )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive JPEG (SOF2) writer ------------------------------------------
+#
+# Spectral selection + successive approximation per ITU-T T.81 Annex G
+# (Huffman mode).  The quantized coefficients are IDENTICAL to the
+# baseline writer's — progressive only changes their transmission
+# order — so a progressive encode decodes bit-for-bit equal to the
+# baseline encode of the same pixels (pinned in tests), and the
+# mm_jpeg_* SQL oracles apply unchanged to progressive fixtures.
+
+
+def _default_prog_scans(ncomp: int) -> list[tuple]:
+    """The conventional progressive scan script (DC first with one
+    approximation bit held back, luma AC split into two bands, chroma
+    AC whole-band, then the refinement passes) — the same shape
+    real-world encoders emit by default.  Scan = (comp indices, Ss,
+    Se, Ah, Al)."""
+    if ncomp == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((1,), 1, 63, 0, 1),
+        ((2,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
+def _validate_scan_script(scans: list[tuple], ncomp: int) -> None:
+    """Enforce the Annex-G sequencing rules AND completeness: every
+    (component, coefficient) must be transmitted down to bit 0, DC
+    before AC, refinements one bit at a time with Ah = previous Al.
+    An incomplete script would 'work' but decode unequal to baseline —
+    reject it loudly instead."""
+    state: list[list] = [[None] * 64 for _ in range(ncomp)]
+    for comps, ss, se, ah, al in scans:
+        if not comps or len(set(comps)) != len(comps):
+            raise ValueError("JPEG scan script: bad component list")
+        if any(not 0 <= c < ncomp for c in comps):
+            raise ValueError("JPEG scan script: component out of range")
+        if not (0 <= ss <= se <= 63 and 0 <= al <= 13):
+            raise ValueError("JPEG scan script: bad spectral band")
+        if ss == 0 and se != 0:
+            raise ValueError(
+                "JPEG scan script: progressive DC scan requires Se=0"
+            )
+        if ss > 0 and len(comps) != 1:
+            raise ValueError(
+                "JPEG scan script: AC scans must be single-component"
+            )
+        if ah != 0 and al != ah - 1:
+            raise ValueError(
+                "JPEG scan script: refinement must lower Al by exactly 1"
+            )
+        for c in comps:
+            for k in range(ss, se + 1):
+                want = None if ah == 0 else ah
+                if state[c][k] != want:
+                    raise ValueError(
+                        "JPEG scan script: band/approximation sequence "
+                        f"invalid at component {c} coefficient {k}"
+                    )
+                if ss > 0 and state[c][0] is None:
+                    raise ValueError(
+                        "JPEG scan script: AC before DC for component "
+                        f"{c}"
+                    )
+                state[c][k] = al
+    for c in range(ncomp):
+        for k in range(64):
+            if state[c][k] != 0:
+                raise ValueError(
+                    "JPEG scan script: incomplete (component "
+                    f"{c} coefficient {k} never reaches bit 0)"
+                )
+
+
+class _ScanOps:
+    """Per-scan op recorder: the scan body is generated once as
+    (symbol / raw-bits / restart) ops, the Huffman table is then built
+    from the symbols actually used, and the ops replay into the bit
+    writer.  Progressive refinement symbols (EOBn, runs of 15)
+    don't exist in the Annex-K tables, so every scan carries its own
+    in-stream DHT — exactly what real progressive encoders do."""
+
+    def __init__(self) -> None:
+        self.ops: list[tuple] = []
+        self.syms: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.ops.append((0, s))
+        self.syms.add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.ops.append((1, v, n))
+
+    def rst(self, n: int) -> None:
+        self.ops.append((2, n))
+
+
+def _uniform_huff(syms: set[int]) -> tuple[list[int], list[int]]:
+    """Canonical DHT spec (BITS, HUFFVAL) assigning every used symbol
+    the same code length L = bit_length(n): n < 2**L always holds, so
+    the all-ones code stays unused as the spec requires.  Suboptimal
+    size, trivially correct — fixture synthesis is not a codec race."""
+    vals = sorted(syms)
+    n = len(vals)
+    length = max(n.bit_length(), 1)
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, vals
+
+
+class _ACFirstEnc:
+    """AC first-scan (Ah=0) encoder state: EOB runs span blocks."""
+
+    def __init__(self, ops: _ScanOps) -> None:
+        self.ops = ops
+        self.eobrun = 0
+
+    def flush(self) -> None:
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            self.ops.sym(nb << 4)
+            self.ops.bits(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+
+    def block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (v if v >= 0 else -v) >> al
+            if t == 0:
+                run += 1
+                continue
+            self.flush()
+            while run > 15:
+                self.ops.sym(0xF0)
+                run -= 16
+            size, bits = _mag_bits(t if v >= 0 else -t)
+            self.ops.sym((run << 4) | size)
+            self.ops.bits(bits, size)
+            run = 0
+        if run:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush()
+
+
+class _ACRefineEnc:
+    """AC refinement (Ah>0) encoder state: EOB runs carry the
+    correction bits of the blocks they cover, emitted right after the
+    EOBn code in decoder traversal order."""
+
+    def __init__(self, ops: _ScanOps) -> None:
+        self.ops = ops
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            self.ops.sym(nb << 4)
+            self.ops.bits(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+        for b in self.pending:
+            self.ops.bits(b, 1)
+        self.pending = []
+
+    def block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        band = [int(zz[k]) for k in range(ss, se + 1)]
+        absv = [(v if v >= 0 else -v) >> al for v in band]
+        eobpos = -1
+        for rel, t in enumerate(absv):
+            if t == 1:
+                eobpos = rel
+        run = 0
+        newbits: list[int] = []
+        for rel, t in enumerate(absv):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and rel <= eobpos:
+                self.flush()
+                self.ops.sym(0xF0)
+                run -= 16
+                for b in newbits:
+                    self.ops.bits(b, 1)
+                newbits = []
+            if t > 1:
+                # history coefficient: one correction bit, decoder
+                # reads it while advancing through the run
+                newbits.append(t & 1)
+                continue
+            # newly significant this scan
+            self.flush()
+            self.ops.sym((run << 4) | 1)
+            self.ops.bits(0 if band[rel] < 0 else 1, 1)
+            for b in newbits:
+                self.ops.bits(b, 1)
+            newbits = []
+            run = 0
+        if run or newbits:
+            self.eobrun += 1
+            self.pending.extend(newbits)
+            if self.eobrun == 0x7FFF or len(self.pending) > 937 * 8:
+                self.flush()
+
+
+def _scan_units(
+    comp_idx,
+    samp: list[tuple[int, int]],
+    fh: int,
+    fw: int,
+    hmax: int,
+    vmax: int,
+    mcus_y: int,
+    mcus_x: int,
+) -> list[list[tuple[int, int, int]]]:
+    """Restart-unit ("MCU") traversal of one scan, shared verbatim by
+    the writer and the decoder: ns > 1 interleaves vi×hi blocks per
+    component over the frame MCU grid; ns == 1 is non-interleaved —
+    one block per unit over the COMPONENT's ceil-dims grid, which for
+    subsampled frames is smaller than its slice of the MCU grid (the
+    grid-squaring padding blocks are not coded, T.81 A.2.2)."""
+    units: list[list[tuple[int, int, int]]] = []
+    if len(comp_idx) == 1:
+        ci = comp_idx[0]
+        hi, vi = samp[ci]
+        nb_y, nb_x = _comp_block_dims(fh, fw, hi, vi, hmax, vmax)
+        for byi in range(nb_y):
+            for bxi in range(nb_x):
+                units.append([(ci, byi, bxi)])
+        return units
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            unit = []
+            for ci in comp_idx:
+                hi, vi = samp[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        unit.append((ci, my * vi + byi, mx * hi + bxi))
+            units.append(unit)
+    return units
+
+
+def _comp_block_dims(
+    fh: int, fw: int, hi: int, vi: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Non-interleaved block grid of one component (T.81 A.1.1 ceil
+    rule): blocks over ceil(ceil(dim*samp/sampmax) / 8) — padding
+    blocks that exist only to square out the interleaved MCU grid are
+    NOT coded in single-component scans."""
+    ch = -(-(fh * vi) // vmax)
+    cw = -(-(fw * hi) // hmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def write_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    scans: list[tuple] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive JFIF writer (SOF2, Huffman): same pixel prep,
+    fixed-point DCT, and quantization as ``write_jpeg`` — the scans
+    re-order transmission, they never change the coefficients — with
+    spectral selection, successive approximation (DC and AC first +
+    refinement passes incl. EOB-run coding), per-scan in-stream DHTs,
+    and optional restart markers.  ``scans`` overrides the default
+    script with (comp_indices, Ss, Se, Ah, Al) tuples, validated for
+    spec legality AND completeness."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    planes = _jpeg_planes(px, quality, subsampling)
+    ncomp = len(planes)
+    if scans is None:
+        scans = _default_prog_scans(ncomp)
+    _validate_scan_script(scans, ncomp)
+    hmax = max(p[3] for p in planes)
+    vmax = max(p[4] for p in planes)
+
+    # quantized coefficients, zigzag order, over the full MCU grid
+    coefs = []
+    for plane, qt, _tid, _hi, _vi in planes:
+        ph, pw = plane.shape
+        by, bx = ph // 8, pw // 8
+        blocks = (
+            plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128
+        )
+        a = _rdiv(blocks @ _DCT_T.T, 1 << _DCT_BITS)
+        f = _rdiv(_DCT_T @ a, 1 << _DCT_BITS)
+        q = _rdiv_signed_by_table(f, qt)
+        coefs.append(q.reshape(-1, 64)[:, _ZIGZAG].reshape(by, bx, 64))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    q_luma = planes[0][1]
+    gray = ncomp == 1
+    qtabs = [(0, q_luma)] if gray else [(0, q_luma), (1, planes[1][1])]
+    for tid, qt in qtabs:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(qt.ravel()[z]) for z in _ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (_p, _q, tid, hi, vi) in enumerate(planes):
+        out += struct.pack("BBB", ci + 1, (hi << 4) | vi, tid)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    mcus_y = -(-h // (8 * vmax))
+    mcus_x = -(-w // (8 * hmax))
+    samp = [(p[3], p[4]) for p in planes]
+    for comp_idx, ss, se, ah, al in scans:
+        ops = _ScanOps()
+        units = _scan_units(
+            comp_idx, samp, h, w, hmax, vmax, mcus_y, mcus_x
+        )
+        if ss == 0:  # DC scan (interleaved when ns > 1)
+            preds = dict.fromkeys(comp_idx, 0)
+            for mcu, unit in enumerate(units):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    preds = dict.fromkeys(comp_idx, 0)
+                    ops.rst((mcu // restart_interval - 1) % 8)
+                for ci, byi, bxi in unit:
+                    dc = int(coefs[ci][byi, bxi, 0])
+                    if ah == 0:
+                        v = dc >> al  # arithmetic shift, per G.1.2.1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        size, bits = _mag_bits(diff)
+                        ops.sym(size)
+                        ops.bits(bits, size)
+                    else:  # refinement: one raw bit, no Huffman
+                        ops.bits((dc >> al) & 1, 1)
+        else:  # AC scan — single component, non-interleaved
+            ci = comp_idx[0]
+            enc = _ACFirstEnc(ops) if ah == 0 else _ACRefineEnc(ops)
+            for mcu, unit in enumerate(units):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    enc.flush()
+                    ops.rst((mcu // restart_interval - 1) % 8)
+                enc.block(coefs[ci][unit[0][1], unit[0][2]], ss, se, al)
+            enc.flush()
+
+        # per-scan DHT from the symbols this scan actually uses
+        cls = 0 if ss == 0 else 1
+        if ops.syms:
+            bits16, vals = _uniform_huff(ops.syms)
+            out += b"\xff\xc4" + struct.pack(
+                ">HB", 19 + len(vals), (cls << 4) | 0
+            ) + bytes(bits16) + bytes(vals)
+            codes = _huff_codes(bits16, vals)
+        else:
+            codes = {}
+        ns = len(comp_idx)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_idx:
+            out += struct.pack("BB", ci + 1, 0x00)
+        out += struct.pack("BBB", ss, se, (ah << 4) | al)
+        bw = _BitWriter()
+        for op in ops.ops:
+            if op[0] == 0:
+                bw.put(*codes[op[1]])
+            elif op[0] == 1:
+                bw.put(op[1], op[2])
+            else:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + op[1]])
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1666,13 +2069,165 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index of the first REAL marker (not a stuffed 0xFF00, not
+    RST0–RST7) at or after ``start`` — the end of one scan's entropy
+    data in a multi-scan (progressive) stream."""
+    j = start
+    n = len(payload)
+    while j < n:
+        j = payload.find(b"\xff", j)
+        if j < 0 or j + 1 >= n:
+            return n
+        nxt = payload[j + 1]
+        if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+            return j
+        j += 2
+    return n
+
+
+def _decode_prog_scan(
+    br: "_BitReader",
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    comps: list[tuple[int, int, int, int]],
+    prog_coefs: list[np.ndarray],
+    htables: dict,
+    fh: int,
+    fw: int,
+    hmax: int,
+    vmax: int,
+    restart_interval: int,
+) -> None:
+    """Decode ONE progressive scan (T.81 Annex G, Huffman mode) into
+    the per-component zigzag coefficient accumulators: DC first
+    (interleaved DPCM of dc >> Al), DC refinement (raw bit Al), AC
+    first (spectral band with EOB-run coding), AC refinement
+    (correction bits + newly-significant placement inside EOB runs).
+    Restart markers reset DC predictors AND the EOB run."""
+    if not (0 <= ss <= se <= 63):
+        raise ValueError("JPEG: bad progressive spectral band")
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "JPEG: progressive DC scan must have Se=0 (a baseline-style "
+            "full-band scan under SOF2 is malformed)"
+        )
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("JPEG: progressive AC scans must be single-component")
+    comp_idx = [ci for ci, _dt, _at in scan_comps]
+    samp = [(hi, vi) for _cid, _tq, hi, vi in comps]
+    mcus_y = -(-fh // (8 * vmax))
+    mcus_x = -(-fw // (8 * hmax))
+    units = _scan_units(comp_idx, samp, fh, fw, hmax, vmax, mcus_y, mcus_x)
+    tabs = {ci: (dt, at) for ci, dt, at in scan_comps}
+    preds = dict.fromkeys(comp_idx, 0)
+    eobrun = 0
+    p1 = 1 << al
+    for mcu, unit in enumerate(units):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            got = br.restart()
+            want = (mcu // restart_interval - 1) % 8
+            if got != want:
+                raise ValueError(
+                    f"JPEG: restart marker out of sequence "
+                    f"(RST{got}, expected RST{want})"
+                )
+            preds = dict.fromkeys(comp_idx, 0)
+            eobrun = 0
+        for ci, byi, bxi in unit:
+            zz = prog_coefs[ci][byi, bxi]
+            if ss == 0:
+                if ah == 0:
+                    dc_lut = htables[(0, tabs[ci][0])]
+                    size = _read_symbol(br, dc_lut)
+                    diff = _extend(br.bits(size), size) if size else 0
+                    preds[ci] += diff
+                    zz[0] = preds[ci] << al
+                else:
+                    if br.bit():
+                        zz[0] |= p1
+                continue
+            ac_lut = htables[(1, tabs[ci][1])]
+            if ah == 0:  # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _read_symbol(br, ac_lut)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG: AC index overflow")
+                    zz[k] = _extend(br.bits(s), s) << al
+                    k += 1
+                continue
+            # AC refinement scan
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _read_symbol(br, ac_lut)
+                    r, s = sym >> 4, sym & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # ZRL: r = 15 → skip 16 zero-history positions
+                    elif s == 1:
+                        newval = p1 if br.bit() else -p1
+                    else:
+                        raise ValueError(
+                            "JPEG: invalid refinement symbol"
+                        )
+                    while k <= se:
+                        cur = int(zz[k])
+                        if cur:
+                            if br.bit() and (abs(cur) & p1) == 0:
+                                zz[k] = cur + (p1 if cur >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError(
+                                "JPEG: refinement run overflow"
+                            )
+                        zz[k] = newval
+                    k += 1
+            if eobrun:
+                while k <= se:
+                    cur = int(zz[k])
+                    if cur and br.bit() and (abs(cur) & p1) == 0:
+                        zz[k] = cur + (p1 if cur >= 0 else -p1)
+                    k += 1
+                eobrun -= 1
+
+
 def parse_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JFIF decode -> uint8 ``(h, w)`` grayscale or
-    ``(h, w, 3)`` RGB.  Supports 1 or 3 components at 1×1 sampling
-    (4:4:4) and RESTART INTERVALS (DRI + RSTn resync with DC-predictor
-    reset — ubiquitous in real MJPEG streams); progressive/arithmetic/
-    subsampled streams raise loudly (NotImplementedError), never decode
-    wrongly."""
+    """JFIF decode -> uint8 ``(h, w)`` grayscale or ``(h, w, 3)`` RGB.
+    Supports baseline sequential (SOF0) AND progressive (SOF2, r10:
+    spectral selection + successive approximation over multiple scans,
+    DC/AC first + refinement passes with EOB-run coding), 1 or 3
+    components at 4:4:4 or 4:2:0 sampling, and RESTART INTERVALS
+    (DRI + RSTn resync with DC-predictor/EOB-run reset).  Arithmetic
+    and hierarchical streams raise loudly (NotImplementedError), never
+    decode wrongly."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     i = 2
@@ -1680,6 +2235,8 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None
+    progressive = False
+    prog_coefs: list[np.ndarray] | None = None
     comps: list[tuple[int, int]] = []  # (comp_id, quant_id) in SOF order
     while i < len(payload):
         if i + 2 > len(payload):
@@ -1718,7 +2275,8 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[j + 17 : j + 17 + n])
                 htables[(cls, tid)] = _huff_lut(bits, vals)
                 j += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
@@ -1737,10 +2295,11 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                     "JPEG: only 4:4:4 or 4:2:0 sampling supported"
                 )
             frame = (fh, fw, nc)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "JPEG: only baseline sequential (SOF0) supported"
+                "JPEG: only baseline (SOF0) and progressive (SOF2) "
+                "supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -1753,6 +2312,32 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scan_tabs.append((cs, tt >> 4, tt & 0x0F))
             fh, fw, nc = frame
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0x0F
+                hmax = max(hi for _c, _t, hi, _v in comps)
+                vmax = max(vi for _c, _t, _h, vi in comps)
+                if prog_coefs is None:
+                    mcus_y = -(-fh // (8 * vmax))
+                    mcus_x = -(-fw // (8 * hmax))
+                    prog_coefs = [
+                        np.zeros(
+                            (mcus_y * vi, mcus_x * hi, 64), dtype=np.int64
+                        )
+                        for _cid, _tq, hi, vi in comps
+                    ]
+                cid_to_idx = {c[0]: idx for idx, c in enumerate(comps)}
+                scan_comps = [
+                    (cid_to_idx[cs], dt, at) for cs, dt, at in scan_tabs
+                ]
+                data_end = _entropy_end(payload, i + seglen)
+                _decode_prog_scan(
+                    _BitReader(payload[i + seglen : data_end]),
+                    scan_comps, ss, se, ah, al, comps, prog_coefs,
+                    htables, fh, fw, hmax, vmax, restart_interval,
+                )
+                i = data_end
+                continue
             hmax = max(hi for _c, _t, hi, _v in comps)
             vmax = max(vi for _c, _t, _h, vi in comps)
             mcus_y = -(-fh // (8 * vmax))
@@ -1832,6 +2417,39 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 full.append(plane[:fh, :fw])
             return _ycbcr_to_rgb_int(np.stack(full, axis=-1))
         i += seglen
+    if progressive and prog_coefs is not None:
+        # all scans accumulated: dezigzag, dequantize + IDCT every
+        # block (batched matmuls), then the same crop/upsample/color
+        # tail as baseline
+        fh, fw, nc = frame
+        hmax = max(hi for _c, _t, hi, _v in comps)
+        vmax = max(vi for _c, _t, _h, vi in comps)
+        out_planes = []
+        for (cid, tq, hi, vi), zz in zip(comps, prog_coefs):
+            by, bx = zz.shape[:2]
+            nat = np.zeros((by * bx, 64), dtype=np.int64)
+            nat[:, _ZIGZAG] = zz.reshape(-1, 64)
+            d = (nat * qtables[tq].ravel()).reshape(-1, 8, 8)
+            b = _rdiv(_DCT_T.T @ d, 1 << _DCT_BITS)
+            p = _rdiv(b @ _DCT_T, 1 << _DCT_BITS) + 128
+            p = np.clip(p, 0, 255).astype(np.uint8)
+            out_planes.append(
+                p.reshape(by, bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by * 8, bx * 8)
+            )
+        if nc == 1:
+            return out_planes[0][:fh, :fw]
+        full = []
+        for (_cid, _tq, hi, vi), plane in zip(comps, out_planes):
+            if hi != hmax or vi != vmax:
+                plane = np.repeat(
+                    np.repeat(plane, vmax // vi, axis=0),
+                    hmax // hi,
+                    axis=1,
+                )
+            full.append(plane[:fh, :fw])
+        return _ycbcr_to_rgb_int(np.stack(full, axis=-1))
     raise ValueError("JPEG: no scan data found")
 
 

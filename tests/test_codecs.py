@@ -462,9 +462,10 @@ def test_jpeg_color_444_roundtrip():
 
 
 def test_jpeg_unsupported_streams_raise_loudly():
-    """Progressive (SOF2) and restart intervals raise
-    NotImplementedError; garbage raises ValueError — never a silent
-    wrong decode."""
+    """Extended sequential (SOF1) raises NotImplementedError; a
+    baseline stream whose SOF marker is flipped to SOF2 is a malformed
+    hybrid (full-band DC scan) and raises ValueError; garbage raises
+    ValueError — never a silent wrong decode."""
     from asid_v2_data_pipeline_spark.functions.codecs import (
         parse_jpeg,
         write_jpeg,
@@ -473,8 +474,13 @@ def test_jpeg_unsupported_streams_raise_loudly():
     x = np.zeros((8, 8), dtype=np.uint8)
     blob = bytearray(write_jpeg(x))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # pretend progressive
-    with pytest.raises(NotImplementedError, match="baseline"):
+    blob[sof + 1] = 0xC1  # extended sequential
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        parse_jpeg(bytes(blob))
+    blob = bytearray(write_jpeg(x))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2  # SOF2 marker over a baseline scan structure
+    with pytest.raises(ValueError, match="Se=0"):
         parse_jpeg(bytes(blob))
     blob = bytearray(write_jpeg(x))
     sof = blob.find(b"\xff\xc0")
@@ -848,6 +854,177 @@ def test_jpeg_restart_intervals():
     blob[first + 1] = 0xD3  # RST0 -> RST3
     with pytest.raises(ValueError, match="out of sequence"):
         parse_jpeg(bytes(blob))
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) transmits the SAME quantized coefficients as
+    baseline, only reordered — so for every shape / quality /
+    subsampling the progressive encode must decode bit-for-bit equal
+    to the baseline encode of the same pixels.  This is the r10
+    correctness pin: any bug in spectral selection, successive
+    approximation, EOB-run coding, or the refinement correction bits
+    breaks the equality."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+        write_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(42)
+    cases = [
+        ((8, 8), "444"),
+        ((24, 17), "444"),
+        ((16, 16, 3), "444"),
+        ((24, 17, 3), "444"),
+        ((32, 32, 3), "420"),
+        ((40, 33, 3), "420"),  # luma ceil-grid < MCU grid
+    ]
+    for shape, sub in cases:
+        for quality in (25, 60, 92):
+            px = rng.randint(0, 256, shape).astype(np.uint8)
+            base = parse_jpeg(write_jpeg(px, quality, subsampling=sub))
+            blob = write_jpeg_progressive(px, quality, subsampling=sub)
+            assert b"\xff\xc2" in blob  # really SOF2
+            assert blob.count(b"\xff\xda") > 1  # really multi-scan
+            np.testing.assert_array_equal(parse_jpeg(blob), base)
+
+
+def test_jpeg_progressive_restarts_and_custom_scripts():
+    """Restart markers inside progressive scans (DC-predictor + EOB-run
+    reset at byte-aligned RSTn) and non-default scan scripts — per-
+    component DC scans (non-interleaved traversal), split AC bands,
+    3-bit-deep successive approximation — all decode equal to
+    baseline."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+        write_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(9)
+    px = rng.randint(0, 256, (40, 33, 3)).astype(np.uint8)
+    base = parse_jpeg(write_jpeg(px, 70, subsampling="420"))
+    for ri in (1, 3, 7):
+        blob = write_jpeg_progressive(
+            px, 70, subsampling="420", restart_interval=ri
+        )
+        assert any(bytes([0xFF, 0xD0 + m]) in blob for m in range(8))
+        np.testing.assert_array_equal(parse_jpeg(blob), base)
+    script = [
+        ((0,), 0, 0, 0, 2), ((1,), 0, 0, 0, 2), ((2,), 0, 0, 0, 2),
+        ((0,), 1, 1, 0, 1), ((0,), 2, 63, 0, 1),
+        ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0),
+        ((0,), 0, 0, 2, 1), ((1,), 0, 0, 2, 1), ((2,), 0, 0, 2, 1),
+        ((0,), 0, 0, 1, 0), ((1,), 0, 0, 1, 0), ((2,), 0, 0, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+    np.testing.assert_array_equal(
+        parse_jpeg(
+            write_jpeg_progressive(px, 70, subsampling="420", scans=script)
+        ),
+        base,
+    )
+    deep = [
+        ((0,), 0, 0, 0, 3), ((0,), 1, 63, 0, 3), ((0,), 1, 63, 3, 2),
+        ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0), ((0,), 0, 0, 3, 2),
+        ((0,), 0, 0, 2, 1), ((0,), 0, 0, 1, 0),
+    ]
+    g = rng.randint(0, 256, (17, 9)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        parse_jpeg(write_jpeg_progressive(g, 50, scans=deep)),
+        parse_jpeg(write_jpeg(g, 50)),
+    )
+
+
+def test_jpeg_progressive_scan_script_validation():
+    """Illegal or incomplete scan scripts are rejected at WRITE time:
+    an incomplete script would encode fine but decode unequal to
+    baseline, so the writer refuses it loudly."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        write_jpeg_progressive,
+    )
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    bad = [
+        ([((0,), 0, 5, 0, 0)], "Se=0"),  # DC scan with AC band
+        ([((0, 0), 0, 0, 0, 0)], "component list"),  # duplicate comp
+        ([((0,), 1, 63, 0, 0)], "AC before DC"),  # AC without DC
+        (  # refinement skips a bit
+            [((0,), 0, 0, 0, 2), ((0,), 0, 0, 2, 0), ((0,), 1, 63, 0, 0)],
+            "exactly 1",
+        ),
+        (  # never reaches bit 0
+            [((0,), 0, 0, 0, 1), ((0,), 1, 63, 0, 0)],
+            "incomplete",
+        ),
+        (  # same band transmitted twice as first
+            [((0,), 0, 0, 0, 0), ((0,), 1, 63, 0, 0), ((0,), 1, 63, 0, 0)],
+            "sequence invalid",
+        ),
+    ]
+    for scans, msg in bad:
+        with pytest.raises(ValueError, match=msg):
+            write_jpeg_progressive(px, scans=scans)
+
+
+def test_jpeg_randomized_roundtrip_matrix():
+    """Seeded randomized matrix (VERDICT r10 task 2 — the discipline
+    that caught the MP3 region-boundary bug): random shapes, gray/RGB,
+    qualities, subsampling, restart intervals, and randomly GENERATED
+    legal progressive scan scripts.  Every combination must satisfy
+    progressive == baseline decode, and the baseline must equal the
+    fixed-point reference pipeline (already pinned elsewhere for 8×8).
+    Fixed seed: failures reproduce."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+        write_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(1234)
+
+    def random_script(ncomp):
+        """A random legal, complete script: random DC hold-back bit,
+        random AC band split points and approximation depth."""
+        dc_al = int(rng.randint(0, 3))
+        scans = [(tuple(range(ncomp)), 0, 0, 0, dc_al)]
+        for al in range(dc_al, 0, -1):
+            scans.append((tuple(range(ncomp)), 0, 0, al, al - 1))
+        for c in range(ncomp):
+            ac_al = int(rng.randint(0, 3))
+            # random split of 1..63 into 1-3 bands
+            nb = int(rng.randint(1, 4))
+            cuts = sorted(rng.choice(range(2, 63), nb - 1, replace=False))
+            bounds = [1] + [int(x) for x in cuts] + [64]
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                scans.append(((c,), b0, b1 - 1, 0, ac_al))
+            for al in range(ac_al, 0, -1):
+                scans.append(((c,), 1, 63, al, al - 1))
+        return scans
+
+    for trial in range(24):
+        gray = bool(rng.randint(0, 2))
+        h = int(rng.randint(1, 49))
+        w = int(rng.randint(1, 49))
+        shape = (h, w) if gray else (h, w, 3)
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        quality = int(rng.randint(5, 99))
+        sub = "444" if gray or rng.randint(0, 2) else "420"
+        ri = int(rng.choice([0, 0, 1, 2, 5]))
+        base = parse_jpeg(
+            write_jpeg(px, quality, restart_interval=ri, subsampling=sub)
+        )
+        blob = write_jpeg_progressive(
+            px,
+            quality,
+            subsampling=sub,
+            scans=random_script(1 if gray else 3),
+            restart_interval=ri,
+        )
+        prog = parse_jpeg(blob)
+        assert np.array_equal(prog, base), (
+            f"trial {trial}: shape={shape} q={quality} sub={sub} ri={ri}"
+        )
 
 
 def test_gif_interlace_and_local_palette():
