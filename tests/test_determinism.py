@@ -90,6 +90,8 @@ CASES = [
     "mm_audio_multicodec3",
     "mm_mp3_general",
     "mm_mp3_intensity_rms",
+    # round 10: progressive JPEG (SOF2 multi-scan) decode
+    "mm_jpeg_progressive",
 ]
 
 
