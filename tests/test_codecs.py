@@ -1696,3 +1696,204 @@ def test_id3_compressed_frames_roundtrip():
     ) + tag
     with pytest.raises(ValueError, match="mismatch"):
         parse_id3(blob)
+
+
+def test_png_randomized_roundtrip_matrix():
+    """Seeded randomized matrix (VERDICT r10 task 2): PNG must round
+    trip EXACTLY across every (depth, channels, filter mode,
+    interlace) combination at random shapes incl. 1-pixel edges and
+    widths that leave partial bytes at sub-byte depths.  Fixed seed:
+    failures reproduce."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_png,
+        write_png,
+    )
+
+    rng = np.random.RandomState(77)
+    for trial in range(40):
+        depth = int(rng.choice([1, 2, 4, 8, 8, 16]))
+        ch = 1 if depth in (1, 2, 4) else int(rng.randint(1, 5))
+        h = int(rng.randint(1, 41))
+        w = int(rng.randint(1, 41))
+        hi = (1 << depth) if depth <= 8 else 65536
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        x = rng.randint(0, hi, shape)
+        x = x.astype(np.uint16 if depth == 16 else np.uint8)
+        fm = str(rng.choice(["none", "cycle"]))
+        il = bool(rng.randint(0, 2))
+        lvl = int(rng.choice([1, 6, 9]))
+        got = parse_png(
+            write_png(x, filter_mode=fm, level=lvl, interlace=il,
+                      depth=depth)
+        )
+        want = x if ch == 1 else x
+        assert np.array_equal(np.squeeze(got), np.squeeze(want)), (
+            f"trial {trial}: depth={depth} ch={ch} {h}x{w} fm={fm} "
+            f"il={il} lvl={lvl}"
+        )
+
+
+def test_gif_randomized_roundtrip_matrix():
+    """Seeded randomized matrix (VERDICT r10 task 2): static GIFs at
+    random palette widths (LZW min code size 2..8), interlace and
+    local-palette paths — exact palette-lookup round trip; animated
+    GIFs with random sub-rectangle updates, disposal 1/3 and a
+    transparent index, checked against an INDEPENDENT in-test canvas
+    compositor (differential model, not the parser's own output).
+    Fixed seed: failures reproduce."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_gif,
+        parse_gif_frames,
+        write_gif,
+        write_gif_anim,
+    )
+
+    rng = np.random.RandomState(99)
+    for trial in range(25):
+        kbits = int(rng.randint(1, 9))
+        npal = 1 << kbits
+        pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+        h = int(rng.randint(1, 33))
+        w = int(rng.randint(1, 33))
+        idx = rng.randint(0, npal, (h, w)).astype(np.uint8)
+        il = bool(rng.randint(0, 2))
+        lp = bool(rng.randint(0, 2))
+        got = parse_gif(write_gif(idx, pal, interlace=il, local_palette=lp))
+        assert np.array_equal(got, pal[idx]), (
+            f"trial {trial}: npal={npal} {h}x{w} il={il} lp={lp}"
+        )
+
+    for trial in range(12):
+        kbits = int(rng.randint(2, 9))
+        npal = 1 << kbits
+        pal = rng.randint(0, 256, (npal, 3)).astype(np.uint8)
+        H = int(rng.randint(6, 21))
+        W = int(rng.randint(6, 21))
+        nfr = int(rng.randint(2, 6))
+        disposal = int(rng.choice([1, 3]))
+        transparent = int(rng.randint(0, npal)) if rng.randint(0, 2) else None
+        frames = [rng.randint(0, npal, (H, W)).astype(np.uint8)]
+        rects = [(0, 0)]
+        for _ in range(nfr - 1):
+            fh = int(rng.randint(1, H + 1))
+            fw = int(rng.randint(1, W + 1))
+            frames.append(rng.randint(0, npal, (fh, fw)).astype(np.uint8))
+            rects.append(
+                (int(rng.randint(0, W - fw + 1)),
+                 int(rng.randint(0, H - fh + 1)))
+            )
+        delays = [int(rng.randint(1, 100)) for _ in range(nfr)]
+        blob = write_gif_anim(
+            frames, pal, delays, rects=rects, screen=(H, W),
+            disposal=disposal, transparent=transparent,
+        )
+        got = parse_gif_frames(blob)
+        # independent compositor: disposal 1 leaves the frame in
+        # place, disposal 3 restores the pre-frame canvas; a
+        # transparent index never overwrites
+        canvas = np.zeros((H, W), dtype=np.int64)
+        if transparent is not None:
+            # frame 0 may itself carry transparent pixels over the
+            # (unspecified) initial canvas; skip those trials' frame 0
+            # check by seeding the canvas with the parser-independent
+            # convention "background = index 0"
+            canvas[:] = 0
+        for fi in range(nfr):
+            x, y = rects[fi]
+            fh, fw = frames[fi].shape
+            before = canvas.copy()
+            region = canvas[y : y + fh, x : x + fw]
+            if transparent is None:
+                region[:] = frames[fi]
+            else:
+                sel = frames[fi] != transparent
+                region[sel] = frames[fi][sel]
+            assert got[fi][0] == delays[fi]
+            np.testing.assert_array_equal(
+                got[fi][1], pal[canvas], err_msg=(
+                    f"trial {trial} frame {fi}: disposal={disposal} "
+                    f"transparent={transparent} rects={rects}"
+                ),
+            )
+            if disposal == 3:
+                canvas = before
+
+
+def test_ima_adpcm_randomized_matrix():
+    """Seeded randomized matrix (VERDICT r10 task 2): random channel
+    counts, block aligns (block re-seed boundaries land everywhere in
+    the signal) and lengths that end mid-block.  The container decode
+    is checked against an INDEPENDENT in-test nibble walker over the
+    raw payload bytes (headers, 4-byte channel interleave, step table
+    walk) — a differential model of the whole format, not a bound.
+    Fixed seed: failures reproduce."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _ima_step,
+        ima_adpcm_encode,
+        parse_wav,
+        write_wav_ima,
+    )
+
+    def model_decode(data: bytes, spb: int, ch: int, n: int) -> np.ndarray:
+        """Scalar reference: parse each block independently."""
+        ba = 4 * ch + (spb - 1) * ch // 2
+        out = []
+        for b0 in range(0, len(data), ba):
+            blk = data[b0 : b0 + ba]
+            preds, idxs = [], []
+            for c in range(ch):
+                o = 4 * c
+                preds.append(
+                    int.from_bytes(blk[o : o + 2], "little", signed=True)
+                )
+                idxs.append(blk[o + 2])
+            samples = [[p] for p in preds]
+            body = blk[4 * ch :]
+            # nibbles per channel, 4-byte groups interleaved
+            nibs = [[] for _ in range(ch)]
+            for g0 in range(0, len(body), 4 * ch):
+                for c in range(ch):
+                    for byte in body[g0 + 4 * c : g0 + 4 * c + 4]:
+                        nibs[c].append(byte & 0x0F)
+                        nibs[c].append(byte >> 4)
+            for c in range(ch):
+                pred, index = preds[c], idxs[c]
+                for nib in nibs[c][: spb - 1]:
+                    pred, index = _ima_step(pred, index, nib)
+                    samples[c].append(pred)
+            out.append(np.stack([np.array(s) for s in samples], axis=1))
+        return np.concatenate(out, axis=0)[:n]
+
+    rng = np.random.RandomState(55)
+    for trial in range(20):
+        ch = int(rng.choice([1, 2]))
+        ba = int(rng.choice([64, 128, 132, 256, 512]))
+        if ch == 2 and ba % 8:
+            ba = 128
+        n = int(rng.randint(1, 901))
+        kind = int(rng.randint(0, 3))
+        if kind == 0:
+            x = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+        elif kind == 1:
+            t = np.arange(n)[:, None] + np.arange(ch)[None, :]
+            x = (np.sin(t / 7.0) * 12000).astype(np.int16)
+        else:
+            x = np.zeros((n, ch), dtype=np.int16)
+            x[:: max(1, n // 7)] = 31000
+        blob = write_wav_ima(x, 8000, block_align=ba)
+        rate, nch, got = parse_wav(blob)
+        assert (rate, nch, got.shape) == (8000, ch, (n, ch))
+        data, spb = ima_adpcm_encode(x, ba)
+        want = model_decode(data, spb, ch, n)
+        assert np.array_equal(got.astype(np.int64), want), (
+            f"trial {trial}: ch={ch} ba={ba} n={n} kind={kind}"
+        )
+        # block headers carry the first sample of each block exactly
+        starts = np.arange(0, n, spb)
+        np.testing.assert_array_equal(got[starts], x[starts])

@@ -251,3 +251,48 @@ def test_property_any_samples_round_trip():
         assert np.array_equal(y, x)
 
     check()
+
+
+def test_flac_randomized_full_depth_matrix():
+    """Seeded randomized matrix (VERDICT r10 task 2): the Hypothesis
+    property above samples bits {8,16,24} and ch 1..3 — this matrix
+    forces the REMAINING encoder surface: every supported bit depth
+    incl. 12/20/32, channel counts up to 8, odd block sizes that leave
+    ragged final partitions, wasted-bits signals (low bits zero), and
+    sign-extreme samples.  Exact lossless round trip with MD5 verify
+    on, every trial.  Fixed seed: failures reproduce."""
+    rng = np.random.default_rng(20251212)
+    depths = [8, 12, 16, 20, 24, 32]
+    for trial in range(30):
+        bits = int(rng.choice(depths))
+        ch = int(rng.integers(1, 9))
+        n = int(rng.integers(1, 1500))
+        block = int(rng.integers(16, 600))
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        kind = int(rng.integers(0, 4))
+        if kind == 0:  # full-range noise
+            x = rng.integers(lo, hi, size=(n, ch), endpoint=True)
+        elif kind == 1:  # wasted bits: low w bits zero
+            w = int(rng.integers(1, min(8, bits - 1)))
+            x = (rng.integers(lo >> w, hi >> w, size=(n, ch),
+                              endpoint=True) << w)
+        elif kind == 2:  # smooth per-channel tones (fixed predictors)
+            t = np.arange(n)[:, None] + np.arange(ch)[None, :] * 7
+            x = (np.sin(t / 13.0) * (hi // 3)).astype(np.int64)
+        else:  # extremes + runs of constants
+            x = rng.choice(
+                np.array([lo, lo + 1, -1, 0, 1, hi - 1, hi]),
+                size=(n, ch),
+            )
+            if n > 10:
+                x[n // 3 : n // 3 + 5] = hi  # constant stretch
+        x = x.astype(np.int64)
+        mode = "mid_side" if ch == 2 and rng.integers(0, 2) else "independent"
+        blob = write_flac(
+            x, bits_per_sample=bits, block_size=block, stereo_mode=mode
+        )
+        rate, b2, y = parse_flac(blob)  # verify_md5 defaults on
+        assert b2 == bits and np.array_equal(y, x), (
+            f"trial {trial}: bits={bits} ch={ch} n={n} block={block} "
+            f"kind={kind} mode={mode}"
+        )
