@@ -73,6 +73,25 @@ answer.
   Retention is the reader contract: vacuum(keep=k) breaks readers
   pinned to versions older than latest-k+1, same as any table format's
   expire-snapshots.
+
+**Log-structured manifests (r10).**  A naive manifest stores the FULL
+file list, so commit cost is O(total files): at ~10⁵–10⁶ files (100 TB)
+every small append rewrites megabytes of metadata.  Instead, a commit
+records a DELTA against its parent — ``{"base": N-1, "add": [...],
+"remove_tails": [...], "add_stats": {...}}`` — and every
+``_CHECKPOINT_EVERY``-th version (plus every overwrite/rollback, whose
+delta would be the whole table anyway) is a FULL checkpoint, so commit
+bytes are O(files touched) and a reader reconstructs any version from
+the nearest checkpoint plus at most ``_CHECKPOINT_EVERY - 1`` tail
+records (Delta Lake's log + checkpoint.parquet shape).  The encoder
+REPLAYS the delta against the parent before writing and falls back to
+a full record on any mismatch, so a delta in the log is correct by
+construction.  The exclusive-create commit point, rebase semantics and
+the logical manifest shape returned by ``read_manifest`` are all
+unchanged — the delta encoding is invisible above this module.
+``vacuum`` rewrites any retained delta whose parent falls outside
+retention as a full record before deleting expired manifests, keeping
+every retained chain self-contained.
 """
 
 from __future__ import annotations
@@ -154,12 +173,111 @@ def latest_version(path: str, spark: SparkSession | None = None) -> int | None:
     return n
 
 
+# every k-th version is a full checkpoint; the versions between carry
+# O(files-touched) delta records (see module docstring)
+_CHECKPOINT_EVERY = 16
+
+
+def _replay(base: dict, rec: dict) -> dict:
+    """Apply one delta record to its parent's LOGICAL manifest:
+    surviving files keep their order, removed basenames drop their
+    stats, added files append (the exact shape every writer builds)."""
+    files = base["files"]
+    stats = dict(base.get("stats", {}))
+    rt = set(rec.get("remove_tails", ()))
+    if rt:
+        files = [f for f in files if f.rsplit("/", 1)[-1] not in rt]
+        for t in rt:
+            stats.pop(t, None)
+    files = files + rec.get("add", [])
+    stats.update(rec.get("add_stats", {}))
+    out = {
+        "version": rec["version"],
+        "mode": rec["mode"],
+        "files": files,
+        "schema": rec["schema"],
+    }
+    if stats:
+        out["stats"] = stats
+    for k in ("batch_id", "rolled_back_to"):
+        if k in rec:
+            out[k] = rec[k]
+    return out
+
+
+def _reconstruct(fs, path: str, raw: dict) -> dict:
+    """Logical manifest for a raw record: full records pass through,
+    delta records walk back to the nearest checkpoint and replay
+    forward (≤ _CHECKPOINT_EVERY - 1 tail reads)."""
+    chain = [raw]
+    m = raw
+    while "base" in m:
+        b = _try_read_manifest(fs, path, m["base"])
+        if b is None:
+            raise IOError(
+                f"manifest chain for v{raw['version']} at {path} is "
+                f"broken at v{m['base']} (vacuumed or torn)"
+            )
+        chain.append(b)
+        m = b
+    out = chain[-1]
+    for rec in reversed(chain[:-1]):
+        out = _replay(out, rec)
+    return out
+
+
+def _as_record(manifest: dict, prev: dict | None) -> dict:
+    """The on-disk record for a logical manifest: a delta against its
+    parent when one applies, a full checkpoint every
+    ``_CHECKPOINT_EVERY`` versions and for overwrite/rollback (whose
+    delta would be table-sized).  The delta is written ONLY if
+    replaying it over the parent reproduces the logical manifest
+    exactly — any drift (file order, stats) falls back to a full
+    record, so correctness never depends on the encoding."""
+    n = manifest["version"]
+    if (
+        prev is None
+        or prev.get("version") != n - 1
+        or n % _CHECKPOINT_EVERY == 0
+        or manifest["mode"] in ("overwrite", "rollback")
+    ):
+        return manifest
+    prev_files = prev["files"]
+    prev_set = set(prev_files)
+    fset = set(manifest["files"])
+    add = [f for f in manifest["files"] if f not in prev_set]
+    remove_tails = sorted(
+        f.rsplit("/", 1)[-1] for f in prev_files if f not in fset
+    )
+    prev_stats = prev.get("stats", {})
+    add_stats = {
+        t: v
+        for t, v in manifest.get("stats", {}).items()
+        if prev_stats.get(t) != v
+    }
+    rec = {
+        "version": n,
+        "mode": manifest["mode"],
+        "base": n - 1,
+        "add": add,
+        "remove_tails": remove_tails,
+        "schema": manifest["schema"],
+    }
+    if add_stats:
+        rec["add_stats"] = add_stats
+    if "batch_id" in manifest:
+        rec["batch_id"] = manifest["batch_id"]
+    if _replay(prev, rec) != manifest:
+        return manifest
+    return rec
+
+
 def read_manifest(path: str, n: int, spark: SparkSession | None = None) -> dict:
     fs = get_fs(spark, path)
     m = _try_read_manifest(fs, path, n)
     if m is None:
         raise FileNotFoundError(_manifest_path(path, n))
-    return m
+    return _reconstruct(fs, path, m)
 
 
 def _write_hint(fs, path: str, n: int) -> None:
@@ -305,10 +423,11 @@ def commit_version(
         _file_stats(spark, new_files, stats_cols) if stats_cols else {}
     )
 
-    def _manifest_at(cur_v: int | None) -> dict:
+    def _manifest_at(cur_v: int | None) -> tuple[dict, dict | None]:
         base: list[str] = []
         schema_json = df.schema.json()
         stats: dict = {}
+        prev: dict | None = None
         if mode == "append" and cur_v is not None:
             prev = read_manifest(path, cur_v, spark)
             base = prev["files"]
@@ -325,12 +444,12 @@ def commit_version(
             m["stats"] = stats
         if batch_id is not None:
             m["batch_id"] = batch_id
-        return m
+        return m, prev
 
-    manifest = _manifest_at(cur)
+    manifest, prev_logical = _manifest_at(cur)
     for _ in range(_APPEND_REBASE_RETRIES + 1):
         try:
-            _claim_version(fs, path, n, manifest)
+            _claim_version(fs, path, n, _as_record(manifest, prev_logical))
             _write_hint(fs, path, n)
             return n
         except VersionConflictError:
@@ -358,7 +477,7 @@ def commit_version(
                 fs.delete(vdir, recursive=True)
                 return cur
             try:
-                manifest = _manifest_at(cur)
+                manifest, prev_logical = _manifest_at(cur)
             except ValueError:
                 fs.delete(vdir, recursive=True)
                 raise
@@ -420,7 +539,7 @@ def _commit_file_set(
         if out_stats:
             manifest["stats"] = out_stats
         try:
-            _claim_version(fs, path, n, manifest)
+            _claim_version(fs, path, n, _as_record(manifest, base))
             _write_hint(fs, path, n)
             return n
         except VersionConflictError:
@@ -778,6 +897,8 @@ def table_history(
         m = _try_read_manifest(fs, path, int(digits))
         if m is None:
             continue
+        if "base" in m:  # delta record: n_files needs the logical view
+            m = _reconstruct(fs, path, m)
         row = {
             "version": m["version"],
             "mode": m["mode"],
@@ -945,6 +1066,21 @@ def vacuum(path: str, keep: int = 2, spark: SparkSession | None = None) -> list[
     if cur is None:
         return []
     retained = range(max(0, cur - keep + 1), cur + 1)
+    # retained delta records whose parent is about to expire get
+    # rewritten as full checkpoints FIRST, so every retained chain
+    # stays self-contained after the expired manifests are deleted
+    # (ascending order: deeper chains still resolve while rewriting).
+    # Safe under vacuum's no-concurrent-writers contract — the record
+    # content is the same logical manifest, re-encoded.
+    for n in retained:
+        raw = _try_read_manifest(fs, path, n)
+        if raw is not None and "base" in raw and raw["base"] < retained[0]:
+            full = _reconstruct(fs, path, raw)
+            fs.write_bytes(
+                _manifest_path(path, n),
+                json.dumps(full).encode(),
+                overwrite=True,
+            )
     live: set[str] = set()
     for n in retained:
         live.update(read_manifest(path, n, spark)["files"])

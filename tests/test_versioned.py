@@ -668,3 +668,108 @@ def test_merge_upsert_timestamp_key(spark, tmp_path):
     latest = V.read_latest(spark, p)
     assert latest.count() == 96
     assert latest.filter("rev = 1").count() == 2
+
+
+def _manifest_bytes(p, n):
+    with open(os.path.join(p, "_versions", f"v{n}.json"), "rb") as f:
+        return f.read()
+
+
+def test_log_structured_manifests_commit_is_o_delta(spark, tmp_path):
+    """VERDICT r10 task 3: a long append history must write O(files
+    touched) bytes per commit, NOT O(total files) — at 100 TB
+    (~10⁵–10⁶ files) a full-list manifest makes every small append
+    rewrite megabytes of metadata.  Non-checkpoint records are deltas
+    (base + add, no full file list); checkpoints land every
+    _CHECKPOINT_EVERY versions; reconstruction returns the identical
+    logical manifest at every version."""
+    p = str(tmp_path / "t")
+    one = spark.range(0, 1).selectExpr("id", "id AS x").coalesce(1)
+    n_commits = 40
+    for i in range(n_commits):
+        V.commit_version(one, p, mode="append")
+    sizes = [len(_manifest_bytes(p, n)) for n in range(n_commits)]
+    raws = [
+        json.loads(_manifest_bytes(p, n).decode()) for n in range(n_commits)
+    ]
+    # deltas carry no "files" key and exactly one added file; their
+    # size is flat in table size (the O(delta) contract)
+    delta_ns = [n for n, r in enumerate(raws) if "base" in r]
+    ckpt_ns = [n for n, r in enumerate(raws) if "base" not in r]
+    assert 0 in ckpt_ns  # first commit has no parent
+    assert all(
+        n % V._CHECKPOINT_EVERY == 0 for n in ckpt_ns
+    ), f"unexpected checkpoints at {ckpt_ns}"
+    assert len(delta_ns) == n_commits - len(ckpt_ns)
+    for n in delta_ns:
+        assert "files" not in raws[n] and len(raws[n]["add"]) == 1
+    # O(delta): the last delta is no bigger than an early one (+slack
+    # for the version digits), while the table has grown 40x
+    early = next(s for n, s in enumerate(sizes) if n in delta_ns)
+    late = sizes[max(delta_ns)]
+    assert late <= early + 64, (early, late)
+    # checkpoints DO grow with the table — that's their job
+    assert len(_manifest_bytes(p, 32)) > len(_manifest_bytes(p, 16)) > sizes[1]
+    # reconstruction: every version's logical view is exact
+    for n in (0, 1, 15, 16, 17, 31, 32, n_commits - 1):
+        m = V.read_manifest(p, n)
+        assert m["version"] == n and len(m["files"]) == n + 1
+        assert V.read_version(spark, p, n).count() == n + 1
+
+
+def test_log_structured_manifests_with_merge_delete_and_stats(
+    spark, tmp_path
+):
+    """Delta records survive the harder writers: merge/delete rewrite
+    files (remove_tails + add), stats follow their files through the
+    encoding, and data-skipping reads reconstruct the same pruned
+    sets."""
+    p = str(tmp_path / "t")
+    base = spark.range(0, 100).selectExpr("id", "id * 2 AS x")
+    V.commit_version(base.repartition(4), p, stats_cols=["id"])
+    for i in range(3):
+        upd = spark.range(i * 10, i * 10 + 5).selectExpr(
+            "id", "id * 100 AS x"
+        )
+        V.merge_upsert(spark, p, upd, "id", stats_cols=["id"])
+    V.delete_where(spark, p, "id >= 95", stats_cols=["id"])
+    cur = V.latest_version(p)
+    raws = [
+        json.loads(_manifest_bytes(p, n).decode()) for n in range(cur + 1)
+    ]
+    assert any("base" in r and r.get("remove_tails") for r in raws[1:])
+    m = V.read_manifest(p, cur)
+    got = sorted(
+        tuple(r) for r in V.read_latest(spark, p).collect()
+    )
+    # ids 0-4, 10-14, 20-24 updated by the merges; 95+ deleted
+    want = sorted(
+        [(i, i * 100) for i in list(range(5)) + list(range(10, 15)) + list(range(20, 25))]
+        + [(i, i * 2) for i in range(100) if i < 95 and not (
+            i < 5 or 10 <= i < 15 or 20 <= i < 25)]
+    )
+    assert got == want
+    # stats survive the delta encoding: every live file has its zone
+    assert set(m["stats"]) == {f.rsplit("/", 1)[-1] for f in m["files"]}
+
+
+def test_vacuum_repairs_delta_chains(spark, tmp_path):
+    """vacuum deletes expired manifests; retained delta records whose
+    parent expired are rewritten as full checkpoints first, so every
+    retained version stays readable afterwards."""
+    p = str(tmp_path / "t")
+    one = spark.range(0, 1).selectExpr("id", "id AS x").coalesce(1)
+    for _ in range(8):
+        V.commit_version(one, p, mode="append")
+    # versions 1..7 are deltas on the v0 checkpoint; keep only 6,7
+    raw7 = json.loads(_manifest_bytes(p, 7).decode())
+    assert "base" in raw7
+    V.vacuum(p, keep=2)
+    raw6 = json.loads(_manifest_bytes(p, 6).decode())
+    assert "base" not in raw6  # rewritten full: parent expired
+    raw7 = json.loads(_manifest_bytes(p, 7).decode())
+    assert raw7.get("base") == 6  # still a delta on the retained v6
+    assert V.read_version(spark, p, 6).count() == 7
+    assert V.read_version(spark, p, 7).count() == 8
+    with pytest.raises(FileNotFoundError):
+        V.read_manifest(p, 3)
