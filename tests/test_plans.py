@@ -412,3 +412,118 @@ def test_anomaly_zscore_broadcast_stats_no_window(spark):
     plan = _plan(spark, "t_anomaly_zscore")
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_collect_sites_are_whitelisted_and_bounded():
+    """VERDICT r10 task 4 — the driver-materialization blanket: every
+    ``.collect()`` in the non-test source tree is enumerated here with
+    the reason its result is METADATA-sized (k·dim centroids, bucket
+    id lists, per-file stats...), and the test fails on any NEW or
+    moved site.  A regression that collects a data-sized result must
+    come past this list with a written bound — the same discipline as
+    the no-CartesianProduct blanket above.
+
+    The whitelist keys are (file, enclosing-function): line numbers
+    churn, function-level bounds don't.  Counts are per function, so a
+    second collect added to a whitelisted function still fails."""
+    import ast
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..",
+                        "asid_v2_data_pipeline_spark")
+    root = os.path.abspath(root)
+
+    # (file, function) -> (count, justification: why the collected
+    # result is bounded by metadata, never by table size)
+    whitelist = {
+        ("functions/bpe.py", "train_bpe_merges"):
+            (1, "top-1 pair per merge round (agg + limit)"),
+        ("functions/classifier.py", "train_hashed_logreg"):
+            (1, "hashed-dim gradient vector per epoch (fixed dim)"),
+        ("operators/bloom.py", "build_bloom"):
+            (1, "m/64 packed filter words (sized by m_bits param)"),
+        ("operators/sampling.py", "quota_per_group_scalable"):
+            (1, "one count row per group (group-cardinality bounded)"),
+        ("operators/selection.py", "_bucket_counts"):
+            (1, "one count row per histogram bucket"),
+        ("operators/selection.py", "_target_bigram_tables.counts"):
+            (1, "hashed-bucket LM table (fixed 2^b rows)"),
+        ("operators/similarity.py", "train_centroids_kmeanspp_lite"):
+            (1, "k seed vectors (k*dim)"),
+        ("operators/similarity.py", "train_centroids_kmeans"):
+            (1, "k centroid sums per round (k*dim)"),
+        ("operators/similarity.py", "train_pq_codebooks_lite"):
+            (1, "m*ks codewords (subspace codebooks)"),
+        ("operators/similarity.py", "train_pq_codebooks_kmeans"):
+            (1, "m*ks codeword sums per round"),
+        ("operators/similarity.py", "read_ivf_centroids"):
+            (1, "persisted centroid table (k*dim)"),
+        ("operators/similarity.py", "read_pq_codebooks"):
+            (1, "persisted codebook table (m*ks*dsub)"),
+        ("operators/similarity.py", "topk_cosine_ivf_pq_indexed"):
+            (1, "probed cell ids of the QUERY vector (nprobe ints)"),
+        ("operators/similarity.py", "topk_cosine_ivf_adc_indexed"):
+            (1, "probed cell ids of the QUERY vector (nprobe ints)"),
+        ("operators/split.py", "_order_boundaries"):
+            (1, "sample_rows boundary keys (capped sample)"),
+        ("operators/split.py", "_global_row_number"):
+            (1, "one count row per bucket (fixed bucket count)"),
+        ("plans/incremental.py", "run_incremental_build"):
+            (1, "unprocessed scene NAMES (ledger anti-join, not rows)"),
+        ("queries/scale.py", "_cluster_assign"):
+            (1, "k cluster centroids (k*dim)"),
+        ("sources/compact.py", "compact_parquet_dir"):
+            (2, "per-FILE stats rows, twice (before/after counts)"),
+        ("sources/merge.py", "merge_upsert"):
+            (3, "dup-key probe (limit 1) + touched bucket id lists"),
+        ("sources/merge.py", "merge_aggregate"):
+            (2, "touched bucket id lists (update-side bounded)"),
+        ("sources/versioned.py", "_file_stats"):
+            (1, "per-NEW-file min/max stats rows"),
+        ("sources/versioned.py", "merge_upsert"):
+            (1, "touched FILE paths (distinct _metadata.file_path)"),
+        ("sources/versioned.py", "delete_where"):
+            (1, "touched FILE paths under the delete predicate"),
+        ("streaming/dedup_stream.py", "compact_index"):
+            (1, "distinct batch-generation ids (_bid partitions)"),
+    }
+
+    found: dict = {}
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, root).replace(os.sep, "/")
+            tree = ast.parse(open(p).read())
+            stack: list = []
+
+            class V(ast.NodeVisitor):
+                def visit_FunctionDef(self, node):
+                    stack.append(node.name)
+                    self.generic_visit(node)
+                    stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Attribute(self, node):
+                    if node.attr == "collect":
+                        key = (rel, ".".join(stack) or "<module>")
+                        found[key] = found.get(key, 0) + 1
+                    self.generic_visit(node)
+
+            V().visit(tree)
+
+    extra = {
+        k: c for k, c in found.items()
+        if k not in whitelist or c > whitelist[k][0]
+    }
+    gone = {k for k in whitelist if k not in found}
+    assert not extra, (
+        "NEW or multiplied .collect() sites — justify the bound and "
+        f"whitelist them here: {sorted(extra)}"
+    )
+    assert not gone, (
+        f"whitelisted collect sites vanished — prune the list: "
+        f"{sorted(gone)}"
+    )
