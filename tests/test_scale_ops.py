@@ -1844,3 +1844,58 @@ def test_bpe_encode_replace_chain_equals_reference_bpe(spark):
     for w in words:
         assert got[w] == ref_encode(w), (w, got[w], ref_encode(w))
         assert "".join(got[w]) == w  # lossless segmentation
+
+
+def test_media_arrow_batches_are_byte_bounded(spark, tmp_path, monkeypatch):
+    """VERDICT r10 task 5: maxRecordsPerBatch caps ROWS, so a corpus
+    of multi-MB payloads could hand the Python worker multi-GB Arrow
+    batches.  The media read derives partition count from actual
+    payload bytes (parquet footers), and an Arrow batch is a subset of
+    one partition — so per-batch bytes stay near the target no matter
+    the row cap.  Probed with oversized synthetic payloads and a
+    shrunk target."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from asid_v2_data_pipeline_spark.queries import scale as S
+
+    # 48 docs x ~1 MiB of incompressible payload = ~48 MiB
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "media_id": np.arange(48, dtype=np.int64),
+            "payload": [rng.bytes(1 << 20) for _ in range(48)],
+        }
+    )
+    path = str(tmp_path / "media")
+    spark.createDataFrame(pdf).write.parquet(path)
+
+    monkeypatch.setattr(S, "_MEDIA_BATCH_TARGET_BYTES", 4 << 20)
+    media = S._bounded_media_read(spark, path)
+    n_parts = media.rdd.getNumPartitions()
+    assert n_parts >= 12, n_parts  # ~48 MiB / 4 MiB
+
+    def probe(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {"batch_bytes": [int(sum(len(p) for p in b["payload"]))]}
+            )
+
+    sizes = [
+        r["batch_bytes"]
+        for r in media.mapInPandas(probe, "batch_bytes long").collect()
+    ]
+    assert sum(sizes) == 48 << 20  # every payload arrived exactly once
+    # hash partitioning is near-uniform on dense ids; allow 3x slack
+    # over the 4 MiB target before calling the bound broken
+    assert max(sizes) <= 3 * (4 << 20), sorted(sizes)[-5:]
+
+    # the production target would put this corpus in one partition per
+    # core — the bound only engages when payloads outgrow it
+    monkeypatch.setattr(S, "_MEDIA_BATCH_TARGET_BYTES", 64 << 20)
+    assert (
+        S._bounded_media_read(spark, path).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
