@@ -2870,7 +2870,14 @@ def mm_mkv_jpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated SQL (``_jpeg_passes_sql`` keyed by (doc_id, frame)) plus
     the demuxer's timestamp arithmetic — any drift in EBML framing,
     cluster rebasing, the bitstream, or either DCT pass breaks the
-    value hash."""
+    value hash.
+
+    r10: ODD frames are encoded PROGRESSIVE (SOF2 multi-scan) at the
+    same quality — a mixed SOF0/SOF2 stream inside one container, the
+    real-world MJPEG-archive shape.  Progressive transmits the same
+    quantized coefficients, so the oracle is untouched; the Spark
+    side now proves the container path handles both frame modes
+    through one magic dispatch."""
     from ..operators.multimodal import demux_decode_jpeg_pool
 
     n = _BMP_W * _BMP_H
@@ -2879,7 +2886,7 @@ def mm_mkv_jpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from ..functions.codecs import write_jpeg
+        from ..functions.codecs import write_jpeg, write_jpeg_progressive
         from ..functions.ebml import MkvTrack, write_mkv
 
         tracks = [
@@ -2895,7 +2902,7 @@ def mm_mkv_jpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1,
                         i * _MKV_TICKS,
                         True,  # MJPEG: every frame is a keyframe
-                        write_jpeg(
+                        (write_jpeg_progressive if i % 2 else write_jpeg)(
                             np.frombuffer(
                                 raw, np.uint8, count=n, offset=i * n
                             ).reshape(_BMP_H, _BMP_W),
