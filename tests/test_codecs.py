@@ -1897,3 +1897,130 @@ def test_ima_adpcm_randomized_matrix():
         # block headers carry the first sample of each block exactly
         starts = np.arange(0, n, spb)
         np.testing.assert_array_equal(got[starts], x[starts])
+
+
+def test_wav_randomized_roundtrip_matrix():
+    """Seeded randomized matrix (r10, extending VERDICT task 2 beyond
+    the five named families): PCM WAV at every depth (8/16/24/32-bit),
+    random channel counts and lengths incl. odd data sizes that force
+    the RIFF pad byte, plus the G.711 mu-law/A-law compressed paths
+    checked against their own codebook round trip.  Fixed seed:
+    failures reproduce."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        alaw_encode,
+        mulaw_encode,
+        parse_wav,
+        write_wav,
+        write_wav_alaw,
+        write_wav_mulaw,
+    )
+
+    rng = np.random.RandomState(31)
+    for trial in range(24):
+        bits = int(rng.choice([8, 16, 24, 32]))
+        ch = int(rng.randint(1, 5))
+        n = int(rng.randint(1, 700))
+        rate = int(rng.choice([8000, 16000, 44100]))
+        if bits == 8:
+            x = rng.randint(0, 256, (n, ch)).astype(np.uint8)
+        elif bits == 16:
+            x = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+        elif bits == 24:
+            x = rng.randint(-(1 << 23), 1 << 23, (n, ch)).astype(np.int32)
+        else:
+            x = rng.randint(
+                -(1 << 31), (1 << 31) - 1, (n, ch), dtype=np.int64
+            ).astype(np.int32)
+        blob = write_wav(x, rate, bits=24 if bits == 24 else None)
+        r, c, got = parse_wav(blob)
+        assert (r, c) == (rate, ch)
+        assert np.array_equal(got, x.astype(got.dtype)), (
+            f"trial {trial}: bits={bits} ch={ch} n={n}"
+        )
+
+    for trial in range(8):
+        n = int(rng.randint(1, 500))
+        x = rng.randint(-32768, 32768, n).astype(np.int16)
+        for enc, writer in (
+            (mulaw_encode, write_wav_mulaw),
+            (alaw_encode, write_wav_alaw),
+        ):
+            _r, _c, got = parse_wav(writer(x, 8000))
+            # G.711 is lossy: decode must equal decode(encode) of the
+            # codebook — i.e. re-encoding the decoded samples is a
+            # fixed point of the codec
+            again = enc(got[:, 0])
+            assert np.array_equal(enc(x), again), f"g711 trial {trial}"
+
+
+def test_mkv_randomized_roundtrip_matrix():
+    """Seeded randomized matrix (r10): Matroska mux/demux across
+    random track counts, frame counts/sizes (incl. empty payloads),
+    cluster groupings and all four lacing modes — payloads, absolute
+    timestamps, keyframe flags and track routing must survive exactly.
+    Fixed seed: failures reproduce."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.ebml import (
+        MkvTrack,
+        parse_mkv,
+        write_mkv,
+    )
+
+    rng = np.random.RandomState(13)
+    for trial in range(20):
+        lace = rng.choice([None, "xiph", "fixed", "ebml"])
+        ntracks = 1 if lace is not None else int(rng.randint(1, 4))
+        tracks = [
+            MkvTrack(
+                i + 1,
+                "video" if i % 2 == 0 else "audio",
+                f"V_TEST{i}" if i % 2 == 0 else f"A_TEST{i}",
+                width=16,
+                height=8,
+                sampling_hz=8000.0,
+                channels=1,
+            )
+            for i in range(ntracks)
+        ]
+        nfr = int(rng.randint(1, 25))
+        cluster_every = int(rng.choice([1, 2, 4, 7]))
+        frames = []
+        if lace is not None:
+            # lacing contract: one track, shared ts/keyframe per
+            # cluster -> give every frame in a cluster the same ts
+            size = int(rng.randint(0, 40))
+            for i in range(nfr):
+                ts = (i // cluster_every) * 80
+                payload = (
+                    rng.bytes(size)
+                    if lace == "fixed"
+                    else rng.bytes(int(rng.randint(0, 300)))
+                )
+                frames.append((1, ts, True, payload))
+        else:
+            ts = 0
+            for i in range(nfr):
+                ts += int(rng.randint(0, 50))
+                tno = int(rng.randint(1, ntracks + 1))
+                frames.append(
+                    (tno, ts, bool(rng.randint(0, 2)),
+                     rng.bytes(int(rng.randint(0, 300))))
+                )
+        blob = write_mkv(
+            frames, tracks, cluster_every=cluster_every,
+            lace_mode=None if lace is None else str(lace),
+        )
+        got = parse_mkv(blob)
+        assert sorted(got.tracks) == [t.number for t in tracks]
+        assert len(got.frames) == nfr, (
+            f"trial {trial}: lace={lace} nfr={nfr} "
+            f"cluster_every={cluster_every}"
+        )
+        for (tn, ts, kf, pl), (gtn, gts, gkf, gpl) in zip(
+            frames, got.frames
+        ):
+            assert (tn, ts, kf) == (gtn, gts, gkf), f"trial {trial}"
+            assert bytes(pl) == bytes(gpl), f"trial {trial}"
