@@ -2454,7 +2454,8 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: BMP, PNG, GIF or baseline JPEG ->
+    """Magic-dispatched image decode: BMP, PNG, GIF or JPEG (baseline
+    SOF0 and progressive SOF2) ->
     uint8 RGB-ish array (PNG alpha/gray channels preserved).  Other
     formats raise ``NotImplementedError``."""
     if payload[:2] == b"BM":

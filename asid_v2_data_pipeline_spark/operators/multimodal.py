@@ -4,7 +4,8 @@ Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode/resize/frame-sample run as Arrow-batched ``mapInPandas``
 over them.  Real container decode: WAV/PCM + G.711 mu-law, uncompressed
 BMP, PNG (DEFLATE + all five scanline filters, via stdlib zlib), GIF
-(LZW) and — round 6 — baseline JPEG (fixed-point integer DCT + canonical
+(LZW) and — round 6 — JPEG (baseline + r10 progressive; fixed-point
+integer DCT + canonical
 Huffman) parse for real via ``functions/codecs.py`` — ``decode_wav_rms``,
 ``decode_bmp_pool`` and ``decode_image_pool`` below, octet-exactly
 oracle-checked (the JPEG oracle re-derives the full lossy round-trip).
@@ -48,7 +49,7 @@ FEATURE_SCHEMA = T.StructType(
 class DecodeStub:
     """Deterministic fake decoder for codecs needing NON-STDLIB
     libraries (MP4/AAC frames, VP8/VP9; a deployment swaps in ffmpeg
-    here).  WAV, BMP, PNG, GIF, baseline JPEG, FLAC and MPEG-1 Layer
+    here).  WAV, BMP, PNG, GIF, JPEG (baseline + progressive), FLAC and MPEG-1 Layer
     III (mono, see ``functions/mp3.py`` for the disclosed subset)
     decode for real — see ``functions/codecs.py`` /
     ``functions/flac.py`` / ``functions/mp3.py`` and the ``decode_*``
@@ -449,7 +450,7 @@ MKV_JPEG_POOL_SCHEMA = T.StructType(
 def demux_decode_jpeg_pool(media: DataFrame, factor: int) -> DataFrame:
     """END-TO-END video frame decode with zero external codec libs
     (VERDICT r6 task 2): demux each payload as Matroska (``parse_mkv``),
-    decode every frame payload as baseline JPEG (``parse_jpeg`` —
+    decode every frame payload as JPEG (``parse_jpeg``, SOF0 or SOF2 —
     MJPEG-in-MKV, the composition of the two container/codec layers this
     repo already owns), block-mean pool each decoded frame by
     ``factor``.  One row per frame with its absolute timestamp, keyframe

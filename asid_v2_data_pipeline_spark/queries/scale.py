@@ -74,9 +74,12 @@ def _codec_fprint() -> str:
     BYTES (codecs, containers, the builders' host modules).  Folded
     into the media cache key so a codec/builder change invalidates the
     cached payloads automatically — r9 ADVICE closed: a forgotten
-    ``kind`` bump can no longer serve stale bytes."""
+    ``kind`` bump can no longer serve stale bytes.  Hashes the AST
+    with docstrings stripped, so comment/doc edits don't trigger a
+    multi-minute refixture; any executable change does."""
     global _CODEC_FPRINT
     if _CODEC_FPRINT is None:
+        import ast
         import hashlib
         import os
 
@@ -92,10 +95,29 @@ def _codec_fprint() -> str:
         ):
             p = os.path.join(pkg, rel)
             if os.path.exists(p):
-                with open(p, "rb") as f:
-                    h.update(f.read())
+                with open(p, "r") as f:
+                    h.update(_code_fingerprint_src(ast, f.read()))
         _CODEC_FPRINT = h.hexdigest()[:8]
     return _CODEC_FPRINT
+
+
+def _code_fingerprint_src(ast_mod, src: str) -> bytes:
+    """AST dump of ``src`` with docstrings removed — the stable-under-
+    documentation form both codec-fingerprint paths hash."""
+    tree = ast_mod.parse(src)
+    for node in ast_mod.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(
+                body, list
+            )
+            and body
+            and isinstance(body[0], ast_mod.Expr)
+            and isinstance(body[0].value, ast_mod.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            body[0] = ast_mod.Pass()
+    return ast_mod.dump(tree).encode()
 
 
 def _cached_media(
@@ -131,14 +153,19 @@ def _cached_media(
     Spark job — codec payloads are high-entropy, so compressed size ≈
     payload size) such that a partition, and therefore any Arrow
     batch, stays near ``_MEDIA_BATCH_TARGET_BYTES``."""
+    import ast
     import hashlib
     import inspect
+    import textwrap
 
     try:
-        src = inspect.getsource(build_fn)
-    except (OSError, TypeError):  # builders are always file-backed;
-        src = repr(build_fn)  # belt-and-braces for exotic callables
-    ver = hashlib.sha1((_codec_fprint() + src).encode()).hexdigest()[:8]
+        src = textwrap.dedent(inspect.getsource(build_fn))
+        src_bytes = _code_fingerprint_src(ast, src)
+    except (OSError, TypeError, SyntaxError):  # builders are always
+        src_bytes = repr(build_fn).encode()  # file-backed; belt+braces
+    ver = hashlib.sha1(
+        _codec_fprint().encode() + src_bytes
+    ).hexdigest()[:8]
     path = _index_cache_path(
         sf_dir, "documents.parquet", f"media-{kind}-{ver}"
     )
@@ -150,6 +177,25 @@ def _cached_media(
         ).write.mode("overwrite").parquet(path)
 
     _cached_index(path, build)
+    # stale-version hygiene: the versioned key means superseded builds
+    # for the SAME (kind, testdata fingerprint) linger forever; sweep
+    # them (other fingerprints = other sf_dirs stay untouched)
+    import os
+    import shutil
+
+    root, cur = os.path.split(path)
+    tag = cur.rsplit("-", 1)[-1]
+    prefix = f"media-{kind}-"
+    try:
+        for name in os.listdir(root):
+            if (
+                name.startswith(prefix)
+                and name.endswith(f"-{tag}")
+                and name != cur
+            ):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    except OSError:
+        pass
     return _bounded_media_read(spark, path)
 
 
