@@ -2065,6 +2065,16 @@ def _read_symbol(br: _BitReader, lut: list) -> int:
     return e[0]
 
 
+def _htable(htables: dict, cls: int, tid: int) -> list:
+    lut = htables.get((cls, tid))
+    if lut is None:
+        raise ValueError(
+            f"JPEG: scan uses undefined {'DC' if cls == 0 else 'AC'} "
+            f"Huffman table {tid}"
+        )
+    return lut
+
+
 def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
@@ -2141,8 +2151,10 @@ def _decode_prog_scan(
             zz = prog_coefs[ci][byi, bxi]
             if ss == 0:
                 if ah == 0:
-                    dc_lut = htables[(0, tabs[ci][0])]
+                    dc_lut = _htable(htables, 0, tabs[ci][0])
                     size = _read_symbol(br, dc_lut)
+                    if size > 15:
+                        raise ValueError("JPEG: DC category out of range")
                     diff = _extend(br.bits(size), size) if size else 0
                     preds[ci] += diff
                     zz[0] = preds[ci] << al
@@ -2150,7 +2162,7 @@ def _decode_prog_scan(
                     if br.bit():
                         zz[0] |= p1
                 continue
-            ac_lut = htables[(1, tabs[ci][1])]
+            ac_lut = _htable(htables, 1, tabs[ci][1])
             if ah == 0:  # AC first scan
                 if eobrun:
                     eobrun -= 1
@@ -2261,6 +2273,8 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("JPEG: 16-bit quant tables")
+                if j + 65 > len(seg):
+                    raise ValueError("JPEG: DQT overruns the segment")
                 nat = np.zeros(64, dtype=np.int64)
                 for k in range(64):
                     nat[_ZIGZAG[k]] = seg[j + 1 + k]
@@ -2272,16 +2286,24 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 cls, tid = seg[j] >> 4, seg[j] & 0x0F
                 bits = list(seg[j + 1 : j + 17])
                 n = sum(bits)
+                if len(bits) < 16 or j + 17 + n > len(seg):
+                    raise ValueError(
+                        "JPEG: DHT counts overrun the segment"
+                    )
                 vals = list(seg[j + 17 : j + 17 + n])
                 htables[(cls, tid)] = _huff_lut(bits, vals)
                 j += 17 + n
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
+            if len(seg) < 6:
+                raise ValueError("JPEG: truncated SOF segment")
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
             if nc not in (1, 3):
                 raise NotImplementedError("JPEG: 1 or 3 components only")
+            if 6 + 3 * nc > len(seg):
+                raise ValueError("JPEG: SOF components overrun segment")
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -2302,6 +2324,8 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 "supported"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("JPEG: truncated DRI segment")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -2327,6 +2351,12 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                         for _cid, _tq, hi, vi in comps
                     ]
                 cid_to_idx = {c[0]: idx for idx, c in enumerate(comps)}
+                for cs, _dt, _at in scan_tabs:
+                    if cs not in cid_to_idx:
+                        raise ValueError(
+                            f"JPEG: scan references component {cs} "
+                            "absent from SOF"
+                        )
                 scan_comps = [
                     (cid_to_idx[cs], dt, at) for cs, dt, at in scan_tabs
                 ]
@@ -2365,13 +2395,17 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                     mcu += 1
                     for ci in range(nc):
                         _cs, dct_id, act_id = scan_tabs[ci]
-                        dc = htables[(0, dct_id)]
-                        ac = htables[(1, act_id)]
+                        dc = _htable(htables, 0, dct_id)
+                        ac = _htable(htables, 1, act_id)
                         _cid, tq, hi, vi = comps[ci]
                         for byi in range(vi):
                             for bxi in range(hi):
                                 coef = np.zeros(64, dtype=np.int64)
                                 size = _read_symbol(br, dc)
+                                if size > 15:
+                                    raise ValueError(
+                                        "JPEG: DC category out of range"
+                                    )
                                 diff = (
                                     _extend(br.bits(size), size)
                                     if size
@@ -2397,7 +2431,11 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                                     k += 1
                                 nat = np.zeros(64, dtype=np.int64)
                                 nat[_ZIGZAG] = coef
-                                q = qtables[tq]
+                                q = qtables.get(tq)
+                                if q is None:
+                                    raise ValueError(
+                                        f"JPEG: undefined quant table {tq}"
+                                    )
                                 r0 = (my * vi + byi) * 8
                                 c0 = (mx * hi + bxi) * 8
                                 out_planes[ci][
@@ -2429,6 +2467,8 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
             by, bx = zz.shape[:2]
             nat = np.zeros((by * bx, 64), dtype=np.int64)
             nat[:, _ZIGZAG] = zz.reshape(-1, 64)
+            if tq not in qtables:
+                raise ValueError(f"JPEG: undefined quant table {tq}")
             d = (nat * qtables[tq].ravel()).reshape(-1, 8, 8)
             b = _rdiv(_DCT_T.T @ d, 1 << _DCT_BITS)
             p = _rdiv(b @ _DCT_T, 1 << _DCT_BITS) + 128

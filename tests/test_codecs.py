@@ -2024,3 +2024,47 @@ def test_mkv_randomized_roundtrip_matrix():
         ):
             assert (tn, ts, kf) == (gtn, gts, gkf), f"trial {trial}"
             assert bytes(pl) == bytes(gpl), f"trial {trial}"
+
+
+def test_jpeg_fuzz_malformed_streams_fail_loudly():
+    """Seeded fuzz over both modes (baseline + progressive, 4:4:4 +
+    4:2:0, with restarts): every truncation and byte flip either
+    decodes or raises ValueError/NotImplementedError — never an
+    IndexError/KeyError/OverflowError/struct.error escape, never a
+    hang.  (r10: this hunt fixed six loud-failure gaps — DHT/DQT/DRI/
+    SOF segment bounds, DC category range, unknown scan component and
+    undefined table ids.)"""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+        write_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    blobs = [
+        write_jpeg_progressive(px, 70),
+        write_jpeg(px, 70, restart_interval=2),
+        write_jpeg_progressive(
+            px, 70, subsampling="420", restart_interval=3
+        ),
+        write_jpeg(g, 30),
+        write_jpeg_progressive(g, 95),
+    ]
+    for blob in blobs:
+        for cut in range(2, len(blob), 9):
+            try:
+                parse_jpeg(bytes(blob[:cut]))
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(600):
+            b = bytearray(blob)
+            i = int(rng.integers(2, len(b)))
+            b[i] ^= int(rng.integers(1, 256))
+            try:
+                parse_jpeg(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
