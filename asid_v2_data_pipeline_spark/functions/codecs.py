@@ -284,6 +284,28 @@ def write_wav_ima(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+
+def _parses_untrusted(fn):
+    """Parser boundary for untrusted bytes (r10 fuzz hardening): a
+    truncated or corrupt payload must surface as ValueError, never as
+    a struct.error / IndexError / zlib.error escape — callers
+    (decode_image, the admission funnels) gate on ValueError to
+    quarantine bad documents instead of failing the task."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, IndexError, zlib.error) as e:
+            raise ValueError(
+                f"{fn.__name__}: truncated or corrupt payload ({e})"
+            ) from e
+
+    return wrap
+
+
+@_parses_untrusted
 def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a RIFF/WAVE container; returns ``(sample_rate, n_channels,
     samples)`` shaped ``(n_frames, n_channels)`` — uint8 for 8-bit PCM,
@@ -457,6 +479,7 @@ def _bmp_rle8_decode(
     return out[::-1]  # stored bottom-up
 
 
+@_parses_untrusted
 def parse_bmp(payload: bytes) -> np.ndarray:
     """Parse a BMP; returns uint8 pixels shaped ``(height, width, 3)``
     in RGB order — 24-bit BGR, 32-bit BGRX (alpha dropped), 16-bit
@@ -606,6 +629,7 @@ def _png_defilter(raw: bytes, h: int, stride: int, ch: int) -> np.ndarray:
     return out
 
 
+@_parses_untrusted
 def parse_png(payload: bytes) -> np.ndarray:
     """Parse a PNG; returns pixels ``(height, width, channels)`` —
     uint8 for depth ≤ 8 (sub-byte rows unpacked big-endian-first, raw
@@ -803,6 +827,13 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
     """GIF-flavor LZW: variable code width starting at min_code_size+1,
     CLEAR resets the table, widths grow to 12 bits, codes packed
     LSB-first.  Handles the KwK case (code == next table slot)."""
+    if not 2 <= min_code_size <= 11:
+        # widths max out at 12 bits, so a root size past 11 (or below
+        # the spec floor of 2) is corrupt — and a huge value would
+        # make the 2^size root table allocation a hang (r10 fuzz)
+        raise ValueError(
+            f"corrupt LZW stream (min code size {min_code_size})"
+        )
     clear = 1 << min_code_size
     eoi = clear + 1
     out: list[int] = []
@@ -863,6 +894,7 @@ def _gif_interlace_rows(h: int) -> list[int]:
     return rows
 
 
+@_parses_untrusted
 def parse_gif(payload: bytes) -> np.ndarray:
     """Decode a GIF87a/89a first frame to uint8 RGB (h, w, 3): logical
     screen + global color table, extensions skipped, LZW-decompressed
@@ -921,6 +953,7 @@ def parse_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image data")
 
 
+@_parses_untrusted
 def parse_gif_frames(
     payload: bytes,
 ) -> list[tuple[int, "np.ndarray"]]:
@@ -2231,6 +2264,7 @@ def _decode_prog_scan(
                 eobrun -= 1
 
 
+@_parses_untrusted
 def parse_jpeg(payload: bytes) -> np.ndarray:
     """JFIF decode -> uint8 ``(h, w)`` grayscale or ``(h, w, 3)`` RGB.
     Supports baseline sequential (SOF0) AND progressive (SOF2, r10:

@@ -231,6 +231,8 @@ def _parse_simple_block(
         for _ in range(n - 1):
             sz = 0
             while True:
+                if q >= len(buf):
+                    raise ValueError("EBML: truncated Xiph lace sizes")
                 b0 = buf[q]
                 q += 1
                 sz += b0

@@ -719,6 +719,8 @@ def decode_frame(
         raise ValueError("FLAC: reserved channel assignment")
     br.align()
     body_len = br.tell_bytes() - pos
+    if pos + body_len + 2 > len(payload):
+        raise ValueError("FLAC: frame truncated before its CRC-16")
     (want,) = struct.unpack_from(">H", payload, pos + body_len)
     if crc16(payload[pos : pos + body_len]) != want:
         raise ValueError("FLAC: frame CRC-16 mismatch")

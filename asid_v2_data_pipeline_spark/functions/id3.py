@@ -95,6 +95,8 @@ def parse_id3(payload: bytes) -> dict:
     audio stream begins — the split point a pipeline shards on."""
     if payload[:3] != b"ID3":
         raise ValueError("not an ID3v2 tag")
+    if len(payload) < 10:
+        raise ValueError("ID3: truncated tag header")
     major, rev = payload[3], payload[4]
     if major not in (2, 3, 4):
         raise NotImplementedError(
@@ -164,7 +166,12 @@ def parse_id3(payload: bytes) -> dict:
                         "ID3: compressed v2.4 frame without data length"
                     )
                 want = _syncsafe(body[:4])
-                body = zlib.decompress(body[4:])
+                try:
+                    body = zlib.decompress(body[4:])
+                except zlib.error as e:
+                    raise ValueError(
+                        f"ID3: corrupt compressed frame ({e})"
+                    ) from e
                 if len(body) != want:
                     raise ValueError(
                         "ID3: decompressed frame size mismatch"
@@ -192,7 +199,12 @@ def parse_id3(payload: bytes) -> dict:
             if fmt & 0x20:  # grouping identity byte precedes the body
                 body = body[1:]
             if fmt & 0x80:
-                body = zlib.decompress(body)
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error as e:
+                    raise ValueError(
+                        f"ID3: corrupt compressed frame ({e})"
+                    ) from e
                 if len(body) != want:
                     raise ValueError(
                         "ID3: decompressed frame size mismatch"

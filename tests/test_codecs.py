@@ -2068,3 +2068,63 @@ def test_jpeg_fuzz_malformed_streams_fail_loudly():
                 parse_jpeg(bytes(b))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_all_parsers_fuzz_fail_loudly():
+    """Seeded truncation + byte-flip fuzz over EVERY parser of
+    untrusted bytes (r10): corrupt payloads raise ValueError or
+    NotImplementedError — never IndexError/struct.error/zlib.error
+    escapes (the admission funnels gate on ValueError to quarantine
+    bad documents instead of failing the Spark task), and never a
+    hang (the LZW min-code-size fix: a flipped byte used to allocate
+    a 2^231-entry root table)."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions import codecs as C
+    from asid_v2_data_pipeline_spark.functions import ebml as E
+    from asid_v2_data_pipeline_spark.functions import flac as FL
+    from asid_v2_data_pipeline_spark.functions import id3 as I
+    from asid_v2_data_pipeline_spark.functions import mp3 as M
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    g = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 8), dtype=np.uint8)
+    x16 = rng.integers(-30000, 30000, (300, 2)).astype(np.int16)
+    fr = [{"kbps": 128, "scfsi": 0, "granules": [
+        {"block_type": 0, "spectrum": [0] * 576, "big_values": 0,
+         "count1": 0, "scalefacs": [0] * 21, "preflag": 0,
+         "scalefac_scale": 0, "table_select": [0, 0, 0]}
+        for _ in range(2)]} for _ in range(2)]
+    cases = [
+        (C.write_png(px), C.parse_png),
+        (C.write_png(g, interlace=True), C.parse_png),
+        (C.write_gif(idx, pal, interlace=True), C.parse_gif),
+        (C.write_gif_anim([idx, idx], pal, [5, 5]), C.parse_gif_frames),
+        (C.write_bmp(px), C.parse_bmp),
+        (C.write_wav(x16, 8000), C.parse_wav),
+        (C.write_wav_ima(x16[:, 0], 8000), C.parse_wav),
+        (FL.write_flac(x16, block_size=64), FL.parse_flac),
+        (E.write_mkv(
+            [(1, 0, True, b"abcdef"), (1, 0, True, b"ghijkl")],
+            [E.MkvTrack(1, "video", "V_X", width=4, height=4)],
+            lace_mode="xiph", cluster_every=2), E.parse_mkv),
+        (I.write_id3({"TIT2": "hello", "TALB": "world"}), I.parse_id3),
+        (I.write_id3({"TIT2": "x" * 120}, compress=True), I.parse_id3),
+        (M.write_mp3_l3_general(fr), M.parse_mp3_l3),
+    ]
+    for blob, parse in cases:
+        blob = bytearray(blob)
+        for cut in range(1, len(blob), max(1, len(blob) // 60)):
+            try:
+                parse(bytes(blob[:cut]))
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(250):
+            b = bytearray(blob)
+            b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+            try:
+                parse(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
