@@ -946,6 +946,102 @@ def decode_audio_stats(
     return media.mapInPandas(fn, AUDIO_STATS_SCHEMA)
 
 
+AUDIO_ADMIT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_clip", T.LongType(), True),
+        T.StructField("n_silence", T.LongType(), True),
+        T.StructField("sum_sq", T.LongType(), True),
+        T.StructField("fp", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_audio_stats_admitting(
+    media: DataFrame, clip_at: int, silence_below: int, fp_window: int
+) -> DataFrame:
+    """QUARANTINING twin of ``decode_audio_stats`` (r10): the
+    production admission shape for a 100 TB corpus, where corrupt
+    payloads are a statistical certainty — one bad document must
+    become one rejected ROW (null stats + the error class), never a
+    failed Spark task that kills the whole pass.  Decode failures
+    (ValueError incl. the parser-boundary conversions,
+    NotImplementedError for disclosed format boundaries) are caught
+    PER DOCUMENT; anything else (a genuine bug) still propagates
+    loudly.  Same zero-shuffle Arrow kernel; downstream gates filter
+    on ``error IS NULL`` and the rejects side-channel is just
+    ``WHERE error IS NOT NULL``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import parse_wav
+        from ..functions.flac import parse_flac
+        from ..functions.mp3 import parse_mp3_l3
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_frames",
+                "n_clip", "n_silence", "sum_sq", "fp", "error",
+            )}
+
+            def reject(mid, err) -> None:
+                rows["media_id"].append(mid)
+                for k in (
+                    "sample_rate", "n_channels", "n_frames", "n_clip",
+                    "n_silence", "sum_sq", "fp",
+                ):
+                    rows[k].append(None)
+                rows["error"].append(type(err).__name__)
+
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                raw = bytes(p)
+                try:
+                    if raw[:4] == b"fLaC":
+                        rate, _bits, samples = parse_flac(raw)
+                    elif raw[:4] == b"RIFF":
+                        rate, _nch, samples = parse_wav(raw)
+                    elif raw[:3] == b"ID3" or (
+                        len(raw) >= 2
+                        and raw[0] == 0xFF
+                        and raw[1] >= 0xE0
+                    ):
+                        rate, pcm = parse_mp3_l3(raw)
+                        samples = (
+                            pcm[:, None] if pcm.ndim == 1 else pcm
+                        )
+                    else:
+                        raise ValueError(
+                            f"unknown audio payload magic {raw[:4]!r}"
+                        )
+                except (ValueError, NotImplementedError) as e:
+                    reject(mid, e)
+                    continue
+                flat = samples.reshape(-1).astype(np.int64)
+                a = np.abs(flat)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(samples.shape[1])
+                rows["n_frames"].append(samples.shape[0])
+                rows["n_clip"].append(int((a >= clip_at).sum()))
+                rows["n_silence"].append(int((a < silence_below).sum()))
+                rows["sum_sq"].append(int((flat * flat).sum()))
+                head = flat[:fp_window]
+                rows["fp"].append(
+                    int(((np.arange(head.size) + 1) * head).sum())
+                )
+                rows["error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, AUDIO_ADMIT_SCHEMA)
+
+
 MP3_RMS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

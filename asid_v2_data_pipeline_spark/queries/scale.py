@@ -4235,6 +4235,100 @@ ORDER BY g.doc_id
 """
 
 
+def _audio_quarantine_build(batches):
+    """Fixture kernel for ``mm_audio_quarantine`` (r10): every doc a
+    mono 16-bit PCM WAV from the big-endian octet-pair mapping, and
+    docs with ``doc_id % 7 == 3`` get their RIFF magic destroyed — a
+    deterministic corrupt-subset so the quarantine path itself is
+    oracle-checkable."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import write_wav
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode("utf-8")
+            m = len(raw) // 2
+            if m == 0:
+                payloads.append(None)
+                continue
+            b = np.frombuffer(raw, np.uint8, count=2 * m).astype(np.int64)
+            pcm = ((b[0::2] * 256 + b[1::2]) - 32768).astype(np.int16)
+            blob = write_wav(pcm, sample_rate=_FLAC_RATE)
+            if did % 7 == 3:
+                blob = b"JUNK" + blob[4:]  # magic broken -> must reject
+            payloads.append(blob)
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_audio_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARANTINING admission (r10): the funnel's production shape —
+    ``decode_audio_stats_admitting`` turns each corrupt payload into a
+    rejected ROW (null stats + error class) instead of a failed Spark
+    task, the difference between losing one document and losing a
+    100 TB pass when the corpus inevitably contains broken files.
+    The fixture corrupts a deterministic subset (``doc_id % 7 == 3``,
+    RIFF magic destroyed), so the oracle re-derives BOTH sides: exact
+    stats from the pre-encode octets for the admitted docs, and the
+    (doc_id, 'ValueError') rejects for the corrupted ones."""
+    from ..operators.multimodal import decode_audio_stats_admitting
+
+    media = _cached_media(spark, sf_dir, "audioquar", _audio_quarantine_build)
+    stats = decode_audio_stats_admitting(
+        media, _AC_CLIP, _AC_SIL, _AC_FP_WIN
+    )
+    return (
+        stats.select(
+            F.col("media_id").alias("doc_id"),
+            F.col("error").isNull().alias("admitted"),
+            "error",
+            "n_frames",
+            F.round(
+                F.sqrt(F.col("sum_sq") / F.col("n_frames")), 6
+            ).alias("rms"),
+            "fp",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mm_audio_quarantine_sql() -> str:
+    """Both sides of the quarantine re-derived from octets: admitted
+    docs' exact loudness/fingerprint (the lossless WAV mapping), and
+    the corrupted subset as (doc_id, error='ValueError') null-stat
+    rows."""
+    s2 = (
+        "(CAST(cs[CAST(2 * k + 1 AS INT)] AS BIGINT) * 256"
+        " + CAST(cs[CAST(2 * k + 2 AS INT)] AS BIGINT) - 32768)"
+    )
+    return f"""
+WITH {_CODES_CTE_SQL},
+base AS (
+  SELECT doc_id, n_bytes // 2 AS m, cs FROM codes WHERE n_bytes // 2 > 0
+),
+good AS (
+  SELECT doc_id, TRUE AS admitted, CAST(NULL AS VARCHAR) AS error,
+    CAST(m AS BIGINT) AS n_frames,
+    ROUND(sqrt(CAST(list_sum(list_transform(range(0, m),
+      k -> {s2} * {s2})) AS DOUBLE) / m), 6) AS rms,
+    CAST(list_sum(list_transform(range(0, LEAST(m, {_AC_FP_WIN})),
+      k -> (k + 1) * {s2})) AS BIGINT) AS fp
+  FROM base WHERE doc_id % 7 <> 3
+),
+rejected AS (
+  SELECT doc_id, FALSE AS admitted, 'ValueError' AS error,
+    CAST(NULL AS BIGINT) AS n_frames, CAST(NULL AS DOUBLE) AS rms,
+    CAST(NULL AS BIGINT) AS fp
+  FROM base WHERE doc_id % 7 = 3
+)
+SELECT * FROM good UNION ALL SELECT * FROM rejected ORDER BY doc_id
+"""
+
+
 def mm_mp3_ms_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MID/SIDE joint-stereo twin of ``mm_mp3_stereo_rms`` (mode 01,
     mode_ext MS — how most real stereo MP3s are coded): the document
@@ -6586,6 +6680,10 @@ REGISTRY = {
     "mm_audio_multicodec3": (
         mm_audio_multicodec3,
         _mm_audio_multicodec3_sql(),
+    ),
+    "mm_audio_quarantine": (
+        mm_audio_quarantine,
+        _mm_audio_quarantine_sql(),
     ),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),

@@ -90,8 +90,10 @@ CASES = [
     "mm_audio_multicodec3",
     "mm_mp3_general",
     "mm_mp3_intensity_rms",
-    # round 10: progressive JPEG (SOF2 multi-scan) decode
+    # round 10: progressive JPEG (SOF2 multi-scan) decode + the
+    # quarantining admission funnel
     "mm_jpeg_progressive",
+    "mm_audio_quarantine",
 ]
 
 

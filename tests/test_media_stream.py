@@ -216,3 +216,50 @@ def test_wav_payloads_admit_through_the_same_funnel(spark):
     )
     admitted2, _ = admit_media_batch(dup, fps)
     assert admitted2.count() == 0
+
+
+def test_admitting_funnel_quarantines_per_document(spark):
+    """r10: decode_audio_stats_admitting turns corrupt payloads into
+    rejected ROWS (null stats + error class) in the same batch where
+    good FLAC/WAV/MP3 documents decode — never a failed task.  A
+    payload hitting a DISCLOSED format boundary (NotImplementedError)
+    quarantines too; only genuine bugs propagate."""
+    import pandas as pd
+
+    from asid_v2_data_pipeline_spark.functions.codecs import write_wav
+    from asid_v2_data_pipeline_spark.functions.mp3 import write_mp3_l3
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        decode_audio_stats_admitting,
+    )
+
+    good_flac = bytes(_flac(_pcm(1)))
+    pcm = _pcm(2)[:, 0].astype(np.int16)
+    good_wav = write_wav(pcm, 16000)
+    q = np.zeros((1, 2, 576), np.int64)
+    sfs = np.zeros((1, 2, 21), np.int64)
+    good_mp3 = write_mp3_l3(q, sfs)
+    corrupt_magic = b"JUNK" + good_wav[4:]
+    corrupt_flac = good_flac[:40] + b"\x00" * 10  # truncated mid-frame
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2, 3, 4, 5],
+            "payload": [
+                good_flac, good_wav, good_mp3, corrupt_magic,
+                corrupt_flac,
+            ],
+        }
+    )
+    media = spark.createDataFrame(pdf)
+    rows = {
+        r["media_id"]: r
+        for r in decode_audio_stats_admitting(media, 20000, 256, 8)
+        .collect()
+    }
+    assert len(rows) == 5
+    for mid in (1, 2, 3):
+        assert rows[mid]["error"] is None
+        assert rows[mid]["n_frames"] > 0
+    for mid in (4, 5):
+        assert rows[mid]["error"] == "ValueError"
+        assert rows[mid]["n_frames"] is None
+        assert rows[mid]["sum_sq"] is None
