@@ -963,6 +963,15 @@ class HDF5File:
         ds = self.datasets[name]
         kind = ds.layout[0]
         n = int(np.prod(ds.shape)) if ds.shape else 1
+        if n > (1 << 31):
+            # the decode materializes the array, so any legitimate
+            # dataset fits in memory; a corrupt dataspace dim would
+            # otherwise turn np.full into a petabyte allocation
+            # (r10 fuzz: flipped dim bytes hung the process)
+            raise ValueError(
+                f"{name}: implausible element count {n} "
+                "(corrupt dataspace?)"
+            )
         if kind == "compact":
             return (
                 np.frombuffer(ds.layout[1], dtype=ds.dtype, count=n)

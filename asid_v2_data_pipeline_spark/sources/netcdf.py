@@ -50,22 +50,48 @@ def decode_netcdf_scene(path: str, payload: bytes, variables: list[str]) -> pd.D
     third-party dependency.
 
     Variables must be 2-D ``(line, sample)``; fill values surface as NULL.
+
+    Parser boundary (r10 fuzz hardening): both container readers parse
+    UNTRUSTED bytes with offsets taken from the stream itself, so a
+    truncated or corrupt scene can surface as struct.error /
+    IndexError / KeyError / TypeError / OverflowError deep in the
+    walk.  Those convert to ValueError here — the ingest ledger can
+    quarantine one bad scene instead of failing the whole pass.
     """
+    import struct
+    import zlib
+
     import numpy as np
 
     from .hdf5_min import HDF5_MAGIC, HDF5NetCDF
     from .netcdf_classic import ClassicNetCDF
 
-    if payload[:8] == HDF5_MAGIC:
-        ds = HDF5NetCDF(payload)
-    else:
-        ds = ClassicNetCDF(payload)
+    try:
+        if payload[:8] == HDF5_MAGIC:
+            ds = HDF5NetCDF(payload)
+        else:
+            ds = ClassicNetCDF(payload)
+    except (
+        struct.error, IndexError, KeyError, TypeError, OverflowError,
+        zlib.error,
+    ) as e:
+        raise ValueError(
+            f"{path}: truncated or corrupt scene container ({e})"
+        ) from e
     scene = path.split("/")[-1].split("_")[0]
     frames = []
     for var in variables:
         if var not in ds.variables:
             continue
-        arr = ds.masked(var)
+        try:
+            arr = ds.masked(var)
+        except (
+            struct.error, IndexError, KeyError, TypeError,
+            OverflowError, zlib.error,
+        ) as e:
+            raise ValueError(
+                f"{path}: truncated or corrupt scene data ({e})"
+            ) from e
         if arr.ndim != 2:
             raise ValueError(f"{var}: expected 2-D (line, sample), got {arr.shape}")
         h, w = arr.shape

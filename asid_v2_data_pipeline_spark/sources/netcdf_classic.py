@@ -71,7 +71,7 @@ class ClassicNetCDF:
                 "hdf5_min.HDF5NetCDF (decode_netcdf_scene dispatches "
                 "automatically)"
             )
-        if payload[:3] != b"CDF" or payload[3] not in (1, 2):
+        if len(payload) < 4 or payload[:3] != b"CDF" or payload[3] not in (1, 2):
             raise ValueError(f"not a classic NetCDF file (magic {payload[:4]!r})")
         self._buf = payload
         self._offsets64 = payload[3] == 2

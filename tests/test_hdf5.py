@@ -844,3 +844,54 @@ def test_vlen_sequence_numeric_and_ref_scalar_decode():
     assert vs == ("vlen_seq", np.dtype("<i4"))
     # compound class stays None
     assert f._dtype(bytes([0x16, 0, 0, 0]) + struct.pack("<I", 8)) is None
+
+
+def test_scene_decode_fuzz_fails_loudly():
+    """Seeded truncation + byte-flip fuzz over BOTH scene container
+    generations (r10): a corrupt scene raises ValueError at the
+    decode_netcdf_scene parser boundary — never struct.error/
+    IndexError/KeyError escapes (the ingest ledger quarantines one
+    scene instead of failing the pass), and a flipped dataspace dim
+    can no longer turn np.full into a petabyte allocation."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.sources.netcdf import (
+        decode_netcdf_scene,
+    )
+    from asid_v2_data_pipeline_spark.sources.netcdf_classic import (
+        write_classic,
+    )
+
+    rng = np.random.default_rng(23)
+    side = 4
+    grid = np.arange(side * side, dtype=np.float32).reshape(side, side)
+    variables = {
+        "sar_primary": (
+            ("line", "sample"), grid, {"_FillValue": np.float32(-999.0)}
+        ),
+    }
+    blobs = [
+        write_classic(
+            {"line": side, "sample": side}, variables,
+            gatts={"title": "x"}, version=1,
+        ),
+        write_hdf5_netcdf4(
+            {"line": side, "sample": side}, variables,
+            gatts={"title": "x"}, style="latest", layout="chunked",
+            compress="shuffle+deflate",
+        ),
+    ]
+    for blob in blobs:
+        blob = bytearray(blob)
+        for cut in range(1, len(blob), max(1, len(blob) // 50)):
+            try:
+                decode_netcdf_scene("p", bytes(blob[:cut]), ["sar_primary"])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(400):
+            b = bytearray(blob)
+            b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+            try:
+                decode_netcdf_scene("p", bytes(b), ["sar_primary"])
+            except (ValueError, NotImplementedError):
+                pass
