@@ -116,6 +116,9 @@ def decode_netcdf_scene(path: str, payload: bytes, variables: list[str]) -> pd.D
     return pd.concat(frames, ignore_index=True)
 
 
+REJECT_VAR = "_error"  # sentinel var name marking a quarantined scene
+
+
 def read_scenes(
     spark: SparkSession,
     input_dir: str,
@@ -123,6 +126,7 @@ def read_scenes(
     decode_fn: DecodeFn = decode_netcdf_scene,
     glob: str = "*.nc",
     names: DataFrame | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """S1 — scan a directory of scene files into one long-form pixel
     DataFrame.  ``binaryFile`` splits the listing across executors; decode
@@ -130,8 +134,21 @@ def read_scenes(
 
     ``names`` (optional, a one-column ``name`` DataFrame) restricts the
     scan BEFORE decode via a broadcast semi-join on the file name — the
-    incremental path decodes only new files, never the whole directory."""
+    incremental path decodes only new files, never the whole directory.
+
+    ``on_error`` (r10): ``"raise"`` preserves the fail-fast default;
+    ``"quarantine"`` is the 100 TB shape — a scene whose decode raises
+    ValueError / NotImplementedError emits ONE sentinel row
+    ``(scene, var=REJECT_VAR, line=-1, sample=-1, value=NULL)`` instead
+    of failing the task, so one corrupt file costs one scene, not the
+    pass.  Pixel consumers filter on their variable names and never
+    see the sentinel; ``df.filter(col("var") == REJECT_VAR)`` is the
+    rejects side-channel the ledger can subtract before marking scenes
+    processed."""
     from pyspark.sql import functions as F
+
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, {on_error!r}")
 
     files = (
         spark.read.format("binaryFile")
@@ -146,11 +163,27 @@ def read_scenes(
         files = files.join(
             F.broadcast(names.select("name")), "name", "left_semi"
         )
+    quarantine = on_error == "quarantine"
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, r in pdf.iterrows():
-                yield decode_fn(r["name"], r["content"], variables)
+                if not quarantine:
+                    yield decode_fn(r["name"], r["content"], variables)
+                    continue
+                try:
+                    yield decode_fn(r["name"], r["content"], variables)
+                except (ValueError, NotImplementedError):
+                    scene = r["name"].split("/")[-1].split("_")[0]
+                    yield pd.DataFrame(
+                        {
+                            "scene": [scene],
+                            "var": [REJECT_VAR],
+                            "line": pd.array([-1], dtype="int32"),
+                            "sample": pd.array([-1], dtype="int32"),
+                            "value": pd.array([None], dtype="Float32"),
+                        }
+                    )
 
     return files.mapInPandas(decode, PIXEL_SCHEMA)
 

@@ -143,3 +143,30 @@ def test_incremental_build_with_real_decoder(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2 * 16
     assert back.filter(F.col("value").isNull()).count() == 2  # the two fills
+
+
+def test_read_scenes_quarantine_mode(spark, tmp_path):
+    """r10: on_error='quarantine' — a corrupt scene in the directory
+    becomes one sentinel reject row (var=REJECT_VAR) while the good
+    scenes decode normally; the default on_error='raise' still fails
+    the pass loudly."""
+    from asid_v2_data_pipeline_spark.sources.netcdf import REJECT_VAR
+
+    d = tmp_path / "scenes"
+    d.mkdir()
+    good = _scene_payload(side=4, version=1)
+    (d / "sceneA_x.nc").write_bytes(good)
+    (d / "sceneB_x.nc").write_bytes(b"CDF\x01" + good[4:20])  # truncated
+    df = read_scenes(
+        spark, str(d), ["sar_primary"], on_error="quarantine"
+    )
+    rows = df.collect()
+    rejects = [r for r in rows if r["var"] == REJECT_VAR]
+    pixels = [r for r in rows if r["var"] == "sar_primary"]
+    assert [r["scene"] for r in rejects] == ["sceneB"]
+    assert rejects[0]["line"] == -1 and rejects[0]["value"] is None
+    assert len(pixels) == 16 and all(
+        r["scene"] == "sceneA" for r in pixels
+    )
+    with pytest.raises(Exception):  # fail-fast default unchanged
+        read_scenes(spark, str(d), ["sar_primary"]).collect()
