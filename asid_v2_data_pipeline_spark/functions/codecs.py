@@ -2061,37 +2061,47 @@ class _BitReader:
 _HUFF_LUT_CACHE: dict[tuple[bytes, bytes], list] = {}
 
 
-def _huff_lut(bits: list[int], vals: list[int]) -> list:
-    """Canonical Huffman table -> 65536-entry lookup keyed by the next
-    16 bits: ``lut[peek16] = (symbol, code_length)`` (None for invalid
-    prefixes).  Cached process-wide by table content — the standard
-    Annex-K tables recur across every image, so a per-image decode
-    pays one dict hit, not a table build, and each symbol costs one
-    peek + one list index instead of a per-bit tree walk."""
+def _huff_lut(bits: list[int], vals: list[int]) -> tuple[int, list]:
+    """Canonical Huffman table -> ``(shift, lut)`` where ``lut`` is a
+    2^maxlen-entry lookup keyed by the next ``maxlen`` bits
+    (``lut[peek16 >> shift] = (symbol, code_length)``, None for
+    invalid prefixes).  Sizing by the table's actual max code length
+    matters for PROGRESSIVE streams (r10): per-scan DHTs differ per
+    image (symbol sets follow the content), so the content-keyed
+    cache never hits across images — a ~6-bit scan table now builds a
+    64-entry lut, not 65536 (the +1600% mm_mkv_jpeg_pool regression
+    the r10 bench caught).  The standard Annex-K tables still cache
+    process-wide."""
     key = (bytes(bits), bytes(vals))
-    lut = _HUFF_LUT_CACHE.get(key)
-    if lut is not None:
-        return lut
-    lut = [None] * 65536
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    maxlen = max(
+        (length for length in range(1, 17) if bits[length - 1]),
+        default=1,
+    )
+    lut = [None] * (1 << maxlen)
     code = 0
     k = 0
-    for length in range(1, 17):
+    for length in range(1, maxlen + 1):
         for _ in range(bits[length - 1]):
             sym = vals[k]
             k += 1
-            lo = code << (16 - length)
+            lo = code << (maxlen - length)
             entry = (sym, length)
-            lut[lo : lo + (1 << (16 - length))] = [entry] * (
-                1 << (16 - length)
+            lut[lo : lo + (1 << (maxlen - length))] = [entry] * (
+                1 << (maxlen - length)
             )
             code += 1
         code <<= 1
-    _HUFF_LUT_CACHE[key] = lut
-    return lut
+    out = (16 - maxlen, lut)
+    _HUFF_LUT_CACHE[key] = out
+    return out
 
 
-def _read_symbol(br: _BitReader, lut: list) -> int:
-    e = lut[br.peek16()]
+def _read_symbol(br: _BitReader, table: tuple[int, list]) -> int:
+    shift, lut = table
+    e = lut[br.peek16() >> shift]
     if e is None:
         raise ValueError("JPEG: invalid Huffman code")
     br.skip(e[1])
