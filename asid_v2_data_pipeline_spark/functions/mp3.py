@@ -969,18 +969,28 @@ def _decode_pair_run(
     for k in range(n_pairs):
         byte = bitpos >> 3
         chunk = buf[byte : byte + 4]
-        if len(chunk) < 4:  # peek window past the tail: zero-extend
+        if len(chunk) < 4:  # peek window past the tail: zero-extend.
+            # Only here can a code overrun the reservoir (a full
+            # 4-byte window means bitpos + 32 <= nbits and every step
+            # is < 32 bits), so the truncation guard lives off the
+            # hot path (r9 ADVICE: a part2_3_length pointing past the
+            # buffer must fail loudly, not decode zero-fill)
             chunk = chunk + bytes(4 - len(chunk))
-        w = (int.from_bytes(chunk, "big") >> (shift0 - (bitpos & 7))) & mask
-        step = lut[w]
-        if step is None:
-            raise ValueError("MP3: bad big-value Huffman code")
-        if bitpos + step[2] > nbits:
-            # the CODE itself must lie inside the reservoir; only the
-            # peek window may overhang (r9 ADVICE: a part2_3_length
-            # pointing past the buffer must fail loudly, not decode
-            # fabricated lines from zero-fill)
-            raise ValueError("MP3: bitstream truncated")
+            w = (
+                int.from_bytes(chunk, "big") >> (shift0 - (bitpos & 7))
+            ) & mask
+            step = lut[w]
+            if step is None:
+                raise ValueError("MP3: bad big-value Huffman code")
+            if bitpos + step[2] > nbits:
+                raise ValueError("MP3: bitstream truncated")
+        else:
+            w = (
+                int.from_bytes(chunk, "big") >> (shift0 - (bitpos & 7))
+            ) & mask
+            step = lut[w]
+            if step is None:
+                raise ValueError("MP3: bad big-value Huffman code")
         i = start + 2 * k
         out[i], out[i + 1] = step[0], step[1]
         bitpos += step[2]
@@ -1007,15 +1017,25 @@ def _decode_count1_run(
     while bitpos < bit_limit and line + 4 <= 576:
         byte = bitpos >> 3
         chunk = buf[byte : byte + 4]
-        if len(chunk) < 4:
+        if len(chunk) < 4:  # see _decode_pair_run: the truncation
+            # guard is only reachable from the zero-extended window
             chunk = chunk + bytes(4 - len(chunk))
-        w = (int.from_bytes(chunk, "big") >> (shift0 - (bitpos & 7))) & mask
-        step = lut[w]
-        if step is None:
-            raise ValueError("MP3: bad count1 Huffman code")
+            w = (
+                int.from_bytes(chunk, "big") >> (shift0 - (bitpos & 7))
+            ) & mask
+            step = lut[w]
+            if step is None:
+                raise ValueError("MP3: bad count1 Huffman code")
+            if bitpos + step[4] > nbits:
+                raise ValueError("MP3: bitstream truncated")
+        else:
+            w = (
+                int.from_bytes(chunk, "big") >> (shift0 - (bitpos & 7))
+            ) & mask
+            step = lut[w]
+            if step is None:
+                raise ValueError("MP3: bad count1 Huffman code")
         v0, v1, v2, v3, used = step
-        if bitpos + used > nbits:
-            raise ValueError("MP3: bitstream truncated")
         if bitpos + used > bit_limit:
             raise ValueError("MP3: count1 quad crosses part2_3 boundary")
         out[line : line + 4] = (v0, v1, v2, v3)
