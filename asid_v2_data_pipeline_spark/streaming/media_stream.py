@@ -49,12 +49,21 @@ def admit_media_batch(
     """One admission step: decode → gates → dedup.  Returns
     ``(admitted_stats, their_fp_rows)``.  Pure DataFrame logic (no side
     effects) so batch and streaming paths share it and tests can check
-    it directly."""
-    from ..operators.multimodal import decode_audio_stats
+    it directly.
 
-    # codec-dispatched (r8): FLAC and MP3 payloads gate through the
-    # same integer stats — the funnel curates a mixed-codec corpus
-    stats = decode_audio_stats(batch, clip_at, silence_below, fp_window)
+    r10: the decode is the QUARANTINING funnel — a corrupt payload in
+    a micro-batch becomes a rejected row and falls out at the gate
+    like any other inadmissible document, instead of killing the
+    long-running stream (at ingest scale a corrupt file is a
+    certainty, and a streaming query restart-loops on a poison
+    message forever)."""
+    from ..operators.multimodal import decode_audio_stats_admitting
+
+    # codec-dispatched (r8): FLAC, MP3 and WAV payloads gate through
+    # the same integer stats — the funnel curates a mixed-codec corpus
+    stats = decode_audio_stats_admitting(
+        batch, clip_at, silence_below, fp_window
+    ).filter(F.col("error").isNull()).drop("error")
     # decoded channel count — mono and stereo payloads gate correctly
     # (ADVICE r7: a hardcoded *2 halved mono denominators)
     n = F.col("n_frames") * F.col("n_channels")

@@ -140,9 +140,8 @@ def test_mono_payload_gates_on_real_sample_count(spark):
 def test_mixed_codec_payloads_admit_through_one_funnel(spark):
     """r8: the admission step is codec-dispatched — FLAC and
     ID3-prefixed MP3 payloads gate through the same integer stats, and
-    the fingerprint dedup sees both; unknown magic is malformed."""
-    import pytest
-
+    the fingerprint dedup sees both; unknown magic quarantines (r10:
+    gated out like any inadmissible document, the stream survives)."""
     from asid_v2_data_pipeline_spark.functions.id3 import write_id3
     from asid_v2_data_pipeline_spark.functions.mp3 import write_mp3_l3
     from asid_v2_data_pipeline_spark.streaming.media_stream import (
@@ -172,8 +171,7 @@ def test_mixed_codec_payloads_admit_through_one_funnel(spark):
     assert set(got) == {1, 2}
     assert got[1]["n_channels"] == 2 and got[2]["n_channels"] == 1
     bad = spark.createDataFrame([(9, bytearray(b"???junk"))], SCHEMA)
-    with pytest.raises(Exception, match="unknown audio payload"):
-        admit_media_batch(bad, None)[0].collect()
+    assert admit_media_batch(bad, None)[0].collect() == []
 
 
 def test_wav_payloads_admit_through_the_same_funnel(spark):
@@ -263,3 +261,35 @@ def test_admitting_funnel_quarantines_per_document(spark):
         assert rows[mid]["error"] == "ValueError"
         assert rows[mid]["n_frames"] is None
         assert rows[mid]["sum_sq"] is None
+
+
+def test_streaming_admission_survives_poison_payload(spark, tmp_path):
+    """r10: a corrupt payload in a streaming micro-batch is gated out
+    like any other rejected document — the batch step completes, the
+    good payloads admit, and a retry stays idempotent.  Before the
+    quarantining funnel, a poison message restart-looped the stream
+    forever."""
+    import pandas as pd
+
+    from asid_v2_data_pipeline_spark.streaming.media_stream import (
+        process_media_batch,
+    )
+
+    good = bytes(_flac(_pcm(31)))
+    poison = b"JUNK" + good[4:]
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2, 3],
+             "payload": [good, poison, bytes(_flac(_pcm(32)))]}
+        )
+    )
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    process_media_batch(batch, 0, corpus, index)
+    admitted = spark.read.parquet(corpus)
+    ids = sorted(r["media_id"] for r in admitted.collect())
+    assert ids == [1, 3]  # poison dropped, stream alive
+    process_media_batch(batch, 0, corpus, index)  # retry: idempotent
+    assert sorted(
+        r["media_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [1, 3]
