@@ -305,6 +305,177 @@ def _parses_untrusted(fn):
     return wrap
 
 
+# --- MS-ADPCM (WAVE_FORMAT_ADPCM = 2) ----------------------------------------
+#
+# The other ubiquitous legacy 4-bit WAV codec (r10): second-order linear
+# prediction with 7 fixed coefficient pairs chosen per block, a per-
+# block transmitted initial delta, and the 16-entry delta adaptation
+# table — all public constants from the Microsoft WAVE spec.  The
+# predictor is computed with an arithmetic >>8 (floor) on both sides,
+# so encode and decode agree bit-exactly on every input.
+
+_MSA_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+_MSA_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+_MSA_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def ms_adpcm_decode_block(blk: bytes, spb: int, ch: int) -> np.ndarray:
+    """One MS-ADPCM block -> ``(spb, ch)`` int64 samples.  Header per
+    channel: predictor index, initial delta, sample t-1, sample t-2
+    (each field grouped across channels); then 4-bit codes, high
+    nibble first, channels alternating per nibble."""
+    preds = list(blk[:ch])
+    if any(p > 6 for p in preds):
+        raise ValueError("MS-ADPCM: predictor index out of range")
+    o = ch
+    deltas = [
+        int.from_bytes(blk[o + 2 * c : o + 2 * c + 2], "little", signed=True)
+        for c in range(ch)
+    ]
+    o += 2 * ch
+    s1 = [
+        int.from_bytes(blk[o + 2 * c : o + 2 * c + 2], "little", signed=True)
+        for c in range(ch)
+    ]
+    o += 2 * ch
+    s2 = [
+        int.from_bytes(blk[o + 2 * c : o + 2 * c + 2], "little", signed=True)
+        for c in range(ch)
+    ]
+    o += 2 * ch
+    out = np.zeros((spb, ch), dtype=np.int64)
+    if spb >= 1:
+        out[0] = s2
+    if spb >= 2:
+        out[1] = s1
+    c1 = [_MSA_COEF1[p] for p in preds]
+    c2 = [_MSA_COEF2[p] for p in preds]
+    need = (spb - 2) * ch
+    k = 0
+    for byte in blk[o:]:
+        for nib in (byte >> 4, byte & 0x0F):
+            if k >= need:
+                break
+            c = k % ch
+            t = 2 + k // ch
+            pred = (s1[c] * c1[c] + s2[c] * c2[c]) >> 8
+            signed = nib - 16 if nib >= 8 else nib
+            samp = pred + deltas[c] * signed
+            samp = max(-32768, min(32767, samp))
+            out[t, c] = samp
+            s2[c] = s1[c]
+            s1[c] = samp
+            deltas[c] = max(16, (_MSA_ADAPT[nib] * deltas[c]) >> 8)
+            k += 1
+    if k < need:
+        raise ValueError("MS-ADPCM: block shorter than samples-per-block")
+    return out
+
+
+def ms_adpcm_encode(
+    samples: np.ndarray, block_align: int = 256
+) -> tuple[bytes, int]:
+    """Encode int16 PCM — ``(n,)`` mono or ``(n, ch)`` — to MS-ADPCM
+    blocks (fixture-builder half).  Per block and channel the
+    predictor is chosen by least squared residual over the true
+    samples, the initial delta from the mean early residual, then the
+    nibble stream is generated TRACKING the decoder's state exactly
+    (no drift).  Returns ``(payload, samples_per_block)``; the final
+    block is zero-padded (decoders stop at the fact-chunk count)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    spb = (block_align - 7 * ch) * 2 // ch + 2
+    if spb < 2:
+        raise ValueError("MS-ADPCM: block too small for its header")
+    blocks = []
+    for start in range(0, len(x), spb):
+        seg = x[start : start + spb]
+        if len(seg) < spb:
+            seg = np.vstack(
+                [seg, np.zeros((spb - len(seg), ch), dtype=np.int64)]
+            )
+        head_p = bytearray()
+        head_d = bytearray()
+        head_s1 = bytearray()
+        head_s2 = bytearray()
+        nibs: list[list[int]] = []
+        for c in range(ch):
+            col = seg[:, c]
+            best_p, best_err = 0, None
+            for p in range(7):
+                pred = (col[1:-1] * _MSA_COEF1[p] + col[:-2] * _MSA_COEF2[p]) >> 8
+                err = int(((col[2:] - pred) ** 2).sum())
+                if best_err is None or err < best_err:
+                    best_p, best_err = p, err
+            c1, c2 = _MSA_COEF1[best_p], _MSA_COEF2[best_p]
+            resid = np.abs(
+                col[2:] - ((col[1:-1] * c1 + col[:-2] * c2) >> 8)
+            )
+            delta = max(16, int(resid[:8].mean() // 4) if len(resid) else 16)
+            s2v, s1v = int(col[0]), int(col[1])
+            head_p.append(best_p)
+            head_d += delta.to_bytes(2, "little", signed=True)
+            head_s1 += s1v.to_bytes(2, "little", signed=True)
+            head_s2 += s2v.to_bytes(2, "little", signed=True)
+            cn = []
+            for t in range(2, spb):
+                pred = (s1v * c1 + s2v * c2) >> 8
+                want = int(col[t])
+                s = max(-8, min(7, round((want - pred) / delta)))
+                nib = s + 16 if s < 0 else s
+                samp = max(-32768, min(32767, pred + delta * s))
+                s2v, s1v = s1v, samp
+                delta = max(16, (_MSA_ADAPT[nib] * delta) >> 8)
+                cn.append(nib)
+            nibs.append(cn)
+        body = bytearray()
+        body += head_p + head_d + head_s1 + head_s2
+        flat = []
+        for t in range(spb - 2):
+            for c in range(ch):
+                flat.append(nibs[c][t])
+        if len(flat) & 1:
+            flat.append(0)
+        for hi, lo in zip(flat[0::2], flat[1::2]):
+            body.append((hi << 4) | lo)
+        body += bytes(block_align - len(body))
+        blocks.append(bytes(body))
+    return b"".join(blocks), spb
+
+
+def write_wav_ms(
+    samples: np.ndarray, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """Minimal MS-ADPCM WAV writer (format 2, mono or stereo): the fmt
+    extension carries wSamplesPerBlock, wNumCoef=7 and the seven
+    public coefficient pairs; ``fact`` records the true frame count
+    (required for compressed WAVE formats)."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    nch = a.shape[1]
+    data, spb = ms_adpcm_encode(a, block_align)
+    ext = struct.pack("<HH", spb, 7)
+    for c1, c2 in zip(_MSA_COEF1, _MSA_COEF2):
+        ext += struct.pack("<hh", c1, c2)
+    fmt = struct.pack(
+        "<HHIIHHH",
+        0x02, nch, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, len(ext),
+    ) + ext
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<II", 4, len(a))
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 @_parses_untrusted
 def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a RIFF/WAVE container; returns ``(sample_rate, n_channels,
@@ -341,6 +512,32 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format == 0x02:  # MS-ADPCM (r10)
+        if bits != 4 or not 1 <= n_channels <= 2:
+            raise NotImplementedError(
+                "MS-ADPCM: only mono/stereo 4-bit supported"
+            )
+        block_align = _ba
+        spb = (
+            struct.unpack_from("<H", fmt_body, 18)[0]
+            if len(fmt_body) >= 20
+            else (block_align - 7 * n_channels) * 2 // n_channels + 2
+        )
+        chunks = [
+            ms_adpcm_decode_block(
+                data[i : i + block_align], spb, n_channels
+            )
+            for i in range(0, len(data) // block_align * block_align,
+                           block_align)
+        ]
+        arr = (
+            np.concatenate(chunks)
+            if chunks
+            else np.empty((0, n_channels), dtype=np.int64)
+        ).astype(np.int16)
+        if n_fact is not None:
+            arr = arr[:n_fact]
+        return sample_rate, n_channels, arr
     if audio_format == 0x11:  # IMA/DVI ADPCM: real 4-bit compression
         if bits != 4 or not 1 <= n_channels <= 2:
             raise NotImplementedError(
@@ -2315,15 +2512,21 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("JPEG: 16-bit quant tables")
-                if j + 65 > len(seg):
+                if pq not in (0, 1):
+                    raise ValueError(f"JPEG: bad DQT precision {pq}")
+                step = 1 + pq  # r10: pq=1 = 16-bit big-endian entries
+                if j + 1 + 64 * step > len(seg):
                     raise ValueError("JPEG: DQT overruns the segment")
                 nat = np.zeros(64, dtype=np.int64)
                 for k in range(64):
-                    nat[_ZIGZAG[k]] = seg[j + 1 + k]
+                    o = j + 1 + k * step
+                    nat[_ZIGZAG[k]] = (
+                        seg[o]
+                        if pq == 0
+                        else (seg[o] << 8) | seg[o + 1]
+                    )
                 qtables[tq] = nat.reshape(8, 8)
-                j += 65
+                j += 1 + 64 * step
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):

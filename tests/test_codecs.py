@@ -2105,6 +2105,7 @@ def test_all_parsers_fuzz_fail_loudly():
         (C.write_bmp(px), C.parse_bmp),
         (C.write_wav(x16, 8000), C.parse_wav),
         (C.write_wav_ima(x16[:, 0], 8000), C.parse_wav),
+        (C.write_wav_ms(x16, 8000), C.parse_wav),
         (FL.write_flac(x16, block_size=64), FL.parse_flac),
         (E.write_mkv(
             [(1, 0, True, b"abcdef"), (1, 0, True, b"ghijkl")],
@@ -2128,3 +2129,155 @@ def test_all_parsers_fuzz_fail_loudly():
                 parse(bytes(b))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_jpeg_16bit_quant_tables_decode():
+    """r10: DQT precision 1 (16-bit big-endian entries) parses; a
+    stream whose 8-bit table is re-emitted as 16-bit entries decodes
+    IDENTICALLY (the dequantizer is width-agnostic), and values past
+    255 are preserved."""
+    import struct as _s
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _ZIGZAG,
+        parse_jpeg,
+        write_jpeg,
+    )
+
+    rng = np.random.RandomState(4)
+    px = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    blob = bytearray(write_jpeg(px, quality=40))
+    # locate the 8-bit DQT and rewrite it as a pq=1 table
+    at = blob.find(b"\xff\xdb")
+    assert at >= 0
+    seglen = _s.unpack(">H", blob[at + 2 : at + 4])[0]
+    assert seglen == 67  # 2 + 1 + 64 (one 8-bit table)
+    entries = bytes(blob[at + 5 : at + 5 + 64])
+    wide = b"".join(_s.pack(">H", v) for v in entries)
+    new_seg = _s.pack(">H", 2 + 1 + 128) + bytes([0x10]) + wide
+    blob2 = bytes(blob[:at + 2]) + new_seg + bytes(blob[at + 2 + seglen:])
+    np.testing.assert_array_equal(
+        parse_jpeg(blob2), parse_jpeg(bytes(blob))
+    )
+    # malformed precision nibble raises
+    bad = bytearray(blob)
+    bad[at + 4] = 0x20
+    with pytest.raises(ValueError, match="DQT precision"):
+        parse_jpeg(bytes(bad))
+
+
+def test_ms_adpcm_randomized_matrix():
+    """r10: MS-ADPCM (WAV format 2) — the other ubiquitous legacy
+    4-bit codec.  Seeded random channel counts, block aligns and
+    lengths; container decode checked against an INDEPENDENT in-test
+    walker over the raw block bytes (field-grouped headers, per-nibble
+    channel interleave, the 7 public coefficient pairs and the
+    adaptation table), plus the exact-header-samples and fact-crop
+    contracts."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _MSA_ADAPT,
+        _MSA_COEF1,
+        _MSA_COEF2,
+        ms_adpcm_encode,
+        parse_wav,
+        write_wav_ms,
+    )
+
+    def model_decode(data, spb, ch, n):
+        out = []
+        # the writer emits fixed-size blocks: align = payload/nblocks
+        nblocks = max(1, (n + spb - 1) // spb)
+        ba = len(data) // nblocks
+        for b0 in range(0, nblocks * ba, ba):
+            blk = data[b0 : b0 + ba]
+            preds = list(blk[:ch])
+            get = lambda o, c: int.from_bytes(
+                blk[o + 2 * c : o + 2 * c + 2], "little", signed=True
+            )
+            deltas = [get(ch, c) for c in range(ch)]
+            s1 = [get(3 * ch, c) for c in range(ch)]
+            s2 = [get(5 * ch, c) for c in range(ch)]
+            rows = np.zeros((spb, ch), np.int64)
+            rows[0], rows[1] = s2, s1
+            k = 0
+            for byte in blk[7 * ch :]:
+                for nib in (byte >> 4, byte & 0x0F):
+                    if k >= (spb - 2) * ch:
+                        break
+                    c = k % ch
+                    pred = (
+                        s1[c] * _MSA_COEF1[preds[c]]
+                        + s2[c] * _MSA_COEF2[preds[c]]
+                    ) >> 8
+                    s = nib - 16 if nib >= 8 else nib
+                    v = max(-32768, min(32767, pred + deltas[c] * s))
+                    rows[2 + k // ch, c] = v
+                    s2[c], s1[c] = s1[c], v
+                    deltas[c] = max(16, (_MSA_ADAPT[nib] * deltas[c]) >> 8)
+                    k += 1
+            out.append(rows)
+        return np.concatenate(out)[:n]
+
+    rng = np.random.RandomState(41)
+    for trial in range(16):
+        ch = int(rng.choice([1, 2]))
+        ba = int(rng.choice([64, 128, 256, 400]))
+        n = int(rng.randint(2, 900))
+        kind = int(rng.randint(0, 3))
+        if kind == 0:
+            x = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+        elif kind == 1:
+            t = np.arange(n)[:, None] + np.arange(ch)[None, :]
+            x = (np.sin(t / 7.0) * 12000).astype(np.int16)
+        else:
+            x = np.zeros((n, ch), dtype=np.int16)
+            x[:: max(1, n // 9)] = -31000
+        blob = write_wav_ms(x, 8000, block_align=ba)
+        rate, nch, got = parse_wav(blob)
+        assert (rate, nch, got.shape) == (8000, ch, (n, ch))
+        data, spb = ms_adpcm_encode(x, ba)
+        want = model_decode(data, spb, ch, n)
+        assert np.array_equal(got.astype(np.int64), want), (
+            f"trial {trial}: ch={ch} ba={ba} n={n} kind={kind}"
+        )
+        # block headers carry the first two samples of each block raw
+        starts = np.arange(0, n, spb)
+        np.testing.assert_array_equal(got[starts], x[starts])
+        # smooth signals track within the adaptive step
+        if kind == 1:
+            err = np.abs(got.astype(np.int64) - x.astype(np.int64))
+            assert err.mean() < 300
+
+
+def test_ms_adpcm_through_the_audio_funnel(spark):
+    """The admission funnel decodes MS-ADPCM WAVs with zero dispatch
+    changes (RIFF magic -> parse_wav -> format 2), and corrupt
+    predictor indices quarantine."""
+    import numpy as np
+    import pandas as pd
+
+    from asid_v2_data_pipeline_spark.functions.codecs import write_wav_ms
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        decode_audio_stats_admitting,
+    )
+
+    t = np.arange(600)
+    x = (np.sin(t / 9.0) * 9000).astype(np.int16)
+    blob = write_wav_ms(x, 8000)
+    bad = bytearray(blob)
+    at = blob.find(b"data") + 8
+    bad[at] = 0x09  # predictor index 9 > 6 -> ValueError
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2], "payload": [blob, bytes(bad)]}
+        )
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_audio_stats_admitting(media, 20000, 256, 8)
+        .collect()
+    }
+    assert rows[1]["error"] is None and rows[1]["n_frames"] == 600
+    assert rows[2]["error"] == "ValueError"
