@@ -569,6 +569,15 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
             raise NotImplementedError(f"{bits}-bit G.711 not supported")
         table = _ALAW_TABLE if audio_format == 6 else _MULAW_TABLE
         arr = table[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_format == 3:  # IEEE float (r10): ubiquitous in
+        # production audio; lossless container round trip, returned as
+        # float32/float64 (the one non-integer sample dtype)
+        if bits == 32:
+            arr = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4")
+        elif bits == 64:
+            arr = np.frombuffer(data[: len(data) // 8 * 8], dtype="<f8")
+        else:
+            raise NotImplementedError(f"{bits}-bit float WAV")
     elif audio_format != 1:
         raise NotImplementedError(
             f"WAV audio format {audio_format} is not PCM; compressed "
@@ -602,6 +611,21 @@ def write_wav(
     a = np.asarray(samples)
     if a.ndim == 1:
         a = a[:, None]
+    if a.dtype in (np.float32, np.float64):  # format 3 (r10)
+        bits = a.dtype.itemsize * 8
+        data = a.astype(f"<f{a.dtype.itemsize}").tobytes()
+        nch = a.shape[1]
+        block = nch * bits // 8
+        fmt = struct.pack(
+            "<HHIIHHH", 3, nch, sample_rate,
+            sample_rate * block, block, bits, 0,
+        )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"fact" + struct.pack("<II", 4, len(a))
+        body += b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     if a.dtype == np.uint8:
         bits, data = 8, a.astype(np.uint8).tobytes()
     elif a.dtype in (np.int16, np.dtype("<i2")):
@@ -1663,15 +1687,24 @@ def _jpeg_planes(
     color convert, subsample, pad to the MCU grid.  Returns per
     component ``(plane int64, quant table, quant id, h_samp, v_samp)``."""
     gray = px.ndim == 2
-    if not gray and px.shape[2] != 3:
-        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
+    if not gray and px.shape[2] not in (3, 4):
+        raise ValueError(
+            "pixels must be (h, w) gray, (h, w, 3) RGB or (h, w, 4) "
+            "4-component (CMYK-style, stored without color transform)"
+        )
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
-    sub420 = subsampling == "420" and not gray
+    four = not gray and px.shape[2] == 4
+    sub420 = subsampling == "420" and not gray and not four
     q_luma = _quality_table(_QUANT_LUMA, quality)
     q_chroma = _quality_table(_QUANT_CHROMA, quality)
     if gray:
         return [(_pad_to_8(px).astype(np.int64), q_luma, 0, 1, 1)]
+    if four:  # r10: 4 components, identity color (Adobe transform 0)
+        return [
+            (_pad_to_8(px[..., ci]).astype(np.int64), q_luma, 0, 1, 1)
+            for ci in range(4)
+        ]
     if not sub420:
         ycc = _rgb_to_ycbcr_int(px)
         return [
@@ -1720,8 +1753,6 @@ def write_jpeg(
     gray = px.ndim == 2
     h, w = px.shape[:2]
     planes = _jpeg_planes(px, quality, subsampling)
-    q_luma = planes[0][1]
-    q_chroma = planes[1][1] if len(planes) > 1 else None
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
@@ -1730,11 +1761,12 @@ def write_jpeg(
         + b"JFIF\x00\x01\x01\x00"
         + struct.pack(">HHBB", 1, 1, 0, 0)
     )
-    # DQT: table 0 (luma) and, for color, table 1 (chroma) — zigzag order
-    for tid, qt in ([(0, q_luma)] if gray else [(0, q_luma), (1, q_chroma)]):
+    # DQT: one table per quant id the planes actually reference
+    for tid in sorted({p[2] for p in planes}):
+        qt = next(p[1] for p in planes if p[2] == tid)
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(qt.ravel()[z]) for z in _ZIGZAG)
-    ncomp = 1 if gray else 3
+    ncomp = len(planes)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for ci, (_p, _q, tid, hi, vi) in enumerate(planes):
         out += struct.pack("BBB", ci + 1, (hi << 4) | vi, tid)
@@ -1810,18 +1842,17 @@ def _default_prog_scans(ncomp: int) -> list[tuple]:
             ((0,), 0, 0, 1, 0),
             ((0,), 1, 63, 1, 0),
         ]
-    return [
-        ((0, 1, 2), 0, 0, 0, 1),
-        ((0,), 1, 5, 0, 2),
-        ((1,), 1, 63, 0, 1),
-        ((2,), 1, 63, 0, 1),
-        ((0,), 6, 63, 0, 2),
-        ((0,), 1, 63, 2, 1),
-        ((0, 1, 2), 0, 0, 1, 0),
-        ((1,), 1, 63, 1, 0),
-        ((2,), 1, 63, 1, 0),
-        ((0,), 1, 63, 1, 0),
-    ]
+    others = tuple(range(1, ncomp))
+    all_c = tuple(range(ncomp))
+    return (
+        [(all_c, 0, 0, 0, 1)]
+        + [((0,), 1, 5, 0, 2)]
+        + [((c,), 1, 63, 0, 1) for c in others]
+        + [((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1)]
+        + [(all_c, 0, 0, 1, 0)]
+        + [((c,), 1, 63, 1, 0) for c in others]
+        + [((0,), 1, 63, 1, 0)]
+    )
 
 
 def _validate_scan_script(scans: list[tuple], ncomp: int) -> None:
@@ -2101,10 +2132,8 @@ def write_jpeg_progressive(
         + b"JFIF\x00\x01\x01\x00"
         + struct.pack(">HHBB", 1, 1, 0, 0)
     )
-    q_luma = planes[0][1]
-    gray = ncomp == 1
-    qtabs = [(0, q_luma)] if gray else [(0, q_luma), (1, planes[1][1])]
-    for tid, qt in qtabs:
+    for tid in sorted({p[2] for p in planes}):
+        qt = next(p[1] for p in planes if p[2] == tid)
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(qt.ravel()[z]) for z in _ZIGZAG)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
@@ -2547,8 +2576,10 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
-            if nc not in (1, 3):
-                raise NotImplementedError("JPEG: 1 or 3 components only")
+            if nc not in (1, 3, 4):
+                raise NotImplementedError(
+                    "JPEG: 1, 3 or 4 components only"
+                )
             if 6 + 3 * nc > len(seg):
                 raise ValueError("JPEG: SOF components overrun segment")
             comps = []
@@ -2700,6 +2731,8 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                         axis=1,
                     )
                 full.append(plane[:fh, :fw])
+            if nc == 4:  # r10: 4-component — identity color, raw planes
+                return np.stack(full, axis=-1)
             return _ycbcr_to_rgb_int(np.stack(full, axis=-1))
         i += seglen
     if progressive and prog_coefs is not None:
@@ -2736,6 +2769,8 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                     axis=1,
                 )
             full.append(plane[:fh, :fw])
+        if nc == 4:  # identity color, raw planes (see baseline tail)
+            return np.stack(full, axis=-1)
         return _ycbcr_to_rgb_int(np.stack(full, axis=-1))
     raise ValueError("JPEG: no scan data found")
 

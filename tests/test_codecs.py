@@ -2281,3 +2281,54 @@ def test_ms_adpcm_through_the_audio_funnel(spark):
     }
     assert rows[1]["error"] is None and rows[1]["n_frames"] == 600
     assert rows[2]["error"] == "ValueError"
+
+
+def test_wav_float_formats_roundtrip():
+    """r10: WAVE_FORMAT_IEEE_FLOAT (3) — float32 and float64 samples
+    round trip bit-exactly (lossless container), mono and stereo,
+    incl. NaN/inf payload values and odd lengths."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_wav,
+        write_wav,
+    )
+
+    rng = np.random.RandomState(8)
+    for dt in (np.float32, np.float64):
+        for ch in (1, 2):
+            x = rng.randn(333, ch).astype(dt)
+            x[0, 0] = np.inf
+            x[1, 0] = np.nan
+            r, c, got = parse_wav(write_wav(x, 48000))
+            assert (r, c) == (48000, ch)
+            assert got.dtype == dt and got.shape == (333, ch)
+            np.testing.assert_array_equal(
+                np.nan_to_num(got, nan=7.0), np.nan_to_num(x, nan=7.0)
+            )
+
+
+def test_jpeg_four_component_roundtrip():
+    """r10: 4-component JPEG (the CMYK container shape, Adobe
+    transform-0 semantics — channels stored without color transform).
+    Each channel decodes exactly equal to its standalone grayscale
+    pipeline, baseline == progressive, and the generalized default
+    scan script covers all four components."""
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg,
+        write_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(12)
+    px = rng.randint(0, 256, (24, 17, 4)).astype(np.uint8)
+    for q in (40, 85):
+        base = parse_jpeg(write_jpeg(px, q))
+        assert base.shape == (24, 17, 4)
+        np.testing.assert_array_equal(
+            parse_jpeg(write_jpeg_progressive(px, q)), base
+        )
+        for c in range(4):
+            np.testing.assert_array_equal(
+                base[..., c], parse_jpeg(write_jpeg(px[..., c], q))
+            )
