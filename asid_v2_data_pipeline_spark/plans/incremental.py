@@ -25,6 +25,7 @@ def run_incremental_build(
     cfg: PipelineConfig,
     decode_fn: DecodeFn = decode_netcdf_scene,
     use_datasource: bool = False,
+    on_error: str = "raise",
 ) -> int:
     """Process only files not yet in the ledger; returns #files processed.
 
@@ -32,6 +33,13 @@ def run_incremental_build(
     commits the processed names — a crash before commit re-processes (at
     least once), matching the reference's JSON-ledger contract
     (archive.py:197-203).
+
+    ``on_error="quarantine"`` (r10): a corrupt scene contributes no
+    pixel rows (its sentinel reject row is filtered before the sink)
+    but its name still commits to the ledger — TERMINAL, so a poison
+    file is skipped on every later run instead of retry-looping the
+    incremental build forever.  The default ``"raise"`` keeps the
+    fail-fast contract (crash before commit → retried next run).
 
     ``use_datasource`` routes the scan through ``format("netcdf")``
     (``sources/netcdf_datasource.py``): todo names prune at partition
@@ -47,6 +55,11 @@ def run_incremental_build(
         return 0
 
     if use_datasource:
+        if on_error != "raise":
+            raise ValueError(
+                "use_datasource=True is fail-fast only; quarantine "
+                "needs the binaryFile path"
+            )
         if decode_fn is not decode_netcdf_scene:
             raise ValueError(
                 "use_datasource=True cannot take a decode_fn callable — "
@@ -63,8 +76,15 @@ def run_incremental_build(
         # and a processed file sharing a scene prefix with a new one can't
         # re-append its pixels.  No collect / isin literal list in the plan.
         px = read_scenes(
-            spark, input_dir, cfg.names_sar, decode_fn, names=todo.select("name")
+            spark, input_dir, cfg.names_sar, decode_fn,
+            names=todo.select("name"), on_error=on_error,
         )
+        if on_error == "quarantine":
+            from pyspark.sql import functions as F
+
+            from ..sources.netcdf import REJECT_VAR
+
+            px = px.filter(F.col("var") != REJECT_VAR)
     px.write.mode("append").partitionBy("scene").parquet(out_dir)
     commit(todo, ledger_path)
     todo.unpersist()

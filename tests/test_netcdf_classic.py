@@ -170,3 +170,39 @@ def test_read_scenes_quarantine_mode(spark, tmp_path):
     )
     with pytest.raises(Exception):  # fail-fast default unchanged
         read_scenes(spark, str(d), ["sar_primary"]).collect()
+
+
+def test_incremental_build_quarantines_poison_scene(spark, tmp_path):
+    """r10: on_error='quarantine' — a corrupt scene contributes no
+    pixels but its name commits to the ledger (terminal skip, no
+    retry loop); the next run processes nothing.  The fail-fast
+    default still raises."""
+    from asid_v2_data_pipeline_spark.config import PipelineConfig
+    from asid_v2_data_pipeline_spark.plans.incremental import (
+        run_incremental_build,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    good = _scene_payload(4)
+    (src / "sceneA_x.nc").write_bytes(good)
+    (src / "sceneB_x.nc").write_bytes(b"CDF\x01" + good[4:16])
+    out, led = str(tmp_path / "px"), str(tmp_path / "led")
+    cfg = PipelineConfig(
+        window_sar=4, stride_sar=4, window_amsr2=2,
+        names_sar=["sar_primary"],
+    )
+    with pytest.raises(Exception):
+        run_incremental_build(spark, str(src), out, led, cfg)
+    # ledger never committed on the failed run -> both still todo
+    n = run_incremental_build(
+        spark, str(src), out, led, cfg, on_error="quarantine"
+    )
+    assert n == 2  # both names consumed (one decoded, one quarantined)
+    back = spark.read.parquet(out)
+    assert back.select("scene").distinct().collect()[0]["scene"] == "sceneA"
+    assert back.count() == 16
+    # terminal: nothing to do on the next run — no poison retry loop
+    assert run_incremental_build(
+        spark, str(src), out, led, cfg, on_error="quarantine"
+    ) == 0
