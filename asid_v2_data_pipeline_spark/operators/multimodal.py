@@ -684,6 +684,64 @@ def decode_image_pool(media: DataFrame, factor: int) -> DataFrame:
     return media.mapInPandas(fn, BMP_POOL_SCHEMA)
 
 
+IMAGE_ADMIT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pooled", T.ArrayType(T.DoubleType()), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_image_pool_admitting(media: DataFrame, factor: int) -> DataFrame:
+    """QUARANTINING twin of ``decode_image_pool`` (r10) — the image
+    half of the corrupt-input contract: a payload whose decode raises
+    ValueError (incl. the parser-boundary conversions) or
+    NotImplementedError (disclosed format boundaries, e.g. a VP8
+    frame in an image column) becomes ONE rejected row with the error
+    class and null pixels, never a failed task.  Genuine bugs still
+    propagate."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codecs import decode_image
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "pooled", "error",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    px = np.atleast_3d(decode_image(bytes(p)))
+                    h, w, _ = px.shape
+                    if h % factor or w % factor:
+                        raise ValueError("factor must divide image dims")
+                except (ValueError, NotImplementedError) as e:
+                    rows["media_id"].append(mid)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["pooled"].append(None)
+                    rows["error"].append(type(e).__name__)
+                    continue
+                gray = px.astype(np.float64).mean(axis=2)
+                pooled = gray.reshape(
+                    h // factor, factor, w // factor, factor
+                ).mean(axis=(1, 3))
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pooled"].append([float(x) for x in pooled.ravel()])
+                rows["error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, IMAGE_ADMIT_SCHEMA)
+
+
 def decode_bmp_pool(media: DataFrame, factor: int) -> DataFrame:
     """REAL image codec path for BMP payloads.  ``decode_image``
     magic-dispatches to ``parse_bmp`` on the 'BM' header, so this is

@@ -2449,6 +2449,89 @@ def mm_bmp_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def mm_image_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARANTINING image decode (r10, the visual twin of
+    ``mm_audio_quarantine``): BMP payloads with a deterministically
+    corrupted subset (``doc_id % 7 == 3``, magic destroyed) through
+    ``decode_image_pool_admitting`` — one corrupt image costs one
+    rejected row.  The oracle re-derives the admitted docs' pooled
+    values straight from the text octets (BMP is lossless) and the
+    corrupted subset as (doc_id, 'ValueError') null rows."""
+    from ..operators.multimodal import decode_image_pool_admitting
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import write_bmp
+
+        n = _BMP_W * _BMP_H
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                buf = t.encode("utf-8")[:n].ljust(n, b"\0")
+                gray = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    _BMP_H, _BMP_W
+                )
+                blob = write_bmp(gray)
+                if did % 7 == 3:
+                    # truncated mid-header (magic intact): the parser
+                    # boundary converts the short read to ValueError
+                    blob = blob[:12]
+                payloads.append(blob)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = _cached_media(spark, sf_dir, "bmpquar", build)
+    stats = decode_image_pool_admitting(media, _BMP_F)
+    k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
+    sel = [
+        F.round(F.element_at("pooled", i + 1), 6).alias(f"p{i}")
+        for i in range(k)
+    ]
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("error").isNull().alias("admitted"),
+        "error",
+        "width",
+        *sel,
+    ).orderBy("doc_id")
+
+
+def _mm_image_quarantine_sql() -> str:
+    ow = _BMP_W // _BMP_F
+    oh = _BMP_H // _BMP_F
+    cell = (
+        f"list_transform(range(0, {_BMP_W * _BMP_H}), i -> "
+        "CASE WHEN i < n_bytes THEN cs[CAST(i + 1 AS INT)] ELSE 0 END)"
+    )
+    cols = []
+    nulls = []
+    for kk in range(ow * oh):
+        r, c = kk // ow, kk % ow
+        idx = [
+            (_BMP_F * r + dr) * _BMP_W + (_BMP_F * c + dc) + 1
+            for dr in range(_BMP_F)
+            for dc in range(_BMP_F)
+        ]
+        s = " + ".join(f"f64[{i}]" for i in idx)
+        cols.append(f"ROUND(({s}) / {_BMP_F * _BMP_F}.0, 6) AS p{kk}")
+        nulls.append(f"CAST(NULL AS DOUBLE) AS p{kk}")
+    return f"""
+WITH {_CODES_CTE_SQL},
+frames AS (SELECT doc_id, {cell} AS f64 FROM codes)
+SELECT doc_id, TRUE AS admitted, CAST(NULL AS VARCHAR) AS error,
+  CAST({_BMP_W} AS INT) AS width, {',' .join(cols)}
+FROM frames WHERE doc_id % 7 <> 3
+UNION ALL
+SELECT doc_id, FALSE AS admitted, 'ValueError' AS error,
+  CAST(NULL AS INT) AS width, {',' .join(nulls)}
+FROM frames WHERE doc_id % 7 = 3
+ORDER BY doc_id
+"""
+
+
 def _mm_bmp_sql() -> str:
     ow = _BMP_W // _BMP_F
     oh = _BMP_H // _BMP_F
@@ -6684,6 +6767,10 @@ REGISTRY = {
     "mm_audio_quarantine": (
         mm_audio_quarantine,
         _mm_audio_quarantine_sql(),
+    ),
+    "mm_image_quarantine": (
+        mm_image_quarantine,
+        _mm_image_quarantine_sql(),
     ),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),

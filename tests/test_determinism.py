@@ -94,6 +94,7 @@ CASES = [
     # quarantining admission funnel
     "mm_jpeg_progressive",
     "mm_audio_quarantine",
+    "mm_image_quarantine",
 ]
 
 
