@@ -91,7 +91,11 @@ def _codec_fprint() -> str:
             "functions/mp3.py",
             "functions/ebml.py",
             "functions/id3.py",
+            "functions/warc.py",
+            "functions/html.py",
+            "functions/mp4.py",
             "operators/multimodal.py",
+            "operators/webtext.py",
         ):
             p = os.path.join(pkg, rel)
             if os.path.exists(p):
@@ -6655,6 +6659,236 @@ GROUP BY label, clabel ORDER BY label, assigned
 """
 
 
+# --- web-crawl ingestion (WARC -> HTTP -> HTML -> text) ------------------------
+
+_WARC_PAR = 80  # characters per generated <p> slice
+
+
+def _warc_build(batches):
+    """Fixture: each document becomes ONE ``.warc.gz`` object (the
+    Common Crawl layout — warcinfo + request + response records, one
+    gzip member each) whose HTML body carries the doc text as
+    ``_WARC_PAR``-char ``<p>`` slices (escaped), each closed by one
+    numeric character reference (code ``33 + len(text) % 90``), inside
+    dropped chrome (nav/header/footer/script/style).  HTTP coding
+    varies deterministically: chunked transfer coding for
+    ``doc_id % 3 == 0``, gzip content coding for ``doc_id % 4 == 0``,
+    status 404 for ``doc_id % 13 == 5`` — so the extractor's every
+    layer (member split, record filter, chunk reassembly, gzip decode,
+    charset decode, tag/entity semantics) is on the oracle-checked
+    path."""
+    import pandas as pd
+
+    from ..functions.html import escape_text
+    from ..functions.warc import write_http_response, write_warc
+
+    for pdf in batches:
+        payloads = []
+        for did, text, lang, source in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+        ):
+            did = int(did)
+            m = 33 + len(text) % 90
+            paras = "".join(
+                f"<p>{escape_text(text[i:i + _WARC_PAR])}&#{m};</p>"
+                for i in range(0, len(text), _WARC_PAR)
+            )
+            html = (
+                f"<html><head><title>Document {did}</title>"
+                "<style>p{margin:0}</style>"
+                "<script>var t = '<p>junk</p>';</script></head>"
+                "<body><nav><ul><li>Home</li><li>Data</li></ul></nav>"
+                "<header>Crawl Fixture Site</header>"
+                f"{paras}"
+                f"<footer>&copy; fixture {did}</footer></body></html>"
+            )
+            body = html.encode("utf-8")
+            url = f"https://crawl.example.org/{source}/{did}"
+            status = 404 if did % 13 == 5 else 200
+            resp = write_http_response(
+                status,
+                [
+                    ("Content-Type", "text/html; charset=utf-8"),
+                    ("Content-Language", str(lang)),
+                ],
+                body,
+                chunked=did % 3 == 0,
+                gzip_body=did % 4 == 0,
+                chunk_size=64,
+                reason="OK" if status == 200 else "Not Found",
+            )
+            req = (
+                f"GET /{source}/{did} HTTP/1.1\r\n"
+                "Host: crawl.example.org\r\n\r\n"
+            ).encode()
+            records = [
+                (
+                    {
+                        "WARC-Type": "warcinfo",
+                        "WARC-Record-ID": f"<urn:fixture:{did}:info>",
+                        "Content-Type": "application/warc-fields",
+                    },
+                    b"software: asid-warc-fixture\r\n",
+                ),
+                (
+                    {
+                        "WARC-Type": "request",
+                        "WARC-Record-ID": f"<urn:fixture:{did}:req>",
+                        "WARC-Target-URI": url,
+                        "Content-Type": "application/http; msgtype=request",
+                    },
+                    req,
+                ),
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Record-ID": f"<urn:fixture:{did}:resp>",
+                        "WARC-Date": "2026-01-01T00:00:00Z",
+                        "WARC-Target-URI": url,
+                        "Content-Type": "application/http; msgtype=response",
+                    },
+                    resp,
+                ),
+            ]
+            payloads.append(write_warc(records))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def _warc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_media(
+        spark,
+        sf_dir,
+        "warc",
+        _warc_build,
+        cols=("doc_id", "text", "lang", "source"),
+    )
+
+
+_WARC_SRC_RE = r"^https://crawl\.example\.org/([^/]+)/"
+
+
+def tx_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL web-crawl ingestion (§2.11): ``.warc.gz`` payloads split
+    into gzip members, WARC records parsed and filtered to responses,
+    HTTP parsed (chunked + gzip codings removed, charset decoded),
+    HTML reduced to title + content text with boilerplate dropped —
+    the operator is ``operators/webtext.extract_warc_text``, a
+    zero-shuffle Arrow kernel.  The oracle re-derives the expected
+    extracted text per document from the `documents` table (the
+    fixture's paragraph slicing + entity markers are deterministic),
+    so any drift in member framing, chunk reassembly, entity decoding
+    or block/whitespace semantics breaks the value hash."""
+    from ..operators.webtext import extract_warc_text
+
+    rows = extract_warc_text(_warc_media(spark, sf_dir))
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "status",
+        "content_language",
+        F.regexp_extract("url", _WARC_SRC_RE, 1).alias("src"),
+        "title",
+        F.length("text").alias("n_chars"),
+        tx.char_poly_hash(F.col("text")).alias("text_hash"),
+        "n_records",
+    ).orderBy("doc_id")
+
+
+def _warc_expected_cte() -> str:
+    """CTE ``ex``: the extractor's expected output text per document,
+    re-derived from `documents` — ``_WARC_PAR``-char slices, leading
+    whitespace trimmed per line (the extractor's line normalization;
+    slices have no interior runs because the corpus has none), the
+    per-paragraph marker character appended, lines joined by \\n."""
+    p = _WARC_PAR
+    return f"""
+ex AS (
+  SELECT doc_id, lang, source,
+         CAST(CASE WHEN doc_id % 13 = 5 THEN 404 ELSE 200 END AS INT)
+           AS status,
+         array_to_string(
+           list_transform(range(0, (len(text) + {p - 1}) // {p}),
+             i -> ltrim(substr(text, CAST(1 + {p} * i AS BIGINT), {p}))
+                  || chr(CAST(33 + len(text) % 90 AS INT))),
+           chr(10)) AS t
+  FROM documents)
+"""
+
+
+def _tx_warc_sql() -> str:
+    ch = _char_hash_sql("t")
+    return f"""
+WITH {_warc_expected_cte()}
+SELECT doc_id, status, lang AS content_language, source AS src,
+       'Document ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS text_hash,
+       CAST(3 AS INT) AS n_records
+FROM ex ORDER BY doc_id
+"""
+
+
+_WARC_MIN_CHARS, _WARC_MAX_CHARS = 60, 520
+
+
+def cur_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl curation: WARC → HTML text → HTTP-status gate
+    → length gate → exact dedup on extracted text (survivor = min
+    doc_id) → per-(src, lang) corpus stats.  One declarative plan:
+    the extraction kernel is zero-shuffle, the dedup shuffles once on
+    the text key, the final agg once on (src, lang) — the same shape
+    at 100 TB."""
+    from ..operators.webtext import extract_warc_text
+
+    rows = extract_warc_text(_warc_media(spark, sf_dir)).select(
+        F.col("media_id").alias("doc_id"),
+        "status",
+        F.col("content_language").alias("lang"),
+        F.regexp_extract("url", _WARC_SRC_RE, 1).alias("src"),
+        "text",
+    )
+    filt = rows.filter(
+        (F.col("status") == 200)
+        & F.length("text").between(_WARC_MIN_CHARS, _WARC_MAX_CHARS)
+    ).withColumn("n_toks", tx.token_count(F.col("text")))
+    surv = dd.exact_dedup(filt, ["text"], "doc_id")
+    return (
+        surv.groupBy("src", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.sum("n_toks").alias("sum_toks"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("src", "lang")
+    )
+
+
+def _cur_warc_sql() -> str:
+    toks_t = TOKENS_SQL.replace("text", "t")
+    lo, hi = _WARC_MIN_CHARS, _WARC_MAX_CHARS
+    return f"""
+WITH {_warc_expected_cte()},
+filt AS (
+  SELECT doc_id, lang, source AS src, t,
+         len({toks_t}) AS n_toks
+  FROM ex
+  WHERE status = 200 AND len(t) BETWEEN {lo} AND {hi}
+),
+surv AS (
+  SELECT *, row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+  FROM filt
+)
+SELECT src, lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(t)) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM surv WHERE rn = 1
+GROUP BY src, lang ORDER BY src, lang
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -6774,4 +7008,6 @@ REGISTRY = {
     ),
     "tx_bigram_lm": (tx_bigram_lm, _bigram_lm_sql()),
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
+    "tx_warc_extract": (tx_warc_extract, _tx_warc_sql()),
+    "cur_warc_pipeline": (cur_warc_pipeline, _cur_warc_sql()),
 }

@@ -95,6 +95,9 @@ CASES = [
     "mm_jpeg_progressive",
     "mm_audio_quarantine",
     "mm_image_quarantine",
+    # round 10 second pass: web-crawl ingestion (WARC -> HTML -> text)
+    "tx_warc_extract",
+    "cur_warc_pipeline",
 ]
 
 
