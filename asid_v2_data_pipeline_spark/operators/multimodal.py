@@ -1158,6 +1158,117 @@ MKV_MP3_SCHEMA = T.StructType(
 )
 
 
+MP4_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("track", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("keyframe", T.BooleanType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+    ]
+)
+
+
+def demux_mp4_samples(media: DataFrame) -> DataFrame:
+    """REAL MP4/ISO-BMFF demux (``functions/mp4.py``): resolve every
+    sample through the stsc/stsz/stco chunk arithmetic, join it with
+    its track's stsd-derived metadata (handler kind + codec from the
+    sample-entry fourcc / esds objectTypeIndication), and emit
+    per-sample rows with stts decode timestamps, stss keyframe flags
+    and the exact payload byte stats the octet-level oracle
+    reproduces.  The MP4 sibling of ``demux_mkv_frames`` — same
+    zero-shuffle Arrow shape, one kernel pass per payload."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.mp4 import parse_mp4
+
+        for pdf in batches:
+            ids, trs, kinds, codecs, tss, keys, nbs, sums = (
+                [], [], [], [], [], [], [], []
+            )
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                f = parse_mp4(bytes(p))
+                for track, ts, key, payload in f.samples:
+                    tr = f.tracks.get(track)
+                    ids.append(mid)
+                    trs.append(track)
+                    kinds.append(tr.kind if tr else None)
+                    codecs.append(tr.codec if tr else None)
+                    tss.append(ts)
+                    keys.append(key)
+                    nbs.append(len(payload))
+                    sums.append(int(sum(payload)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "track": trs,
+                    "kind": kinds,
+                    "codec": codecs,
+                    "ts": tss,
+                    "keyframe": keys,
+                    "n_bytes": nbs,
+                    "byte_sum": sums,
+                }
+            )
+
+    return media.mapInPandas(fn, MP4_SAMPLE_SCHEMA)
+
+
+def demux_mp4_decode_mp3_stats(media: DataFrame) -> DataFrame:
+    """END-TO-END MP3-in-MP4 audio decode: demux each payload
+    (``parse_mp4``), reassemble every audio track whose sample entry
+    declares MPEG-1 audio (``mp4a`` + esds objectTypeIndication 0x6B
+    — the standard MP3-in-MP4 registration), SAMPLE-decode with
+    ``parse_mp3_l3`` (reconstruction state crosses sample boundaries,
+    so one dropped or reordered sample changes every later PCM value),
+    and emit the integer loudness stats plus ``n_blocks`` (the demuxed
+    sample count).  The MP4 sibling of ``demux_decode_mp3_stats`` —
+    identical output schema, identical oracle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.mp3 import parse_mp3_l3
+        from ..functions.mp4 import parse_mp4
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_blocks", "sample_rate", "n_samples",
+                "sum_sq", "fp",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                f = parse_mp4(bytes(p))
+                for tid, tr in sorted(f.tracks.items()):
+                    if tr.kind != "audio" or tr.codec != "mp3":
+                        continue
+                    blocks = sorted(
+                        (s for s in f.samples if s[0] == tid),
+                        key=lambda s: s[1],
+                    )
+                    rate, pcm = parse_mp3_l3(
+                        b"".join(s[3] for s in blocks)
+                    )
+                    s_ = pcm.astype(np.int64).reshape(-1)
+                    rows["media_id"].append(mid)
+                    rows["n_blocks"].append(len(blocks))
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(s_.size)
+                    rows["sum_sq"].append(int((s_ * s_).sum()))
+                    rows["fp"].append(
+                        int(((np.arange(s_.size) + 1) * s_).sum())
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, MKV_MP3_SCHEMA)
+
+
 def demux_decode_mp3_stats(media: DataFrame) -> DataFrame:
     """END-TO-END MP3-in-Matroska audio decode — the Layer III sibling
     of ``demux_decode_flac_rms``: demux each payload (``parse_mkv``),

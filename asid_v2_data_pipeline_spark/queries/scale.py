@@ -6659,6 +6659,173 @@ GROUP BY label, clabel ORDER BY label, assigned
 """
 
 
+# --- MP4 / ISO-BMFF container -------------------------------------------------
+
+_MP4_FR = 16  # bytes per fixture raw video sample
+_MP4_TICKS = 40  # stts delta between samples (25 fps at 1 ms scale)
+
+
+def _mp4_raw_build(batches):
+    """Fixture for ``mm_mp4_demux``: document bytes become complete
+    ``_MP4_FR``-byte raw video samples muxed into a genuine MP4
+    (ftyp + mdat + moov with full stsd/stts/stsc/stsz/stco/stss
+    tables, 'raw ' sample entry, chunks of 4, every 4th sample sync)."""
+    import pandas as pd
+
+    from ..functions.mp4 import Mp4Track, write_mp4
+
+    tracks = [Mp4Track(1, "video", "raw", timescale=1000, width=4, height=4)]
+    for pdf in batches:
+        payloads = []
+        for t in pdf["text"]:
+            raw = t.encode("utf-8")
+            n = len(raw) // _MP4_FR
+            samples = [
+                (
+                    1,
+                    i * _MP4_TICKS,
+                    i % 4 == 0,
+                    raw[i * _MP4_FR : (i + 1) * _MP4_FR],
+                )
+                for i in range(n)
+            ]
+            payloads.append(
+                write_mp4(samples, tracks, chunk_every=4)
+                if samples
+                else None
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4/ISO-BMFF demux (§2.11): document bytes become raw
+    video samples muxed into a genuine MP4 (``functions/mp4.py`` —
+    box tree, sample tables, sync table), then ``demux_mp4_samples``
+    resolves every sample back through the stsc/stsz/stco chunk
+    arithmetic with stts timestamps and stss keyframe flags.  The
+    oracle re-derives sample count, timestamps, keyframe cadence and
+    exact byte sums from the raw octets — any drift in box framing,
+    chunk mapping or table encoding breaks the value hash.  The MP4
+    twin of ``mm_mkv_demux``."""
+    from ..operators.multimodal import demux_mp4_samples
+
+    media = _cached_media(spark, sf_dir, "mp4raw", _mp4_raw_build)
+    out = demux_mp4_samples(media)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "track",
+        "kind",
+        "codec",
+        "ts",
+        "keyframe",
+        "n_bytes",
+        "byte_sum",
+    ).orderBy("doc_id", "ts")
+
+
+def _mm_mp4_sql() -> str:
+    fr, tk = _MP4_FR, _MP4_TICKS
+    return f"""
+WITH {_CODES_CTE_SQL},
+frames AS (
+  SELECT doc_id, CAST(f AS INT) AS fno,
+         CAST(list_sum(list_transform(range(0, {fr}), k ->
+              CAST(cs[CAST(f * {fr} + k + 1 AS INT)] AS BIGINT))) AS BIGINT)
+           AS byte_sum
+  FROM codes, unnest(range(0, n_bytes // {fr})) AS t(f)
+)
+SELECT doc_id, CAST(1 AS INT) AS track, 'video' AS kind,
+       'raw' AS codec,
+       CAST(fno * {tk} AS BIGINT) AS ts,
+       (fno % 4 = 0) AS keyframe,
+       CAST({fr} AS INT) AS n_bytes, byte_sum
+FROM frames ORDER BY doc_id, ts
+"""
+
+
+def _mp3_mp4_build(batches):
+    """Fixture for ``mm_mp4_mp3_rms``: the SAME variable-length mono
+    Layer III stream as ``_mp3_mkv_build`` (F = 1 + n_bytes mod 3
+    frames, byte→bitstream mapping unchanged — the oracle is shared),
+    muxed per the MP3-in-MP4 registration: one MPEG frame per sample
+    in an ``mp4a`` track whose esds declares objectTypeIndication
+    0x6B, timescale 44100, stts delta 1152 (the per-frame sample
+    count), chunks of 2."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.mp3 import _FRAME_LEN, write_mp3_l3
+    from ..functions.mp4 import Mp4Track, write_mp4
+
+    tracks = [
+        Mp4Track(
+            1, "audio", "mp3",
+            timescale=44100, sample_rate=44100, channels=1,
+        )
+    ]
+    for pdf in batches:
+        payloads = []
+        for t in pdf["text"]:
+            raw = t.encode("utf-8")
+            nb = len(raw)
+            if nb == 0:
+                payloads.append(None)
+                continue
+            b = np.frombuffer(raw, np.uint8).astype(np.int64)
+            nf = 1 + nb % 3
+            q = np.empty((nf, 2, 576), np.int64)
+            sfs = np.empty((nf, 2, 21), np.int64)
+            for f in range(nf):
+                for g in range(2):
+                    gc = f * 2 + g
+                    v = b[(576 * gc + np.arange(576)) % nb] % 3
+                    q[f, g] = np.where(v == 0, 0, np.where(v == 1, 1, -1))
+                    sfs[f, g] = b[(21 * gc + np.arange(21)) % nb] % 8
+            stream = write_mp3_l3(q, sfs, global_gain=_MP3_GG)
+            samples = [
+                (
+                    1,
+                    f * 1152,
+                    True,
+                    stream[f * _FRAME_LEN : (f + 1) * _FRAME_LEN],
+                )
+                for f in range(nf)
+            ]
+            payloads.append(write_mp4(samples, tracks, chunk_every=2))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_mp4_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END MP3-in-MP4 decode: the ``mm_mkv_mp3_rms`` fixture
+    stream re-muxed per the MP3-in-MP4 registration (``mp4a`` sample
+    entry + esds objectTypeIndication 0x6B), demuxed back through the
+    sample tables, reassembled in stts order and SAMPLE-decoded with
+    cross-frame reconstruction state — one dropped or reordered
+    sample changes every later PCM value and breaks the value hash.
+    The oracle is the SAME generated fixed-point pipeline as the MKV
+    twin (container-independent by construction: it replays from the
+    pre-encode octets)."""
+    from ..operators.multimodal import demux_mp4_decode_mp3_stats
+
+    media = _cached_media(spark, sf_dir, "mp4mp3", _mp3_mp4_build)
+    stats = demux_mp4_decode_mp3_stats(media)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_blocks",
+        "sample_rate",
+        "n_samples",
+        "sum_sq",
+        "fp",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
+        ).alias("rms"),
+    ).orderBy("doc_id")
+
+
 # --- web-crawl ingestion (WARC -> HTTP -> HTML -> text) ------------------------
 
 _WARC_PAR = 80  # characters per generated <p> slice
@@ -7010,4 +7177,9 @@ REGISTRY = {
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
     "tx_warc_extract": (tx_warc_extract, _tx_warc_sql()),
     "cur_warc_pipeline": (cur_warc_pipeline, _cur_warc_sql()),
+    "mm_mp4_demux": (mm_mp4_demux, _mm_mp4_sql()),
+    "mm_mp4_mp3_rms": (
+        mm_mp4_mp3_rms,
+        _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),
+    ),
 }

@@ -96,8 +96,11 @@ CASES = [
     "mm_audio_quarantine",
     "mm_image_quarantine",
     # round 10 second pass: web-crawl ingestion (WARC -> HTML -> text)
+    # and the MP4/ISO-BMFF container twins
     "tx_warc_extract",
     "cur_warc_pipeline",
+    "mm_mp4_demux",
+    "mm_mp4_mp3_rms",
 ]
 
 
