@@ -110,6 +110,13 @@ HEADLINE = [
     # mm_mp3_rms) and mm_audio_curation (FLAC decode + dedup funnel:
     # covered by mm_mkv_flac_rms + mm_audio_multicodec) moved to the
     # sweep's long tail
+    # round 10 second pass: two NEW kernel families — web-crawl
+    # ingestion (gzip member split + WARC/HTTP parse + HTML extraction
+    # per document) and MP4/ISO-BMFF demux (sample-table chunk
+    # arithmetic); one representative each, the decode-composition
+    # twins (cur_warc_pipeline, mm_mp4_mp3_rms) stay in the sweep
+    "tx_warc_extract",
+    "mm_mp4_demux",
 ]
 
 
