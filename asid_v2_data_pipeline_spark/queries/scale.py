@@ -131,6 +131,7 @@ def _cached_media(
     build_fn,
     cols: tuple = ("doc_id", "text"),
     schema: str = "media_id long, payload binary",
+    deps: tuple = (),
 ) -> DataFrame:
     """Media-fixture payloads synthesized ONCE per testdata fingerprint
     and persisted under ``.index_cache`` (VERDICT r8 task 1): the
@@ -162,11 +163,13 @@ def _cached_media(
     import inspect
     import textwrap
 
-    try:
-        src = textwrap.dedent(inspect.getsource(build_fn))
-        src_bytes = _code_fingerprint_src(ast, src)
-    except (OSError, TypeError, SyntaxError):  # builders are always
-        src_bytes = repr(build_fn).encode()  # file-backed; belt+braces
+    src_bytes = b""
+    for fn in (build_fn, *deps):  # deps: a wrapper builder hashes the
+        try:  # builders it delegates to, so the auto-invalidation
+            src = textwrap.dedent(inspect.getsource(fn))  # guarantee
+            src_bytes += _code_fingerprint_src(ast, src)  # survives
+        except (OSError, TypeError, SyntaxError):  # composition
+            src_bytes += repr(fn).encode()
     ver = hashlib.sha1(
         _codec_fprint().encode() + src_bytes
     ).hexdigest()[:8]
@@ -6996,6 +6999,69 @@ FROM ex ORDER BY doc_id
 """
 
 
+def _warc_quarantine_build(batches):
+    """Fixture kernel for ``tx_warc_quarantine``: the ``_warc_build``
+    payloads (hashed as a dep, so a builder change still refixtures),
+    with docs ``doc_id % 7 == 3`` getting their leading gzip magic
+    destroyed — a deterministic corrupt-subset so the quarantine path
+    itself is oracle-checkable."""
+    for pdf in _warc_build(batches):
+        pdf["payload"] = [
+            (b"XX" + p[2:] if p is not None and mid % 7 == 3 else p)
+            for mid, p in zip(pdf["media_id"], pdf["payload"])
+        ]
+        yield pdf
+
+
+def tx_warc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARANTINING crawl ingestion: ``extract_warc_text_admitting``
+    turns each corrupt ``.warc.gz`` object into a rejected ROW (null
+    fields + error class) instead of a failed Spark task — at crawl
+    scale a truncated member is a statistical certainty.  The fixture
+    corrupts a deterministic subset (``doc_id % 7 == 3``, gzip magic
+    destroyed), so the oracle re-derives BOTH sides: the expected
+    extracted text for admitted docs and (doc_id, 'ValueError') for
+    the corrupted ones."""
+    from ..operators.webtext import extract_warc_text_admitting
+
+    media = _cached_media(
+        spark,
+        sf_dir,
+        "warcquar",
+        _warc_quarantine_build,
+        cols=("doc_id", "text", "lang", "source"),
+        deps=(_warc_build,),
+    )
+    rows = extract_warc_text_admitting(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("error").isNull().alias("admitted"),
+        "error",
+        "status",
+        F.length("text").alias("n_chars"),
+        tx.char_poly_hash(F.col("text")).alias("text_hash"),
+    ).orderBy("doc_id")
+
+
+def _tx_warc_quarantine_sql() -> str:
+    ch = _char_hash_sql("t")
+    return f"""
+WITH {_warc_expected_cte()},
+good AS (
+  SELECT doc_id, TRUE AS admitted, CAST(NULL AS VARCHAR) AS error,
+         status, CAST(len(t) AS INT) AS n_chars, {ch} AS text_hash
+  FROM ex WHERE doc_id % 7 <> 3
+),
+rejected AS (
+  SELECT doc_id, FALSE AS admitted, 'ValueError' AS error,
+         CAST(NULL AS INT) AS status, CAST(NULL AS INT) AS n_chars,
+         CAST(NULL AS BIGINT) AS text_hash
+  FROM ex WHERE doc_id % 7 = 3
+)
+SELECT * FROM good UNION ALL SELECT * FROM rejected ORDER BY doc_id
+"""
+
+
 _WARC_MIN_CHARS, _WARC_MAX_CHARS = 60, 520
 
 
@@ -7177,6 +7243,7 @@ REGISTRY = {
     "ds_leakage_safe_split": (ds_leakage_safe_split, _leakage_split_sql()),
     "tx_warc_extract": (tx_warc_extract, _tx_warc_sql()),
     "cur_warc_pipeline": (cur_warc_pipeline, _cur_warc_sql()),
+    "tx_warc_quarantine": (tx_warc_quarantine, _tx_warc_quarantine_sql()),
     "mm_mp4_demux": (mm_mp4_demux, _mm_mp4_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,

@@ -99,6 +99,7 @@ CASES = [
     # and the MP4/ISO-BMFF container twins
     "tx_warc_extract",
     "cur_warc_pipeline",
+    "tx_warc_quarantine",
     "mm_mp4_demux",
     "mm_mp4_mp3_rms",
 ]
