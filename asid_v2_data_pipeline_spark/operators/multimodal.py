@@ -1375,6 +1375,46 @@ def demux_decode_flac_rms(media: DataFrame, window_samples: int) -> DataFrame:
     return media.mapInPandas(fn, MKV_FLAC_RMS_SCHEMA)
 
 
+def demux_decode_ogg_flac_rms(
+    media: DataFrame, window_samples: int
+) -> DataFrame:
+    """END-TO-END FLAC-in-Ogg decode — the Ogg sibling of
+    ``demux_decode_flac_rms``: parse each payload's page stream
+    (``functions/ogg.py`` — capture pattern, CRC, lacing, continuation
+    and sequence validation), reassemble the native FLAC stream per
+    the FLAC-in-Ogg mapping (mapping packet's embedded headers + one
+    frame per audio packet), decode with the repo's own FLAC decoder
+    (CRC + MD5 verified — one dropped or reordered page fails loudly),
+    and emit per-(channel, window) exact energies plus ``n_blocks``
+    (the audio packet count).  Zero external codec libraries;
+    Arrow-batched ``mapInPandas``; zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.flac import parse_flac
+        from ..functions.ogg import parse_ogg_flac
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_blocks", "sample_rate", "bits", "channel",
+                "win_no", "sum_sq", "rms",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                stream, n_frames = parse_ogg_flac(bytes(p))
+                rate, bits, samples = parse_flac(stream)
+                mark = len(rows["media_id"])
+                _flac_windows(
+                    mid, rate, bits, samples, window_samples, rows
+                )
+                rows["n_blocks"].extend(
+                    [n_frames] * (len(rows["media_id"]) - mark)
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, MKV_FLAC_RMS_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

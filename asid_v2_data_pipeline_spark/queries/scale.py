@@ -94,6 +94,7 @@ def _codec_fprint() -> str:
             "functions/warc.py",
             "functions/html.py",
             "functions/mp4.py",
+            "functions/ogg.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -3500,6 +3501,50 @@ SELECT doc_id,
        ROUND(sqrt(CAST(sum_sq AS DOUBLE) / {_FLAC_W}), 6) AS rms
 FROM wins ORDER BY doc_id, channel, win_no
 """
+
+
+def _ogg_flac_build(batches):
+    """Fixture kernel for ``mm_ogg_flac_rms``: the ``_flac_build``
+    native streams (hashed as a dep) wrapped per the FLAC-in-Ogg
+    mapping — mapping packet + one frame per audio packet, multi-
+    packet pages with CRC-sealed lacing."""
+    from ..functions.ogg import write_ogg_flac
+
+    for pdf in _flac_build(batches, _FLAC_BLOCK, False):
+        pdf["payload"] = [
+            write_ogg_flac(bytes(p)) if p is not None else None
+            for p in pdf["payload"]
+        ]
+        yield pdf
+
+
+def mm_ogg_flac_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END FLAC-in-Ogg decode — Ogg completes the open-container
+    family (Matroska, MP4, Ogg): the same stereo PCM as the MKV twin,
+    FLAC-encoded in 16-sample blocks, wrapped per the FLAC-in-Ogg
+    mapping (RFC 3533 pages, CRC-32-sealed, packets laced across
+    pages), then ``demux_decode_ogg_flac_rms`` validates + reassembles
+    the page stream, FLAC-decodes it (STREAMINFO MD5 spans ALL
+    samples, so one dropped or reordered page fails loudly) and emits
+    the windowed energies plus ``n_blocks`` (audio packets).  The
+    oracle is the SAME octet replay as the MKV twin — container-
+    independent by construction."""
+    from ..operators.multimodal import demux_decode_ogg_flac_rms
+
+    media = _cached_media(
+        spark, sf_dir, "oggflac", _ogg_flac_build, deps=(_flac_build,)
+    )
+    out = demux_decode_ogg_flac_rms(media, _FLAC_W)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        "n_blocks",
+        "sample_rate",
+        "bits",
+        "channel",
+        "win_no",
+        "sum_sq",
+        F.round("rms", 6).alias("rms"),
+    ).orderBy("doc_id", "channel", "win_no")
 
 
 _AC_CLIP = 20000  # |sample| >= this counts as clipped
@@ -7245,6 +7290,7 @@ REGISTRY = {
     "cur_warc_pipeline": (cur_warc_pipeline, _cur_warc_sql()),
     "tx_warc_quarantine": (tx_warc_quarantine, _tx_warc_quarantine_sql()),
     "mm_mp4_demux": (mm_mp4_demux, _mm_mp4_sql()),
+    "mm_ogg_flac_rms": (mm_ogg_flac_rms, _mm_mkv_flac_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),

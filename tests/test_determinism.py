@@ -102,6 +102,7 @@ CASES = [
     "tx_warc_quarantine",
     "mm_mp4_demux",
     "mm_mp4_mp3_rms",
+    "mm_ogg_flac_rms",
 ]
 
 
