@@ -1415,6 +1415,54 @@ def demux_decode_ogg_flac_rms(
     return media.mapInPandas(fn, MKV_FLAC_RMS_SCHEMA)
 
 
+WEBDATASET_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("n_fields", T.IntegerType(), False),
+        T.StructField("cls", T.StringType(), True),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def extract_webdataset_samples(media: DataFrame) -> DataFrame:
+    """WebDataset shard ingestion: each payload is a ``.tar(.gz)``
+    shard whose members group into samples by basename
+    (``functions/tarf.py``); emit one row per sample with its ``txt``
+    and ``cls`` fields decoded — the shape a training-data loader
+    consumes.  Adjacency violations and tar corruption fail loudly
+    (ValueError), so the admitting/streaming paths can quarantine a
+    shard without losing the pass.  Arrow-batched ``mapInPandas``,
+    zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.tarf import parse_webdataset_shard
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "key", "n_fields", "cls", "txt",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for key, fields in parse_webdataset_shard(bytes(p)):
+                    rows["media_id"].append(mid)
+                    rows["key"].append(key)
+                    rows["n_fields"].append(len(fields))
+                    cls = fields.get("cls")
+                    txt = fields.get("txt")
+                    rows["cls"].append(
+                        cls.decode("utf-8") if cls is not None else None
+                    )
+                    rows["txt"].append(
+                        txt.decode("utf-8") if txt is not None else None
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, WEBDATASET_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -95,6 +95,7 @@ def _codec_fprint() -> str:
             "functions/html.py",
             "functions/mp4.py",
             "functions/ogg.py",
+            "functions/tarf.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -6874,6 +6875,93 @@ def mm_mp4_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- WebDataset tar shards ------------------------------------------------------
+
+_WDS_SLICE = 128  # chars of text per shard sample
+
+
+def _wds_build(batches):
+    """Fixture for ``mm_webdataset_shard``: each document becomes one
+    ``.tar.gz`` WebDataset shard whose samples are the text's
+    ``_WDS_SLICE``-char slices — per sample three adjacent members
+    ``<key>.txt`` / ``<key>.cls`` (the lang label) / ``<key>.id``,
+    keys ``{doc_id:06d}-{i:03d}`` — the exact layout a WebDataset
+    training loader reads sequentially."""
+    import pandas as pd
+
+    from ..functions.tarf import write_webdataset_shard
+
+    for pdf in batches:
+        payloads = []
+        for did, t, lang in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"]
+        ):
+            did = int(did)
+            samples = [
+                (
+                    f"{did:06d}-{i // _WDS_SLICE:03d}",
+                    [
+                        ("txt", t[i : i + _WDS_SLICE].encode("utf-8")),
+                        ("cls", str(lang).encode("utf-8")),
+                        ("id", str(did).encode("ascii")),
+                    ],
+                )
+                for i in range(0, len(t), _WDS_SLICE)
+            ]
+            payloads.append(
+                write_webdataset_shard(samples) if samples else None
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_webdataset_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset SHARD ingestion (§2.11): the de-facto tar-shard
+    layout of large-scale multimodal training data — ``.tar.gz``
+    shards (ustar members, deterministic gzip framing) whose adjacent
+    same-basename members form samples — parsed back into per-sample
+    rows by ``extract_webdataset_samples``.  The oracle re-derives
+    every sample (key arithmetic, slice text, label) from the
+    `documents` table, so any drift in tar header layout, checksum
+    handling, padding, gzip framing or the adjacency grouping breaks
+    the value hash."""
+    from ..operators.multimodal import extract_webdataset_samples
+
+    media = _cached_media(
+        spark, sf_dir, "wds", _wds_build, cols=("doc_id", "text", "lang")
+    )
+    rows = extract_webdataset_samples(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "key",
+        "n_fields",
+        "cls",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "key")
+
+
+def _mm_wds_sql() -> str:
+    w = _WDS_SLICE
+    ch = _char_hash_sql("t")
+    return f"""
+WITH slices AS (
+  SELECT doc_id, lang, CAST(i AS INT) AS sno,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+)
+SELECT doc_id,
+       printf('%06d-%03d', doc_id, sno) AS key,
+       CAST(3 AS INT) AS n_fields,
+       lang AS cls,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM slices ORDER BY doc_id, key
+"""
+
+
 # --- web-crawl ingestion (WARC -> HTTP -> HTML -> text) ------------------------
 
 _WARC_PAR = 80  # characters per generated <p> slice
@@ -7291,6 +7379,7 @@ REGISTRY = {
     "tx_warc_quarantine": (tx_warc_quarantine, _tx_warc_quarantine_sql()),
     "mm_mp4_demux": (mm_mp4_demux, _mm_mp4_sql()),
     "mm_ogg_flac_rms": (mm_ogg_flac_rms, _mm_mkv_flac_sql()),
+    "mm_webdataset_shard": (mm_webdataset_shard, _mm_wds_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),

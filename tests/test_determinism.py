@@ -103,6 +103,7 @@ CASES = [
     "mm_mp4_demux",
     "mm_mp4_mp3_rms",
     "mm_ogg_flac_rms",
+    "mm_webdataset_shard",
 ]
 
 
