@@ -2776,8 +2776,9 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatched image decode: BMP, PNG, GIF or JPEG (baseline
-    SOF0 and progressive SOF2) ->
+    """Magic-dispatched image decode: BMP, PNG, GIF, JPEG (baseline
+    SOF0 and progressive SOF2) or TIFF (strips, both byte orders,
+    none/PackBits/Deflate/LZW, predictor 2 — ``functions/tiff.py``) ->
     uint8 RGB-ish array (PNG alpha/gray channels preserved).  Other
     formats raise ``NotImplementedError``."""
     if payload[:2] == b"BM":
@@ -2788,4 +2789,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return parse_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return parse_jpeg(payload)
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from .tiff import parse_tiff
+
+        return parse_tiff(payload)
     raise NotImplementedError("unsupported image container")

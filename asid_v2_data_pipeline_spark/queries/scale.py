@@ -96,6 +96,7 @@ def _codec_fprint() -> str:
             "functions/mp4.py",
             "functions/ogg.py",
             "functions/tarf.py",
+            "functions/tiff.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -6875,6 +6876,63 @@ def mm_mp4_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- TIFF image container -------------------------------------------------------
+
+
+def mm_tiff_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode (§2.11): document bytes become an 8×8
+    grayscale TIFF whose compression CYCLES per document (none /
+    PackBits / Deflate / TIFF-LZW, with horizontal-differencing
+    predictor on the compressed variants, byte order alternating per
+    doc), then ``decode_image_pool`` magic-dispatches to
+    ``parse_tiff`` and 2×2 block-mean pools.  TIFF is lossless, so the
+    oracle is the SAME raw-octet pool as the BMP/PNG/GIF twins — any
+    drift in IFD layout, strip arithmetic, PackBits/LZW coding or the
+    predictor breaks the value hash."""
+    from ..operators.multimodal import decode_image_pool
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.tiff import write_tiff
+
+        comps = ("none", "packbits", "deflate", "lzw")
+        n = _BMP_W * _BMP_H
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                buf = t.encode("utf-8")[:n].ljust(n, b"\0")
+                gray = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    _BMP_H, _BMP_W
+                )
+                comp = comps[did % 4]
+                payloads.append(
+                    write_tiff(
+                        gray,
+                        compression=comp,
+                        big_endian=did % 2 == 1,
+                        rows_per_strip=3,
+                        predictor=comp != "none",
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = _cached_media(spark, sf_dir, "tiff", build)
+    pooled = decode_image_pool(media, _BMP_F)
+    k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
+    sel = [
+        F.round(F.element_at("pooled", i + 1), 6).alias(f"p{i}")
+        for i in range(k)
+    ]
+    return pooled.select(
+        F.col("media_id").alias("doc_id"), "width", "height", *sel
+    ).orderBy("doc_id")
+
+
 # --- WebDataset tar shards ------------------------------------------------------
 
 _WDS_SLICE = 128  # chars of text per shard sample
@@ -7380,6 +7438,7 @@ REGISTRY = {
     "mm_mp4_demux": (mm_mp4_demux, _mm_mp4_sql()),
     "mm_ogg_flac_rms": (mm_ogg_flac_rms, _mm_mkv_flac_sql()),
     "mm_webdataset_shard": (mm_webdataset_shard, _mm_wds_sql()),
+    "mm_tiff_pool": (mm_tiff_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),

@@ -104,6 +104,7 @@ CASES = [
     "mm_mp4_mp3_rms",
     "mm_ogg_flac_rms",
     "mm_webdataset_shard",
+    "mm_tiff_pool",
 ]
 
 
