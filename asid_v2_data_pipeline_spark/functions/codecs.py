@@ -654,6 +654,116 @@ def write_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _f80_encode(rate: int) -> bytes:
+    """80-bit IEEE 754 extended float (the AIFF sampleRate field):
+    sign + 15-bit exponent (bias 16383) + 64-bit mantissa with an
+    EXPLICIT leading 1."""
+    if rate <= 0:
+        raise ValueError("AIFF: sample rate must be positive")
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    return struct.pack(">H", 16383 + e) + struct.pack(">Q", mant)
+
+
+def _f80_decode(raw: bytes) -> int:
+    if len(raw) != 10:
+        raise ValueError("AIFF: sampleRate field must be 10 bytes")
+    se = struct.unpack(">H", raw[:2])[0]
+    mant = struct.unpack(">Q", raw[2:])[0]
+    if se & 0x8000:
+        raise ValueError("AIFF: negative sample rate")
+    e = se - 16383
+    if not -64 <= e <= 63 or mant == 0:
+        raise ValueError("AIFF: sample rate out of range")
+    shift = 63 - e
+    if shift < 0:
+        return mant << (-shift)
+    if shift > 63:
+        return 0
+    return mant >> shift
+
+
+def write_aiff(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Minimal AIFF writer (fixture builder): IFF ``FORM``/``AIFF``
+    with a COMM chunk (channels, frames, 16-bit, 80-bit extended-float
+    sample rate) and an SSND chunk of big-endian int16 PCM.
+    ``samples`` is 1-D mono or ``(frames, channels)`` int16."""
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.dtype not in (np.int16, np.dtype(">i2"), np.dtype("<i2")):
+        raise ValueError("AIFF: only 16-bit samples supported")
+    frames, nch = a.shape
+    comm = (
+        struct.pack(">hIh", nch, frames, 16) + _f80_encode(sample_rate)
+    )
+    data = a.astype(">i2").tobytes()
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    if len(ssnd) & 1:
+        body += b"\x00"
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def parse_aiff(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an AIFF file → ``(sample_rate, n_channels, samples
+    (frames, ch) int64)``.  16-bit PCM only (AIFF-C compression and
+    other depths raise NotImplementedError); loud ``ValueError`` on
+    malformed IFF structure, per the fuzz contract."""
+    if len(payload) < 12:
+        raise ValueError("AIFF: truncated FORM header")
+    if payload[:4] != b"FORM":
+        raise ValueError("AIFF: missing FORM magic")
+    form_len = struct.unpack(">I", payload[4:8])[0]
+    if 8 + form_len > len(payload):
+        raise ValueError("AIFF: FORM size exceeds payload")
+    form_type = payload[8:12]
+    if form_type == b"AIFC":
+        raise NotImplementedError("AIFF: AIFF-C compression")
+    if form_type != b"AIFF":
+        raise ValueError(f"AIFF: not an AIFF form ({form_type!r})")
+    end = 8 + form_len
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        clen = struct.unpack(">I", payload[pos + 4 : pos + 8])[0]
+        body_at = pos + 8
+        if body_at + clen > end:
+            raise ValueError(f"AIFF: {cid!r} chunk exceeds form")
+        if cid == b"COMM":
+            comm = payload[body_at : body_at + clen]
+        elif cid == b"SSND":
+            ssnd = payload[body_at : body_at + clen]
+        pos = body_at + clen + (clen & 1)
+    if comm is None or len(comm) < 18:
+        raise ValueError("AIFF: missing/short COMM chunk")
+    if ssnd is None or len(ssnd) < 8:
+        raise ValueError("AIFF: missing/short SSND chunk")
+    nch, frames, bits = struct.unpack(">hIh", comm[:8])
+    rate = _f80_decode(comm[8:18])
+    if nch < 1:
+        raise ValueError("AIFF: bad channel count")
+    if bits != 16:
+        raise NotImplementedError(f"AIFF: {bits}-bit samples")
+    offset, _blk = struct.unpack(">II", ssnd[:8])
+    data = ssnd[8 + offset :]
+    need = frames * nch * 2
+    if len(data) < need:
+        raise ValueError("AIFF: SSND data shorter than COMM frames")
+    samples = (
+        np.frombuffer(data[:need], dtype=">i2")
+        .astype(np.int64)
+        .reshape(frames, nch)
+    )
+    return rate, nch, samples
+
+
 # --------------------------------------------------------------------------
 # BMP (BITMAPINFOHEADER, uncompressed 8-bit palette / 24-bit BGR)
 # --------------------------------------------------------------------------

@@ -973,6 +973,10 @@ def decode_audio_stats(
                     rate, _bits, samples = parse_flac(raw)
                 elif raw[:4] == b"RIFF":
                     rate, _nch, samples = parse_wav(raw)
+                elif raw[:4] == b"FORM":  # AIFF (r10)
+                    from ..functions.codecs import parse_aiff
+
+                    rate, _nch, samples = parse_aiff(raw)
                 elif raw[:3] == b"ID3" or (
                     len(raw) >= 2
                     and raw[0] == 0xFF
@@ -1065,6 +1069,10 @@ def decode_audio_stats_admitting(
                         rate, _bits, samples = parse_flac(raw)
                     elif raw[:4] == b"RIFF":
                         rate, _nch, samples = parse_wav(raw)
+                    elif raw[:4] == b"FORM":  # AIFF (r10)
+                        from ..functions.codecs import parse_aiff
+
+                        rate, _nch, samples = parse_aiff(raw)
                     elif raw[:3] == b"ID3" or (
                         len(raw) >= 2
                         and raw[0] == 0xFF

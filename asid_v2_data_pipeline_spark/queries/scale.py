@@ -4372,6 +4372,202 @@ ORDER BY g.doc_id
 """
 
 
+def _audio_mixed4_build(batches):
+    """Fixture kernel for ``mm_audio_multicodec4`` (r10): FOUR
+    containers through one funnel — ``doc_id % 4 == 0`` real FLAC
+    stereo, ``% 4 == 1`` ID3-prefixed mono Layer III, ``% 4 == 2``
+    RIFF/WAVE mono 16-bit PCM, ``% 4 == 3`` AIFF mono 16-bit PCM
+    (big-endian IFF with the 80-bit extended-float sample rate).  The
+    three lossless arms share the big-endian byte-pair mapping, so
+    they re-derive from the pre-encode octets."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import write_aiff, write_wav
+    from ..functions.flac import write_flac
+    from ..functions.id3 import write_id3
+    from ..functions.mp3 import write_mp3_l3
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode("utf-8")
+            nb = len(raw)
+            arm = did % 4
+            if arm == 0:
+                m = nb // 4
+                if m == 0:
+                    payloads.append(None)
+                    continue
+                b = np.frombuffer(raw, np.uint8, count=4 * m).astype(
+                    np.int64
+                )
+                samples = ((b[0::2] * 256 + b[1::2]) - 32768).reshape(m, 2)
+                payloads.append(
+                    write_flac(
+                        samples,
+                        sample_rate=_FLAC_RATE,
+                        block_size=4096,
+                        stereo_mode=(
+                            "mid_side" if did % 8 == 0 else "independent"
+                        ),
+                    )
+                )
+            elif arm == 1:
+                if nb == 0:
+                    payloads.append(None)
+                    continue
+                b = np.frombuffer(raw, np.uint8).astype(np.int64)
+                q = np.empty((1, 2, 576), np.int64)
+                sfs = np.empty((1, 2, 21), np.int64)
+                for g in range(2):
+                    v = b[(576 * g + np.arange(576)) % nb] % 3
+                    q[0, g] = np.where(v == 0, 0, np.where(v == 1, 1, -1))
+                    sfs[0, g] = b[(21 * g + np.arange(21)) % nb] % 8
+                payloads.append(
+                    write_id3({"TIT2": f"doc {did}"})
+                    + write_mp3_l3(q, sfs, global_gain=_MP3_GG)
+                )
+            else:
+                m = nb // 2
+                if m == 0:
+                    payloads.append(None)
+                    continue
+                b = np.frombuffer(raw, np.uint8, count=2 * m).astype(
+                    np.int64
+                )
+                pcm = ((b[0::2] * 256 + b[1::2]) - 32768).astype(np.int16)
+                payloads.append(
+                    write_wav(pcm, sample_rate=_FLAC_RATE)
+                    if arm == 2
+                    else write_aiff(pcm, sample_rate=_FLAC_RATE)
+                )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_audio_multicodec4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR-container audio curation (r10): the heterogeneous funnel
+    with an AIFF arm — FLAC, MP3, WAV and AIFF all magic-dispatch
+    through the ONE ``decode_audio_stats`` kernel into the shared
+    admission schema, then gate and fingerprint-deduplicate together.
+    AIFF exercises the big-endian IFF path incl. the 80-bit
+    extended-float sample-rate field.  Scale shape unchanged: one
+    zero-shuffle Arrow decode pass, one fp-keyed agg."""
+    from ..operators.multimodal import decode_audio_stats
+
+    media = _cached_media(spark, sf_dir, "audiomix4", _audio_mixed4_build)
+    stats = decode_audio_stats(media, _AC_CLIP, _AC_SIL, _AC_FP_WIN)
+    n = F.col("n_frames") * F.col("n_channels")
+    gated = stats.select(
+        F.col("media_id").alias("doc_id"),
+        F.element_at(
+            F.array(
+                F.lit("flac"), F.lit("mp3"), F.lit("wav"), F.lit("aiff")
+            ),
+            (F.col("media_id") % 4 + 1).cast("int"),
+        ).alias("codec"),
+        "n_channels",
+        "n_frames",
+        (F.col("n_clip") / n).alias("clip_ratio"),
+        (F.col("n_silence") / n).alias("silence_ratio"),
+        F.sqrt(F.col("sum_sq") / n).alias("rms"),
+        "fp",
+    ).filter(
+        (F.col("n_frames") >= _AC_MIN_FRAMES)
+        & (F.col("clip_ratio") <= _AC_MAX_CLIP)
+        & (F.col("silence_ratio") <= _AC_MAX_SIL)
+    )
+    canon = gated.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+    return (
+        gated.join(canon, ["fp", "doc_id"])
+        .select(
+            "doc_id",
+            "codec",
+            "n_channels",
+            "n_frames",
+            F.round("clip_ratio", 6).alias("clip_ratio"),
+            F.round("silence_ratio", 6).alias("silence_ratio"),
+            F.round("rms", 6).alias("rms"),
+            "fp",
+            "dup_count",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mm_audio_multicodec4_sql() -> str:
+    """Four-arm union oracle: FLAC (stereo pairs), WAV and AIFF (mono
+    pairs — both lossless, identical octet mapping) re-derived
+    straight from the pre-encode octets, plus the admission form of
+    the MP3 pipeline generator; then the identical gates + dedup."""
+    s2 = (
+        "(CAST(cs[CAST(2 * k + 1 AS INT)] AS BIGINT) * 256"
+        " + CAST(cs[CAST(2 * k + 2 AS INT)] AS BIGINT) - 32768)"
+    )
+    mp3_adm = _mm_mp3_rms_sql(
+        1, admission=True, doc_where=" AND doc_id % 4 = 1"
+    )
+
+    def lossless_arm(where: str, nch: int, frames: str) -> str:
+        n_inter = f"{nch} * ({frames})"
+        return f"""
+  SELECT doc_id, CAST({nch} AS INT) AS n_channels,
+    CAST({frames} AS BIGINT) AS n_frames,
+    CAST(len(list_filter(list_transform(range(0, {n_inter}),
+      k -> abs({s2})), a -> a >= {_AC_CLIP})) AS BIGINT) AS n_clip,
+    CAST(len(list_filter(list_transform(range(0, {n_inter}),
+      k -> abs({s2})), a -> a < {_AC_SIL})) AS BIGINT) AS n_silence,
+    CAST(list_sum(list_transform(range(0, {n_inter}),
+      k -> {s2} * {s2})) AS BIGINT) AS sum_sq,
+    CAST(list_sum(list_transform(
+      range(0, LEAST({n_inter}, {_AC_FP_WIN})),
+      k -> (k + 1) * {s2})) AS BIGINT) AS fp
+  FROM codes WHERE {where} AND {frames} > 0"""
+
+    return f"""
+WITH {_CODES_CTE_SQL},
+fl AS ({lossless_arm("doc_id % 4 = 0", 2, "n_bytes // 4")}),
+wv AS ({lossless_arm("doc_id % 4 = 2", 1, "n_bytes // 2")}),
+af AS ({lossless_arm("doc_id % 4 = 3", 1, "n_bytes // 2")}),
+mp3a AS (
+  SELECT doc_id, n_channels, n_frames, n_clip, n_silence, sum_sq, fp
+  FROM ({mp3_adm})
+),
+allst AS (
+  SELECT * FROM fl UNION ALL SELECT * FROM mp3a
+  UNION ALL SELECT * FROM wv UNION ALL SELECT * FROM af
+),
+gated AS (
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'flac' WHEN 1 THEN 'mp3'
+         WHEN 2 THEN 'wav' ELSE 'aiff' END AS codec,
+    n_channels, n_frames,
+    n_clip * 1.0 / (n_frames * n_channels) AS clip_ratio,
+    n_silence * 1.0 / (n_frames * n_channels) AS silence_ratio,
+    sqrt(CAST(sum_sq AS DOUBLE) / (n_frames * n_channels)) AS rms, fp
+  FROM allst
+  WHERE n_frames >= {_AC_MIN_FRAMES}
+    AND n_clip * 1.0 / (n_frames * n_channels) <= {_AC_MAX_CLIP}
+    AND n_silence * 1.0 / (n_frames * n_channels) <= {_AC_MAX_SIL}
+),
+canon AS (
+  SELECT fp, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+  FROM gated GROUP BY fp
+)
+SELECT g.doc_id, g.codec, g.n_channels, g.n_frames,
+       ROUND(g.clip_ratio, 6) AS clip_ratio,
+       ROUND(g.silence_ratio, 6) AS silence_ratio,
+       ROUND(g.rms, 6) AS rms, g.fp, c.dup_count
+FROM gated g JOIN canon c ON c.fp = g.fp AND c.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 def _audio_quarantine_build(batches):
     """Fixture kernel for ``mm_audio_quarantine`` (r10): every doc a
     mono 16-bit PCM WAV from the big-endian octet-pair mapping, and
@@ -7439,6 +7635,10 @@ REGISTRY = {
     "mm_ogg_flac_rms": (mm_ogg_flac_rms, _mm_mkv_flac_sql()),
     "mm_webdataset_shard": (mm_webdataset_shard, _mm_wds_sql()),
     "mm_tiff_pool": (mm_tiff_pool, _mm_bmp_sql()),
+    "mm_audio_multicodec4": (
+        mm_audio_multicodec4,
+        _mm_audio_multicodec4_sql(),
+    ),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),

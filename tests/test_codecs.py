@@ -2106,6 +2106,7 @@ def test_all_parsers_fuzz_fail_loudly():
         (C.write_wav(x16, 8000), C.parse_wav),
         (C.write_wav_ima(x16[:, 0], 8000), C.parse_wav),
         (C.write_wav_ms(x16, 8000), C.parse_wav),
+        (C.write_aiff(x16, 8000), C.parse_aiff),
         (FL.write_flac(x16, block_size=64), FL.parse_flac),
         (E.write_mkv(
             [(1, 0, True, b"abcdef"), (1, 0, True, b"ghijkl")],
@@ -2332,3 +2333,42 @@ def test_jpeg_four_component_roundtrip():
             np.testing.assert_array_equal(
                 base[..., c], parse_jpeg(write_jpeg(px[..., c], q))
             )
+
+
+def test_aiff_roundtrip_and_f80_rates():
+    """r10: AIFF (big-endian IFF) round-trips 16-bit mono/stereo PCM
+    exactly, including the 80-bit extended-float sampleRate field
+    across rates that exercise different exponents; AIFF-C and
+    non-16-bit depths are disclosed boundaries."""
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pt
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        _f80_decode,
+        _f80_encode,
+        parse_aiff,
+        write_aiff,
+    )
+
+    rng = np.random.default_rng(61)
+    for shape in ((200,), (77, 2), (5, 4)):
+        pcm = rng.integers(-32768, 32768, shape).astype(np.int16)
+        for rate in (1, 8000, 11025, 44100, 48000, 192000):
+            r, nch, s = parse_aiff(write_aiff(pcm, rate))
+            exp = pcm[:, None] if pcm.ndim == 1 else pcm
+            assert r == rate and nch == exp.shape[1]
+            assert (s == exp).all()
+    for rate in (1, 7, 8000, 44100, 96000, 12345678):
+        assert _f80_decode(_f80_encode(rate)) == rate
+    blob = bytearray(write_aiff(np.zeros(40, np.int16), 8000))
+    blob[8:12] = b"AIFC"
+    with _pt.raises(NotImplementedError, match="AIFF-C"):
+        parse_aiff(bytes(blob))
+    # 8-bit depth disclosed
+    good = bytearray(write_aiff(np.zeros(40, np.int16), 8000))
+    at = bytes(good).find(b"COMM") + 8 + 6
+    good[at : at + 2] = _s.pack(">h", 8)
+    with _pt.raises(NotImplementedError):
+        parse_aiff(bytes(good))

@@ -105,6 +105,7 @@ CASES = [
     "mm_ogg_flac_rms",
     "mm_webdataset_shard",
     "mm_tiff_pool",
+    "mm_audio_multicodec4",
 ]
 
 
