@@ -7072,6 +7072,59 @@ def mm_mp4_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- URL canonicalization -------------------------------------------------------
+
+
+def tx_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup (§2.11): two deterministically MESSY
+    variants of each document's URL (upper-cased scheme/host, explicit
+    default port, unsorted query, fragment vs. none) canonicalize to
+    ONE form via ``functions/urls.canonical_url`` — pure native
+    expressions, whole-stage-codegen end to end, zero Python.  The
+    oracle constructs the expected canonical string directly and
+    expects exactly one merged row per document with ``n_variants=2``:
+    any canonicalization drift yields either a hash break (wrong
+    string) or a row-count break (variants fail to merge)."""
+    from ..functions.urls import canonical_url
+
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 20).cast("string")
+    did = F.col("doc_id").cast("string")
+    nstr = F.col("n_chars").cast("string")
+    base = F.concat(F.lit("/"), F.col("source"), F.lit("/"), did)
+    u1 = F.concat(
+        F.lit("HTTP://WWW.Site"), h, F.lit(".COM:80"), base,
+        F.lit("?b="), nstr, F.lit("&a="), F.col("lang"), F.lit("#frag"),
+    )
+    u2 = F.concat(
+        F.lit("http://www.site"), h, F.lit(".com"), base,
+        F.lit("?a="), F.col("lang"), F.lit("&b="), nstr,
+    )
+    rows = d.select(
+        "doc_id", F.explode(F.array(u1, u2)).alias("url")
+    )
+    return (
+        rows.select(
+            "doc_id", canonical_url(F.col("url")).alias("canonical")
+        )
+        .groupBy("doc_id", "canonical")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+        .orderBy("doc_id")
+    )
+
+
+def _tx_url_canonical_sql() -> str:
+    return """
+SELECT doc_id,
+       'http://www.site' || CAST(doc_id % 20 AS VARCHAR) || '.com/'
+         || source || '/' || CAST(doc_id AS VARCHAR)
+         || '?a=' || lang || '&b=' || CAST(n_chars AS VARCHAR)
+         AS canonical,
+       CAST(2 AS BIGINT) AS n_variants
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- TIFF image container -------------------------------------------------------
 
 
@@ -7639,6 +7692,7 @@ REGISTRY = {
         mm_audio_multicodec4,
         _mm_audio_multicodec4_sql(),
     ),
+    "tx_url_canonical": (tx_url_canonical, _tx_url_canonical_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),

@@ -106,6 +106,7 @@ CASES = [
     "mm_webdataset_shard",
     "mm_tiff_pool",
     "mm_audio_multicodec4",
+    "tx_url_canonical",
 ]
 
 
