@@ -222,6 +222,101 @@ def html_to_text(
     return title, "\n".join(lines)
 
 
+def _href_of_tag(s: str, i: int) -> tuple[str | None, int]:
+    """Scan the attribute area starting at ``i`` (just past the tag
+    name); return ``(href value or None, position past '>')`` with
+    quoted values (which may contain ``>``) handled."""
+    href: str | None = None
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == ">":
+            return href, i + 1
+        if c == "/" or c.isspace():
+            i += 1
+            continue
+        j = i
+        while j < n and s[j] not in "=/> \t\r\n\f":
+            j += 1
+        name = s[i:j].lower()
+        i = j
+        while i < n and s[i].isspace():
+            i += 1
+        val = ""
+        has_val = False
+        if i < n and s[i] == "=":
+            has_val = True
+            i += 1
+            while i < n and s[i].isspace():
+                i += 1
+            if i < n and (s[i] == '"' or s[i] == "'"):
+                q = s[i]
+                j = s.find(q, i + 1)
+                if j < 0:
+                    val, i = s[i + 1 :], n
+                else:
+                    val, i = s[i + 1 : j], j + 1
+            else:
+                j = i
+                while j < n and s[j] not in "> \t\r\n\f":
+                    j += 1
+                val, i = s[i:j], j
+        if name == "href" and href is None and has_val:
+            href = val
+    return href, n
+
+
+def extract_links(markup: str) -> list[str]:
+    """The hrefs of ``<a>``/``<area>`` elements in document order —
+    the crawl-frontier / link-graph view of a page (href values
+    entity-decoded; links inside dropped-for-TEXT regions like nav
+    still count, as a crawler's frontier does).  Same forgiving-HTML
+    contract as ``html_to_text``: never raises, never hangs."""
+    if not isinstance(markup, str):
+        raise ValueError("html: markup must be str")
+    s = markup
+    n = len(s)
+    out: list[str] = []
+    i = 0
+    while i < n:
+        lt = s.find("<", i)
+        if lt < 0:
+            break
+        i = lt
+        if i + 1 >= n:
+            break
+        c = s[i + 1]
+        if c == "!":
+            if s.startswith("<!--", i):
+                j = s.find("-->", i + 4)
+                i = n if j < 0 else j + 3
+            elif s.startswith("<![CDATA[", i):
+                j = s.find("]]>", i + 9)
+                i = n if j < 0 else j + 3
+            else:
+                j = s.find(">", i + 2)
+                i = n if j < 0 else j + 1
+            continue
+        if c == "?" or c == "/":
+            j = s.find(">", i + 2)
+            i = n if j < 0 else j + 1
+            continue
+        if not c.isalpha():
+            i += 1
+            continue
+        name, j = _tag_name(s, i + 1)
+        if name in ("a", "area"):
+            href, i = _href_of_tag(s, j)
+            if href is not None:
+                out.append(_unescape(href))
+            continue
+        i = _skip_tag(s, j)
+        if name in _RAWTEXT:
+            close = s.lower().find("</" + name, i)
+            i = n if close < 0 else close
+    return out
+
+
 def escape_text(text: str) -> str:
     """Minimal HTML escaping for text-node content (the fixture
     writer's inverse of reference decoding): ``&``, ``<``, ``>``."""

@@ -104,6 +104,45 @@ def extract_warc_text(
     return media.mapInPandas(kernel, WARC_TEXT_SCHEMA)
 
 
+WARC_LINK_SCHEMA = "media_id long, url string, link string"
+
+
+def extract_warc_links(media: DataFrame) -> DataFrame:
+    """WARC payloads → one row per out-link of every response page
+    (``functions/html.extract_links`` — the crawl-frontier view: nav/
+    footer links count).  This is the edge-extraction stage of a
+    link-graph build: compose with ``operators/graph.pagerank`` for
+    the document-quality prior of web-corpus curation.  Zero-shuffle
+    Arrow kernel, one row per (page, link)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.html import extract_links
+        from ..functions.warc import (
+            decode_body,
+            iter_warc_records,
+            parse_http_response,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for headers, block in iter_warc_records(bytes(payload)):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    _status, hh, body = parse_http_response(block)
+                    for link in extract_links(decode_body(hh, body)):
+                        rows.append(
+                            (int(mid), headers.get("warc-target-uri"), link)
+                        )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "url", "link"]
+            )
+
+    return media.mapInPandas(kernel, WARC_LINK_SCHEMA)
+
+
 def extract_warc_text_admitting(
     media: DataFrame, drop_boilerplate: bool = True
 ) -> DataFrame:

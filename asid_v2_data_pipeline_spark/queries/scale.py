@@ -7272,6 +7272,8 @@ FROM slices ORDER BY doc_id, key
 # --- web-crawl ingestion (WARC -> HTTP -> HTML -> text) ------------------------
 
 _WARC_PAR = 80  # characters per generated <p> slice
+_WARC_LINK_MOD = 500  # out-link target space: doc (7*id + k) % MOD
+_WARC_LINKS = 3  # out-links per page (k = 1..3), in the nav
 
 
 def _warc_build(batches):
@@ -7303,11 +7305,16 @@ def _warc_build(batches):
                 f"<p>{escape_text(text[i:i + _WARC_PAR])}&#{m};</p>"
                 for i in range(0, len(text), _WARC_PAR)
             )
+            nav_links = "".join(
+                f'<li><a href="https://crawl.example.org/doc/'
+                f'{(7 * did + k) % _WARC_LINK_MOD}">d{k}</a></li>'
+                for k in range(1, _WARC_LINKS + 1)
+            )
             html = (
                 f"<html><head><title>Document {did}</title>"
                 "<style>p{margin:0}</style>"
                 "<script>var t = '<p>junk</p>';</script></head>"
-                "<body><nav><ul><li>Home</li><li>Data</li></ul></nav>"
+                f"<body><nav><ul><li>Home</li>{nav_links}</ul></nav>"
                 "<header>Crawl Fixture Site</header>"
                 f"{paras}"
                 f"<footer>&copy; fixture {did}</footer></body></html>"
@@ -7502,6 +7509,68 @@ SELECT * FROM good UNION ALL SELECT * FROM rejected ORDER BY doc_id
 """
 
 
+def gr_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl link graph (§2.11): the WARC fixture pages
+    carry REAL ``<a href>`` out-links in their nav (dropped for text,
+    counted for the frontier — exactly a crawler's view), extracted by
+    ``extract_warc_links`` (gzip member split → WARC/HTTP parse → HTML
+    attribute scan), reduced to document edges, and ranked with the
+    existing ``pagerank`` operator — the document-quality prior of
+    web-corpus curation computed from the corpus's own link structure.
+    Directed graph, NO symmetrization: targets live in
+    ``[0, _WARC_LINK_MOD)`` and every node has out-links, so the
+    dangling-free precondition holds while source-only nodes (ids ≥
+    MOD at sf0.1) exercise the operator's left-join residual path.
+    The oracle unrolls the identical six rounds with the same
+    LEFT JOIN + COALESCE form."""
+    from ..operators.graph import pagerank
+    from ..operators.webtext import extract_warc_links
+
+    links = extract_warc_links(_warc_media(spark, sf_dir))
+    edges = links.select(
+        F.col("media_id").alias("src"),
+        F.regexp_extract("link", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("dst"),
+    )
+    ranks = pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS)
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+def _gr_crawl_pagerank_sql() -> str:
+    d, mod, nl = _PR_DAMP, _WARC_LINK_MOD, _WARC_LINKS
+    ks = ", ".join(str(k) for k in range(1, nl + 1))
+    parts = [
+        f"""edges AS (
+  SELECT doc_id AS src, (7 * doc_id + k) % {mod} AS dst
+  FROM documents, unnest([{ks}]) AS t(k)
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src, (1.0 / n) / deg AS contrib FROM deg, nn)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        rank = f"(1 - {d}) / nn.n + {d} * COALESCE(g.inm, 0)"
+        parts.append(
+            f"""r{k} AS (
+  SELECT deg.src, {rank} AS rank, ({rank}) / deg.deg AS contrib
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS src, sum(r.contrib) AS inm
+    FROM edges e JOIN r{k - 1} r ON e.src = r.src GROUP BY e.dst
+  ) g ON g.src = deg.src
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT src AS node, ROUND(rank, 6) AS rank FROM r{_PR_ITERS}"
+        + " ORDER BY node"
+    )
+
+
 _WARC_MIN_CHARS, _WARC_MAX_CHARS = 60, 520
 
 
@@ -7693,6 +7762,7 @@ REGISTRY = {
         _mm_audio_multicodec4_sql(),
     ),
     "tx_url_canonical": (tx_url_canonical, _tx_url_canonical_sql()),
+    "gr_crawl_pagerank": (gr_crawl_pagerank, _gr_crawl_pagerank_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),

@@ -107,6 +107,7 @@ CASES = [
     "mm_tiff_pool",
     "mm_audio_multicodec4",
     "tx_url_canonical",
+    "gr_crawl_pagerank",
 ]
 
 

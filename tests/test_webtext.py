@@ -366,3 +366,53 @@ def test_extract_warc_text_admitting_quarantines(spark):
     )
     assert rows[0].error is None and rows[0].text == "ok"
     assert rows[1].error == "ValueError" and rows[1].text is None
+
+
+def test_extract_links_semantics():
+    from asid_v2_data_pipeline_spark.functions.html import extract_links
+
+    links = extract_links(
+        '<html><head><script>var s = "<a href=\'/not-a-link\'>";'
+        "</script></head><body>"
+        '<nav><a href="/nav-counts">n</a></nav>'
+        '<a href="https://x.io/p?a=1&amp;b=2">one</a>'
+        "<a name=anchor>no href</a>"
+        '<a href=bare-value>two</a>'
+        '<a href="">empty</a>'
+        '<area href="/area">'
+        "<!-- <a href='/comment'>no</a> -->"
+        '<a href="/q>r">quoted-gt</a>'
+        "</body></html>"
+    )
+    assert links == [
+        "/nav-counts",
+        "https://x.io/p?a=1&b=2",  # entity-decoded
+        "bare-value",
+        "",
+        "/area",
+        "/q>r",
+    ]
+    # forgiving on junk, never raises
+    for junk in ("<a href=", "<a", "<a href='unclosed", "<a href='x'"):
+        extract_links(junk)
+
+
+def test_extract_warc_links_operator(spark):
+    body = (
+        b"<html><body><nav><a href='https://t/a'>a</a></nav>"
+        b"<p><a href='https://t/b'>b</a></p></body></html>"
+    )
+    blob = write_warc([_record("https://src/page", body)])
+    from asid_v2_data_pipeline_spark.operators.webtext import (
+        extract_warc_links,
+    )
+
+    rows = (
+        extract_warc_links(_media_df(spark, {5: blob}))
+        .orderBy("link")
+        .collect()
+    )
+    assert [(r.media_id, r.url, r.link) for r in rows] == [
+        (5, "https://src/page", "https://t/a"),
+        (5, "https://src/page", "https://t/b"),
+    ]
