@@ -1471,6 +1471,41 @@ def extract_webdataset_samples(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, WEBDATASET_SCHEMA)
 
 
+ZIP_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("method", T.StringType(), False),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def extract_zip_texts(media: DataFrame) -> DataFrame:
+    """ZIP-archive ingestion (``functions/zipf.py``): each payload is
+    an archive read via its central directory (CRC-verified members,
+    store + deflate); emit one row per member with its UTF-8 text —
+    the dataset-dump unpacking stage of an ingestion pipeline.
+    Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.zipf import parse_zip
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "name", "method", "txt")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for name, body, method in parse_zip(bytes(p)):
+                    rows["media_id"].append(mid)
+                    rows["name"].append(name)
+                    rows["method"].append(method)
+                    rows["txt"].append(body.decode("utf-8"))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, ZIP_TEXT_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

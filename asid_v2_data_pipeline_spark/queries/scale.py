@@ -97,6 +97,7 @@ def _codec_fprint() -> str:
             "functions/ogg.py",
             "functions/tarf.py",
             "functions/tiff.py",
+            "functions/zipf.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -7072,6 +7073,83 @@ def mm_mp4_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- ZIP archives ---------------------------------------------------------------
+
+_ZIP_SLICE = 120  # chars of text per zip member
+
+
+def _zip_build(batches):
+    """Fixture for ``tx_zip_extract``: each document becomes one ZIP
+    archive of its ``_ZIP_SLICE``-char text slices
+    (``{doc_id:06d}/p{i:03d}.txt``), STORE for even doc_ids and
+    DEFLATE for odd — so directory walking, both methods, CRC checks
+    and offset re-derivation are all on the oracle-checked path."""
+    import pandas as pd
+
+    from ..functions.zipf import write_zip
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            entries = [
+                (
+                    f"{did:06d}/p{i // _ZIP_SLICE:03d}.txt",
+                    t[i : i + _ZIP_SLICE].encode("utf-8"),
+                )
+                for i in range(0, len(t), _ZIP_SLICE)
+            ]
+            payloads.append(
+                write_zip(
+                    entries, "store" if did % 2 == 0 else "deflate"
+                )
+                if entries
+                else None
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def tx_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP dataset-dump ingestion (§2.11): archives unpacked via the
+    central directory (``extract_zip_texts``), one row per member,
+    CRC-verified.  The oracle re-derives member names (printf key
+    arithmetic), methods (store/deflate by doc parity) and slice text
+    from `documents` — any drift in directory parsing, local-header
+    offset re-derivation or inflate breaks the value hash."""
+    from ..operators.multimodal import extract_zip_texts
+
+    media = _cached_media(spark, sf_dir, "zip", _zip_build)
+    rows = extract_zip_texts(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "name",
+        "method",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "name")
+
+
+def _tx_zip_sql() -> str:
+    w = _ZIP_SLICE
+    ch = _char_hash_sql("t")
+    return f"""
+WITH slices AS (
+  SELECT doc_id, CAST(i AS INT) AS sno,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+)
+SELECT doc_id,
+       printf('%06d/p%03d.txt', doc_id, sno) AS name,
+       CASE WHEN doc_id % 2 = 0 THEN 'store' ELSE 'deflate' END AS method,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM slices ORDER BY doc_id, name
+"""
+
+
 # --- URL canonicalization -------------------------------------------------------
 
 
@@ -7763,6 +7841,7 @@ REGISTRY = {
     ),
     "tx_url_canonical": (tx_url_canonical, _tx_url_canonical_sql()),
     "gr_crawl_pagerank": (gr_crawl_pagerank, _gr_crawl_pagerank_sql()),
+    "tx_zip_extract": (tx_zip_extract, _tx_zip_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),

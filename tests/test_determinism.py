@@ -108,6 +108,7 @@ CASES = [
     "mm_audio_multicodec4",
     "tx_url_canonical",
     "gr_crawl_pagerank",
+    "tx_zip_extract",
 ]
 
 
