@@ -2317,6 +2317,94 @@ def write_jpeg_progressive(
     return bytes(out)
 
 
+def write_jpeg_lossless(
+    pixels: np.ndarray,
+    predictor: int = 4,
+    point_transform: int = 0,
+) -> bytes:
+    """LOSSLESS JPEG writer (T.81 Annex H, SOF3) — the process DNG and
+    DICOM archives use: no DCT, no quantization; each sample codes the
+    difference from its Annex-H prediction with DC-class Huffman
+    (category + appended bits).  Grayscale ``(h, w)`` or ``(h, w, 3)``
+    input, uint8 (precision 8) or uint16 (precision 16, values must
+    fit 16 bits); one interleaved scan, one Huffman table built
+    uniform over the categories the image actually uses.
+    ``point_transform`` divides samples by ``2^Pt`` before coding
+    (the decoder re-multiplies, per spec — the round trip returns
+    ``(px >> Pt) << Pt``)."""
+    px = np.asarray(pixels)
+    if px.dtype == np.uint8:
+        prec = 8
+    elif px.dtype == np.uint16:
+        prec = 16
+    else:
+        raise ValueError("lossless JPEG: uint8 or uint16 input")
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless JPEG: predictor must be 1..7")
+    if not 0 <= point_transform < prec:
+        raise ValueError("lossless JPEG: bad point transform")
+    gray = px.ndim == 2
+    if gray:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError("lossless JPEG: (h, w) or (h, w, 3) input")
+    h, w, nc = px.shape
+    pt = point_transform
+    default = 1 << (prec - pt - 1)
+    shifted = (px.astype(np.int64) >> pt) if pt else px.astype(np.int64)
+
+    # pass 1: diffs per component (the plane itself is the shifted
+    # input — prediction reads reconstructed == original samples)
+    diffs: list[list[int]] = [[] for _ in range(nc)]
+    for ci in range(nc):
+        p = shifted[:, :, ci]
+        d = diffs[ci]
+        for y in range(h):
+            for x in range(w):
+                pred = _lossless_pred(p, y, x, predictor, default)
+                d.append((int(p[y, x]) - pred) & 0xFFFF)
+    # categories: represent each mod-2^16 diff as signed -32768..32767;
+    # 32768 itself is the SSSS=16 no-extra-bits special case
+    syms: set[int] = set()
+    for d in diffs:
+        for v in d:
+            sv = v - 65536 if v > 32768 else v
+            syms.add(16 if v == 32768 else abs(sv).bit_length())
+    bits16, vals = _uniform_huff(syms)
+    codes = _huff_codes(bits16, vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 19 + len(vals), 0x00
+    ) + bytes(bits16) + bytes(vals)
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 8 + 3 * nc, prec, h, w, nc
+    )
+    for ci in range(nc):
+        out += struct.pack("BBB", ci + 1, 0x11, 0)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += struct.pack("BB", ci + 1, 0x00)
+    out += struct.pack("BBB", predictor, 0, pt)  # Ss, Se, AhAl
+
+    bw = _BitWriter()
+    for k in range(h * w):
+        for ci in range(nc):
+            v = diffs[ci][k]
+            if v == 32768:
+                bw.put(*codes[16])
+                continue
+            sv = v - 65536 if v > 32768 else v
+            size, extra = _mag_bits(sv)
+            bw.put(*codes[size])
+            if size:
+                bw.put(extra, size)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy reader over the scan bytes: byte-level destuffing
     (0xFF00 → 0xFF) happens in the byte-fill loop, bit extraction is
@@ -2456,6 +2544,72 @@ def _htable(htables: dict, cls: int, tid: int) -> list:
 
 def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _lossless_pred(
+    p: np.ndarray, y: int, x: int, predictor: int, default: int
+) -> int:
+    """The T.81 Annex-H prediction for sample (y, x) over the
+    reconstructed plane ``p``: the scan's first sample uses the
+    midpoint default, the rest of the first line uses Ra, each later
+    line starts from Rb, and interior samples use the selected
+    predictor 1..7 (the ``/2`` forms are one-bit arithmetic shifts,
+    per H.1.2.1)."""
+    if y == 0:
+        return default if x == 0 else int(p[0, x - 1])
+    if x == 0:
+        return int(p[y - 1, 0])
+    ra = int(p[y, x - 1])
+    rb = int(p[y - 1, x])
+    rc = int(p[y - 1, x - 1])
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1
+
+
+def _decode_lossless_scan(
+    br: "_BitReader",
+    tables: list,
+    predictor: int,
+    pt: int,
+    prec: int,
+    fh: int,
+    fw: int,
+) -> list[np.ndarray]:
+    """One interleaved SOF3 scan: per raster position, one
+    DC-class-coded difference per component (category + extend;
+    SSSS=16 means diff=32768 with no appended bits, per H.2), added
+    to the Annex-H prediction modulo 2^16."""
+    planes = [np.zeros((fh, fw), np.int64) for _ in tables]
+    default = 1 << (prec - pt - 1)
+    for y in range(fh):
+        for x in range(fw):
+            for k, tab in enumerate(tables):
+                size = _read_symbol(br, tab)
+                if size == 16:
+                    diff = 32768
+                elif size:
+                    diff = _extend(br.bits(size), size)
+                else:
+                    diff = 0
+                if size > 16:
+                    raise ValueError(
+                        f"JPEG: bad lossless diff category {size}"
+                    )
+                p = planes[k]
+                pred = _lossless_pred(p, y, x, predictor, default)
+                p[y, x] = (pred + diff) & 0xFFFF
+    return planes
 
 
 def _entropy_end(payload: bytes, start: int) -> int:
@@ -2628,6 +2782,8 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None
     progressive = False
+    lossless = False
+    frame_prec = 8
     prog_coefs: list[np.ndarray] | None = None
     comps: list[tuple[int, int]] = []  # (comp_id, quant_id) in SOF order
     while i < len(payload):
@@ -2679,12 +2835,18 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[j + 17 : j + 17 + n])
                 htables[(cls, tid)] = _huff_lut(bits, vals)
                 j += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC3):  # SOF0 / SOF2 / SOF3 lossless
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             if len(seg) < 6:
                 raise ValueError("JPEG: truncated SOF segment")
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(
+                        f"JPEG: bad lossless precision {prec}"
+                    )
+            elif prec != 8:
                 raise NotImplementedError("JPEG: only 8-bit precision")
             if nc not in (1, 3, 4):
                 raise NotImplementedError(
@@ -2697,7 +2859,12 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, tq, samp >> 4, samp & 0x0F))
             samps = [(hi, vi) for _cid, _tq, hi, vi in comps]
-            if not (
+            if lossless:
+                if not all(s == (1, 1) for s in samps):
+                    raise NotImplementedError(
+                        "JPEG: lossless supports 1x1 sampling only"
+                    )
+            elif not (
                 all(s == (1, 1) for s in samps)
                 or (nc == 3 and samps == [(2, 2), (1, 1), (1, 1)])
             ):
@@ -2705,11 +2872,12 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                     "JPEG: only 4:4:4 or 4:2:0 sampling supported"
                 )
             frame = (fh, fw, nc)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame_prec = prec
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "JPEG: only baseline (SOF0) and progressive (SOF2) "
-                "supported"
+                "JPEG: only baseline (SOF0), progressive (SOF2) and "
+                "lossless (SOF3) supported"
             )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
@@ -2724,6 +2892,47 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * c : 3 + 2 * c]
                 scan_tabs.append((cs, tt >> 4, tt & 0x0F))
             fh, fw, nc = frame
+            if lossless:
+                if ns != nc:
+                    raise NotImplementedError(
+                        "JPEG: non-interleaved lossless scans"
+                    )
+                ss, _se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                pt = ahal & 0x0F
+                if not 1 <= ss <= 7:
+                    raise ValueError(
+                        f"JPEG: bad lossless predictor {ss}"
+                    )
+                if pt >= frame_prec:
+                    raise ValueError("JPEG: point transform >= precision")
+                if restart_interval:
+                    raise NotImplementedError(
+                        "JPEG: restart intervals in lossless mode"
+                    )
+                cid_to_idx = {c[0]: idx for idx, c in enumerate(comps)}
+                order = []
+                for cs, dt, _at in scan_tabs:
+                    if cs not in cid_to_idx:
+                        raise ValueError(
+                            f"JPEG: scan references component {cs} "
+                            "absent from SOF"
+                        )
+                    order.append(_htable(htables, 0, dt))
+                planes = _decode_lossless_scan(
+                    _BitReader(payload[i + seglen :]),
+                    order, ss, pt, frame_prec, fh, fw,
+                )
+                dt_out = np.uint8 if frame_prec <= 8 else np.uint16
+                outs = [
+                    (p << pt).astype(dt_out) for p in planes
+                ]
+                if nc == 1:
+                    return outs[0]
+                if nc == 3:
+                    return np.stack(outs, axis=2)
+                raise NotImplementedError(
+                    "JPEG: lossless supports 1 or 3 components"
+                )
             if progressive:
                 ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
                 ah, al = ahal >> 4, ahal & 0x0F

@@ -7073,6 +7073,54 @@ def mm_mp4_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- lossless JPEG (SOF3) -------------------------------------------------------
+
+
+def mm_jpeg_lossless_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG decode (T.81 Annex H — the DNG/DICOM archive
+    process, r10): document bytes become an 8×8 grayscale SOF3 stream
+    whose PREDICTOR cycles 1..7 per document (all seven Annex-H
+    prediction forms on the oracle-checked path), decoded through the
+    magic-dispatched image pool.  Lossless, so the oracle is the SAME
+    raw-octet pool as the BMP/PNG/GIF/TIFF twins — any drift in the
+    prediction arithmetic, category coding or the mod-2^16 wrap
+    breaks the value hash."""
+    from ..operators.multimodal import decode_image_pool
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.codecs import write_jpeg_lossless
+
+        n = _BMP_W * _BMP_H
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                buf = t.encode("utf-8")[:n].ljust(n, b"\0")
+                gray = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    _BMP_H, _BMP_W
+                )
+                payloads.append(
+                    write_jpeg_lossless(gray, predictor=1 + did % 7)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = _cached_media(spark, sf_dir, "jpegll", build)
+    pooled = decode_image_pool(media, _BMP_F)
+    k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
+    sel = [
+        F.round(F.element_at("pooled", i + 1), 6).alias(f"p{i}")
+        for i in range(k)
+    ]
+    return pooled.select(
+        F.col("media_id").alias("doc_id"), "width", "height", *sel
+    ).orderBy("doc_id")
+
+
 # --- ZIP archives ---------------------------------------------------------------
 
 _ZIP_SLICE = 120  # chars of text per zip member
@@ -7842,6 +7890,7 @@ REGISTRY = {
     "tx_url_canonical": (tx_url_canonical, _tx_url_canonical_sql()),
     "gr_crawl_pagerank": (gr_crawl_pagerank, _gr_crawl_pagerank_sql()),
     "tx_zip_extract": (tx_zip_extract, _tx_zip_sql()),
+    "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
         _mm_mp3_rms_sql(1, "(1 + n_bytes % 3)"),

@@ -2372,3 +2372,66 @@ def test_aiff_roundtrip_and_f80_rates():
     good[at : at + 2] = _s.pack(">h", 8)
     with _pt.raises(NotImplementedError):
         parse_aiff(bytes(good))
+
+
+def test_jpeg_lossless_randomized_matrix():
+    """r10: SOF3 lossless — seeded matrix over shapes × all seven
+    Annex-H predictors × point transforms × 8/16-bit precision ×
+    gray/RGB; the round trip must return (px >> Pt) << Pt exactly
+    (bit-exact for Pt=0)."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(71)
+    for trial in range(40):
+        h = int(rng.integers(1, 20))
+        w = int(rng.integers(1, 20))
+        ch = (None, 3)[int(rng.integers(0, 2))]
+        shape = (h, w) if ch is None else (h, w, 3)
+        prec = (8, 16)[int(rng.integers(0, 2))]
+        dt = np.uint8 if prec == 8 else np.uint16
+        # mix smooth and noisy content so diff categories vary
+        if rng.integers(0, 2):
+            px = rng.integers(0, 1 << prec, shape).astype(dt)
+        else:
+            base = np.add.outer(
+                np.arange(h) * 3, np.arange(w)
+            ) % (1 << prec)
+            px = np.broadcast_to(
+                base[..., None] if ch else base, shape
+            ).astype(dt)
+        pred = int(rng.integers(1, 8))
+        pt = int(rng.integers(0, 3))
+        got = parse_jpeg(write_jpeg_lossless(px, pred, pt))
+        exp = ((px.astype(np.int64) >> pt) << pt).astype(dt)
+        assert got.dtype == dt and got.shape == px.shape
+        assert (got == exp).all(), f"trial {trial}"
+
+
+def test_jpeg_lossless_fuzz_fail_loudly():
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.codecs import (
+        parse_jpeg,
+        write_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(73)
+    px = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    blob = write_jpeg_lossless(px, predictor=5, point_transform=1)
+    for cut in range(2, len(blob), max(1, len(blob) // 80)):
+        try:
+            parse_jpeg(blob[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    for _ in range(600):
+        b = bytearray(blob)
+        b[int(rng.integers(2, len(b)))] ^= int(rng.integers(1, 256))
+        try:
+            parse_jpeg(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass

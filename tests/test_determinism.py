@@ -109,6 +109,7 @@ CASES = [
     "tx_url_canonical",
     "gr_crawl_pagerank",
     "tx_zip_extract",
+    "mm_jpeg_lossless_pool",
 ]
 
 
