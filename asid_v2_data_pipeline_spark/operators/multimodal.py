@@ -1506,6 +1506,55 @@ def extract_zip_texts(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, ZIP_TEXT_SCHEMA)
 
 
+COMPRESSED_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def decompress_texts(media: DataFrame) -> DataFrame:
+    """Compressed-shard ingestion funnel: each payload is ONE
+    compressed text shard in whichever codec the producer picked —
+    LZ4 frame (``0x184D2204``), snappy framing stream (``sNaPpY``)
+    or a gzip member (``0x1f8b``) — magic-dispatched into one decode
+    with full integrity verification (xxHash32 content checksums,
+    masked CRC-32C chunk checksums, CRC32+ISIZE trailers).  The
+    heterogeneous-source admission stage of a crawl/store pipeline,
+    mirroring the audio funnel's shape.  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..functions.lz4 import decompress_frame
+        from ..functions.snappyf import decompress_stream
+        from ..functions.warc import split_gzip_members
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "codec", "txt")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                p = bytes(p)
+                if len(p) >= 4 and struct.unpack_from("<I", p)[0] == 0x184D2204:
+                    codec, body = "lz4", decompress_frame(p)
+                elif p.startswith(b"\xff\x06\x00\x00sNaPpY"):
+                    codec, body = "snappy", decompress_stream(p)
+                elif p.startswith(b"\x1f\x8b"):
+                    codec, body = "gzip", b"".join(split_gzip_members(p))
+                else:
+                    raise ValueError("compressed shard: unknown magic")
+                rows["media_id"].append(mid)
+                rows["codec"].append(codec)
+                rows["txt"].append(body.decode("utf-8"))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, COMPRESSED_TEXT_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

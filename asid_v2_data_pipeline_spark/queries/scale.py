@@ -98,6 +98,8 @@ def _codec_fprint() -> str:
             "functions/tarf.py",
             "functions/tiff.py",
             "functions/zipf.py",
+            "functions/lz4.py",
+            "functions/snappyf.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -7198,6 +7200,72 @@ FROM slices ORDER BY doc_id, name
 """
 
 
+# --- compressed shards (lz4 / snappy / gzip funnel) -----------------------------
+
+
+def _compress_build(batches):
+    """Fixture for ``tx_compress_funnel``: each document's text is
+    compressed into ONE shard with the codec its producer would have
+    picked — lz4 frame for ``doc_id%3==0``, snappy framing stream for
+    ``1``, gzip member for ``2`` — so magic dispatch, all three
+    decoders and every checksum layer sit on the oracle-checked
+    path."""
+    import pandas as pd
+
+    from ..functions.lz4 import compress_frame
+    from ..functions.snappyf import compress_stream
+    from ..functions.warc import gzip_member
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode("utf-8")
+            m = int(did) % 3
+            if m == 0:
+                payloads.append(compress_frame(raw, block_checksum=True))
+            elif m == 1:
+                payloads.append(compress_stream(raw))
+            else:
+                payloads.append(gzip_member(raw))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def tx_compress_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-shard admission funnel (§2.11): LZ4 frames, snappy
+    framing streams and gzip members — the three fast codecs a store
+    layer actually serves — magic-dispatched into one verified decode
+    (``decompress_texts``; xxHash32 / masked CRC-32C / CRC32+ISIZE all
+    checked).  The oracle re-derives the codec from doc parity and the
+    text from `documents`: any dispatch, decompression or checksum
+    drift breaks the value hash.  Both non-deflate codecs are
+    cross-validated against their C implementations in
+    ``tests/test_compressf.py``."""
+    from ..operators.multimodal import decompress_texts
+
+    media = _cached_media(spark, sf_dir, "compress", _compress_build)
+    rows = decompress_texts(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "codec",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id")
+
+
+def _tx_compress_sql() -> str:
+    ch = _char_hash_sql("text")
+    return f"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'lz4' WHEN 1 THEN 'snappy'
+            ELSE 'gzip' END AS codec,
+       CAST(len(text) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM documents ORDER BY doc_id
+"""
+
+
 # --- URL canonicalization -------------------------------------------------------
 
 
@@ -7890,6 +7958,7 @@ REGISTRY = {
     "tx_url_canonical": (tx_url_canonical, _tx_url_canonical_sql()),
     "gr_crawl_pagerank": (gr_crawl_pagerank, _gr_crawl_pagerank_sql()),
     "tx_zip_extract": (tx_zip_extract, _tx_zip_sql()),
+    "tx_compress_funnel": (tx_compress_funnel, _tx_compress_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
