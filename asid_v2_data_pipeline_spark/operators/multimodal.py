@@ -1555,6 +1555,51 @@ def decompress_texts(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, COMPRESSED_TEXT_SCHEMA)
 
 
+AVRO_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("txt", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("comment", T.StringType(), True),
+    ]
+)
+
+
+def extract_avro_records(media: DataFrame) -> DataFrame:
+    """Avro object-container ingestion (``functions/avrof.py``): each
+    payload is one ``.avro`` file of document-slice records; decode it
+    (sync-marker verified, null/deflate/snappy codecs) and emit one
+    row per record — the interchange-ingest stage of a CDC/export
+    pipeline.  Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.avrof import read_avro
+
+        cols = ("media_id", "codec", "seq", "txt", "score", "comment")
+
+        def rows_of(batch):
+            rows = {k: [] for k in cols}
+            for mid, p in zip(batch["media_id"], batch["payload"]):
+                if p is None:
+                    continue
+                _schema, codec, recs = read_avro(bytes(p))
+                for r in recs:
+                    rows["media_id"].append(mid)
+                    rows["codec"].append(codec)
+                    rows["seq"].append(r["seq"])
+                    rows["txt"].append(r["txt"])
+                    rows["score"].append(r["score"])
+                    rows["comment"].append(r["comment"])
+            return rows
+
+        for pdf in batches:
+            yield pd.DataFrame(rows_of(pdf))
+
+    return media.mapInPandas(fn, AVRO_RECORD_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

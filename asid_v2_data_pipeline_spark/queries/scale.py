@@ -100,6 +100,7 @@ def _codec_fprint() -> str:
             "functions/zipf.py",
             "functions/lz4.py",
             "functions/snappyf.py",
+            "functions/avrof.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -7266,6 +7267,112 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- Avro object containers ------------------------------------------------------
+
+_AVRO_SLICE = 150  # chars of text per avro record
+
+
+def _avro_build(batches):
+    """Fixture for ``src_avro_scan``: each document becomes one Avro
+    object container of its ``_AVRO_SLICE``-char slice records
+    ``{seq, txt, score, comment}`` — ``score=(seq*7+doc_id%13)/4.0``
+    (exact in binary), ``comment`` exercising the nullable union on
+    odd seqs — with the codec rotating null/deflate/snappy by
+    ``doc_id%3`` and a doc-derived sync marker, so zigzag varints,
+    unions, all three codecs, the snappy CRC and sync verification all
+    sit on the oracle-checked path."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.avrof import write_avro
+
+    schema = {
+        "type": "record",
+        "name": "slice",
+        "fields": [
+            {"name": "seq", "type": "long"},
+            {"name": "txt", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "comment", "type": ["null", "string"]},
+        ],
+    }
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            recs = [
+                {
+                    "seq": i // _AVRO_SLICE,
+                    "txt": t[i : i + _AVRO_SLICE],
+                    "score": ((i // _AVRO_SLICE) * 7 + did % 13) / 4.0,
+                    "comment": (
+                        None
+                        if (i // _AVRO_SLICE) % 2
+                        else f"c{i // _AVRO_SLICE}"
+                    ),
+                }
+                for i in range(0, len(t), _AVRO_SLICE)
+            ]
+            codec = ("null", "deflate", "snappy")[did % 3]
+            sync = hashlib.sha1(f"sync{did}".encode()).digest()[:16]
+            payloads.append(
+                write_avro(recs, schema, codec, sync, block_records=8)
+                if recs
+                else None
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def src_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro interchange ingestion (§2.11): object containers decoded
+    record-by-record (``extract_avro_records``; sync markers, zigzag
+    varints, nullable unions, null/deflate/snappy codecs with the
+    spec's snappy CRC-32).  The oracle re-derives every field from
+    `documents` — slice arithmetic for ``seq``/``txt``, the exact
+    quarter-valued ``score``, comment parity, codec by doc parity —
+    so any binary-encoding or codec drift breaks the value hash.  No
+    Avro library exists in this environment to cross-validate against
+    (offline sandbox); the pin is the from-documents replay plus the
+    snappy codec's own C cross-validation."""
+    from ..operators.multimodal import extract_avro_records
+
+    media = _cached_media(spark, sf_dir, "avro", _avro_build)
+    rows = extract_avro_records(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "seq",
+        "codec",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+        "score",
+        F.col("comment").isNotNull().alias("has_comment"),
+    ).orderBy("doc_id", "seq")
+
+
+def _src_avro_sql() -> str:
+    w = _AVRO_SLICE
+    ch = _char_hash_sql("t")
+    return f"""
+WITH slices AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS seq,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+)
+SELECT doc_id, seq,
+       CASE doc_id % 3 WHEN 0 THEN 'null' WHEN 1 THEN 'deflate'
+            ELSE 'snappy' END AS codec,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash,
+       (seq * 7 + doc_id % 13) / 4.0 AS score,
+       seq % 2 = 0 AS has_comment
+FROM slices ORDER BY doc_id, seq
+"""
+
+
 # --- URL canonicalization -------------------------------------------------------
 
 
@@ -7959,6 +8066,7 @@ REGISTRY = {
     "gr_crawl_pagerank": (gr_crawl_pagerank, _gr_crawl_pagerank_sql()),
     "tx_zip_extract": (tx_zip_extract, _tx_zip_sql()),
     "tx_compress_funnel": (tx_compress_funnel, _tx_compress_sql()),
+    "src_avro_scan": (src_avro_scan, _src_avro_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
