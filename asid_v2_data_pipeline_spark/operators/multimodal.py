@@ -1600,6 +1600,39 @@ def extract_avro_records(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, AVRO_RECORD_SCHEMA)
 
 
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def extract_pdf_texts(media: DataFrame) -> DataFrame:
+    """PDF text extraction (``functions/pdf.py``): each payload is a
+    PDF document; walk the page tree and collect the shown text per
+    page (xref tables AND xref/object streams, Flate with predictors)
+    — the pdf-to-text stage of a training-data pipeline.
+    Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.pdf import parse_pdf_text
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "page", "txt")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for i, txt in enumerate(parse_pdf_text(bytes(p))):
+                    rows["media_id"].append(mid)
+                    rows["page"].append(i)
+                    rows["txt"].append(txt)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, PDF_TEXT_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

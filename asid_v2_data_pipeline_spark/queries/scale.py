@@ -101,6 +101,7 @@ def _codec_fprint() -> str:
             "functions/lz4.py",
             "functions/snappyf.py",
             "functions/avrof.py",
+            "functions/pdf.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -7373,6 +7374,91 @@ FROM slices ORDER BY doc_id, seq
 """
 
 
+# --- PDF documents ----------------------------------------------------------------
+
+_PDF_LINE = 90  # chars per PDF text line
+_PDF_PAGE_LINES = 8  # lines per page
+
+
+def _pdf_build(batches):
+    """Fixture for ``tx_pdf_extract``: each document becomes one PDF
+    whose pages show its text as ``_PDF_LINE``-char lines,
+    ``_PDF_PAGE_LINES`` per page — classic-xref layout for even
+    doc_ids, xref-stream + object-stream layout for odd (uncompressed
+    content streams every third doc), so both cross-reference parse
+    paths, FlateDecode, the TIFF predictor and object-stream
+    resolution all sit on the oracle-checked path."""
+    import pandas as pd
+
+    from ..functions.pdf import write_pdf
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            lines = [
+                t[i : i + _PDF_LINE] for i in range(0, len(t), _PDF_LINE)
+            ]
+            pages = [
+                lines[j : j + _PDF_PAGE_LINES]
+                for j in range(0, len(lines), _PDF_PAGE_LINES)
+            ]
+            payloads.append(
+                write_pdf(
+                    pages,
+                    mode="classic" if did % 2 == 0 else "xrefstream",
+                    compress=did % 3 != 0,
+                )
+                if pages
+                else None
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def tx_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-to-text ingestion (§2.11): page-tree walk + content-stream
+    text collection over BOTH real-world file layouts — classic xref
+    tables and xref streams with object streams
+    (``extract_pdf_texts``).  The oracle re-derives each page's text
+    from `documents` by the same line/page arithmetic: any drift in
+    xref resolution, stream decoding, string unescaping or text-
+    operator handling breaks the value hash."""
+    from ..operators.multimodal import extract_pdf_texts
+
+    media = _cached_media(spark, sf_dir, "pdf", _pdf_build)
+    rows = extract_pdf_texts(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "page",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "page")
+
+
+def _tx_pdf_sql() -> str:
+    w = _PDF_LINE
+    per = _PDF_PAGE_LINES
+    ch = _char_hash_sql("page_text")
+    return f"""
+WITH lines AS (
+  SELECT doc_id, CAST(i AS INT) AS lno,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+), pages AS (
+  SELECT doc_id, CAST(lno // {per} AS INT) AS page,
+         string_agg(t, chr(10) ORDER BY lno) AS page_text
+  FROM lines GROUP BY doc_id, lno // {per}
+)
+SELECT doc_id, page,
+       CAST(len(page_text) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM pages ORDER BY doc_id, page
+"""
+
+
 # --- URL canonicalization -------------------------------------------------------
 
 
@@ -8067,6 +8153,7 @@ REGISTRY = {
     "tx_zip_extract": (tx_zip_extract, _tx_zip_sql()),
     "tx_compress_funnel": (tx_compress_funnel, _tx_compress_sql()),
     "src_avro_scan": (src_avro_scan, _src_avro_sql()),
+    "tx_pdf_extract": (tx_pdf_extract, _tx_pdf_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
