@@ -1633,6 +1633,44 @@ def extract_pdf_texts(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, PDF_TEXT_SCHEMA)
 
 
+WIKI_LINE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("title", T.StringType(), False),
+        T.StructField("lineno", T.IntegerType(), False),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def extract_wiki_lines(media: DataFrame) -> DataFrame:
+    """MediaWiki-dump ingestion (``functions/wiki.py``): each payload
+    is an export XML; parse it (strict XML subset), walk its pages and
+    strip the wikitext to plain-text lines — the Wikipedia-to-text
+    stage of a training-data pipeline.  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wiki import mediawiki_pages, wikitext_to_lines
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "title", "lineno", "txt")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for page in mediawiki_pages(bytes(p)):
+                    for i, line in enumerate(
+                        wikitext_to_lines(page["wikitext"])
+                    ):
+                        rows["media_id"].append(mid)
+                        rows["title"].append(page["title"])
+                        rows["lineno"].append(i)
+                        rows["txt"].append(line)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, WIKI_LINE_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

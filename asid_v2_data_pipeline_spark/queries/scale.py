@@ -102,6 +102,7 @@ def _codec_fprint() -> str:
             "functions/snappyf.py",
             "functions/avrof.py",
             "functions/pdf.py",
+            "functions/wiki.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -7459,6 +7460,120 @@ FROM pages ORDER BY doc_id, page
 """
 
 
+# --- MediaWiki dumps ---------------------------------------------------------------
+
+_WIKI_SLICE = 120  # chars of text per wiki paragraph
+
+
+def _wiki_build(batches):
+    """Fixture for ``tx_wiki_extract``: each document becomes one
+    MediaWiki export XML whose single page's wikitext carries the
+    ``_WIKI_SLICE``-char slices, each under a ``== h{doc}_{i} ==``
+    heading and wrapped in a rotating decoration by slice parity —
+    bold quotes, an internal link label, a trailing ``<ref>``, a
+    leading template — all of which must strip back to the exact
+    slice.  Every fifth doc ships the wikitext as a CDATA section
+    (slices never contain ``]]>``: the charset is lowercase+space),
+    the rest entity-escaped, so both XML character-data paths are on
+    the oracle-checked path."""
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            parts = []
+            for i in range(0, len(t), _WIKI_SLICE):
+                sl = t[i : i + _WIKI_SLICE]
+                k = i // _WIKI_SLICE
+                parts.append(f"== h{did}_{k} ==")
+                m = k % 4
+                if m == 0:
+                    parts.append(f"'''{sl}'''")
+                elif m == 1:
+                    parts.append(f"[[w{did}|{sl}]]")
+                elif m == 2:
+                    parts.append(f'{sl}<ref name="r{k}">cite {k}</ref>')
+                else:
+                    parts.append(f"{{{{tmpl|x={k}}}}}{sl}")
+            if not parts:
+                payloads.append(None)
+                continue
+            body = "\n".join(parts)
+            if did % 5 == 0:
+                text_node = f"<![CDATA[{body}]]>"
+            else:
+                text_node = (
+                    body.replace("&", "&amp;")
+                    .replace("<", "&lt;")
+                    .replace(">", "&gt;")
+                )
+            xml = (
+                '<?xml version="1.0" encoding="utf-8"?>\n'
+                '<mediawiki xmlns="http://www.mediawiki.org/xml/'
+                'export-0.10/" version="0.10">\n'
+                "  <siteinfo><sitename>fixture</sitename></siteinfo>\n"
+                "  <page>\n"
+                f"    <title>Doc {did}</title>\n"
+                "    <ns>0</ns>\n"
+                f"    <id>{did}</id>\n"
+                f"    <revision><id>1</id>"
+                f'<text xml:space="preserve">{text_node}</text>'
+                "</revision>\n"
+                "  </page>\n"
+                "</mediawiki>\n"
+            )
+            payloads.append(xml.encode("utf-8"))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def tx_wiki_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikipedia-dump ingestion (§2.11): MediaWiki export XML parsed
+    with the strict XML kernel (entities AND CDATA paths), wikitext
+    stripped to plain lines (``extract_wiki_lines``: headings,
+    quotes, links, refs, nested templates).  The oracle re-derives
+    title, line numbering, heading text and the recovered slices from
+    `documents` — any XML, entity or markup-stripping drift breaks
+    the value hash."""
+    from ..operators.multimodal import extract_wiki_lines
+
+    media = _cached_media(spark, sf_dir, "wiki", _wiki_build)
+    rows = extract_wiki_lines(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "title",
+        "lineno",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "lineno")
+
+
+def _tx_wiki_sql() -> str:
+    w = _WIKI_SLICE
+    ch = _char_hash_sql("line")
+    return f"""
+WITH slices AS (
+  SELECT doc_id, CAST(i AS INT) AS k,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+), lines AS (
+  SELECT doc_id, 2 * k AS lineno,
+         printf('h%d_%d', doc_id, k) AS line
+  FROM slices
+  UNION ALL
+  SELECT doc_id, 2 * k + 1 AS lineno, rtrim(t) AS line
+  FROM slices
+)
+SELECT doc_id, 'Doc ' || doc_id AS title, lineno,
+       CAST(len(line) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM lines ORDER BY doc_id, lineno
+"""
+
+
 # --- URL canonicalization -------------------------------------------------------
 
 
@@ -8154,6 +8269,7 @@ REGISTRY = {
     "tx_compress_funnel": (tx_compress_funnel, _tx_compress_sql()),
     "src_avro_scan": (src_avro_scan, _src_avro_sql()),
     "tx_pdf_extract": (tx_pdf_extract, _tx_pdf_sql()),
+    "tx_wiki_extract": (tx_wiki_extract, _tx_wiki_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
