@@ -1518,13 +1518,13 @@ COMPRESSED_TEXT_SCHEMA = T.StructType(
 def decompress_texts(media: DataFrame) -> DataFrame:
     """Compressed-shard ingestion funnel: each payload is ONE
     compressed text shard in whichever codec the producer picked —
-    LZ4 frame (``0x184D2204``), snappy framing stream (``sNaPpY``)
-    or a gzip member (``0x1f8b``) — magic-dispatched into one decode
-    with full integrity verification (xxHash32 content checksums,
-    masked CRC-32C chunk checksums, CRC32+ISIZE trailers).  The
-    heterogeneous-source admission stage of a crawl/store pipeline,
-    mirroring the audio funnel's shape.  Arrow-batched
-    ``mapInPandas``, zero shuffle."""
+    LZ4 frame (``0x184D2204``), snappy framing stream (``sNaPpY``),
+    a gzip member (``0x1f8b``) or a Zstandard frame (``0xFD2FB528``)
+    — magic-dispatched into one decode with full integrity
+    verification (xxHash32/64 content checksums, masked CRC-32C chunk
+    checksums, CRC32+ISIZE trailers).  The heterogeneous-source
+    admission stage of a crawl/store pipeline, mirroring the audio
+    funnel's shape.  Arrow-batched ``mapInPandas``, zero shuffle."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -1532,6 +1532,7 @@ def decompress_texts(media: DataFrame) -> DataFrame:
         from ..functions.lz4 import decompress_frame
         from ..functions.snappyf import decompress_stream
         from ..functions.warc import split_gzip_members
+        from ..functions.zstd import decompress_zstd
 
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "codec", "txt")}
@@ -1545,6 +1546,8 @@ def decompress_texts(media: DataFrame) -> DataFrame:
                     codec, body = "snappy", decompress_stream(p)
                 elif p.startswith(b"\x1f\x8b"):
                     codec, body = "gzip", b"".join(split_gzip_members(p))
+                elif p.startswith(b"\x28\xb5\x2f\xfd"):
+                    codec, body = "zstd", decompress_zstd(p)
                 else:
                     raise ValueError("compressed shard: unknown magic")
                 rows["media_id"].append(mid)

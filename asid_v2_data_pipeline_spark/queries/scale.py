@@ -103,6 +103,7 @@ def _codec_fprint() -> str:
             "functions/avrof.py",
             "functions/pdf.py",
             "functions/wiki.py",
+            "functions/zstd.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -7209,27 +7210,39 @@ FROM slices ORDER BY doc_id, name
 def _compress_build(batches):
     """Fixture for ``tx_compress_funnel``: each document's text is
     compressed into ONE shard with the codec its producer would have
-    picked — lz4 frame for ``doc_id%3==0``, snappy framing stream for
-    ``1``, gzip member for ``2`` — so magic dispatch, all three
-    decoders and every checksum layer sit on the oracle-checked
-    path."""
+    picked — lz4 frame for ``doc_id%4==0``, snappy framing stream for
+    ``1``, gzip member for ``2``, Zstandard frame for ``3`` — so
+    magic dispatch, all four decoders and every checksum layer sit on
+    the oracle-checked path.  The zstd arm is encoded by the REAL C
+    encoder (``pyarrow.Codec``) with a content checksum appended —
+    our engine is decode-only for zstd by design, exactly the
+    production shape where producers wrote the bytes."""
     import pandas as pd
 
     from ..functions.lz4 import compress_frame
     from ..functions.snappyf import compress_stream
     from ..functions.warc import gzip_member
+    from ..functions.zstd import xxh64
 
+    import pyarrow as pa
+
+    zc = pa.Codec("zstd", compression_level=3)
     for pdf in batches:
         payloads = []
         for did, t in zip(pdf["doc_id"], pdf["text"]):
             raw = t.encode("utf-8")
-            m = int(did) % 3
+            m = int(did) % 4
             if m == 0:
                 payloads.append(compress_frame(raw, block_checksum=True))
             elif m == 1:
                 payloads.append(compress_stream(raw))
-            else:
+            elif m == 2:
                 payloads.append(gzip_member(raw))
+            else:
+                fr = bytearray(zc.compress(raw))
+                fr[4] |= 0x4  # set the content-checksum flag …
+                fr += (xxh64(raw) & 0xFFFFFFFF).to_bytes(4, "little")
+                payloads.append(bytes(fr))  # … so decode verifies it
         yield pd.DataFrame(
             {"media_id": pdf["doc_id"], "payload": payloads}
         )
@@ -7237,14 +7250,15 @@ def _compress_build(batches):
 
 def tx_compress_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-shard admission funnel (§2.11): LZ4 frames, snappy
-    framing streams and gzip members — the three fast codecs a store
-    layer actually serves — magic-dispatched into one verified decode
-    (``decompress_texts``; xxHash32 / masked CRC-32C / CRC32+ISIZE all
-    checked).  The oracle re-derives the codec from doc parity and the
-    text from `documents`: any dispatch, decompression or checksum
-    drift breaks the value hash.  Both non-deflate codecs are
-    cross-validated against their C implementations in
-    ``tests/test_compressf.py``."""
+    framing streams, gzip members and Zstandard frames — the four
+    codecs a store layer actually serves — magic-dispatched into one
+    verified decode (``decompress_texts``; xxHash32/64, masked
+    CRC-32C and CRC32+ISIZE all checked).  The oracle re-derives the
+    codec from doc parity and the text from `documents`: any
+    dispatch, decompression or checksum drift breaks the value hash.
+    The lz4/snappy/zstd decoders are cross-validated against their C
+    implementations in ``tests/test_compressf.py`` /
+    ``tests/test_zstd.py``."""
     from ..operators.multimodal import decompress_texts
 
     media = _cached_media(spark, sf_dir, "compress", _compress_build)
@@ -7261,8 +7275,8 @@ def _tx_compress_sql() -> str:
     ch = _char_hash_sql("text")
     return f"""
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'lz4' WHEN 1 THEN 'snappy'
-            ELSE 'gzip' END AS codec,
+       CASE doc_id % 4 WHEN 0 THEN 'lz4' WHEN 1 THEN 'snappy'
+            WHEN 2 THEN 'gzip' ELSE 'zstd' END AS codec,
        CAST(len(text) AS INT) AS n_chars,
        {ch} AS txt_hash
 FROM documents ORDER BY doc_id
