@@ -1674,6 +1674,74 @@ def extract_wiki_lines(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, WIKI_LINE_SCHEMA)
 
 
+TFRECORD_EXAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("n_feats", T.IntegerType(), False),
+        T.StructField("sno", T.LongType(), True),
+        T.StructField("delta", T.LongType(), True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def extract_tfrecord_examples(media: DataFrame) -> DataFrame:
+    """TFRecord shard ingestion (``functions/tfrecord.py`` +
+    ``functions/protof.py``): each payload is a TFRecord shard of
+    serialized ``tf.train.Example`` messages — the de-facto tf.data
+    training container.  Both per-record CRC-32Cs are verified and
+    every Example's feature map decoded; emit one row per example with
+    its typed features pulled out (bytes → txt/key, int64 → sno/delta,
+    float → score).  Corruption raises ValueError, so the admitting /
+    streaming paths can quarantine a shard without losing the pass.
+    Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.protof import decode_example
+        from ..functions.tfrecord import read_tfrecord
+
+        def one(feats, name, kind, idx=0):
+            f = feats.get(name)
+            if f is None or f[0] != kind or len(f[1]) <= idx:
+                return None
+            return f[1][idx]
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "media_id", "key", "n_feats", "sno", "delta",
+                    "score", "txt",
+                )
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for rec in read_tfrecord(bytes(p)):
+                    feats = decode_example(rec)
+                    key = one(feats, "key", "bytes")
+                    txt = one(feats, "txt", "bytes")
+                    rows["media_id"].append(mid)
+                    rows["key"].append(
+                        key.decode("utf-8") if key is not None else None
+                    )
+                    rows["n_feats"].append(len(feats))
+                    rows["sno"].append(one(feats, "sno", "int64"))
+                    rows["delta"].append(one(feats, "delta", "int64"))
+                    sc = one(feats, "score", "float")
+                    rows["score"].append(
+                        float(sc) if sc is not None else None
+                    )
+                    rows["txt"].append(
+                        txt.decode("utf-8") if txt is not None else None
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, TFRECORD_EXAMPLE_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -104,6 +104,8 @@ def _codec_fprint() -> str:
             "functions/pdf.py",
             "functions/wiki.py",
             "functions/zstd.py",
+            "functions/tfrecord.py",
+            "functions/protof.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -8147,6 +8149,102 @@ GROUP BY src, lang ORDER BY src, lang
 """
 
 
+# --- TFRecord shards of tf.train.Example -------------------------------------
+
+_TFR_SLICE = 96  # characters per generated example
+
+
+def _tfrecord_build(batches):
+    """Fixture for ``src_tfrecord_scan``: each document becomes one
+    TFRecord shard with one ``tf.train.Example`` per ``_TFR_SLICE``-char
+    text slice.  Features per example: ``key`` bytes
+    ``{doc_id:06d}-{sno:03d}``, ``txt`` bytes slice, ``sno`` int64,
+    ``delta`` int64 ``sno - 2`` (negative for the first two — the
+    10-byte varint path), ``score`` packed float32
+    ``[len + 0.25, sno + 0.5]`` (dyadic, so float32-exact and
+    SQL-replicable)."""
+    import pandas as pd
+
+    from ..functions.protof import encode_example
+    from ..functions.tfrecord import write_tfrecord
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            recs = []
+            for sno, i in enumerate(range(0, len(t), _TFR_SLICE)):
+                s = t[i : i + _TFR_SLICE]
+                recs.append(
+                    encode_example(
+                        {
+                            "key": (
+                                "bytes",
+                                [f"{did:06d}-{sno:03d}".encode()],
+                            ),
+                            "txt": ("bytes", [s.encode("utf-8")]),
+                            "sno": ("int64", [sno]),
+                            "delta": ("int64", [sno - 2]),
+                            "score": (
+                                "float",
+                                [len(s) + 0.25, sno + 0.5],
+                            ),
+                        }
+                    )
+                )
+            payloads.append(write_tfrecord(recs) if recs else None)
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def src_tfrecord_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord ingestion (§2.11): the tf.data training-shard format —
+    masked-CRC32C framed records of serialized ``tf.train.Example``
+    protos — scanned back into typed per-example rows
+    (``extract_tfrecord_examples``).  The oracle re-derives every
+    feature (key arithmetic, slice text, int64s incl. the negative
+    varint path, float32-exact scores) from `documents`, so drift in
+    CRC masking, record framing, varint/zigzag decode, packed-float
+    parsing or map-entry traversal breaks the value hash."""
+    from ..operators.multimodal import extract_tfrecord_examples
+
+    media = _cached_media(spark, sf_dir, "tfrecord", _tfrecord_build)
+    rows = extract_tfrecord_examples(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "key",
+        "n_feats",
+        "sno",
+        "delta",
+        "score",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "key")
+
+
+def _src_tfrecord_sql() -> str:
+    w = _TFR_SLICE
+    ch = _char_hash_sql("t")
+    return f"""
+WITH slices AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS sno,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+)
+SELECT doc_id,
+       printf('%06d-%03d', doc_id, sno) AS key,
+       CAST(5 AS INT) AS n_feats,
+       sno,
+       sno - 2 AS delta,
+       CAST(len(t) + 0.25 AS DOUBLE) AS score,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM slices ORDER BY doc_id, key
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -8284,6 +8382,7 @@ REGISTRY = {
     "src_avro_scan": (src_avro_scan, _src_avro_sql()),
     "tx_pdf_extract": (tx_pdf_extract, _tx_pdf_sql()),
     "tx_wiki_extract": (tx_wiki_extract, _tx_wiki_sql()),
+    "src_tfrecord_scan": (src_tfrecord_scan, _src_tfrecord_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
