@@ -1742,6 +1742,66 @@ def extract_tfrecord_examples(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, TFRECORD_EXAMPLE_SCHEMA)
 
 
+MSGPACK_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("n_fields", T.IntegerType(), False),
+        T.StructField("sno", T.LongType(), True),
+        T.StructField("neg", T.LongType(), True),
+        T.StructField("frac", T.DoubleType(), True),
+        T.StructField("ok", T.BooleanType(), True),
+        T.StructField("cls", T.StringType(), True),
+        T.StructField("n_tags", T.IntegerType(), True),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def extract_msgpack_records(media: DataFrame) -> DataFrame:
+    """MessagePack shard ingestion (``functions/msgpackf.py``): each
+    payload is a concatenated stream of msgpack maps (the common
+    record-shard layout); decode the full stream and pull the typed
+    fields into columns.  Corruption (reserved bytes, bad UTF-8,
+    truncation, depth bombs) raises ValueError, so the admitting /
+    streaming paths can quarantine a shard without losing the pass.
+    Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.msgpackf import unpack_stream
+
+        cols = (
+            "media_id", "key", "n_fields", "sno", "neg", "frac",
+            "ok", "cls", "n_tags", "txt",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for rec in unpack_stream(bytes(p)):
+                    if not isinstance(rec, dict):
+                        raise ValueError(
+                            "msgpack shard: top-level record not a map"
+                        )
+                    rows["media_id"].append(mid)
+                    rows["key"].append(rec.get("key"))
+                    rows["n_fields"].append(len(rec))
+                    rows["sno"].append(rec.get("sno"))
+                    rows["neg"].append(rec.get("neg"))
+                    rows["frac"].append(rec.get("frac"))
+                    rows["ok"].append(rec.get("ok"))
+                    rows["cls"].append(rec.get("cls"))
+                    tags = rec.get("tags")
+                    rows["n_tags"].append(
+                        len(tags) if isinstance(tags, list) else None
+                    )
+                    rows["txt"].append(rec.get("txt"))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, MSGPACK_RECORD_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -106,6 +106,7 @@ def _codec_fprint() -> str:
             "functions/zstd.py",
             "functions/tfrecord.py",
             "functions/protof.py",
+            "functions/msgpackf.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -8245,6 +8246,109 @@ FROM slices ORDER BY doc_id, key
 """
 
 
+# --- MessagePack record shards -------------------------------------------------
+
+_MSGPACK_SLICE = 112  # characters per generated record
+
+
+def _msgpack_build(batches):
+    """Fixture for ``src_msgpack_scan``: each document becomes one
+    shard of concatenated msgpack maps, one per ``_MSGPACK_SLICE``-char
+    slice.  Fields chosen to cross format-family boundaries: ``sno``
+    positive fixint→uint8, ``neg`` ``-(1 + 300*sno)`` negative
+    fixint→int16, ``frac`` float64 ``sno + 0.25``, ``ok`` bool,
+    ``nil`` None, ``tags`` fixarray [lang, str(doc_id)], ``blob`` bin8
+    of the slice's first UTF-8 bytes, plus key/txt strings (fixstr and
+    str8 both occur)."""
+    import pandas as pd
+
+    from ..functions.msgpackf import pack
+
+    for pdf in batches:
+        payloads = []
+        for did, t, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            did = int(did)
+            parts = []
+            for sno, i in enumerate(range(0, len(t), _MSGPACK_SLICE)):
+                s = t[i : i + _MSGPACK_SLICE]
+                parts.append(
+                    pack(
+                        {
+                            "key": f"{did:06d}-{sno:03d}",
+                            "sno": sno,
+                            "neg": -(1 + 300 * sno),
+                            "frac": sno + 0.25,
+                            "ok": sno % 2 == 0,
+                            "nil": None,
+                            "cls": str(lang),
+                            "tags": [str(lang), str(did)],
+                            "blob": s.encode("utf-8")[:4],
+                            "txt": s,
+                        }
+                    )
+                )
+            payloads.append(b"".join(parts) if parts else None)
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def src_msgpack_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack shard ingestion (§2.11): concatenated msgpack maps —
+    a common record-shard layout — decoded by the strict pure-Python
+    codec (``functions/msgpackf.py``) into typed rows
+    (``extract_msgpack_records``).  The oracle re-derives every field
+    from `documents` (key printf arithmetic, the negative-int family,
+    float64 fractions, bool parity, tag counts, slice text), so drift
+    in any format family's length/endianness handling breaks the
+    value hash."""
+    from ..operators.multimodal import extract_msgpack_records
+
+    media = _cached_media(
+        spark, sf_dir, "msgpack", _msgpack_build,
+        cols=("doc_id", "text", "lang"),
+    )
+    rows = extract_msgpack_records(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "key",
+        "n_fields",
+        "sno",
+        "neg",
+        "frac",
+        "ok",
+        "cls",
+        "n_tags",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "key")
+
+
+def _src_msgpack_sql() -> str:
+    w = _MSGPACK_SLICE
+    ch = _char_hash_sql("t")
+    return f"""
+WITH slices AS (
+  SELECT doc_id, lang, CAST(i AS BIGINT) AS sno,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+)
+SELECT doc_id,
+       printf('%06d-%03d', doc_id, sno) AS key,
+       CAST(10 AS INT) AS n_fields,
+       sno,
+       -(1 + 300 * sno) AS neg,
+       CAST(sno + 0.25 AS DOUBLE) AS frac,
+       sno % 2 = 0 AS ok,
+       lang AS cls,
+       CAST(2 AS INT) AS n_tags,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM slices ORDER BY doc_id, key
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -8383,6 +8487,7 @@ REGISTRY = {
     "tx_pdf_extract": (tx_pdf_extract, _tx_pdf_sql()),
     "tx_wiki_extract": (tx_wiki_extract, _tx_wiki_sql()),
     "src_tfrecord_scan": (src_tfrecord_scan, _src_tfrecord_sql()),
+    "src_msgpack_scan": (src_msgpack_scan, _src_msgpack_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
