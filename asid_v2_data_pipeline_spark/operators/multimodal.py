@@ -1802,6 +1802,48 @@ def extract_msgpack_records(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, MSGPACK_RECORD_SCHEMA)
 
 
+EPUB_CHAPTER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("book", T.StringType(), True),
+        T.StructField("language", T.StringType(), True),
+        T.StructField("chno", T.IntegerType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def extract_epub_chapters(media: DataFrame) -> DataFrame:
+    """EPUB book ingestion (``functions/epub.py``): each payload is an
+    OCF container; walk container.xml → OPF manifest/spine → XHTML
+    chapters in reading order and extract each chapter's text — the
+    book-dump-to-text stage of a training-data pipeline.  Structural
+    violations raise ValueError (quarantinable); malformed chapter
+    HTML does not.  Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.epub import parse_epub
+
+        cols = ("media_id", "book", "language", "chno", "title", "txt")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                book = parse_epub(bytes(p))
+                for chno, (title, txt) in enumerate(book["chapters"]):
+                    rows["media_id"].append(mid)
+                    rows["book"].append(book["title"])
+                    rows["language"].append(book["language"])
+                    rows["chno"].append(chno)
+                    rows["title"].append(title)
+                    rows["txt"].append(txt)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, EPUB_CHAPTER_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

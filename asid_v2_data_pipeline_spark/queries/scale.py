@@ -107,6 +107,7 @@ def _codec_fprint() -> str:
             "functions/tfrecord.py",
             "functions/protof.py",
             "functions/msgpackf.py",
+            "functions/epub.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -8349,6 +8350,104 @@ FROM slices ORDER BY doc_id, key
 """
 
 
+# --- EPUB books -----------------------------------------------------------------
+
+_EPUB_CH = 240  # characters per chapter
+_EPUB_PAR = 60  # characters per paragraph within a chapter
+
+
+def _epub_build(batches):
+    """Fixture for ``tx_epub_extract``: each document becomes one EPUB
+    whose chapters are ``_EPUB_CH``-char text slices and whose
+    paragraphs are the chapters' stripped ``_EPUB_PAR``-char
+    sub-slices (stripped so the extractor's per-line whitespace
+    normalization is the identity and the oracle can replay it with
+    ``trim``).  Chapter titles ``Chapter {chno:03d}``, book title
+    ``Doc {doc_id}``, dc:language from the doc's lang."""
+    import pandas as pd
+
+    from ..functions.epub import write_epub
+
+    for pdf in batches:
+        payloads = []
+        for did, t, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            did = int(did)
+            chapters = []
+            for chno, i in enumerate(range(0, len(t), _EPUB_CH)):
+                ct = t[i : i + _EPUB_CH]
+                paras = [
+                    p
+                    for j in range(0, len(ct), _EPUB_PAR)
+                    if (p := ct[j : j + _EPUB_PAR].strip())
+                ]
+                chapters.append((f"Chapter {chno:03d}", paras))
+            payloads.append(
+                write_epub(f"Doc {did}", chapters, language=str(lang))
+                if chapters
+                else None
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def tx_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB book-dump ingestion (§2.11): OCF container → container.xml
+    → OPF manifest/spine → spine-ordered XHTML chapters → text
+    (``extract_epub_chapters``) — ZIP, XML and HTML layers composed.
+    The oracle re-derives chapter titles, OPF metadata and the exact
+    extracted text (title line + trimmed paragraph lines) from
+    `documents`, so drift in any layer — mixed-method ZIP, container
+    indirection, spine ordering, XHTML text extraction — breaks the
+    value hash."""
+    from ..operators.multimodal import extract_epub_chapters
+
+    media = _cached_media(
+        spark, sf_dir, "epub", _epub_build, cols=("doc_id", "text", "lang")
+    )
+    rows = extract_epub_chapters(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "book",
+        "language",
+        "chno",
+        "title",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "chno")
+
+
+def _tx_epub_sql() -> str:
+    c, p = _EPUB_CH, _EPUB_PAR
+    ch = _char_hash_sql("t")
+    return f"""
+WITH chs AS (
+  SELECT doc_id, lang, CAST(i AS INT) AS chno,
+         substr(text, CAST(1 + {c} * i AS BIGINT), {c}) AS ct
+  FROM documents,
+       unnest(range(0, (len(text) + {c - 1}) // {c})) AS ts(i)
+), lines AS (
+  SELECT doc_id, lang, chno,
+         printf('Chapter %03d', chno) || chr(10) ||
+         array_to_string(
+           list_filter(
+             list_transform(range(0, (len(ct) + {p - 1}) // {p}),
+               j -> trim(substr(ct, CAST(1 + {p} * j AS BIGINT), {p}))),
+             x -> x <> ''),
+           chr(10)) AS t
+  FROM chs
+)
+SELECT doc_id,
+       'Doc ' || doc_id AS book,
+       lang AS language,
+       chno,
+       printf('Chapter %03d', chno) AS title,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM lines ORDER BY doc_id, chno
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -8488,6 +8587,7 @@ REGISTRY = {
     "tx_wiki_extract": (tx_wiki_extract, _tx_wiki_sql()),
     "src_tfrecord_scan": (src_tfrecord_scan, _src_tfrecord_sql()),
     "src_msgpack_scan": (src_msgpack_scan, _src_msgpack_sql()),
+    "tx_epub_extract": (tx_epub_extract, _tx_epub_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
