@@ -1844,6 +1844,48 @@ def extract_epub_chapters(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, EPUB_CHAPTER_SCHEMA)
 
 
+SUBTITLE_CUE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("cueno", T.IntegerType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("end_ms", T.LongType(), False),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def extract_subtitle_cues(media: DataFrame) -> DataFrame:
+    """Subtitle ingestion (``functions/subtitles.py``): each payload
+    is an SRT or WebVTT file (format sniffed per payload — the funnel
+    shape); emit one row per cue with millisecond timings and the
+    verbatim multi-line text.  Malformed timing/structure raises
+    ValueError (quarantinable).  Arrow-batched ``mapInPandas``, zero
+    shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.subtitles import subtitle_cues
+
+        cols = ("media_id", "fmt", "cueno", "start_ms", "end_ms", "txt")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                fmt, cues = subtitle_cues(bytes(p))
+                for cueno, (start, end, txt) in enumerate(cues):
+                    rows["media_id"].append(mid)
+                    rows["fmt"].append(fmt)
+                    rows["cueno"].append(cueno)
+                    rows["start_ms"].append(start)
+                    rows["end_ms"].append(end)
+                    rows["txt"].append(txt)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, SUBTITLE_CUE_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -108,6 +108,7 @@ def _codec_fprint() -> str:
             "functions/protof.py",
             "functions/msgpackf.py",
             "functions/epub.py",
+            "functions/subtitles.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -8448,6 +8449,106 @@ FROM lines ORDER BY doc_id, chno
 """
 
 
+# --- subtitles (SRT / WebVTT funnel) --------------------------------------------
+
+_SUB_SLICE = 48  # characters per cue
+_SUB_LINE = 24  # characters per cue line
+
+
+def _subtitle_build(batches):
+    """Fixture for ``tx_subtitle_extract``: each document becomes one
+    subtitle file — SRT for even doc_ids, WebVTT (with cue ids) for
+    odd — one cue per ``_SUB_SLICE``-char slice, cue text split into
+    two ``_SUB_LINE``-char lines (multi-line accumulation on the
+    checked path).  Timings re-derivable in SQL:
+    ``start = (doc_id % 5)*977000 + sno*2000 + (doc_id % 7)*17``
+    (hours digit exercised), ``end = start + 1900``."""
+    import pandas as pd
+
+    from ..functions.subtitles import write_srt, write_webvtt
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            cues = []
+            for sno, i in enumerate(range(0, len(t), _SUB_SLICE)):
+                s = t[i : i + _SUB_SLICE]
+                lines = [
+                    part
+                    for part in (s[:_SUB_LINE], s[_SUB_LINE:])
+                    if part
+                ]
+                start = (did % 5) * 977_000 + sno * 2000 + (did % 7) * 17
+                cues.append((start, start + 1900, "\n".join(lines)))
+            if not cues:
+                payloads.append(None)
+            elif did % 2 == 0:
+                payloads.append(write_srt(cues))
+            else:
+                payloads.append(
+                    write_webvtt(
+                        cues, ids=[f"c{k}" for k in range(len(cues))]
+                    )
+                )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def tx_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle ingestion funnel (§2.11): SRT and WebVTT files sniffed
+    per payload and parsed into one row per cue
+    (``extract_subtitle_cues``) — millisecond timing round-trip
+    (HH:MM:SS,mmm vs HH:MM:SS.mmm), cue-id handling, verbatim
+    multi-line text.  The oracle re-derives format by doc parity,
+    timings by the fixture arithmetic and text from `documents`, so
+    drift in timestamp formatting/parsing or line accumulation breaks
+    the value hash."""
+    from ..operators.multimodal import extract_subtitle_cues
+
+    media = _cached_media(spark, sf_dir, "subtitle", _subtitle_build)
+    rows = extract_subtitle_cues(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "fmt",
+        "cueno",
+        "start_ms",
+        "end_ms",
+        F.size(F.split("txt", "\n")).alias("n_lines"),
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "cueno")
+
+
+def _tx_subtitle_sql() -> str:
+    w, ln = _SUB_SLICE, _SUB_LINE
+    ch = _char_hash_sql("t")
+    return f"""
+WITH cues AS (
+  SELECT doc_id, CAST(i AS INT) AS cueno,
+         (doc_id % 5) * 977000 + i * 2000 + (doc_id % 7) * 17 AS start_ms,
+         array_to_string(
+           list_filter(
+             [substr(text, CAST(1 + {w} * i AS BIGINT), {ln}),
+              substr(text, CAST(1 + {w} * i + {ln} AS BIGINT), {ln})],
+             x -> x <> ''),
+           chr(10)) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+       cueno,
+       start_ms,
+       start_ms + 1900 AS end_ms,
+       CAST(len(string_split(t, chr(10))) AS INT) AS n_lines,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM cues ORDER BY doc_id, cueno
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -8588,6 +8689,7 @@ REGISTRY = {
     "src_tfrecord_scan": (src_tfrecord_scan, _src_tfrecord_sql()),
     "src_msgpack_scan": (src_msgpack_scan, _src_msgpack_sql()),
     "tx_epub_extract": (tx_epub_extract, _tx_epub_sql()),
+    "tx_subtitle_extract": (tx_subtitle_extract, _tx_subtitle_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
