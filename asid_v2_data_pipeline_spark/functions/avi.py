@@ -1,0 +1,218 @@
+"""AVI (RIFF) container mux/demux (pure Python, from the public
+layout: RIFF chunks per the Microsoft "AVI RIFF File Reference" —
+``hdrl`` (avih + one strl per stream: strh/strf), the ``movi`` data
+list of ``##dc``/``##db``/``##wb`` chunks, and the ``idx1`` legacy
+index).
+
+Writer produces the classic MJPEG-in-AVI shape: one 'vids' stream,
+``MJPG`` handler, 24-bit BITMAPINFOHEADER with ``MJPG`` compression,
+word-aligned ``00dc`` chunks, every frame indexed with
+``AVIIF_KEYFRAME``.
+
+Parser is strict: RIFF/AVI magic, in-bounds chunk sizes, one avih,
+per-stream strh/strf, and — the corruption catch — the ``idx1``
+entries are CROSS-CHECKED against the movi chunks (fourcc, offset,
+size all must match); any disagreement raises ValueError, so a
+truncated or spliced file fails loudly at that frame instead of
+feeding a decoder garbage.
+
+Reference comparison: the reference's only media is netCDF rasters
+(``asip_v2/archive.py``); video-container demux is §2.11 surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_AVIIF_KEYFRAME = 0x10
+
+
+def write_avi_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    usec_per_frame: int = 40_000,
+) -> bytes:
+    """One 'vids'/MJPG stream; every frame a keyframe (MJPEG)."""
+    if not frames:
+        raise ValueError("avi: no frames")
+    maxb = max(len(f) for f in frames)
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + list_type + body
+
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame,  # dwMicroSecPerFrame
+        maxb * 1_000_000 // max(usec_per_frame, 1),  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        _AVIIF_KEYFRAME,  # dwFlags: AVIF_HASINDEX
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        maxb,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0,  # dwFlags
+            0,  # wPriority
+            0,  # wLanguage
+            0,  # dwInitialFrames
+            usec_per_frame,  # dwScale
+            1_000_000,  # dwRate -> fps = rate/scale
+            0,  # dwStart
+            len(frames),  # dwLength
+            maxb,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (default)
+            0,  # dwSampleSize (0: one sample per chunk)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        width * height * 3,  # biSizeImage (nominal)
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = bytearray()
+    idx = bytearray()
+    for f in frames:
+        # offset convention: from the first byte of the 'movi' fourcc;
+        # the fourcc itself is 4 bytes, so the first chunk sits at 4
+        off = 4 + len(movi_body)
+        movi_body += chunk(b"00dc", bytes(f))
+        idx += b"00dc" + struct.pack(
+            "<III", _AVIIF_KEYFRAME, off, len(f)
+        )
+    movi = lst(b"movi", bytes(movi_body))
+    body = hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def _iter_chunks(buf: bytes, pos: int, end: int):
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("avi: truncated chunk header")
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        data_at = pos + 8
+        if data_at + size > end:
+            raise ValueError(
+                f"avi: chunk {fourcc!r} overruns its parent"
+            )
+        yield fourcc, data_at, size
+        pos = data_at + size + (size & 1)
+
+
+def parse_avi(data: bytes) -> dict:
+    """Parse an AVI file into ``{"width", "height", "usec_per_frame",
+    "n_frames", "handler", "frames": [(stream, keyframe, bytes)]}``.
+    The idx1 index, when present, is verified against the movi chunks
+    entry-by-entry."""
+    buf = bytes(data)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF/AVI file")
+    (riff_size,) = struct.unpack("<I", buf[4:8])
+    if 8 + riff_size > len(buf):
+        raise ValueError("avi: RIFF size overruns the payload")
+    end = 8 + riff_size
+    width = height = usec = total = None
+    handler = None
+    frames: list[tuple[int, bool, bytes]] = []
+    movi_chunks: list[tuple[bytes, int, int]] = []  # (ckid, off, size)
+    idx_entries: list[tuple[bytes, int, int, int]] | None = None
+    for fourcc, at, size in _iter_chunks(buf, 12, end):
+        if fourcc == b"LIST":
+            ltype = buf[at : at + 4]
+            if ltype == b"hdrl":
+                for f2, at2, sz2 in _iter_chunks(buf, at + 4, at + size):
+                    if f2 == b"avih":
+                        if sz2 < 40:
+                            raise ValueError("avi: avih too short")
+                        vals = struct.unpack("<10I", buf[at2 : at2 + 40])
+                        usec, total = vals[0], vals[4]
+                        width, height = vals[8], vals[9]
+                    elif f2 == b"LIST" and buf[at2 : at2 + 4] == b"strl":
+                        for f3, at3, sz3 in _iter_chunks(
+                            buf, at2 + 4, at2 + sz2
+                        ):
+                            if f3 == b"strh":
+                                if sz3 < 8:
+                                    raise ValueError("avi: strh too short")
+                                if buf[at3 : at3 + 4] == b"vids":
+                                    handler = buf[at3 + 4 : at3 + 8]
+            elif ltype == b"movi":
+                for ckid, at2, sz2 in _iter_chunks(buf, at + 4, at + size):
+                    tag = ckid[2:4]
+                    if tag in (b"dc", b"db", b"wb"):
+                        if not ckid[:2].isdigit():
+                            raise ValueError(
+                                f"avi: bad stream id in {ckid!r}"
+                            )
+                        # offset measured from the 'movi' fourcc byte
+                        movi_chunks.append((ckid, at2 - 8 - at, sz2))
+                        frames.append(
+                            (
+                                int(ckid[:2]),
+                                True,  # flag refined from idx1 below
+                                buf[at2 : at2 + sz2],
+                            )
+                        )
+        elif fourcc == b"idx1":
+            if size % 16:
+                raise ValueError("avi: idx1 size not a multiple of 16")
+            idx_entries = []
+            for k in range(size // 16):
+                ckid = buf[at + 16 * k : at + 16 * k + 4]
+                flags, off, ln = struct.unpack(
+                    "<III", buf[at + 16 * k + 4 : at + 16 * k + 16]
+                )
+                idx_entries.append((ckid, flags, off, ln))
+    if width is None:
+        raise ValueError("avi: missing avih header")
+    if idx_entries is not None:
+        if len(idx_entries) != len(movi_chunks):
+            raise ValueError(
+                "avi: idx1 entry count disagrees with movi chunks"
+            )
+        refined = []
+        for (ckid, flags, off, ln), (mck, moff, msz), (stream, _, fb) in zip(
+            idx_entries, movi_chunks, frames
+        ):
+            if ckid != mck or off != moff or ln != msz:
+                raise ValueError(
+                    f"avi: idx1 entry {ckid!r}@{off} disagrees with "
+                    f"movi chunk {mck!r}@{moff}"
+                )
+            refined.append(
+                (stream, bool(flags & _AVIIF_KEYFRAME), fb)
+            )
+        frames = refined
+    return {
+        "width": width,
+        "height": height,
+        "usec_per_frame": usec,
+        "n_frames": total,
+        "handler": handler,
+        "frames": frames,
+    }

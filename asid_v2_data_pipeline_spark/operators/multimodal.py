@@ -1886,6 +1886,64 @@ def extract_subtitle_cues(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, SUBTITLE_CUE_SCHEMA)
 
 
+AVI_JPEG_POOL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("keyframe", T.BooleanType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("pooled", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def demux_avi_decode_jpeg_pool(media: DataFrame, factor: int) -> DataFrame:
+    """MJPEG-in-AVI frame decode: demux each payload as RIFF/AVI
+    (``parse_avi`` — idx1 cross-checked against the movi chunks),
+    JPEG-decode every video frame (SOF0 or SOF2) and block-mean pool
+    it; timestamps reconstructed from the container's
+    ``usec_per_frame``.  The AVI twin of ``demux_decode_jpeg_pool`` —
+    same codec layer, different container.  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.avi import parse_avi
+        from ..functions.codecs import parse_jpeg
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "ts_ms", "keyframe", "width", "height",
+                "pooled",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                avi = parse_avi(bytes(p))
+                ms = (avi["usec_per_frame"] or 0) // 1000
+                for fno, (stream, key, payload) in enumerate(
+                    avi["frames"]
+                ):
+                    px = parse_jpeg(bytes(payload)).astype(np.float64)
+                    h, w = px.shape
+                    if h % factor or w % factor:
+                        raise ValueError("factor must divide frame dims")
+                    pooled = px.reshape(
+                        h // factor, factor, w // factor, factor
+                    ).mean(axis=(1, 3))
+                    rows["media_id"].append(mid)
+                    rows["ts_ms"].append(fno * ms)
+                    rows["keyframe"].append(key)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pooled"].append([float(x) for x in pooled.ravel()])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, AVI_JPEG_POOL_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

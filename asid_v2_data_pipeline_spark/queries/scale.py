@@ -109,6 +109,7 @@ def _codec_fprint() -> str:
             "functions/msgpackf.py",
             "functions/epub.py",
             "functions/subtitles.py",
+            "functions/avi.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -8549,6 +8550,98 @@ FROM cues ORDER BY doc_id, cueno
 """
 
 
+# --- MJPEG in AVI ----------------------------------------------------------------
+
+_AVI_USEC = 40_000  # 25 fps
+
+
+def mm_avi_mjpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG-in-AVI frame decode (§2.11): the ``mm_mkv_jpeg_pool``
+    pixels in a RIFF/AVI container instead of Matroska — same
+    fixed-point JPEG layer (odd frames progressive SOF2, even
+    baseline SOF0), different mux: hdrl/strl headers, word-aligned
+    00dc movi chunks, idx1 legacy index (cross-checked on read),
+    timestamps reconstructed from ``usec_per_frame``.  The oracle is
+    the container-independent JPEG replay keyed by (doc_id, frame) —
+    the MKV twin's SQL with AVI's timestamp arithmetic — so the two
+    containers must agree bit-for-bit on every decoded pixel."""
+    from ..operators.multimodal import demux_avi_decode_jpeg_pool
+
+    n = _BMP_W * _BMP_H
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.avi import write_avi_mjpeg
+        from ..functions.codecs import write_jpeg, write_jpeg_progressive
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                nf = min(_MJPEG_MAX_FRAMES, len(raw) // n)
+                frames = [
+                    (write_jpeg_progressive if i % 2 else write_jpeg)(
+                        np.frombuffer(
+                            raw, np.uint8, count=n, offset=i * n
+                        ).reshape(_BMP_H, _BMP_W),
+                        quality=_JPEG_QUALITY,
+                    )
+                    for i in range(nf)
+                ]
+                payloads.append(
+                    write_avi_mjpeg(
+                        frames, _BMP_W, _BMP_H, usec_per_frame=_AVI_USEC
+                    )
+                    if frames
+                    else None
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = _cached_media(spark, sf_dir, "avijpeg", build)
+    pooled = demux_avi_decode_jpeg_pool(media, _BMP_F)
+    k = (_BMP_W // _BMP_F) * (_BMP_H // _BMP_F)
+    sel = [
+        F.round(F.element_at("pooled", i + 1), 6).alias(f"p{i}")
+        for i in range(k)
+    ]
+    return pooled.select(
+        F.col("media_id").alias("doc_id"),
+        "ts_ms",
+        "keyframe",
+        "width",
+        "height",
+        *sel,
+    ).orderBy("doc_id", "ts_ms")
+
+
+def _mm_avi_jpeg_sql() -> str:
+    """Container-independent JPEG replay (the ``_mm_mkv_jpeg_sql``
+    pipeline) with AVI's ``usec_per_frame``-derived timestamps."""
+    ctes, cols = _jpeg_passes_sql("doc_id, fno")
+    n = _BMP_W * _BMP_H
+    ms = _AVI_USEC // 1000
+    return f"""
+WITH {_CODES_CTE_SQL},
+shifted AS (
+  SELECT doc_id, CAST(f AS INT) AS fno,
+         list_transform(range(0, {n}), i ->
+           CAST(cs[CAST(f * {n} + i + 1 AS INT)] AS BIGINT) - 128) AS xs
+  FROM codes,
+       unnest(range(0, LEAST(n_bytes // {n}, {_MJPEG_MAX_FRAMES}))) AS t(f)
+),
+{ctes}
+SELECT doc_id, CAST(fno * {ms} AS BIGINT) AS ts_ms,
+       TRUE AS keyframe,
+       CAST({_BMP_W} AS INT) AS width, CAST({_BMP_H} AS INT) AS height,
+{',' .join(cols)}
+FROM pixels ORDER BY doc_id, ts_ms
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -8690,6 +8783,7 @@ REGISTRY = {
     "src_msgpack_scan": (src_msgpack_scan, _src_msgpack_sql()),
     "tx_epub_extract": (tx_epub_extract, _tx_epub_sql()),
     "tx_subtitle_extract": (tx_subtitle_extract, _tx_subtitle_sql()),
+    "mm_avi_mjpeg_pool": (mm_avi_mjpeg_pool, _mm_avi_jpeg_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
