@@ -1944,6 +1944,67 @@ def demux_avi_decode_jpeg_pool(media: DataFrame, factor: int) -> DataFrame:
     return media.mapInPandas(fn, AVI_JPEG_POOL_SCHEMA)
 
 
+JPEG_EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("iso", T.IntegerType(), True),
+        T.StructField("exp_num", T.LongType(), True),
+        T.StructField("exp_den", T.LongType(), True),
+        T.StructField("xres_num", T.LongType(), True),
+        T.StructField("xres_den", T.LongType(), True),
+        T.StructField("px_w", T.LongType(), True),
+        T.StructField("px_h", T.LongType(), True),
+        T.StructField("dto", T.StringType(), True),
+    ]
+)
+
+
+def extract_jpeg_exif(media: DataFrame) -> DataFrame:
+    """Image-metadata extraction (``functions/exif.py``): marker-walk
+    each JPEG payload to its EXIF APP1, decode the TIFF IFD chain
+    (IFD0 + Exif sub-IFD; ASCII/SHORT/LONG/RATIONAL), one row per
+    image that carries EXIF.  Corrupt IFDs raise ValueError
+    (quarantinable).  Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.exif import extract_jpeg_app1, parse_exif
+
+        cols = (
+            "media_id", "make", "model", "orientation", "iso",
+            "exp_num", "exp_den", "xres_num", "xres_den",
+            "px_w", "px_h", "dto",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                app1 = extract_jpeg_app1(bytes(p))
+                if app1 is None:
+                    continue
+                f = parse_exif(app1)
+                exp = f.get("exposure_time") or (None, None)
+                xres = f.get("x_resolution") or (None, None)
+                rows["media_id"].append(mid)
+                rows["make"].append(f.get("make"))
+                rows["model"].append(f.get("model"))
+                rows["orientation"].append(f.get("orientation"))
+                rows["iso"].append(f.get("iso"))
+                rows["exp_num"].append(exp[0])
+                rows["exp_den"].append(exp[1])
+                rows["xres_num"].append(xres[0])
+                rows["xres_den"].append(xres[1])
+                rows["px_w"].append(f.get("pixel_x"))
+                rows["px_h"].append(f.get("pixel_y"))
+                rows["dto"].append(f.get("datetime_original"))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, JPEG_EXIF_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

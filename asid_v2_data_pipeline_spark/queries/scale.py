@@ -110,6 +110,7 @@ def _codec_fprint() -> str:
             "functions/epub.py",
             "functions/subtitles.py",
             "functions/avi.py",
+            "functions/exif.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -8642,6 +8643,106 @@ FROM pixels ORDER BY doc_id, ts_ms
 """
 
 
+# --- EXIF metadata in JPEG APP1 --------------------------------------------------
+
+
+def _exif_build(batches):
+    """Fixture for ``mm_jpeg_exif``: each document with ≥64 text bytes
+    becomes one 8×8 JPEG (baseline for even doc_ids, progressive for
+    odd) with an EXIF APP1 spliced after SOI; every field is doc_id
+    arithmetic so the oracle replays it in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import write_jpeg, write_jpeg_progressive
+    from ..functions.exif import insert_jpeg_app1, write_exif
+
+    n = _BMP_W * _BMP_H
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            raw = t.encode("utf-8")
+            if len(raw) < n:
+                payloads.append(None)
+                continue
+            img = (write_jpeg_progressive if did % 2 else write_jpeg)(
+                np.frombuffer(raw, np.uint8, count=n).reshape(
+                    _BMP_H, _BMP_W
+                ),
+                quality=_JPEG_QUALITY,
+            )
+            app1 = write_exif(
+                {
+                    "make": "Fixture",
+                    "model": f"Cam {did % 17}",
+                    "orientation": 1 + did % 8,
+                    "x_resolution": (72 + did % 10, 1),
+                    "exposure_time": (1, 60 + did % 200),
+                    "iso": 100 + (did % 40) * 25,
+                    "datetime_original": (
+                        f"2026:{1 + did % 12:02d}:{1 + did % 28:02d} "
+                        f"{did % 24:02d}:{did % 60:02d}:{did * 7 % 60:02d}"
+                    ),
+                    "pixel_x": _BMP_W,
+                    "pixel_y": _BMP_H,
+                }
+            )
+            payloads.append(insert_jpeg_app1(img, app1))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction (§2.11): a real JPEG marker walk finds
+    the APP1 segment, then the TIFF-IFD chain (IFD0 → 0x8769 Exif
+    sub-IFD) is decoded — ASCII, SHORT, LONG and RATIONAL types all on
+    the checked path, over both SOF0 and SOF2 images.  The oracle
+    replays the doc_id arithmetic behind every field, so drift in IFD
+    layout, endian handling, inline-vs-offset values or the marker
+    walk breaks the value hash."""
+    from ..operators.multimodal import extract_jpeg_exif
+
+    media = _cached_media(spark, sf_dir, "exif", _exif_build)
+    rows = extract_jpeg_exif(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "make",
+        "model",
+        "orientation",
+        "iso",
+        "exp_num",
+        "exp_den",
+        "xres_num",
+        "xres_den",
+        "px_w",
+        "px_h",
+        "dto",
+    ).orderBy("doc_id")
+
+
+def _mm_jpeg_exif_sql() -> str:
+    n = _BMP_W * _BMP_H
+    return f"""
+SELECT doc_id,
+       'Fixture' AS make,
+       'Cam ' || (doc_id % 17) AS model,
+       CAST(1 + doc_id % 8 AS INT) AS orientation,
+       CAST(100 + (doc_id % 40) * 25 AS INT) AS iso,
+       CAST(1 AS BIGINT) AS exp_num,
+       CAST(60 + doc_id % 200 AS BIGINT) AS exp_den,
+       CAST(72 + doc_id % 10 AS BIGINT) AS xres_num,
+       CAST(1 AS BIGINT) AS xres_den,
+       CAST({_BMP_W} AS BIGINT) AS px_w,
+       CAST({_BMP_H} AS BIGINT) AS px_h,
+       printf('2026:%02d:%02d %02d:%02d:%02d',
+              1 + doc_id % 12, 1 + doc_id % 28,
+              doc_id % 24, doc_id % 60, doc_id * 7 % 60) AS dto
+FROM documents WHERE len(text) >= {n} ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -8784,6 +8885,7 @@ REGISTRY = {
     "tx_epub_extract": (tx_epub_extract, _tx_epub_sql()),
     "tx_subtitle_extract": (tx_subtitle_extract, _tx_subtitle_sql()),
     "mm_avi_mjpeg_pool": (mm_avi_mjpeg_pool, _mm_avi_jpeg_sql()),
+    "mm_jpeg_exif": (mm_jpeg_exif, _mm_jpeg_exif_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
