@@ -2005,6 +2005,50 @@ def extract_jpeg_exif(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, JPEG_EXIF_SCHEMA)
 
 
+QOI_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+        T.StructField("txt", T.StringType(), False),
+    ]
+)
+
+
+def decode_qoi_stats(media: DataFrame) -> DataFrame:
+    """QOI image decode (``functions/qoi.py``): decode each payload
+    (RGB and RGBA mixed) and emit shape, component byte sum, and the
+    raster-order component bytes as an ASCII string — QOI is lossless,
+    so the decoded bytes are comparable 1:1 against the source.
+    Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.qoi import parse_qoi
+
+        cols = (
+            "media_id", "width", "height", "channels", "byte_sum", "txt",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                px = parse_qoi(bytes(p))
+                h, w, ch = px.shape
+                flat = px.reshape(-1)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["byte_sum"].append(int(flat.sum(dtype="int64")))
+                rows["txt"].append(flat.tobytes().decode("ascii"))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, QOI_STATS_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -111,6 +111,7 @@ def _codec_fprint() -> str:
             "functions/subtitles.py",
             "functions/avi.py",
             "functions/exif.py",
+            "functions/qoi.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -8743,6 +8744,85 @@ FROM documents WHERE len(text) >= {n} ORDER BY doc_id
 """
 
 
+# --- QOI images ------------------------------------------------------------------
+
+
+def _qoi_build(batches):
+    """Fixture for ``mm_qoi_pool``: each document's leading text bytes
+    become one 8×8 QOI image — RGB (192 bytes) for even doc_ids, RGBA
+    (256 bytes) for odd — so the index cache, DIFF/LUMA deltas, runs
+    and both literal ops all occur across the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.qoi import write_qoi
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            ch = 3 + did % 2
+            nb = _BMP_W * _BMP_H * ch
+            raw = t.encode("utf-8")
+            if len(raw) < nb:
+                payloads.append(None)
+                continue
+            px = np.frombuffer(raw, np.uint8, count=nb).reshape(
+                _BMP_H, _BMP_W, ch
+            )
+            payloads.append(write_qoi(px))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_qoi_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QOI image decode (§2.11): the lossless one-page-spec format —
+    index cache, DIFF/LUMA wraparound deltas, runs, RGB/RGBA literals,
+    strict end marker — decoded back to raster bytes
+    (``decode_qoi_stats``).  Losslessness makes the oracle exact: the
+    decoded component stream must equal the document's leading bytes
+    verbatim (value-hash + byte-sum), RGB and RGBA mixed by doc
+    parity."""
+    from ..operators.multimodal import decode_qoi_stats
+
+    media = _cached_media(spark, sf_dir, "qoi", _qoi_build)
+    rows = decode_qoi_stats(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "channels",
+        "byte_sum",
+        F.length("txt").alias("n_bytes"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id")
+
+
+def _mm_qoi_sql() -> str:
+    n = _BMP_W * _BMP_H
+    ch = _char_hash_sql("t")
+    return f"""
+WITH imgs AS (
+  SELECT doc_id,
+         CAST(3 + doc_id % 2 AS INT) AS channels,
+         substr(text, 1, {n} * (3 + doc_id % 2)) AS t
+  FROM documents
+  WHERE len(text) >= {n} * (3 + doc_id % 2)
+)
+SELECT doc_id,
+       CAST({_BMP_W} AS INT) AS width,
+       CAST({_BMP_H} AS INT) AS height,
+       channels,
+       CAST(list_sum(list_transform(range(1, len(t) + 1),
+              i -> CAST(ascii(substr(t, CAST(i AS BIGINT), 1)) AS BIGINT)))
+         AS BIGINT) AS byte_sum,
+       CAST(len(t) AS INT) AS n_bytes,
+       {ch} AS txt_hash
+FROM imgs ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -8886,6 +8966,7 @@ REGISTRY = {
     "tx_subtitle_extract": (tx_subtitle_extract, _tx_subtitle_sql()),
     "mm_avi_mjpeg_pool": (mm_avi_mjpeg_pool, _mm_avi_jpeg_sql()),
     "mm_jpeg_exif": (mm_jpeg_exif, _mm_jpeg_exif_sql()),
+    "mm_qoi_pool": (mm_qoi_pool, _mm_qoi_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
