@@ -2049,6 +2049,40 @@ def decode_qoi_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, QOI_STATS_SCHEMA)
 
 
+DOCX_PARA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("pno", T.IntegerType(), False),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def extract_docx_paragraphs(media: DataFrame) -> DataFrame:
+    """DOCX ingestion (``functions/docx.py``): each payload is an
+    OOXML package; follow the rels wiring to ``word/document.xml``
+    and emit one row per paragraph with its run-concatenated text —
+    the office-document stage of a training-data pipeline.
+    Structural violations raise ValueError (quarantinable).
+    Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.docx import parse_docx
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "pno", "txt")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for pno, txt in enumerate(parse_docx(bytes(p))):
+                    rows["media_id"].append(mid)
+                    rows["pno"].append(pno)
+                    rows["txt"].append(txt)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, DOCX_PARA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -112,6 +112,7 @@ def _codec_fprint() -> str:
             "functions/avi.py",
             "functions/exif.py",
             "functions/qoi.py",
+            "functions/docx.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -8823,6 +8824,73 @@ FROM imgs ORDER BY doc_id
 """
 
 
+# --- DOCX office documents --------------------------------------------------------
+
+_DOCX_PAR = 72  # characters per paragraph
+_DOCX_RUN = 30  # first-run length within a paragraph
+
+
+def _docx_build(batches):
+    """Fixture for ``tx_docx_extract``: each document becomes one DOCX
+    whose paragraphs are ``_DOCX_PAR``-char slices, each split into
+    two runs at ``_DOCX_RUN`` chars (run concatenation and
+    ``xml:space`` preservation on the checked path)."""
+    import pandas as pd
+
+    from ..functions.docx import write_docx
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            paras = [
+                [s[:_DOCX_RUN], s[_DOCX_RUN:]]
+                if len(s) > _DOCX_RUN
+                else [s]
+                for i in range(0, len(t), _DOCX_PAR)
+                for s in (t[i : i + _DOCX_PAR],)
+            ]
+            payloads.append(write_docx(paras) if paras else None)
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def tx_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX ingestion (§2.11): the ECMA-376 package walked through its
+    rels wiring to WordprocessingML paragraphs/runs
+    (``extract_docx_paragraphs``) — ZIP and XML layers composed.  The
+    oracle re-derives every paragraph from `documents` slices, so
+    drift in package traversal, run concatenation or whitespace
+    preservation breaks the value hash."""
+    from ..operators.multimodal import extract_docx_paragraphs
+
+    media = _cached_media(spark, sf_dir, "docx", _docx_build)
+    rows = extract_docx_paragraphs(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "pno",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "pno")
+
+
+def _tx_docx_sql() -> str:
+    w = _DOCX_PAR
+    ch = _char_hash_sql("t")
+    return f"""
+WITH paras AS (
+  SELECT doc_id, CAST(i AS INT) AS pno,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+)
+SELECT doc_id, pno,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM paras ORDER BY doc_id, pno
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -8967,6 +9035,7 @@ REGISTRY = {
     "mm_avi_mjpeg_pool": (mm_avi_mjpeg_pool, _mm_avi_jpeg_sql()),
     "mm_jpeg_exif": (mm_jpeg_exif, _mm_jpeg_exif_sql()),
     "mm_qoi_pool": (mm_qoi_pool, _mm_qoi_sql()),
+    "tx_docx_extract": (tx_docx_extract, _tx_docx_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
