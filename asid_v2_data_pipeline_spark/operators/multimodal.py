@@ -2083,6 +2083,43 @@ def extract_docx_paragraphs(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, DOCX_PARA_SCHEMA)
 
 
+MARKDOWN_LINE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("lineno", T.IntegerType(), False),
+        T.StructField("txt", T.StringType(), False),
+    ]
+)
+
+
+def extract_markdown_lines(media: DataFrame) -> DataFrame:
+    """Markdown ingestion (``functions/markdown.py``): strip each
+    payload's markup (headings, emphasis, links, code fences, quotes,
+    lists) to content lines — the GitHub/docs-corpus extraction stage.
+    Markdown has no invalid documents, so this path never quarantines;
+    UTF-8 decode errors still raise.  Arrow-batched ``mapInPandas``,
+    zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.markdown import md_to_text
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "lineno", "txt")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                text = md_to_text(bytes(p).decode("utf-8"))
+                for lineno, line in enumerate(
+                    text.split("\n") if text else []
+                ):
+                    rows["media_id"].append(mid)
+                    rows["lineno"].append(lineno)
+                    rows["txt"].append(line)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, MARKDOWN_LINE_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -113,6 +113,7 @@ def _codec_fprint() -> str:
             "functions/exif.py",
             "functions/qoi.py",
             "functions/docx.py",
+            "functions/markdown.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -8891,6 +8892,98 @@ FROM paras ORDER BY doc_id, pno
 """
 
 
+# --- Markdown ----------------------------------------------------------------------
+
+_MD_SLICE = 64  # characters per markdown block
+
+
+def _markdown_build(batches):
+    """Fixture for ``tx_markdown_extract``: each document becomes one
+    markdown file — an ATX heading, then one block per
+    ``_MD_SLICE``-char slice rotating through five shapes by
+    ``sno % 5`` (bold / italic / code span / list item / blockquote;
+    emphasis and list variants use the stripped slice since their
+    syntax cannot carry edge whitespace), a fenced code block, and an
+    inline link."""
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            blocks = [f"# Doc {did}"]
+            for sno, i in enumerate(range(0, len(t), _MD_SLICE)):
+                s = t[i : i + _MD_SLICE]
+                v = sno % 5
+                if v == 0:
+                    blocks.append(f"**{s.strip()}**")
+                elif v == 1:
+                    blocks.append(f"*{s.strip()}*")
+                elif v == 2:
+                    blocks.append(f"`{s}`")
+                elif v == 3:
+                    blocks.append(f"- {s.strip()}")
+                else:
+                    blocks.append(f"> {s}")
+            blocks.append(f"```python\ncode {did} block\n```")
+            blocks.append(f"[Doc {did}](https://example.org/{did})")
+            payloads.append("\n\n".join(blocks).encode("utf-8"))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def tx_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown ingestion (§2.11): the GitHub/docs-corpus text stage —
+    headings, emphasis, code spans, list markers, blockquotes, fenced
+    code and links all stripped to content lines
+    (``extract_markdown_lines``).  The oracle re-derives every line
+    (heading text, per-variant slice normalization, fence content,
+    link label) from `documents`, so drift in any stripping rule
+    breaks the value hash."""
+    from ..operators.multimodal import extract_markdown_lines
+
+    media = _cached_media(spark, sf_dir, "markdown", _markdown_build)
+    rows = extract_markdown_lines(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "lineno",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "lineno")
+
+
+def _tx_markdown_sql() -> str:
+    w = _MD_SLICE
+    ch = _char_hash_sql("t")
+    return f"""
+WITH slices AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS sno,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS s
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+), lines AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS lineno, 'Doc ' || doc_id AS t
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1 + sno,
+         CASE WHEN sno % 5 IN (0, 1, 3) THEN trim(s) ELSE rtrim(s) END
+  FROM slices
+  UNION ALL
+  SELECT doc_id, 1 + (len(text) + {w - 1}) // {w},
+         'code ' || doc_id || ' block'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2 + (len(text) + {w - 1}) // {w}, 'Doc ' || doc_id
+  FROM documents
+)
+SELECT doc_id, CAST(lineno AS INT) AS lineno,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM lines ORDER BY doc_id, lineno
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -9036,6 +9129,7 @@ REGISTRY = {
     "mm_jpeg_exif": (mm_jpeg_exif, _mm_jpeg_exif_sql()),
     "mm_qoi_pool": (mm_qoi_pool, _mm_qoi_sql()),
     "tx_docx_extract": (tx_docx_extract, _tx_docx_sql()),
+    "tx_markdown_extract": (tx_markdown_extract, _tx_markdown_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
