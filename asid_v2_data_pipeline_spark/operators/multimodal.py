@@ -2120,6 +2120,48 @@ def extract_markdown_lines(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, MARKDOWN_LINE_SCHEMA)
 
 
+WEBP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+        T.StructField("txt", T.StringType(), False),
+    ]
+)
+
+
+def decode_webp_stats(media: DataFrame) -> DataFrame:
+    """WebP-lossless (VP8L) decode (``functions/webp.py``): decode
+    each RIFF/WEBP payload — prefix codes, color cache, LZ77,
+    meta-Huffman, all four transforms — and emit shape, component
+    byte sum, and the raster-order RGBA components as a codepoint
+    string; losslessness makes the decoded bytes comparable 1:1
+    against the source.  Arrow-batched ``mapInPandas``, zero
+    shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.webp import parse_webp
+
+        cols = ("media_id", "width", "height", "byte_sum", "txt")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                px = parse_webp(bytes(p))
+                h, w, _ = px.shape
+                flat = px.reshape(-1)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["byte_sum"].append(int(flat.sum(dtype="int64")))
+                rows["txt"].append("".join(chr(int(v)) for v in flat))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, WEBP_STATS_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -114,6 +114,7 @@ def _codec_fprint() -> str:
             "functions/qoi.py",
             "functions/docx.py",
             "functions/markdown.py",
+            "functions/webp.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -8984,6 +8985,117 @@ FROM lines ORDER BY doc_id, lineno
 """
 
 
+# --- WebP lossless (VP8L) ---------------------------------------------------------
+
+_WEBP_PAL_COLORS = 12  # palette-variant color count (≤16: bundling)
+
+
+def _webp_build(batches):
+    """Fixture for ``mm_webp_pool``: each document with ≥256 text
+    bytes becomes one 8×8 lossless WebP, the stream features rotating
+    by ``doc_id % 4`` — 0: color cache + LZ77; 1: SUBTRACT_GREEN;
+    2: PREDICTOR (4×4 blocks, rotating modes); 3: COLOR_INDEXING over
+    a fixed ``_WEBP_PAL_COLORS``-color palette (4-bit pixel bundling),
+    indices from the text bytes.  Variants 0-2 take raw RGBA from the
+    leading 256 bytes; variant 3 maps the leading 64 chars through
+    palette color ``k = code % 12`` → ``(9k+1, 7k+2, 5k+3, 100)`` (all
+    components ASCII-range so the oracle can rebuild the exact decoded
+    string)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.webp import write_webp
+
+    n = _BMP_W * _BMP_H
+    pal = np.array(
+        [
+            (9 * k + 1, 7 * k + 2, 5 * k + 3, 100)
+            for k in range(_WEBP_PAL_COLORS)
+        ],
+        dtype=np.uint8,
+    )
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            raw = t.encode("utf-8")
+            if len(raw) < 4 * n:
+                payloads.append(None)
+                continue
+            v = did % 4
+            if v == 3:
+                idx = np.frombuffer(raw, np.uint8, count=n) % _WEBP_PAL_COLORS
+                px = pal[idx].reshape(_BMP_H, _BMP_W, 4)
+                payloads.append(write_webp(px, palette=True))
+                continue
+            px = np.frombuffer(raw, np.uint8, count=4 * n).reshape(
+                _BMP_H, _BMP_W, 4
+            )
+            if v == 0:
+                payloads.append(write_webp(px, cache_bits=5))
+            elif v == 1:
+                payloads.append(
+                    write_webp(px, subtract_green=True, cache_bits=3)
+                )
+            else:
+                payloads.append(write_webp(px, predictor_bits=2))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_webp_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP-lossless decode (§2.11): real VP8L streams — canonical
+    prefix codes with in-stream code-length codes, color cache, LZ77
+    backrefs, SUBTRACT_GREEN / PREDICTOR / COLOR_INDEXING transforms
+    with pixel bundling — decoded back to raster bytes
+    (``decode_webp_stats``).  Losslessness makes the oracle exact:
+    variants 0-2 must reproduce the document's leading 256 bytes
+    verbatim, variant 3 the palette mapping of its leading 64 chars
+    (value hash + byte sum)."""
+    from ..operators.multimodal import decode_webp_stats
+
+    media = _cached_media(spark, sf_dir, "webp", _webp_build)
+    rows = decode_webp_stats(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "width",
+        "height",
+        "byte_sum",
+        F.length("txt").alias("n_bytes"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id")
+
+
+def _mm_webp_sql() -> str:
+    n = _BMP_W * _BMP_H
+    p = _WEBP_PAL_COLORS
+    ch = _char_hash_sql("t")
+    return f"""
+WITH imgs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 3 THEN
+           array_to_string(list_transform(range(1, {n + 1}), i ->
+             chr(9 * (ascii(substr(text, CAST(i AS BIGINT), 1)) % {p}) + 1)
+             || chr(7 * (ascii(substr(text, CAST(i AS BIGINT), 1)) % {p}) + 2)
+             || chr(5 * (ascii(substr(text, CAST(i AS BIGINT), 1)) % {p}) + 3)
+             || chr(100)), '')
+         ELSE substr(text, 1, {4 * n}) END AS t
+  FROM documents
+  WHERE len(text) >= {4 * n}
+)
+SELECT doc_id,
+       CAST({_BMP_W} AS INT) AS width,
+       CAST({_BMP_H} AS INT) AS height,
+       CAST(list_sum(list_transform(range(1, len(t) + 1),
+              i -> CAST(ascii(substr(t, CAST(i AS BIGINT), 1)) AS BIGINT)))
+         AS BIGINT) AS byte_sum,
+       CAST(len(t) AS INT) AS n_bytes,
+       {ch} AS txt_hash
+FROM imgs ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -9130,6 +9242,7 @@ REGISTRY = {
     "mm_qoi_pool": (mm_qoi_pool, _mm_qoi_sql()),
     "tx_docx_extract": (tx_docx_extract, _tx_docx_sql()),
     "tx_markdown_extract": (tx_markdown_extract, _tx_markdown_sql()),
+    "mm_webp_pool": (mm_webp_pool, _mm_webp_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,

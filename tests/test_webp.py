@@ -1,0 +1,137 @@
+"""WebP lossless (VP8L): seeded randomized round-trip matrices across
+every stream feature (simple + normal prefix codes, color cache,
+LZ77, meta-Huffman groups, SUBTRACT_GREEN / PREDICTOR / COLOR /
+COLOR_INDEXING transforms incl. pixel bundling), container framing,
+disclosed boundaries, strictness, and the r10 fuzz contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from asid_v2_data_pipeline_spark.functions.webp import (
+    _BitReader,
+    _BitWriter,
+    _prefix_decode_value,
+    _prefix_encode_value,
+    parse_vp8l,
+    parse_webp,
+    write_vp8l,
+    write_webp,
+)
+
+_COMBOS = [
+    {},
+    {"use_lz77": False},
+    {"cache_bits": 1},
+    {"cache_bits": 8},
+    {"subtract_green": True},
+    {"predictor_bits": 2},
+    {"predictor_bits": 4},
+    {"color_bits": 2},
+    {"palette": True},
+    {"palette": True, "cache_bits": 2},
+    {"meta_bits": 2},
+    {"meta_bits": 2, "cache_bits": 5},
+    {"subtract_green": True, "predictor_bits": 2, "cache_bits": 4,
+     "meta_bits": 2},
+    {"color_bits": 3, "predictor_bits": 2, "cache_bits": 3},
+]
+
+
+def _pixels(rng, shape, kind, palette):
+    if palette:
+        pal = rng.integers(0, 256, (int(rng.integers(2, 17)), 4)).astype(np.uint8)
+        return pal[rng.integers(0, len(pal), shape)]
+    if kind == 0:
+        return rng.integers(0, 256, (*shape, 4)).astype(np.uint8)
+    if kind == 1:
+        return np.full((*shape, 4), int(rng.integers(0, 256)), np.uint8)
+    if kind == 2:  # small deltas: predictor/diff friendly
+        return (rng.integers(0, 3, (*shape, 4)).cumsum(axis=1) % 256).astype(np.uint8)
+    # few colors: cache/LZ77 heavy
+    pal = rng.integers(0, 256, (3, 4)).astype(np.uint8)
+    return pal[rng.integers(0, 3, shape)]
+
+
+def test_roundtrip_matrix():
+    rng = np.random.default_rng(73)
+    for kw in _COMBOS:
+        for shape in ((1, 1), (8, 8), (13, 7), (5, 32)):
+            for kind in range(4):
+                px = _pixels(rng, shape, kind, kw.get("palette"))
+                got = parse_webp(write_webp(px, **kw))
+                assert got.shape == px.shape and (got == px).all(), (
+                    kw, shape, kind,
+                )
+
+
+def test_prefix_value_coding():
+    for v in list(range(1, 70)) + [127, 128, 500, 4096]:
+        code, extra, ebits = _prefix_encode_value(v)
+        assert 0 <= code < 40
+        bw = _BitWriter()
+        bw.write(extra, ebits)
+        br = _BitReader(bw.bytes() + b"\x00" * 4)
+        assert _prefix_decode_value(code, br) == v
+
+
+def test_container_framing():
+    px = np.arange(16, dtype=np.uint8).reshape(2, 2, 4)
+    b = write_webp(px)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WEBP" and b[12:16] == b"VP8L"
+    assert (parse_vp8l(b[20 : 20 + struct.unpack('<I', b[16:20])[0]]) ==
+            parse_webp(b)).all()
+
+
+def test_alpha_hint_and_dims():
+    px = np.zeros((3, 300, 4), np.uint8)
+    px[..., 3] = 255
+    got = parse_webp(write_webp(px))
+    assert got.shape == (3, 300, 4)
+
+
+def test_disclosed_boundaries():
+    with pytest.raises(ValueError):
+        parse_webp(b"RIFF\x04\x00\x00\x00WAVE")
+    # lossy VP8 chunk -> disclosed boundary, loud
+    body = b"VP8 " + struct.pack("<I", 2) + b"\x00\x00"
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    with pytest.raises(NotImplementedError, match="lossy"):
+        parse_webp(data)
+
+
+def test_strictness():
+    good = write_vp8l(np.arange(64, dtype=np.uint8).reshape(2, 8, 4))
+    with pytest.raises(ValueError):
+        parse_vp8l(b"\x2e" + good[1:])  # bad signature
+    bad_ver = bytearray(good)
+    bad_ver[4] ^= 0x80  # version bits live at bit 37..39
+    try:
+        parse_vp8l(bytes(bad_ver))
+    except (ValueError, NotImplementedError):
+        pass
+    for cut in range(1, len(good)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            parse_vp8l(good[:cut])
+    with pytest.raises(ValueError):
+        write_vp8l(np.zeros((2, 2, 3), np.uint8))  # not RGBA
+
+
+def test_fuzz_never_hangs():
+    rng = np.random.default_rng(79)
+    base = write_vp8l(
+        rng.integers(0, 256, (8, 8, 4)).astype(np.uint8), cache_bits=4
+    )
+    for _ in range(800):
+        mutated = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            i = int(rng.integers(0, len(mutated)))
+            mutated[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = parse_vp8l(bytes(mutated))
+            assert out.ndim == 3 and out.shape[2] == 4
+        except (ValueError, NotImplementedError):
+            pass
