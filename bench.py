@@ -117,6 +117,14 @@ HEADLINE = [
     # twins (cur_warc_pipeline, mm_mp4_mp3_rms) stay in the sweep
     "tx_warc_extract",
     "mm_mp4_demux",
+    # round 10 sixth pass: two NEW kernel families with real per-byte
+    # Python cost — TFRecord scan (table-driven CRC-32C over every
+    # shard byte + protobuf tf.Example decode) and WebP lossless
+    # (VP8L prefix-code decode per document); the lighter siblings
+    # (msgpack/epub/docx/markdown/subtitles/exif/qoi/avi) stay in the
+    # sweep's long tail
+    "src_tfrecord_scan",
+    "mm_webp_pool",
 ]
 
 

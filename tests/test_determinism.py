@@ -110,6 +110,18 @@ CASES = [
     "gr_crawl_pagerank",
     "tx_zip_extract",
     "mm_jpeg_lossless_pool",
+    # round 10 fifth/sixth pass: record shards, book/office/markdown
+    # extraction, subtitles, AVI, EXIF, QOI, WebP VP8L
+    "src_tfrecord_scan",
+    "src_msgpack_scan",
+    "tx_epub_extract",
+    "tx_subtitle_extract",
+    "mm_avi_mjpeg_pool",
+    "mm_jpeg_exif",
+    "mm_qoi_pool",
+    "tx_docx_extract",
+    "tx_markdown_extract",
+    "mm_webp_pool",
 ]
 
 
