@@ -2162,6 +2162,66 @@ def decode_webp_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, WEBP_STATS_SCHEMA)
 
 
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_groups", T.IntegerType(), False),
+        T.StructField("delay", T.DoubleType(), True),
+        T.StructField("sitemap", T.StringType(), True),
+        T.StructField("a_private", T.BooleanType(), False),
+        T.StructField("a_ok", T.BooleanType(), False),
+        T.StructField("a_bot", T.BooleanType(), False),
+        T.StructField("a_open", T.BooleanType(), False),
+        T.StructField("a_opensub", T.BooleanType(), False),
+    ]
+)
+
+
+def evaluate_robots(
+    media: DataFrame, probes
+) -> DataFrame:
+    """Crawl-politeness evaluation (``functions/robots.py``): parse
+    each robots.txt payload and evaluate a fixed probe set —
+    ``probes`` is ``[(col, agent_fmt, path_fmt)]`` where the fmts may
+    reference ``{mid}``, ``{k}`` (= mid %% 5) and ``{b}`` (= mid %% 3)
+    — emitting per-document group/delay/sitemap metadata and the
+    probe verdicts.  The politeness gate of a web-crawl ingestion
+    loop.  Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.robots import crawl_delay, is_allowed, parse_robots
+
+        cols = (
+            "media_id", "n_groups", "delay", "sitemap",
+            *[c for c, _, _ in probes],
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                mid = int(mid)
+                parsed = parse_robots(bytes(p))
+                rows["media_id"].append(mid)
+                rows["n_groups"].append(len(parsed["groups"]))
+                rows["delay"].append(crawl_delay(parsed, "crawler"))
+                rows["sitemap"].append(
+                    parsed["sitemaps"][0] if parsed["sitemaps"] else None
+                )
+                env = {"mid": mid, "k": mid % 5, "b": mid % 3}
+                for col, agent_fmt, path_fmt in probes:
+                    rows[col].append(
+                        is_allowed(
+                            parsed,
+                            agent_fmt.format(**env),
+                            path_fmt.format(**env),
+                        )
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, ROBOTS_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -115,6 +115,7 @@ def _codec_fprint() -> str:
             "functions/docx.py",
             "functions/markdown.py",
             "functions/webp.py",
+            "functions/robots.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -9096,6 +9097,92 @@ FROM imgs ORDER BY doc_id
 """
 
 
+# --- robots.txt (crawl politeness) -------------------------------------------------
+
+
+def _robots_build(batches):
+    """Fixture for ``tx_robots_rules``: each document becomes one
+    robots.txt with a wildcard group (path-specific disallow + allow
+    carve-out + crawl delay), a bot-specific group (blanket disallow
+    with an anchored allow), comments, CRLF endings for odd doc_ids,
+    and a sitemap — every field doc_id arithmetic."""
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            k = did % 5
+            lines = [
+                "# fixture robots",
+                "User-agent: *",
+                f"Disallow: /private{k}/",
+                f"Allow: /private{k}/ok",
+                f"Crawl-delay: {1 + did % 9}",
+                "",
+                f"User-agent: bot{did % 3}",
+                "Disallow: /",
+                "Allow: /open$",
+                "",
+                f"Sitemap: https://example.org/{did}/sitemap.xml",
+            ]
+            sep = "\r\n" if did % 2 else "\n"
+            payloads.append(sep.join(lines).encode("utf-8"))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def tx_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt evaluation (§2.11): the crawl-politeness gate — RFC
+    9309 group selection (specific agent over ``*``), longest-match
+    rules with Allow tie-wins, ``*``/``$`` wildcards, crawl delays and
+    sitemaps (``evaluate_robots``).  The oracle replays every probe
+    verdict from doc_id arithmetic, so drift in grouping, matching
+    specificity or anchor handling breaks the value hash."""
+    from ..operators.multimodal import evaluate_robots
+
+    media = _cached_media(
+        spark, sf_dir, "robots", _robots_build, cols=("doc_id",)
+    )
+    rows = evaluate_robots(
+        media,
+        [
+            ("a_private", "crawler", "/private{k}/x"),
+            ("a_ok", "crawler", "/private{k}/ok/page"),
+            ("a_bot", "bot{b}", "/anything"),
+            ("a_open", "bot{b}", "/open"),
+            ("a_opensub", "bot{b}", "/open/sub"),
+        ],
+    )
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "n_groups",
+        "delay",
+        "sitemap",
+        "a_private",
+        "a_ok",
+        "a_bot",
+        "a_open",
+        "a_opensub",
+    ).orderBy("doc_id")
+
+
+def _tx_robots_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(2 AS INT) AS n_groups,
+       CAST(1 + doc_id % 9 AS DOUBLE) AS delay,
+       'https://example.org/' || doc_id || '/sitemap.xml' AS sitemap,
+       FALSE AS a_private,
+       TRUE AS a_ok,
+       FALSE AS a_bot,
+       TRUE AS a_open,
+       FALSE AS a_opensub
+FROM documents ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -9243,6 +9330,7 @@ REGISTRY = {
     "tx_docx_extract": (tx_docx_extract, _tx_docx_sql()),
     "tx_markdown_extract": (tx_markdown_extract, _tx_markdown_sql()),
     "mm_webp_pool": (mm_webp_pool, _mm_webp_sql()),
+    "tx_robots_rules": (tx_robots_rules, _tx_robots_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,
