@@ -2222,6 +2222,79 @@ def evaluate_robots(
     return media.mapInPandas(fn, ROBOTS_SCHEMA)
 
 
+TFRECORD_ADMIT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("sno", T.LongType(), True),
+        T.StructField("txt", T.StringType(), True),
+    ]
+)
+
+
+def extract_tfrecord_examples_admitting(media: DataFrame) -> DataFrame:
+    """QUARANTINING TFRecord ingestion: a shard whose CRC or proto
+    framing fails becomes ONE rejected row (null fields + error
+    class) instead of a failed Spark task — at 100 TB shard scale a
+    flipped bit is a statistical certainty and must cost one shard,
+    never the pass.  Admitted shards emit one row per example with
+    ``error`` null.  Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.protof import decode_example
+        from ..functions.tfrecord import read_tfrecord
+
+        cols = ("media_id", "error", "key", "sno", "txt")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    examples = []
+                    for rec in read_tfrecord(bytes(p)):
+                        feats = decode_example(rec)
+
+                        def get(name, kind):
+                            f = feats.get(name)
+                            return (
+                                f[1][0]
+                                if f and f[0] == kind and f[1]
+                                else None
+                            )
+
+                        key = get("key", "bytes")
+                        txt = get("txt", "bytes")
+                        examples.append(
+                            (
+                                key.decode("utf-8")
+                                if key is not None
+                                else None,
+                                get("sno", "int64"),
+                                txt.decode("utf-8")
+                                if txt is not None
+                                else None,
+                            )
+                        )
+                except (ValueError, UnicodeDecodeError) as e:
+                    rows["media_id"].append(mid)
+                    rows["error"].append(type(e).__name__)
+                    rows["key"].append(None)
+                    rows["sno"].append(None)
+                    rows["txt"].append(None)
+                    continue
+                for key, sno, txt in examples:
+                    rows["media_id"].append(mid)
+                    rows["error"].append(None)
+                    rows["key"].append(key)
+                    rows["sno"].append(sno)
+                    rows["txt"].append(txt)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, TFRECORD_ADMIT_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

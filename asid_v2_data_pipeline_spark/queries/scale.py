@@ -9183,6 +9183,77 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- TFRecord quarantine funnel ----------------------------------------------------
+
+
+def _tfrecord_quarantine_build(batches):
+    """Fixture kernel for ``src_tfrecord_quarantine``: the
+    ``_tfrecord_build`` shards (hashed as a dep) with docs
+    ``doc_id % 7 == 3`` getting their first data byte flipped — the
+    data CRC then fails deterministically, so the quarantine path
+    itself is oracle-checkable."""
+    for pdf in _tfrecord_build(batches):
+        pdf["payload"] = [
+            (p[:12] + bytes([p[12] ^ 0xFF]) + p[13:])
+            if p is not None and mid % 7 == 3
+            else p
+            for mid, p in zip(pdf["media_id"], pdf["payload"])
+        ]
+        yield pdf
+
+
+def src_tfrecord_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARANTINING TFRecord ingestion (§2.11): a flipped bit in a
+    100 TB shard corpus must cost one shard, never the pass —
+    ``extract_tfrecord_examples_admitting`` turns each corrupt shard
+    into a rejected ROW (error class, null fields).  The fixture
+    corrupts a deterministic subset (``doc_id % 7 == 3``, first data
+    byte flipped → data-CRC failure), so the oracle re-derives BOTH
+    sides: every admitted example and ``(doc_id, 'ValueError')`` for
+    the corrupted shards."""
+    from ..operators.multimodal import extract_tfrecord_examples_admitting
+
+    media = _cached_media(
+        spark,
+        sf_dir,
+        "tfrecquar",
+        _tfrecord_quarantine_build,
+        deps=(_tfrecord_build,),
+    )
+    rows = extract_tfrecord_examples_admitting(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("error").isNull().alias("admitted"),
+        "error",
+        "key",
+        "sno",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "key")
+
+
+def _src_tfrecord_quarantine_sql() -> str:
+    w = _TFR_SLICE
+    ch = _char_hash_sql("t")
+    return f"""
+WITH slices AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS sno,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+  WHERE doc_id % 7 <> 3
+)
+SELECT doc_id, TRUE AS admitted, CAST(NULL AS VARCHAR) AS error,
+       printf('%06d-%03d', doc_id, sno) AS key, sno,
+       CAST(len(t) AS INT) AS n_chars, {ch} AS txt_hash
+FROM slices
+UNION ALL
+SELECT doc_id, FALSE, 'ValueError', NULL, NULL, NULL, NULL
+FROM documents WHERE doc_id % 7 = 3
+ORDER BY doc_id, key
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -9331,6 +9402,10 @@ REGISTRY = {
     "tx_markdown_extract": (tx_markdown_extract, _tx_markdown_sql()),
     "mm_webp_pool": (mm_webp_pool, _mm_webp_sql()),
     "tx_robots_rules": (tx_robots_rules, _tx_robots_sql()),
+    "src_tfrecord_quarantine": (
+        src_tfrecord_quarantine,
+        _src_tfrecord_quarantine_sql(),
+    ),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,

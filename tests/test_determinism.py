@@ -122,6 +122,8 @@ CASES = [
     "tx_docx_extract",
     "tx_markdown_extract",
     "mm_webp_pool",
+    "tx_robots_rules",
+    "src_tfrecord_quarantine",
 ]
 
 

@@ -202,3 +202,46 @@ def test_proto_fuzz_never_hangs_or_crashes():
             decode_example(base[:cut])
         except (ValueError, UnicodeDecodeError):
             pass
+
+
+def test_admitting_operator_quarantines_one_row(spark):
+    """A corrupt shard costs one rejected row; good shards emit their
+    examples with error null."""
+    from asid_v2_data_pipeline_spark.functions.protof import encode_example
+    from asid_v2_data_pipeline_spark.functions.tfrecord import write_tfrecord
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        extract_tfrecord_examples_admitting,
+    )
+
+    def shard(did, n):
+        return write_tfrecord(
+            [
+                encode_example(
+                    {
+                        "key": ("bytes", [f"{did:06d}-{i:03d}".encode()]),
+                        "txt": ("bytes", [f"text {did} {i}".encode()]),
+                        "sno": ("int64", [i]),
+                    }
+                )
+                for i in range(n)
+            ]
+        )
+
+    good = shard(1, 3)
+    bad = bytearray(shard(2, 2))
+    bad[12] ^= 0xFF  # first data byte: data CRC fails
+    media = spark.createDataFrame(
+        [(1, bytes(good)), (2, bytes(bad))],
+        "media_id long, payload binary",
+    )
+    rows = sorted(
+        extract_tfrecord_examples_admitting(media).collect(),
+        key=lambda r: (r.media_id, r.key or ""),
+    )
+    assert [(r.media_id, r.error, r.key) for r in rows] == [
+        (1, None, "000001-000"),
+        (1, None, "000001-001"),
+        (1, None, "000001-002"),
+        (2, "ValueError", None),
+    ]
+    assert rows[0].txt == "text 1 0"
