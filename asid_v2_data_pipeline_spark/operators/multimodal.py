@@ -1548,6 +1548,20 @@ def decompress_texts(media: DataFrame) -> DataFrame:
                     codec, body = "gzip", b"".join(split_gzip_members(p))
                 elif p.startswith(b"\x28\xb5\x2f\xfd"):
                     codec, body = "zstd", decompress_zstd(p)
+                elif p.startswith(b"\xfd7zXZ\x00"):
+                    import lzma
+
+                    try:
+                        codec, body = "xz", lzma.decompress(p)
+                    except lzma.LZMAError as e:
+                        raise ValueError(f"xz: {e}") from None
+                elif p.startswith(b"BZh"):
+                    import bz2
+
+                    try:
+                        codec, body = "bz2", bz2.decompress(p)
+                    except (OSError, ValueError) as e:
+                        raise ValueError(f"bz2: {e}") from None
                 else:
                     raise ValueError("compressed shard: unknown magic")
                 rows["media_id"].append(mid)
@@ -2293,6 +2307,73 @@ def extract_tfrecord_examples_admitting(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, TFRECORD_ADMIT_SCHEMA)
+
+
+SITEMAP_URL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("uno", T.IntegerType(), False),
+        T.StructField("loc", T.StringType(), False),
+        T.StructField("lastmod", T.StringType(), True),
+        T.StructField("changefreq", T.StringType(), True),
+        T.StructField("priority", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_sitemap_urls(media: DataFrame) -> DataFrame:
+    """Sitemap ingestion (sitemaps.org protocol via the strict XML
+    subset in ``functions/wiki.py``): each payload is a ``urlset``
+    document; emit one row per ``<url>`` with loc / lastmod /
+    changefreq / priority — the frontier-seeding stage of a web-crawl
+    pipeline (pairs with ``evaluate_robots``).  A urlset entry
+    without ``<loc>`` or non-XML input raises ValueError
+    (quarantinable).  Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wiki import parse_xml
+
+        def local_all(el, name):
+            out = []
+            for c in el.children:
+                if not isinstance(c, type(el)):
+                    continue
+                if c.tag.rsplit(":", 1)[-1] == name:
+                    out.append(c)
+                out.extend(local_all(c, name))
+            return out
+
+        def text_of(el, name):
+            got = local_all(el, name)
+            return got[0].text().strip() if got else None
+
+        cols = (
+            "media_id", "uno", "loc", "lastmod", "changefreq", "priority",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                root = parse_xml(bytes(p))
+                if root.tag.rsplit(":", 1)[-1] != "urlset":
+                    raise ValueError("sitemap: root is not a urlset")
+                for uno, url in enumerate(local_all(root, "url")):
+                    loc = text_of(url, "loc")
+                    if not loc:
+                        raise ValueError("sitemap: url without loc")
+                    pr = text_of(url, "priority")
+                    rows["media_id"].append(mid)
+                    rows["uno"].append(uno)
+                    rows["loc"].append(loc)
+                    rows["lastmod"].append(text_of(url, "lastmod"))
+                    rows["changefreq"].append(text_of(url, "changefreq"))
+                    rows["priority"].append(
+                        float(pr) if pr is not None else None
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, SITEMAP_URL_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

@@ -7222,13 +7222,15 @@ FROM slices ORDER BY doc_id, name
 def _compress_build(batches):
     """Fixture for ``tx_compress_funnel``: each document's text is
     compressed into ONE shard with the codec its producer would have
-    picked — lz4 frame for ``doc_id%4==0``, snappy framing stream for
-    ``1``, gzip member for ``2``, Zstandard frame for ``3`` — so
-    magic dispatch, all four decoders and every checksum layer sit on
-    the oracle-checked path.  The zstd arm is encoded by the REAL C
-    encoder (``pyarrow.Codec``) with a content checksum appended —
-    our engine is decode-only for zstd by design, exactly the
-    production shape where producers wrote the bytes."""
+    picked — lz4 frame for ``doc_id%6==0``, snappy framing stream for
+    ``1``, gzip member for ``2``, Zstandard frame for ``3``, XZ for
+    ``4``, bzip2 for ``5`` — so magic dispatch, all six decoders and
+    every checksum layer sit on the oracle-checked path.  The zstd
+    arm is encoded by the REAL C encoder (``pyarrow.Codec``) with a
+    content checksum appended — our engine is decode-only for zstd by
+    design, exactly the production shape where producers wrote the
+    bytes; the xz/bz2 arms go through the C stdlib codecs both ways
+    (pure-Python reimplementations would add no format coverage)."""
     import pandas as pd
 
     from ..functions.lz4 import compress_frame
@@ -7238,18 +7240,25 @@ def _compress_build(batches):
 
     import pyarrow as pa
 
+    import bz2
+    import lzma
+
     zc = pa.Codec("zstd", compression_level=3)
     for pdf in batches:
         payloads = []
         for did, t in zip(pdf["doc_id"], pdf["text"]):
             raw = t.encode("utf-8")
-            m = int(did) % 4
+            m = int(did) % 6
             if m == 0:
                 payloads.append(compress_frame(raw, block_checksum=True))
             elif m == 1:
                 payloads.append(compress_stream(raw))
             elif m == 2:
                 payloads.append(gzip_member(raw))
+            elif m == 4:
+                payloads.append(lzma.compress(raw, preset=1))
+            elif m == 5:
+                payloads.append(bz2.compress(raw, 1))
             else:
                 fr = bytearray(zc.compress(raw))
                 fr[4] |= 0x4  # set the content-checksum flag …
@@ -7262,8 +7271,9 @@ def _compress_build(batches):
 
 def tx_compress_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-shard admission funnel (§2.11): LZ4 frames, snappy
-    framing streams, gzip members and Zstandard frames — the four
-    codecs a store layer actually serves — magic-dispatched into one
+    framing streams, gzip members, Zstandard frames, XZ streams and
+    bzip2 — the six codecs a store layer actually serves —
+    magic-dispatched into one
     verified decode (``decompress_texts``; xxHash32/64, masked
     CRC-32C and CRC32+ISIZE all checked).  The oracle re-derives the
     codec from doc parity and the text from `documents`: any
@@ -7287,8 +7297,9 @@ def _tx_compress_sql() -> str:
     ch = _char_hash_sql("text")
     return f"""
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'lz4' WHEN 1 THEN 'snappy'
-            WHEN 2 THEN 'gzip' ELSE 'zstd' END AS codec,
+       CASE doc_id % 6 WHEN 0 THEN 'lz4' WHEN 1 THEN 'snappy'
+            WHEN 2 THEN 'gzip' WHEN 4 THEN 'xz' WHEN 5 THEN 'bz2'
+            ELSE 'zstd' END AS codec,
        CAST(len(text) AS INT) AS n_chars,
        {ch} AS txt_hash
 FROM documents ORDER BY doc_id
@@ -9254,6 +9265,93 @@ ORDER BY doc_id, key
 """
 
 
+# --- sitemaps ----------------------------------------------------------------------
+
+_SITEMAP_SLICE = 200  # characters per generated URL entry
+_SITEMAP_FREQS = ("daily", "weekly", "monthly", "yearly")
+
+
+def _sitemap_build(batches):
+    """Fixture for ``tx_sitemap_urls``: each document becomes one
+    sitemaps.org ``urlset`` with one ``<url>`` per
+    ``_SITEMAP_SLICE``-char slice — loc/lastmod/changefreq/priority
+    all doc_id+index arithmetic, entities in loc (&amp;) so XML
+    unescaping is on the checked path."""
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for did, t, source in zip(
+            pdf["doc_id"], pdf["text"], pdf["source"]
+        ):
+            did = int(did)
+            n = -(-len(t) // _SITEMAP_SLICE)
+            urls = []
+            for i in range(n):
+                freq = _SITEMAP_FREQS[(did + i) % 4]
+                urls.append(
+                    "<url>"
+                    f"<loc>https://example.org/{source}/{did}/p{i}"
+                    f"?a={i}&amp;b={did % 7}</loc>"
+                    f"<lastmod>2026-{1 + did % 12:02d}-{1 + i % 28:02d}"
+                    "</lastmod>"
+                    f"<changefreq>{freq}</changefreq>"
+                    f"<priority>0.{(did + i) % 10}</priority>"
+                    "</url>"
+                )
+            xml = (
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                f'sitemap/0.9">{"".join(urls)}</urlset>'
+            )
+            payloads.append(xml.encode("utf-8"))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def tx_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (§2.11): the crawl-frontier seeding stage —
+    sitemaps.org ``urlset`` documents parsed through the strict XML
+    layer into per-URL rows (``extract_sitemap_urls``), entity
+    unescaping and typed priority on the checked path.  The oracle
+    replays every field from doc_id arithmetic."""
+    from ..operators.multimodal import extract_sitemap_urls
+
+    media = _cached_media(
+        spark, sf_dir, "sitemap", _sitemap_build,
+        cols=("doc_id", "text", "source"),
+    )
+    rows = extract_sitemap_urls(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "uno",
+        "loc",
+        "lastmod",
+        "changefreq",
+        F.round("priority", 4).alias("priority"),
+    ).orderBy("doc_id", "uno")
+
+
+def _tx_sitemap_sql() -> str:
+    w = _SITEMAP_SLICE
+    freqs = ", ".join(f"'{f}'" for f in _SITEMAP_FREQS)
+    return f"""
+WITH urls AS (
+  SELECT doc_id, source, CAST(i AS INT) AS uno
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+)
+SELECT doc_id, uno,
+       'https://example.org/' || source || '/' || doc_id || '/p' || uno
+         || '?a=' || uno || '&b=' || (doc_id % 7) AS loc,
+       printf('2026-%02d-%02d', 1 + doc_id % 12, 1 + uno % 28) AS lastmod,
+       [{freqs}][CAST((doc_id + uno) % 4 + 1 AS INT)] AS changefreq,
+       ROUND(CAST((doc_id + uno) % 10 AS DOUBLE) / 10, 4) AS priority
+FROM urls ORDER BY doc_id, uno
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -9406,6 +9504,7 @@ REGISTRY = {
         src_tfrecord_quarantine,
         _src_tfrecord_quarantine_sql(),
     ),
+    "tx_sitemap_urls": (tx_sitemap_urls, _tx_sitemap_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,

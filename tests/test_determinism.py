@@ -124,6 +124,8 @@ CASES = [
     "mm_webp_pool",
     "tx_robots_rules",
     "src_tfrecord_quarantine",
+    "tx_sitemap_urls",
+    "tx_compress_funnel",
 ]
 
 
