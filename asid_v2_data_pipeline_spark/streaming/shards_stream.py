@@ -1,0 +1,152 @@
+"""Streaming RECORD-SHARD ingestion: the TFRecord → tf.Example funnel
+(``queries/scale.py:src_tfrecord_scan`` / ``src_tfrecord_quarantine``)
+as a continuous ingest loop — the shard sibling of
+``webtext_stream``.
+
+Training shards arrive continuously (a producer drops TFRecord files
+into object storage); each micro-batch is decoded (masked-CRC32C
+framing → protobuf tf.Example,
+``operators/multimodal.extract_tfrecord_examples_admitting``), gated
+on text length, deduplicated (a) against the persisted
+text-fingerprint index and (b) within itself, and admitted examples
+land in the corpus sink while their fingerprints extend the index.  A
+corrupt shard becomes QUARANTINE rows (media_id + error class), never
+a stuck stream: at 100 TB shard scale a flipped bit is a statistical
+certainty and a streaming query restart-loops on a poison message
+forever.
+
+Spark shapes (per micro-batch, via ``foreachBatch``):
+- decode: zero-shuffle Arrow ``mapInPandas`` over the payloads;
+- vs-index: broadcast the batch's fingerprints against the index scan;
+- within-batch: min (media_id, key) per fingerprint survives;
+- payload bytes never shuffle — one fingerprint row per example moves.
+
+Delivery semantics are inherited verbatim from ``dedup_stream``:
+``foreachBatch`` is at-least-once, every sink is idempotent per
+``batch_id`` (``_bid=<batch_id>`` overwrite partitions), and the
+index read keeps STRICTLY-EARLIER partitions only — exactly-once
+results on top of at-least-once execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from .dedup_stream import _read_index
+
+
+def admit_shard_batch(
+    batch: DataFrame,
+    index_rows: DataFrame | None,
+    min_chars: int = 1,
+    max_chars: int = 1 << 20,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One ingestion step: decode → gates → dedup.  Returns
+    ``(admitted_examples, their_fp_rows, quarantined)``.  Pure
+    DataFrame logic (no side effects) so batch and streaming paths
+    share it and tests can check it directly."""
+    from ..operators.multimodal import extract_tfrecord_examples_admitting
+
+    rows = extract_tfrecord_examples_admitting(batch)
+    quarantined = rows.filter(F.col("error").isNotNull()).select(
+        "media_id", "error"
+    )
+    gated = (
+        rows.filter(F.col("error").isNull())
+        .filter(F.length("txt").between(min_chars, max_chars))
+        .select(
+            "media_id",
+            "key",
+            "sno",
+            "txt",
+            F.length("txt").alias("n_chars"),
+            tx.char_poly_hash(F.col("txt")).alias("fp"),
+        )
+    )
+    if index_rows is not None:
+        gated = gated.join(
+            F.broadcast(index_rows.select("fp").distinct()),
+            "fp",
+            "left_anti",
+        )
+    survivors = gated.groupBy("fp").agg(
+        F.min(F.struct("media_id", "key")).alias("w")
+    )
+    admitted = gated.join(
+        survivors.select(
+            "fp", F.col("w.media_id").alias("media_id"),
+            F.col("w.key").alias("key"),
+        ),
+        ["fp", "media_id", "key"],
+    )
+    return admitted, admitted.select("fp", "media_id"), quarantined
+
+
+def process_shard_batch(
+    batch: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    index_dir: str,
+    quarantine_dir: str,
+    **gates,
+) -> None:
+    """The idempotent micro-batch step: admit vs strictly-earlier
+    index partitions + within batch, then overwrite this batch's
+    ``_bid`` partitions in all three sinks.  Running it twice with
+    the same ``batch_id`` yields identical persisted state."""
+    sp = batch.sparkSession
+    index_rows = _read_index(sp, index_dir)
+    if index_rows is not None:
+        index_rows = index_rows.filter(F.col("_bid") < F.lit(batch_id))
+    admitted, fp_rows, quarantined = admit_shard_batch(
+        batch, index_rows, **gates
+    )
+    admitted.persist()
+    try:
+        admitted.write.mode("overwrite").parquet(
+            f"{corpus_dir}/_bid={batch_id}"
+        )
+        fp_rows.write.mode("overwrite").parquet(
+            f"{index_dir}/_bid={batch_id}"
+        )
+        quarantined.write.mode("overwrite").parquet(
+            f"{quarantine_dir}/_bid={batch_id}"
+        )
+    finally:
+        admitted.unpersist()
+
+
+def shard_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    index_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    **gates,
+):
+    """Run the streaming shard-ingestion loop (``availableNow``
+    drain) over a parquet directory of ``(media_id long, payload
+    binary)`` rows.  Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_dir)
+    )
+
+    def _step(batch: DataFrame, batch_id: int) -> None:
+        process_shard_batch(
+            batch, batch_id, corpus_dir, index_dir, quarantine_dir,
+            **gates,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_step)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
