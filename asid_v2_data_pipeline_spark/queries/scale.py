@@ -9352,6 +9352,59 @@ FROM urls ORDER BY doc_id, uno
 """
 
 
+def cur_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SHARD curation (§2.11): the batch twin of
+    ``streaming/shards_stream.py`` over the corrupted-shard fixture —
+    admitting TFRecord decode (corrupt shards quarantined, not
+    fatal), a length gate, and exact-dedup with min-(doc_id, key)
+    survivors — one DataFrame plan (``admit_shard_batch``; payload
+    bytes never shuffle, one fingerprint row per example moves).
+    The oracle replays the whole chain in SQL: slices of the
+    non-corrupted docs, length-gated, ROW_NUMBER-deduplicated on the
+    exact text."""
+    from ..streaming.shards_stream import admit_shard_batch
+
+    media = _cached_media(
+        spark,
+        sf_dir,
+        "tfrecquar",
+        _tfrecord_quarantine_build,
+        deps=(_tfrecord_build,),
+    )
+    admitted, _, _ = admit_shard_batch(media, None, min_chars=4)
+    return admitted.select(
+        F.col("media_id").alias("doc_id"),
+        "key",
+        "sno",
+        "n_chars",
+        F.col("fp").alias("txt_hash"),
+    ).orderBy("doc_id", "key")
+
+
+def _cur_shard_sql() -> str:
+    w = _TFR_SLICE
+    ch = _char_hash_sql("t")
+    return f"""
+WITH slices AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS sno,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+  WHERE doc_id % 7 <> 3
+), gated AS (
+  SELECT doc_id, sno, printf('%06d-%03d', doc_id, sno) AS key, t,
+         ROW_NUMBER() OVER (
+           PARTITION BY t ORDER BY doc_id, printf('%06d-%03d', doc_id, sno)
+         ) AS rn
+  FROM slices WHERE len(t) BETWEEN 4 AND {1 << 20}
+)
+SELECT doc_id, key, sno,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash
+FROM gated WHERE rn = 1 ORDER BY doc_id, key
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -9505,6 +9558,7 @@ REGISTRY = {
         _src_tfrecord_quarantine_sql(),
     ),
     "tx_sitemap_urls": (tx_sitemap_urls, _tx_sitemap_sql()),
+    "cur_shard_pipeline": (cur_shard_pipeline, _cur_shard_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,

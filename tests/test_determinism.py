@@ -126,6 +126,7 @@ CASES = [
     "src_tfrecord_quarantine",
     "tx_sitemap_urls",
     "tx_compress_funnel",
+    "cur_shard_pipeline",
 ]
 
 
