@@ -9405,6 +9405,117 @@ FROM gated WHERE rn = 1 ORDER BY doc_id, key
 """
 
 
+# --- quoted CSV via the native Spark reader ---------------------------------------
+
+_CSV_P = 10  # characters per constructed-field piece
+
+
+def _csv_fixture_value(text: str) -> str:
+    """The constructed field value: four ``_CSV_P``-char pieces joined
+    with a comma, a double quote and a LINE BREAK — every character
+    class RFC-4180 quoting has to protect."""
+    p = _CSV_P
+    return (
+        text[:p] + "," + text[p : 2 * p] + '"' + text[2 * p : 3 * p]
+        + "\n" + text[3 * p : 4 * p]
+    )
+
+
+def _csv_escape(v: str) -> str:
+    if any(c in v for c in ',"\n'):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
+def src_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-CSV ingestion through the NATIVE Spark reader (§2.11):
+    where a format is engine-native, the engine's own vectorized
+    source is the right tool — the capability under test is the
+    ingestion recipe (multiLine quoted fields, RFC-4180 doubled-quote
+    escaping, embedded commas/quotes/line breaks) and its
+    at-scale shape (the fixture writes one file, but ``spark.read
+    .csv`` over a directory of shards parallelizes per file/split;
+    multiLine disables intra-file splitting, the documented
+    trade-off).  The fixture synthesizes one CSV (once per testdata
+    fingerprint, auto-versioned on builder change) whose quoted field
+    embeds all three hostile character classes, derived from the
+    document text so the oracle re-derives every field with plain
+    string arithmetic."""
+    import ast
+    import hashlib
+    import inspect
+    import os
+    import textwrap
+
+    src_bytes = b""
+    for fn in (_csv_fixture_value, _csv_escape, src_csv_scan):
+        src_bytes += _code_fingerprint_src(
+            ast, textwrap.dedent(inspect.getsource(fn))
+        )
+    ver = hashlib.sha1(src_bytes).hexdigest()[:8]
+    path = _index_cache_path(sf_dir, "documents.parquet", f"csvsrc-{ver}")
+
+    def build():
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "text"],
+        )
+        rows = sorted(
+            zip(
+                tb.column("doc_id").to_pylist(),
+                tb.column("lang").to_pylist(),
+                tb.column("text").to_pylist(),
+            )
+        )
+        os.makedirs(path, exist_ok=True)
+        out = ["doc_id,lang,val"]
+        for did, lang, text in rows:
+            if len(text) < 4 * _CSV_P:
+                continue
+            out.append(
+                f"{did},{_csv_escape(str(lang))},"
+                f"{_csv_escape(_csv_fixture_value(text))}"
+            )
+        with open(os.path.join(path, "part-0.csv"), "w") as fh:
+            fh.write("\n".join(out) + "\n")
+
+    _cached_index(path, build)
+    df = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema("doc_id long, lang string, val string")
+        .csv(path)
+    )
+    return df.select(
+        "doc_id",
+        "lang",
+        F.length("val").alias("n_chars"),
+        tx.char_poly_hash(F.col("val")).alias("val_hash"),
+    ).orderBy("doc_id")
+
+
+def _src_csv_sql() -> str:
+    p = _CSV_P
+    ch = _char_hash_sql("t")
+    return f"""
+WITH vals AS (
+  SELECT doc_id, lang,
+         substr(text, 1, {p}) || ',' || substr(text, {p + 1}, {p})
+         || '"' || substr(text, {2 * p + 1}, {p}) || chr(10)
+         || substr(text, {3 * p + 1}, {p}) AS t
+  FROM documents WHERE len(text) >= {4 * p}
+)
+SELECT doc_id, lang,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS val_hash
+FROM vals ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -9559,6 +9670,7 @@ REGISTRY = {
     ),
     "tx_sitemap_urls": (tx_sitemap_urls, _tx_sitemap_sql()),
     "cur_shard_pipeline": (cur_shard_pipeline, _cur_shard_sql()),
+    "src_csv_scan": (src_csv_scan, _src_csv_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,

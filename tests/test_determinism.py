@@ -127,6 +127,7 @@ CASES = [
     "tx_sitemap_urls",
     "tx_compress_funnel",
     "cur_shard_pipeline",
+    "src_csv_scan",
 ]
 
 
