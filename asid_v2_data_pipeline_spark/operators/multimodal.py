@@ -2376,6 +2376,61 @@ def extract_sitemap_urls(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, SITEMAP_URL_SCHEMA)
 
 
+ICO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("imgno", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+        T.StructField("txt", T.StringType(), False),
+    ]
+)
+
+
+def decode_ico_stats(media: DataFrame) -> DataFrame:
+    """ICO container decode (``functions/ico.py``): parse each icon's
+    directory and decode every entry (PNG and DIB members mixed in
+    one file); emit shape/format stats plus the raster component
+    bytes as a codepoint string — both entry formats are lossless, so
+    the decoded bytes are comparable 1:1 against the source.  PNG
+    entries reduce to their gray channel (the fixture encodes gray),
+    DIB entries keep RGB.  Arrow-batched ``mapInPandas``, zero
+    shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.ico import parse_ico
+
+        cols = (
+            "media_id", "imgno", "fmt", "width", "height",
+            "byte_sum", "txt",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for imgno, img in enumerate(parse_ico(bytes(p))):
+                    px = img["pixels"]
+                    if img["fmt"] == "png":
+                        flat = px[..., 0].reshape(-1)  # gray fixture
+                    else:
+                        flat = px.reshape(-1)
+                    rows["media_id"].append(mid)
+                    rows["imgno"].append(imgno)
+                    rows["fmt"].append(img["fmt"])
+                    rows["width"].append(img["width"])
+                    rows["height"].append(img["height"])
+                    rows["byte_sum"].append(int(flat.sum(dtype="int64")))
+                    rows["txt"].append(
+                        "".join(chr(int(v)) for v in flat)
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, ICO_STATS_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -116,6 +116,7 @@ def _codec_fprint() -> str:
             "functions/markdown.py",
             "functions/webp.py",
             "functions/robots.py",
+            "functions/ico.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -9516,6 +9517,89 @@ FROM vals ORDER BY doc_id
 """
 
 
+# --- ICO icons ---------------------------------------------------------------------
+
+
+def _ico_build(batches):
+    """Fixture for ``mm_ico_pool``: each document with ≥256 text bytes
+    becomes one two-entry icon — entry 0 a grayscale 8×8 PNG from the
+    leading 64 bytes, entry 1 a 24-bit DIB (doubled-height header +
+    AND mask) from the next 192 bytes as RGB — so both member formats
+    sit in ONE container on the oracle-checked path."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.ico import write_ico
+
+    n = _BMP_W * _BMP_H
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode("utf-8")
+            if len(raw) < 4 * n:
+                payloads.append(None)
+                continue
+            gray = np.frombuffer(raw, np.uint8, count=n).reshape(
+                _BMP_H, _BMP_W
+            )
+            rgb = np.frombuffer(
+                raw, np.uint8, count=3 * n, offset=n
+            ).reshape(_BMP_H, _BMP_W, 3)
+            payloads.append(write_ico([("png", gray), ("dib", rgb)]))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_ico_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO container decode (§2.11): a real two-format container —
+    ICONDIR directory, a PNG member and a doubled-height DIB member
+    with its AND mask — decoded entry-by-entry with directory-vs-
+    payload dimension cross-checks (``decode_ico_stats``).  Both
+    member codecs are lossless, so the oracle is exact: entry 0 must
+    reproduce the document's leading 64 bytes, entry 1 the next 192,
+    verbatim."""
+    from ..operators.multimodal import decode_ico_stats
+
+    media = _cached_media(spark, sf_dir, "ico", _ico_build)
+    rows = decode_ico_stats(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "imgno",
+        "fmt",
+        "width",
+        "height",
+        "byte_sum",
+        F.length("txt").alias("n_bytes"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id", "imgno")
+
+
+def _mm_ico_sql() -> str:
+    n = _BMP_W * _BMP_H
+    ch = _char_hash_sql("t")
+    return f"""
+WITH entries AS (
+  SELECT doc_id, CAST(0 AS INT) AS imgno, 'png' AS fmt,
+         substr(text, 1, {n}) AS t
+  FROM documents WHERE len(text) >= {4 * n}
+  UNION ALL
+  SELECT doc_id, CAST(1 AS INT), 'dib',
+         substr(text, {n + 1}, {3 * n})
+  FROM documents WHERE len(text) >= {4 * n}
+)
+SELECT doc_id, imgno, fmt,
+       CAST({_BMP_W} AS INT) AS width,
+       CAST({_BMP_H} AS INT) AS height,
+       CAST(list_sum(list_transform(range(1, len(t) + 1),
+              i -> CAST(ascii(substr(t, CAST(i AS BIGINT), 1)) AS BIGINT)))
+         AS BIGINT) AS byte_sum,
+       CAST(len(t) AS INT) AS n_bytes,
+       {ch} AS txt_hash
+FROM entries ORDER BY doc_id, imgno
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -9671,6 +9755,7 @@ REGISTRY = {
     "tx_sitemap_urls": (tx_sitemap_urls, _tx_sitemap_sql()),
     "cur_shard_pipeline": (cur_shard_pipeline, _cur_shard_sql()),
     "src_csv_scan": (src_csv_scan, _src_csv_sql()),
+    "mm_ico_pool": (mm_ico_pool, _mm_ico_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,

@@ -128,6 +128,7 @@ CASES = [
     "tx_compress_funnel",
     "cur_shard_pipeline",
     "src_csv_scan",
+    "mm_ico_pool",
 ]
 
 
