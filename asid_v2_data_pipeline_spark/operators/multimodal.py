@@ -2431,6 +2431,93 @@ def decode_ico_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, ICO_STATS_SCHEMA)
 
 
+SAFETENSORS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_tensors", T.IntegerType(), False),
+        T.StructField("meta_doc", T.StringType(), True),
+        T.StructField("emb_sum", T.DoubleType(), False),
+        T.StructField("ids_sum", T.LongType(), False),
+        T.StructField("mask_cnt", T.IntegerType(), False),
+        T.StructField("scale", T.DoubleType(), False),
+    ]
+)
+
+
+def extract_safetensors_stats(media: DataFrame) -> DataFrame:
+    """safetensors checkpoint/feature-shard ingestion
+    (``functions/tensors.py``): parse each payload's JSON header and
+    typed buffers (offset tiling verified — the format's safety
+    property) and emit per-tensor stats + metadata.  Corruption
+    raises ValueError (quarantinable).  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.tensors import parse_safetensors
+
+        cols = (
+            "media_id", "n_tensors", "meta_doc", "emb_sum",
+            "ids_sum", "mask_cnt", "scale",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                tensors, meta = parse_safetensors(bytes(p))
+                rows["media_id"].append(mid)
+                rows["n_tensors"].append(len(tensors))
+                rows["meta_doc"].append(meta.get("doc"))
+                rows["emb_sum"].append(
+                    float(tensors["emb"].sum(dtype="float64"))
+                )
+                rows["ids_sum"].append(int(tensors["ids"].sum()))
+                rows["mask_cnt"].append(int(tensors["mask"].sum()))
+                rows["scale"].append(float(tensors["scale"]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, SAFETENSORS_SCHEMA)
+
+
+NPZ_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_arrays", T.IntegerType(), False),
+        T.StructField("a_sum", T.LongType(), False),
+        T.StructField("b_sum", T.LongType(), False),
+        T.StructField("c_sum", T.DoubleType(), False),
+    ]
+)
+
+
+def extract_npz_stats(media: DataFrame) -> DataFrame:
+    """NumPy ``.npz`` shard ingestion (``functions/tensors.py``): ZIP
+    of ``.npy`` members parsed with the literal-eval header reader
+    (never ``eval``); per-array stats.  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.tensors import parse_npz
+
+        cols = ("media_id", "n_arrays", "a_sum", "b_sum", "c_sum")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                arrays = parse_npz(bytes(p))
+                rows["media_id"].append(mid)
+                rows["n_arrays"].append(len(arrays))
+                rows["a_sum"].append(int(arrays["a"].sum(dtype="int64")))
+                rows["b_sum"].append(int(arrays["b"].sum(dtype="int64")))
+                rows["c_sum"].append(
+                    float(arrays["c"].sum(dtype="float64"))
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, NPZ_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

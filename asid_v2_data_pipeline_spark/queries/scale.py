@@ -117,6 +117,7 @@ def _codec_fprint() -> str:
             "functions/webp.py",
             "functions/robots.py",
             "functions/ico.py",
+            "functions/tensors.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -9600,6 +9601,171 @@ FROM entries ORDER BY doc_id, imgno
 """
 
 
+# --- tensor shards (safetensors / npz) ---------------------------------------------
+
+
+def _safetensors_build(batches):
+    """Fixture for ``src_safetensors_scan``: each document with ≥112
+    text bytes becomes one safetensors file — ``emb`` f32 (8, 8) from
+    the leading 64 bytes, ``ids`` i64 (32,) from the next 32,
+    ``mask`` bool (16,) (odd codes) from the next 16, ``scale`` an
+    f16 SCALAR ``(doc_id %% 1000) / 4`` (f16-exact), plus a metadata
+    map — four dtypes, three ranks and the metadata path all
+    oracle-checked."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.tensors import write_safetensors
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            raw = t.encode("utf-8")
+            if len(raw) < 112:
+                payloads.append(None)
+                continue
+            payloads.append(
+                write_safetensors(
+                    {
+                        "emb": np.frombuffer(raw, np.uint8, 64)
+                        .reshape(8, 8)
+                        .astype("<f4"),
+                        "ids": np.frombuffer(
+                            raw, np.uint8, 32, offset=64
+                        ).astype("<i8"),
+                        "mask": np.frombuffer(
+                            raw, np.uint8, 16, offset=96
+                        )
+                        % 2
+                        == 1,
+                        "scale": np.float16((did % 1000) / 4),
+                    },
+                    metadata={"doc": str(did), "fmt": "fixture"},
+                )
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def src_safetensors_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """safetensors ingestion (§2.11): the modern checkpoint /
+    feature-shard format — 8-byte header length, JSON tensor table,
+    offset-tiled little-endian buffers (gaps/overlaps rejected: the
+    format's safety property) — scanned into per-file stats
+    (``extract_safetensors_stats``).  The oracle re-derives every
+    stat from the document bytes and doc_id arithmetic."""
+    from ..operators.multimodal import extract_safetensors_stats
+
+    media = _cached_media(
+        spark, sf_dir, "safetensors", _safetensors_build
+    )
+    rows = extract_safetensors_stats(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "n_tensors",
+        "meta_doc",
+        F.round("emb_sum", 4).alias("emb_sum"),
+        "ids_sum",
+        "mask_cnt",
+        F.round("scale", 4).alias("scale"),
+    ).orderBy("doc_id")
+
+
+def _src_safetensors_sql() -> str:
+    def codes(start, n):
+        return (
+            f"list_transform(range({start}, {start + n}), "
+            f"i -> CAST(ascii(substr(text, CAST(i AS BIGINT), 1)) AS BIGINT))"
+        )
+
+    return f"""
+SELECT doc_id,
+       CAST(4 AS INT) AS n_tensors,
+       CAST(doc_id AS VARCHAR) AS meta_doc,
+       ROUND(CAST(list_sum({codes(1, 64)}) AS DOUBLE), 4) AS emb_sum,
+       CAST(list_sum({codes(65, 32)}) AS BIGINT) AS ids_sum,
+       CAST(len(list_filter({codes(97, 16)}, c -> c % 2 = 1)) AS INT)
+         AS mask_cnt,
+       ROUND(CAST(doc_id % 1000 AS DOUBLE) / 4, 4) AS scale
+FROM documents WHERE len(text) >= 112 ORDER BY doc_id
+"""
+
+
+def _npz_build(batches):
+    """Fixture for ``src_npz_scan``: each document with ≥84 text bytes
+    becomes one ``.npz`` — ``a`` u1 (48,) raw codes, ``b`` i2 (24,)
+    ``3*code - 200`` (negative i2 path), ``c`` f4 (12,)
+    ``code + 0.5`` — three dtypes through the .npy header +
+    store-method ZIP composition."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.tensors import write_npz
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            raw = t.encode("utf-8")
+            if len(raw) < 84:
+                payloads.append(None)
+                continue
+            a = np.frombuffer(raw, np.uint8, 48)
+            b = (
+                3 * np.frombuffer(raw, np.uint8, 24, offset=48)
+                .astype("<i2")
+                - 200
+            )
+            c = (
+                np.frombuffer(raw, np.uint8, 12, offset=72)
+                .astype("<f4")
+                + 0.5
+            )
+            payloads.append(write_npz({"a": a, "b": b, "c": c}))
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def src_npz_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy ``.npz`` ingestion (§2.11): the ad-hoc tensor-dump format
+    (the REFERENCE's own storage layer — ``asip_v2/archive.py`` saves
+    scene tensors as .npz) made a first-class source: ZIP-of-.npy
+    members, literal-eval header parsing, three dtypes incl. the
+    negative-int16 path (``extract_npz_stats``).  The oracle
+    re-derives every stat from the document bytes."""
+    from ..operators.multimodal import extract_npz_stats
+
+    media = _cached_media(spark, sf_dir, "npz", _npz_build)
+    rows = extract_npz_stats(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "n_arrays",
+        "a_sum",
+        "b_sum",
+        F.round("c_sum", 4).alias("c_sum"),
+    ).orderBy("doc_id")
+
+
+def _src_npz_sql() -> str:
+    def codes(start, n):
+        return (
+            f"list_transform(range({start}, {start + n}), "
+            f"i -> CAST(ascii(substr(text, CAST(i AS BIGINT), 1)) AS BIGINT))"
+        )
+
+    return f"""
+SELECT doc_id,
+       CAST(3 AS INT) AS n_arrays,
+       CAST(list_sum({codes(1, 48)}) AS BIGINT) AS a_sum,
+       CAST(list_sum(list_transform({codes(49, 24)}, c -> 3 * c - 200))
+         AS BIGINT) AS b_sum,
+       ROUND(CAST(list_sum({codes(73, 12)}) AS DOUBLE) + 6, 4) AS c_sum
+FROM documents WHERE len(text) >= 84 ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -9756,6 +9922,11 @@ REGISTRY = {
     "cur_shard_pipeline": (cur_shard_pipeline, _cur_shard_sql()),
     "src_csv_scan": (src_csv_scan, _src_csv_sql()),
     "mm_ico_pool": (mm_ico_pool, _mm_ico_sql()),
+    "src_safetensors_scan": (
+        src_safetensors_scan,
+        _src_safetensors_sql(),
+    ),
+    "src_npz_scan": (src_npz_scan, _src_npz_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,

@@ -129,6 +129,8 @@ CASES = [
     "cur_shard_pipeline",
     "src_csv_scan",
     "mm_ico_pool",
+    "src_safetensors_scan",
+    "src_npz_scan",
 ]
 
 
