@@ -2518,6 +2518,58 @@ def extract_npz_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, NPZ_SCHEMA)
 
 
+ARROW_IPC_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_batches", T.IntegerType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("sno", T.LongType(), True),
+        T.StructField("txt", T.StringType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_arrow_ipc_rows(media: DataFrame) -> DataFrame:
+    """Arrow IPC STREAM ingestion: each payload is an Arrow stream
+    (the zero-copy interchange format feature pipelines hand around);
+    open with ``pyarrow.ipc`` — the same Arrow runtime Spark's own
+    Python boundary uses, so no third format dialect is introduced —
+    and emit one row per record with per-file batch/row counts.
+    Malformed streams raise ValueError.  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        cols = ("media_id", "n_batches", "n_rows", "sno", "txt", "score")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                try:
+                    reader = pa.ipc.open_stream(pa.BufferReader(bytes(p)))
+                    tbs = list(reader)
+                except pa.ArrowInvalid as e:
+                    raise ValueError(f"arrow ipc: {e}") from None
+                n_rows = sum(b.num_rows for b in tbs)
+                for b in tbs:
+                    d = b.to_pydict()
+                    for sno, txt, score in zip(
+                        d["sno"], d["txt"], d["score"]
+                    ):
+                        rows["media_id"].append(mid)
+                        rows["n_batches"].append(len(tbs))
+                        rows["n_rows"].append(n_rows)
+                        rows["sno"].append(sno)
+                        rows["txt"].append(txt)
+                        rows["score"].append(score)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, ARROW_IPC_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -9766,6 +9766,100 @@ FROM documents WHERE len(text) >= 84 ORDER BY doc_id
 """
 
 
+# --- Arrow IPC streams -------------------------------------------------------------
+
+_ARROW_SLICE = 80  # characters per record
+_ARROW_BATCH = 3  # records per IPC batch
+
+
+def _arrow_ipc_build(batches):
+    """Fixture for ``src_arrow_ipc_scan``: each document becomes one
+    Arrow IPC stream of ``(sno, txt, score)`` records —
+    ``_ARROW_SLICE``-char slices, ``score = sno + 0.25`` — split into
+    ``_ARROW_BATCH``-record batches so multi-batch streams are on the
+    checked path."""
+    import pandas as pd
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [("sno", pa.int64()), ("txt", pa.string()), ("score", pa.float64())]
+    )
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            recs = [
+                (sno, t[i : i + _ARROW_SLICE], sno + 0.25)
+                for sno, i in enumerate(
+                    range(0, len(t), _ARROW_SLICE)
+                )
+            ]
+            if not recs:
+                payloads.append(None)
+                continue
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, schema) as w:
+                for at in range(0, len(recs), _ARROW_BATCH):
+                    chunk = recs[at : at + _ARROW_BATCH]
+                    w.write_batch(
+                        pa.record_batch(
+                            [
+                                pa.array([r[0] for r in chunk], pa.int64()),
+                                pa.array([r[1] for r in chunk], pa.string()),
+                                pa.array([r[2] for r in chunk], pa.float64()),
+                            ],
+                            schema=schema,
+                        )
+                    )
+            payloads.append(sink.getvalue().to_pybytes())
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def src_arrow_ipc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC stream ingestion (§2.11): the zero-copy interchange
+    format feature pipelines hand around, read back through the SAME
+    Arrow runtime Spark's Python boundary uses
+    (``extract_arrow_ipc_rows``) — multi-batch streams, three typed
+    columns.  The oracle re-derives every record (slice text, batch
+    and row counts, the dyadic score) from `documents`."""
+    from ..operators.multimodal import extract_arrow_ipc_rows
+
+    media = _cached_media(spark, sf_dir, "arrowipc", _arrow_ipc_build)
+    rows = extract_arrow_ipc_rows(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "n_batches",
+        "n_rows",
+        "sno",
+        F.length("txt").alias("n_chars"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+        F.round("score", 4).alias("score"),
+    ).orderBy("doc_id", "sno")
+
+
+def _src_arrow_ipc_sql() -> str:
+    w, b = _ARROW_SLICE, _ARROW_BATCH
+    ch = _char_hash_sql("t")
+    return f"""
+WITH slices AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS sno,
+         substr(text, CAST(1 + {w} * i AS BIGINT), {w}) AS t,
+         (len(text) + {w - 1}) // {w} AS nr
+  FROM documents,
+       unnest(range(0, (len(text) + {w - 1}) // {w})) AS ts(i)
+)
+SELECT doc_id,
+       CAST((nr + {b - 1}) // {b} AS INT) AS n_batches,
+       CAST(nr AS BIGINT) AS n_rows,
+       sno,
+       CAST(len(t) AS INT) AS n_chars,
+       {ch} AS txt_hash,
+       ROUND(CAST(sno AS DOUBLE) + 0.25, 4) AS score
+FROM slices ORDER BY doc_id, sno
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -9927,6 +10021,7 @@ REGISTRY = {
         _src_safetensors_sql(),
     ),
     "src_npz_scan": (src_npz_scan, _src_npz_sql()),
+    "src_arrow_ipc_scan": (src_arrow_ipc_scan, _src_arrow_ipc_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,

@@ -131,6 +131,7 @@ CASES = [
     "mm_ico_pool",
     "src_safetensors_scan",
     "src_npz_scan",
+    "src_arrow_ipc_scan",
 ]
 
 
