@@ -160,11 +160,10 @@ def sweep() -> None:
         fn = queries[name]
         if warm:
             fn(spark, warm_dir).count()
-        if name.endswith("_serve") or name.startswith("mm_"):
-            # index / media-fixture cache build is an offline job: one
-            # untimed pass forces the once-per-fingerprint build so the
-            # timed pass measures the declared operator (decode / probe)
-            fn(spark, sf_dir).count()
+        # one untimed pre-pass for every query (see the headline loop:
+        # index / media-fixture cache builds are offline jobs; the
+        # timed pass measures the declared operator)
+        fn(spark, sf_dir).count()
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
@@ -253,16 +252,14 @@ def main() -> None:
         fn = queries[name]
         times = []
         n = 0
-        if name.endswith("_serve") or name.startswith("mm_"):
-            # serving twins + media kernels: force the once-per-
-            # fingerprint index / fixture-payload cache build (an
-            # offline job at scale) OUTSIDE the timed passes, so the
-            # number tracks the declared operator — probe latency
-            # against the persisted index, or container/codec DECODE
-            # over already-materialized payloads (VERDICT r8 task 1:
-            # the encode+mux fixture synthesis was 3-4x the decode and
-            # made the media family's record environment-sensitive)
-            fn(spark, SF_DIR).count()
+        # one untimed pre-pass for EVERY query (r10 sixth pass: the
+        # old `_serve`/`mm_` guard missed the fixture-backed src_/tx_
+        # families, so a first-run cache build could land inside a
+        # timed pass).  This forces the once-per-fingerprint index /
+        # fixture-payload builds (offline jobs at scale) outside the
+        # timed passes and warms the page cache uniformly — the
+        # number tracks the declared operator (VERDICT r8 task 1).
+        fn(spark, SF_DIR).count()
         for _ in range(passes):
             t0 = time.time()
             n = fn(spark, SF_DIR).count()
