@@ -2570,6 +2570,57 @@ def extract_arrow_ipc_rows(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, ARROW_IPC_SCHEMA)
 
 
+RASTER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("byte_sum", T.LongType(), False),
+        T.StructField("txt", T.StringType(), False),
+    ]
+)
+
+
+def decode_raster_stats(media: DataFrame) -> DataFrame:
+    """Legacy-raster funnel (``functions/rasters.py``): TGA (plain +
+    RLE, both origins) and netpbm PGM/PPM payloads magic-dispatched
+    into one decode; emit format/shape stats plus the raster
+    component bytes as a codepoint string — all three formats are
+    lossless, so decoded bytes compare 1:1 against the source.
+    Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.rasters import parse_pnm, parse_tga, sniff_raster
+
+        cols = (
+            "media_id", "fmt", "width", "height", "channels",
+            "byte_sum", "txt",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                p = bytes(p)
+                fmt = sniff_raster(p)
+                px = parse_tga(p) if fmt == "tga" else parse_pnm(p)
+                h, w = px.shape[:2]
+                ch = 1 if px.ndim == 2 else px.shape[2]
+                flat = px.reshape(-1)
+                rows["media_id"].append(mid)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["byte_sum"].append(int(flat.sum(dtype="int64")))
+                rows["txt"].append("".join(chr(int(v)) for v in flat))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, RASTER_STATS_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = patterned
     bytes)."""

@@ -118,6 +118,7 @@ def _codec_fprint() -> str:
             "functions/robots.py",
             "functions/ico.py",
             "functions/tensors.py",
+            "functions/rasters.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):
@@ -9860,6 +9861,110 @@ FROM slices ORDER BY doc_id, sno
 """
 
 
+# --- legacy rasters (TGA / PGM / PPM funnel) --------------------------------------
+
+
+def _raster_build(batches):
+    """Fixture for ``mm_raster_funnel``: docs with ≥192 text bytes
+    rotate by ``doc_id % 3`` — 0: 8×8 24-bit TGA (RLE + bottom-up for
+    even halves of that class, plain top-down otherwise), 1: 8×8 PGM
+    from 64 bytes, 2: 8×8 PPM from 192 bytes — three lossless formats
+    through one magic dispatch."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.rasters import write_pnm, write_tga
+
+    n = _BMP_W * _BMP_H
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            raw = t.encode("utf-8")
+            if len(raw) < 3 * n:
+                payloads.append(None)
+                continue
+            v = did % 3
+            if v == 0:
+                rgb = np.frombuffer(raw, np.uint8, 3 * n).reshape(
+                    _BMP_H, _BMP_W, 3
+                )
+                payloads.append(
+                    write_tga(
+                        rgb,
+                        rle=did % 6 == 0,
+                        top_down=did % 6 != 0,
+                    )
+                )
+            elif v == 1:
+                payloads.append(
+                    write_pnm(
+                        np.frombuffer(raw, np.uint8, n).reshape(
+                            _BMP_H, _BMP_W
+                        )
+                    )
+                )
+            else:
+                payloads.append(
+                    write_pnm(
+                        np.frombuffer(raw, np.uint8, 3 * n).reshape(
+                            _BMP_H, _BMP_W, 3
+                        )
+                    )
+                )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_raster_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-raster funnel (§2.11): TGA (plain/RLE, both origins) and
+    netpbm PGM/PPM — the long-tail formats of scraped archives —
+    magic-dispatched into one lossless decode
+    (``decode_raster_stats``).  Exact oracle: every variant must
+    reproduce its document's leading bytes verbatim."""
+    from ..operators.multimodal import decode_raster_stats
+
+    media = _cached_media(spark, sf_dir, "raster", _raster_build)
+    rows = decode_raster_stats(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "fmt",
+        "width",
+        "height",
+        "channels",
+        "byte_sum",
+        F.length("txt").alias("n_bytes"),
+        tx.char_poly_hash(F.col("txt")).alias("txt_hash"),
+    ).orderBy("doc_id")
+
+
+def _mm_raster_sql() -> str:
+    n = _BMP_W * _BMP_H
+    ch = _char_hash_sql("t")
+    return f"""
+WITH imgs AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'tga' WHEN 1 THEN 'pgm'
+              ELSE 'ppm' END AS fmt,
+         CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels,
+         substr(text, 1,
+                CASE WHEN doc_id % 3 = 1 THEN {n} ELSE {3 * n} END) AS t
+  FROM documents WHERE len(text) >= {3 * n}
+)
+SELECT doc_id, fmt,
+       CAST({_BMP_W} AS INT) AS width,
+       CAST({_BMP_H} AS INT) AS height,
+       CAST(channels AS INT) AS channels,
+       CAST(list_sum(list_transform(range(1, len(t) + 1),
+              i -> CAST(ascii(substr(t, CAST(i AS BIGINT), 1)) AS BIGINT)))
+         AS BIGINT) AS byte_sum,
+       CAST(len(t) AS INT) AS n_bytes,
+       {ch} AS txt_hash
+FROM imgs ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "dd_exact": (dd_exact, DD_EXACT_SQL),
     "dd_duplicate_spans": (dd_duplicate_spans, DD_SPANS_SQL),
@@ -10022,6 +10127,7 @@ REGISTRY = {
     ),
     "src_npz_scan": (src_npz_scan, _src_npz_sql()),
     "src_arrow_ipc_scan": (src_arrow_ipc_scan, _src_arrow_ipc_sql()),
+    "mm_raster_funnel": (mm_raster_funnel, _mm_raster_sql()),
     "mm_jpeg_lossless_pool": (mm_jpeg_lossless_pool, _mm_bmp_sql()),
     "mm_mp4_mp3_rms": (
         mm_mp4_mp3_rms,

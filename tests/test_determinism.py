@@ -132,6 +132,7 @@ CASES = [
     "src_safetensors_scan",
     "src_npz_scan",
     "src_arrow_ipc_scan",
+    "mm_raster_funnel",
 ]
 
 
