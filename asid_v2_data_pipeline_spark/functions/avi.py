@@ -162,6 +162,7 @@ def parse_avi(data: bytes) -> dict:
                                 if buf[at3 : at3 + 4] == b"vids":
                                     handler = buf[at3 + 4 : at3 + 8]
             elif ltype == b"movi":
+                movi_at = at  # absolute position of the 'movi' fourcc
                 for ckid, at2, sz2 in _iter_chunks(buf, at + 4, at + size):
                     tag = ckid[2:4]
                     if tag in (b"dc", b"db", b"wb"):
@@ -195,11 +196,23 @@ def parse_avi(data: bytes) -> dict:
             raise ValueError(
                 "avi: idx1 entry count disagrees with movi chunks"
             )
+        # The idx1 offset convention is ambiguous in the spec: most muxers
+        # measure from the 'movi' fourcc, but many real-world muxers write
+        # offsets absolute from file start, and players accept both.
+        # Detect from the first entry (as players do): if it equals the
+        # first movi chunk's absolute header offset, treat all entries as
+        # file-absolute; otherwise movi-relative.
+        base = 0
+        if idx_entries and movi_chunks:
+            first_off = idx_entries[0][2]
+            first_rel = movi_chunks[0][1]
+            if first_off != first_rel and first_off == movi_at + first_rel:
+                base = movi_at
         refined = []
         for (ckid, flags, off, ln), (mck, moff, msz), (stream, _, fb) in zip(
             idx_entries, movi_chunks, frames
         ):
-            if ckid != mck or off != moff or ln != msz:
+            if ckid != mck or off - base != moff or ln != msz:
                 raise ValueError(
                     f"avi: idx1 entry {ckid!r}@{off} disagrees with "
                     f"movi chunk {mck!r}@{moff}"

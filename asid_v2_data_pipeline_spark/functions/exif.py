@@ -124,7 +124,15 @@ def write_exif(fields: dict) -> bytes:
     return _EXIF_MAGIC + tiff
 
 
-def _read_ifd(buf: bytes, at: int, bo: str, names: dict) -> dict:
+def _read_ifd(
+    buf: bytes, at: int, bo: str, names: dict, _seen: frozenset = frozenset()
+) -> dict:
+    # Crafted sub-IFD pointers can form a cycle (0x8769 pointing back at
+    # itself or an ancestor); track visited offsets so corrupt bytes raise
+    # ValueError per the fuzz contract instead of RecursionError.
+    if at in _seen or len(_seen) > 32:
+        raise ValueError("exif: IFD pointer cycle")
+    _seen = _seen | {at}
     if at + 2 > len(buf):
         raise ValueError("exif: IFD offset out of bounds")
     (n,) = struct.unpack_from(bo + "H", buf, at)
@@ -151,7 +159,7 @@ def _read_ifd(buf: bytes, at: int, bo: str, names: dict) -> dict:
             raw = buf[vat : vat + total]
         if tag == _EXIF_IFD_TAG and ttype == 4 and count == 1:
             (sub,) = struct.unpack(bo + "I", raw)
-            out.update(_read_ifd(buf, sub, bo, TAGS_EXIF))
+            out.update(_read_ifd(buf, sub, bo, TAGS_EXIF, _seen))
             continue
         name = names.get(tag)
         if name is None:

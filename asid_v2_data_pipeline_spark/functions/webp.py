@@ -645,6 +645,11 @@ def parse_vp8l(data: bytes) -> np.ndarray:
     br.pos = 8
     w = br.read(14) + 1
     h = br.read(14) + 1
+    # Same allocation guard as parse_qoi/parse_tga: a ~30-byte stream can
+    # claim 16384x16384 and force ~2 GB of np.zeros before any entropy
+    # validation. Cap pixel count before allocating.
+    if w * h > 64 << 20:
+        raise ValueError("vp8l: pixel count exceeds 64M cap")
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("vp8l: unsupported version")

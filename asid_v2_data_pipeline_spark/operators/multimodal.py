@@ -2057,7 +2057,11 @@ def decode_qoi_stats(media: DataFrame) -> DataFrame:
                 rows["height"].append(h)
                 rows["channels"].append(ch)
                 rows["byte_sum"].append(int(flat.sum(dtype="int64")))
-                rows["txt"].append(flat.tobytes().decode("ascii"))
+                # latin1 maps every byte 0-255 to the same codepoint,
+                # matching the ''.join(chr(v)) convention of the sibling
+                # webp/ico/raster operators; ascii would reject any
+                # component byte >= 128 (half the valid QOI range).
+                rows["txt"].append(flat.tobytes().decode("latin1"))
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, QOI_STATS_SCHEMA)

@@ -5,6 +5,8 @@ never a silent hang)."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -82,3 +84,26 @@ def test_fuzz_never_hangs():
         # codec layer, so here we just require no hang/crash and a
         # well-formed result shape
         assert isinstance(out["frames"], list)
+
+
+def test_idx1_file_absolute_convention():
+    """r11 ADVICE: many real-world muxers write idx1 offsets absolute
+    from file start (the spec is ambiguous; players accept both).
+    Rewrite the writer's movi-relative offsets to file-absolute and
+    check the parse still succeeds with identical frames."""
+    frames = [b"abcd", b"efgh-odd!", b"z" * 7]
+    b = bytearray(write_avi_mjpeg(frames, 8, 8))
+    movi_at = b.find(b"movi")
+    assert movi_at > 0
+    at = b.rfind(b"idx1")
+    (isz,) = struct.unpack("<I", b[at + 4 : at + 8])
+    for k in range(isz // 16):
+        off_at = at + 8 + 16 * k + 8
+        (off,) = struct.unpack("<I", b[off_at : off_at + 4])
+        b[off_at : off_at + 4] = struct.pack("<I", off + movi_at)
+    out = parse_avi(bytes(b))
+    assert [bytes(d) for _, _, d in out["frames"]] == frames
+    # a genuinely wrong offset (neither convention) still raises
+    b[at + 8 + 8 : at + 8 + 12] = struct.pack("<I", 12345)
+    with pytest.raises(ValueError, match="idx1"):
+        parse_avi(bytes(b))

@@ -128,3 +128,35 @@ def test_fuzz_never_hangs():
                 parse_exif(app1)
         except (ValueError, UnicodeDecodeError):
             pass
+
+
+def test_sub_ifd_cycle_raises_valueerror():
+    """r11 ADVICE: a crafted 0x8769 sub-IFD pointer that points back at
+    IFD0 must raise ValueError (quarantinable), not RecursionError."""
+    ifd0 = (
+        struct.pack("<H", 1)
+        + struct.pack("<HHI", 0x8769, 4, 1)
+        + struct.pack("<I", 8)  # sub-IFD offset -> IFD0 itself
+        + struct.pack("<I", 0)
+    )
+    payload = b"Exif\x00\x00" + b"II\x2a\x00" + struct.pack("<I", 8) + ifd0
+    with pytest.raises(ValueError, match="cycle"):
+        parse_exif(payload)
+    # two IFDs pointing at each other (cycle length 2) also raise
+    ifd_a = (
+        struct.pack("<H", 1)
+        + struct.pack("<HHI", 0x8769, 4, 1)
+        + struct.pack("<I", 26)
+        + struct.pack("<I", 0)
+    )
+    ifd_b = (
+        struct.pack("<H", 1)
+        + struct.pack("<HHI", 0x8769, 4, 1)
+        + struct.pack("<I", 8)
+        + struct.pack("<I", 0)
+    )
+    payload = (
+        b"Exif\x00\x00" + b"II\x2a\x00" + struct.pack("<I", 8) + ifd_a + ifd_b
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        parse_exif(payload)

@@ -100,3 +100,24 @@ def test_fuzz_never_hangs():
         # no-hang/no-crash contract; surviving decodes must still be
         # well-formed arrays with the 3|4 channel invariant
         assert out.ndim == 3 and out.shape[2] in (3, 4)
+
+
+def test_decode_stats_high_bytes(spark):
+    """r11 ADVICE: decode_qoi_stats must handle component bytes >= 128
+    (half the valid QOI value range) — the txt column is the latin1
+    codepoint string of the raster bytes, not ascii."""
+    import pandas as pd
+
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        decode_qoi_stats,
+    )
+
+    px = np.arange(128, 128 + 4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1], "payload": [write_qoi(px)]})
+    )
+    row = decode_qoi_stats(media).collect()[0]
+    assert (row.width, row.height, row.channels) == (4, 3, 3)
+    flat = px.reshape(-1)
+    assert row.byte_sum == int(flat.sum(dtype="int64"))
+    assert row.txt == "".join(chr(int(v)) for v in flat)

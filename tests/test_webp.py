@@ -135,3 +135,10 @@ def test_fuzz_never_hangs():
             assert out.ndim == 3 and out.shape[2] == 4
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_dimension_allocation_guard():
+    """r11 ADVICE: a ~10-byte stream claiming 16384x16384 must raise
+    before allocating ~2 GB (same 64M-pixel cap as qoi/tga/pnm)."""
+    with pytest.raises(ValueError, match="64M"):
+        parse_vp8l(b"\x2f" + b"\xff" * 9)
