@@ -128,6 +128,70 @@ HEADLINE = [
 ]
 
 
+def _calibrate(spark) -> dict:
+    """Host-calibration probe (VERDICT r10 task 1): a fixed synthetic
+    workload pair measured at the start of every headline/sweep run so
+    round-over-round deltas can be adjudicated across host/boot changes
+    (r9→r10 showed three windows disagreeing ±40% on identical code).
+
+    - ``jvm_range_sum_sec``: whole-stage-codegen aggregation over a
+      fixed ``spark.range`` — tracks JVM/parallel-scan throughput.
+    - ``py_loop_sec``: a single-thread pure-Python LCG tight loop —
+      tracks the interpreter/CPU side that the Arrow codec kernels use.
+
+    Each probe runs one untimed warmup pass (codegen / allocator) then
+    5 timed passes; the median is recorded.  Results land in the compact
+    stdout line AND both sidecars, so the driver's BENCH_r{N}.json
+    carries them into the next round's comparison."""
+    import statistics
+
+    def jvm_probe() -> float:
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr(
+            "sum(id % 7) AS s", "count(*) AS n"
+        ).collect()
+        return time.time() - t0
+
+    def py_probe() -> float:
+        t0 = time.time()
+        acc = 1
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+        assert acc >= 0
+        return time.time() - t0
+
+    jvm_probe(), py_probe()  # warmup (codegen + JIT), untimed
+    jvm = [jvm_probe() for _ in range(5)]
+    py = [py_probe() for _ in range(5)]
+    cal = {
+        "jvm_range_sum_sec": round(statistics.median(jvm), 4),
+        "py_loop_sec": round(statistics.median(py), 4),
+    }
+    print(
+        f"# calibration: jvm {cal['jvm_range_sum_sec']:.4f}s "
+        f"py {cal['py_loop_sec']:.4f}s "
+        f"(medians of 5; jvm spread {min(jvm):.4f}-{max(jvm):.4f})",
+        file=sys.stderr,
+    )
+    return cal
+
+
+def _host_factor(prev_cal: dict | None, cal: dict) -> float | None:
+    """How much slower (>1) or faster (<1) this host window is than the
+    one that produced ``prev_cal``: the geometric mean of the JVM and
+    Python probe ratios, clamped to [0.5, 3.0] so a broken probe can
+    never widen the perf gate by more than 3x (clamping is disclosed on
+    stderr by the callers when it binds)."""
+    if not prev_cal:
+        return None
+    try:
+        jf = cal["jvm_range_sum_sec"] / float(prev_cal["jvm_range_sum_sec"])
+        pf = cal["py_loop_sec"] / float(prev_cal["py_loop_sec"])
+    except (KeyError, TypeError, ZeroDivisionError):
+        return None
+    return max(0.5, min(3.0, (jf * pf) ** 0.5))
+
+
 def sweep() -> None:
     """Full-surface timing sweep (VERDICT r7 task 1): ONE timed pass
     over EVERY declared query at sf0.01 (the headline covers ~32 of
@@ -149,6 +213,7 @@ def sweep() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    cal = _calibrate(spark)
 
     warm_dir = "/root/testdata/sf0.001"
     warm = os.path.isdir(warm_dir) and os.path.abspath(
@@ -178,6 +243,7 @@ def sweep() -> None:
         "passes": 1,
         "warmup": warm,
         "n_queries": len(timings),
+        "calibration": cal,
         "queries": timings,
     }
 
@@ -192,18 +258,40 @@ def sweep() -> None:
             prev = None
     if prev and prev.get("sf") == out["sf"]:
         pq = prev.get("queries", {})
+        # the >2x tripwire fires on the calibration-NORMALIZED number
+        # (VERDICT r10 task 1): the previous time is first scaled by the
+        # host factor measured from the synthetic probe pair, so a
+        # uniformly slower boot doesn't flag every query.  With no
+        # previous calibration record the factor is 1.0 (raw compare).
+        factor = _host_factor(prev.get("calibration"), cal) or 1.0
+        out["host_factor_vs_prev"] = round(factor, 4)
+        print(f"# host factor vs previous sweep: {factor:.3f}x", file=sys.stderr)
         flagged = {}
+        raw_flagged = 0
         for k, v in timings.items():
-            if k in pq and pq[k] >= 0.05 and v > 2.0 * pq[k]:
-                flagged[k] = {"prev": pq[k], "now": v}
+            if k in pq and pq[k] >= 0.05:
+                if v > 2.0 * pq[k]:
+                    raw_flagged += 1
+                if v > 2.0 * pq[k] * factor:
+                    flagged[k] = {
+                        "prev": pq[k],
+                        "prev_normalized": round(pq[k] * factor, 3),
+                        "now": v,
+                    }
         out["flagged_over_2x"] = flagged
+        out["flagged_over_2x_raw_count"] = raw_flagged
         for k, d in sorted(flagged.items(), key=lambda kv: -kv[1]["now"]):
             print(
-                f"# FLAGGED >2x: {k} {d['prev']:.3f}s -> {d['now']:.3f}s",
+                f"# FLAGGED >2x (normalized): {k} {d['prev']:.3f}s "
+                f"(norm {d['prev_normalized']:.3f}s) -> {d['now']:.3f}s",
                 file=sys.stderr,
             )
         if not flagged:
-            print("# no query exceeded 2x its previous sweep time", file=sys.stderr)
+            print(
+                "# no query exceeded 2x its normalized previous sweep time"
+                f" ({raw_flagged} would have flagged raw)",
+                file=sys.stderr,
+            )
     with open(sidecar, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -216,6 +304,8 @@ def sweep() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(timings),
+                "calibration": cal,
+                "host_factor_vs_prev": out.get("host_factor_vs_prev"),
                 "flagged_over_2x": len(out.get("flagged_over_2x", {})),
             }
         )
@@ -235,6 +325,7 @@ def main() -> None:
     # run each headline query once at the smallest SF (identical schemas →
     # identical generated code; see module docstring)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    cal = _calibrate(spark)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(SF_DIR):
         t0 = time.time()
@@ -291,6 +382,9 @@ def main() -> None:
         # methodology tag (ADVICE r2): deltas are only meaningful against
         # baselines recorded with the same warmup discipline
         "warmup": True,
+        # host-calibration probe (r11): lives in the compact stdout line
+        # so the driver's BENCH_r{N}.json carries it to the next round
+        "calibration": cal,
     }
     detail = dict(out)
     detail["queries_min"] = timings_min
@@ -320,14 +414,43 @@ def main() -> None:
             )
             prev_warmup = prev.get("warmup", prev_round >= 2)
             if prev.get("sf") == out["sf"] and pq and prev_warmup == out["warmup"]:
+                # deltas reported BOTH raw and calibration-normalized
+                # (r11): the normalized column scales the previous
+                # round's time by the host factor from the probe pair,
+                # separating code effects from boot/window drift
+                factor = _host_factor(prev.get("calibration"), cal)
                 deltas = {
                     k: round(v - pq[k], 3) for k, v in timings.items() if k in pq
                 }
                 detail["baseline_round"] = os.path.basename(prev_files[-1])
                 detail["deltas"] = deltas
+                if factor is not None:
+                    detail["host_factor_vs_prev"] = round(factor, 4)
+                    detail["deltas_normalized"] = {
+                        k: round(v - pq[k] * factor, 3)
+                        for k, v in timings.items()
+                        if k in pq
+                    }
+                    print(
+                        f"# host factor vs {os.path.basename(prev_files[-1])}:"
+                        f" {factor:.3f}x",
+                        file=sys.stderr,
+                    )
                 for k, d in sorted(deltas.items(), key=lambda kv: kv[1]):
                     pct = 100.0 * d / pq[k] if pq[k] else 0.0
-                    print(f"# delta {k}: {d:+.3f}s ({pct:+.0f}%)", file=sys.stderr)
+                    if factor is not None:
+                        dn = timings[k] - pq[k] * factor
+                        pn = 100.0 * dn / (pq[k] * factor) if pq[k] else 0.0
+                        print(
+                            f"# delta {k}: {d:+.3f}s ({pct:+.0f}%) |"
+                            f" normalized {dn:+.3f}s ({pn:+.0f}%)",
+                            file=sys.stderr,
+                        )
+                    else:
+                        print(
+                            f"# delta {k}: {d:+.3f}s ({pct:+.0f}%)",
+                            file=sys.stderr,
+                        )
         except (OSError, ValueError, KeyError) as exc:
             print(f"# delta comparison skipped: {exc}", file=sys.stderr)
 
