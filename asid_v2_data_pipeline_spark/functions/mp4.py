@@ -29,12 +29,22 @@ on malformed input — never ``IndexError``/``struct.error``/
 ``MemoryError`` escapes, never unbounded allocation (every table
 count is validated against the remaining box bytes before use).
 
-Out of scope, disclosed: fragmented MP4 (``moof`` movie fragments),
-edit lists (``elst``), composition offsets (``ctts`` — we emit none;
-a present box is ignored and decode timestamps are reported), DRM
-(``sinf``) and codecs whose decoders need tables this sandbox cannot
-provide (AAC, H.26x) — their samples still demux with
-``codec=<fourcc>``, only the decode step is gated downstream.
+Fragmented MP4 (``moof``/``traf``/``trun`` — DASH/CMAF segments and
+live captures, a large share of modern crawled video) is supported
+(VERDICT r10 task 2): ``mvex``/``trex`` track defaults, ``tfhd``
+per-fragment defaults with all three base-data-offset conventions
+(explicit u64 offset, ``default-base-is-moof``, and the spec's
+implicit first-byte-of-moof / end-of-previous-traf rule), ``tfdt``
+decode-time anchoring (absent ⇒ times continue from the previous
+fragment / the moov sample table), and ``trun`` sample runs with
+optional per-sample duration/size/flags and first-sample-flags.
+
+Out of scope, disclosed: edit lists (``elst``), composition offsets
+(``ctts`` — we emit none; a present box is ignored and decode
+timestamps are reported), DRM (``sinf``) and codecs whose decoders
+need tables this sandbox cannot provide (AAC, H.26x) — their samples
+still demux with ``codec=<fourcc>``, only the decode step is gated
+downstream.
 """
 
 from __future__ import annotations
@@ -431,6 +441,7 @@ def parse_mp4(data: bytes) -> Mp4File:
     data = bytes(data)
     brands: list[str] = []
     moov: tuple[int, int] | None = None
+    moofs: list[tuple[int, int, int]] = []  # (box_start, body_start, end)
     for name, s, e in _iter_boxes(data, 0, len(data)):
         if name == "ftyp":
             if e - s < 8:
@@ -442,23 +453,36 @@ def parse_mp4(data: bytes) -> Mp4File:
             ]
         elif name == "moov":
             moov = (s, e)
+        elif name == "moof":
+            # header offset: a normal header puts the fourcc at body-4,
+            # a largesize header at body-12 (size=1, fourcc, u64 size)
+            hdr = s - 8 if data[s - 4 : s] == b"moof" else s - 16
+            moofs.append((hdr, s, e))
     if moov is None:
         raise ValueError("mp4: missing moov box")
     out = Mp4File(brands=brands, tracks={})
+    next_ts: dict[int, int] = {}  # track -> next decode timestamp
     for name, ts_, te_ in _iter_boxes(data, moov[0], moov[1]):
         if name != "trak":
             continue
-        tr, samples = _parse_trak(data, ts_, te_)
+        tr, samples, t_end = _parse_trak(data, ts_, te_)
         if tr.track_id in out.tracks:
             raise ValueError(f"mp4: duplicate track id {tr.track_id}")
         out.tracks[tr.track_id] = tr
         out.samples.extend(samples)
+        next_ts[tr.track_id] = t_end
+    if moofs:
+        trex = _parse_mvex(data, *moov)
+        for box_start, body_s, body_e in moofs:
+            _parse_moof(
+                data, box_start, body_s, body_e, out, trex, next_ts
+            )
     return out
 
 
 def _parse_trak(
     data: bytes, s: int, e: int
-) -> tuple[Mp4Track, list[tuple[int, int, bool, bytes]]]:
+) -> tuple[Mp4Track, list[tuple[int, int, bool, bytes]], int]:
     tk_s, tk_e = _find(data, s, e, "tkhd")
     ver, _, p = _full_body(data, tk_s, tk_e, "tkhd")
     need = p + (8 if ver == 0 else 16) + 4
@@ -583,7 +607,7 @@ def _parse_trak(
         raise ValueError(
             f"mp4: chunk map covers {si} of {n_samples} samples"
         )
-    return tr, samples
+    return tr, samples, t
 
 
 def _parse_stsd(
@@ -620,3 +644,396 @@ def _parse_stsd(
         else:
             raise ValueError(f"mp4: {fourcc} entry without esds")
     return tr
+
+
+# --- movie fragments (moof/traf/trun) ------------------------------------------
+#
+# tfhd optional-field flag bits (ISO/IEC 14496-12 §8.8.7)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC_IDX = 0x000002
+_TFHD_DEF_DURATION = 0x000008
+_TFHD_DEF_SIZE = 0x000010
+_TFHD_DEF_FLAGS = 0x000020
+_TFHD_DURATION_EMPTY = 0x010000
+_TFHD_BASE_IS_MOOF = 0x020000
+# trun optional-field flag bits (§8.8.8)
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTS = 0x000800
+# bit in a 32-bit sample_flags word: sample_is_non_sync_sample
+_FLAG_NON_SYNC = 0x00010000
+
+
+def _parse_mvex(data: bytes, ms: int, me: int) -> dict:
+    """``mvex``/``trex`` track-extends defaults:
+    track_id -> (default_duration, default_size, default_flags).
+    A fragmented file without mvex still parses (empty defaults —
+    every traf must then carry its own via tfhd/trun)."""
+    trex: dict[int, tuple[int, int, int]] = {}
+    for name, s, e in _iter_boxes(data, ms, me):
+        if name != "mvex":
+            continue
+        for n2, s2, e2 in _iter_boxes(data, s, e):
+            if n2 != "trex":
+                continue
+            _, _, p = _full_body(data, s2, e2, "trex")
+            if p + 20 > e2:
+                raise ValueError("mp4: truncated trex")
+            tid = int.from_bytes(data[p : p + 4], "big")
+            dur = int.from_bytes(data[p + 8 : p + 12], "big")
+            size = int.from_bytes(data[p + 12 : p + 16], "big")
+            flags = int.from_bytes(data[p + 16 : p + 20], "big")
+            trex[tid] = (dur, size, flags)
+    return trex
+
+
+def _parse_tfhd(
+    data: bytes, s: int, e: int, trex: dict
+) -> tuple[int, int, int | None, int, int, int]:
+    """(track_id, tf_flags, base_data_offset|None, default_duration,
+    default_size, default_flags) with trex fallbacks applied."""
+    _, fl, p = _full_body(data, s, e, "tfhd")
+    if p + 4 > e:
+        raise ValueError("mp4: truncated tfhd")
+    tid = int.from_bytes(data[p : p + 4], "big")
+    p += 4
+    t_dur, t_size, t_flags = trex.get(tid, (0, 0, 0))
+    base = None
+    if fl & _TFHD_BASE_DATA_OFFSET:
+        if p + 8 > e:
+            raise ValueError("mp4: truncated tfhd base-data-offset")
+        base = int.from_bytes(data[p : p + 8], "big")
+        p += 8
+    if fl & _TFHD_SAMPLE_DESC_IDX:
+        if p + 4 > e:
+            raise ValueError("mp4: truncated tfhd sample-desc-index")
+        p += 4
+    if fl & _TFHD_DEF_DURATION:
+        if p + 4 > e:
+            raise ValueError("mp4: truncated tfhd default-duration")
+        t_dur = int.from_bytes(data[p : p + 4], "big")
+        p += 4
+    if fl & _TFHD_DEF_SIZE:
+        if p + 4 > e:
+            raise ValueError("mp4: truncated tfhd default-size")
+        t_size = int.from_bytes(data[p : p + 4], "big")
+        p += 4
+    if fl & _TFHD_DEF_FLAGS:
+        if p + 4 > e:
+            raise ValueError("mp4: truncated tfhd default-flags")
+        t_flags = int.from_bytes(data[p : p + 4], "big")
+        p += 4
+    return tid, fl, base, t_dur, t_size, t_flags
+
+
+def _parse_moof(
+    data: bytes,
+    box_start: int,
+    s: int,
+    e: int,
+    out: Mp4File,
+    trex: dict,
+    next_ts: dict,
+) -> None:
+    """Demux one movie fragment, appending samples to ``out`` and
+    advancing each track's running decode time in ``next_ts``.
+
+    Base-data-offset resolution (all three spec conventions):
+    explicit tfhd offset > ``default-base-is-moof`` (moof first byte)
+    > implicit (moof first byte for the first traf, end of the
+    previous traf's data for subsequent trafs)."""
+    _find(data, s, e, "mfhd")  # presence-validated; sequence unused
+    prev_traf_end: int | None = None
+    for name, ts_, te_ in _iter_boxes(data, s, e):
+        if name != "traf":
+            continue
+        th_s, th_e = _find(data, ts_, te_, "tfhd")
+        tid, tf_fl, base, d_dur, d_size, d_flags = _parse_tfhd(
+            data, th_s, th_e, trex
+        )
+        if tid not in out.tracks:
+            raise ValueError(f"mp4: traf for unknown track {tid}")
+        if base is None:
+            if tf_fl & _TFHD_BASE_IS_MOOF or prev_traf_end is None:
+                base = box_start
+            else:
+                base = prev_traf_end
+        t = next_ts.get(tid, 0)
+        for n2, s2, e2 in _iter_boxes(data, ts_, te_):
+            if n2 == "tfdt":
+                ver, _, p = _full_body(data, s2, e2, "tfdt")
+                w = 4 if ver == 0 else 8
+                if p + w > e2:
+                    raise ValueError("mp4: truncated tfdt")
+                t = int.from_bytes(data[p : p + w], "big")
+        if tf_fl & _TFHD_DURATION_EMPTY:
+            next_ts[tid] = t
+            prev_traf_end = prev_traf_end if prev_traf_end is not None else base
+            continue
+        pos = base  # running data cursor across this traf's truns
+        for n2, s2, e2 in _iter_boxes(data, ts_, te_):
+            if n2 != "trun":
+                continue
+            _, fl, p = _full_body(data, s2, e2, "trun")
+            if p + 4 > e2:
+                raise ValueError("mp4: truncated trun count")
+            count = int.from_bytes(data[p : p + 4], "big")
+            p += 4
+            per = sum(
+                4
+                for bit in (
+                    _TRUN_SAMPLE_DURATION,
+                    _TRUN_SAMPLE_SIZE,
+                    _TRUN_SAMPLE_FLAGS,
+                    _TRUN_SAMPLE_CTS,
+                )
+                if fl & bit
+            )
+            head = (4 if fl & _TRUN_DATA_OFFSET else 0) + (
+                4 if fl & _TRUN_FIRST_FLAGS else 0
+            )
+            if p + head + count * per > e2:
+                raise ValueError("mp4: trun table exceeds box")
+            if fl & _TRUN_DATA_OFFSET:
+                doff = int.from_bytes(data[p : p + 4], "big", signed=True)
+                pos = base + doff
+                p += 4
+            first_flags = None
+            if fl & _TRUN_FIRST_FLAGS:
+                first_flags = int.from_bytes(data[p : p + 4], "big")
+                p += 4
+            for i in range(count):
+                dur, size, sfl = d_dur, d_size, d_flags
+                if fl & _TRUN_SAMPLE_DURATION:
+                    dur = int.from_bytes(data[p : p + 4], "big")
+                    p += 4
+                if fl & _TRUN_SAMPLE_SIZE:
+                    size = int.from_bytes(data[p : p + 4], "big")
+                    p += 4
+                if fl & _TRUN_SAMPLE_FLAGS:
+                    sfl = int.from_bytes(data[p : p + 4], "big")
+                    p += 4
+                if fl & _TRUN_SAMPLE_CTS:
+                    p += 4  # composition offsets disclosed-ignored
+                if i == 0 and first_flags is not None:
+                    sfl = first_flags
+                if size == 0 and d_size == 0:
+                    raise ValueError(
+                        "mp4: trun sample without size or default"
+                    )
+                if pos + size > len(data):
+                    raise ValueError("mp4: fragment sample exceeds file")
+                key = not (sfl & _FLAG_NON_SYNC)
+                out.samples.append(
+                    (tid, t, key, data[pos : pos + size])
+                )
+                pos += size
+                t += dur
+        next_ts[tid] = t
+        prev_traf_end = pos
+
+
+def write_mp4_fragmented(
+    samples: list[tuple[int, int, bool, bytes]],
+    tracks: list[Mp4Track],
+    frag_samples: int = 4,
+    default_delta: int = 1,
+    base_mode: str = "moof",
+    with_tfdt: bool = True,
+) -> bytes:
+    """Mux samples into a deterministic FRAGMENTED MP4 (CMAF-shaped):
+    ``ftyp`` + ``moov`` (empty sample tables + ``mvex``/``trex``) +
+    per-fragment ``moof``+``mdat`` with ``frag_samples`` samples per
+    track per fragment.  ``base_mode`` selects the data-addressing
+    convention the fixture exercises: ``"moof"`` (default-base-is-moof
+    + trun data-offset), ``"explicit"`` (tfhd base-data-offset), or
+    ``"implicit"`` (neither flag: first traf addresses from the moof
+    first byte, later trafs from the previous traf's data end — the
+    spec's fallback rule).  ``with_tfdt=False`` exercises the
+    continue-from-previous-fragment decode-time path."""
+    if frag_samples < 1:
+        raise ValueError("mp4: frag_samples must be >= 1")
+    if base_mode not in ("moof", "explicit", "implicit"):
+        raise ValueError(f"mp4: unknown base_mode {base_mode!r}")
+    by_track: dict[int, list[tuple[int, bool, bytes]]] = {
+        t.track_id: [] for t in tracks
+    }
+    for tid, ts, key, payload in samples:
+        if tid not in by_track:
+            raise ValueError(f"mp4: sample for unknown track {tid}")
+        by_track[tid].append((int(ts), bool(key), bytes(payload)))
+    durs: dict[int, list[int]] = {}
+    for tid, lst in by_track.items():
+        lst.sort(key=lambda s: s[0])
+        tss = [s[0] for s in lst]
+        deltas = [tss[i + 1] - tss[i] for i in range(len(tss) - 1)]
+        for d in deltas:
+            if d < 0:
+                raise ValueError("mp4: negative decode delta")
+        if lst:
+            deltas.append(deltas[-1] if deltas else default_delta)
+        durs[tid] = deltas
+
+    ftyp = _box(
+        "ftyp", b"iso5" + _u32(0x200) + b"iso5iso6mp41"
+    )
+    # moov: same track headers as write_mp4 but EMPTY sample tables,
+    # plus mvex/trex (fragment defaults: duration=default_delta)
+    empty_tables = (
+        _full("stts", 0, 0, _u32(0))
+        + _full("stsc", 0, 0, _u32(0))
+        + _full("stsz", 0, 0, _u32(0) + _u32(0))
+        + _full("stco", 0, 0, _u32(0))
+    )
+    traks = []
+    trexes = []
+    for t in tracks:
+        stbl = _full("stsd", 0, 0, _u32(1) + _sample_entry(t)) + empty_tables
+        mhd = (
+            _full("smhd", 0, 0, _u32(0))
+            if t.kind == "audio"
+            else _full("vmhd", 0, 1, _u32(0) + _u32(0))
+        )
+        dinf = _box(
+            "dinf", _full("dref", 0, 0, _u32(1) + _full("url ", 0, 1, b""))
+        )
+        minf = _box("minf", mhd + dinf + _box("stbl", stbl))
+        hdlr = _full(
+            "hdlr", 0, 0,
+            _u32(0)
+            + (b"soun" if t.kind == "audio" else b"vide")
+            + _u32(0) * 3
+            + b"\x00",
+        )
+        mdhd = _full(
+            "mdhd", 0, 0,
+            _u32(0) + _u32(0) + _u32(t.timescale) + _u32(0)
+            + _u16(0x55C4)
+            + _u16(0),
+        )
+        tkhd = _full(
+            "tkhd", 0, 3,
+            _u32(0) + _u32(0) + _u32(t.track_id) + _u32(0) + _u32(0)
+            + _u32(0) * 2 + _u16(0) * 2
+            + _u16(0x0100 if t.kind == "audio" else 0) + _u16(0)
+            + _u32(0x00010000) + _u32(0) * 2
+            + _u32(0) + _u32(0x00010000) + _u32(0)
+            + _u32(0) * 2 + _u32(0x40000000)
+            + _u32(t.width << 16) + _u32(t.height << 16),
+        )
+        traks.append(_box("trak", tkhd + _box("mdia", mdhd + hdlr + minf)))
+        trexes.append(
+            _full(
+                "trex", 0, 0,
+                _u32(t.track_id) + _u32(1)  # sample-description index
+                + _u32(default_delta) + _u32(0) + _u32(_FLAG_NON_SYNC),
+            )
+        )
+    mvhd = _full(
+        "mvhd", 0, 0,
+        _u32(0) + _u32(0) + _u32(1000) + _u32(0)
+        + _u32(0x00010000) + _u16(0x0100) + _u16(0) + _u32(0) * 2
+        + _u32(0x00010000) + _u32(0) * 2
+        + _u32(0) + _u32(0x00010000) + _u32(0)
+        + _u32(0) * 2 + _u32(0x40000000)
+        + _u32(0) * 6
+        + _u32(max(t.track_id for t in tracks) + 1 if tracks else 1),
+    )
+    mehd = _full("mehd", 0, 0, _u32(0))
+    moov = _box(
+        "moov", mvhd + b"".join(traks) + _box("mvex", mehd + b"".join(trexes))
+    )
+
+    out = bytearray(ftyp + moov)
+    n_frags = max(
+        (-(-len(lst) // frag_samples) for lst in by_track.values() if lst),
+        default=0,
+    )
+    for fi in range(n_frags):
+        moof_start = len(out)
+        # assemble trafs with placeholder offsets, then fix up: the
+        # mdat body starts at moof_start + len(moof) + 8
+        trafs = []
+        frag_payloads: list[bytes] = []
+        traf_specs = []  # (tid, tfdt_t, runs of (dur, size, flags))
+        for t in tracks:
+            lst = by_track[t.track_id]
+            lo, hi = fi * frag_samples, min((fi + 1) * frag_samples, len(lst))
+            if lo >= hi:
+                continue
+            rows = []
+            for i in range(lo, hi):
+                _, key, payload = lst[i]
+                rows.append(
+                    (
+                        durs[t.track_id][i],
+                        len(payload),
+                        0 if key else _FLAG_NON_SYNC,
+                    )
+                )
+                frag_payloads.append(lst[i][2])
+            traf_specs.append((t.track_id, lst[lo][0], rows))
+
+        def build(moof_len: int) -> bytes:
+            mdat_body = moof_start + moof_len + 8
+            cursor = mdat_body
+            trafs.clear()
+            for tid, t0, rows in traf_specs:
+                tf_flags = 0
+                body = _u32(tid)
+                if base_mode == "explicit":
+                    tf_flags |= _TFHD_BASE_DATA_OFFSET
+                    body += int(cursor).to_bytes(8, "big")
+                elif base_mode == "moof":
+                    tf_flags |= _TFHD_BASE_IS_MOOF
+                tfhd = _full("tfhd", 0, tf_flags, body)
+                tfdt = (
+                    _full("tfdt", 1, 0, int(t0).to_bytes(8, "big"))
+                    if with_tfdt
+                    else b""
+                )
+                tr_flags = (
+                    _TRUN_SAMPLE_DURATION
+                    | _TRUN_SAMPLE_SIZE
+                    | _TRUN_SAMPLE_FLAGS
+                )
+                if base_mode == "explicit":
+                    # base-data-offset already points at this traf's
+                    # data; the offset is present but zero
+                    tr_flags |= _TRUN_DATA_OFFSET
+                    doff = (0).to_bytes(4, "big", signed=True)
+                elif base_mode == "moof" or not trafs:
+                    # moof-relative addressing; implicit mode's FIRST
+                    # traf also bases at the moof first byte, so it
+                    # needs the offset to reach past the moof into mdat
+                    tr_flags |= _TRUN_DATA_OFFSET
+                    doff = int(cursor - moof_start).to_bytes(
+                        4, "big", signed=True
+                    )
+                else:
+                    # implicit mode, later trafs: no offset — exercise
+                    # the end-of-previous-traf's-data spec fallback
+                    doff = b""
+                trun = _full(
+                    "trun",
+                    0,
+                    tr_flags,
+                    _u32(len(rows))
+                    + doff
+                    + b"".join(
+                        _u32(d) + _u32(sz) + _u32(fl) for d, sz, fl in rows
+                    ),
+                )
+                trafs.append(_box("traf", tfhd + tfdt + trun))
+                cursor += sum(sz for _d, sz, _f in rows)
+            mfhd = _full("mfhd", 0, 0, _u32(fi + 1))
+            return _box("moof", mfhd + b"".join(trafs))
+
+        # two-pass fixup: build once to learn the length, rebuild with
+        # the real offsets (length is offset-independent)
+        moof = build(len(build(0)))
+        out += moof + _box("mdat", b"".join(frag_payloads))
+    return bytes(out)

@@ -189,3 +189,134 @@ def test_mp4_rejects_junk():
 
     with pytest.raises(ValueError, match="moov"):
         parse_mp4(_box("ftyp", b"isom\x00\x00\x02\x00isom"))
+
+
+def test_mp4_fragmented_equals_progressive():
+    """r11 (VERDICT r10 task 2): the same content muxed fragmented
+    (moof/traf/trun) demuxes to exactly the samples the progressive
+    layout yields — across all three base-data-offset conventions and
+    with/without tfdt anchoring."""
+    from asid_v2_data_pipeline_spark.functions.mp4 import (
+        write_mp4_fragmented,
+    )
+
+    samples = [(1, i * 1152, True, bytes([i]) * (20 + i)) for i in range(11)]
+    samples += [(2, i * 40, i % 3 == 0, bytes([99 - i]) * (5 + i)) for i in range(7)]
+    tracks = [_audio(), _video()]
+    base = _norm(parse_mp4(write_mp4(samples, tracks)).samples)
+    for mode in ("moof", "explicit", "implicit"):
+        for tfdt in (True, False):
+            got = parse_mp4(
+                write_mp4_fragmented(
+                    samples, tracks, frag_samples=3,
+                    base_mode=mode, with_tfdt=tfdt,
+                )
+            )
+            assert _norm(got.samples) == base, (mode, tfdt)
+            assert got.tracks[1].codec == "mp3"
+            assert got.tracks[2].codec == "raw"
+
+
+def test_mp4_fragmented_randomized_matrix():
+    """Seeded matrix over fragment sizes, track mixes and conventions."""
+    from asid_v2_data_pipeline_spark.functions.mp4 import (
+        write_mp4_fragmented,
+    )
+
+    rng = np.random.default_rng(47)
+    for trial in range(25):
+        n_tracks = int(rng.integers(1, 4))
+        tracks = []
+        samples = []
+        for t in range(n_tracks):
+            tid = t + 1
+            is_audio = bool(rng.integers(0, 2))
+            if is_audio:
+                tracks.append(_audio(tid))
+            else:
+                tracks.append(_video(tid))
+            n = int(rng.integers(0, 12))
+            delta = int(rng.integers(1, 200))
+            for i in range(n):
+                samples.append(
+                    (
+                        tid,
+                        i * delta,
+                        # write_mp4 emits stss (and so preserves
+                        # non-sync flags) only for video tracks;
+                        # audio samples are all-sync, as in practice
+                        True if is_audio else bool(rng.integers(0, 2)),
+                        bytes(
+                            rng.integers(
+                                0, 256, int(rng.integers(1, 40))
+                            ).astype(np.uint8)
+                        ),
+                    )
+                )
+        mode = ("moof", "explicit", "implicit")[int(rng.integers(0, 3))]
+        frag = int(rng.integers(1, 6))
+        base = _norm(parse_mp4(write_mp4(samples, tracks)).samples)
+        got = parse_mp4(
+            write_mp4_fragmented(
+                samples, tracks, frag_samples=frag, base_mode=mode,
+                with_tfdt=bool(rng.integers(0, 2)),
+            )
+        )
+        assert _norm(got.samples) == base, (trial, mode, frag)
+
+
+def test_mp4_fragmented_fuzz_fail_loudly():
+    """The r10 truncation+flip fuzz contract extended to fragment
+    boxes (moof/mfhd/traf/tfhd/tfdt/trun)."""
+    from asid_v2_data_pipeline_spark.functions.mp4 import (
+        write_mp4_fragmented,
+    )
+
+    rng = np.random.default_rng(59)
+    samples = [(1, i * 26, True, bytes([i] * 30)) for i in range(6)]
+    samples += [(2, i * 40, i % 2 == 0, bytes([i] * 9)) for i in range(5)]
+    blob = write_mp4_fragmented(
+        samples, [_audio(), _video()], frag_samples=2
+    )
+    for cut in range(0, len(blob), max(1, len(blob) // 120)):
+        try:
+            parse_mp4(blob[:cut])
+        except ValueError:
+            pass
+    for _ in range(800):
+        b = bytearray(blob)
+        b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+        try:
+            parse_mp4(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_mp4_fragment_malformed_raise():
+    """Structural fragment corruption raises with a useful message."""
+    from asid_v2_data_pipeline_spark.functions.mp4 import (
+        _box,
+        _full,
+        _u32,
+        write_mp4_fragmented,
+    )
+
+    samples = [(1, i * 26, True, bytes([i] * 12)) for i in range(4)]
+    good = write_mp4_fragmented(samples, [_audio()], frag_samples=2)
+    # traf for an unknown track id
+    bad = bytearray(good)
+    at = bad.find(b"tfhd")
+    bad[at + 8 : at + 12] = _u32(77)
+    with pytest.raises(ValueError, match="unknown track"):
+        parse_mp4(bytes(bad))
+    # trun count exceeding the box
+    bad = bytearray(good)
+    at = bad.find(b"trun")
+    bad[at + 8 : at + 12] = _u32(1 << 24)
+    with pytest.raises(ValueError, match="trun"):
+        parse_mp4(bytes(bad))
+    # a moof with no mfhd
+    frag = _box("moof", _box("traf", _full("tfhd", 0, 0, _u32(1))))
+    head = good[: good.find(b"moof") - 4]
+    with pytest.raises(ValueError, match="mfhd"):
+        parse_mp4(bytes(head) + frag)
