@@ -21,7 +21,7 @@ def entry(spark: SparkSession) -> DataFrame:
     MinHash near-dup dedup → benchmark decontamination → per-source
     quota → language mixture, one DataFrame plan (oracle-checked as
     ``cur_pipeline``)."""
-    from asid_v2_data_pipeline_spark.queries.scale import cur_pipeline
+    from asid_v2_data_pipeline_spark.queries.curation import cur_pipeline
 
     return cur_pipeline(spark, "/root/testdata/sf0.001")
 

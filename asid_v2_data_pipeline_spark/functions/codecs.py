@@ -1549,7 +1549,7 @@ def write_gif(
 # FIXED-POINT INTEGER arithmetic end-to-end.  The integer transform is
 # deliberate: every step (DCT, quantize, dequantize, IDCT, clamp) is
 # exact integer math with one explicit rounding rule, so an independent
-# implementation (the DuckDB oracle in queries/scale.py::_mm_jpeg_sql)
+# implementation (the DuckDB oracle in queries/media.py::_mm_jpeg_sql)
 # can reproduce decode(encode(x)) bit-for-bit — the property the octet-
 # exact mm_* parity checks are built on.  A float DCT would round-trip
 # "almost always", which is exactly the kind of correctness a value-hash

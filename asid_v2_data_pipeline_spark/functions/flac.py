@@ -17,7 +17,7 @@ codecs in ``functions/codecs.py``:
 
 Because FLAC is lossless the DuckDB oracle for any query over decoded
 samples can recompute from the pre-encode samples directly — the same
-octet-exact oracle pattern as PNG/GIF (see ``queries/scale.py``).
+octet-exact oracle pattern as PNG/GIF (see ``queries/media.py``).
 
 Reference parity note: the reference pipeline's only media container is
 netCDF rasters (``/root/reference/asip_v2/archive.py:19``); this module

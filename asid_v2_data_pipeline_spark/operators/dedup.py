@@ -917,7 +917,7 @@ def semantic_dedup(
     pairs).
 
     Input must carry a cluster assignment (e.g. nearest-centroid argmin —
-    ``queries/scale.py::dd_semantic`` derives one from per-label
+    ``queries/analysis.py::dd_semantic`` derives one from per-label
     centroids).  The pair join is an **equi-join on the cluster id**: at
     100 TB candidates are bounded per cluster — pairs never cross
     clusters, so cost is Σ|cluster|², the quantity k-means sizing

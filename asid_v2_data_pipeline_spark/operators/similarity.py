@@ -383,7 +383,7 @@ def with_int8_codes(
     kept: cosine is scale-invariant, so ADC scoring needs only the codes
     (a dot-product/L2 consumer would keep ``s``).  Two projections so the
     scale binds once (the bind-once HOF discipline of
-    ``queries/scale.py::sim_quantize_int8``, which is this quantizer's
+    ``queries/analysis.py::sim_quantize_int8``, which is this quantizer's
     oracle-checked audit query)."""
     sc = df.withColumn(
         "_adc_s",

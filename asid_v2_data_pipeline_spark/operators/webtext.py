@@ -11,7 +11,7 @@ Execution shape: a zero-shuffle Arrow ``mapInPandas`` kernel over the
 payload column — per-payload work is independent, so the operator
 scales linearly with executors and the only exchange is whatever
 partitioning the caller already has (the media fixture path byte-bounds
-its Arrow batches upstream, ``queries/scale.py:_bounded_media_read``).
+its Arrow batches upstream, ``queries/_shared.py:_bounded_media_read``).
 
 Fail-fast by default; ``extract_warc_text_admitting`` is the
 quarantining production twin (SCALE.md round 10): one corrupt object

@@ -1,5 +1,5 @@
 """Streaming MEDIA admission: the audio curation funnel
-(``queries/scale.py:mm_audio_curation``) as a continuous ingest loop —
+(``queries/audio.py:mm_audio_curation``) as a continuous ingest loop —
 the multimodal twin of ``dedup_stream``.
 
 Media payloads arrive continuously; each micro-batch is REALLY decoded
@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup_stream import _read_index
+from .admission import (
+    admission_stream,
+    dedup_by_fingerprint,
+    process_admission_batch,
+)
 
 FP_SCHEMA = "fp long, media_id long"
 
@@ -81,18 +85,8 @@ def admit_media_batch(
         & (F.col("n_clip") / n <= max_clip)
         & (F.col("n_silence") / n <= max_silence)
     )
-    # vs-index: any already-admitted fingerprint drops the newcomer
-    if index_rows is not None:
-        gated = gated.join(
-            F.broadcast(index_rows.select("fp").distinct()),
-            "fp",
-            "left_anti",
-        )
-    # within-batch: min media_id per fingerprint survives
-    survivors = gated.groupBy("fp").agg(
-        F.min("media_id").alias("media_id")
-    )
-    admitted = gated.join(survivors, ["fp", "media_id"])
+    # vs-index + within-batch dedup: the shared harness tail
+    admitted = dedup_by_fingerprint(gated, index_rows)
     return admitted, admitted.select("fp", "media_id")
 
 
@@ -109,21 +103,13 @@ def process_media_batch(
     Running it twice with the same ``batch_id`` yields identical
     persisted state (same strictly-before rationale as
     ``dedup_stream.process_batch``)."""
-    sp = batch.sparkSession
-    index_rows = _read_index(sp, index_dir)
-    if index_rows is not None:
-        index_rows = index_rows.filter(F.col("_bid") < F.lit(batch_id))
-    admitted, fp_rows = admit_media_batch(batch, index_rows, **gates)
-    admitted.persist()
-    try:
-        admitted.write.mode("overwrite").parquet(
-            f"{corpus_dir}/_bid={batch_id}"
-        )
-        fp_rows.write.mode("overwrite").parquet(
-            f"{index_dir}/_bid={batch_id}"
-        )
-    finally:
-        admitted.unpersist()
+    process_admission_batch(
+        batch,
+        batch_id,
+        lambda b, idx: admit_media_batch(b, idx, **gates),
+        corpus_dir,
+        index_dir,
+    )
 
 
 def audio_admission_stream(
@@ -138,21 +124,12 @@ def audio_admission_stream(
     """Run the streaming media-admission loop (``availableNow`` drain)
     over a parquet directory of ``(media_id long, payload binary)``
     rows.  Returns the StreamingQuery."""
-    stream = (
-        spark.readStream.format("parquet")
-        .schema("media_id long, payload binary")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(input_dir)
-    )
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         process_media_batch(
             batch, batch_id, corpus_dir, index_dir, **gates
         )
 
-    return (
-        stream.writeStream.foreachBatch(_step)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return admission_stream(
+        spark, input_dir, _step, checkpoint_dir, max_files_per_trigger
     )

@@ -1,5 +1,5 @@
 """Streaming RECORD-SHARD ingestion: the TFRecord → tf.Example funnel
-(``queries/scale.py:src_tfrecord_scan`` / ``src_tfrecord_quarantine``)
+(``queries/webshards.py:src_tfrecord_scan`` / ``src_tfrecord_quarantine``)
 as a continuous ingest loop — the shard sibling of
 ``webtext_stream``.
 
@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from .dedup_stream import _read_index
+from .admission import (
+    admission_stream,
+    dedup_by_fingerprint,
+    process_admission_batch,
+)
 
 
 def admit_shard_batch(
@@ -65,22 +69,8 @@ def admit_shard_batch(
             tx.char_poly_hash(F.col("txt")).alias("fp"),
         )
     )
-    if index_rows is not None:
-        gated = gated.join(
-            F.broadcast(index_rows.select("fp").distinct()),
-            "fp",
-            "left_anti",
-        )
-    survivors = gated.groupBy("fp").agg(
-        F.min(F.struct("media_id", "key")).alias("w")
-    )
-    admitted = gated.join(
-        survivors.select(
-            "fp", F.col("w.media_id").alias("media_id"),
-            F.col("w.key").alias("key"),
-        ),
-        ["fp", "media_id", "key"],
-    )
+    # vs-index + within-batch dedup: the shared harness tail
+    admitted = dedup_by_fingerprint(gated, index_rows, keys=("media_id", "key"))
     return admitted, admitted.select("fp", "media_id"), quarantined
 
 
@@ -96,26 +86,14 @@ def process_shard_batch(
     index partitions + within batch, then overwrite this batch's
     ``_bid`` partitions in all three sinks.  Running it twice with
     the same ``batch_id`` yields identical persisted state."""
-    sp = batch.sparkSession
-    index_rows = _read_index(sp, index_dir)
-    if index_rows is not None:
-        index_rows = index_rows.filter(F.col("_bid") < F.lit(batch_id))
-    admitted, fp_rows, quarantined = admit_shard_batch(
-        batch, index_rows, **gates
+    process_admission_batch(
+        batch,
+        batch_id,
+        lambda b, idx: admit_shard_batch(b, idx, **gates),
+        corpus_dir,
+        index_dir,
+        quarantine_dir,
     )
-    admitted.persist()
-    try:
-        admitted.write.mode("overwrite").parquet(
-            f"{corpus_dir}/_bid={batch_id}"
-        )
-        fp_rows.write.mode("overwrite").parquet(
-            f"{index_dir}/_bid={batch_id}"
-        )
-        quarantined.write.mode("overwrite").parquet(
-            f"{quarantine_dir}/_bid={batch_id}"
-        )
-    finally:
-        admitted.unpersist()
 
 
 def shard_ingest_stream(
@@ -131,12 +109,6 @@ def shard_ingest_stream(
     """Run the streaming shard-ingestion loop (``availableNow``
     drain) over a parquet directory of ``(media_id long, payload
     binary)`` rows.  Returns the StreamingQuery."""
-    stream = (
-        spark.readStream.format("parquet")
-        .schema("media_id long, payload binary")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(input_dir)
-    )
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         process_shard_batch(
@@ -144,9 +116,6 @@ def shard_ingest_stream(
             **gates,
         )
 
-    return (
-        stream.writeStream.foreachBatch(_step)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return admission_stream(
+        spark, input_dir, _step, checkpoint_dir, max_files_per_trigger
     )

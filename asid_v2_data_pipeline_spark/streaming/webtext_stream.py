@@ -1,5 +1,5 @@
 """Streaming WEB-CRAWL ingestion: the WARC → HTML → text funnel
-(``queries/scale.py:tx_warc_extract`` / ``cur_warc_pipeline``) as a
+(``queries/webshards.py:tx_warc_extract`` / ``cur_warc_pipeline``) as a
 continuous ingest loop — the web-text sibling of ``media_stream``.
 
 WARC objects arrive continuously (a crawler drops ``.warc.gz`` files
@@ -37,7 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
-from .dedup_stream import _read_index
+from .admission import (
+    admission_stream,
+    dedup_by_fingerprint,
+    process_admission_batch,
+)
 
 
 def admit_warc_batch(
@@ -72,16 +76,8 @@ def admit_warc_batch(
             tx.char_poly_hash(F.col("text")).alias("fp"),
         )
     )
-    if index_rows is not None:
-        gated = gated.join(
-            F.broadcast(index_rows.select("fp").distinct()),
-            "fp",
-            "left_anti",
-        )
-    survivors = gated.groupBy("fp").agg(
-        F.min("media_id").alias("media_id")
-    )
-    admitted = gated.join(survivors, ["fp", "media_id"])
+    # vs-index + within-batch dedup: the shared harness tail
+    admitted = dedup_by_fingerprint(gated, index_rows, keys=("media_id",))
     return admitted, admitted.select("fp", "media_id"), quarantined
 
 
@@ -98,26 +94,14 @@ def process_warc_batch(
     within batch, then overwrite this batch's ``_bid`` partitions in
     all three sinks.  Running it twice with the same ``batch_id``
     yields identical persisted state."""
-    sp = batch.sparkSession
-    index_rows = _read_index(sp, index_dir)
-    if index_rows is not None:
-        index_rows = index_rows.filter(F.col("_bid") < F.lit(batch_id))
-    admitted, fp_rows, quarantined = admit_warc_batch(
-        batch, index_rows, **gates
+    process_admission_batch(
+        batch,
+        batch_id,
+        lambda b, idx: admit_warc_batch(b, idx, **gates),
+        corpus_dir,
+        index_dir,
+        quarantine_dir,
     )
-    admitted.persist()
-    try:
-        admitted.write.mode("overwrite").parquet(
-            f"{corpus_dir}/_bid={batch_id}"
-        )
-        fp_rows.write.mode("overwrite").parquet(
-            f"{index_dir}/_bid={batch_id}"
-        )
-        quarantined.write.mode("overwrite").parquet(
-            f"{quarantine_dir}/_bid={batch_id}"
-        )
-    finally:
-        admitted.unpersist()
 
 
 def warc_ingest_stream(
@@ -133,12 +117,6 @@ def warc_ingest_stream(
     """Run the streaming web-crawl ingestion loop (``availableNow``
     drain) over a parquet directory of ``(media_id long, payload
     binary)`` rows.  Returns the StreamingQuery."""
-    stream = (
-        spark.readStream.format("parquet")
-        .schema("media_id long, payload binary")
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .load(input_dir)
-    )
 
     def _step(batch: DataFrame, batch_id: int) -> None:
         process_warc_batch(
@@ -146,9 +124,6 @@ def warc_ingest_stream(
             **gates,
         )
 
-    return (
-        stream.writeStream.foreachBatch(_step)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return admission_stream(
+        spark, input_dir, _step, checkpoint_dir, max_files_per_trigger
     )

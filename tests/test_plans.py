@@ -470,7 +470,7 @@ def test_collect_sites_are_whitelisted_and_bounded():
             (1, "one count row per bucket (fixed bucket count)"),
         ("plans/incremental.py", "run_incremental_build"):
             (1, "unprocessed scene NAMES (ledger anti-join, not rows)"),
-        ("queries/scale.py", "_cluster_assign"):
+        ("queries/analysis.py", "_cluster_assign"):
             (1, "k cluster centroids (k*dim)"),
         ("sources/compact.py", "compact_parquet_dir"):
             (2, "per-FILE stats rows, twice (before/after counts)"),

@@ -535,7 +535,7 @@ def test_mm_oracle_octet_level_non_ascii(spark):
     character-level oracle would diverge."""
     import duckdb
 
-    from asid_v2_data_pipeline_spark.queries.scale import MM_SQL
+    from asid_v2_data_pipeline_spark.queries.media import MM_SQL
 
     docs = [(1, "héllo wörld"), (2, "日本語テキスト"), (3, "plain ascii"), (4, "mix: café 🌍")]
     d = spark.createDataFrame(docs, "doc_id bigint, text string")
@@ -1737,7 +1737,7 @@ def test_contrastive_triples_are_non_degenerate(spark):
     """Negatives are never the anchor/positive and never a known
     near-dup of the anchor, even for a single-pair corpus (which emits
     nothing rather than a poisoned triple)."""
-    from asid_v2_data_pipeline_spark.queries.scale import (
+    from asid_v2_data_pipeline_spark.queries.dedup_sim import (
         ds_contrastive_pairs,
     )
 
@@ -1809,7 +1809,7 @@ def test_bpe_encode_replace_chain_equals_reference_bpe(spark):
     merge application (all non-overlapping occurrences, ranked order)
     on every token — including the 'a a a' overlap and cross-symbol
     false-match traps the delimiters exist to kill."""
-    from asid_v2_data_pipeline_spark.queries.scale import _BPE_MERGES
+    from asid_v2_data_pipeline_spark.queries.analysis import _BPE_MERGES
 
     def ref_encode(tok: str) -> list[str]:
         syms = list(tok)
@@ -1859,7 +1859,7 @@ def test_media_arrow_batches_are_byte_bounded(spark, tmp_path, monkeypatch):
     import numpy as np
     import pandas as pd
 
-    from asid_v2_data_pipeline_spark.queries import scale as S
+    from asid_v2_data_pipeline_spark.queries import _shared as S
 
     # 48 docs x ~1 MiB of incompressible payload = ~48 MiB
     rng = np.random.default_rng(3)
