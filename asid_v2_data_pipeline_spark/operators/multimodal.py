@@ -2641,3 +2641,62 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         for i in range(n)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+VORBIS_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("bitrate_nominal", T.IntegerType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("n_tags", T.IntegerType(), False),
+        T.StructField("n_codebooks", T.IntegerType(), False),
+        T.StructField("n_modes", T.IntegerType(), False),
+        T.StructField("n_audio_packets", T.IntegerType(), False),
+        T.StructField("last_granule", T.LongType(), False),
+    ]
+)
+
+
+def extract_vorbis_meta(media: DataFrame) -> DataFrame:
+    """Ogg-Vorbis METADATA extraction (r11, the bounded Vorbis spike
+    — VERDICT r10 task 5): parse each payload's Vorbis header triple
+    (``functions/vorbis.py`` — identification, comment tags, and the
+    FULL setup: codebooks with Huffman/VQ validation, floors,
+    residues, mappings, modes) into the typed columns a curation
+    pipeline routes on, plus the Ogg-level packet count and final
+    granule (PCM duration).  The audio packets stay opaque — the
+    floor/residue/MDCT reconstruction is the adjudicated boundary
+    (SCALE.md §Vorbis), the metadata layer is real.  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.vorbis import parse_ogg_vorbis
+
+        cols = (
+            "media_id", "channels", "sample_rate", "bitrate_nominal",
+            "title", "n_tags", "n_codebooks", "n_modes",
+            "n_audio_packets", "last_granule",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                info = parse_ogg_vorbis(bytes(p))
+                rows["media_id"].append(mid)
+                rows["channels"].append(info["channels"])
+                rows["sample_rate"].append(info["sample_rate"])
+                rows["bitrate_nominal"].append(info["bitrate_nominal"])
+                rows["title"].append(info["tags"].get("TITLE"))
+                rows["n_tags"].append(len(info["tags"]))
+                rows["n_codebooks"].append(
+                    len(info["setup"]["codebooks"])
+                )
+                rows["n_modes"].append(len(info["setup"]["modes"]))
+                rows["n_audio_packets"].append(info["n_audio_packets"])
+                rows["last_granule"].append(info["last_granule"])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, VORBIS_META_SCHEMA)

@@ -109,6 +109,7 @@ def _codec_fprint() -> str:
             "functions/ico.py",
             "functions/tensors.py",
             "functions/rasters.py",
+            "functions/vorbis.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):

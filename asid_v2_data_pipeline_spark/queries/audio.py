@@ -2330,6 +2330,81 @@ FROM base ORDER BY doc_id
 
 _FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
 
+
+def _ogg_vorbis_build(batches):
+    """Fixture kernel for ``mm_ogg_vorbis_meta``: per document, a
+    complete Ogg-Vorbis stream — spec-legal identification, comment
+    and FULL setup headers (codebooks/floors/residues/mappings/modes,
+    ``functions/vorbis.py``) plus ``len(text) mod 7`` placeholder
+    audio packets (opaque by the adjudicated decode boundary).
+    Channels/rate/bitrate/tags derive from doc_id and the text, so
+    the oracle reconstructs every column from the documents table."""
+    import pandas as pd
+
+    from ..functions.vorbis import write_ogg_vorbis
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            payloads.append(
+                write_ogg_vorbis(
+                    channels=1 + did % 2,
+                    rate=8000 * (1 + did % 4),
+                    tags={"TITLE": t[:12], "SOURCE": f"doc{did}"},
+                    n_audio_packets=len(t) % 7,
+                    bitrate_nominal=1000 * (1 + did % 5),
+                )
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_ogg_vorbis_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg-VORBIS metadata extraction (r11, the bounded Vorbis spike):
+    each payload is a real Ogg stream whose Vorbis header triple is
+    parsed IN FULL — identification, comment tags, and the complete
+    setup topology (codebooks with Huffman Kraft + VQ-lattice
+    validation, floor1, residue2, mappings, modes) — into the columns
+    a curation pipeline routes on, plus packet count and final
+    granule.  The packet decode (floor/residue/MDCT) is the
+    adjudicated boundary (SCALE.md §Vorbis); everything short of PCM
+    is extracted and oracle-checked here."""
+    from ..operators.multimodal import extract_vorbis_meta
+
+    media = _cached_media(spark, sf_dir, "oggvorbis", _ogg_vorbis_build)
+    rows = extract_vorbis_meta(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "channels",
+        "sample_rate",
+        "bitrate_nominal",
+        "title",
+        "n_tags",
+        "n_codebooks",
+        "n_modes",
+        "n_audio_packets",
+        "last_granule",
+    ).orderBy("doc_id")
+
+
+def _mm_ogg_vorbis_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(8000 * (1 + doc_id % 4) AS INT) AS sample_rate,
+       CAST(1000 * (1 + doc_id % 5) AS INT) AS bitrate_nominal,
+       substr(text, 1, 12) AS title,
+       CAST(2 AS INT) AS n_tags,
+       CAST(3 AS INT) AS n_codebooks,
+       CAST(2 AS INT) AS n_modes,
+       CAST(len(text) % 7 AS INT) AS n_audio_packets,
+       CAST((len(text) % 7) * 128 AS BIGINT) AS last_granule
+FROM documents ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "mm_flac_rms": (mm_flac_rms, _mm_flac_sql()),
     "mm_mkv_flac_rms": (mm_mkv_flac_rms, _mm_mkv_flac_sql()),
@@ -2360,6 +2435,7 @@ REGISTRY = {
         _mm_audio_quarantine_sql(),
     ),
     "mm_ogg_flac_rms": (mm_ogg_flac_rms, _mm_mkv_flac_sql()),
+    "mm_ogg_vorbis_meta": (mm_ogg_vorbis_meta, _mm_ogg_vorbis_sql()),
     "mm_audio_multicodec4": (
         mm_audio_multicodec4,
         _mm_audio_multicodec4_sql(),
