@@ -2700,3 +2700,145 @@ def extract_vorbis_meta(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(fn, VORBIS_META_SCHEMA)
+
+
+OPUS_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("input_sample_rate", T.IntegerType(), False),
+        T.StructField("pre_skip", T.IntegerType(), False),
+        T.StructField("output_gain_q8", T.IntegerType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("n_tags", T.IntegerType(), False),
+        T.StructField("n_audio_packets", T.IntegerType(), False),
+        T.StructField("total_samples48", T.LongType(), False),
+        T.StructField("duration_samples", T.LongType(), False),
+    ]
+)
+
+
+def extract_opus_meta(media: DataFrame) -> DataFrame:
+    """Ogg-Opus METADATA + DURATION extraction (r11): parse each
+    payload's RFC 7845 headers (``functions/opus.py``) and derive the
+    exact stream duration from the per-packet TOC bytes — the
+    decode-free duration arithmetic real probing tools use.  The
+    SILK/CELT payloads stay opaque (the same float-codec boundary as
+    Vorbis PCM, SCALE.md §Vorbis); the routing layer is real.
+    Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.opus import parse_ogg_opus
+
+        cols = (
+            "media_id", "channels", "input_sample_rate", "pre_skip",
+            "output_gain_q8", "title", "n_tags", "n_audio_packets",
+            "total_samples48", "duration_samples",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                info = parse_ogg_opus(bytes(p))
+                rows["media_id"].append(mid)
+                rows["channels"].append(info["channels"])
+                rows["input_sample_rate"].append(
+                    info["input_sample_rate"]
+                )
+                rows["pre_skip"].append(info["pre_skip"])
+                rows["output_gain_q8"].append(info["output_gain_q8"])
+                rows["title"].append(info["tags"].get("TITLE"))
+                rows["n_tags"].append(len(info["tags"]))
+                rows["n_audio_packets"].append(info["n_audio_packets"])
+                rows["total_samples48"].append(info["total_samples48"])
+                rows["duration_samples"].append(
+                    max(0, info["last_granule"] - info["pre_skip"])
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, OPUS_META_SCHEMA)
+
+
+OGG_META_ADMIT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("n_audio_packets", T.IntegerType(), True),
+        T.StructField("duration_samples", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def extract_ogg_meta_admitting(media: DataFrame) -> DataFrame:
+    """QUARANTINING Ogg metadata funnel (r11): dispatch each payload
+    by its BOS packet (Vorbis identification / OpusHead), extract the
+    routing metadata, and turn any structural corruption into a
+    rejected row with the error class instead of a failed task — the
+    admission twin the streaming loop rides (the r10 discipline:
+    at crawl scale a corrupt container is a certainty and a streaming
+    query restart-loops on a poison message forever).  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.opus import parse_ogg_opus
+        from ..functions.vorbis import parse_ogg_vorbis
+
+        cols = (
+            "media_id", "codec", "channels", "sample_rate", "title",
+            "n_audio_packets", "duration_samples", "error",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+
+            def emit(mid, codec=None, channels=None, rate=None,
+                     title=None, n_pkts=None, dur=None, error=None):
+                rows["media_id"].append(mid)
+                rows["codec"].append(codec)
+                rows["channels"].append(channels)
+                rows["sample_rate"].append(rate)
+                rows["title"].append(title)
+                rows["n_audio_packets"].append(n_pkts)
+                rows["duration_samples"].append(dur)
+                rows["error"].append(error)
+
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                raw = bytes(p)
+                try:
+                    if b"\x01vorbis" in raw[:512]:
+                        info = parse_ogg_vorbis(raw)
+                        emit(
+                            mid, "vorbis", info["channels"],
+                            info["sample_rate"],
+                            info["tags"].get("TITLE"),
+                            info["n_audio_packets"],
+                            int(info["last_granule"]),
+                        )
+                    elif b"OpusHead" in raw[:512]:
+                        info = parse_ogg_opus(raw)
+                        emit(
+                            mid, "opus", info["channels"],
+                            info["input_sample_rate"],
+                            info["tags"].get("TITLE"),
+                            info["n_audio_packets"],
+                            max(
+                                0,
+                                info["last_granule"] - info["pre_skip"],
+                            ),
+                        )
+                    else:
+                        raise ValueError("ogg: no known codec BOS")
+                except (ValueError, UnicodeDecodeError) as exc:
+                    # error CLASS, like the sibling admitting
+                    # operators — stable for oracles; the message is
+                    # in the parser's tests
+                    emit(mid, error=type(exc).__name__)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, OGG_META_ADMIT_SCHEMA)

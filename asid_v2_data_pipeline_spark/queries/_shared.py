@@ -110,6 +110,7 @@ def _codec_fprint() -> str:
             "functions/tensors.py",
             "functions/rasters.py",
             "functions/vorbis.py",
+            "functions/opus.py",
             "operators/multimodal.py",
             "operators/webtext.py",
         ):

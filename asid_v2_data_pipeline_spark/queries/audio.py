@@ -2405,6 +2405,196 @@ FROM documents ORDER BY doc_id
 """
 
 
+
+def _ogg_opus_build(batches):
+    """Fixture kernel for ``mm_ogg_opus_meta``: per document, an Ogg
+    stream of RFC 7845 OpusHead/OpusTags plus TOC-skeleton audio
+    packets whose config and frame-count code derive from the text
+    bytes — so the oracle replays the RFC 6716 §3.1 duration table
+    from the documents table.  SILK/CELT payloads stay opaque
+    (SCALE.md §Vorbis float-codec boundary)."""
+    import pandas as pd
+
+    from ..functions.opus import opus_packet, write_ogg_opus
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            n_pkts = min(len(t) % 6, len(t) // 2)
+            pkts = []
+            for i in range(n_pkts):
+                c = ord(t[2 * i]) % 32
+                code = ord(t[2 * i + 1]) % 3
+                pkts.append(opus_packet(c, code))
+            payloads.append(
+                write_ogg_opus(
+                    channels=1 + did % 2,
+                    tags={"TITLE": t[:12], "SOURCE": f"doc{did}"},
+                    packets=pkts,
+                    pre_skip=100 + did % 200,
+                    input_rate=8000 * (1 + did % 6),
+                    gain_q8=(did % 17) - 8,
+                )
+            )
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_ogg_opus_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg-OPUS metadata + decode-free duration (r11): Opus is the
+    growing share of crawled web audio; each payload's RFC 7845
+    headers parse into routing columns and the exact stream duration
+    derives from the per-packet TOC bytes (RFC 6716 §3.1 — the same
+    arithmetic opusinfo/ffprobe use).  The oracle replays the TOC
+    duration table from the documents table, so any drift in the
+    config→samples mapping, frame-count codes, granule convention or
+    pre-skip trim breaks the value hash."""
+    from ..operators.multimodal import extract_opus_meta
+
+    media = _cached_media(spark, sf_dir, "oggopus", _ogg_opus_build)
+    rows = extract_opus_meta(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        "channels",
+        "input_sample_rate",
+        "pre_skip",
+        "output_gain_q8",
+        "title",
+        "n_tags",
+        "n_audio_packets",
+        "total_samples48",
+        "duration_samples",
+    ).orderBy("doc_id")
+
+
+def _mm_ogg_opus_sql() -> str:
+    cfg = "(ascii(substr(text, CAST(2*i+1 AS BIGINT), 1)) % 32)"
+    spf = f"""CASE WHEN {cfg} < 12 THEN
+           CASE {cfg} % 4 WHEN 0 THEN 480 WHEN 1 THEN 960
+                        WHEN 2 THEN 1920 ELSE 2880 END
+         WHEN {cfg} < 16 THEN
+           CASE {cfg} % 2 WHEN 0 THEN 480 ELSE 960 END
+         ELSE CASE {cfg} % 4 WHEN 0 THEN 120 WHEN 1 THEN 240
+                           WHEN 2 THEN 480 ELSE 960 END END"""
+    return f"""
+WITH pk AS (
+  SELECT doc_id,
+         LEAST(len(text) % 6, len(text) // 2) AS n_pkts,
+         text
+  FROM documents
+),
+samples AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(range(0, n_pkts), i ->
+           (CASE WHEN ascii(substr(text, CAST(2*i+2 AS BIGINT), 1)) % 3 = 0
+                 THEN 1 ELSE 2 END)
+           * ({spf})
+         )), 0) AS BIGINT) AS total
+  FROM pk
+)
+SELECT p.doc_id,
+       CAST(1 + p.doc_id % 2 AS INT) AS channels,
+       CAST(8000 * (1 + p.doc_id % 6) AS INT) AS input_sample_rate,
+       CAST(100 + p.doc_id % 200 AS INT) AS pre_skip,
+       CAST((p.doc_id % 17) - 8 AS INT) AS output_gain_q8,
+       substr(p.text, 1, 12) AS title,
+       CAST(2 AS INT) AS n_tags,
+       CAST(p.n_pkts AS INT) AS n_audio_packets,
+       s.total AS total_samples48,
+       CAST(greatest(0, s.total - (100 + p.doc_id % 200)) AS BIGINT)
+         AS duration_samples
+FROM pk p JOIN samples s USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+
+def _ogg_meta_quar_build(batches):
+    """Fixture kernel for ``mm_ogg_meta_quarantine``: the Vorbis/Opus
+    dispatch corpus (codec by doc parity, metadata from doc_id/text as
+    in the two clean fixtures) with a deterministically corrupted
+    subset — ``doc_id % 5 == 2`` gets a flipped byte inside the first
+    header page, so the CRC check converts it to a quarantine row."""
+    import pandas as pd
+
+    from ..functions.opus import opus_packet, write_ogg_opus
+    from ..functions.vorbis import write_ogg_vorbis
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            if did % 2 == 0:
+                blob = write_ogg_vorbis(
+                    channels=1 + did % 2,
+                    rate=8000 * (1 + did % 4),
+                    tags={"TITLE": t[:12]},
+                    n_audio_packets=len(t) % 7,
+                )
+            else:
+                n_pkts = min(len(t) % 6, len(t) // 2)
+                blob = write_ogg_opus(
+                    channels=1,
+                    tags={"TITLE": t[:12]},
+                    packets=[
+                        opus_packet(
+                            ord(t[2 * i]) % 32, ord(t[2 * i + 1]) % 3
+                        )
+                        for i in range(n_pkts)
+                    ],
+                    pre_skip=0,
+                )
+            if did % 5 == 2:
+                b = bytearray(blob)
+                b[30] ^= 0xFF
+                blob = bytes(b)
+            payloads.append(blob)
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"], "payload": payloads}
+        )
+
+
+def mm_ogg_meta_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUARANTINING Ogg metadata funnel (r11) — the streaming
+    admission family's batch twin, oracle-checked on BOTH sides:
+    Vorbis/Opus dispatch by BOS packet with a deterministically
+    corrupted subset (flipped byte inside a CRC-sealed header page);
+    one corrupt container costs one rejected row with the error
+    class, admitted rows carry the routing metadata."""
+    from ..operators.multimodal import extract_ogg_meta_admitting
+
+    media = _cached_media(spark, sf_dir, "oggmetaquar", _ogg_meta_quar_build)
+    rows = extract_ogg_meta_admitting(media)
+    return rows.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("error").isNull().alias("admitted"),
+        "error",
+        "codec",
+        "channels",
+        "n_audio_packets",
+    ).orderBy("doc_id")
+
+
+def _mm_ogg_meta_quar_sql() -> str:
+    return """
+SELECT doc_id,
+       (doc_id % 5 <> 2) AS admitted,
+       CASE WHEN doc_id % 5 = 2 THEN 'ValueError' END AS error,
+       CASE WHEN doc_id % 5 = 2 THEN NULL
+            WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+       CASE WHEN doc_id % 5 = 2 THEN NULL
+            WHEN doc_id % 2 = 0 THEN CAST(1 + doc_id % 2 AS INT)
+            ELSE CAST(1 AS INT) END AS channels,
+       CASE WHEN doc_id % 5 = 2 THEN NULL
+            WHEN doc_id % 2 = 0 THEN CAST(len(text) % 7 AS INT)
+            ELSE CAST(LEAST(len(text) % 6, len(text) // 2) AS INT)
+            END AS n_audio_packets
+FROM documents ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "mm_flac_rms": (mm_flac_rms, _mm_flac_sql()),
     "mm_mkv_flac_rms": (mm_mkv_flac_rms, _mm_mkv_flac_sql()),
@@ -2436,6 +2626,11 @@ REGISTRY = {
     ),
     "mm_ogg_flac_rms": (mm_ogg_flac_rms, _mm_mkv_flac_sql()),
     "mm_ogg_vorbis_meta": (mm_ogg_vorbis_meta, _mm_ogg_vorbis_sql()),
+    "mm_ogg_opus_meta": (mm_ogg_opus_meta, _mm_ogg_opus_sql()),
+    "mm_ogg_meta_quarantine": (
+        mm_ogg_meta_quarantine,
+        _mm_ogg_meta_quar_sql(),
+    ),
     "mm_audio_multicodec4": (
         mm_audio_multicodec4,
         _mm_audio_multicodec4_sql(),

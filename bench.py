@@ -125,6 +125,10 @@ HEADLINE = [
     # sweep's long tail
     "src_tfrecord_scan",
     "mm_webp_pool",
+    # round 11: the Ogg-metadata kernel family (Vorbis header/setup
+    # parse + Opus TOC duration arithmetic) — one representative; the
+    # opus/quarantine twins stay in the sweep
+    "mm_ogg_vorbis_meta",
 ]
 
 
