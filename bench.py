@@ -180,6 +180,38 @@ def _calibrate(spark) -> dict:
     return cal
 
 
+def _micro_probe() -> float:
+    """A ~30 ms single-thread Python probe run right AFTER each
+    query's timed passes (r11): the start-of-run calibration pair
+    adjudicates cross-boot drift, but a mid-run host burst evades it
+    — this per-query trace turns those bursts into data (a query that
+    measured slow while its adjacent probe also spiked is host, not
+    code).  Min of 3 so scheduler jitter doesn't self-flag."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        acc = 1
+        for i in range(300_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+        assert acc >= 0
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _probe_flags(probes: dict[str, float]) -> list[str]:
+    """Queries whose adjacent micro-probe ran >1.5x the run median —
+    the burst-window markers.  1.5x, not 2x: the observed bursts are
+    sustained ~1.4-1.8x CPU-contention windows (r11 close: a flagged
+    contiguous sweep stretch probed 34-57 ms against a 31 ms median),
+    and min-of-3 already filters one-off scheduler jitter."""
+    if not probes:
+        return []
+    import statistics
+
+    med = statistics.median(probes.values())
+    return [k for k, v in probes.items() if med > 0 and v > 1.5 * med]
+
+
 def _host_factor(prev_cal: dict | None, cal: dict) -> float | None:
     """How much slower (>1) or faster (<1) this host window is than the
     one that produced ``prev_cal``: the geometric mean of the JVM and
@@ -225,6 +257,7 @@ def sweep() -> None:
     ) != os.path.abspath(sf_dir)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     timings: dict[str, float] = {}
+    probes: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
         if warm:
@@ -236,6 +269,7 @@ def sweep() -> None:
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        probes[name] = round(_micro_probe(), 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -249,7 +283,18 @@ def sweep() -> None:
         "n_queries": len(timings),
         "calibration": cal,
         "queries": timings,
+        # per-query micro-probe trace (r11): burst-window markers for
+        # adjudicating transient flags — see _micro_probe
+        "probe_after": probes,
+        "probe_burst_queries": _probe_flags(probes),
     }
+    for k in out["probe_burst_queries"]:
+        print(
+            f"# PROBE BURST near {k}: adjacent micro-probe "
+            f"{probes[k]*1000:.0f}ms vs run median — treat a "
+            f"same-query flag as host, not code",
+            file=sys.stderr,
+        )
 
     here = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(here, "BENCH_SWEEP.json")
@@ -343,6 +388,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    probes: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         times = []
@@ -361,6 +407,7 @@ def main() -> None:
             times.append(time.time() - t0)
         timings[name] = round(statistics.median(times), 3)
         timings_min[name] = round(min(times), 3)
+        probes[name] = round(_micro_probe(), 4)
         shown = "/".join(f"{t:.3f}" for t in times)
         print(
             f"# {name}: median {timings[name]:.3f}s min {timings_min[name]:.3f}s"
@@ -392,6 +439,18 @@ def main() -> None:
     }
     detail = dict(out)
     detail["queries_min"] = timings_min
+    # per-query micro-probe trace (r11): burst-window markers — a
+    # query whose adjacent probe spiked measured inside a host burst;
+    # re-run before reading its delta as code (see _micro_probe)
+    detail["probe_after"] = probes
+    detail["probe_burst_queries"] = _probe_flags(probes)
+    for k in detail["probe_burst_queries"]:
+        print(
+            f"# PROBE BURST near {k}: adjacent micro-probe "
+            f"{probes[k]*1000:.0f}ms vs run median — treat this "
+            f"query's delta as host window, not code",
+            file=sys.stderr,
+        )
 
     # Round-over-round hygiene: diff against the most recent BENCH_r{N}.json
     # (same 12-query set every round) so regressions are visible per query.
