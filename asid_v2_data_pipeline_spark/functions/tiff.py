@@ -24,7 +24,8 @@ The reference pipeline's rasters live in NetCDF
 
 Fuzz contract (SCALE.md round 10): ``parse_tiff`` raises
 ``ValueError`` (or ``NotImplementedError`` for disclosed boundaries:
-tiles, bit depths ≠ 8, palettes, other compressions) — never
+bit depths ≠ 8, compressions beyond none/PackBits/Deflate/LZW;
+r11 closed the tiled-layout and palette-color boundaries) — never
 ``IndexError``/``struct.error`` escapes, never unbounded allocation
 (every count is validated against the remaining bytes first).
 """
@@ -137,6 +138,14 @@ def lzw_encode(data: bytes) -> bytes:
         w = bytes([ch])
     if w:
         put(table[w], width)
+    # End-of-stream width sync (r11, found by the tiled round-trip
+    # matrix): the decoder appends a table entry for the FINAL data
+    # code too, so its table can land exactly on a width-change point
+    # (510/1022/2046) after it — in which case it reads EOI at the
+    # bumped width.  The encoder adds no entry after its last emit
+    # (next_code == decoder size here), so mirror the decoder's rule:
+    if next_code == (1 << width) - 2 and width < 12:
+        width += 1
     put(_EOI, width)
     if nbits:
         out.append((bitbuf << (8 - nbits)) & 0xFF)
@@ -209,9 +218,17 @@ def write_tiff(
     big_endian: bool = False,
     rows_per_strip: int = 4,
     predictor: bool = False,
+    tiles: tuple[int, int] | None = None,
+    palette: np.ndarray | None = None,
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    strip-based TIFF.  Deterministic output (no timestamps)."""
+    strip-based TIFF — or TILED when ``tiles=(tw, tl)`` is given
+    (r11: TileWidth/TileLength/TileOffsets/TileByteCounts, edge tiles
+    zero-padded to full size per spec; tw/tl must be multiples of
+    16).  ``palette`` (a (256, 3) uint8 colormap; pixels must be
+    grayscale indices) writes a palette-color file (photometric 3 +
+    ColorMap with 16-bit entries).  Deterministic output (no
+    timestamps)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -220,7 +237,12 @@ def write_tiff(
     if compression not in _COMP:
         raise ValueError(f"tiff: unknown compression {compression!r}")
     h, w, spp = px.shape
-    bo = ">" if big_endian else "<"
+    if palette is not None:
+        palette = np.asarray(palette, dtype=np.uint8)
+        if palette.shape != (256, 3):
+            raise ValueError("tiff: palette must be (256, 3) uint8")
+        if spp != 1:
+            raise ValueError("tiff: palette requires index pixels")
 
     def u16(v: int) -> bytes:
         return int(v).to_bytes(2, "big" if big_endian else "little")
@@ -228,22 +250,42 @@ def write_tiff(
     def u32(v: int) -> bytes:
         return int(v).to_bytes(4, "big" if big_endian else "little")
 
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        rows = px[y0 : y0 + rows_per_strip]
+    def compress_block(rows: np.ndarray) -> bytes:
         if predictor:
             d = rows.astype(np.int16)
             d[:, 1:, :] -= rows[:, :-1, :].astype(np.int16)
             rows = (d & 0xFF).astype(np.uint8)
         raw = rows.tobytes()
         if compression == "none":
-            strips.append(raw)
-        elif compression == "packbits":
-            strips.append(packbits_encode(raw))
-        elif compression == "deflate":
-            strips.append(zlib.compress(raw, 6))
-        else:
-            strips.append(lzw_encode(raw))
+            return raw
+        if compression == "packbits":
+            return packbits_encode(raw)
+        if compression == "deflate":
+            return zlib.compress(raw, 6)
+        return lzw_encode(raw)
+
+    strips = []
+    if tiles is not None:
+        tw, tl = tiles
+        if tw < 16 or tl < 16 or tw % 16 or tl % 16:
+            raise ValueError("tiff: tile dims must be multiples of 16")
+        # edge tiles are padded to FULL tile size (TIFF 6.0 §15)
+        ta, td = -(-w // tw), -(-h // tl)
+        canvas = np.zeros((td * tl, ta * tw, spp), np.uint8)
+        canvas[:h, :w] = px
+        for ty in range(td):
+            for tx in range(ta):
+                strips.append(
+                    compress_block(
+                        canvas[
+                            ty * tl : (ty + 1) * tl,
+                            tx * tw : (tx + 1) * tw,
+                        ]
+                    )
+                )
+    else:
+        for y0 in range(0, h, rows_per_strip):
+            strips.append(compress_block(px[y0 : y0 + rows_per_strip]))
 
     # layout: header(8) | strip data | external value areas | IFD
     data_at = 8
@@ -275,11 +317,23 @@ def write_tiff(
     tag(257, 4, *arr([h], 4))
     tag(258, 3, *arr([8] * spp, 3))
     tag(259, 3, *arr([_COMP[compression]], 3))
-    tag(262, 3, *arr([1 if spp == 1 else 2], 3))
-    tag(273, 4, *arr(offsets, 4))
+    if palette is not None:
+        tag(262, 3, *arr([3], 3))
+        # ColorMap: all R then all G then all B, 16-bit entries
+        cmap = [int(v) << 8 for v in palette.T.reshape(-1)]
+        tag(320, 3, *arr(cmap, 3))
+    else:
+        tag(262, 3, *arr([1 if spp == 1 else 2], 3))
     tag(277, 3, *arr([spp], 3))
-    tag(278, 4, *arr([rows_per_strip], 4))
-    tag(279, 4, *arr([len(s) for s in strips], 4))
+    if tiles is not None:
+        tag(322, 4, *arr([tiles[0]], 4))
+        tag(323, 4, *arr([tiles[1]], 4))
+        tag(324, 4, *arr(offsets, 4))
+        tag(325, 4, *arr([len(s) for s in strips], 4))
+    else:
+        tag(273, 4, *arr(offsets, 4))
+        tag(278, 4, *arr([rows_per_strip], 4))
+        tag(279, 4, *arr([len(s) for s in strips], 4))
     if predictor:
         tag(317, 3, *arr([2], 3))
 
@@ -297,9 +351,11 @@ _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
 
 
 def parse_tiff(data: bytes) -> np.ndarray:
-    """Decode a strip-based 8-bit TIFF → (h, w) or (h, w, 3) uint8.
-    Disclosed boundaries raise ``NotImplementedError``: tiles, bit
-    depths ≠ 8, palette color, compressions beyond
+    """Decode a strip-based or TILED 8-bit TIFF → (h, w) or
+    (h, w, 3) uint8 (r11: tiles per TIFF 6.0 §15 — full-size
+    zero-padded edge tiles, dims multiple of 16 — and palette color
+    via the 16-bit ColorMap LUT).  Disclosed boundaries raise
+    ``NotImplementedError``: bit depths ≠ 8, compressions beyond
     none/PackBits/Deflate/LZW."""
     if not isinstance(data, (bytes, bytearray)):
         raise ValueError("tiff: payload must be bytes")
@@ -339,9 +395,8 @@ def parse_tiff(data: bytes) -> np.ndarray:
             raise ValueError("tiff: tag value exceeds file")
         tags[tid] = [num(vat + k * size, size) for k in range(count)]
 
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiff: tiled layout")
-    for req in (256, 257, 273, 279):
+    tiled = 322 in tags or 323 in tags
+    for req in (256, 257) + ((322, 323, 324, 325) if tiled else (273, 279)):
         if req not in tags:
             raise ValueError(f"tiff: missing required tag {req}")
     w = tags[256][0]
@@ -352,33 +407,26 @@ def parse_tiff(data: bytes) -> np.ndarray:
         raise NotImplementedError("tiff: only 8-bit gray/RGB")
     photo = tags.get(262, [1])[0]
     if photo == 3:
-        raise NotImplementedError("tiff: palette color")
+        if spp != 1:
+            raise ValueError("tiff: palette with SamplesPerPixel != 1")
+        cmap = tags.get(320)
+        if cmap is None or len(cmap) != 768:
+            raise ValueError("tiff: palette file without 256-entry ColorMap")
     comp = tags.get(259, [1])[0]
-    rps = tags.get(278, [h])[0]
-    if rps < 1:
-        raise ValueError("tiff: bad RowsPerStrip")
-    offsets = tags[273]
-    counts = tags[279]
-    if len(offsets) != len(counts):
-        raise ValueError("tiff: strip offset/count mismatch")
     if h < 1 or w < 1 or h * w > 1 << 28:
         raise ValueError("tiff: implausible dimensions")
-    if len(offsets) != -(-h // rps):
-        raise ValueError("tiff: strip count mismatch")
     pred = tags.get(317, [1])[0]
     if pred not in (1, 2):
         raise NotImplementedError(f"tiff: predictor {pred}")
 
-    rows = []
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+    def decode_block(off: int, cnt: int, nrows: int, ncols: int) -> np.ndarray:
         if off + cnt > len(data):
-            raise ValueError("tiff: strip exceeds file")
-        nrows = min(rps, h - si * rps)
-        expected = nrows * w * spp
+            raise ValueError("tiff: block exceeds file")
+        expected = nrows * ncols * spp
         raw = data[off : off + cnt]
         if comp == 1:
             if len(raw) < expected:
-                raise ValueError("tiff: short uncompressed strip")
+                raise ValueError("tiff: short uncompressed block")
             out = raw[:expected]
         elif comp == 32773:
             out = packbits_decode(raw, expected)
@@ -386,18 +434,60 @@ def parse_tiff(data: bytes) -> np.ndarray:
             try:
                 out = zlib.decompress(raw)
             except zlib.error as e:
-                raise ValueError(f"tiff: corrupt deflate strip: {e}") from e
+                raise ValueError(f"tiff: corrupt deflate block: {e}") from e
             if len(out) != expected:
-                raise ValueError("tiff: deflate strip size mismatch")
+                raise ValueError("tiff: deflate block size mismatch")
         elif comp == 5:
             out = lzw_decode(raw, expected)
         else:
             raise NotImplementedError(f"tiff: compression {comp}")
-        strip = np.frombuffer(out, np.uint8).reshape(nrows, w, spp)
+        block = np.frombuffer(out, np.uint8).reshape(nrows, ncols, spp)
         if pred == 2:
-            strip = np.cumsum(strip.astype(np.int64), axis=1).astype(
+            block = np.cumsum(block.astype(np.int64), axis=1).astype(
                 np.uint8
             )
-        rows.append(strip)
-    px = np.concatenate(rows, axis=0)
+        return block
+
+    if tiled:
+        # TIFF 6.0 §15: every tile is FULL TileWidth x TileLength
+        # (edge tiles padded); tile dims must be multiples of 16
+        tw, tl = tags[322][0], tags[323][0]
+        if tw < 16 or tl < 16 or tw % 16 or tl % 16:
+            raise ValueError("tiff: tile dims must be multiples of 16")
+        if tw * tl > 1 << 26:
+            raise ValueError("tiff: implausible tile size")
+        offsets, counts = tags[324], tags[325]
+        ta, td = -(-w // tw), -(-h // tl)
+        if len(offsets) != len(counts) or len(offsets) != ta * td:
+            raise ValueError("tiff: tile offset/count mismatch")
+        px = np.zeros((td * tl, ta * tw, spp), np.uint8)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(ti, ta)
+            px[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = (
+                decode_block(off, cnt, tl, tw)
+            )
+        px = px[:h, :w]
+    else:
+        rps = tags.get(278, [h])[0]
+        if rps < 1:
+            raise ValueError("tiff: bad RowsPerStrip")
+        offsets, counts = tags[273], tags[279]
+        if len(offsets) != len(counts):
+            raise ValueError("tiff: strip offset/count mismatch")
+        if len(offsets) != -(-h // rps):
+            raise ValueError("tiff: strip count mismatch")
+        rows = [
+            decode_block(off, cnt, min(rps, h - si * rps), w)
+            for si, (off, cnt) in enumerate(zip(offsets, counts))
+        ]
+        px = np.concatenate(rows, axis=0)
+    if photo == 3:
+        # ColorMap: all R then all G then all B, 16-bit entries
+        lut = (
+            np.array(tags[320], np.uint16)
+            .reshape(3, 256)
+            .T
+            >> 8
+        ).astype(np.uint8)
+        return lut[px[:, :, 0]]
     return px[:, :, 0] if spp == 1 else px

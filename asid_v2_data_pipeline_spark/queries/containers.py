@@ -781,9 +781,14 @@ def mm_tiff_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     PackBits / Deflate / TIFF-LZW, with horizontal-differencing
     predictor on the compressed variants, byte order alternating per
     doc), then ``decode_image_pool`` magic-dispatches to
-    ``parse_tiff`` and 2×2 block-mean pools.  TIFF is lossless, so the
-    oracle is the SAME raw-octet pool as the BMP/PNG/GIF twins — any
-    drift in IFD layout, strip arithmetic, PackBits/LZW coding or the
+    ``parse_tiff`` and 2×2 block-mean pools.  r11: every third doc is
+    TILED (16×16 tiles, zero-padded per TIFF 6.0 §15 and cropped back
+    on decode) and every fifth rides the PALETTE path (photometric 3
+    + 16-bit ColorMap; identity map, so the octet oracle is
+    unchanged while the LUT machinery is exercised — random palettes
+    are pinned in ``test_tiff.py``).  TIFF is lossless, so the oracle
+    is the SAME raw-octet pool as the BMP/PNG/GIF twins — any drift
+    in IFD layout, strip/tile arithmetic, PackBits/LZW coding or the
     predictor breaks the value hash."""
     from ..operators.multimodal import decode_image_pool
 
@@ -804,6 +809,9 @@ def mm_tiff_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _BMP_H, _BMP_W
                 )
                 comp = comps[did % 4]
+                ident = np.repeat(
+                    np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+                )
                 payloads.append(
                     write_tiff(
                         gray,
@@ -811,6 +819,8 @@ def mm_tiff_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                         big_endian=did % 2 == 1,
                         rows_per_strip=3,
                         predictor=comp != "none",
+                        tiles=(16, 16) if did % 3 == 2 else None,
+                        palette=ident if did % 5 == 0 else None,
                     )
                 )
             yield pd.DataFrame(

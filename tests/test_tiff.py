@@ -123,3 +123,70 @@ def test_tiff_fuzz_fail_loudly():
                 parse_tiff(bytes(b))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_tiled_layout_roundtrip_matrix():
+    """r11 (boundary closed): tiled TIFFs (TileWidth/TileLength/
+    TileOffsets/TileByteCounts, zero-padded edge tiles per TIFF 6.0
+    §15) across compressions, byte orders and the predictor."""
+    rng = np.random.default_rng(83)
+    for trial in range(25):
+        h, w = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+        rgb = bool(rng.integers(0, 2))
+        px = rng.integers(
+            0, 256, (h, w, 3) if rgb else (h, w)
+        ).astype(np.uint8)
+        comp = ["none", "packbits", "deflate", "lzw"][
+            int(rng.integers(0, 4))
+        ]
+        blob = write_tiff(
+            px,
+            comp,
+            big_endian=bool(rng.integers(0, 2)),
+            predictor=bool(rng.integers(0, 2)),
+            tiles=(
+                16 * int(rng.integers(1, 4)),
+                16 * int(rng.integers(1, 4)),
+            ),
+        )
+        out = parse_tiff(blob)
+        assert out.shape == px.shape and (out == px).all(), (trial, comp)
+    # bad tile dims rejected on both sides
+    with pytest.raises(ValueError, match="multiples of 16"):
+        write_tiff(np.zeros((8, 8), np.uint8), tiles=(8, 16))
+
+
+def test_palette_roundtrip():
+    """r11 (boundary closed): photometric-3 palette files decode
+    through the 16-bit ColorMap LUT to RGB."""
+    rng = np.random.default_rng(89)
+    for trial in range(10):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        idx = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        pal = rng.integers(0, 256, (256, 3)).astype(np.uint8)
+        comp = ["none", "deflate", "lzw"][int(rng.integers(0, 3))]
+        tiles = (16, 16) if rng.integers(0, 2) else None
+        out = parse_tiff(
+            write_tiff(idx, comp, palette=pal, tiles=tiles)
+        )
+        assert out.shape == (h, w, 3)
+        assert (out == pal[idx]).all(), trial
+    with pytest.raises(ValueError, match="palette"):
+        write_tiff(np.zeros((4, 4, 3), np.uint8), palette=pal)
+
+
+def test_lzw_eoi_width_boundary():
+    """r11 regression (found by the tiled matrix): when the decoder's
+    table lands exactly on a width-change point (510/1022/2046) after
+    the FINAL data code, EOI must be written at the bumped width —
+    brute-forced across sizes spanning all three boundaries."""
+    from asid_v2_data_pipeline_spark.functions.tiff import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.default_rng(97)
+    for _ in range(800):
+        n = int(rng.integers(200, 1400))
+        raw = bytes(rng.integers(0, 256, n).astype(np.uint8))
+        assert lzw_decode(lzw_encode(raw), n) == raw
