@@ -256,8 +256,12 @@ def _zip_build(batches):
     """Fixture for ``tx_zip_extract``: each document becomes one ZIP
     archive of its ``_ZIP_SLICE``-char text slices
     (``{doc_id:06d}/p{i:03d}.txt``), STORE for even doc_ids and
-    DEFLATE for odd — so directory walking, both methods, CRC checks
-    and offset re-derivation are all on the oracle-checked path."""
+    DEFLATE for odd; r11: every third doc writes the ZIP64 layout
+    (EOCD64 + locator + 0x0001 extras) and every fifth the streamed
+    flag-bit-3 shape (zeroed local sizes + data descriptor) — so
+    directory walking, both methods, both boundary layouts, CRC
+    checks and offset re-derivation are all on the oracle-checked
+    path (the oracle is layout-independent)."""
     import pandas as pd
 
     from ..functions.zipf import write_zip
@@ -275,7 +279,10 @@ def _zip_build(batches):
             ]
             payloads.append(
                 write_zip(
-                    entries, "store" if did % 2 == 0 else "deflate"
+                    entries,
+                    "store" if did % 2 == 0 else "deflate",
+                    force_zip64=did % 3 == 0,
+                    streamed=did % 5 == 0,
                 )
                 if entries
                 else None

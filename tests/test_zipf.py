@@ -125,3 +125,56 @@ def test_zip_fuzz_fail_loudly():
             parse_zip(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_zip64_roundtrip_and_stdlib_cross():
+    """r11 (boundary closed): ZIP64 layout — 0x0001 extra fields,
+    EOCD64 + locator, sentinel resolution — round-trips and
+    cross-validates against stdlib zipfile in BOTH directions."""
+    import io
+    import zipfile
+
+    members = [
+        ("a/big.bin", bytes(range(256)) * 40),
+        ("b.txt", b"small member"),
+        ("empty", b""),
+    ]
+    blob = write_zip(members, method="auto", force_zip64=True)
+    got = parse_zip(blob)
+    assert [(n, d) for n, d, _m in got] == members
+    # stdlib reads ours
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.testzip() is None
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == members
+    # ours reads stdlib's forced-zip64 output
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, d in members:
+            with zf.open(n, "w", force_zip64=True) as fh:
+                fh.write(d)
+    got = parse_zip(buf.getvalue())
+    assert [(n, d) for n, d, _m in got] == members
+
+
+def test_streamed_data_descriptor():
+    """r11 (boundary closed): flag-bit-3 members (zeroed local sizes,
+    descriptor after payload — the streaming-producer shape; stdlib
+    zipfile emits it through the write-stream API above) parse via
+    the central directory."""
+    import io
+    import zipfile
+
+    members = [("s.bin", b"streamed body bytes"), ("t", b"x" * 999)]
+    for z64 in (False, True):
+        blob = write_zip(members, streamed=True, force_zip64=z64)
+        got = parse_zip(blob)
+        assert [(n, d) for n, d, _m in got] == members, z64
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        assert zf.testzip() is None, z64
+        assert [(i.filename, zf.read(i)) for i in zf.infolist()] == members
+    # corrupt ZIP64: sentinel without a locator
+    blob = bytearray(write_zip(members, force_zip64=True))
+    at = blob.rfind(b"PK\x06\x07")
+    blob[at] ^= 0xFF
+    with pytest.raises(ValueError, match="locator"):
+        parse_zip(bytes(blob))
