@@ -17,10 +17,14 @@ starting within the last 12 bytes), so fixtures are byte-stable.  The
 reference pipeline has no compression surface (NetCDF rasters only,
 ``/root/reference/asip_v2/archive.py:19-20``); §2.11 surface.
 
-Disclosed boundaries (``NotImplementedError``): dictionaries
-(DictID), linked blocks (the frame writer emits independent blocks;
-the parser decodes each block standalone and raises if B.Indep is
-unset), skippable frames beyond a bounded skip, legacy frame magic.
+r11 closed the LINKED-BLOCKS boundary: when B.Indep is unset,
+every block's matches may reach up to 64 KiB back into the
+PREVIOUSLY DECODED frame output (the spec's prefix window) — both
+sides implement it (``compress_frame(linked=True)`` carries the
+history window; the decoder seeds each block with the prior 64 KiB),
+which is the layout lz4's own CLI emits by default.  Disclosed
+boundaries (``NotImplementedError``): dictionaries (DictID),
+skippable frames beyond a bounded skip, legacy frame magic.
 
 Fuzz contract (SCALE.md round 10): ``decompress_frame`` /
 ``decompress_block`` raise ``ValueError`` on malformed input — bad
@@ -100,13 +104,18 @@ _LAST_LITERALS = 5
 _MF_LIMIT = 12
 
 
-def compress_block(src: bytes) -> bytes:
+def compress_block(src: bytes, prefix: bytes = b"") -> bytes:
     """LZ4 block compression: deterministic greedy matcher, 4-byte
-    hash table, 64 KiB offsets."""
-    src = bytes(src)
+    hash table, 64 KiB offsets.  ``prefix`` is the linked-blocks
+    history window (r11): matches may start in it, mirroring the
+    decoder's prefix seeding — pass the last 64 KiB of previously
+    emitted frame output."""
+    prefix = bytes(prefix)
+    src = prefix + bytes(src)
+    base = len(prefix)
     n = len(src)
     out = bytearray()
-    if n == 0:
+    if n == base:
         return b""
 
     def _write_seq(lit_start: int, lit_len: int, m_len: int, off: int):
@@ -133,14 +142,19 @@ def compress_block(src: bytes) -> bytes:
                     rem -= 255
                 out.append(rem)
 
-    if n < _MF_LIMIT + 1:
-        _write_seq(0, n, 0, 0)
+    if n - base < _MF_LIMIT + 1:
+        _write_seq(base, n - base, 0, 0)
         return bytes(out)
 
     table: dict[int, int] = {}
-    anchor = 0
+    anchor = base
     pos = 0
     limit = n - _MF_LIMIT  # no match may start at/after here
+    # index the prefix window so linked blocks can match into it
+    while pos < min(base, limit):
+        table[int.from_bytes(src[pos : pos + 4], "little")] = pos
+        pos += 1
+    pos = base
     while pos < limit:
         # the 4-byte group itself keys the table (exact, and — unlike
         # hash(bytes) — independent of PYTHONHASHSEED, so fixture
@@ -148,7 +162,7 @@ def compress_block(src: bytes) -> bytes:
         key = int.from_bytes(src[pos : pos + 4], "little")
         cand = table.get(key, -1)
         table[key] = pos
-        if cand >= 0 and pos - cand <= 0xFFFF:
+        if cand >= 0 and pos - cand <= 0xFFFF and pos >= base:
             # extend the match forward, but never into the last-5 zone
             m_end = pos + 4
             c_end = cand + 4
@@ -165,12 +179,17 @@ def compress_block(src: bytes) -> bytes:
     return bytes(out)
 
 
-def decompress_block(src: bytes, max_out: int) -> bytes:
+def decompress_block(src: bytes, max_out: int, prefix: bytes = b"") -> bytes:
     """LZ4 block decompression with an explicit output bound (the
-    frame's declared block maximum — the allocation cap)."""
+    frame's declared block maximum — the allocation cap).  ``prefix``
+    seeds the match window for linked-blocks frames (r11): offsets
+    may reach into it; only the newly produced bytes are returned
+    and counted against ``max_out``."""
     src = bytes(src)
     n = len(src)
-    out = bytearray()
+    out = bytearray(prefix)
+    base = len(out)
+    max_out += base
     pos = 0
     while pos < n:
         token = src[pos]
@@ -221,7 +240,7 @@ def decompress_block(src: bytes, max_out: int) -> bytes:
             pat = out[start:]
             reps = -(-mlen // off)
             out += (pat * reps)[:mlen]
-    return bytes(out)
+    return bytes(out[base:])
 
 
 # --- frame format ---------------------------------------------------------------
@@ -236,15 +255,18 @@ def compress_frame(
     block_checksum: bool = False,
     content_size: bool = False,
     store_incompressible: bool = True,
+    linked: bool = False,
 ) -> bytes:
-    """An LZ4 frame of independent blocks.  ``block_max`` is the BD
-    code (4=64 KiB … 7=4 MiB).  A block that doesn't shrink is stored
-    raw with the high size bit set (``store_incompressible``), the
-    standard writer behavior."""
+    """An LZ4 frame.  ``block_max`` is the BD code (4=64 KiB …
+    7=4 MiB).  A block that doesn't shrink is stored raw with the
+    high size bit set (``store_incompressible``), the standard writer
+    behavior.  ``linked=True`` clears B.Indep and lets each block
+    match up to 64 KiB into the previously emitted output — the lz4
+    CLI's default layout (r11)."""
     data = bytes(data)
     if block_max not in _BD_SIZES:
         raise ValueError(f"lz4: bad block-max code {block_max}")
-    flg = (1 << 6) | (1 << 5)  # version 01, B.Indep
+    flg = (1 << 6) | (0 if linked else 1 << 5)  # version 01, B.Indep
     if block_checksum:
         flg |= 1 << 4
     if content_size:
@@ -262,7 +284,10 @@ def compress_frame(
     out = bytearray(head)
     for at in range(0, len(data), bsz):
         chunk = data[at : at + bsz]
-        comp = compress_block(chunk)
+        # linked: the window is the previously EMITTED output, which
+        # for this writer is exactly the bytes before this chunk
+        window = data[max(0, at - 0xFFFF) : at] if linked else b""
+        comp = compress_block(chunk, prefix=window)
         if store_incompressible and len(comp) >= len(chunk):
             out += struct.pack("<I", len(chunk) | 0x80000000)
             body = chunk
@@ -308,8 +333,7 @@ def decompress_frame(data: bytes) -> bytes:
     bd = data[pos + 1]
     if (flg >> 6) != 0b01:
         raise ValueError("lz4: unsupported frame version")
-    if not (flg >> 5) & 1:
-        raise NotImplementedError("lz4: linked blocks")
+    linked = not (flg >> 5) & 1
     if flg & 0x2:
         raise ValueError("lz4: reserved FLG bit set")
     if flg & 0x1:
@@ -363,7 +387,10 @@ def decompress_frame(data: bytes) -> bytes:
                 raise ValueError("lz4: stored block exceeds maximum")
             out += body
         else:
-            out += decompress_block(body, bmax)
+            # linked blocks: matches may reach 64 KiB into the frame
+            # output decoded so far (the spec's prefix window)
+            window = bytes(out[-0xFFFF:]) if linked else b""
+            out += decompress_block(body, bmax, prefix=window)
     if c_checksum:
         if pos + 4 > len(data):
             raise ValueError("lz4: truncated content checksum")

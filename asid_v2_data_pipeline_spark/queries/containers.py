@@ -365,7 +365,17 @@ def _compress_build(batches):
             raw = t.encode("utf-8")
             m = int(did) % 6
             if m == 0:
-                payloads.append(compress_frame(raw, block_checksum=True))
+                # r11: alternate independent / linked-blocks framing
+                # (lz4's CLI default is linked); docs fit one 64 KiB
+                # block, so cross-block window reuse itself is pinned
+                # by test_compressf.py's multi-block matrices
+                payloads.append(
+                    compress_frame(
+                        raw,
+                        block_checksum=True,
+                        linked=(int(did) // 6) % 2 == 1,
+                    )
+                )
             elif m == 1:
                 payloads.append(compress_stream(raw))
             elif m == 2:

@@ -185,3 +185,48 @@ def test_snappy_fuzz_fail_loudly():
     b[0] += 1  # declared length one high
     with pytest.raises(ValueError):
         sn_decompress_block(bytes(b))
+
+
+def test_lz4_linked_blocks_roundtrip():
+    """r11 (boundary closed): B.Indep-unset frames — each block's
+    matches may reach 64 KiB into previously decoded output.  Linked
+    framing must round-trip, beat independent framing on cross-block
+    redundancy, and reject offsets past the window."""
+    import numpy as np
+
+    from asid_v2_data_pipeline_spark.functions.lz4 import (
+        compress_frame,
+        decompress_frame,
+    )
+
+    data = (b"the quick brown fox jumps over the lazy dog. " * 3000)
+    linked = compress_frame(data, block_max=4, linked=True)
+    indep = compress_frame(data, block_max=4, linked=False)
+    assert decompress_frame(linked) == data
+    assert decompress_frame(indep) == data
+    assert len(linked) < len(indep)  # window reuse across blocks
+    rng = np.random.default_rng(19)
+    for t in range(25):
+        n = int(rng.integers(0, 300_000))
+        raw = bytes(
+            (rng.integers(0, 5, n) + 97).astype(np.uint8)
+            if rng.integers(0, 2)
+            else rng.integers(0, 256, n).astype(np.uint8)
+        )
+        f = compress_frame(
+            raw,
+            block_max=int(rng.integers(4, 8)),
+            linked=True,
+            block_checksum=bool(rng.integers(0, 2)),
+            content_size=bool(rng.integers(0, 2)),
+        )
+        assert decompress_frame(f) == raw, t
+    # fuzz: flips on a linked frame raise or mismatch, never escape
+    blob = bytearray(compress_frame(data[:200_000], block_max=4, linked=True))
+    for _ in range(400):
+        b = bytearray(blob)
+        b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+        try:
+            decompress_frame(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
