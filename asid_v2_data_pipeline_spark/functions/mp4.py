@@ -369,8 +369,11 @@ def write_mp4(
 # --- parser --------------------------------------------------------------------
 
 
-def _iter_boxes(buf: bytes, pos: int, end: int):
-    """Yield (fourcc, payload_start, payload_end); strict bounds."""
+def _iter_boxes_full(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, header_start, payload_start, payload_end); strict
+    bounds.  The header start is yielded directly (not reconstructed
+    from the payload start) so largesize headers whose u64 size bytes
+    happen to spell a fourcc can't shift a caller's box addressing."""
     while pos < end:
         if pos + 8 > end:
             raise ValueError("mp4: truncated box header")
@@ -397,8 +400,14 @@ def _iter_boxes(buf: bytes, pos: int, end: int):
             name = fourcc.decode("ascii")
         except UnicodeDecodeError:
             raise ValueError("mp4: non-ascii box type") from None
-        yield name, body, box_end
+        yield name, pos, body, box_end
         pos = box_end
+
+
+def _iter_boxes(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_end); strict bounds."""
+    for name, _hdr, body, box_end in _iter_boxes_full(buf, pos, end):
+        yield name, body, box_end
 
 
 def _find(buf: bytes, pos: int, end: int, name: str) -> tuple[int, int]:
@@ -442,7 +451,7 @@ def parse_mp4(data: bytes) -> Mp4File:
     brands: list[str] = []
     moov: tuple[int, int] | None = None
     moofs: list[tuple[int, int, int]] = []  # (box_start, body_start, end)
-    for name, s, e in _iter_boxes(data, 0, len(data)):
+    for name, hdr, s, e in _iter_boxes_full(data, 0, len(data)):
         if name == "ftyp":
             if e - s < 8:
                 raise ValueError("mp4: truncated ftyp")
@@ -454,9 +463,6 @@ def parse_mp4(data: bytes) -> Mp4File:
         elif name == "moov":
             moov = (s, e)
         elif name == "moof":
-            # header offset: a normal header puts the fourcc at body-4,
-            # a largesize header at body-12 (size=1, fourcc, u64 size)
-            hdr = s - 8 if data[s - 4 : s] == b"moof" else s - 16
             moofs.append((hdr, s, e))
     if moov is None:
         raise ValueError("mp4: missing moov box")
@@ -800,6 +806,10 @@ def _parse_moof(
             if fl & _TRUN_DATA_OFFSET:
                 doff = int.from_bytes(data[p : p + 4], "big", signed=True)
                 pos = base + doff
+                if pos < 0:
+                    raise ValueError(
+                        "mp4: trun data-offset before file start"
+                    )
                 p += 4
             first_flags = None
             if fl & _TRUN_FIRST_FLAGS:
@@ -824,7 +834,7 @@ def _parse_moof(
                     raise ValueError(
                         "mp4: trun sample without size or default"
                     )
-                if pos + size > len(data):
+                if pos < 0 or pos + size > len(data):
                     raise ValueError("mp4: fragment sample exceeds file")
                 key = not (sfl & _FLAG_NON_SYNC)
                 out.samples.append(

@@ -316,11 +316,11 @@ def sweep() -> None:
         out["host_factor_vs_prev"] = round(factor, 4)
         print(f"# host factor vs previous sweep: {factor:.3f}x", file=sys.stderr)
         flagged = {}
-        raw_flagged = 0
+        raw_flagged: list[str] = []
         for k, v in timings.items():
             if k in pq and pq[k] >= 0.05:
                 if v > 2.0 * pq[k]:
-                    raw_flagged += 1
+                    raw_flagged.append(k)
                 if v > 2.0 * pq[k] * factor:
                     flagged[k] = {
                         "prev": pq[k],
@@ -328,7 +328,12 @@ def sweep() -> None:
                         "now": v,
                     }
         out["flagged_over_2x"] = flagged
-        out["flagged_over_2x_raw_count"] = raw_flagged
+        # r12 (ADVICE): keep the raw-flagged NAMES, not just the count —
+        # the clamped host factor (<=3.0) can suppress a genuine up-to-6x
+        # slowdown inside a slow calibration window, and the suppressed
+        # queries must stay auditable from the sidecar alone.
+        out["flagged_over_2x_raw_count"] = len(raw_flagged)
+        out["flagged_over_2x_raw_queries"] = sorted(raw_flagged)
         for k, d in sorted(flagged.items(), key=lambda kv: -kv[1]["now"]):
             print(
                 f"# FLAGGED >2x (normalized): {k} {d['prev']:.3f}s "
@@ -338,7 +343,8 @@ def sweep() -> None:
         if not flagged:
             print(
                 "# no query exceeded 2x its normalized previous sweep time"
-                f" ({raw_flagged} would have flagged raw)",
+                f" ({len(raw_flagged)} would have flagged raw:"
+                f" {sorted(raw_flagged)})",
                 file=sys.stderr,
             )
     with open(sidecar, "w") as fh:

@@ -292,6 +292,76 @@ def test_mp4_fragmented_fuzz_fail_loudly():
             pass
 
 
+def test_mp4_fragment_negative_data_offset_raises():
+    """r12 (ADVICE): a crafted trun data-offset that lands before the
+    file start must raise, not slice from the end of the buffer (the
+    advisor's repro: doff=-10000 previously yielded empty samples)."""
+    from asid_v2_data_pipeline_spark.functions.mp4 import (
+        write_mp4_fragmented,
+    )
+
+    samples = [(1, i * 26, True, bytes([i] * 12)) for i in range(4)]
+    blob = write_mp4_fragmented(
+        samples, [_audio()], frag_samples=10, base_mode="moof"
+    )
+    bad = bytearray(blob)
+    at = bad.find(b"trun")
+    # trun payload: ver/flags(4) count(4) data-offset(i32) — the writer
+    # always sets the data-offset flag in "moof" mode
+    doff_at = at + 4 + 4 + 4
+    bad[doff_at : doff_at + 4] = (-10000).to_bytes(4, "big", signed=True)
+    with pytest.raises(ValueError, match="before file start"):
+        parse_mp4(bytes(bad))
+
+
+def test_mp4_fragmented_largesize_moof_header():
+    """r12 (ADVICE): moof box addressing now comes from the iterator's
+    header start, not a fourcc-lookback heuristic (which misreads a
+    largesize moof whose u64 size's low 4 bytes spell 'moof').  Pin the
+    mechanism: a largesize-header moof in default-base-is-moof mode
+    must demux identically to the normal-header layout."""
+    from asid_v2_data_pipeline_spark.functions.mp4 import (
+        _iter_boxes_full,
+        write_mp4_fragmented,
+    )
+
+    samples = [(1, i * 26, True, bytes([i + 1] * 14)) for i in range(4)]
+    blob = write_mp4_fragmented(
+        samples, [_audio()], frag_samples=10, base_mode="moof"
+    )
+    base = _norm(parse_mp4(blob).samples)
+    # rewrite the single moof header to the largesize form; the mdat
+    # body moves +8 relative to the moof first byte, so the (moof-
+    # relative) trun data-offset grows by 8
+    at = blob.find(b"moof") - 4
+    size = int.from_bytes(blob[at : at + 4], "big")
+    widened = bytearray(
+        blob[:at]
+        + (1).to_bytes(4, "big")
+        + b"moof"
+        + (size + 8).to_bytes(8, "big")
+        + blob[at + 8 :]
+    )
+    ta = bytes(widened).find(b"trun")
+    doff_at = ta + 4 + 4 + 4
+    old = int.from_bytes(
+        widened[doff_at : doff_at + 4], "big", signed=True
+    )
+    widened[doff_at : doff_at + 4] = (old + 8).to_bytes(
+        4, "big", signed=True
+    )
+    assert _norm(parse_mp4(bytes(widened)).samples) == base
+    # structural: the iterator reports the true header start for both
+    # header forms (normal at body-8, largesize at body-16)
+    for name, hdr, body, _end in _iter_boxes_full(
+        bytes(widened), 0, len(widened)
+    ):
+        if name == "moof":
+            assert body - hdr == 16
+        else:
+            assert body - hdr == 8
+
+
 def test_mp4_fragment_malformed_raise():
     """Structural fragment corruption raises with a useful message."""
     from asid_v2_data_pipeline_spark.functions.mp4 import (
