@@ -9,73 +9,33 @@ from pyspark.sql import functions as F
 from ._shared import TOKENS_SQL, _cached_media
 from .media import _BMP_F, _BMP_H, _BMP_W, _CODES_CTE_SQL, _MJPEG_MAX_FRAMES
 from .graph import _FLAC_BLOCK, _FLAC_RATE, _FLAC_W
-
-
-
-def _flac_build(batches, block_size, mux_mkv):
-    """Shared fixture kernel for the FLAC queries: each document's
-    UTF-8 bytes become interleaved 16-bit big-endian stereo PCM
-    (sample[j][c] = raw[4j+2c]·256 + raw[4j+2c+1] − 32768), encoded as
-    REAL FLAC — mid/side stereo for even doc_ids, independent for odd,
-    so both decorrelation paths run under the oracle.  With
-    ``mux_mkv`` the stream is split per the Matroska A_FLAC codec
-    mapping: metadata headers into CodecPrivate, one frame per
-    SimpleBlock, clusters of 4."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.flac import (
-        flac_codec_private,
-        flac_frames,
-        write_flac,
-    )
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            raw = t.encode("utf-8")
-            m = len(raw) // 4
-            if m == 0:
-                payloads.append(None)
-                continue
-            b = np.frombuffer(raw, np.uint8, count=4 * m).astype(np.int64)
-            samples = (
-                (b[0::2] * 256 + b[1::2]) - 32768
-            ).reshape(m, 2)
-            blob = write_flac(
-                samples,
-                sample_rate=_FLAC_RATE,
-                block_size=block_size,
-                bits_per_sample=16,
-                stereo_mode="mid_side" if int(did) % 2 == 0 else "independent",
-            )
-            if not mux_mkv:
-                payloads.append(blob)
-                continue
-            from ..functions.ebml import MkvTrack, write_mkv
-
-            _info, frames = flac_frames(blob)
-            tracks = [
-                MkvTrack(
-                    1,
-                    "audio",
-                    "A_FLAC",
-                    sampling_hz=float(_FLAC_RATE),
-                    channels=2,
-                    codec_private=flac_codec_private(blob),
-                )
-            ]
-            payloads.append(
-                write_mkv(
-                    [
-                        (1, i * block_size, True, fr)
-                        for i, fr in enumerate(frames)
-                    ],
-                    tracks,
-                    cluster_every=4,
-                )
-            )
-        yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+from .oracles_mp3 import (
+    _AC_CLIP,
+    _AC_FP_WIN,
+    _AC_MAX_CLIP,
+    _AC_MAX_SIL,
+    _AC_MIN_FRAMES,
+    _AC_SIL,
+    _MP3_GG,
+    _mm_mp3_general_sql,
+    _mm_mp3_rms_sql,
+    _mp3_final_select,
+)
+from .fixtures_audio import (
+    _audio_mixed3_build,
+    _audio_mixed4_build,
+    _audio_mixed_build,
+    _audio_quarantine_build,
+    _flac_build,
+    _mp3_build,
+    _mp3_general_build,
+    _mp3_intensity_build,
+    _mp3_mkv_build,
+    _ogg_flac_build,
+    _ogg_meta_quar_build,
+    _ogg_opus_build,
+    _ogg_vorbis_build,
+)
 
 
 def mm_flac_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,21 +140,6 @@ FROM wins ORDER BY doc_id, channel, win_no
 """
 
 
-def _ogg_flac_build(batches):
-    """Fixture kernel for ``mm_ogg_flac_rms``: the ``_flac_build``
-    native streams (hashed as a dep) wrapped per the FLAC-in-Ogg
-    mapping — mapping packet + one frame per audio packet, multi-
-    packet pages with CRC-sealed lacing."""
-    from ..functions.ogg import write_ogg_flac
-
-    for pdf in _flac_build(batches, _FLAC_BLOCK, False):
-        pdf["payload"] = [
-            write_ogg_flac(bytes(p)) if p is not None else None
-            for p in pdf["payload"]
-        ]
-        yield pdf
-
-
 def mm_ogg_flac_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END FLAC-in-Ogg decode — Ogg completes the open-container
     family (Matroska, MP4, Ogg): the same stereo PCM as the MKV twin,
@@ -222,14 +167,6 @@ def mm_ogg_flac_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_sq",
         F.round("rms", 6).alias("rms"),
     ).orderBy("doc_id", "channel", "win_no")
-
-
-_AC_CLIP = 20000  # |sample| >= this counts as clipped
-_AC_SIL = 8192  # |sample| < this counts as near-silent
-_AC_MAX_CLIP = 0.2  # admission gates (empirically non-trivial: ~77%
-_AC_MAX_SIL = 0.85  # and ~86% pass individually on the fixture bytes)
-_AC_MIN_FRAMES = 16
-_AC_FP_WIN = 16  # intro-fingerprint window (interleaved samples)
 
 
 def mm_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,110 +459,6 @@ ORDER BY n.doc_id
 """
 
 
-_MP3_GG = 190  # fixture global_gain (2^-5 — PCM off the int16 rails)
-
-
-_MP3_MKV_TICKS = 26  # ~1152/44100 s per frame at the 1 ms default scale
-
-
-def _mp3_mkv_build(batches):
-    """Fixture kernel for ``mm_mkv_mp3_rms``: a data-dependent NUMBER
-    of frames per document (F = 1 + n_bytes mod 3, so the decode chain
-    length varies per row), built as one mono Layer III stream (segment
-    gc = f*2 + g keeps the byte→bitstream mapping of ``_mp3_build``),
-    then muxed per the Matroska A_MPEG/L3 codec mapping: one MPEG frame
-    per SimpleBlock, no CodecPrivate, clusters of 2."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.ebml import MkvTrack, write_mkv
-    from ..functions.mp3 import _FRAME_LEN, write_mp3_l3
-
-    tracks = [
-        MkvTrack(1, "audio", "A_MPEG/L3", sampling_hz=44100.0, channels=1)
-    ]
-    for pdf in batches:
-        payloads = []
-        for t in pdf["text"]:
-            raw = t.encode("utf-8")
-            nb = len(raw)
-            if nb == 0:
-                payloads.append(None)
-                continue
-            b = np.frombuffer(raw, np.uint8).astype(np.int64)
-            nf = 1 + nb % 3
-            q = np.empty((nf, 2, 576), np.int64)
-            sfs = np.empty((nf, 2, 21), np.int64)
-            for f in range(nf):
-                for g in range(2):
-                    gc = f * 2 + g
-                    v = b[(576 * gc + np.arange(576)) % nb] % 3
-                    q[f, g] = np.where(v == 0, 0, np.where(v == 1, 1, -1))
-                    sfs[f, g] = b[(21 * gc + np.arange(21)) % nb] % 8
-            stream = write_mp3_l3(q, sfs, global_gain=_MP3_GG)
-            frames = [
-                (
-                    1,
-                    f * _MP3_MKV_TICKS,
-                    True,
-                    stream[f * _FRAME_LEN : (f + 1) * _FRAME_LEN],
-                )
-                for f in range(nf)
-            ]
-            payloads.append(write_mkv(frames, tracks, cluster_every=2))
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
-
-
-def _mp3_build(batches, nch: int = 1, stereo_mode: str = "independent"):
-    """Fixture kernel for the ``mm_mp3*`` queries: document bytes
-    become ONE real ID3v2-prefixed MPEG-1 Layer III frame (44.1 kHz,
-    320 kbps, Huffman table 1; mono or independent-channel stereo).
-    The byte→bitstream mapping the oracle mirrors, over granule-channel
-    segments ``gc = g*nch + ch`` (bitstream order): line i of segment
-    gc takes its quantized value from byte ``(576·gc + i) mod n``
-    (b%3: 0→0, 1→+1, 2→−1); scalefactor band k of segment gc from byte
-    ``(21·gc + k) mod n`` (b%8)."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.id3 import write_id3
-    from ..functions.mp3 import write_mp3_l3
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            raw = t.encode("utf-8")
-            nb = len(raw)
-            if nb == 0:
-                payloads.append(None)
-                continue
-            b = np.frombuffer(raw, np.uint8).astype(np.int64)
-            q = np.empty((1, 2, nch, 576), np.int64)
-            sfs = np.empty((1, 2, nch, 21), np.int64)
-            for g in range(2):
-                for ch in range(nch):
-                    gc = g * nch + ch
-                    v = b[(576 * gc + np.arange(576)) % nb] % 3
-                    q[0, g, ch] = np.where(
-                        v == 0, 0, np.where(v == 1, 1, -1)
-                    )
-                    sfs[0, g, ch] = b[(21 * gc + np.arange(21)) % nb] % 8
-            if nch == 1:
-                q, sfs = q[:, :, 0], sfs[:, :, 0]
-            payloads.append(
-                write_id3({"TIT2": f"doc {did}"})
-                + write_mp3_l3(
-                    q, sfs, global_gain=_MP3_GG,
-                    stereo_mode=stereo_mode,
-                )
-            )
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
-
-
 def mm_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END MP3 SAMPLE decode (VERDICT r7 task 2, the last
     DecodeStub raise worth killing): each document becomes a REAL
@@ -686,63 +519,6 @@ def mm_mp3_stereo_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
         ).alias("rms"),
     ).orderBy("doc_id")
-
-
-def _audio_mixed_build(batches):
-    """Fixture kernel for ``mm_audio_multicodec``: a HETEROGENEOUS
-    corpus — even doc_ids become real FLAC stereo streams (the
-    ``_flac_build`` sample mapping: interleaved 16-bit big-endian pairs
-    from the UTF-8 bytes; mid/side for doc_id % 4 == 0), odd doc_ids
-    become ID3-prefixed mono Layer III (the ``_mp3_build`` mapping)."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.flac import write_flac
-    from ..functions.id3 import write_id3
-    from ..functions.mp3 import write_mp3_l3
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            raw = t.encode("utf-8")
-            nb = len(raw)
-            if did % 2 == 0:
-                m = nb // 4
-                if m == 0:
-                    payloads.append(None)
-                    continue
-                b = np.frombuffer(raw, np.uint8, count=4 * m).astype(
-                    np.int64
-                )
-                samples = ((b[0::2] * 256 + b[1::2]) - 32768).reshape(m, 2)
-                payloads.append(
-                    write_flac(
-                        samples,
-                        sample_rate=_FLAC_RATE,
-                        block_size=4096,
-                        stereo_mode=(
-                            "mid_side" if did % 4 == 0 else "independent"
-                        ),
-                    )
-                )
-            else:
-                if nb == 0:
-                    payloads.append(None)
-                    continue
-                b = np.frombuffer(raw, np.uint8).astype(np.int64)
-                q = np.empty((1, 2, 576), np.int64)
-                sfs = np.empty((1, 2, 21), np.int64)
-                for g in range(2):
-                    v = b[(576 * g + np.arange(576)) % nb] % 3
-                    q[0, g] = np.where(v == 0, 0, np.where(v == 1, 1, -1))
-                    sfs[0, g] = b[(21 * g + np.arange(21)) % nb] % 8
-                payloads.append(
-                    write_id3({"TIT2": f"doc {did}"})
-                    + write_mp3_l3(q, sfs, global_gain=_MP3_GG)
-                )
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
 
 
 def mm_audio_multicodec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,77 +632,6 @@ SELECT g.doc_id, g.codec, g.n_channels, g.n_frames,
 FROM gated g JOIN canon c ON c.fp = g.fp AND c.doc_id = g.doc_id
 ORDER BY g.doc_id
 """
-
-
-def _audio_mixed3_build(batches):
-    """Fixture kernel for ``mm_audio_multicodec3`` (r9, VERDICT r8
-    task 3): THREE codecs through one funnel — ``doc_id % 3 == 0``
-    becomes real FLAC stereo, ``% 3 == 1`` ID3-prefixed mono Layer III,
-    ``% 3 == 2`` a RIFF/WAVE container with mono 16-bit PCM (the most
-    common raw-audio container, previously absent from the dispatch).
-    The WAV samples use the same big-endian byte-pair mapping as FLAC,
-    so both lossless arms re-derive from the pre-encode octets."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.codecs import write_wav
-    from ..functions.flac import write_flac
-    from ..functions.id3 import write_id3
-    from ..functions.mp3 import write_mp3_l3
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            raw = t.encode("utf-8")
-            nb = len(raw)
-            arm = did % 3
-            if arm == 0:
-                m = nb // 4
-                if m == 0:
-                    payloads.append(None)
-                    continue
-                b = np.frombuffer(raw, np.uint8, count=4 * m).astype(
-                    np.int64
-                )
-                samples = ((b[0::2] * 256 + b[1::2]) - 32768).reshape(m, 2)
-                payloads.append(
-                    write_flac(
-                        samples,
-                        sample_rate=_FLAC_RATE,
-                        block_size=4096,
-                        stereo_mode=(
-                            "mid_side" if did % 6 == 0 else "independent"
-                        ),
-                    )
-                )
-            elif arm == 1:
-                if nb == 0:
-                    payloads.append(None)
-                    continue
-                b = np.frombuffer(raw, np.uint8).astype(np.int64)
-                q = np.empty((1, 2, 576), np.int64)
-                sfs = np.empty((1, 2, 21), np.int64)
-                for g in range(2):
-                    v = b[(576 * g + np.arange(576)) % nb] % 3
-                    q[0, g] = np.where(v == 0, 0, np.where(v == 1, 1, -1))
-                    sfs[0, g] = b[(21 * g + np.arange(21)) % nb] % 8
-                payloads.append(
-                    write_id3({"TIT2": f"doc {did}"})
-                    + write_mp3_l3(q, sfs, global_gain=_MP3_GG)
-                )
-            else:
-                m = nb // 2
-                if m == 0:
-                    payloads.append(None)
-                    continue
-                b = np.frombuffer(raw, np.uint8, count=2 * m).astype(
-                    np.int64
-                )
-                pcm = ((b[0::2] * 256 + b[1::2]) - 32768).astype(np.int16)
-                payloads.append(write_wav(pcm, sample_rate=_FLAC_RATE))
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
 
 
 def mm_audio_multicodec3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1045,81 +750,6 @@ SELECT g.doc_id, g.codec, g.n_channels, g.n_frames,
 FROM gated g JOIN canon c ON c.fp = g.fp AND c.doc_id = g.doc_id
 ORDER BY g.doc_id
 """
-
-
-def _audio_mixed4_build(batches):
-    """Fixture kernel for ``mm_audio_multicodec4`` (r10): FOUR
-    containers through one funnel — ``doc_id % 4 == 0`` real FLAC
-    stereo, ``% 4 == 1`` ID3-prefixed mono Layer III, ``% 4 == 2``
-    RIFF/WAVE mono 16-bit PCM, ``% 4 == 3`` AIFF mono 16-bit PCM
-    (big-endian IFF with the 80-bit extended-float sample rate).  The
-    three lossless arms share the big-endian byte-pair mapping, so
-    they re-derive from the pre-encode octets."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.codecs import write_aiff, write_wav
-    from ..functions.flac import write_flac
-    from ..functions.id3 import write_id3
-    from ..functions.mp3 import write_mp3_l3
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            raw = t.encode("utf-8")
-            nb = len(raw)
-            arm = did % 4
-            if arm == 0:
-                m = nb // 4
-                if m == 0:
-                    payloads.append(None)
-                    continue
-                b = np.frombuffer(raw, np.uint8, count=4 * m).astype(
-                    np.int64
-                )
-                samples = ((b[0::2] * 256 + b[1::2]) - 32768).reshape(m, 2)
-                payloads.append(
-                    write_flac(
-                        samples,
-                        sample_rate=_FLAC_RATE,
-                        block_size=4096,
-                        stereo_mode=(
-                            "mid_side" if did % 8 == 0 else "independent"
-                        ),
-                    )
-                )
-            elif arm == 1:
-                if nb == 0:
-                    payloads.append(None)
-                    continue
-                b = np.frombuffer(raw, np.uint8).astype(np.int64)
-                q = np.empty((1, 2, 576), np.int64)
-                sfs = np.empty((1, 2, 21), np.int64)
-                for g in range(2):
-                    v = b[(576 * g + np.arange(576)) % nb] % 3
-                    q[0, g] = np.where(v == 0, 0, np.where(v == 1, 1, -1))
-                    sfs[0, g] = b[(21 * g + np.arange(21)) % nb] % 8
-                payloads.append(
-                    write_id3({"TIT2": f"doc {did}"})
-                    + write_mp3_l3(q, sfs, global_gain=_MP3_GG)
-                )
-            else:
-                m = nb // 2
-                if m == 0:
-                    payloads.append(None)
-                    continue
-                b = np.frombuffer(raw, np.uint8, count=2 * m).astype(
-                    np.int64
-                )
-                pcm = ((b[0::2] * 256 + b[1::2]) - 32768).astype(np.int16)
-                payloads.append(
-                    write_wav(pcm, sample_rate=_FLAC_RATE)
-                    if arm == 2
-                    else write_aiff(pcm, sample_rate=_FLAC_RATE)
-                )
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
 
 
 def mm_audio_multicodec4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,36 +873,6 @@ ORDER BY g.doc_id
 """
 
 
-def _audio_quarantine_build(batches):
-    """Fixture kernel for ``mm_audio_quarantine`` (r10): every doc a
-    mono 16-bit PCM WAV from the big-endian octet-pair mapping, and
-    docs with ``doc_id % 7 == 3`` get their RIFF magic destroyed — a
-    deterministic corrupt-subset so the quarantine path itself is
-    oracle-checkable."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.codecs import write_wav
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            raw = t.encode("utf-8")
-            m = len(raw) // 2
-            if m == 0:
-                payloads.append(None)
-                continue
-            b = np.frombuffer(raw, np.uint8, count=2 * m).astype(np.int64)
-            pcm = ((b[0::2] * 256 + b[1::2]) - 32768).astype(np.int16)
-            blob = write_wav(pcm, sample_rate=_FLAC_RATE)
-            if did % 7 == 3:
-                blob = b"JUNK" + blob[4:]  # magic broken -> must reject
-            payloads.append(blob)
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
-
-
 def mm_audio_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUARANTINING admission (r10): the funnel's production shape —
     ``decode_audio_stats_admitting`` turns each corrupt payload into a
@@ -1364,149 +964,6 @@ def mm_mp3_ms_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # general-profile MP3 fixture layout (r9, VERDICT r8 task 2): four
-# mono frames per document = eight granule segments with fixed block
-# types and per-frame bitrates (VBR exercises the reservoir packing)
-# seg 5 is a MIXED block (r9 second pass), seg 6 pure short:
-# long,long | long,long | start,mixed | short,stop — every transition
-# valid (start->mixed, mixed->short, short->stop)
-_MP3G_BT = (0, 0, 0, 0, 1, 2, 2, 3)
-_MP3G_MIXED = (0, 0, 0, 0, 0, 1, 0, 0)
-_MP3G_KBPS = (320, 256, 224, 320)
-_MP3G_V5 = (0, 1, 2, -1, -2)  # byte%5 -> table-2 value
-
-
-def _mp3_general_build(batches):
-    """Fixture kernel for ``mm_mp3_general``: each document becomes an
-    ID3v2-prefixed GENERAL-profile Layer III stream — four mono frames
-    at varying bitrates (the bit reservoir genuinely engages), a valid
-    long→start→MIXED→short→stop window sequence, Huffman table 2 +
-    count1 quads + preflag on segments 0/3 (table B on seg 0, the
-    variable-length table A on seg 3), scfsi sharing + a
-    scalefac_scale=1 granule on frame 0, and a short granule with
-    byte-derived subblock_gain and per-window scalefactors.
-
-    Byte→bitstream mapping (the oracle mirrors it, segment
-    ``seg = 2f+g``): line i of seg takes byte ``(576·seg+i) mod n`` —
-    %5 mapped over {0,±1,±2} in the table-2 region (lines 0..35 of
-    segs 0/3), %3 over {0,±1} elsewhere; segs 0/3 transmit 162
-    big-value lines + 96 count1 lines and zero the rest.  Long
-    scalefactor band k of seg: byte ``(21·seg+k) mod n`` %8 (seg 1
-    shares bands 11..20 with seg 0 via scfsi); the short seg's
-    36 per-window scalefactors sit at ``21·seg + 3·sfb + w`` and its
-    subblock gains at ``21·seg + 36 + w``."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.id3 import write_id3
-    from ..functions.mp3 import write_mp3_l3_general
-
-    v5 = np.array(_MP3G_V5, np.int64)
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            raw = t.encode("utf-8")
-            nb = len(raw)
-            if nb == 0:
-                payloads.append(None)
-                continue
-            b = np.frombuffer(raw, np.uint8).astype(np.int64)
-            frames = []
-            for f in range(4):
-                grans = []
-                for g in range(2):
-                    seg = 2 * f + g
-                    bt = _MP3G_BT[seg]
-                    idx = (576 * seg + np.arange(576)) % nb
-                    q = np.zeros(576, np.int64)
-                    if seg in (0, 3):
-                        q[:36] = v5[b[idx[:36]] % 5]
-                        m3 = b[idx[36:258]] % 3
-                        q[36:258] = np.where(
-                            m3 == 0, 0, np.where(m3 == 1, 1, -1)
-                        )
-                        bv, nq, tsel = 81, 24, [2, 1, 1]
-                    else:
-                        m3 = b[idx] % 3
-                        q[:] = np.where(
-                            m3 == 0, 0, np.where(m3 == 1, 1, -1)
-                        )
-                        bv, nq, tsel = 288, 0, [1, 1, 1]
-                    if bt == 2:
-                        mixed = bool(_MP3G_MIXED[seg])
-                        sfs3 = (
-                            b[
-                                (
-                                    21 * seg
-                                    + 3 * np.arange(12)[:, None]
-                                    + np.arange(3)[None, :]
-                                )
-                                % nb
-                            ]
-                            % 8
-                        )
-                        sbg = [
-                            int(b[(21 * seg + 36 + w) % nb] % 8)
-                            for w in range(3)
-                        ]
-                        gran = {
-                            "block_type": 2,
-                            "mixed": mixed,
-                            "spectrum": q,
-                            "big_values": bv,
-                            "count1": nq,
-                            "scalefacs_short": sfs3,
-                            "subblock_gain": sbg,
-                            "scalefac_scale": 0,
-                            "table_select": tsel[:2],
-                            "global_gain": _MP3_GG,
-                        }
-                        if mixed:
-                            # long sfbs 0..7 from bytes 39..46 of the
-                            # segment's sf range; short rows 0..2 zero
-                            sfs3[:3] = 0
-                            gran["scalefacs_short"] = sfs3
-                            gran["scalefacs_long"] = (
-                                b[(21 * seg + 39 + np.arange(8)) % nb]
-                                % 8
-                            )
-                        grans.append(gran)
-                    else:
-                        sf = b[(21 * seg + np.arange(21)) % nb] % 8
-                        if seg == 1:  # scfsi groups 2+3 share seg 0's
-                            sf[11:21] = b[np.arange(11, 21) % nb] % 8
-                        grans.append({
-                            "block_type": bt,
-                            "spectrum": q,
-                            "big_values": bv,
-                            "count1": nq,
-                            # seg 0 codes its quads under count1 table
-                            # B, seg 3 under the variable-length table
-                            # A (r9) — both transport, zero oracle
-                            # footprint
-                            "count1_table": "A" if seg == 3 else "B",
-                            "scalefacs": sf,
-                            "preflag": 1 if seg in (0, 3) else 0,
-                            "scalefac_scale": 1 if seg == 1 else 0,
-                            "table_select": tsel,
-                            "global_gain": _MP3_GG,
-                        })
-                frames.append({
-                    "kbps": _MP3G_KBPS[f],
-                    "scfsi": 0b0011 if f == 0 else 0,
-                    # frame 2 is CRC-protected: the decoder verifies
-                    # the error-check word (pure transport, no oracle
-                    # footprint)
-                    "crc": f == 2,
-                    "granules": grans,
-                })
-            payloads.append(
-                write_id3({"TIT2": f"doc {did}"})
-                + write_mp3_l3_general(frames)
-            )
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
 
 
 def mm_mp3_general(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1539,53 +996,6 @@ def mm_mp3_general(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
         ).alias("rms"),
     ).orderBy("doc_id")
-
-
-def _mp3_intensity_build(batches):
-    """Fixture kernel for ``mm_mp3_intensity_rms``: stereo frames in
-    joint-stereo mode 01 / mode_ext 01 — the left channel carries the
-    full 576-line spectrum, the right channel transmits only its first
-    134 lines (sfb 15 bound) and its scalefactors in bands 15..20 are
-    byte-derived is_pos positions (%7, so 0..6).  Same %3 value and %8
-    scalefactor byte mappings as ``_mp3_build``."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.id3 import write_id3
-    from ..functions.mp3 import _IS_BV, write_mp3_l3
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            raw = t.encode("utf-8")
-            nb = len(raw)
-            if nb == 0:
-                payloads.append(None)
-                continue
-            b = np.frombuffer(raw, np.uint8).astype(np.int64)
-            q = np.zeros((1, 2, 2, 576), np.int64)
-            sfs = np.empty((1, 2, 2, 21), np.int64)
-            for g in range(2):
-                for ch in range(2):
-                    gc = g * 2 + ch
-                    lines = 576 if ch == 0 else 2 * _IS_BV
-                    v = b[(576 * gc + np.arange(lines)) % nb] % 3
-                    q[0, g, ch, :lines] = np.where(
-                        v == 0, 0, np.where(v == 1, 1, -1)
-                    )
-                    sfs[0, g, ch] = b[(21 * gc + np.arange(21)) % nb] % 8
-                # right bands 15..20 are is_pos: cap at 6
-                sfs[0, g, 1, 15:21] %= 7
-            payloads.append(
-                write_id3({"TIT2": f"doc {did}"})
-                + write_mp3_l3(
-                    q, sfs, global_gain=_MP3_GG,
-                    stereo_mode="intensity",
-                )
-            )
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
 
 
 def mm_mp3_intensity_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1640,506 +1050,6 @@ def mm_mkv_mp3_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6
         ).alias("rms"),
     ).orderBy("doc_id")
-
-
-def _mp3_final_select(
-    nch: int, frames_expr: str, nsamp: str, admission: bool
-) -> str:
-    """Tail of the generated MP3 oracle: the rms shape for the
-    ``mm_mp3*_rms`` queries, or the ADMISSION-stats shape (clip and
-    silence counts, per-channel frame count, intro fingerprint) the
-    multi-codec curation funnel gates on."""
-    if not admission:
-        return f"""agg AS (
-  SELECT doc_id, ff,
-    CAST(list_sum(list_transform(pcm, p -> p * p)) AS BIGINT) AS sum_sq,
-    CAST(list_sum(list_transform(range(0, {nsamp}), k ->
-      (k + 1) * pcm[CAST(k + 1 AS INT)])) AS BIGINT) AS fp
-  FROM pcms
-)
-SELECT doc_id{", CAST(ff AS INT) AS n_blocks" if frames_expr != "1" else ""},
-       CAST(44100 AS INT) AS sample_rate,
-       CAST({nsamp} AS BIGINT) AS n_samples, sum_sq, fp,
-       ROUND(sqrt(sum_sq / CAST({nsamp} AS DOUBLE)), 6) AS rms
-FROM agg ORDER BY doc_id"""
-    return f"""adm AS (
-  SELECT doc_id,
-    CAST(44100 AS INT) AS sample_rate,
-    CAST({nch} AS INT) AS n_channels,
-    CAST(1152 * ff AS BIGINT) AS n_frames,
-    CAST(len(list_filter(pcm, p -> abs(p) >= {_AC_CLIP})) AS BIGINT)
-      AS n_clip,
-    CAST(len(list_filter(pcm, p -> abs(p) < {_AC_SIL})) AS BIGINT)
-      AS n_silence,
-    CAST(list_sum(list_transform(pcm, p -> p * p)) AS BIGINT) AS sum_sq,
-    CAST(list_sum(list_transform(
-      range(0, LEAST({nsamp}, {_AC_FP_WIN})), k ->
-        (k + 1) * pcm[CAST(k + 1 AS INT)])) AS BIGINT) AS fp
-  FROM pcms
-)
-SELECT * FROM adm ORDER BY doc_id"""
-
-
-def _mm_mp3_rms_sql(
-    nch: int = 1,
-    frames_expr: str = "1",
-    ms: bool = False,
-    admission: bool = False,
-    doc_where: str = "",
-    intensity: bool = False,
-) -> str:
-    """The fixed-point Layer III decode pipeline unrolled as chained
-    CTEs over the pre-encode octets — same tables, same single
-    rounding rule floor((2a+b)/2b) as ``functions/mp3.py`` (constants
-    embedded verbatim from the module, so the LUTs ARE the contract).
-    Stage layout mirrors the decoder over ``2*nch*F`` frame-granule-
-    channel segments of 576 lines in bitstream order (``frames_expr``
-    is a per-row SQL expression for the frame count F — "1" for the
-    single-frame queries, data-dependent for the MKV variant, so the
-    list stages are VARIABLE-length per document): xq (requantized
-    lines), xa (alias butterflies, exact), zz (fused IMDCT+window, the
-    ONE mid-pipeline rounding), tv (overlap-add + frequency inversion,
-    exact — the previous-granule tail is the SAME-CHANNEL segment
-    ``nch`` back, which also chains granules ACROSS frame boundaries),
-    vv (polyphase matrixing per channel, exact), pcm (512-tap windowed
-    output, final rounding + int16 clamp, channel-interleaved)."""
-    from ..functions.mp3 import (
-        _CA,
-        _CS,
-        _CW36,
-        _DWIN,
-        _IS_KL,
-        _IS_KR,
-        _NMAT,
-        SFB_LONG_44100,
-        requant_lut,
-    )
-
-    lut = requant_lut(_MP3_GG)
-    bo = []
-    for band in range(22):
-        bo += [band] * (SFB_LONG_44100[band + 1] - SFB_LONG_44100[band])
-    cw = [int(v) for v in _CW36.ravel()]  # [n*18+i]
-    nm = [int(v) for v in _NMAT.ravel()]  # [i*32+j]
-    dw = [int(v) for v in _DWIN]
-    csa = [int(v) for v in _CS]
-    caa = [int(v) for v in _CA]
-    kl = [int(v) for v in _IS_KL]
-    kr = [int(v) for v in _IS_KR]
-    nseg = f"(2 * {nch} * ff)"  # frame-granule-channel segments
-    nsamp = f"(1152 * {nch} * ff)"
-    blocks = "(36 * ff)"  # per-channel filterbank blocks
-
-    def rdiv20(s: str) -> str:
-        return (
-            f"CAST(floor((2.0 * ({s}) + 1048576) / 2097152.0) AS BIGINT)"
-        )
-
-    imdct_terms = " + ".join(
-        f"xa[CAST((k // 1152) * 576 + ((k % 1152) // 36) * 18 + {i}"
-        f" + 1 AS INT)] * cw[CAST((k % 36) * 18 + {i} + 1 AS INT)]"
-        for i in range(18)
-    )
-    # vv block layout is CHANNEL-major time (ch*36F + t) so the 16-deep
-    # window FIFO never crosses channels; ts segment for (ch, t) is
-    # (t // 18) * nch + ch
-    matrix_terms = " + ".join(
-        f"nm[CAST((k % 64) * 32 + {j} + 1 AS INT)]"
-        f" * tv[CAST(((((k // 64) % {blocks}) // 18) * {nch}"
-        f" + (k // 64) // {blocks}) * 576 + {j} * 18"
-        f" + ((k // 64) % 18) + 1 AS INT)]"
-        for j in range(32)
-    )
-    # pcm is channel-interleaved: sample n = k // nch, channel = k % nch
-    win_terms = " + ".join(
-        f"(CASE WHEN (k // {nch}) // 32 >= {i} THEN"
-        f" vv[CAST(((k % {nch}) * {blocks} + (k // {nch}) // 32 - {i})"
-        f" * 64 + (k // {nch}) % 32 + {32 * (i % 2)}"
-        f" + 1 AS INT)] ELSE 0 END) * dw[CAST((k // {nch}) % 32"
-        f" + {32 * i} + 1 AS INT)]"
-        for i in range(16)
-    )
-    sfx = (
-        "CASE WHEN bo[CAST(k % 576 + 1 AS INT)] < 21 THEN"
-        " cs[CAST(((k // 576) * 21 + bo[CAST(k % 576 + 1 AS INT)])"
-        " % n_bytes + 1 AS INT)] % 8 ELSE 0 END"
-    )
-
-    def rdiv10(expr: str) -> str:
-        return f"CAST(floor((2.0 * ({expr}) + 1024) / 2048.0) AS BIGINT)"
-
-    # mid/side recombination (ms=True, nch=2): even segments are the
-    # MID channel, partner SIDE at k+576 of the same granule —
-    # L,R = rdiv((M +- S) * 724, 2^10), mirroring the decoder stage
-    # intensity position split (intensity=True, nch=2): even segments
-    # carry the spectrum; for lines at/above the right channel's
-    # 134-line bound, L,R = rdiv(xL * KL/KR[is_pos], 2^10) with is_pos
-    # = the right channel's raw %7 scalefactor (band 21 reuses 20's)
-    if intensity:
-        if nch != 2 or ms:
-            raise ValueError("intensity oracle needs nch=2 and not ms")
-    ms_cte = ""
-    if ms:
-        if nch != 2:
-            raise ValueError("ms oracle needs nch=2")
-        ms_cte = f"""msr AS (
-  SELECT doc_id, ff, list_transform(range(0, 576 * {nseg}), k ->
-    CASE WHEN (k // 576) % 2 = 0 THEN
-      {rdiv10("(x[CAST(k + 1 AS INT)] + x[CAST(k + 577 AS INT)]) * 724")}
-    ELSE
-      {rdiv10("(x[CAST(k - 575 AS INT)] - x[CAST(k + 1 AS INT)]) * 724")}
-    END) AS x
-  FROM xq
-),
-"""
-    if intensity:
-        # is_pos byte of the partner RIGHT segment: fixture maps right
-        # bands 15..20 (and 21 -> reuse 20) through %7
-        is_pos = (
-            "(cs[CAST((((k // 576) - (k // 576) % 2 + 1) * 21"
-            " + LEAST(bo[CAST(k % 576 + 1 AS INT)], 20)) % mp.n_bytes"
-            " + 1 AS INT)] % 8 % 7)"
-        )
-        nseg_q = nseg.replace("ff", "xq.ff")
-        ms_cte = f"""isr AS (
-  SELECT xq.doc_id, xq.ff, list_transform(range(0, 576 * {nseg_q}), k ->
-    CASE WHEN (k % 576) < 134 THEN x[CAST(k + 1 AS INT)]
-    WHEN (k // 576) % 2 = 0 THEN
-      {rdiv10(f"x[CAST(k + 1 AS INT)] * kl[CAST({is_pos} + 1 AS INT)]")}
-    ELSE
-      {rdiv10(f"x[CAST(k - 575 AS INT)] * kr[CAST({is_pos} + 1 AS INT)]")}
-    END) AS x
-  FROM xq JOIN mp ON mp.doc_id = xq.doc_id CROSS JOIN consts
-),
-"""
-    return f"""
-WITH {_CODES_CTE_SQL},
-consts AS (SELECT {lut!r}::BIGINT[] AS lut, {bo!r}::BIGINT[] AS bo,
-  {csa!r}::BIGINT[] AS csa, {caa!r}::BIGINT[] AS caa,
-  {kl!r}::BIGINT[] AS kl, {kr!r}::BIGINT[] AS kr,
-  {cw!r}::BIGINT[] AS cw, {nm!r}::BIGINT[] AS nm, {dw!r}::BIGINT[] AS dw),
-mp AS (
-  SELECT doc_id, n_bytes, cs, CAST({frames_expr} AS BIGINT) AS ff
-  FROM codes WHERE n_bytes > 0{doc_where}
-),
-xq AS (
-  SELECT doc_id, ff, n_bytes, list_transform(range(0, 576 * {nseg}), k ->
-    (CASE cs[CAST(k % n_bytes + 1 AS INT)] % 3
-       WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE -1 END)
-    * lut[CAST(({sfx}) + 1 AS INT)]) AS x
-  FROM mp CROSS JOIN consts
-),
-{ms_cte}xal AS (
-  SELECT doc_id, ff, list_transform(range(0, 576 * {nseg}), k ->
-    CASE
-      WHEN (k % 576) % 18 >= 10 AND (k % 576) // 18 < 31 THEN
-        x[CAST(k + 1 AS INT)]
-          * csa[CAST(17 - (k % 576) % 18 + 1 AS INT)]
-        - x[CAST(k + 2 * (17 - (k % 576) % 18) + 2 AS INT)]
-          * caa[CAST(17 - (k % 576) % 18 + 1 AS INT)]
-      WHEN (k % 576) % 18 <= 7 AND (k % 576) // 18 >= 1 THEN
-        x[CAST(k + 1 AS INT)] * csa[CAST((k % 576) % 18 + 1 AS INT)]
-        + x[CAST(k - 2 * ((k % 576) % 18) AS INT)]
-          * caa[CAST((k % 576) % 18 + 1 AS INT)]
-      ELSE x[CAST(k + 1 AS INT)] * 1024
-    END) AS xa
-  FROM {"msr" if ms else ("isr" if intensity else "xq")} CROSS JOIN consts
-),
-zz AS (
-  SELECT doc_id, ff, list_transform(range(0, 1152 * {nseg}), k ->
-    {rdiv20(imdct_terms)}) AS z
-  FROM xal CROSS JOIN consts
-),
-tvs AS (
-  SELECT doc_id, ff, list_transform(range(0, 576 * {nseg}), k ->
-    (CASE WHEN ((k % 576) // 18) % 2 = 1 AND (k % 18) % 2 = 1
-          THEN -1 ELSE 1 END)
-    * (z[CAST((k // 576) * 1152 + ((k % 576) // 18) * 36
-         + (k % 18) + 1 AS INT)]
-       + CASE WHEN k // 576 >= {nch} THEN
-           z[CAST((k // 576 - {nch}) * 1152 + ((k % 576) // 18) * 36
-             + 18 + (k % 18) + 1 AS INT)]
-         ELSE 0 END)) AS tv
-  FROM zz
-),
-vvs AS (
-  SELECT doc_id, ff, list_transform(range(0, 64 * {blocks} * {nch}), k ->
-    {matrix_terms}) AS vv
-  FROM tvs CROSS JOIN consts
-),
-pcms AS (
-  SELECT doc_id, ff, list_transform(range(0, {nsamp}), k ->
-    LEAST(32767, GREATEST(-32768, {rdiv20(win_terms)}))) AS pcm
-  FROM vvs CROSS JOIN consts
-),
-{_mp3_final_select(nch, frames_expr, nsamp, admission)}
-"""
-
-
-def _mm_mp3_general_sql() -> str:
-    """The GENERAL-profile decode oracle (r9): the ``_mm_mp3_rms_sql``
-    pipeline with per-segment block structure — the eight
-    granule-segments of the fixed 4-frame mono fixture carry the block
-    types ``_MP3G_BT`` (long ×4, start, short, stop, long), so the
-    requant stage selects per-segment scalefactor rules (scfsi share,
-    preflag pretab, scalefac_scale, table-2 magnitudes, per-window
-    short scalefactors + subblock gains), the alias stage skips the
-    short segment, and the IMDCT stage picks the fused
-    normal/start/stop long tables or the three-window short path
-    (gathered through the stored-order index map).  The reservoir,
-    VBR framing, scfsi bits and Huffman/count1 coding have no oracle
-    footprint by construction — they are transport for exactly these
-    values, which the round-trip pins (``test_mp3``); everything from
-    requantization on is replayed here bit-exactly."""
-    from ..functions.mp3 import (
-        _CA,
-        _CS,
-        _CW36_BT,
-        _DWIN,
-        _NMAT,
-        _PRETAB,
-        _STORED_IDX,
-        _STORED_IDX_MIX,
-        _STORED_SFB,
-        _STORED_SFB_MIX,
-        _STORED_WIN,
-        _STORED_WIN_MIX,
-        _SW12,
-        SFB_LONG_44100,
-        requant_lut,
-    )
-
-    rqa = [
-        v
-        for a in (0, 1, 2)
-        for v in requant_lut(_MP3_GG, 0, 11, q=a)
-    ]
-    rqb = [
-        v
-        for a in (0, 1, 2)
-        for v in requant_lut(_MP3_GG, 1, 11, q=a)
-    ]
-    rqs = [
-        v
-        for g in range(8)
-        for v in requant_lut(_MP3_GG - 8 * g, 0, 8, q=1)
-    ]
-    bo = []
-    for band in range(22):
-        bo += [band] * (SFB_LONG_44100[band + 1] - SFB_LONG_44100[band])
-    pt = [int(v) for v in _PRETAB]
-    sfb3 = [int(v) for v in _STORED_SFB]
-    win3 = [int(v) for v in _STORED_WIN]
-    sid = [
-        int(_STORED_IDX[w, 6 * sb + i])
-        for sb in range(32)
-        for w in range(3)
-        for i in range(6)
-    ]
-    # mixed stored gather (sb >= 2 only; sb 0..1 entries unused -> 0)
-    sidm = [
-        int(_STORED_IDX_MIX[w, 6 * sb + i]) if sb >= 2 else 0
-        for sb in range(32)
-        for w in range(3)
-        for i in range(6)
-    ]
-    sfb3m = [max(int(v), 0) for v in _STORED_SFB_MIX]
-    win3m = [max(int(v), 0) for v in _STORED_WIN_MIX]
-    cw0 = [int(v) for v in _CW36_BT[0].ravel()]
-    cw1 = [int(v) for v in _CW36_BT[1].ravel()]
-    cw3 = [int(v) for v in _CW36_BT[3].ravel()]
-    sw = [int(v) for v in _SW12.ravel()]
-    nm = [int(v) for v in _NMAT.ravel()]
-    dw = [int(v) for v in _DWIN]
-    csa = [int(v) for v in _CS]
-    caa = [int(v) for v in _CA]
-
-    def rdiv20(s: str) -> str:
-        return (
-            f"CAST(floor((2.0 * ({s}) + 1048576) / 2097152.0) AS BIGINT)"
-        )
-
-    # per-line helpers (l = k % 576, seg = k // 576)
-    L = "CAST(k % 576 + 1 AS INT)"
-    band = f"bo[{L}]"
-    byte = "cs[CAST(k % n_bytes + 1 AS INT)]"
-    # long effective scalefactor: raw %8 byte (seg 1 shares bands
-    # 11..20 with seg 0 -> base 0) + preflag pretab on segs 0/3
-    sf_raw = (
-        f"(CASE WHEN {band} < 21 THEN "
-        f"(CASE WHEN k // 576 = 1 AND {band} >= 11 THEN "
-        f"cs[CAST({band} % n_bytes + 1 AS INT)] % 8 "
-        f"ELSE cs[CAST((21 * (k // 576) + {band}) % n_bytes + 1 AS INT)]"
-        f" % 8 END) ELSE 0 END)"
-    )
-    sfe = (
-        f"({sf_raw} + (CASE WHEN k // 576 = 0 OR k // 576 = 3 "
-        f"THEN pt[CAST({band} + 1 AS INT)] ELSE 0 END))"
-    )
-    # short segments: per-window subblock gain + short scalefactor,
-    # with the segment's own byte base 21*seg (pure-short layout maps)
-    sbg_byte = (
-        f"cs[CAST((21 * (k // 576) + 36 + win3[{L}]) % n_bytes"
-        f" + 1 AS INT)] % 8"
-    )
-    sfs_short = (
-        f"(CASE WHEN sfb3[{L}] < 12 THEN "
-        f"cs[CAST((21 * (k // 576) + 3 * sfb3[{L}] + win3[{L}])"
-        f" % n_bytes + 1 AS INT)] % 8 ELSE 0 END)"
-    )
-    # the MIXED segment (5): short part uses the mixed layout maps,
-    # the long part (lines < 36) uses byte base 21*5 + 39 for its
-    # eight long scalefactors
-    sbg_byte_m = (
-        f"cs[CAST((21 * (k // 576) + 36 + win3m[{L}]) % n_bytes"
-        f" + 1 AS INT)] % 8"
-    )
-    sfs_short_m = (
-        f"(CASE WHEN sfb3m[{L}] < 12 THEN "
-        f"cs[CAST((21 * (k // 576) + 3 * sfb3m[{L}] + win3m[{L}])"
-        f" % n_bytes + 1 AS INT)] % 8 ELSE 0 END)"
-    )
-    sf_mix_long = (
-        f"cs[CAST((21 * (k // 576) + 39 + {band}) % n_bytes"
-        f" + 1 AS INT)] % 8"
-    )
-    sgn = (
-        "(CASE WHEN v[CAST(k + 1 AS INT)] > 0 THEN 1 "
-        "WHEN v[CAST(k + 1 AS INT)] < 0 THEN -1 ELSE 0 END)"
-    )
-    absv = "abs(v[CAST(k + 1 AS INT)])"
-
-    def imdct_terms(t: str) -> str:
-        return " + ".join(
-            f"xa[CAST((k // 1152) * 576 + ((k % 1152) // 36) * 18 + {i}"
-            f" + 1 AS INT)] * {t}[CAST((k % 36) * 18 + {i} + 1 AS INT)]"
-            for i in range(18)
-        )
-
-    short_terms = " + ".join(
-        f"(CASE WHEN k % 36 >= {6 + 6 * w} AND k % 36 < {18 + 6 * w}"
-        f" THEN xa[CAST((k // 1152) * 576"
-        f" + sid[CAST(((k % 1152) // 36) * 18 + {w * 6 + i}"
-        f" + 1 AS INT)] + 1 AS INT)]"
-        f" * sw[CAST((k % 36 - {6 + 6 * w}) * 6 + {i} + 1 AS INT)]"
-        f" ELSE 0 END)"
-        for w in range(3)
-        for i in range(6)
-    )
-    short_terms_mix = short_terms.replace("sid[", "sidm[")
-    matrix_terms = " + ".join(
-        f"nm[CAST((k % 64) * 32 + {j} + 1 AS INT)]"
-        f" * tv[CAST(((k // 64) % 144) // 18 * 576 + {j} * 18"
-        f" + ((k // 64) % 18) + 1 AS INT)]"
-        for j in range(32)
-    )
-    win_terms = " + ".join(
-        f"(CASE WHEN k // 32 >= {i} THEN"
-        f" vv[CAST((k // 32 - {i})"
-        f" * 64 + k % 32 + {32 * (i % 2)}"
-        f" + 1 AS INT)] ELSE 0 END) * dw[CAST(k % 32"
-        f" + {32 * i} + 1 AS INT)]"
-        for i in range(16)
-    )
-    return f"""
-WITH {_CODES_CTE_SQL},
-consts AS (SELECT {rqa!r}::BIGINT[] AS rqa, {rqb!r}::BIGINT[] AS rqb,
-  {rqs!r}::BIGINT[] AS rqs, {bo!r}::BIGINT[] AS bo,
-  {pt!r}::BIGINT[] AS pt, {sfb3!r}::BIGINT[] AS sfb3,
-  {win3!r}::BIGINT[] AS win3, {sid!r}::BIGINT[] AS sid,
-  {sidm!r}::BIGINT[] AS sidm, {sfb3m!r}::BIGINT[] AS sfb3m,
-  {win3m!r}::BIGINT[] AS win3m,
-  {csa!r}::BIGINT[] AS csa, {caa!r}::BIGINT[] AS caa,
-  {cw0!r}::BIGINT[] AS cw0, {cw1!r}::BIGINT[] AS cw1,
-  {cw3!r}::BIGINT[] AS cw3, {sw!r}::BIGINT[] AS sw,
-  {nm!r}::BIGINT[] AS nm, {dw!r}::BIGINT[] AS dw),
-vq AS (
-  SELECT doc_id, n_bytes, cs, CAST(4 AS BIGINT) AS ff,
-    list_transform(range(0, 4608), k ->
-      CASE
-        WHEN (k // 576 = 0 OR k // 576 = 3) AND k % 576 < 36 THEN
-          CASE {byte} % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
-            WHEN 3 THEN -1 ELSE -2 END
-        WHEN (k // 576 = 0 OR k // 576 = 3) AND k % 576 >= 258 THEN 0
-        ELSE CASE {byte} % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE -1 END
-      END) AS v
-  FROM codes WHERE n_bytes > 0
-),
-xq AS (
-  SELECT doc_id, ff, list_transform(range(0, 4608), k ->
-    CASE WHEN k // 576 = 6 THEN
-      v[CAST(k + 1 AS INT)]
-      * rqs[CAST(({sbg_byte}) * 8 + {sfs_short} + 1 AS INT)]
-    WHEN k // 576 = 5 AND k % 576 >= 36 THEN
-      v[CAST(k + 1 AS INT)]
-      * rqs[CAST(({sbg_byte_m}) * 8 + {sfs_short_m} + 1 AS INT)]
-    WHEN k // 576 = 5 THEN
-      {sgn} * rqa[CAST({absv} * 11 + {sf_mix_long} + 1 AS INT)]
-    WHEN k // 576 = 1 THEN
-      {sgn} * rqb[CAST({absv} * 11 + {sfe} + 1 AS INT)]
-    ELSE
-      {sgn} * rqa[CAST({absv} * 11 + {sfe} + 1 AS INT)]
-    END) AS x
-  FROM vq CROSS JOIN consts
-),
-xal AS (
-  SELECT doc_id, ff, list_transform(range(0, 4608), k ->
-    CASE
-      WHEN k // 576 = 6 THEN x[CAST(k + 1 AS INT)] * 1024
-      WHEN k // 576 = 5 AND NOT ((k % 576) % 18 >= 10
-           AND (k % 576) // 18 = 0)
-           AND NOT ((k % 576) % 18 <= 7 AND (k % 576) // 18 = 1)
-        THEN x[CAST(k + 1 AS INT)] * 1024
-      WHEN (k % 576) % 18 >= 10 AND (k % 576) // 18 < 31 THEN
-        x[CAST(k + 1 AS INT)]
-          * csa[CAST(17 - (k % 576) % 18 + 1 AS INT)]
-        - x[CAST(k + 2 * (17 - (k % 576) % 18) + 2 AS INT)]
-          * caa[CAST(17 - (k % 576) % 18 + 1 AS INT)]
-      WHEN (k % 576) % 18 <= 7 AND (k % 576) // 18 >= 1 THEN
-        x[CAST(k + 1 AS INT)] * csa[CAST((k % 576) % 18 + 1 AS INT)]
-        + x[CAST(k - 2 * ((k % 576) % 18) AS INT)]
-          * caa[CAST((k % 576) % 18 + 1 AS INT)]
-      ELSE x[CAST(k + 1 AS INT)] * 1024
-    END) AS xa
-  FROM xq CROSS JOIN consts
-),
-zz AS (
-  SELECT doc_id, ff, list_transform(range(0, 9216), k ->
-    CASE k // 1152
-      WHEN 6 THEN {rdiv20(short_terms)}
-      WHEN 5 THEN CASE WHEN (k % 1152) // 36 < 2
-        THEN {rdiv20(imdct_terms("cw0"))}
-        ELSE {rdiv20(short_terms_mix)} END
-      WHEN 4 THEN {rdiv20(imdct_terms("cw1"))}
-      WHEN 7 THEN {rdiv20(imdct_terms("cw3"))}
-      ELSE {rdiv20(imdct_terms("cw0"))}
-    END) AS z
-  FROM xal CROSS JOIN consts
-),
-tvs AS (
-  SELECT doc_id, ff, list_transform(range(0, 4608), k ->
-    (CASE WHEN ((k % 576) // 18) % 2 = 1 AND (k % 18) % 2 = 1
-          THEN -1 ELSE 1 END)
-    * (z[CAST((k // 576) * 1152 + ((k % 576) // 18) * 36
-         + (k % 18) + 1 AS INT)]
-       + CASE WHEN k // 576 >= 1 THEN
-           z[CAST((k // 576 - 1) * 1152 + ((k % 576) // 18) * 36
-             + 18 + (k % 18) + 1 AS INT)]
-         ELSE 0 END)) AS tv
-  FROM zz
-),
-vvs AS (
-  SELECT doc_id, ff, list_transform(range(0, 64 * 144), k ->
-    {matrix_terms}) AS vv
-  FROM tvs CROSS JOIN consts
-),
-pcms AS (
-  SELECT doc_id, ff, list_transform(range(0, 4608), k ->
-    LEAST(32767, GREATEST(-32768, {rdiv20(win_terms)}))) AS pcm
-  FROM vvs CROSS JOIN consts
-),
-{_mp3_final_select(1, "1", "4608", False)}
-"""
 
 
 def mm_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2331,36 +1241,6 @@ FROM base ORDER BY doc_id
 _FR_BYTES, _FR_STRIDE, _FR_MAX = 16, 2, 8
 
 
-def _ogg_vorbis_build(batches):
-    """Fixture kernel for ``mm_ogg_vorbis_meta``: per document, a
-    complete Ogg-Vorbis stream — spec-legal identification, comment
-    and FULL setup headers (codebooks/floors/residues/mappings/modes,
-    ``functions/vorbis.py``) plus ``len(text) mod 7`` placeholder
-    audio packets (opaque by the adjudicated decode boundary).
-    Channels/rate/bitrate/tags derive from doc_id and the text, so
-    the oracle reconstructs every column from the documents table."""
-    import pandas as pd
-
-    from ..functions.vorbis import write_ogg_vorbis
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            did = int(did)
-            payloads.append(
-                write_ogg_vorbis(
-                    channels=1 + did % 2,
-                    rate=8000 * (1 + did % 4),
-                    tags={"TITLE": t[:12], "SOURCE": f"doc{did}"},
-                    n_audio_packets=len(t) % 7,
-                    bitrate_nominal=1000 * (1 + did % 5),
-                )
-            )
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
-
-
 def mm_ogg_vorbis_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ogg-VORBIS metadata extraction (r11, the bounded Vorbis spike):
     each payload is a real Ogg stream whose Vorbis header triple is
@@ -2403,43 +1283,6 @@ SELECT doc_id,
        CAST((len(text) % 7) * 128 AS BIGINT) AS last_granule
 FROM documents ORDER BY doc_id
 """
-
-
-
-def _ogg_opus_build(batches):
-    """Fixture kernel for ``mm_ogg_opus_meta``: per document, an Ogg
-    stream of RFC 7845 OpusHead/OpusTags plus TOC-skeleton audio
-    packets whose config and frame-count code derive from the text
-    bytes — so the oracle replays the RFC 6716 §3.1 duration table
-    from the documents table.  SILK/CELT payloads stay opaque
-    (SCALE.md §Vorbis float-codec boundary)."""
-    import pandas as pd
-
-    from ..functions.opus import opus_packet, write_ogg_opus
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            did = int(did)
-            n_pkts = min(len(t) % 6, len(t) // 2)
-            pkts = []
-            for i in range(n_pkts):
-                c = ord(t[2 * i]) % 32
-                code = ord(t[2 * i + 1]) % 3
-                pkts.append(opus_packet(c, code))
-            payloads.append(
-                write_ogg_opus(
-                    channels=1 + did % 2,
-                    tags={"TITLE": t[:12], "SOURCE": f"doc{did}"},
-                    packets=pkts,
-                    pre_skip=100 + did % 200,
-                    input_rate=8000 * (1 + did % 6),
-                    gain_q8=(did % 17) - 8,
-                )
-            )
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
 
 
 def mm_ogg_opus_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2508,52 +1351,6 @@ SELECT p.doc_id,
 FROM pk p JOIN samples s USING (doc_id)
 ORDER BY p.doc_id
 """
-
-
-
-def _ogg_meta_quar_build(batches):
-    """Fixture kernel for ``mm_ogg_meta_quarantine``: the Vorbis/Opus
-    dispatch corpus (codec by doc parity, metadata from doc_id/text as
-    in the two clean fixtures) with a deterministically corrupted
-    subset — ``doc_id % 5 == 2`` gets a flipped byte inside the first
-    header page, so the CRC check converts it to a quarantine row."""
-    import pandas as pd
-
-    from ..functions.opus import opus_packet, write_ogg_opus
-    from ..functions.vorbis import write_ogg_vorbis
-
-    for pdf in batches:
-        payloads = []
-        for did, t in zip(pdf["doc_id"], pdf["text"]):
-            did = int(did)
-            if did % 2 == 0:
-                blob = write_ogg_vorbis(
-                    channels=1 + did % 2,
-                    rate=8000 * (1 + did % 4),
-                    tags={"TITLE": t[:12]},
-                    n_audio_packets=len(t) % 7,
-                )
-            else:
-                n_pkts = min(len(t) % 6, len(t) // 2)
-                blob = write_ogg_opus(
-                    channels=1,
-                    tags={"TITLE": t[:12]},
-                    packets=[
-                        opus_packet(
-                            ord(t[2 * i]) % 32, ord(t[2 * i + 1]) % 3
-                        )
-                        for i in range(n_pkts)
-                    ],
-                    pre_skip=0,
-                )
-            if did % 5 == 2:
-                b = bytearray(blob)
-                b[30] ^= 0xFF
-                blob = bytes(b)
-            payloads.append(blob)
-        yield pd.DataFrame(
-            {"media_id": pdf["doc_id"], "payload": payloads}
-        )
 
 
 def mm_ogg_meta_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:

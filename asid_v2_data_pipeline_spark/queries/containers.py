@@ -11,7 +11,7 @@ from ..functions import text as tx
 from ..schemas import load_table
 from ._shared import _cached_media, _char_hash_sql
 from .media import _BMP_F, _BMP_H, _BMP_W, _CODES_CTE_SQL, _mm_bmp_sql
-from .audio import _MP3_GG, _mm_mp3_rms_sql
+from .oracles_mp3 import _MP3_GG, _mm_mp3_rms_sql
 
 
 
