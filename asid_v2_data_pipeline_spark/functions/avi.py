@@ -32,8 +32,16 @@ def write_avi_mjpeg(
     width: int,
     height: int,
     usec_per_frame: int = 40_000,
+    idx_absolute: bool = False,
 ) -> bytes:
-    """One 'vids'/MJPG stream; every frame a keyframe (MJPEG)."""
+    """One 'vids'/MJPG stream; every frame a keyframe (MJPEG).
+
+    ``idx_absolute`` selects the idx1 offset convention: the default
+    measures from the first byte of the 'movi' fourcc (the spec's
+    reading); ``True`` writes offsets absolute from the file start,
+    the other convention real-world muxers use and ``parse_avi``
+    auto-detects (r12, VERDICT r11 task 5 — both conventions now
+    reachable from the writer so the fixture corpus can mix them)."""
     if not frames:
         raise ValueError("avi: no frames")
     maxb = max(len(f) for f in frames)
@@ -96,10 +104,15 @@ def write_avi_mjpeg(
     )
     movi_body = bytearray()
     idx = bytearray()
+    # absolute position of the 'movi' fourcc once assembled:
+    # RIFF(4) + size(4) + 'AVI '(4) + hdrl + LIST(4) + size(4)
+    movi_at = 12 + len(hdrl) + 8
     for f in frames:
         # offset convention: from the first byte of the 'movi' fourcc;
         # the fourcc itself is 4 bytes, so the first chunk sits at 4
         off = 4 + len(movi_body)
+        if idx_absolute:
+            off += movi_at
         movi_body += chunk(b"00dc", bytes(f))
         idx += b"00dc" + struct.pack(
             "<III", _AVIIF_KEYFRAME, off, len(f)

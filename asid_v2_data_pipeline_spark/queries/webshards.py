@@ -810,7 +810,7 @@ def mm_avi_mjpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             payloads = []
-            for t in pdf["text"]:
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
                 raw = t.encode("utf-8")
                 nf = min(_MJPEG_MAX_FRAMES, len(raw) // n)
                 frames = [
@@ -824,7 +824,16 @@ def mm_avi_mjpeg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 payloads.append(
                     write_avi_mjpeg(
-                        frames, _BMP_W, _BMP_H, usec_per_frame=_AVI_USEC
+                        frames,
+                        _BMP_W,
+                        _BMP_H,
+                        usec_per_frame=_AVI_USEC,
+                        # layout mix (r12, VERDICT r11 task 5): odd
+                        # docs use the file-absolute idx1 convention,
+                        # even docs movi-relative, so parse_avi's
+                        # dual-convention auto-detect runs under the
+                        # from-octets oracle
+                        idx_absolute=int(did) % 2 == 1,
                     )
                     if frames
                     else None
