@@ -44,6 +44,8 @@ def contamination(
     id_col: str,
     text_col: str,
     n: int = 8,
+    docs_hashed: DataFrame | None = None,
+    bench_hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document contamination counts vs a benchmark set.
 
@@ -57,15 +59,32 @@ def contamination(
     groupBy over *matching* gram rows — a vanishing fraction at 100 TB.
     Downstream: anti-join the corpus against this output to drop or
     flag contaminated documents.
+
+    ``docs_hashed`` / ``bench_hashed``: optional pre-computed
+    (_id, _hs) shingle tables at the same ``n`` for either side —
+    pass them when a surrounding pipeline already paid the char-hash
+    pass (curate_v2 derives both n-gram widths from one token-hash
+    array).  BOTH must be MATERIALIZED relations (checkpointed /
+    persisted), never lazy fold expressions: this function explodes
+    ``_hs``, and exploding an expensive array expression re-evaluates
+    it per output row inside the Generate stage (see below).
     """
-    bench = benchmark_ngram_set(benchmark, id_col, text_col, n)
+    bench = (
+        benchmark_ngram_set(benchmark, id_col, text_col, n)
+        if bench_hashed is None
+        else bench_hashed.select(F.explode("_hs").alias("_sh")).distinct()
+    )
     # Materialize the shingle arrays BEFORE the explode: exploding an
     # expensive array EXPRESSION re-evaluates it inside the Generate
     # stage, where whole-stage codegen's common-subexpression
     # elimination does not reach — measured 185 s vs 1.3 s at sf0.1 for
     # this exact explode.  localCheckpoint locally; at 100 TB this is
     # the persisted shingle table every dedup/decontam pipeline keeps.
-    hashed = with_shingle_hashes(docs, id_col, text_col, n).localCheckpoint()
+    hashed = (
+        docs_hashed
+        if docs_hashed is not None
+        else with_shingle_hashes(docs, id_col, text_col, n).localCheckpoint()
+    )
     grams = hashed.select(
         "_id", F.size("_hs").alias("_ng"), F.explode("_hs").alias("_sh")
     )
@@ -92,6 +111,7 @@ def fuzzy_contamination(
     n: int = 3,
     min_jaccard: float = 0.5,
     docs_hashed: DataFrame | None = None,
+    bench_hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate contamination: corpus documents MinHash-colliding
     with a benchmark document, verified by exact shingle Jaccard.
@@ -109,15 +129,20 @@ def fuzzy_contamination(
     Returns distinct ``(id_col, bench_id, jaccard)`` with
     ``jaccard >= min_jaccard``, jaccard rounded to 6 places.
 
-    ``docs_hashed``: optional pre-computed (_id, _hs) shingle table for
-    the corpus side (must be hashed at the same ``n``) — pass it when a
-    surrounding pipeline already paid the corpus shingle pass
+    ``docs_hashed`` / ``bench_hashed``: optional pre-computed
+    (_id, _hs) shingle tables for either side (must be hashed at the
+    same ``n``, and MATERIALIZED — see ``contamination``) — pass them
+    when a surrounding pipeline already paid the shingle pass
     (curate_v2 shares one checkpointed table between the MinHash dedup
-    and this tier).
+    and this tier, and one benchmark token-hash pass between the exact
+    and fuzzy tiers).
     """
     from .dedup import band_rows_from_hashes
 
-    bench_hashed = with_shingle_hashes(benchmark, id_col, text_col, n).localCheckpoint()
+    if bench_hashed is None:
+        bench_hashed = with_shingle_hashes(
+            benchmark, id_col, text_col, n
+        ).localCheckpoint()
     corpus_hashed = (
         docs_hashed
         if docs_hashed is not None

@@ -104,6 +104,20 @@ def with_shingle_hashes(
     )
 
 
+def fingerprint_from_token_hashes(th: Column) -> Column:
+    """``functions.text.fingerprint`` replayed from a token-hash array:
+    the same ``acc*COMBINE + char_hash(token) mod 2^31`` fold, with the
+    per-token char hashes already computed.  Identity with the text
+    form is pinned in tests — use it when a pipeline has paid the
+    char-level pass once (:func:`token_hashes`) and derives
+    fingerprints AND shingle sets from the same array (curate_v2)."""
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * COMBINE + h) % F.lit(MASK31 + 1),
+    ).cast("long")
+
+
 def shingle_hashes(text: Column, n: int = 3) -> Column:
     """Column form of the shingle hash set (inline; prefer
     ``with_shingle_hashes`` in pipelines).  The token-hash array is bound

@@ -113,13 +113,27 @@ def curate_v2(
     (benchmark side broadcast, candidates only).  The classifier gate
     itself is free — a broadcast weight row + fold fused into the scan
     stage.
+
+    Tokenize-once discipline (r12 stage profile, PLANS.md): the
+    rewritten corpus pays the char-level tokenize+hash pass EXACTLY
+    ONCE — ``token_hashes`` feeds the exact-dedup fingerprint (same
+    fold, pinned vs ``tx.fingerprint``), the n=3 shingle set (MinHash
+    dedup + fuzzy decontam) and the n=``decontam_n`` gram set (exact
+    decontam) as pure arithmetic folds, all landing in ONE checkpoint.
+    The benchmark side likewise hashes once for both decontam tiers.
+    Pre-r12 this was four corpus char passes (fingerprint, n=3, n=8)
+    plus two benchmark passes; the derived arrays are materialized
+    before any explode (the Generate re-evaluation trap, see
+    ``operators/decontam.py::contamination``).
     """
     from ..functions.classifier import score_documents
     from ..operators.decontam import fuzzy_contamination
     from ..operators.dedup import (
+        _shingle_hashes_from_token_hashes,
+        fingerprint_from_token_hashes,
         minhash_lsh_pairs_from_hashes,
         remove_duplicate_spans,
-        with_shingle_hashes,
+        token_hashes,
     )
 
     gated = (
@@ -139,23 +153,58 @@ def curate_v2(
     )
 
     good = rewritten.filter(tx.quality_score(F.col(text_col)) >= quality_min)
-    keyed = good.withColumn("_fp", tx.fingerprint(F.col(text_col)))
-    uniq = exact_dedup(keyed, ["_fp"], id_col).drop("_fp").localCheckpoint()
+    # the one char-level pass over the surviving corpus (staged select
+    # so the tokenize+hash evaluates once; Catalyst keeps the alias)
+    gth = good.select("*", token_hashes(F.col(text_col)).alias("_th"))
+    keyed = gth.withColumn(
+        "_fp", fingerprint_from_token_hashes(F.col("_th"))
+    )
+    uniq = (
+        exact_dedup(keyed, ["_fp"], id_col)
+        .select(
+            "*",
+            _shingle_hashes_from_token_hashes(F.col("_th"), 3).alias("_hs3"),
+            _shingle_hashes_from_token_hashes(
+                F.col("_th"), decontam_n
+            ).alias("_hs8"),
+        )
+        .drop("_fp", "_th", text_col)
+        .localCheckpoint()
+    )
 
-    # ONE corpus shingle pass (n=3) feeds both banded consumers: the
-    # MinHash dedup pairs and the fuzzy decontam tier
-    hashed3 = with_shingle_hashes(uniq, id_col, text_col, 3).localCheckpoint()
+    hashed3 = uniq.select(F.col(id_col).alias("_id"), F.col("_hs3").alias("_hs"))
     pairs = minhash_lsh_pairs_from_hashes(hashed3, num_perm=16, bands=4)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     neat = uniq.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint()
-    neat_hashed = hashed3.join(
-        F.broadcast(losers.select(F.col(id_col).alias("_id"))),
-        "_id",
-        "left_anti",
+
+    # benchmark side: one char pass feeds both decontam tiers
+    bench_hs = (
+        benchmark.select(
+            F.col(id_col).alias("_id"),
+            token_hashes(F.col(text_col)).alias("_th"),
+        )
+        .select(
+            "_id",
+            _shingle_hashes_from_token_hashes(F.col("_th"), 3).alias("_hs3"),
+            _shingle_hashes_from_token_hashes(
+                F.col("_th"), decontam_n
+            ).alias("_hs8"),
+        )
+        .localCheckpoint()
     )
 
     contaminated = (
-        contamination(neat, benchmark, id_col, text_col, n=decontam_n)
+        contamination(
+            neat,
+            benchmark,
+            id_col,
+            text_col,
+            n=decontam_n,
+            docs_hashed=neat.select(
+                F.col(id_col).alias("_id"), F.col("_hs8").alias("_hs")
+            ),
+            bench_hashed=bench_hs.select("_id", F.col("_hs8").alias("_hs")),
+        )
         .select(id_col)
         .unionByName(
             fuzzy_contamination(
@@ -164,12 +213,19 @@ def curate_v2(
                 id_col,
                 text_col,
                 min_jaccard=fuzzy_jaccard,
-                docs_hashed=neat_hashed,
+                docs_hashed=neat.select(
+                    F.col(id_col).alias("_id"), F.col("_hs3").alias("_hs")
+                ),
+                bench_hashed=bench_hs.select(
+                    "_id", F.col("_hs3").alias("_hs")
+                ),
             ).select(id_col)
         )
         .distinct()
     )
-    clean = neat.join(F.broadcast(contaminated), id_col, "left_anti")
+    clean = neat.select(id_col, quota_col, mix_col).join(
+        F.broadcast(contaminated), id_col, "left_anti"
+    )
 
     capped = quota_per_group(clean, [quota_col], quota, id_col, seed=quota_seed)
     return weighted_repeat(capped, mix_col, weights, id_col, seed=mix_seed)

@@ -86,3 +86,94 @@ def test_keep_best_per_cluster_pinned(spark):
     got = {(r["doc_id"], r["cluster_id"]) for r in out}
     # cluster {1,2,3}: q ties 2 vs 3 at 0.9 -> lowest id 2 wins
     assert got == {(2, 1), (4, 4), (9, 9)}
+
+
+def test_fingerprint_from_token_hashes_identity(spark):
+    """r12 (tokenize-once rewiring of curate_v2): the token-hash fold
+    equals ``tx.fingerprint`` on the raw text for every document —
+    exact dedup keyed on either is the same dedup."""
+    from asid_v2_data_pipeline_spark.functions import text as tx
+    from asid_v2_data_pipeline_spark.operators.dedup import (
+        fingerprint_from_token_hashes,
+        token_hashes,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta GAMMA, delta!"),
+            (2, ""),
+            (3, "one"),
+            (4, "x y z " * 40),
+            (5, "punct... only?!"),
+            (6, "ALPHA beta gamma, delta!"),  # case-folds to doc 1's tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = d.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("a"),
+        fingerprint_from_token_hashes(token_hashes(F.col("text"))).alias("b"),
+    ).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["a"] == r["b"], r["doc_id"]
+    by_id = {r["doc_id"]: r["a"] for r in out}
+    assert by_id[1] != by_id[3]
+
+
+def test_decontam_prehashed_sides_equal_text_path(spark):
+    """``contamination``/``fuzzy_contamination`` with pre-hashed
+    docs/bench sides return exactly the text-path results."""
+    from asid_v2_data_pipeline_spark.operators.decontam import contamination
+    from asid_v2_data_pipeline_spark.operators.dedup import (
+        with_shingle_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "completely unrelated text with nothing shared at all here"),
+            (3, "the quick brown fox jumps over the lazy dog tonight yes"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog forever")],
+        "doc_id long, text string",
+    )
+    n = 5
+    want = sorted(
+        tuple(r)
+        for r in contamination(docs, bench, "doc_id", "text", n=n).collect()
+    )
+    dh = with_shingle_hashes(docs, "doc_id", "text", n).localCheckpoint()
+    bh = with_shingle_hashes(bench, "doc_id", "text", n).localCheckpoint()
+    got = sorted(
+        tuple(r)
+        for r in contamination(
+            docs, bench, "doc_id", "text", n=n, docs_hashed=dh, bench_hashed=bh
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+    want_f = sorted(
+        tuple(r)
+        for r in fuzzy_contamination(
+            docs, bench, "doc_id", "text", min_jaccard=0.2
+        ).collect()
+    )
+    dh3 = with_shingle_hashes(docs, "doc_id", "text", 3).localCheckpoint()
+    bh3 = with_shingle_hashes(bench, "doc_id", "text", 3).localCheckpoint()
+    got_f = sorted(
+        tuple(r)
+        for r in fuzzy_contamination(
+            docs,
+            bench,
+            "doc_id",
+            "text",
+            min_jaccard=0.2,
+            docs_hashed=dh3,
+            bench_hashed=bh3,
+        ).collect()
+    )
+    assert got_f == want_f and len(want_f) > 0
