@@ -414,8 +414,44 @@ def curate_v2_staged(
     neat = _materialize("neardup", _neardup)
 
     def _clean() -> DataFrame:
+        # tokenize-once inside the stage (r12, mirrors curate_v2): one
+        # char pass per side feeds both decontam widths as folds
+        from ..operators.dedup import (
+            _shingle_hashes_from_token_hashes,
+            token_hashes,
+        )
+
+        def _two_width(df: DataFrame) -> DataFrame:
+            return (
+                df.select(
+                    F.col(id_col).alias("_id"),
+                    token_hashes(F.col(text_col)).alias("_th"),
+                )
+                .select(
+                    "_id",
+                    _shingle_hashes_from_token_hashes(F.col("_th"), 3).alias(
+                        "_hs3"
+                    ),
+                    _shingle_hashes_from_token_hashes(
+                        F.col("_th"), decontam_n
+                    ).alias("_hsn"),
+                )
+                .localCheckpoint()
+            )
+
+        neat_hs, bench_hs = _two_width(neat), _two_width(benchmark)
         contaminated = (
-            contamination(neat, benchmark, id_col, text_col, n=decontam_n)
+            contamination(
+                neat,
+                benchmark,
+                id_col,
+                text_col,
+                n=decontam_n,
+                docs_hashed=neat_hs.select("_id", F.col("_hsn").alias("_hs")),
+                bench_hashed=bench_hs.select(
+                    "_id", F.col("_hsn").alias("_hs")
+                ),
+            )
             .select(id_col)
             .unionByName(
                 fuzzy_contamination(
@@ -424,6 +460,12 @@ def curate_v2_staged(
                     id_col,
                     text_col,
                     min_jaccard=fuzzy_jaccard,
+                    docs_hashed=neat_hs.select(
+                        "_id", F.col("_hs3").alias("_hs")
+                    ),
+                    bench_hashed=bench_hs.select(
+                        "_id", F.col("_hs3").alias("_hs")
+                    ),
                 ).select(id_col)
             )
             .distinct()
