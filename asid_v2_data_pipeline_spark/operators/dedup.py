@@ -735,6 +735,7 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 5,
     min_docs: int = 2,
+    hash_shuffle: bool = False,
 ) -> DataFrame:
     """Cross-document duplicate-SPAN detection: for every document, the
     maximal token spans whose every ``k``-token window also occurs in at
@@ -764,50 +765,117 @@ def duplicate_spans(
     partial overlap — boilerplate, quotes, templated passages — inside
     otherwise-distinct documents.
 
-    Grams are grouped by their token STRING, not a hash: a 31-bit hash has
-    birthday collisions at corpus scale and a 128-bit hash can't be
-    mirrored portably in the DuckDB oracle.  The gram string (k short
-    tokens) is the shuffle payload; at 100 TB swap in ``xxhash64`` +
-    confirm pass if byte volume dominates.
+    Grams are grouped by their token STRING by default: a 31-bit hash
+    has birthday collisions at corpus scale and a 128-bit hash can't be
+    mirrored portably in the DuckDB oracle.  ``hash_shuffle=True``
+    selects the 100 TB exchange layout — xxhash64 keys in the big
+    shuffle + an exact string-confirm pass over the duplicated
+    candidates (identical results, pinned in tests; see
+    ``_spans_from_toks`` for the measured trade-off).
     """
     from ..functions import text as tx
 
     toks = df.select(
         F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_t")
     )
-    return _spans_from_toks(toks, k, min_docs).select(
+    if hash_shuffle:
+        # the two-phase detector joins candidates back to the token
+        # table (the confirm pass), so a lazy relation would pay the
+        # char-level tokenize twice
+        toks = toks.localCheckpoint()
+    return _spans_from_toks(toks, k, min_docs, hash_shuffle).select(
         F.col("_id").alias(id_col), "span_start", "span_len"
     )
 
 
-def _spans_from_toks(toks: DataFrame, k: int, min_docs: int) -> DataFrame:
+def _spans_from_toks(
+    toks: DataFrame, k: int, min_docs: int, hash_shuffle: bool = False
+) -> DataFrame:
     """duplicate_spans over a pre-tokenized (_id, _t) relation — shared
-    with remove_duplicate_spans so the corpus tokenizes once there."""
+    with remove_duplicate_spans so the corpus tokenizes once there.
+
+    ``hash_shuffle`` selects the exchange layout, SAME exact results
+    either way (equality pinned in tests/test_fuzzy_decontam.py):
+
+    - ``False`` (default): one groupBy on the gram STRING.  Optimal at
+      bench scale — r12 A/B at sf0.1: 3.5 s vs 4.7 s for the span
+      stage of cur_pipeline_v2, because two extra exchanges + a join
+      cost more than the ~60% shuffle-byte cut saves on 32 local
+      cores.
+    - ``True``: two-phase — phase 1 shuffles ``(_id, _pos,
+      xxhash64(gram))`` so the gram string never leaves the map side
+      (fixed 8-byte keys; the aggregation alone measured 2.5x faster
+      at sf0.1), then phase 2 re-derives true gram strings for the
+      hash-duplicated CANDIDATES only (id-keyed join back to the
+      token table) and re-applies ``min_docs`` by STRING, dropping
+      any 64-bit collision merge — byte-identical results.  This is
+      the 100 TB layout: when the gram exchange is TBs of strings
+      across a real cluster, byte volume dominates fixed stage
+      latency and the candidate fraction (duplicated occurrences
+      only, ~7% on the bench corpus) bounds phase 2.
+
+    ``toks`` must be MATERIALIZED when ``hash_shuffle=True`` (the
+    confirm pass joins back to it)."""
     starts = F.when(
         F.size("_t") >= k, F.sequence(F.lit(1), F.size("_t") - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = toks.select(
-        "_id",
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    i.alias("_pos"),
-                    F.concat_ws(" ", F.slice("_t", i, k)).alias("_g"),
-                ),
-            )
-        ).alias("_w"),
-    ).select("_id", F.col("_w._pos").alias("_pos"), F.col("_w._g").alias("_g"))
-    buckets = grams.groupBy("_g").agg(
-        F.collect_list(F.struct("_id", "_pos")).alias("_occ")
-    )
-    hits = (
-        buckets.filter(
-            F.size(
-                F.array_distinct(F.transform("_occ", lambda o: o["_id"]))
-            )
+
+    def occ_filter(col: Column) -> Column:
+        return (
+            F.size(F.array_distinct(F.transform(col, lambda o: o["_id"])))
             >= min_docs
         )
+
+    if hash_shuffle:
+        gram_h = toks.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("_pos"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("_t", i, k))
+                        ).alias("_h"),
+                    ),
+                )
+            ).alias("_w"),
+        ).select(
+            "_id", F.col("_w._pos").alias("_pos"), F.col("_w._h").alias("_h")
+        )
+        cand = (
+            gram_h.groupBy("_h")
+            .agg(F.collect_list(F.struct("_id", "_pos")).alias("_occ"))
+            .filter(occ_filter(F.col("_occ")))
+            .select(F.explode("_occ").alias("_o"))
+            .select(
+                F.col("_o._id").alias("_id"), F.col("_o._pos").alias("_pos")
+            )
+        )
+        grams = cand.join(toks, "_id").select(
+            "_id",
+            "_pos",
+            F.concat_ws(" ", F.slice("_t", F.col("_pos"), k)).alias("_g"),
+        )
+    else:
+        grams = toks.select(
+            "_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("_pos"),
+                        F.concat_ws(" ", F.slice("_t", i, k)).alias("_g"),
+                    ),
+                )
+            ).alias("_w"),
+        ).select(
+            "_id", F.col("_w._pos").alias("_pos"), F.col("_w._g").alias("_g")
+        )
+    hits = (
+        grams.groupBy("_g")
+        .agg(F.collect_list(F.struct("_id", "_pos")).alias("_occ"))
+        .filter(occ_filter(F.col("_occ")))
         .select(F.explode("_occ").alias("_o"))
         .select(F.col("_o._id").alias("_id"), F.col("_o._pos").alias("_pos"))
     )
@@ -868,6 +936,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     k: int = 5,
     min_docs: int = 2,
+    hash_shuffle: bool = False,
 ) -> DataFrame:
     """The removal half of Lee et al. substring dedup: excise every
     detected cross-document duplicate span (:func:`duplicate_spans`) and
@@ -896,7 +965,7 @@ def remove_duplicate_spans(
         F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_t")
     ).localCheckpoint()
     spans = (
-        _spans_from_toks(toks, k, min_docs)
+        _spans_from_toks(toks, k, min_docs, hash_shuffle)
         .groupBy("_id")
         .agg(F.collect_list(F.struct("span_start", "span_len")).alias("_spans"))
     )

@@ -177,3 +177,39 @@ def test_decontam_prehashed_sides_equal_text_path(spark):
         ).collect()
     )
     assert got_f == want_f and len(want_f) > 0
+
+
+def test_span_hash_shuffle_layout_identical(spark):
+    """r12: the two-phase hash-shuffle span detector (the 100 TB
+    exchange layout — 8-byte keys in the big shuffle, string confirm
+    over candidates) returns exactly the single-phase string-groupBy
+    results, spans and rewrites both."""
+    from asid_v2_data_pipeline_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    boiler = "all rights reserved contact us for more information"
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta epsilon zeta"),
+        (2, f"one two three {boiler} four five six seven"),
+        (3, "totally unique content with no shared spans anywhere here"),
+        (4, f"{boiler} leading and also trailing {boiler}"),
+        (5, "short doc"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (3, 5):
+        a = sorted(
+            tuple(r) for r in duplicate_spans(d, k=k).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in duplicate_spans(d, k=k, hash_shuffle=True).collect()
+        )
+        assert a == b and len(a) > 0, k
+    ra = sorted(tuple(r) for r in remove_duplicate_spans(d, k=4).collect())
+    rb = sorted(
+        tuple(r)
+        for r in remove_duplicate_spans(d, k=4, hash_shuffle=True).collect()
+    )
+    assert ra == rb
