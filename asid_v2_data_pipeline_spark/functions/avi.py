@@ -214,13 +214,25 @@ def parse_avi(data: bytes) -> dict:
         # offsets absolute from file start, and players accept both.
         # Detect from the first entry (as players do): if it equals the
         # first movi chunk's absolute header offset, treat all entries as
-        # file-absolute; otherwise movi-relative.
+        # file-absolute; otherwise movi-relative.  When a second entry
+        # exists, it must CONFIRM the absolute reading (ADVICE r12): a
+        # relative file whose first offset is corrupted into exactly
+        # movi_at + first_rel would otherwise flip the base and blame
+        # the wrong entry in the cross-check below.
         base = 0
         if idx_entries and movi_chunks:
             first_off = idx_entries[0][2]
             first_rel = movi_chunks[0][1]
             if first_off != first_rel and first_off == movi_at + first_rel:
                 base = movi_at
+                if len(idx_entries) > 1 and len(movi_chunks) > 1:
+                    second_off = idx_entries[1][2]
+                    second_rel = movi_chunks[1][1]
+                    if (
+                        second_off != movi_at + second_rel
+                        and second_off == second_rel
+                    ):
+                        base = 0  # second entry says relative; first is bad
         refined = []
         for (ckid, flags, off, ln), (mck, moff, msz), (stream, _, fb) in zip(
             idx_entries, movi_chunks, frames

@@ -22,6 +22,36 @@ from pyspark.sql import functions as F
 from .dedup import with_shingle_hashes
 
 
+def _warn_if_lazy_hashed(df: DataFrame, arg: str) -> None:
+    """Guard the ``docs_hashed`` / ``bench_hashed`` contract (ADVICE
+    r12): the ``_hs`` array must come from a MATERIALIZED relation
+    (checkpoint / cache / table), never a lazy fold expression —
+    exploding a lazy higher-order fold re-evaluates it per output row
+    inside the Generate stage (measured ~140× at sf0.1, see
+    :func:`contamination`).  Detection is a plan-string heuristic: a
+    checkpointed/cached/table-backed side optimizes to LogicalRDD /
+    InMemoryRelation / a file relation with NO higher-order functions
+    left in the plan, so ``aggregate(``/``transform(`` surviving in the
+    optimized plan means the shingle fold would run inside the explode.
+    Warns (not raises): the caller may knowingly accept the cost on a
+    tiny side, and Spark Connect has no ``_jdf`` (silently skipped)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return
+    if "aggregate(" in plan or "transform(" in plan:
+        import warnings
+
+        warnings.warn(
+            f"{arg} carries a lazy higher-order fold in its plan; "
+            "materialize it (localCheckpoint/cache/table) before passing "
+            "or the explode re-evaluates the fold per output row "
+            "(~140x regression — see contamination() docstring)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def benchmark_ngram_set(
     benchmark: DataFrame, id_col: str, text_col: str, n: int = 8
 ) -> DataFrame:
@@ -69,6 +99,10 @@ def contamination(
     ``_hs``, and exploding an expensive array expression re-evaluates
     it per output row inside the Generate stage (see below).
     """
+    if bench_hashed is not None:
+        _warn_if_lazy_hashed(bench_hashed, "bench_hashed")
+    if docs_hashed is not None:
+        _warn_if_lazy_hashed(docs_hashed, "docs_hashed")
     bench = (
         benchmark_ngram_set(benchmark, id_col, text_col, n)
         if bench_hashed is None
@@ -139,6 +173,10 @@ def fuzzy_contamination(
     """
     from .dedup import band_rows_from_hashes
 
+    if bench_hashed is not None:
+        _warn_if_lazy_hashed(bench_hashed, "bench_hashed")
+    if docs_hashed is not None:
+        _warn_if_lazy_hashed(docs_hashed, "docs_hashed")
     if bench_hashed is None:
         bench_hashed = with_shingle_hashes(
             benchmark, id_col, text_col, n

@@ -125,6 +125,11 @@ def curate_v2(
     plus two benchmark passes; the derived arrays are materialized
     before any explode (the Generate re-evaluation trap, see
     ``operators/decontam.py::contamination``).
+
+    Returns ``(id_col, quota_col, mix_col, epoch)`` — text and all
+    other passthrough columns are dropped at the tokenize-once
+    checkpoint; ``curate_v2_staged`` returns the identical schema (its
+    'rewritten' stage persists the full text for callers that need it).
     """
     from ..functions.classifier import score_documents
     from ..operators.decontam import fuzzy_contamination
@@ -176,6 +181,11 @@ def curate_v2(
     pairs = minhash_lsh_pairs_from_hashes(hashed3, num_perm=16, bands=4)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     neat = uniq.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint()
+    # Output schema contract (shared with curate_v2_staged, pinned in
+    # tests/test_curation_staged.py): (id_col, quota_col, mix_col, epoch).
+    # The text column was dropped at the uniq checkpoint by design — the
+    # admitted-id set + epochs IS the product; callers re-join text from
+    # the source table (or read the staged twin's 'rewritten' stage).
 
     # benchmark side: one char pass feeds both decontam tiers
     bench_hs = (
@@ -367,7 +377,12 @@ def curate_v2_staged(
     config, so a changed model means a new stage_dir) and ``rewritten``
     (the span-rewritten text — persisting it is the 100 TB form of the
     tokenize-once discipline: every downstream consumer reads rewritten
-    text from a table instead of re-running span detection)."""
+    text from a table instead of re-running span detection).
+
+    Returns ``(id_col, quota_col, mix_col, epoch)`` — the SAME final
+    projection as the lazy ``curate_v2`` (full-schema equivalence
+    pinned in tests/test_curation_staged.py); callers that need text
+    read the persisted 'rewritten' stage."""
     from ..functions.classifier import score_documents
     from ..operators.decontam import fuzzy_contamination
     from ..operators.dedup import remove_duplicate_spans
@@ -473,10 +488,18 @@ def curate_v2_staged(
         return neat.join(F.broadcast(contaminated), id_col, "left_anti")
 
     clean = _materialize("clean", _clean)
+    # same final projection as the lazy curate_v2 — the two documented-
+    # as-equivalent paths must agree on SCHEMA, not just the admitted set
     return _materialize(
         "mixed",
         lambda: weighted_repeat(
-            quota_per_group(clean, [quota_col], quota, id_col, seed=quota_seed),
+            quota_per_group(
+                clean.select(id_col, quota_col, mix_col),
+                [quota_col],
+                quota,
+                id_col,
+                seed=quota_seed,
+            ),
             mix_col,
             weights,
             id_col,

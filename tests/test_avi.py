@@ -131,3 +131,23 @@ def test_idx1_file_absolute_convention():
     b[at + 8 + 8 : at + 8 + 12] = struct.pack("<I", 12345)
     with pytest.raises(ValueError, match="idx1"):
         parse_avi(bytes(b))
+
+
+def test_idx1_corrupt_first_entry_does_not_flip_convention():
+    """r12 ADVICE: a movi-RELATIVE file whose FIRST idx1 offset is
+    corrupted into exactly movi_at + first_rel must not be reclassified
+    as file-absolute — the second entry contradicts the absolute
+    reading, so the parser keeps base=0 and the cross-check blames the
+    corrupted FIRST entry (not a mis-based later one)."""
+    frames = [b"abcd", b"efgh-odd!", b"z" * 7]
+    b = bytearray(write_avi_mjpeg(frames, 8, 8))
+    movi_at = b.find(b"movi")
+    at = b.rfind(b"idx1")
+    off_at = at + 8 + 8  # entry 0 dwOffset
+    (off0,) = struct.unpack("<I", b[off_at : off_at + 4])
+    b[off_at : off_at + 4] = struct.pack("<I", off0 + movi_at)
+    with pytest.raises(ValueError, match=r"idx1 entry b'00dc'"):
+        parse_avi(bytes(b))
+    # and the error must reference the FIRST entry's (corrupt) offset
+    with pytest.raises(ValueError, match=str(off0 + movi_at)):
+        parse_avi(bytes(b))

@@ -90,12 +90,17 @@ def test_v2_staged_equals_lazy_and_resumes(spark, tmp_path):
     w = lcg_weights(64, seed=17)
     kw = dict(clf_bias=0.1, clf_min=0.5249, fuzzy_jaccard=0.4)
 
-    lazy = _result_set(curate_v2(corpus, bench, WEIGHTS, w, **kw))
+    lazy_df = curate_v2(corpus, bench, WEIGHTS, w, **kw)
+    lazy = _result_set(lazy_df)
     stage_dir = tmp_path / "v2stages"
     staged = curate_v2_staged(
         corpus, bench, WEIGHTS, w, str(stage_dir), **kw
     )
     assert _result_set(staged) == lazy and len(lazy) > 0
+    # the two documented-as-equivalent paths agree on SCHEMA, not just
+    # the admitted set (ADVICE r12: staged used to leak text + extras)
+    assert sorted(staged.columns) == sorted(lazy_df.columns)
+    assert sorted(lazy_df.columns) == ["doc_id", "epoch", "lang", "source"]
     for s in STAGES_V2:
         assert os.path.exists(stage_dir / s / "_SUCCESS"), s
 

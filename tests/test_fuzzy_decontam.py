@@ -179,6 +179,67 @@ def test_decontam_prehashed_sides_equal_text_path(spark):
     assert got_f == want_f and len(want_f) > 0
 
 
+def test_prehashed_lazy_side_warns_materialized_does_not(spark):
+    """r12 ADVICE: the docs_hashed/bench_hashed MUST-be-materialized
+    contract is guarded — a lazy shingle-fold side triggers a
+    RuntimeWarning (the Generate re-evaluation trap), a checkpointed
+    side passes silently."""
+    import warnings
+
+    from asid_v2_data_pipeline_spark.operators.decontam import contamination
+    from asid_v2_data_pipeline_spark.operators.dedup import (
+        with_shingle_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today ok")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog forever")],
+        "doc_id long, text string",
+    )
+    lazy = with_shingle_hashes(docs, "doc_id", "text", 5)  # NOT materialized
+    mat = lazy.localCheckpoint()
+    bh = with_shingle_hashes(bench, "doc_id", "text", 5).localCheckpoint()
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        contamination(
+            docs, bench, "doc_id", "text", n=5, docs_hashed=lazy, bench_hashed=bh
+        )
+        assert any(
+            issubclass(x.category, RuntimeWarning)
+            and "docs_hashed" in str(x.message)
+            for x in w
+        )
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = contamination(
+            docs, bench, "doc_id", "text", n=5, docs_hashed=mat, bench_hashed=bh
+        )
+        assert not [x for x in w if issubclass(x.category, RuntimeWarning)]
+    assert out.count() == 1
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fuzzy_contamination(
+            docs,
+            bench,
+            "doc_id",
+            "text",
+            min_jaccard=0.2,
+            docs_hashed=mat,
+            bench_hashed=with_shingle_hashes(bench, "doc_id", "text", 3),
+        )
+        assert any(
+            issubclass(x.category, RuntimeWarning)
+            and "bench_hashed" in str(x.message)
+            for x in w
+        )
+
+
 def test_span_hash_shuffle_layout_identical(spark):
     """r12: the two-phase hash-shuffle span detector (the 100 TB
     exchange layout — 8-byte keys in the big shuffle, string confirm
