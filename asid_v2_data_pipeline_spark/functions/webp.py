@@ -1074,3 +1074,259 @@ def parse_webp(data: bytes) -> np.ndarray:
             )
         pos += 8 + size + (size & 1)
     raise ValueError("webp: no VP8L chunk")
+
+
+# --- VP8 (lossy) frame header + VP8X extended container: METADATA layer ------
+#
+# r13 (VERDICT r12 task 4): the "metadata in, payload adjudicated out"
+# pattern MP3/Vorbis/Opus follow, applied to lossy WebP.  The VP8
+# keyframe's leading 10 bytes (RFC 6386 §9.1 "uncompressed data chunk")
+# and the whole VP8X extended header are PLAIN-BIT fields — no boolean
+# coder, no normative tables — and they carry everything a curation
+# pipeline filters on: dimensions, scaling, version, show_frame, the
+# first-partition size, and the extended-feature flags.  Payload decode
+# (boolean-coded mode/coefficient data) stays a disclosed boundary —
+# see SCALE.md round 13 for the VP8/VP9 adjudication.
+
+_VP8_START_CODE = b"\x9d\x01\x2a"
+
+
+def parse_vp8_frame_header(data: bytes) -> dict:
+    """Parse the uncompressed prefix of a VP8 frame (RFC 6386 §9.1).
+
+    3-byte little-endian tag: bit 0 frame type (0 = key), bits 1-3
+    version (0-3), bit 4 show_frame, bits 5-23 first-partition size.
+    Keyframes continue with the 3-byte start code ``9d 01 2a`` and two
+    16-bit LE words: 14-bit width/height plus 2-bit upscale codes.
+
+    Strict: short data, bad start code, version > 3, zero dimensions
+    and a first partition overrunning the data all raise ValueError —
+    the same loud-failure fuzz contract every parser here carries.
+    """
+    buf = bytes(data)
+    if len(buf) < 3:
+        raise ValueError("vp8: frame tag truncated")
+    tag = buf[0] | (buf[1] << 8) | (buf[2] << 16)
+    key_frame = (tag & 1) == 0
+    version = (tag >> 1) & 0x7
+    show_frame = bool((tag >> 4) & 1)
+    part0_size = tag >> 5
+    if version > 3:
+        raise ValueError(f"vp8: reserved version {version}")
+    out = {
+        "key_frame": key_frame,
+        "version": version,
+        "show_frame": show_frame,
+        "part0_size": part0_size,
+    }
+    if not key_frame:
+        if 3 + part0_size > len(buf):
+            raise ValueError("vp8: first partition overruns the frame")
+        return out
+    if len(buf) < 10:
+        raise ValueError("vp8: keyframe header truncated")
+    if buf[3:6] != _VP8_START_CODE:
+        raise ValueError("vp8: bad keyframe start code")
+    (wv,) = struct.unpack("<H", buf[6:8])
+    (hv,) = struct.unpack("<H", buf[8:10])
+    width, xscale = wv & 0x3FFF, wv >> 14
+    height, yscale = hv & 0x3FFF, hv >> 14
+    if width == 0 or height == 0:
+        raise ValueError("vp8: zero frame dimension")
+    if 10 + part0_size > len(buf):
+        raise ValueError("vp8: first partition overruns the frame")
+    out.update(
+        width=width, height=height, xscale=xscale, yscale=yscale
+    )
+    return out
+
+
+def write_vp8_frame_stub(
+    width: int,
+    height: int,
+    part0: bytes,
+    version: int = 0,
+    show_frame: bool = True,
+    xscale: int = 0,
+    yscale: int = 0,
+    trailing: bytes = b"",
+) -> bytes:
+    """Spec-legal VP8 KEYFRAME header bytes over an opaque first
+    partition (``part0``) — the fixture writer for the metadata layer.
+    The partition content is boolean-coded in a real stream; this
+    engine never decodes it (disclosed boundary), so fixtures carry
+    deterministic filler there."""
+    if not (1 <= width <= 0x3FFF and 1 <= height <= 0x3FFF):
+        raise ValueError("vp8: dimensions out of 14-bit range")
+    if not (0 <= version <= 3):
+        raise ValueError("vp8: version out of range")
+    if not (0 <= xscale <= 3 and 0 <= yscale <= 3):
+        raise ValueError("vp8: scale code out of range")
+    if len(part0) >= 1 << 19:
+        raise ValueError("vp8: first partition too large for the tag")
+    tag = (len(part0) << 5) | (int(bool(show_frame)) << 4) | (version << 1)
+    return (
+        bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+        + _VP8_START_CODE
+        + struct.pack("<H", width | (xscale << 14))
+        + struct.pack("<H", height | (yscale << 14))
+        + part0
+        + trailing
+    )
+
+
+# VP8X feature flags (WebP container spec): one flags byte, MSB-first
+# Rsv(2) | ICC | Alpha | EXIF | XMP | Animation | Rsv(1)
+_VP8X_ICC = 0x20
+_VP8X_ALPHA = 0x10
+_VP8X_EXIF = 0x08
+_VP8X_XMP = 0x04
+_VP8X_ANIM = 0x02
+_VP8X_FLAG_OF_CHUNK = {
+    b"ICCP": _VP8X_ICC,
+    b"ALPH": _VP8X_ALPHA,
+    b"EXIF": _VP8X_EXIF,
+    b"XMP ": _VP8X_XMP,
+    b"ANIM": _VP8X_ANIM,
+}
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    out = fourcc + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        out += b"\x00"
+    return out
+
+
+def write_webp_lossy(
+    width: int, height: int, part0: bytes, **kw
+) -> bytes:
+    """RIFF/WEBP simple lossy container around a VP8 keyframe stub."""
+    chunk = _riff_chunk(b"VP8 ", write_vp8_frame_stub(width, height, part0, **kw))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def write_webp_extended(
+    canvas_width: int,
+    canvas_height: int,
+    image_chunk: tuple[bytes, bytes],
+    extra_chunks: tuple[tuple[bytes, bytes], ...] = (),
+) -> bytes:
+    """RIFF/WEBP extended (VP8X) container: flags derived from the
+    chunks actually present (so parse's flag↔chunk cross-check holds
+    by construction), 24-bit canvas dims, then the feature chunks in
+    spec order before the image chunk."""
+    if not (1 <= canvas_width <= 1 << 24 and 1 <= canvas_height <= 1 << 24):
+        raise ValueError("vp8x: canvas dimensions out of 24-bit range")
+    flags = 0
+    for fourcc, _ in extra_chunks:
+        flags |= _VP8X_FLAG_OF_CHUNK.get(fourcc, 0)
+    head = (
+        bytes((flags,))
+        + b"\x00\x00\x00"
+        + struct.pack("<I", canvas_width - 1)[:3]
+        + struct.pack("<I", canvas_height - 1)[:3]
+    )
+    body = _riff_chunk(b"VP8X", head)
+    # spec chunk order: ICCP/ANIM before image data, EXIF/XMP after
+    pre = [c for c in extra_chunks if c[0] in (b"ICCP", b"ANIM", b"ALPH")]
+    post = [c for c in extra_chunks if c[0] in (b"EXIF", b"XMP ")]
+    for fourcc, payload in pre:
+        body += _riff_chunk(fourcc, payload)
+    body += _riff_chunk(*image_chunk)
+    for fourcc, payload in post:
+        body += _riff_chunk(fourcc, payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def parse_webp_meta(data: bytes) -> dict:
+    """Container-level WebP metadata — ALL three container forms:
+
+    - simple lossy (``VP8 ``): the keyframe header fields;
+    - simple lossless (``VP8L``): dims + alpha bit from the 5-byte
+      VP8L header (signature 0x2f, 14-bit w-1 / h-1, alpha, version);
+    - extended (``VP8X``): canvas dims + feature flags, CROSS-CHECKED
+      against the chunks actually present (a flag without its chunk,
+      or vice versa, raises — the loud-failure contract), plus the
+      inner image's own header fields.
+
+    Returns ``{"fmt", "width", "height", ...}`` where width/height are
+    the CANVAS dims for extended files and the frame dims otherwise.
+    """
+    buf = bytes(data)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ValueError("webp: not a RIFF/WEBP file")
+    (riff_size,) = struct.unpack("<I", buf[4:8])
+    if 8 + riff_size > len(buf):
+        raise ValueError("webp: RIFF size overruns the payload")
+    pos, end = 12, 8 + riff_size
+    chunks: list[tuple[bytes, int, int]] = []
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        if pos + 8 + size > end:
+            raise ValueError("webp: chunk overruns the file")
+        chunks.append((fourcc, pos + 8, size))
+        pos += 8 + size + (size & 1)
+    if not chunks:
+        raise ValueError("webp: empty container")
+
+    def _vp8l_meta(at: int, size: int) -> dict:
+        if size < 5:
+            raise ValueError("vp8l: header truncated")
+        if buf[at] != 0x2F:
+            raise ValueError("vp8l: bad signature byte")
+        (v,) = struct.unpack("<I", buf[at + 1 : at + 5])
+        if (v >> 29) & 0x7:
+            raise ValueError("vp8l: reserved version bits set")
+        return {
+            "width": (v & 0x3FFF) + 1,
+            "height": ((v >> 14) & 0x3FFF) + 1,
+            "alpha": bool((v >> 28) & 1),
+        }
+
+    first, at0, sz0 = chunks[0]
+    if first == b"VP8 ":
+        hdr = parse_vp8_frame_header(buf[at0 : at0 + sz0])
+        if not hdr["key_frame"]:
+            raise ValueError("webp: VP8 chunk must be a keyframe")
+        return {"fmt": "lossy", **hdr}
+    if first == b"VP8L":
+        return {"fmt": "lossless", **_vp8l_meta(at0, sz0)}
+    if first != b"VP8X":
+        raise ValueError(f"webp: unknown leading chunk {first!r}")
+    if sz0 != 10:
+        raise ValueError("webp: VP8X chunk must be 10 bytes")
+    flags = buf[at0]
+    if flags & ~0x3E or buf[at0 + 1 : at0 + 4] != b"\x00\x00\x00":
+        raise ValueError("webp: VP8X reserved bits set")
+    cw = 1 + (buf[at0 + 4] | (buf[at0 + 5] << 8) | (buf[at0 + 6] << 16))
+    ch = 1 + (buf[at0 + 7] | (buf[at0 + 8] << 8) | (buf[at0 + 9] << 16))
+    present = {f for f, _, _ in chunks[1:]}
+    for fourcc, bit in _VP8X_FLAG_OF_CHUNK.items():
+        if bool(flags & bit) != (fourcc in present):
+            raise ValueError(
+                f"webp: VP8X flag/chunk mismatch for {fourcc!r}"
+            )
+    out = {
+        "fmt": "extended",
+        "width": cw,
+        "height": ch,
+        "has_icc": bool(flags & _VP8X_ICC),
+        "has_alpha": bool(flags & _VP8X_ALPHA),
+        "has_exif": bool(flags & _VP8X_EXIF),
+        "has_xmp": bool(flags & _VP8X_XMP),
+        "has_anim": bool(flags & _VP8X_ANIM),
+        "n_chunks": len(chunks),
+    }
+    for fourcc, at, sz in chunks[1:]:
+        if fourcc == b"VP8 ":
+            hdr = parse_vp8_frame_header(buf[at : at + sz])
+            if not hdr["key_frame"]:
+                raise ValueError("webp: VP8 chunk must be a keyframe")
+            out["image"] = {"fmt": "lossy", **hdr}
+            break
+        if fourcc == b"VP8L":
+            out["image"] = {"fmt": "lossless", **_vp8l_meta(at, sz)}
+            break
+    return out

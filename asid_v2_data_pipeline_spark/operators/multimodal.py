@@ -2180,6 +2180,60 @@ def decode_webp_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, WEBP_STATS_SCHEMA)
 
 
+WEBP_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("show_frame", T.BooleanType(), False),
+        T.StructField("part0_size", T.IntegerType(), False),
+        T.StructField("has_exif", T.BooleanType(), False),
+        T.StructField("has_xmp", T.BooleanType(), False),
+        T.StructField("n_chunks", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_webp_meta(media: DataFrame) -> DataFrame:
+    """WebP container METADATA extraction (r13, the lossy half of the
+    WebP surface): the VP8 keyframe's plain-bit header fields (dims,
+    version, show_frame, first-partition size) for simple lossy files,
+    plus canvas dims and flag↔chunk-cross-checked feature flags for
+    VP8X extended files (``functions/webp.py::parse_webp_meta``).
+    Payload (boolean-coded) decode stays a disclosed boundary — see
+    SCALE.md round 13.  Arrow-batched ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.webp import parse_webp_meta
+
+        cols = (
+            "media_id", "fmt", "width", "height", "version",
+            "show_frame", "part0_size", "has_exif", "has_xmp", "n_chunks",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                m = parse_webp_meta(bytes(p))
+                inner = m.get("image", m)
+                rows["media_id"].append(mid)
+                rows["fmt"].append(m["fmt"])
+                rows["width"].append(int(m["width"]))
+                rows["height"].append(int(m["height"]))
+                rows["version"].append(int(inner.get("version", 0)))
+                rows["show_frame"].append(bool(inner.get("show_frame", False)))
+                rows["part0_size"].append(int(inner.get("part0_size", 0)))
+                rows["has_exif"].append(bool(m.get("has_exif", False)))
+                rows["has_xmp"].append(bool(m.get("has_xmp", False)))
+                rows["n_chunks"].append(int(m.get("n_chunks", 1)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, WEBP_META_SCHEMA)
+
+
 ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

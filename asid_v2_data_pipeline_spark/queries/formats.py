@@ -1322,12 +1322,120 @@ SELECT doc_id, fmt,
 FROM imgs ORDER BY doc_id
 """
 
+# --- WebP lossy / extended container metadata (r13) ---------------------------
+
+
+def _webp_meta_build(batches):
+    """Fixture for ``mm_webp_meta``: per document (>= 64 utf-8 bytes)
+    one WebP container whose every metadata field is doc_id arithmetic —
+    even docs get a simple lossy file (VP8 keyframe stub: dims
+    ``1 + id % 1200`` x ``1 + (7 id) % 700``, version ``id % 4``,
+    show_frame ``id % 2 == 0``, first partition = the leading
+    ``10 + id % 40`` text BYTES), odd docs the VP8X extended form
+    around the same frame (canvas = frame + ``3 + id % 5`` x ``+2``,
+    EXIF iff ``id % 3 == 0``, XMP iff ``id % 5 == 0``) so the flags,
+    canvas dims and chunk count are all oracle-recomputable."""
+    import pandas as pd
+
+    from ..functions.webp import (
+        write_vp8_frame_stub,
+        write_webp_extended,
+        write_webp_lossy,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            raw = t.encode("utf-8")
+            if len(raw) < 64:
+                payloads.append(None)
+                continue
+            w, h = 1 + did % 1200, 1 + (7 * did) % 700
+            part0 = raw[: 10 + did % 40]
+            kw = dict(version=did % 4, show_frame=did % 2 == 0)
+            if did % 2 == 0:
+                payloads.append(write_webp_lossy(w, h, part0, **kw))
+            else:
+                extra = []
+                if did % 3 == 0:
+                    extra.append((b"EXIF", raw[:16]))
+                if did % 5 == 0:
+                    extra.append((b"XMP ", raw[16:32]))
+                payloads.append(
+                    write_webp_extended(
+                        w + 3 + did % 5,
+                        h + 2,
+                        (b"VP8 ", write_vp8_frame_stub(w, h, part0, **kw)),
+                        tuple(extra),
+                    )
+                )
+        yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+
+def mm_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP lossy / extended container metadata (§2.11, r13): the VP8
+    keyframe's plain-bit header fields and the VP8X canvas + feature
+    flags — the curation-relevant half of lossy WebP, with payload
+    decode a disclosed boundary (SCALE.md r13 VP8/VP9 adjudication).
+    The parser cross-checks VP8X flags against the chunks present and
+    the first-partition size against the frame bytes, so every field
+    here is load-bearing."""
+    from ..operators.multimodal import decode_webp_meta
+
+    media = _cached_media(spark, sf_dir, "webp_meta", _webp_meta_build)
+    return (
+        decode_webp_meta(media)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "fmt",
+            "width",
+            "height",
+            "version",
+            "show_frame",
+            "part0_size",
+            "has_exif",
+            "has_xmp",
+            "n_chunks",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mm_webp_meta_sql() -> str:
+    return """
+WITH base AS (
+  SELECT doc_id,
+         1 + doc_id % 1200 AS fw,
+         1 + (7 * doc_id) % 700 AS fh
+  FROM documents
+  WHERE octet_length(encode(text)) >= 64
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'lossy' ELSE 'extended' END AS fmt,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN fw
+                 ELSE fw + 3 + doc_id % 5 END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN fh ELSE fh + 2 END AS INT) AS height,
+       CAST(doc_id % 4 AS INT) AS version,
+       doc_id % 2 = 0 AS show_frame,
+       CAST(10 + doc_id % 40 AS INT) AS part0_size,
+       doc_id % 2 = 1 AND doc_id % 3 = 0 AS has_exif,
+       doc_id % 2 = 1 AND doc_id % 5 = 0 AS has_xmp,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+                 ELSE 2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+            END AS INT) AS n_chunks
+FROM base ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "mm_jpeg_exif": (mm_jpeg_exif, _mm_jpeg_exif_sql()),
     "mm_qoi_pool": (mm_qoi_pool, _mm_qoi_sql()),
     "tx_docx_extract": (tx_docx_extract, _tx_docx_sql()),
     "tx_markdown_extract": (tx_markdown_extract, _tx_markdown_sql()),
     "mm_webp_pool": (mm_webp_pool, _mm_webp_sql()),
+    "mm_webp_meta": (mm_webp_meta, _mm_webp_meta_sql()),
     "tx_robots_rules": (tx_robots_rules, _tx_robots_sql()),
     "src_tfrecord_quarantine": (
         src_tfrecord_quarantine,

@@ -142,3 +142,147 @@ def test_dimension_allocation_guard():
     before allocating ~2 GB (same 64M-pixel cap as qoi/tga/pnm)."""
     with pytest.raises(ValueError, match="64M"):
         parse_vp8l(b"\x2f" + b"\xff" * 9)
+
+
+# --- VP8 lossy / VP8X metadata layer (r13) -------------------------------------
+
+
+def test_vp8_frame_header_roundtrip_matrix():
+    from asid_v2_data_pipeline_spark.functions.webp import (
+        parse_vp8_frame_header,
+        write_vp8_frame_stub,
+    )
+
+    rng = np.random.default_rng(131)
+    for trial in range(60):
+        w = int(rng.integers(1, 0x4000))
+        h = int(rng.integers(1, 0x4000))
+        v = int(rng.integers(0, 4))
+        show = bool(rng.integers(0, 2))
+        xs, ys = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        part0 = bytes(rng.integers(0, 256, int(rng.integers(0, 200))).astype(np.uint8))
+        blob = write_vp8_frame_stub(
+            w, h, part0, version=v, show_frame=show, xscale=xs, yscale=ys
+        )
+        got = parse_vp8_frame_header(blob)
+        assert got == {
+            "key_frame": True,
+            "version": v,
+            "show_frame": show,
+            "part0_size": len(part0),
+            "width": w,
+            "height": h,
+            "xscale": xs,
+            "yscale": ys,
+        }, trial
+
+
+def test_webp_meta_container_forms():
+    from asid_v2_data_pipeline_spark.functions.webp import (
+        parse_webp_meta,
+        write_vp8_frame_stub,
+        write_webp,
+        write_webp_extended,
+        write_webp_lossy,
+    )
+
+    m = parse_webp_meta(write_webp_lossy(320, 240, b"p" * 11, version=3))
+    assert (m["fmt"], m["width"], m["height"], m["version"]) == (
+        "lossy", 320, 240, 3,
+    )
+    px = np.arange(8 * 8 * 4, dtype=np.uint8).reshape(8, 8, 4)
+    ml = parse_webp_meta(write_webp(px))
+    assert (ml["fmt"], ml["width"], ml["height"]) == ("lossless", 8, 8)
+    x = write_webp_extended(
+        640, 480,
+        (b"VP8 ", write_vp8_frame_stub(320, 240, b"q" * 5)),
+        ((b"ICCP", b"icc"), (b"EXIF", b"ex"), (b"XMP ", b"xm")),
+    )
+    mx = parse_webp_meta(x)
+    assert mx["fmt"] == "extended" and (mx["width"], mx["height"]) == (640, 480)
+    assert mx["has_icc"] and mx["has_exif"] and mx["has_xmp"]
+    assert not mx["has_alpha"] and not mx["has_anim"]
+    assert mx["n_chunks"] == 5 and mx["image"]["width"] == 320
+
+
+def test_webp_meta_strictness():
+    from asid_v2_data_pipeline_spark.functions.webp import (
+        parse_vp8_frame_header,
+        parse_webp_meta,
+        write_vp8_frame_stub,
+        write_webp_extended,
+        write_webp_lossy,
+    )
+
+    good = write_webp_lossy(64, 32, b"r" * 9)
+    # every truncation raises (loud-failure fuzz contract)
+    for cut in range(len(good)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            parse_webp_meta(good[:cut])
+    # bad start code
+    b = bytearray(write_vp8_frame_stub(64, 32, b""))
+    b[3] ^= 0xFF
+    with pytest.raises(ValueError, match="start code"):
+        parse_vp8_frame_header(bytes(b))
+    # reserved version
+    b = bytearray(write_vp8_frame_stub(64, 32, b""))
+    b[0] |= 0x0E  # version bits -> 7
+    with pytest.raises(ValueError, match="version"):
+        parse_vp8_frame_header(bytes(b))
+    # first partition overruns
+    b = bytearray(write_vp8_frame_stub(64, 32, b"s" * 4))
+    b[2] = 0xFF  # inflate part0_size
+    with pytest.raises(ValueError, match="partition"):
+        parse_vp8_frame_header(bytes(b))
+    # interframe leading chunk rejected in a WebP container
+    inter = bytearray(write_vp8_frame_stub(64, 32, b""))
+    inter[0] |= 1  # frame_type = inter
+    blob = b"RIFF" + struct.pack("<I", 4 + 8 + len(inter)) + b"WEBP" + (
+        b"VP8 " + struct.pack("<I", len(inter)) + bytes(inter)
+    )
+    with pytest.raises(ValueError, match="keyframe"):
+        parse_webp_meta(blob)
+    # VP8X flag/chunk cross-check both ways
+    x = bytearray(
+        write_webp_extended(
+            64, 32,
+            (b"VP8 ", write_vp8_frame_stub(64, 32, b"")),
+            ((b"EXIF", b"ee"),),
+        )
+    )
+    at = bytes(x).find(b"VP8X") + 8
+    x[at] &= ~0x08 & 0xFF  # clear EXIF flag, chunk still present
+    with pytest.raises(ValueError, match="mismatch"):
+        parse_webp_meta(bytes(x))
+    x[at] |= 0x08 | 0x04  # EXIF back + phantom XMP flag
+    with pytest.raises(ValueError, match="mismatch"):
+        parse_webp_meta(bytes(x))
+    # VP8X reserved bits must be zero
+    x[at] = 0x08 | 0x01
+    with pytest.raises(ValueError, match="reserved"):
+        parse_webp_meta(bytes(x))
+
+
+def test_webp_meta_fuzz_never_hangs():
+    from asid_v2_data_pipeline_spark.functions.webp import (
+        parse_webp_meta,
+        write_vp8_frame_stub,
+        write_webp_extended,
+    )
+
+    rng = np.random.default_rng(137)
+    base = write_webp_extended(
+        99, 77,
+        (b"VP8 ", write_vp8_frame_stub(64, 32, b"t" * 13)),
+        ((b"EXIF", b"exif"), (b"XMP ", b"xmp!")),
+    )
+    for _ in range(800):
+        mutated = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            i = int(rng.integers(0, len(mutated)))
+            mutated[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = parse_webp_meta(bytes(mutated))
+            assert out["fmt"] in ("lossy", "lossless", "extended")
+        except (ValueError, NotImplementedError):
+            pass
