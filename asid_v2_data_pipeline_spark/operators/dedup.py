@@ -937,6 +937,7 @@ def remove_duplicate_spans(
     k: int = 5,
     min_docs: int = 2,
     hash_shuffle: bool = False,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The removal half of Lee et al. substring dedup: excise every
     detected cross-document duplicate span (:func:`duplicate_spans`) and
@@ -958,11 +959,24 @@ def remove_duplicate_spans(
     reassembly — the char-level regex pass is the dominant per-row
     cost).  Returns ``(id_col, clean_text, n_removed)`` for every input
     document, untouched docs included (n_removed = 0).
+
+    ``keep_cols`` (r13, VERDICT r12 task 5): passthrough columns to
+    carry through the internal token checkpoint and return alongside
+    ``clean_text`` — so a caller that needs the rest of the row (the
+    curation chains' rewrite step) reads it from THIS operator's
+    output instead of re-deriving its input lineage and joining back
+    by id.  Profiled at sf0.1: the join-back layout re-paid the
+    classifier scan + an id-keyed exchange — 1.68 s of cur_v2's 3.45 s
+    stage 3; carrying (lang, source, n_chars) through the checkpoint
+    is bytes, not compute.  Same row set either way (every input doc
+    is returned), so the rewrite is equivalence-testable.
     """
     from ..functions import text as tx
 
     toks = df.select(
-        F.col(id_col).alias("_id"), tx.tokens(F.col(text_col)).alias("_t")
+        F.col(id_col).alias("_id"),
+        *[F.col(c) for c in keep_cols],
+        tx.tokens(F.col(text_col)).alias("_t"),
     ).localCheckpoint()
     spans = (
         _spans_from_toks(toks, k, min_docs, hash_shuffle)
@@ -979,6 +993,7 @@ def remove_duplicate_spans(
     clean = F.filter(F.col("_t"), lambda t, i: ~covered(i + 1))
     return joined.select(
         F.col("_id").alias(id_col),
+        *[F.col(c) for c in keep_cols],
         F.array_join(clean, " ").alias("clean_text"),
         (F.size("_t") - F.size(clean)).cast("long").alias("n_removed"),
     )

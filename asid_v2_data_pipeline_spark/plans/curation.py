@@ -146,15 +146,21 @@ def curate_v2(
         .filter(F.col("clf_score") >= clf_min)
         .drop("clf_score")
     )
-    # gated feeds two consumers (the span detector's token table and
-    # the rewrite join below), so the scoring pass evaluates twice —
-    # but a localCheckpoint here is a measured WASH at sf0.1 (r9 A/B,
-    # same session: 9.1-10.9 s with vs 9.3-9.5 s without): the span
-    # detector's internal checkpoint already cuts the expensive arm,
-    # and materializing gated trades the cheap re-scan for write+read.
-    cleaned = remove_duplicate_spans(gated, id_col, text_col, k=span_k)
-    rewritten = gated.drop(text_col).join(
-        cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col
+    # r13 (stage-3 profile, PLANS.md): the span detector CARRIES the
+    # passthrough columns through its internal token checkpoint
+    # (keep_cols), so `gated` has exactly ONE consumer — the old
+    # rewrite layout re-derived gated (classifier re-scan) and joined
+    # clean_text back by id, 1.68 s of the 3.45 s stage at sf0.1.
+    # Rewritten rows are identical (every input doc comes back;
+    # equivalence pinned in tests/test_fuzzy_decontam.py).
+    passthrough = tuple(
+        c for c in gated.columns if c not in (id_col, text_col)
+    )
+    cleaned = remove_duplicate_spans(
+        gated, id_col, text_col, k=span_k, keep_cols=passthrough
+    )
+    rewritten = cleaned.select(
+        id_col, *passthrough, F.col("clean_text").alias(text_col)
     )
 
     good = rewritten.filter(tx.quality_score(F.col(text_col)) >= quality_min)
@@ -400,9 +406,16 @@ def curate_v2_staged(
     )
 
     def _rewritten() -> DataFrame:
-        cleaned = remove_duplicate_spans(gated, id_col, text_col, k=span_k)
-        return gated.drop(text_col).join(
-            cleaned.select(id_col, F.col("clean_text").alias(text_col)), id_col
+        # same keep_cols layout as the lazy curate_v2 (r13): the span
+        # detector carries the row, no join-back / classifier re-scan
+        passthrough = tuple(
+            c for c in gated.columns if c not in (id_col, text_col)
+        )
+        cleaned = remove_duplicate_spans(
+            gated, id_col, text_col, k=span_k, keep_cols=passthrough
+        )
+        return cleaned.select(
+            id_col, *passthrough, F.col("clean_text").alias(text_col)
         )
 
     rewritten = _materialize("rewritten", _rewritten)

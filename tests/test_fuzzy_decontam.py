@@ -67,6 +67,33 @@ def test_remove_duplicate_spans_pinned(spark):
     assert len(out) == 3
 
 
+def test_remove_spans_keep_cols_equals_join_back(spark):
+    """r13 (VERDICT r12 task 5): ``keep_cols`` passthrough returns
+    exactly the rows the old join-back layout produced — same ids,
+    same clean_text, same carried columns — on a corpus read from
+    parquet (extra columns present)."""
+    from pyspark.sql import functions as F
+
+    from asid_v2_data_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    carried = remove_duplicate_spans(
+        d, "doc_id", "text", k=5, keep_cols=("lang", "source", "n_chars")
+    )
+    assert carried.columns == [
+        "doc_id", "lang", "source", "n_chars", "clean_text", "n_removed",
+    ]
+    base = remove_duplicate_spans(d, "doc_id", "text", k=5)
+    joined = d.drop("text").join(
+        base.select("doc_id", "clean_text", "n_removed"), "doc_id"
+    ).select(*carried.columns)
+    a = sorted(tuple(r) for r in carried.collect())
+    b = sorted(tuple(r) for r in joined.collect())
+    assert a == b and len(a) == d.count()
+
+
 def test_keep_best_per_cluster_pinned(spark):
     """Highest-score member survives per component (transitively
     connected), ties break to lowest id, singletons survive."""
