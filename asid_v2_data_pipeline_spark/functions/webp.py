@@ -1330,3 +1330,166 @@ def parse_webp_meta(data: bytes) -> dict:
             out["image"] = {"fmt": "lossless", **_vp8l_meta(at, sz)}
             break
     return out
+
+
+# --- animated WebP (ANIM/ANMF) — still the plain-bit metadata layer ----------
+
+
+def write_webp_animated(
+    canvas_width: int,
+    canvas_height: int,
+    frames: "list[dict]",
+    loop_count: int = 0,
+    background: int = 0,
+    extra_chunks: tuple[tuple[bytes, bytes], ...] = (),
+) -> bytes:
+    """Animated WebP container: VP8X with the ANIM flag, an ANIM chunk
+    (4-byte background BGRA + 16-bit loop count), then one ANMF per
+    frame.  Each ``frames`` entry: ``{"x", "y", "image": (fourcc,
+    payload), "duration", "dispose", "blend"}`` — x/y must be even
+    (the header stores them halved, per the container spec), and the
+    frame dims are taken FROM the image chunk's own header so the
+    ANMF↔image cross-check in :func:`parse_webp_meta` holds by
+    construction."""
+    if not (1 <= canvas_width <= 1 << 24 and 1 <= canvas_height <= 1 << 24):
+        raise ValueError("vp8x: canvas dimensions out of 24-bit range")
+    if not (0 <= loop_count < 1 << 16):
+        raise ValueError("anim: loop count out of 16-bit range")
+    if not frames:
+        raise ValueError("anim: at least one frame required")
+    flags = _VP8X_ANIM
+    for fourcc, _ in extra_chunks:
+        flags |= _VP8X_FLAG_OF_CHUNK.get(fourcc, 0)
+    head = (
+        bytes((flags,))
+        + b"\x00\x00\x00"
+        + struct.pack("<I", canvas_width - 1)[:3]
+        + struct.pack("<I", canvas_height - 1)[:3]
+    )
+    body = _riff_chunk(b"VP8X", head)
+    for fourcc, payload in extra_chunks:
+        if fourcc in (b"ICCP",):
+            body += _riff_chunk(fourcc, payload)
+    body += _riff_chunk(
+        b"ANIM", struct.pack("<I", background) + struct.pack("<H", loop_count)
+    )
+    for f in frames:
+        fourcc, payload = f["image"]
+        if fourcc == b"VP8 ":
+            hdr = parse_vp8_frame_header(payload)
+            fw, fh = hdr["width"], hdr["height"]
+        elif fourcc == b"VP8L":
+            if len(payload) < 5 or payload[0] != 0x2F:
+                raise ValueError("anim: bad VP8L frame payload")
+            (v,) = struct.unpack("<I", payload[1:5])
+            fw, fh = (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1
+        else:
+            raise ValueError(f"anim: frame image chunk {fourcc!r}")
+        x, y = f.get("x", 0), f.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("anim: frame x/y must be even (stored halved)")
+        if x + fw > canvas_width or y + fh > canvas_height:
+            raise ValueError("anim: frame rectangle outside the canvas")
+        dur = f.get("duration", 100)
+        if not (0 <= dur < 1 << 24):
+            raise ValueError("anim: duration out of 24-bit range")
+        fb = (int(bool(f.get("dispose", False))) << 0) | (
+            int(bool(f.get("blend", False))) << 1
+        )
+        anmf = (
+            struct.pack("<I", x // 2)[:3]
+            + struct.pack("<I", y // 2)[:3]
+            + struct.pack("<I", fw - 1)[:3]
+            + struct.pack("<I", fh - 1)[:3]
+            + struct.pack("<I", dur)[:3]
+            + bytes((fb,))
+            + _riff_chunk(fourcc, payload)
+        )
+        body += _riff_chunk(b"ANMF", anmf)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def parse_webp_anim(data: bytes) -> dict:
+    """Animated-WebP metadata: :func:`parse_webp_meta` fields plus the
+    ANIM chunk (loop count, background BGRA) and every ANMF frame's
+    header (x, y, w, h, duration ms, blend/dispose bits), each frame's
+    dims CROSS-CHECKED against its embedded image chunk's own header —
+    a mismatch raises (loud-failure contract).  Returns ``{"fmt":
+    "animated", "width", "height", "loop_count", "background",
+    "n_frames", "total_duration", "frames": [...]}``."""
+    meta = parse_webp_meta(data)
+    if not meta.get("has_anim"):
+        raise ValueError("webp: not an animated file (no ANIM flag)")
+    buf = bytes(data)
+    (riff_size,) = struct.unpack("<I", buf[4:8])
+    pos, end = 12, 8 + riff_size
+    anim = None
+    frames: list[dict] = []
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        at = pos + 8
+        if fourcc == b"ANIM":
+            if size != 6:
+                raise ValueError("webp: ANIM chunk must be 6 bytes")
+            (bg,) = struct.unpack("<I", buf[at : at + 4])
+            (loop,) = struct.unpack("<H", buf[at + 4 : at + 6])
+            anim = {"background": bg, "loop_count": loop}
+        elif fourcc == b"ANMF":
+            if size < 16:
+                raise ValueError("webp: ANMF header truncated")
+            def u24(o):
+                return buf[at + o] | (buf[at + o + 1] << 8) | (buf[at + o + 2] << 16)
+            fx, fy = 2 * u24(0), 2 * u24(3)
+            fw, fh = u24(6) + 1, u24(9) + 1
+            dur = u24(12)
+            fb = buf[at + 15]
+            if fb & ~0x03:
+                raise ValueError("webp: ANMF reserved flag bits set")
+            sub = buf[at + 16 : at + size]
+            if len(sub) < 8:
+                raise ValueError("webp: ANMF frame data truncated")
+            sf = sub[:4]
+            (ssz,) = struct.unpack("<I", sub[4:8])
+            if 8 + ssz > len(sub):
+                raise ValueError("webp: ANMF frame chunk overruns")
+            if sf == b"VP8 ":
+                hdr = parse_vp8_frame_header(sub[8 : 8 + ssz])
+                iw, ih = hdr["width"], hdr["height"]
+            elif sf == b"VP8L":
+                if ssz < 5 or sub[8] != 0x2F:
+                    raise ValueError("webp: ANMF VP8L header bad")
+                (v,) = struct.unpack("<I", sub[9:13])
+                iw, ih = (v & 0x3FFF) + 1, ((v >> 14) & 0x3FFF) + 1
+            else:
+                raise ValueError(f"webp: ANMF frame chunk {sf!r}")
+            if (iw, ih) != (fw, fh):
+                raise ValueError(
+                    f"webp: ANMF dims {fw}x{fh} disagree with frame "
+                    f"image header {iw}x{ih}"
+                )
+            if fx + fw > meta["width"] or fy + fh > meta["height"]:
+                raise ValueError(
+                    "webp: ANMF frame rectangle outside the canvas"
+                )
+            frames.append(
+                {
+                    "x": fx, "y": fy, "width": fw, "height": fh,
+                    "duration": dur,
+                    "dispose": bool(fb & 1), "blend": bool(fb & 2),
+                }
+            )
+        pos += 8 + size + (size & 1)
+    if anim is None:
+        raise ValueError("webp: ANIM flag set but no ANIM chunk")
+    if not frames:
+        raise ValueError("webp: animated file with no ANMF frames")
+    return {
+        "fmt": "animated",
+        "width": meta["width"],
+        "height": meta["height"],
+        **anim,
+        "n_frames": len(frames),
+        "total_duration": sum(f["duration"] for f in frames),
+        "frames": frames,
+    }

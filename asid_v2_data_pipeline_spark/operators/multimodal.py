@@ -2234,6 +2234,60 @@ def decode_webp_meta(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, WEBP_META_SCHEMA)
 
 
+WEBP_ANIM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("loop_count", T.IntegerType(), False),
+        T.StructField("total_duration", T.IntegerType(), False),
+        T.StructField("max_frame_w", T.IntegerType(), False),
+        T.StructField("max_frame_h", T.IntegerType(), False),
+        T.StructField("n_blend", T.IntegerType(), False),
+        T.StructField("n_dispose", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_webp_anim(media: DataFrame) -> DataFrame:
+    """Animated-WebP metadata (r13): ANIM loop count + per-ANMF frame
+    headers (dims cross-checked against each embedded image chunk,
+    rects bounds-checked against the canvas) summarized per file —
+    frame count, total duration, largest frame, blend/dispose counts
+    (``functions/webp.py::parse_webp_anim``).  Arrow-batched
+    ``mapInPandas``, zero shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.webp import parse_webp_anim
+
+        cols = (
+            "media_id", "width", "height", "n_frames", "loop_count",
+            "total_duration", "max_frame_w", "max_frame_h",
+            "n_blend", "n_dispose",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                m = parse_webp_anim(bytes(p))
+                fr = m["frames"]
+                rows["media_id"].append(mid)
+                rows["width"].append(int(m["width"]))
+                rows["height"].append(int(m["height"]))
+                rows["n_frames"].append(int(m["n_frames"]))
+                rows["loop_count"].append(int(m["loop_count"]))
+                rows["total_duration"].append(int(m["total_duration"]))
+                rows["max_frame_w"].append(max(f["width"] for f in fr))
+                rows["max_frame_h"].append(max(f["height"] for f in fr))
+                rows["n_blend"].append(sum(1 for f in fr if f["blend"]))
+                rows["n_dispose"].append(sum(1 for f in fr if f["dispose"]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, WEBP_ANIM_SCHEMA)
+
+
 ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -1429,6 +1429,109 @@ FROM base ORDER BY doc_id
 """
 
 
+# --- animated WebP metadata (r13) ---------------------------------------------
+
+_ANIM_CANVAS = (128, 64)
+
+
+def _webp_anim_build(batches):
+    """Fixture for ``mm_webp_anim``: per document (>= 64 utf-8 bytes)
+    one animated WebP on a fixed 128x64 canvas with ``1 + id % 4``
+    VP8-stub frames — frame i at ``(2*((id+i) % 10),
+    2*((id//2 + i) % 8))``, dims ``8 + (id+i) % 60`` x
+    ``4 + (3*id+i) % 30``, duration ``40 + (id*i) % 100`` ms, blend
+    iff ``(id+i) % 2 == 0``, dispose iff ``(id+i) % 3 == 0``; loop
+    count ``id % 7`` — every summary field is doc_id arithmetic."""
+    import pandas as pd
+
+    from ..functions.webp import write_vp8_frame_stub, write_webp_animated
+
+    cw, chh = _ANIM_CANVAS
+    for pdf in batches:
+        payloads = []
+        for did, t in zip(pdf["doc_id"], pdf["text"]):
+            did = int(did)
+            raw = t.encode("utf-8")
+            if len(raw) < 64:
+                payloads.append(None)
+                continue
+            frames = []
+            for i in range(1 + did % 4):
+                w = 8 + (did + i) % 60
+                h = 4 + (3 * did + i) % 30
+                frames.append(
+                    {
+                        "x": 2 * ((did + i) % 10),
+                        "y": 2 * ((did // 2 + i) % 8),
+                        "image": (
+                            b"VP8 ",
+                            write_vp8_frame_stub(w, h, raw[: 8 + i]),
+                        ),
+                        "duration": 40 + (did * i) % 100,
+                        "blend": (did + i) % 2 == 0,
+                        "dispose": (did + i) % 3 == 0,
+                    }
+                )
+            payloads.append(
+                write_webp_animated(cw, chh, frames, loop_count=did % 7)
+            )
+        yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+
+def mm_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP metadata (§2.11, r13): ANIM/ANMF plain-bit
+    headers — frame count, total duration, loop count, largest frame,
+    blend/dispose counts — with each frame's ANMF dims cross-checked
+    against its embedded image chunk's own header and its rect
+    bounds-checked against the canvas (mismatch raises)."""
+    from ..operators.multimodal import decode_webp_anim
+
+    media = _cached_media(spark, sf_dir, "webp_anim", _webp_anim_build)
+    return (
+        decode_webp_anim(media)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "width",
+            "height",
+            "n_frames",
+            "loop_count",
+            "total_duration",
+            "max_frame_w",
+            "max_frame_h",
+            "n_blend",
+            "n_dispose",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mm_webp_anim_sql() -> str:
+    cw, chh = _ANIM_CANVAS
+    return f"""
+WITH base AS (
+  SELECT doc_id, range(0, CAST(1 + doc_id % 4 AS BIGINT)) AS idx
+  FROM documents
+  WHERE octet_length(encode(text)) >= 64
+)
+SELECT doc_id,
+       CAST({cw} AS INT) AS width,
+       CAST({chh} AS INT) AS height,
+       CAST(1 + doc_id % 4 AS INT) AS n_frames,
+       CAST(doc_id % 7 AS INT) AS loop_count,
+       CAST(list_sum(list_transform(idx, i -> 40 + (doc_id * i) % 100))
+         AS INT) AS total_duration,
+       CAST(list_max(list_transform(idx, i -> 8 + (doc_id + i) % 60))
+         AS INT) AS max_frame_w,
+       CAST(list_max(list_transform(idx, i -> 4 + (3 * doc_id + i) % 30))
+         AS INT) AS max_frame_h,
+       CAST(list_sum(list_transform(idx, i ->
+         CASE WHEN (doc_id + i) % 2 = 0 THEN 1 ELSE 0 END)) AS INT) AS n_blend,
+       CAST(list_sum(list_transform(idx, i ->
+         CASE WHEN (doc_id + i) % 3 = 0 THEN 1 ELSE 0 END)) AS INT) AS n_dispose
+FROM base ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "mm_jpeg_exif": (mm_jpeg_exif, _mm_jpeg_exif_sql()),
     "mm_qoi_pool": (mm_qoi_pool, _mm_qoi_sql()),
@@ -1436,6 +1539,7 @@ REGISTRY = {
     "tx_markdown_extract": (tx_markdown_extract, _tx_markdown_sql()),
     "mm_webp_pool": (mm_webp_pool, _mm_webp_sql()),
     "mm_webp_meta": (mm_webp_meta, _mm_webp_meta_sql()),
+    "mm_webp_anim": (mm_webp_anim, _mm_webp_anim_sql()),
     "tx_robots_rules": (tx_robots_rules, _tx_robots_sql()),
     "src_tfrecord_quarantine": (
         src_tfrecord_quarantine,

@@ -286,3 +286,117 @@ def test_webp_meta_fuzz_never_hangs():
             assert out["fmt"] in ("lossy", "lossless", "extended")
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_webp_anim_roundtrip_matrix():
+    from asid_v2_data_pipeline_spark.functions.webp import (
+        parse_webp_anim,
+        write_vp8_frame_stub,
+        write_webp_animated,
+    )
+
+    rng = np.random.default_rng(139)
+    for trial in range(40):
+        cw, chh = int(rng.integers(64, 256)), int(rng.integers(64, 256))
+        frames = []
+        for i in range(int(rng.integers(1, 6))):
+            w, h = int(rng.integers(1, 33)), int(rng.integers(1, 33))
+            frames.append(
+                {
+                    "x": 2 * int(rng.integers(0, (cw - w) // 2 + 1)),
+                    "y": 2 * int(rng.integers(0, (chh - h) // 2 + 1)),
+                    "image": (
+                        b"VP8 ",
+                        write_vp8_frame_stub(w, h, b"f" * int(rng.integers(0, 20))),
+                    ),
+                    "duration": int(rng.integers(0, 1 << 24)),
+                    "blend": bool(rng.integers(0, 2)),
+                    "dispose": bool(rng.integers(0, 2)),
+                }
+            )
+        loop = int(rng.integers(0, 1 << 16))
+        m = parse_webp_anim(
+            write_webp_animated(cw, chh, frames, loop_count=loop)
+        )
+        assert m["n_frames"] == len(frames) and m["loop_count"] == loop
+        assert m["total_duration"] == sum(f["duration"] for f in frames)
+        for got, want in zip(m["frames"], frames):
+            assert (got["x"], got["y"]) == (want["x"], want["y"]), trial
+            assert (got["duration"], got["blend"], got["dispose"]) == (
+                want["duration"], want["blend"], want["dispose"],
+            )
+
+
+def test_webp_anim_strictness():
+    from asid_v2_data_pipeline_spark.functions.webp import (
+        parse_webp_anim,
+        write_vp8_frame_stub,
+        write_webp_animated,
+    )
+
+    f = {"x": 0, "y": 0, "image": (b"VP8 ", write_vp8_frame_stub(16, 8, b"x")),
+         "duration": 50}
+    good = write_webp_animated(64, 32, [f], loop_count=2)
+    for cut in range(len(good)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            parse_webp_anim(good[:cut])
+    # ANMF dims disagreeing with the embedded frame header
+    b = bytearray(good)
+    at = bytes(b).find(b"ANMF") + 8
+    b[at + 6] ^= 0x01  # frame width minus one
+    with pytest.raises(ValueError, match="disagree"):
+        parse_webp_anim(bytes(b))
+    # frame rect pushed outside the canvas
+    b = bytearray(good)
+    b[at] = 200  # x -> 400 > canvas 64
+    with pytest.raises(ValueError, match="canvas"):
+        parse_webp_anim(bytes(b))
+    # reserved ANMF flag bits
+    b = bytearray(good)
+    b[at + 15] |= 0x80
+    with pytest.raises(ValueError, match="reserved"):
+        parse_webp_anim(bytes(b))
+    # a non-animated file is rejected up front
+    from asid_v2_data_pipeline_spark.functions.webp import write_webp_lossy
+
+    with pytest.raises(ValueError, match="ANIM"):
+        parse_webp_anim(write_webp_lossy(8, 8, b""))
+    # writer guards
+    with pytest.raises(ValueError, match="even"):
+        write_webp_animated(64, 32, [dict(f, x=3)])
+    with pytest.raises(ValueError, match="canvas"):
+        write_webp_animated(8, 8, [f])
+    with pytest.raises(ValueError, match="loop"):
+        write_webp_animated(64, 32, [f], loop_count=1 << 16)
+    with pytest.raises(ValueError, match="frame"):
+        write_webp_animated(64, 32, [])
+
+
+def test_webp_anim_fuzz_never_hangs():
+    from asid_v2_data_pipeline_spark.functions.webp import (
+        parse_webp_anim,
+        write_vp8_frame_stub,
+        write_webp_animated,
+    )
+
+    rng = np.random.default_rng(149)
+    base = write_webp_animated(
+        96, 48,
+        [
+            {"x": 0, "y": 0, "duration": 30,
+             "image": (b"VP8 ", write_vp8_frame_stub(32, 16, b"a" * 5))},
+            {"x": 16, "y": 8, "duration": 40, "blend": True,
+             "image": (b"VP8 ", write_vp8_frame_stub(24, 12, b"b" * 3))},
+        ],
+        loop_count=1,
+    )
+    for _ in range(800):
+        mutated = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            i = int(rng.integers(0, len(mutated)))
+            mutated[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = parse_webp_anim(bytes(mutated))
+            assert out["n_frames"] >= 1
+        except (ValueError, NotImplementedError):
+            pass
