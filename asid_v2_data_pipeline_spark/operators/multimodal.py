@@ -435,6 +435,87 @@ def demux_mkv_frames(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, MKV_FRAME_SCHEMA)
 
 
+VP9_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("is_key", T.BooleanType(), False),
+        T.StructField("profile", T.IntegerType(), False),
+        T.StructField("show_frame", T.BooleanType(), False),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("render_w", T.IntegerType(), True),
+        T.StructField("render_h", T.IntegerType(), True),
+        T.StructField("color_space", T.IntegerType(), True),
+    ]
+)
+
+
+def demux_vp9_headers(media: DataFrame) -> DataFrame:
+    """WebM VP9 routing metadata (r13): demux each payload as
+    Matroska/WebM, then parse every ``V_VP9`` frame's UNCOMPRESSED
+    header (``functions/vp9.py`` — plain-bit; payload decode stays the
+    disclosed boundary per SCALE.md r13).  The container's keyframe
+    flag is CROSS-CHECKED against the bitstream's frame_type — a
+    muxer/bitstream disagreement raises instead of mis-routing frames.
+    Keyframe rows carry dims/depth/colorimetry; inter rows carry the
+    common prefix only (NULL further fields, per the spec's
+    reference-state boundary).  Arrow-batched ``mapInPandas``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.ebml import parse_mkv
+        from ..functions.vp9 import parse_vp9_frame_header
+
+        cols = (
+            "media_id", "ts", "is_key", "profile", "show_frame",
+            "bit_depth", "width", "height", "render_w", "render_h",
+            "color_space",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                mkv = parse_mkv(bytes(p))
+                for track, ts, key, payload in mkv.frames:
+                    tr = mkv.tracks.get(track)
+                    if tr is None or tr.codec_id != "V_VP9":
+                        continue
+                    h = parse_vp9_frame_header(payload)
+                    if h.get("show_existing_frame"):
+                        continue  # re-shown frame: no new image data
+                    if h["key_frame"] != bool(key):
+                        raise ValueError(
+                            "vp9: container keyframe flag disagrees "
+                            f"with bitstream frame_type at ts={ts}"
+                        )
+                    rows["media_id"].append(mid)
+                    rows["ts"].append(ts)
+                    rows["is_key"].append(h["key_frame"])
+                    rows["profile"].append(h["profile"])
+                    rows["show_frame"].append(h["show_frame"])
+                    rows["bit_depth"].append(h.get("bit_depth"))
+                    rows["width"].append(h.get("width"))
+                    rows["height"].append(h.get("height"))
+                    rows["render_w"].append(h.get("render_width"))
+                    rows["render_h"].append(h.get("render_height"))
+                    rows["color_space"].append(h.get("color_space"))
+            yield pd.DataFrame(
+                {
+                    k: pd.array(v, dtype="Int64")
+                    if k in (
+                        "bit_depth", "width", "height",
+                        "render_w", "render_h", "color_space",
+                    )
+                    else v
+                    for k, v in rows.items()
+                }
+            )
+
+    return media.mapInPandas(fn, VP9_HEADER_SCHEMA)
+
+
 MKV_JPEG_POOL_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

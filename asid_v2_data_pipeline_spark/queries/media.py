@@ -978,6 +978,110 @@ _PR_DAMP = 0.85
 _PR_ITERS = 6
 _PR_OFF = 1_000_000  # supplier-node namespace offset
 
+def mm_webm_vp9_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM + VP9 routing metadata (§2.11, r13): document bytes set
+    the frame count (``n_bytes // 16``, the ``mm_mkv_demux``
+    convention); each file muxes a ``V_VP9`` track whose frames are
+    spec-legal VP9 UNCOMPRESSED headers (``functions/vp9.py``) —
+    keyframes every 4th frame carrying dims / profile / bit depth /
+    color space / render size, inter frames the common prefix only.
+    ``demux_vp9_headers`` demuxes the container AND parses each
+    frame's bitstream header, cross-checking the container keyframe
+    flag against the bitstream frame_type.  Payload decode stays the
+    disclosed boundary (SCALE.md r13)."""
+    from ..operators.multimodal import demux_vp9_headers
+
+    def build(batches):
+        import pandas as pd
+
+        from ..functions.ebml import MkvTrack, write_mkv
+        from ..functions.vp9 import write_vp9_inter_stub, write_vp9_key_stub
+
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                n = len(t.encode("utf-8")) // _MKV_FR
+                if n == 0:
+                    payloads.append(None)
+                    continue
+                prof = did % 4
+                w, h = 16 + did % 1000, 16 + (3 * did) % 500
+                tracks = [MkvTrack(1, "video", "V_VP9", width=w, height=h)]
+                frames = []
+                for i in range(n):
+                    if i % 4 == 0:
+                        blob = write_vp9_key_stub(
+                            w,
+                            h,
+                            profile=prof,
+                            bit_depth=8 if prof < 2 else 10 + 2 * (did % 2),
+                            color_space=did % 6,
+                            color_range=did % 2 == 0,
+                            subsampling_x=(did // 3) % 2,
+                            subsampling_y=(did // 5) % 2,
+                            render_size=(w + 4, h + 2) if i % 3 == 0 else None,
+                        )
+                    else:
+                        blob = write_vp9_inter_stub(
+                            profile=prof, show_frame=i % 2 == 0
+                        )
+                    frames.append((1, i * _MKV_TICKS, i % 4 == 0, blob))
+                payloads.append(write_mkv(frames, tracks, cluster_every=4))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = _cached_media(spark, sf_dir, "webm_vp9", build)
+    return (
+        demux_vp9_headers(media)
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "ts",
+            "is_key",
+            "profile",
+            "show_frame",
+            "bit_depth",
+            "width",
+            "height",
+            "render_w",
+            "render_h",
+            "color_space",
+        )
+        .orderBy("doc_id", "ts")
+    )
+
+
+def _mm_webm_vp9_sql() -> str:
+    fr, tk = _MKV_FR, _MKV_TICKS
+    return f"""
+WITH frames AS (
+  SELECT doc_id, CAST(f AS BIGINT) AS f,
+         16 + doc_id % 1000 AS w, 16 + (3 * doc_id) % 500 AS h,
+         doc_id % 4 AS prof
+  FROM documents, unnest(range(0, octet_length(encode(text)) // {fr})) AS t(f)
+)
+SELECT doc_id,
+       CAST(f * {tk} AS BIGINT) AS ts,
+       f % 4 = 0 AS is_key,
+       CAST(prof AS INT) AS profile,
+       CASE WHEN f % 4 = 0 THEN TRUE ELSE f % 2 = 0 END AS show_frame,
+       CASE WHEN f % 4 = 0 THEN
+         CAST(CASE WHEN prof < 2 THEN 8 ELSE 10 + 2 * (doc_id % 2) END AS INT)
+       END AS bit_depth,
+       CASE WHEN f % 4 = 0 THEN CAST(w AS INT) END AS width,
+       CASE WHEN f % 4 = 0 THEN CAST(h AS INT) END AS height,
+       CASE WHEN f % 4 = 0 THEN
+         CAST(CASE WHEN f % 3 = 0 THEN w + 4 ELSE w END AS INT)
+       END AS render_w,
+       CASE WHEN f % 4 = 0 THEN
+         CAST(CASE WHEN f % 3 = 0 THEN h + 2 ELSE h END AS INT)
+       END AS render_h,
+       CASE WHEN f % 4 = 0 THEN CAST(doc_id % 6 AS INT) END AS color_space
+FROM frames ORDER BY doc_id, ts
+"""
+
+
 REGISTRY = {
     "mm_byte_features": (mm_byte_features, MM_SQL),
     "mm_raw_pool": (mm_raw_pool, _mm_raw_sql()),
@@ -990,6 +1094,7 @@ REGISTRY = {
     "mm_jpeg_progressive": (mm_jpeg_progressive, _mm_jpeg_prog_sql()),
     "mm_wav_dft": (mm_wav_dft, _mm_wav_dft_sql()),
     "mm_mkv_demux": (mm_mkv_demux, _mm_mkv_sql()),
+    "mm_webm_vp9_meta": (mm_webm_vp9_meta, _mm_webm_vp9_sql()),
     "mm_mkv_jpeg_pool": (mm_mkv_jpeg_pool, _mm_mkv_jpeg_sql()),
     "mm_image_quarantine": (
         mm_image_quarantine,
