@@ -50,26 +50,68 @@ def curate(
     quota_seed: int = 17,
     mix_seed: int = 29,
 ) -> DataFrame:
-    """Run the curation chain; returns the mixed corpus with an ``epoch``
-    column (one row per training epoch of each admitted document)."""
+    """Run the curation chain; returns the mixed corpus (FULL input
+    rows, text included — unlike ``curate_v2``, whose extended chain
+    drops text at its checkpoint) with an ``epoch`` column (one row per
+    training epoch of each admitted document).
+
+    Tokenize-once (r13, extending the r12 curate_v2 rewiring to the
+    flagship v1 chain): the surviving corpus pays the char-level
+    tokenize+hash pass EXACTLY ONCE — ``token_hashes`` feeds the
+    exact-dedup fingerprint, the n=3 MinHash shingles and the
+    n=``decontam_n`` decontam grams as arithmetic folds landing in the
+    one ``uniq`` checkpoint (fold≡text identities pinned in
+    tests/test_fuzzy_decontam.py).  Pre-r13 this was three corpus char
+    passes.  The benchmark side still hashes inside ``contamination``
+    (one pass — v1 has a single decontam tier)."""
+    from ..operators.dedup import (
+        _shingle_hashes_from_token_hashes,
+        fingerprint_from_token_hashes,
+        minhash_lsh_pairs_from_hashes,
+        token_hashes,
+    )
+
     good = docs.filter(tx.quality_score(F.col(text_col)) >= quality_min)
-    keyed = good.withColumn("_fp", tx.fingerprint(F.col(text_col)))
+    gth = good.select("*", token_hashes(F.col(text_col)).alias("_th"))
+    keyed = gth.withColumn("_fp", fingerprint_from_token_hashes(F.col("_th")))
     # uniq feeds BOTH the LSH pair generation and the survivor anti-join;
-    # left lazy, Catalyst derives the quality+fingerprint+dedup chain once
-    # per consumer (measured ~2× the whole chain's cost at sf0.1).
     # localCheckpoint = the in-memory analogue of the stage tables
     # curate_staged persists — same rows, derived once.
-    uniq = exact_dedup(keyed, ["_fp"], id_col).drop("_fp").localCheckpoint()
+    uniq = (
+        exact_dedup(keyed, ["_fp"], id_col)
+        .select(
+            "*",
+            _shingle_hashes_from_token_hashes(F.col("_th"), 3).alias("_hs3"),
+            _shingle_hashes_from_token_hashes(
+                F.col("_th"), decontam_n
+            ).alias("_hsN"),
+        )
+        .drop("_fp", "_th")
+        .localCheckpoint()
+    )
 
-    pairs = minhash_lsh_pairs(uniq, id_col, text_col, num_perm=16, bands=4)
+    pairs = minhash_lsh_pairs_from_hashes(
+        uniq.select(F.col(id_col).alias("_id"), F.col("_hs3").alias("_hs")),
+        num_perm=16,
+        bands=4,
+    )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     # neat likewise feeds decontamination AND the final anti-join
     neat = uniq.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint()
 
     contaminated = contamination(
-        neat, benchmark, id_col, text_col, n=decontam_n
+        neat,
+        benchmark,
+        id_col,
+        text_col,
+        n=decontam_n,
+        docs_hashed=neat.select(
+            F.col(id_col).alias("_id"), F.col("_hsN").alias("_hs")
+        ),
     ).select(id_col)
-    clean = neat.join(F.broadcast(contaminated), id_col, "left_anti")
+    clean = neat.drop("_hs3", "_hsN").join(
+        F.broadcast(contaminated), id_col, "left_anti"
+    )
 
     capped = quota_per_group(clean, [quota_col], quota, id_col, seed=quota_seed)
     return weighted_repeat(capped, mix_col, weights, id_col, seed=mix_seed)
