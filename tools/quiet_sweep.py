@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--gate", type=float, default=0.24)
     ap.add_argument("--max-minutes", type=float, default=240)
     ap.add_argument("--sleep", type=float, default=180)
+    ap.add_argument(
+        "--headline",
+        action="store_true",
+        help="run the headline bench (bench.py, 3 passes) instead of the sweep",
+    )
     args = ap.parse_args()
     t_end = time.time() + args.max_minutes * 60
     attempt = 0
@@ -50,8 +55,11 @@ def main() -> None:
         j = probe()
         print(f"# probe {attempt}: jvm {j:.4f}s (gate {args.gate})", flush=True)
         if j <= args.gate:
-            print("# window quiet — launching sweep", flush=True)
-            rc = subprocess.call([sys.executable, "bench.py", "--sweep"])
+            print("# window quiet — launching run", flush=True)
+            cmd = [sys.executable, "bench.py"]
+            if not args.headline:
+                cmd.append("--sweep")
+            rc = subprocess.call(cmd)
             print(f"# sweep exited {rc}", flush=True)
             if rc == 0:
                 return
