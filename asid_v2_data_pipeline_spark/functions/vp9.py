@@ -223,3 +223,80 @@ def write_vp9_inter_stub(
     w.f(int(show_frame), 1)
     w.f(int(error_resilient), 1)
     return w.bytes() + trailing
+
+
+# --- superframes --------------------------------------------------------------
+#
+# Real WebM VP9 blocks frequently carry SUPERFRAMES: up to 8 frames
+# (hidden alt-ref frames + the shown frame) concatenated, with a
+# trailing index.  The index is plain bits (spec Annex B): a marker
+# byte 0b110_MM_FFF at BOTH ends (FFF = frame count - 1, MM = bytes
+# per size - 1), with frames_count little-endian sizes between.  A
+# demuxer that does not split superframes mis-parses every multi-frame
+# block, so the metadata layer handles them transparently.
+
+
+def split_vp9_superframe(data: bytes) -> "list[bytes]":
+    """Split a VP9 packet into its frames.
+
+    Returns ``[data]`` unchanged when no trailing superframe index is
+    present.  Detection follows the reference demuxer rule: the last
+    byte must be a marker AND the byte ``idx_len`` back must be the
+    SAME marker — a frame whose final byte merely looks like a marker
+    is a single frame, not an error.  Once both markers match, the
+    index is load-bearing: frame sizes must sum to exactly the bytes
+    before the index and no member may be empty — a corrupt index
+    raises instead of yielding garbage frame boundaries."""
+    buf = bytes(data)
+    if not buf:
+        raise ValueError("vp9: empty packet")
+    last = buf[-1]
+    if (last & 0xE0) != 0xC0:
+        return [buf]
+    frames = (last & 0x07) + 1
+    mag = ((last >> 3) & 0x03) + 1
+    idx_len = 2 + mag * frames
+    if len(buf) < idx_len or buf[-idx_len] != last:
+        return [buf]  # trailing byte only coincidentally marker-shaped
+    sizes = []
+    at = len(buf) - idx_len + 1
+    for _ in range(frames):
+        v = 0
+        for k in range(mag):
+            v |= buf[at + k] << (8 * k)
+        sizes.append(v)
+        at += mag
+    body = len(buf) - idx_len
+    if sum(sizes) != body:
+        raise ValueError(
+            f"vp9: superframe sizes sum {sum(sizes)} != body {body}"
+        )
+    out, pos = [], 0
+    for s in sizes:
+        if s == 0:
+            raise ValueError("vp9: zero-length superframe member")
+        out.append(buf[pos : pos + s])
+        pos += s
+    return out
+
+
+def write_vp9_superframe(frames: "list[bytes]") -> bytes:
+    """Pack frames into a superframe with a trailing index (Annex B)."""
+    if not (1 <= len(frames) <= 8):
+        raise ValueError("vp9: superframe holds 1..8 frames")
+    if any(len(f) == 0 for f in frames):
+        raise ValueError("vp9: zero-length superframe member")
+    mag = 1
+    biggest = max(len(f) for f in frames)
+    while biggest >= 1 << (8 * mag):
+        mag += 1
+    if mag > 4:
+        raise ValueError("vp9: frame too large for a superframe index")
+    marker = 0xC0 | ((mag - 1) << 3) | (len(frames) - 1)
+    idx = bytearray([marker])
+    for f in frames:
+        v = len(f)
+        for k in range(mag):
+            idx.append((v >> (8 * k)) & 0xFF)
+    idx.append(marker)
+    return b"".join(frames) + bytes(idx)

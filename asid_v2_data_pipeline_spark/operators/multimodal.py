@@ -465,7 +465,10 @@ def demux_vp9_headers(media: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.ebml import parse_mkv
-        from ..functions.vp9 import parse_vp9_frame_header
+        from ..functions.vp9 import (
+            parse_vp9_frame_header,
+            split_vp9_superframe,
+        )
 
         cols = (
             "media_id", "ts", "is_key", "profile", "show_frame",
@@ -482,25 +485,40 @@ def demux_vp9_headers(media: DataFrame) -> DataFrame:
                     tr = mkv.tracks.get(track)
                     if tr is None or tr.codec_id != "V_VP9":
                         continue
-                    h = parse_vp9_frame_header(payload)
-                    if h.get("show_existing_frame"):
-                        continue  # re-shown frame: no new image data
-                    if h["key_frame"] != bool(key):
+                    # real VP9 blocks may be SUPERFRAMES (hidden
+                    # alt-refs + the shown frame with a trailing
+                    # index) — split transparently, one row per
+                    # member frame, all sharing the block timestamp
+                    members = split_vp9_superframe(payload)
+                    headers = [
+                        parse_vp9_frame_header(m) for m in members
+                    ]
+                    headers = [
+                        h for h in headers
+                        if not h.get("show_existing_frame")
+                    ]
+                    if not headers:
+                        continue
+                    # the container keyframe flag describes the BLOCK:
+                    # it must agree with the bitstream's frame types —
+                    # keyed iff some member is a keyframe
+                    if any(h["key_frame"] for h in headers) != bool(key):
                         raise ValueError(
                             "vp9: container keyframe flag disagrees "
                             f"with bitstream frame_type at ts={ts}"
                         )
-                    rows["media_id"].append(mid)
-                    rows["ts"].append(ts)
-                    rows["is_key"].append(h["key_frame"])
-                    rows["profile"].append(h["profile"])
-                    rows["show_frame"].append(h["show_frame"])
-                    rows["bit_depth"].append(h.get("bit_depth"))
-                    rows["width"].append(h.get("width"))
-                    rows["height"].append(h.get("height"))
-                    rows["render_w"].append(h.get("render_width"))
-                    rows["render_h"].append(h.get("render_height"))
-                    rows["color_space"].append(h.get("color_space"))
+                    for h in headers:
+                        rows["media_id"].append(mid)
+                        rows["ts"].append(ts)
+                        rows["is_key"].append(h["key_frame"])
+                        rows["profile"].append(h["profile"])
+                        rows["show_frame"].append(h["show_frame"])
+                        rows["bit_depth"].append(h.get("bit_depth"))
+                        rows["width"].append(h.get("width"))
+                        rows["height"].append(h.get("height"))
+                        rows["render_w"].append(h.get("render_width"))
+                        rows["render_h"].append(h.get("render_height"))
+                        rows["color_space"].append(h.get("color_space"))
             yield pd.DataFrame(
                 {
                     k: pd.array(v, dtype="Int64")

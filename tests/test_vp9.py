@@ -135,3 +135,102 @@ def test_fuzz_never_hangs():
             assert out["profile"] in (0, 1, 2, 3)
         except ValueError:
             pass
+
+
+def test_superframe_roundtrip_matrix():
+    from asid_v2_data_pipeline_spark.functions.vp9 import (
+        split_vp9_superframe,
+        write_vp9_superframe,
+    )
+
+    rng = np.random.default_rng(163)
+    for trial in range(60):
+        frames = [
+            bytes(rng.integers(0, 256, int(rng.integers(1, 700))).astype(np.uint8))
+            for _ in range(int(rng.integers(1, 9)))
+        ]
+        got = split_vp9_superframe(write_vp9_superframe(frames))
+        assert got == frames, trial
+
+
+def test_superframe_single_frame_passthrough():
+    from asid_v2_data_pipeline_spark.functions.vp9 import (
+        split_vp9_superframe,
+        write_vp9_key_stub,
+    )
+
+    f = write_vp9_key_stub(64, 32)
+    assert split_vp9_superframe(f) == [f]
+    # a frame whose last byte merely LOOKS like a marker stays single
+    fake = f + bytes([0xC0])
+    assert split_vp9_superframe(fake) == [fake]
+
+
+def test_superframe_corrupt_index_raises():
+    from asid_v2_data_pipeline_spark.functions.vp9 import (
+        split_vp9_superframe,
+        write_vp9_superframe,
+    )
+
+    good = bytearray(write_vp9_superframe([b"aaaa", b"bbbbbbb"]))
+    # flip the first SIZE byte: both markers still match, sum now wrong
+    # (mag=1 index layout from the end: marker, s0, s1, marker)
+    good[-3] ^= 0x01
+    with pytest.raises(ValueError, match="sum"):
+        split_vp9_superframe(bytes(good))
+    # a broken FIRST marker means "not an index" — passthrough, no raise
+    good[-3] ^= 0x01
+    good[-4] ^= 0x01
+    assert split_vp9_superframe(bytes(good)) == [bytes(good)]
+    with pytest.raises(ValueError, match="empty"):
+        split_vp9_superframe(b"")
+    with pytest.raises(ValueError, match="1..8"):
+        write_vp9_superframe([])
+    with pytest.raises(ValueError, match="zero-length"):
+        write_vp9_superframe([b"a", b""])
+
+
+def test_superframe_demux_rows(spark):
+    """A WebM block carrying a (hidden alt-ref keyframe + shown inter)
+    superframe yields TWO rows sharing the block timestamp, and the
+    container keyframe flag is checked against the MEMBERS."""
+    import pandas as pd
+
+    from asid_v2_data_pipeline_spark.functions.ebml import (
+        MkvTrack,
+        write_mkv,
+    )
+    from asid_v2_data_pipeline_spark.functions.vp9 import (
+        write_vp9_inter_stub,
+        write_vp9_key_stub,
+        write_vp9_superframe,
+    )
+    from asid_v2_data_pipeline_spark.operators.multimodal import (
+        demux_vp9_headers,
+    )
+
+    sup = write_vp9_superframe(
+        [
+            write_vp9_key_stub(320, 240, show_frame=False),
+            write_vp9_inter_stub(show_frame=True),
+        ]
+    )
+    tracks = [MkvTrack(1, "video", "V_VP9", width=320, height=240)]
+    blob = write_mkv([(1, 0, True, sup)], tracks)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [7], "payload": [blob]}),
+        "media_id long, payload binary",
+    )
+    rows = sorted(
+        (r["is_key"], r["show_frame"], r["width"])
+        for r in demux_vp9_headers(media).collect()
+    )
+    assert rows == [(False, True, None), (True, False, 320)]
+    # container flag False while a member is a keyframe -> raises
+    bad = write_mkv([(1, 0, False, sup)], tracks)
+    media_bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [8], "payload": [bad]}),
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="keyframe flag disagrees"):
+        demux_vp9_headers(media_bad).collect()
