@@ -66,20 +66,26 @@ def score_documents(
     bias: float = 0.0,
     out_col: str = "clf_score",
 ) -> DataFrame:
-    """Attach ``sigmoid(logit)`` as ``out_col``.  The weight vector
-    ships as ONE broadcast row (data, not plan — the bloom/centroid
-    discipline); scoring is a zero-shuffle narrow map."""
-    spark = df.sparkSession
-    dim = len(weights)
-    one = spark.createDataFrame(
-        [([float(w) for w in weights],)], "_w: array<double>"
-    )
-    z = _mean_pooled_logit(F.col(text_col), F.col("_w"), dim, bias)
-    return (
-        df.crossJoin(F.broadcast(one))
-        .withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
-        .drop("_w")
-    )
+    """Attach ``sigmoid(logit)`` as ``out_col``.  Scoring is a
+    zero-shuffle narrow map.
+
+    r13 optimization (guide §4.2): the tokenize + char-hash + weight-
+    gather fold runs in the Arrow kernel
+    (``functions/arrowhash.py::clf_token_sum``) — one vectorized
+    crossing per batch, weights in the UDF closure (no broadcast row
+    join needed) — instead of an interpreted Catalyst HOF fold per
+    char + per token.  The double sum is accumulated in the same
+    left-to-right IEEE order as the fold, so scores are bit-identical
+    (pinned in tests/test_arrowhash.py); the HOF form stays as
+    ``_mean_pooled_logit`` (the documented oracle contract, still used
+    by the training loop)."""
+    from .arrowhash import clf_token_sum
+
+    sn = clf_token_sum(F.col(text_col), [float(w) for w in weights])
+    z = F.lit(float(bias)) + F.when(
+        sn["n"] > 0, sn["s"] / sn["n"]
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
 
 def train_hashed_logreg(

@@ -39,7 +39,11 @@ def _warn_if_lazy_hashed(df: DataFrame, arg: str) -> None:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return
-    if "aggregate(" in plan or "transform(" in plan:
+    if (
+        "aggregate(" in plan
+        or "transform(" in plan
+        or "arrowhash_" in plan  # r13: an unmaterialized Arrow-kernel side
+    ):
         import warnings
 
         warnings.warn(

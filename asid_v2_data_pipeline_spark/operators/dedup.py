@@ -94,13 +94,21 @@ def _shingle_hashes_from_token_hashes(th: Column, n: int = 3) -> Column:
 def with_shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """(_id, _hs) — staged projections so tokenization + char hashing run
-    exactly once per row (Catalyst keeps multiply-referenced aliases)."""
-    staged = df.select(
-        F.col(id_col).alias("_id"), token_hashes(F.col(text_col)).alias("_th")
-    )
-    return staged.select(
-        "_id", _shingle_hashes_from_token_hashes(F.col("_th"), n).alias("_hs")
+    """(_id, _hs) — the shingle-hash projection every dedup/decontam
+    pipeline starts from.
+
+    r13 optimization (guide §4.2): computed by the Arrow-vectorized
+    kernel (``functions/arrowhash.py``) — tokenize + char hash + fold
+    fused into ONE JVM→Python crossing per batch, bit-identical to the
+    Catalyst HOF form ``_shingle_hashes_from_token_hashes(token_hashes)``
+    (which stays the documented oracle contract; identity pinned in
+    tests/test_arrowhash.py).  The HOF form is CodegenFallback — every
+    char paid an interpreted expression-tree walk."""
+    from ..functions.arrowhash import shingle_hashes_arrow
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        shingle_hashes_arrow(F.col(text_col), n).alias("_hs"),
     )
 
 
@@ -164,13 +172,11 @@ def minhash_signatures(
 ) -> DataFrame:
     """(_id, _sig) — signature per row, shingle hashes computed exactly
     once (staged projections)."""
+    from ..functions.arrowhash import minhash_sig_arrow
+
     hashed = with_shingle_hashes(df, id_col, text_col, n)
-    hs = F.col("_hs")
     return hashed.select(
-        "_id",
-        F.array(
-            *[_perm_min(hs, a, b) for a, b in _perm_constants(num_perm)]
-        ).alias("_sig"),
+        "_id", minhash_sig_arrow(F.col("_hs"), num_perm).alias("_sig")
     )
 
 
@@ -194,13 +200,14 @@ def band_rows_from_hashes(
     """(_id, _band, _bucket) LSH blocking rows from a pre-hashed
     (_id, _hs) relation — the shared kernel when one shingle pass feeds
     several banded consumers (dedup pairs + fuzzy decontam)."""
+    from ..functions.arrowhash import minhash_sig_arrow
+
     rows = num_perm // bands
-    hs = F.col("_hs")
+    # r13 (guide §4.2): all num_perm permutation minima in one
+    # vectorized pass instead of num_perm interpreted transform+min
+    # walks over the shingle array (identity pinned in test_arrowhash)
     sig = hashed.select(
-        "_id",
-        F.array(*[_perm_min(hs, a, b) for a, b in _perm_constants(num_perm)]).alias(
-            "_sig"
-        ),
+        "_id", minhash_sig_arrow(F.col("_hs"), num_perm).alias("_sig")
     )
     return sig.select(
         "_id",
@@ -858,6 +865,13 @@ def _spans_from_toks(
             F.concat_ws(" ", F.slice("_t", F.col("_pos"), k)).alias("_g"),
         )
     else:
+        # r13 note: measured, deliberately KEPT as the expression form —
+        # the interleaved A/B (tools/ab_arrowhash.py, 32-way layout)
+        # showed the JVM transform(concat_ws(slice)) expansion at 0.25 s
+        # vs 0.43 s for the Arrow-kernel twin: the gram strings would
+        # cross the Python boundary twice (token arrays in, grams out)
+        # and the per-window work is native concat, not an interpreted
+        # char fold.
         grams = toks.select(
             "_id",
             F.explode(

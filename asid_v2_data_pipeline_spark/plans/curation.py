@@ -64,16 +64,19 @@ def curate(
     tests/test_fuzzy_decontam.py).  Pre-r13 this was three corpus char
     passes.  The benchmark side still hashes inside ``contamination``
     (one pass — v1 has a single decontam tier)."""
-    from ..operators.dedup import (
-        _shingle_hashes_from_token_hashes,
-        fingerprint_from_token_hashes,
-        minhash_lsh_pairs_from_hashes,
-        token_hashes,
-    )
+    from ..functions.arrowhash import hash_block
+    from ..operators.dedup import minhash_lsh_pairs_from_hashes
 
     good = docs.filter(tx.quality_score(F.col(text_col)) >= quality_min)
-    gth = good.select("*", token_hashes(F.col(text_col)).alias("_th"))
-    keyed = gth.withColumn("_fp", fingerprint_from_token_hashes(F.col("_th")))
+    # r13 (guide §4.2): the tokenize-once block — fingerprint + n=3 +
+    # n=decontam_n folds — computed by the fused Arrow kernel in ONE
+    # JVM→Python crossing (bit-identical to the HOF forms, pinned in
+    # tests/test_arrowhash.py); pre-r13 the same three values were
+    # interpreted Catalyst HOF folds (CodegenFallback, per-char cost).
+    gth = good.select(
+        "*", hash_block(F.col(text_col), 3, decontam_n).alias("_hb")
+    )
+    keyed = gth.withColumn("_fp", F.col("_hb.fp"))
     # uniq feeds BOTH the LSH pair generation and the survivor anti-join;
     # localCheckpoint = the in-memory analogue of the stage tables
     # curate_staged persists — same rows, derived once.
@@ -81,12 +84,10 @@ def curate(
         exact_dedup(keyed, ["_fp"], id_col)
         .select(
             "*",
-            _shingle_hashes_from_token_hashes(F.col("_th"), 3).alias("_hs3"),
-            _shingle_hashes_from_token_hashes(
-                F.col("_th"), decontam_n
-            ).alias("_hsN"),
+            F.col("_hb.hs1").alias("_hs3"),
+            F.col("_hb.hs2").alias("_hsN"),
         )
-        .drop("_fp", "_th")
+        .drop("_fp", "_hb")
         .localCheckpoint()
     )
 
@@ -173,14 +174,12 @@ def curate_v2(
     checkpoint; ``curate_v2_staged`` returns the identical schema (its
     'rewritten' stage persists the full text for callers that need it).
     """
+    from ..functions.arrowhash import hash_block
     from ..functions.classifier import score_documents
     from ..operators.decontam import fuzzy_contamination
     from ..operators.dedup import (
-        _shingle_hashes_from_token_hashes,
-        fingerprint_from_token_hashes,
         minhash_lsh_pairs_from_hashes,
         remove_duplicate_spans,
-        token_hashes,
     )
 
     gated = (
@@ -201,27 +200,33 @@ def curate_v2(
     cleaned = remove_duplicate_spans(
         gated, id_col, text_col, k=span_k, keep_cols=passthrough
     )
+    # r13: checkpoint the rewritten corpus — the in-memory analogue of
+    # curate_v2_staged's persisted 'rewritten' stage.  Downstream,
+    # clean_text was re-derived per consumer (the quality filter AND
+    # the hash kernel each re-ran the interpreted span-excision lambda
+    # over every token), and feeding the Arrow kernel a giant
+    # reassembly expression instead of a plain column is also what
+    # exposed the Project-with-PythonUDF interpreter fallback.
     rewritten = cleaned.select(
         id_col, *passthrough, F.col("clean_text").alias(text_col)
-    )
+    ).localCheckpoint()
 
     good = rewritten.filter(tx.quality_score(F.col(text_col)) >= quality_min)
-    # the one char-level pass over the surviving corpus (staged select
-    # so the tokenize+hash evaluates once; Catalyst keeps the alias)
-    gth = good.select("*", token_hashes(F.col(text_col)).alias("_th"))
-    keyed = gth.withColumn(
-        "_fp", fingerprint_from_token_hashes(F.col("_th"))
+    # the one char-level pass over the surviving corpus — r13: the
+    # fused Arrow kernel (fingerprint + both shingle widths in ONE
+    # crossing; bit-identical, pinned in tests/test_arrowhash.py)
+    gth = good.select(
+        "*", hash_block(F.col(text_col), 3, decontam_n).alias("_hb")
     )
+    keyed = gth.withColumn("_fp", F.col("_hb.fp"))
     uniq = (
         exact_dedup(keyed, ["_fp"], id_col)
         .select(
             "*",
-            _shingle_hashes_from_token_hashes(F.col("_th"), 3).alias("_hs3"),
-            _shingle_hashes_from_token_hashes(
-                F.col("_th"), decontam_n
-            ).alias("_hs8"),
+            F.col("_hb.hs1").alias("_hs3"),
+            F.col("_hb.hs2").alias("_hs8"),
         )
-        .drop("_fp", "_th", text_col)
+        .drop("_fp", "_hb", text_col)
         .localCheckpoint()
     )
 
@@ -235,18 +240,17 @@ def curate_v2(
     # admitted-id set + epochs IS the product; callers re-join text from
     # the source table (or read the staged twin's 'rewritten' stage).
 
-    # benchmark side: one char pass feeds both decontam tiers
+    # benchmark side: one char pass feeds both decontam tiers (r13:
+    # same fused Arrow kernel as the corpus side)
     bench_hs = (
         benchmark.select(
             F.col(id_col).alias("_id"),
-            token_hashes(F.col(text_col)).alias("_th"),
+            hash_block(F.col(text_col), 3, decontam_n).alias("_hb"),
         )
         .select(
             "_id",
-            _shingle_hashes_from_token_hashes(F.col("_th"), 3).alias("_hs3"),
-            _shingle_hashes_from_token_hashes(
-                F.col("_th"), decontam_n
-            ).alias("_hs8"),
+            F.col("_hb.hs1").alias("_hs3"),
+            F.col("_hb.hs2").alias("_hs8"),
         )
         .localCheckpoint()
     )
@@ -485,26 +489,20 @@ def curate_v2_staged(
 
     def _clean() -> DataFrame:
         # tokenize-once inside the stage (r12, mirrors curate_v2): one
-        # char pass per side feeds both decontam widths as folds
-        from ..operators.dedup import (
-            _shingle_hashes_from_token_hashes,
-            token_hashes,
-        )
+        # char pass per side feeds both decontam widths — r13: the
+        # fused Arrow kernel (bit-identical, test_arrowhash)
+        from ..functions.arrowhash import hash_block
 
         def _two_width(df: DataFrame) -> DataFrame:
             return (
                 df.select(
                     F.col(id_col).alias("_id"),
-                    token_hashes(F.col(text_col)).alias("_th"),
+                    hash_block(F.col(text_col), 3, decontam_n).alias("_hb"),
                 )
                 .select(
                     "_id",
-                    _shingle_hashes_from_token_hashes(F.col("_th"), 3).alias(
-                        "_hs3"
-                    ),
-                    _shingle_hashes_from_token_hashes(
-                        F.col("_th"), decontam_n
-                    ).alias("_hsn"),
+                    F.col("_hb.hs1").alias("_hs3"),
+                    F.col("_hb.hs2").alias("_hsn"),
                 )
                 .localCheckpoint()
             )

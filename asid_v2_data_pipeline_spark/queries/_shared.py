@@ -298,4 +298,21 @@ def _parallel_docs(d: DataFrame, *cols: str) -> DataFrame:
         sp.sparkContext.defaultParallelism, "doc_id"
     )
 
+
+def _parallel(d: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Full-row twin of :func:`_parallel_docs` for the compute-heavy
+    query families (r13, guide §2.5 "one huge unsplittable file"):
+    every driver testdata table is ONE parquet file with ONE row group
+    → one input split, so all narrow scan-stage work — tokenize, char
+    hashing, quality regexes, classifier/vector folds, Arrow kernels —
+    would serialize onto a single core at every SF.  Hash-repartition
+    on the (dense, unique) id spreads rows near-uniformly and
+    deterministically; results are row-set identical, only placement
+    changes.  Scale-adaptive: the session's defaultParallelism, never
+    a constant — the driver's lower-core bench runs resize it
+    automatically, and at production scale (inputs already in many
+    splits) a pipeline drops this hop entirely."""
+    sp = d.sparkSession
+    return d.repartition(sp.sparkContext.defaultParallelism, key)
+
 REGISTRY: dict = {}

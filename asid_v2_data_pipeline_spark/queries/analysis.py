@@ -14,6 +14,7 @@ from ._shared import (
     TOKENS_SQL,
     _cached_index,
     _index_cache_path,
+    _parallel,
     _quality_expr_sql,
 )
 from .dedup_sim import _PACK_CAP, _TOKEN_HASHES_SQL, _span_removal_ctes
@@ -97,7 +98,7 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate spans (Lee et al. 2022 substring dedup,
     distributed k-gram form): maximal token spans whose every 5-gram also
     occurs in another document."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(load_table(spark, sf_dir, "documents"))
     return dd.duplicate_spans(d, "doc_id", "text", k=5).orderBy(
         "doc_id", "span_start"
     )
@@ -134,7 +135,7 @@ def dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half of substring dedup: duplicated spans excised
     from every carrier, surviving tokens re-joined — returns
     (doc_id, clean_text, n_removed) for the whole corpus."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(load_table(spark, sf_dir, "documents"))
     return dd.remove_duplicate_spans(d, "doc_id", "text", k=5).orderBy("doc_id")
 
 
@@ -581,7 +582,7 @@ def _cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle census: one k·dim-key exchange for the centroid aggregate;
     the assignment itself shuffles nothing.  Returns
     (vec_id, label, v, clabel)."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    e = _parallel(load_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
     cents = (
@@ -974,7 +975,7 @@ def tx_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle arithmetic."""
     from ..operators.retrieval import bm25_scores_indexed, build_bm25_index
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(load_table(spark, sf_dir, "documents"))
     postings, stats = build_bm25_index(d)
     s = bm25_scores_indexed(postings, stats, list(_BM25_TERMS))
     return (
@@ -1125,7 +1126,7 @@ def tx_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE) end-to-end."""
     from ..operators.packing import pack_greedy
 
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(load_table(spark, sf_dir, "documents"))
     toks = tx.tokens(F.col("text"))
     # per-token subword count via the replace chain, summed per doc
     per_tok = F.transform(toks, _subword_count)

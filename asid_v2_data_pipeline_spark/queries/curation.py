@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from ..functions import text as tx
 from ..operators import dedup as dd
 from ..schemas import load_table
-from ._shared import TOKENS_SQL, _char_hash_sql, _quality_expr_sql
+from ._shared import TOKENS_SQL, _char_hash_sql, _parallel, _quality_expr_sql
 from .dedup_sim import _TOKEN_HASHES_SQL, _span_removal_ctes
 
 
@@ -17,6 +17,8 @@ from .dedup_sim import _TOKEN_HASHES_SQL, _span_removal_ctes
 
 
 def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13: measured, left WITHOUT the _parallel layout — token_count is
+    # one native split per row; the exchange doubled the query
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("lang", tx.token_count(F.col("text")).alias("ntok"), "n_chars")
@@ -240,7 +242,9 @@ def dc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
-    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    # corpus side only: the tiny benchmark side would shatter into
+    # 32 near-empty partitions (per-batch kernel overhead, no gain)
+    corpus = _parallel(d.filter(F.col("doc_id") % 97 != 0))
     return contamination(corpus, bench, "doc_id", "text", n=_DC_N).orderBy(
         "doc_id"
     )
@@ -307,7 +311,7 @@ def dc_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # straddle the corpus/benchmark boundary for the query to exercise
     # the fuzzy path on >0 rows
     bench = d.filter(F.col("doc_id") % 5 == 0)
-    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    corpus = _parallel(d.filter(F.col("doc_id") % 5 != 0))
     return fuzzy_contamination(
         corpus, bench, "doc_id", "text", min_jaccard=_DC_FUZZY_T
     ).orderBy("doc_id", "bench_id")
@@ -457,7 +461,7 @@ def cur_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
-    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    corpus = _parallel(d.filter(F.col("doc_id") % 97 != 0))
     out = curate(corpus, bench, _MIX_WEIGHTS)
     return out.select(
         "doc_id", "lang", "source", F.col("epoch").cast("long").alias("epoch")
@@ -553,7 +557,7 @@ def cur_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 5 == 0)
-    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    corpus = _parallel(d.filter(F.col("doc_id") % 5 != 0))
     out = curate_v2(
         corpus,
         bench,

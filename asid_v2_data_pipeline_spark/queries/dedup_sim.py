@@ -16,6 +16,7 @@ from ._shared import (
     _cached_index,
     _char_hash_sql,
     _index_cache_path,
+    _parallel,
     _quality_expr_sql,
 )
 
@@ -26,6 +27,9 @@ from ._shared import (
 
 def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a derived key (first 2 tokens): survivors per lang."""
+    # r13: measured, left WITHOUT the _parallel layout — the narrow work
+    # (first-2-token slice) is trivial, so the extra exchange lost
+    # (0.43 s -> 0.68 s in the in-situ A/B)
     d = load_table(spark, sf_dir, "documents")
     keyed = d.withColumn(
         "dkey", F.concat_ws(" ", F.slice(tx.tokens(F.col("text")), 1, 2))
@@ -60,7 +64,7 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation except among hot-heavy docs — provably
     result-preserving (see jaccard_pairs docstring), so the oracle is the
     plain all-shingles SQL."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(load_table(spark, sf_dir, "documents"))
     pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, df_cutoff=50)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -96,7 +100,7 @@ ORDER BY id_a, id_b
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (16 perms, 4 bands)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _parallel(load_table(spark, sf_dir, "documents"))
     return dd.minhash_lsh_pairs(d, "doc_id", "text", num_perm=16, bands=4).orderBy(
         "id_a", "id_b"
     )
@@ -432,7 +436,7 @@ ORDER BY id_a, id_b
 
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors (vec_id < 10)."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    e = _parallel(load_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = e.filter(F.col("vec_id") < 10)
@@ -816,7 +820,7 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks let the oracle re-derive encode → decode → approximate
     rank → rescore bit-for-bit, so the PQ machinery is value-checked,
     not just recall-tested."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
+    e = _parallel(load_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = e.filter(F.col("vec_id") < 5)

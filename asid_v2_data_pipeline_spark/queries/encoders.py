@@ -22,6 +22,10 @@ from ..schemas import load_table
 
 
 def _derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13: measured, left WITHOUT a _parallel repartition — the encoder
+    # chains are codegen'd native expressions; shuffling 600K wide rows
+    # cost more than the single-core evaluation it saved (c2
+    # 0.66 -> 1.14 s in the in-situ A/B)
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",

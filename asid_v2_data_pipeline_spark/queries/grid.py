@@ -41,6 +41,11 @@ WITH px AS (
 
 
 def pixel_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13: measured, left WITHOUT the _parallel layout — repartitioning
+    # 600K wide rows to parallelize the top-k cost more than the
+    # single-core scan it saved (w4 0.41->0.79 s, w8 0.65->1.57 s in
+    # the in-situ A/B; only w1 improved).  The single-row-group scan is
+    # the floor here; at production scale inputs arrive in many splits.
     li = load_table(spark, sf_dir, "lineitem")
     # orderBy+limit compiles to TakeOrderedAndProject (parallel partial
     # top-k, no full single-partition sort); the row_number window then

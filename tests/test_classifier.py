@@ -36,14 +36,18 @@ def test_training_is_deterministic(spark):
 
 
 def test_scoring_plan_is_narrow(spark):
-    """Scoring = broadcast one-row weight join + fold: no Exchange other
-    than the broadcast, no Python in the plan."""
+    """Scoring = ONE vectorized Arrow kernel in the scan stage (r13:
+    functions/arrowhash.py::clf_token_sum, weights in the UDF closure):
+    no Exchange of any kind (the pre-r13 broadcast weight row is gone
+    too), no row-at-a-time BatchEvalPython, and the struct result is
+    extracted from a single ArrowEvalPython — the optimizer must not
+    duplicate the kernel across the s/n references (guide §4.4)."""
     d = _planted(spark)
     out = score_documents(d, "text", lcg_weights(64), 0.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "Exchange hashpartitioning" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_empty_text_scores_at_bias(spark):
