@@ -73,7 +73,21 @@ def _edges_and_degrees(
     edges: DataFrame, src: str, dst: str, weight: str | None
 ) -> tuple[DataFrame, DataFrame, int]:
     """Normalized edge table + out-degree table (both checkpointed —
-    every iteration reuses them) + |N|."""
+    every iteration reuses them) + |N|.
+
+    r13 note (guide §2.4, measured): checkpointing ``e`` pre-partitioned
+    on ``src`` WOULD let every round's ``e ⋈ ranks`` skip re-exchanging
+    |E| rows — ``localCheckpoint`` does preserve ``hashpartitioning`` in
+    the LogicalRDD and with AQE off the plan shows 0 extra Exchanges —
+    but with AQE ON (required: skew-join splitting + scale-adaptive
+    coalescing) EnsureRequirements re-inserts the exchange anyway
+    (probed in this round: AQE=false → 0, AQE=true → 1).  So the
+    repartition would be pure extra cost here; at runtime AQE instead
+    converts the tiny-ranks-side joins to broadcast with a local
+    shuffle read.  The 100 TB layout is a bucketed edge table
+    (``bucketBy(src)``), which survives AQE — noted in
+    OPTIMIZATION_r13.md rather than coded, since the query contract
+    reads unbucketed parquet."""
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")

@@ -25,10 +25,14 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r13 (guide §2.4): checkpoint the pair table — the symmetrizing
+    # unionAll references it twice, so the lineitem⋈orders join +
+    # distinct evaluated TWICE before; now once (rows unchanged)
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint()
     )
     edges = pairs.select(
         F.col("c").alias("src"), (F.col("s") + _PR_OFF).alias("dst")
@@ -54,12 +58,15 @@ def gr_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r13 (guide §2.4): checkpointed — the unionAll references the
+    # aggregated pair table twice (see gr_pagerank)
     pw = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
     )
     edges = pw.select(
         F.col("c").alias("src"), (F.col("s") + _PR_OFF).alias("dst"), "w"
@@ -96,10 +103,14 @@ def gr_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r13 (guide §2.4): checkpointed — referenced FOUR times before
+    # (two unionAll branches × two phases), so the lineitem⋈orders
+    # join + distinct evaluated 4×; now once (rows unchanged)
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint()
     )
 
     def _edges(p):
