@@ -1050,7 +1050,11 @@ def semantic_dedup(
     # per-vector norms computed ONCE before the pair fan-out: cosine on
     # a pair is then a single interpreted-HOF dot instead of three
     # (dot + both norms) — same dot/(na·nb) arithmetic, so values are
-    # bit-identical to the naive form (measured ~3× on the pair stage)
+    # bit-identical to the naive form (measured ~3× on the pair stage).
+    # r13 note (guide §4.2, measured): the Arrow pair_dot/vec_norm
+    # kernels were A/B'd here and REVERTED — both 64-dim arrays cross
+    # the Python boundary per candidate pair, and the crossing cost
+    # exceeded the interpreted fold cost (dd_semantic 2.0 s → 4.6 s).
     pruned = clustered.select(
         F.col(cluster_col).alias("_ck"),
         F.col(id_col).alias("_id"),

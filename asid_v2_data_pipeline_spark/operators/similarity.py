@@ -50,7 +50,12 @@ def topk_cosine(
     # norms computed ONCE per side BEFORE the pair fan-out: scoring a
     # pair is then a single interpreted-HOF dot instead of three — the
     # same dot/(nq·nc) arithmetic, bit-identical values (the discipline
-    # every scorer in this module follows)
+    # every scorer in this module follows).  r13 note (guide §4.2,
+    # measured): the Arrow pair_dot/vec_norm kernels were A/B'd here
+    # and REVERTED — on the pair fan-out both 64-dim arrays must cross
+    # the Python boundary per pair, and the crossing cost exceeded the
+    # interpreted fold cost (sim_topk_cosine 0.5 s → 1.7 s); the fused
+    # pq_block kernel below is where vectorization pays.
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("_qv"),
@@ -414,7 +419,10 @@ def _rescore_topk(
     c_id, _ascore``) → broadcast shortlist id-join against ``full``
     (columns ``c_id, _cv, _cn``) → exact cosine rescore → top-``k``.
     One definition serves the ADC and PQ paths, in-memory and indexed
-    (tie-breaks: score desc, c_id asc at both stages)."""
+    (tie-breaks: score desc, c_id asc at both stages).  r13 note: the
+    Arrow pair_dot kernel was A/B'd on the rescore and REVERTED — the
+    shortlist is queries×rerank rows (~100), so the interpreted fold is
+    cheaper than an extra Python stage."""
     wa = Window.partitionBy("q_id").orderBy(
         F.col("_ascore").desc(), F.col("c_id")
     )
@@ -688,17 +696,29 @@ def topk_cosine_ivf_pq(
 
     Plan shape mirrors the ADC path: codes scan → broadcast probe join
     on ``cell`` → per-query approximate top-``rerank`` window →
-    broadcast shortlist id-join → exact rescore → top-k."""
+    broadcast shortlist id-join → exact rescore → top-k.
+
+    r13 (guide §4.2): the corpus pipeline — assign → PQ encode →
+    decode → reconstruction norm — runs as ONE fused Arrow kernel
+    crossing (``functions/arrowvec.py::pq_block``; pre-r13 it was four
+    interpreted-HOF passes over every 64-dim vector).  Values
+    bit-identical to the HOF chain (tests/test_arrowvec.py);
+    ``with_pq_codes``/``pq_decode`` remain the documented oracle
+    contracts.  The approximate/exact dots stay interpreted — the A/B
+    showed the per-pair array crossing costs more than the fold (see
+    ``topk_cosine``)."""
+    from ..functions.arrowvec import pq_block
+
     rerank = max(k, rerank_factor * k)
-    coded = with_pq_codes(
-        ivf_assign(corpus, centroids, id_col, vec_col), codebooks, vec_col
+    blk = pq_block(F.col(vec_col), centroids, codebooks)
+    codes = corpus.select(
+        F.col(id_col).alias("c_id"), blk.alias("_b")
+    ).select(
+        "c_id",
+        F.col("_b.cell").alias("cell"),
+        F.col("_b.vhat").alias("_vhat"),
+        F.col("_b.vhn").alias("_vhn"),
     )
-    vhat = pq_decode(F.col("_pq"), codebooks)
-    codes = coded.select(
-        F.col(id_col).alias("c_id"),
-        "cell",
-        vhat.alias("_vhat"),
-    ).select("c_id", "cell", "_vhat", norm(F.col("_vhat")).alias("_vhn"))
     qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
 
     approx = (
