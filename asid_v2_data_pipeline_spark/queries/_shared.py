@@ -312,6 +312,10 @@ def _parallel(d: DataFrame, key: str = "doc_id") -> DataFrame:
     a constant — the driver's lower-core bench runs resize it
     automatically, and at production scale (inputs already in many
     splits) a pipeline drops this hop entirely."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_PARALLEL_HOP"):  # A/B escape hatch
+        return d
     sp = d.sparkSession
     return d.repartition(sp.sparkContext.defaultParallelism, key)
 

@@ -135,7 +135,11 @@ def dd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal half of substring dedup: duplicated spans excised
     from every carrier, surviving tokens re-joined — returns
     (doc_id, clean_text, n_removed) for the whole corpus."""
-    d = _parallel(load_table(spark, sf_dir, "documents"))
+    # r13: measured WITHOUT the _parallel hop (interleaved A/B med
+    # 1.11 s plain vs 1.39 s hopped) — the detector's own keyed
+    # exchanges redistribute anyway, so the up-front repartition of
+    # full text rows is a pure extra exchange here
+    d = load_table(spark, sf_dir, "documents")
     return dd.remove_duplicate_spans(d, "doc_id", "text", k=5).orderBy("doc_id")
 
 

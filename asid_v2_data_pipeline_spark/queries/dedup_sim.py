@@ -820,7 +820,11 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks let the oracle re-derive encode → decode → approximate
     rank → rescore bit-for-bit, so the PQ machinery is value-checked,
     not just recall-tested."""
-    e = _parallel(load_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
+    # r13: measured WITHOUT the _parallel hop (interleaved A/B med
+    # 1.91 s plain vs 2.01 s hopped) — the fused pq_block Arrow kernel
+    # removed the per-row interpreted cost the 32-way layout was
+    # parallelizing; 2000 rows vectorize in one batch
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     q = e.filter(F.col("vec_id") < 5)
