@@ -952,10 +952,20 @@ def remove_duplicate_spans(
     min_docs: int = 2,
     hash_shuffle: bool = False,
     keep_cols: tuple[str, ...] = (),
+    spent: list | None = None,
 ) -> DataFrame:
     """The removal half of Lee et al. substring dedup: excise every
     detected cross-document duplicate span (:func:`duplicate_spans`) and
     reassemble the surviving tokens.
+
+    ``spent`` (r13 opt, guide §5): optional out-list that receives this
+    operator's internal checkpointed token table.  A caller that
+    materializes everything derived from this output (curate_v2
+    checkpoints the rewritten corpus immediately) may then pass each
+    element to ``session.release_checkpoint`` — the token arrays are
+    the largest per-call block and would otherwise linger until a
+    driver GC.  Callers that return a lazy plan over this output (the
+    dd_span_removal query) must NOT release it.
 
     Policy: spans are cut in EVERY document that carries them (the
     conservative every-occurrence rule — boilerplate and templated
@@ -992,6 +1002,8 @@ def remove_duplicate_spans(
         *[F.col(c) for c in keep_cols],
         tx.tokens(F.col(text_col)).alias("_t"),
     ).localCheckpoint()
+    if spent is not None:
+        spent.append(toks)
     spans = (
         _spans_from_toks(toks, k, min_docs, hash_shuffle)
         .groupBy("_id")

@@ -34,6 +34,7 @@ from ..functions import text as tx
 from ..operators.decontam import contamination
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs
 from ..operators.sampling import quota_per_group, weighted_repeat
+from ..session import release_checkpoint
 
 
 def curate(
@@ -99,6 +100,7 @@ def curate(
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     # neat likewise feeds decontamination AND the final anti-join
     neat = uniq.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint()
+    release_checkpoint(uniq)  # superseded by neat (r13 opt, guide §5)
 
     contaminated = contamination(
         neat,
@@ -197,8 +199,9 @@ def curate_v2(
     passthrough = tuple(
         c for c in gated.columns if c not in (id_col, text_col)
     )
+    _spent: list = []
     cleaned = remove_duplicate_spans(
-        gated, id_col, text_col, k=span_k, keep_cols=passthrough
+        gated, id_col, text_col, k=span_k, keep_cols=passthrough, spent=_spent
     )
     # r13: checkpoint the rewritten corpus — the in-memory analogue of
     # curate_v2_staged's persisted 'rewritten' stage.  Downstream,
@@ -210,6 +213,13 @@ def curate_v2(
     rewritten = cleaned.select(
         id_col, *passthrough, F.col("clean_text").alias(text_col)
     ).localCheckpoint()
+    # r13 opt (guide §5): each checkpoint supersedes the one(s) it was
+    # derived from — release the spent blocks NOW instead of stranding
+    # them until a driver GC (the span token table and the full
+    # rewritten text are the two largest blocks of the chain; measured
+    # accumulation degraded back-to-back runs 9.0 -> 25.6 s).
+    for _df in _spent:
+        release_checkpoint(_df)
 
     good = rewritten.filter(tx.quality_score(F.col(text_col)) >= quality_min)
     # the one char-level pass over the surviving corpus — r13: the
@@ -229,11 +239,13 @@ def curate_v2(
         .drop("_fp", "_hb", text_col)
         .localCheckpoint()
     )
+    release_checkpoint(rewritten)  # superseded by uniq (guide §5)
 
     hashed3 = uniq.select(F.col(id_col).alias("_id"), F.col("_hs3").alias("_hs"))
     pairs = minhash_lsh_pairs_from_hashes(hashed3, num_perm=16, bands=4)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     neat = uniq.join(F.broadcast(losers), id_col, "left_anti").localCheckpoint()
+    release_checkpoint(uniq)  # superseded by neat (guide §5)
     # Output schema contract (shared with curate_v2_staged, pinned in
     # tests/test_curation_staged.py): (id_col, quota_col, mix_col, epoch).
     # The text column was dropped at the uniq checkpoint by design — the
@@ -255,38 +267,39 @@ def curate_v2(
         .localCheckpoint()
     )
 
-    contaminated = (
-        contamination(
-            neat,
-            benchmark,
-            id_col,
-            text_col,
-            n=decontam_n,
-            docs_hashed=neat.select(
-                F.col(id_col).alias("_id"), F.col("_hs8").alias("_hs")
-            ),
-            bench_hashed=bench_hs.select("_id", F.col("_hs8").alias("_hs")),
-        )
-        .select(id_col)
-        .unionByName(
-            fuzzy_contamination(
-                neat,
-                benchmark,
-                id_col,
-                text_col,
-                min_jaccard=fuzzy_jaccard,
-                docs_hashed=neat.select(
-                    F.col(id_col).alias("_id"), F.col("_hs3").alias("_hs")
-                ),
-                bench_hashed=bench_hs.select(
-                    "_id", F.col("_hs3").alias("_hs")
-                ),
-            ).select(id_col)
-        )
-        .distinct()
-    )
-    clean = neat.select(id_col, quota_col, mix_col).join(
-        F.broadcast(contaminated), id_col, "left_anti"
+    # r13 opt (guide §2.4): the two decontam tiers used to be unioned +
+    # DISTINCT-ed into one removal set before a single anti-join — but
+    # anti-join semantics ignore duplicates on the right side, so the
+    # distinct was a pure extra exchange and the union a pure extra
+    # subtree in the broadcast build.  Two chained broadcast anti-joins
+    # drop the exact same id set (A ∪ B removed ≡ remove A then remove
+    # B), one fewer Exchange, rows identical (parity-pinned).
+    exact_ids = contamination(
+        neat,
+        benchmark,
+        id_col,
+        text_col,
+        n=decontam_n,
+        docs_hashed=neat.select(
+            F.col(id_col).alias("_id"), F.col("_hs8").alias("_hs")
+        ),
+        bench_hashed=bench_hs.select("_id", F.col("_hs8").alias("_hs")),
+    ).select(id_col)
+    fuzzy_ids = fuzzy_contamination(
+        neat,
+        benchmark,
+        id_col,
+        text_col,
+        min_jaccard=fuzzy_jaccard,
+        docs_hashed=neat.select(
+            F.col(id_col).alias("_id"), F.col("_hs3").alias("_hs")
+        ),
+        bench_hashed=bench_hs.select("_id", F.col("_hs3").alias("_hs")),
+    ).select(id_col)
+    clean = (
+        neat.select(id_col, quota_col, mix_col)
+        .join(F.broadcast(exact_ids), id_col, "left_anti")
+        .join(F.broadcast(fuzzy_ids), id_col, "left_anti")
     )
 
     capped = quota_per_group(clean, [quota_col], quota, id_col, seed=quota_seed)
@@ -508,37 +521,30 @@ def curate_v2_staged(
             )
 
         neat_hs, bench_hs = _two_width(neat), _two_width(benchmark)
-        contaminated = (
-            contamination(
-                neat,
-                benchmark,
-                id_col,
-                text_col,
-                n=decontam_n,
-                docs_hashed=neat_hs.select("_id", F.col("_hsn").alias("_hs")),
-                bench_hashed=bench_hs.select(
-                    "_id", F.col("_hsn").alias("_hs")
-                ),
-            )
-            .select(id_col)
-            .unionByName(
-                fuzzy_contamination(
-                    neat,
-                    benchmark,
-                    id_col,
-                    text_col,
-                    min_jaccard=fuzzy_jaccard,
-                    docs_hashed=neat_hs.select(
-                        "_id", F.col("_hs3").alias("_hs")
-                    ),
-                    bench_hashed=bench_hs.select(
-                        "_id", F.col("_hs3").alias("_hs")
-                    ),
-                ).select(id_col)
-            )
-            .distinct()
+        # r13 opt: two chained broadcast anti-joins instead of
+        # union+distinct+one anti-join — same removal set, one fewer
+        # Exchange (see the lazy curate_v2)
+        exact_ids = contamination(
+            neat,
+            benchmark,
+            id_col,
+            text_col,
+            n=decontam_n,
+            docs_hashed=neat_hs.select("_id", F.col("_hsn").alias("_hs")),
+            bench_hashed=bench_hs.select("_id", F.col("_hsn").alias("_hs")),
+        ).select(id_col)
+        fuzzy_ids = fuzzy_contamination(
+            neat,
+            benchmark,
+            id_col,
+            text_col,
+            min_jaccard=fuzzy_jaccard,
+            docs_hashed=neat_hs.select("_id", F.col("_hs3").alias("_hs")),
+            bench_hashed=bench_hs.select("_id", F.col("_hs3").alias("_hs")),
+        ).select(id_col)
+        return neat.join(F.broadcast(exact_ids), id_col, "left_anti").join(
+            F.broadcast(fuzzy_ids), id_col, "left_anti"
         )
-        return neat.join(F.broadcast(contaminated), id_col, "left_anti")
 
     clean = _materialize("clean", _clean)
     # same final projection as the lazy curate_v2 — the two documented-

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from ..schemas import load_table
+from ..session import release_checkpoint
 from .media import _PR_DAMP, _PR_ITERS, _PR_OFF
 
 
@@ -42,6 +43,9 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranks = pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS)
+    # pagerank() has checkpointed its own edge+degree tables by now, so
+    # the pair table is superseded — release it (r13 opt, guide §5)
+    release_checkpoint(pairs)
     return ranks.select(
         "node", F.round("rank", 6).alias("rank")
     ).orderBy("node")
@@ -78,6 +82,7 @@ def gr_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranks = pagerank(edges, damping=_PR_DAMP, iters=_PR_ITERS, weight="w")
+    release_checkpoint(pw)  # superseded (r13 opt, guide §5)
     return ranks.select(
         "node", F.round("rank", 6).alias("rank")
     ).orderBy("node")
@@ -127,6 +132,10 @@ def gr_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_incremental(
         _edges(pairs), prev, damping=_PR_DAMP, iters=_PRI_WARM
     )
+    # both phases' edge+degree tables are checkpointed by now (the cold
+    # ones stay live — `prev` is a lazy plan over them); only the pair
+    # table is superseded (r13 opt, guide §5)
+    release_checkpoint(pairs)
     return ranks.select(
         "node", F.round("rank", 6).alias("rank")
     ).orderBy("node")
