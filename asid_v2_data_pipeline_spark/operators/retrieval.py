@@ -420,4 +420,9 @@ def append_bm25_index(
         "_n long, _avgdl double, _n_buckets int, _last_bid int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     spark.catalog.refreshByPath(f"{path}/postings")
+    # postings written and bucket count taken — the staging checkpoint
+    # is spent (r13 opt, guide §5)
+    from ..session import release_checkpoint
+
+    release_checkpoint(p)
     return {"appended_docs": n_new, "touched_buckets": k_touched}

@@ -612,6 +612,11 @@ def train_pq_codebooks_kmeans(
                 for j, old in book
             ]
         books[s] = book
+        # the codebook is driver-side now — the subspace slice's blocks
+        # are superseded (r13 opt, guide §5)
+        from ..session import release_checkpoint
+
+        release_checkpoint(sliced)
     return books
 
 
@@ -876,13 +881,28 @@ def topk_cosine_ivf_pq_indexed(
     — m bytes of code per row instead of the dim-length int8 (or float)
     column, the whole point of the PQ tier — and decodes against the
     codebooks STORED WITH the index.  Full-precision rescore via
-    broadcast shortlist id-join, identical to the in-memory path."""
-    centroids = read_ivf_centroids(spark, index_path)
-    books = read_pq_codebooks(spark, index_path)
+    broadcast shortlist id-join, identical to the in-memory path.
+
+    Serving latency (r13 opt): the two tiny metadata reads (centroid
+    table, codebooks) run CONCURRENTLY from a 2-thread pool (guide
+    §2.6 — independent jobs overlap; they were sequential driver
+    round-trips), and the probe fan-out is checkpointed once so the
+    probed-cell collect and the approximate-scan broadcast read the
+    same materialized rows instead of each re-evaluating the query
+    scan + cell assignment.  Results identical — same quantizer, same
+    rows."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cents_f = pool.submit(read_ivf_centroids, spark, index_path)
+        books_f = pool.submit(read_pq_codebooks, spark, index_path)
+        centroids, books = cents_f.result(), books_f.result()
     if books is None:
         raise ValueError(f"index at {index_path} has no PQ tier")
     rerank = max(k, rerank_factor * k)
-    qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
+    qcells = _query_cells(
+        queries, centroids, nprobe, id_col, vec_col
+    ).localCheckpoint()
     probed = sorted(
         r["cell"] for r in qcells.select("cell").distinct().collect()
     )
@@ -942,7 +962,10 @@ def topk_cosine_ivf_adc_indexed(
     if centroids is None:
         centroids = read_ivf_centroids(spark, index_path)
     rerank = max(k, rerank_factor * k)
-    qcells = _query_cells(queries, centroids, nprobe, id_col, vec_col)
+    # r13 opt: one evaluation of the probe fan-out (see the PQ twin)
+    qcells = _query_cells(
+        queries, centroids, nprobe, id_col, vec_col
+    ).localCheckpoint()
     probed = sorted(
         r["cell"] for r in qcells.select("cell").distinct().collect()
     )
@@ -1297,4 +1320,9 @@ def append_ivf_index(
             "overwrite"
         ).parquet(f"{path}/cells")
     spark.catalog.refreshByPath(f"{path}/cells")
+    # stats taken and cells written — the staging checkpoint is spent
+    # (r13 opt, guide §5)
+    from ..session import release_checkpoint
+
+    release_checkpoint(codes)
     return {"appended": stats["n"], "touched_cells": stats["k"]}

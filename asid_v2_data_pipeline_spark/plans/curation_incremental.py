@@ -213,17 +213,24 @@ def admit_increment(
     clean_b.write.mode("overwrite").parquet(
         f"{state_dir}/corpus/_bid={batch_id}"
     )
+    from ..session import release_checkpoint
+
     if not return_stats:
+        # seen/index/corpus state all written — the batch checkpoint is
+        # spent (r13 opt, guide §5)
+        release_checkpoint(new_u)
         return {"batch_id": batch_id}
     n_admitted = (
         _read_state(sp, f"{state_dir}/corpus/_bid={batch_id}").count()
     )
-    return {
+    out = {
         "batch_id": batch_id,
         "batch_rows": batch.count(),
         "exact_new": new_u.count(),  # checkpointed — no recompute
         "admitted": n_admitted,
     }
+    release_checkpoint(new_u)
+    return out
 
 
 def curate_document_stream(
