@@ -1132,7 +1132,14 @@ def tx_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _parallel(load_table(spark, sf_dir, "documents"))
     toks = tx.tokens(F.col("text"))
-    # per-token subword count via the replace chain, summed per doc
+    # r13 opt note (guide §1.2, measured and REVERTED): an Arrow kernel
+    # twin of this fold (tokenize + the 16-merge replace chain as
+    # vectorized pyarrow.compute passes, one crossing) was built,
+    # differential-pinned and A/B'd interleaved at sf0.1 — expression
+    # form min 1.11 s / clean med ~1.2 vs kernel min 1.22 s / med ~1.6:
+    # the extra ArrowEvalPython stage costs more than the interpreted
+    # per-token replaces it removes at this row count, so the HOF form
+    # (also the documented oracle contract) stays.
     per_tok = F.transform(toks, _subword_count)
     n_sub = F.aggregate(
         per_tok, F.lit(0), lambda acc, x: acc + x
