@@ -79,7 +79,10 @@ def posting_lists(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 
 def build_bm25_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The serving-index pair for ``bm25_scores_indexed``:
 
@@ -95,28 +98,38 @@ def build_bm25_index(
     (``posting_lists`` ⋈ lens) paid a second tokenize scan and a
     doc-keyed shuffle join for the same rows (the r7 profiling item,
     PLANS.md "Round-7 tx_bm25_indexed").
+
+    r14 (VERDICT r13 item 1): BOTH outputs now derive from ONE tokenized
+    projection ``(id, _dl, _toks)`` — pre-r14 ``stats`` re-tokenized the
+    corpus through a second ``tokens()`` scan.  With ``materialize=True``
+    that projection is ``localCheckpoint``-ed, so an in-query build pays
+    the tokenize pass EXACTLY ONCE even though postings and stats
+    materialize in different jobs (the ``matched`` checkpoint inside
+    ``bm25_scores_indexed`` vs the final scoring job).  Default off:
+    callers that write the index out (``write_bm25_index``) materialize
+    both outputs in one job anyway and should not pay a third
+    token-array copy.
     """
     # coalesce: size(tokens(NULL)) is NULL, which avg() would SKIP while
     # count() counts the row — _avgdl and _n would then disagree about
     # the doc set and the closed-form append update could never match a
     # rebuild.  NULL text = zero-length document, consistently.
-    lens = docs.select(
-        F.col(id_col),
-        F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0)).alias("_dl"),
-    )
-    toks = docs.select(
+    tok = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     ).select(
         F.col(id_col),
         F.coalesce(F.size("_toks"), F.lit(0)).alias("_dl"),
-        F.explode("_toks").alias("token"),
+        "_toks",
     )
+    if materialize:
+        tok = tok.localCheckpoint()
     postings = (
-        toks.groupBy("token", id_col, "_dl")
+        tok.select(F.col(id_col), "_dl", F.explode("_toks").alias("token"))
+        .groupBy("token", id_col, "_dl")
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("token", id_col, "tf", "_dl")
     )
-    stats = lens.agg(
+    stats = tok.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
     )
     return postings, stats

