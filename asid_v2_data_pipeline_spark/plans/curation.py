@@ -37,6 +37,38 @@ from ..operators.sampling import quota_per_group, weighted_repeat
 from ..session import release_checkpoint
 
 
+def _background(build):
+    """Materialize ``build()`` on a driver thread (guide §2.6 — Spark's
+    scheduler happily runs several jobs at once; actions are sequential
+    only because driver code calls them sequentially).  The curation
+    chains use it for the BENCHMARK-side hash checkpoint, which depends
+    on nothing in the corpus chain: its job back-fills executor slots
+    freed by the chain's own checkpoint jobs instead of running serially
+    after them.  Returns a zero-arg ``result()`` that joins the thread
+    and returns the built DataFrame (re-raising any build error)."""
+    import threading
+
+    box: list = []
+
+    def run():
+        try:
+            box.append((None, build()))
+        except BaseException as exc:  # propagate on join, never swallow
+            box.append((exc, None))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def result():
+        t.join()
+        exc, val = box[0]
+        if exc is not None:
+            raise exc
+        return val
+
+    return result
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -66,7 +98,20 @@ def curate(
     passes.  The benchmark side still hashes inside ``contamination``
     (one pass — v1 has a single decontam tier)."""
     from ..functions.arrowhash import hash_block
-    from ..operators.dedup import minhash_lsh_pairs_from_hashes
+    from ..operators.dedup import (
+        minhash_lsh_pairs_from_hashes,
+        with_shingle_hashes,
+    )
+
+    # r14 (guide §2.6): the benchmark-side shingle checkpoint depends on
+    # nothing in the corpus chain — start it NOW on a driver thread so
+    # its job overlaps the uniq/neat checkpoints (it used to run
+    # serially inside contamination(), after neat materialized).
+    bench_hs_r = _background(
+        lambda: with_shingle_hashes(
+            benchmark, id_col, text_col, decontam_n
+        ).localCheckpoint()
+    )
 
     good = docs.filter(tx.quality_score(F.col(text_col)) >= quality_min)
     # r13 (guide §4.2): the tokenize-once block — fingerprint + n=3 +
@@ -111,6 +156,7 @@ def curate(
         docs_hashed=neat.select(
             F.col(id_col).alias("_id"), F.col("_hsN").alias("_hs")
         ),
+        bench_hashed=bench_hs_r(),
     ).select(id_col)
     clean = neat.drop("_hs3", "_hsN").join(
         F.broadcast(contaminated), id_col, "left_anti"
@@ -184,6 +230,24 @@ def curate_v2(
         remove_duplicate_spans,
     )
 
+    # benchmark side: one char pass feeds both decontam tiers (r13: the
+    # fused Arrow kernel).  r14 (guide §2.6): it depends on nothing in
+    # the corpus chain, so it materializes on a driver thread whose job
+    # overlaps the chain's rewritten/uniq/neat checkpoints — it used to
+    # run serially between the neat checkpoint and the final job.
+    bench_hs_r = _background(
+        lambda: benchmark.select(
+            F.col(id_col).alias("_id"),
+            hash_block(F.col(text_col), 3, decontam_n).alias("_hb"),
+        )
+        .select(
+            "_id",
+            F.col("_hb.hs1").alias("_hs3"),
+            F.col("_hb.hs2").alias("_hs8"),
+        )
+        .localCheckpoint()
+    )
+
     gated = (
         score_documents(docs, text_col, clf_weights, clf_bias)
         .filter(F.col("clf_score") >= clf_min)
@@ -252,20 +316,7 @@ def curate_v2(
     # admitted-id set + epochs IS the product; callers re-join text from
     # the source table (or read the staged twin's 'rewritten' stage).
 
-    # benchmark side: one char pass feeds both decontam tiers (r13:
-    # same fused Arrow kernel as the corpus side)
-    bench_hs = (
-        benchmark.select(
-            F.col(id_col).alias("_id"),
-            hash_block(F.col(text_col), 3, decontam_n).alias("_hb"),
-        )
-        .select(
-            "_id",
-            F.col("_hb.hs1").alias("_hs3"),
-            F.col("_hb.hs2").alias("_hs8"),
-        )
-        .localCheckpoint()
-    )
+    bench_hs = bench_hs_r()  # §2.6 overlap — submitted at function top
 
     # r13 opt (guide §2.4): the two decontam tiers used to be unioned +
     # DISTINCT-ed into one removal set before a single anti-join — but

@@ -299,21 +299,31 @@ def _parallel_docs(d: DataFrame, *cols: str) -> DataFrame:
     )
 
 
-def _parallel(d: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Full-row twin of :func:`_parallel_docs` for the compute-heavy
-    query families (r13, guide §2.5 "one huge unsplittable file"):
-    every driver testdata table is ONE parquet file with ONE row group
-    → one input split, so all narrow scan-stage work — tokenize, char
-    hashing, quality regexes, classifier/vector folds, Arrow kernels —
-    would serialize onto a single core at every SF.  Hash-repartition
-    on the (dense, unique) id spreads rows near-uniformly and
-    deterministically; results are row-set identical, only placement
-    changes.  Scale-adaptive: the session's defaultParallelism, never
+def _parallel(
+    d: DataFrame, key: str = "doc_id", cols: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Scan-parallelism hop for the compute-heavy query families (r13,
+    guide §2.5 "one huge unsplittable file"): every driver testdata
+    table is ONE parquet file with ONE row group → one input split, so
+    all narrow scan-stage work — tokenize, char hashing, quality
+    regexes, classifier/vector folds, Arrow kernels — would serialize
+    onto a single core at every SF.  Hash-repartition on the (dense,
+    unique) id spreads rows near-uniformly and deterministically;
+    results are row-set identical, only placement changes.
+
+    ``cols`` (r14, VERDICT r13 item 6 / guide §2.3 "project before the
+    exchange"): the columns the downstream pipeline actually consumes —
+    the hop's exchange then carries ONLY those, never the full row (at
+    100 TB an unprojected hop would shuffle every payload byte before
+    any narrowing; callers that genuinely need every column pass
+    ``None``).  Scale-adaptive: the session's defaultParallelism, never
     a constant — the driver's lower-core bench runs resize it
     automatically, and at production scale (inputs already in many
     splits) a pipeline drops this hop entirely."""
     import os
 
+    if cols is not None:
+        d = d.select(*cols)
     if os.environ.get("SPARK_GRAFT_NO_PARALLEL_HOP"):  # A/B escape hatch
         return d
     sp = d.sparkSession

@@ -99,7 +99,7 @@ def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate spans (Lee et al. 2022 substring dedup,
     distributed k-gram form): maximal token spans whose every 5-gram also
     occurs in another document."""
-    d = _parallel(load_table(spark, sf_dir, "documents"))
+    d = _parallel(load_table(spark, sf_dir, "documents"), cols=("doc_id", "text"))
     return dd.duplicate_spans(d, "doc_id", "text", k=5).orderBy(
         "doc_id", "span_start"
     )
@@ -1139,7 +1139,7 @@ def tx_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE) end-to-end."""
     from ..operators.packing import pack_greedy
 
-    d = _parallel(load_table(spark, sf_dir, "documents"))
+    d = _parallel(load_table(spark, sf_dir, "documents"), cols=("doc_id", "source", "text"))
     toks = tx.tokens(F.col("text"))
     # r13 opt note (guide §1.2, measured and REVERTED): an Arrow kernel
     # twin of this fold (tokenize + the 16-merge replace chain as

@@ -244,7 +244,7 @@ def dc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 97 == 0)
     # corpus side only: the tiny benchmark side would shatter into
     # 32 near-empty partitions (per-batch kernel overhead, no gain)
-    corpus = _parallel(d.filter(F.col("doc_id") % 97 != 0))
+    corpus = _parallel(d.filter(F.col("doc_id") % 97 != 0), cols=("doc_id", "text"))
     return contamination(corpus, bench, "doc_id", "text", n=_DC_N).orderBy(
         "doc_id"
     )
@@ -311,7 +311,7 @@ def dc_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # straddle the corpus/benchmark boundary for the query to exercise
     # the fuzzy path on >0 rows
     bench = d.filter(F.col("doc_id") % 5 == 0)
-    corpus = _parallel(d.filter(F.col("doc_id") % 5 != 0))
+    corpus = _parallel(d.filter(F.col("doc_id") % 5 != 0), cols=("doc_id", "text"))
     return fuzzy_contamination(
         corpus, bench, "doc_id", "text", min_jaccard=_DC_FUZZY_T
     ).orderBy("doc_id", "bench_id")
@@ -461,7 +461,10 @@ def cur_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
-    corpus = _parallel(d.filter(F.col("doc_id") % 97 != 0))
+    corpus = _parallel(
+        d.filter(F.col("doc_id") % 97 != 0),
+        cols=("doc_id", "lang", "source", "text"),
+    )
     out = curate(corpus, bench, _MIX_WEIGHTS)
     return out.select(
         "doc_id", "lang", "source", F.col("epoch").cast("long").alias("epoch")
@@ -557,7 +560,10 @@ def cur_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 5 == 0)
-    corpus = _parallel(d.filter(F.col("doc_id") % 5 != 0))
+    corpus = _parallel(
+        d.filter(F.col("doc_id") % 5 != 0),
+        cols=("doc_id", "lang", "source", "text"),
+    )
     out = curate_v2(
         corpus,
         bench,

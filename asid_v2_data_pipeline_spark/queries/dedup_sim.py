@@ -64,7 +64,7 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation except among hot-heavy docs — provably
     result-preserving (see jaccard_pairs docstring), so the oracle is the
     plain all-shingles SQL."""
-    d = _parallel(load_table(spark, sf_dir, "documents"))
+    d = _parallel(load_table(spark, sf_dir, "documents"), cols=("doc_id", "text"))
     pairs = dd.jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, df_cutoff=50)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -100,7 +100,7 @@ ORDER BY id_a, id_b
 
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs (16 perms, 4 bands)."""
-    d = _parallel(load_table(spark, sf_dir, "documents"))
+    d = _parallel(load_table(spark, sf_dir, "documents"), cols=("doc_id", "text"))
     return dd.minhash_lsh_pairs(d, "doc_id", "text", num_perm=16, bands=4).orderBy(
         "id_a", "id_b"
     )
